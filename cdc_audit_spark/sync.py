@@ -1,0 +1,142 @@
+"""Incremental audit-table sync — the Spark re-expression of
+cdc_audit_sync_mysql.php.
+
+Reference behavior per table (sync:238-265): recover the watermark from the
+sink's last CSV line (sync:341-386), scan ``audit_pk > watermark``
+(sync:243), append rows to the CSV with a header on first write
+(sync:245-258, 324-335).
+
+Spark mapping:
+  * watermark recovery — a small JSON state file written atomically beside
+    the sink (stronger than the reference's tail-read, which it documents as
+    corruptible, README:213-215); parity-mode fallback recovers by scanning
+    ``max(audit_pk)`` over the sink (≡ the tail read, A2).
+  * incremental scan — ``filter(audit_pk > lit(wm))``: pushdown-eligible, so
+    a parquet/JDBC source skips already-synced data (O2). Verified in tests
+    via the plan's PushedFilters.
+  * append — ``df.write.mode('append')``; Spark writes one file per
+    partition, so parity is at the dataset level, not the byte level
+    (SURVEY §7.2). CSV part files each carry a header; reading back with
+    header=True round-trips.
+
+At 100 TB the sync is embarrassingly parallel: the filter prunes at the
+source, no shuffle occurs anywhere in the path (scan → filter → write), and
+the only aggregate (new watermark) is a map-side max.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_audit_spark.schema import AUDIT_PK
+
+__all__ = ["sync_table", "get_watermark", "SyncResult"]
+
+_STATE_FILE = "_cdc_watermark.json"
+
+
+@dataclass
+class SyncResult:
+    rows_synced: int
+    watermark: int
+    sink_path: str
+
+
+def _state_path(sink_path: str) -> str:
+    return os.path.join(sink_path, _STATE_FILE)
+
+
+def _write_state(sink_path: str, watermark: int) -> None:
+    """Atomic write (tmp + rename) — the locking the reference lacks
+    (README:213-215)."""
+    os.makedirs(sink_path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=sink_path, prefix=".wm_")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"watermark": watermark}, f)
+    os.replace(tmp, _state_path(sink_path))
+
+
+def get_watermark(
+    spark: SparkSession,
+    sink_path: str,
+    fmt: str = "csv",
+    recover_from_sink: bool = True,
+) -> int:
+    """Current high watermark of a sink: state file first, else recovered by
+    scanning the sink for max(audit_pk) — the reference's last-CSV-line trick
+    (sync:341-358) generalized to a distributed dataset. Returns 0 when the
+    sink does not exist yet (sync starts from scratch, sync:358)."""
+    sp = _state_path(sink_path)
+    if os.path.exists(sp):
+        with open(sp) as f:
+            return int(json.load(f)["watermark"])
+    if not recover_from_sink or not os.path.isdir(sink_path):
+        return 0
+    try:
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", True).option("inferSchema", True)
+        df = reader.load(sink_path)
+    except Exception:
+        return 0
+    if AUDIT_PK not in df.columns:
+        return 0
+    row = df.agg(F.max(F.col(AUDIT_PK).cast("long")).alias("wm")).first()
+    return int(row["wm"]) if row["wm"] is not None else 0
+
+
+def sync_table(
+    audit_df: DataFrame,
+    sink_path: str,
+    fmt: str = "csv",
+    watermark: int | None = None,
+    update_state: bool = True,
+) -> SyncResult:
+    """One sync run: append all audit rows with ``audit_pk > watermark`` to
+    the sink and advance the watermark (sync:238-265).
+
+    ``watermark=None`` recovers it from the sink (get_watermark). Counting
+    and max-finding happen in the same job that writes, via a cheap
+    post-write aggregate over only the new rows.
+    """
+    spark = audit_df.sparkSession
+    if watermark is None:
+        watermark = get_watermark(spark, sink_path, fmt=fmt)
+
+    delta = audit_df.filter(F.col(AUDIT_PK) > F.lit(watermark))
+    # Single pass over the (source-pruned) delta: max + count are map-side.
+    stats = delta.agg(
+        F.count("*").alias("n"), F.max(AUDIT_PK).alias("mx")
+    ).first()
+    n, mx = int(stats["n"]), stats["mx"]
+    if n == 0:
+        # Empty delta appends nothing — not even a header (sync:252 only
+        # writes the header when rows flow).
+        return SyncResult(0, watermark, sink_path)
+
+    writer = delta.write.mode("append").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    writer.save(sink_path)
+
+    new_wm = max(watermark, int(mx))
+    if update_state:
+        _write_state(sink_path, new_wm)
+    return SyncResult(n, new_wm, sink_path)
+
+
+def read_sink(spark: SparkSession, sink_path: str, fmt: str = "csv", schema=None) -> DataFrame:
+    """Read a sink back as a DataFrame (header-aware for CSV)."""
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+        reader = reader.schema(schema) if schema is not None else reader.option("inferSchema", True)
+    elif schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(sink_path)

@@ -1,0 +1,56 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cdc_audit_spark.compact import compact_log, keep_last, keep_last_per_key
+from cdc_audit_spark.sync import read_sink
+
+TS = dt.datetime(2026, 1, 1)
+
+
+def _log(spark):
+    rows = [
+        (1, 10.0, "insert", TS, 1),
+        (2, 20.0, "insert", TS, 2),
+        (1, 11.0, "update", TS, 3),
+        (2, 20.0, "delete", TS, 4),
+        (1, 12.0, "update", TS, 5),
+    ]
+    return spark.createDataFrame(
+        rows, "k int, v double, audit_event string, audit_timestamp timestamp, audit_pk long"
+    )
+
+
+def test_keep_last_global(spark):
+    # wipe keeps exactly the row with max audit_pk (sync:304)
+    out = keep_last(_log(spark)).collect()
+    assert len(out) == 1
+    assert out[0]["audit_pk"] == 5
+
+
+def test_keep_last_per_key(spark):
+    out = {r["k"]: r for r in keep_last_per_key(_log(spark), ["k"]).collect()}
+    assert out[1]["audit_pk"] == 5 and out[1]["v"] == 12.0
+    assert out[2]["audit_pk"] == 4 and out[2]["audit_event"] == "delete"
+
+
+def test_compact_log_rewrites_sink(spark, tmp_path):
+    sink = str(tmp_path / "log.parquet")
+    _log(spark).write.parquet(sink)
+    kept = compact_log(spark.read.parquet(sink), sink, fmt="parquet")
+    assert kept == 1
+    back = read_sink(spark, sink, fmt="parquet")
+    assert back.count() == 1
+    assert back.first()["audit_pk"] == 5
+
+
+def test_sync_after_compaction_emits_nothing_old(spark, tmp_path):
+    from cdc_audit_spark.sync import sync_table
+
+    sink = str(tmp_path / "s.parquet")
+    log = _log(spark)
+    sync_table(log, sink, fmt="parquet")
+    compact_log(read_sink(spark, sink, fmt="parquet"), sink, fmt="parquet")
+    # watermark state survives compaction → resync of same log adds nothing
+    res = sync_table(log, sink, fmt="parquet")
+    assert res.rows_synced == 0

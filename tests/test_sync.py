@@ -1,0 +1,85 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cdc_audit_spark.schema import audit_schema
+from cdc_audit_spark.sync import get_watermark, read_sink, sync_table
+
+TS = dt.datetime(2026, 1, 1)
+
+
+def _audit_df(spark, n, base=0):
+    return (
+        spark.range(base + 1, base + n + 1)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).cast("double").alias("v"),
+            F.lit("insert").alias("audit_event"),
+            F.lit(TS).alias("audit_timestamp"),
+            F.col("id").alias("audit_pk"),
+        )
+    )
+
+
+def test_first_sync_writes_all_with_header(spark, tmp_path):
+    sink = str(tmp_path / "t.csv")
+    res = sync_table(_audit_df(spark, 10), sink, fmt="csv")
+    assert res.rows_synced == 10
+    assert res.watermark == 10
+    back = read_sink(spark, sink, fmt="csv")
+    assert back.count() == 10
+    assert back.columns[-1] == "audit_pk"  # sync:352 invariant
+
+
+def test_incremental_sync_appends_only_delta(spark, tmp_path):
+    sink = str(tmp_path / "t.csv")
+    sync_table(_audit_df(spark, 10), sink, fmt="csv")
+    # second run over a log that grew to 25 rows
+    res = sync_table(_audit_df(spark, 25), sink, fmt="csv")
+    assert res.rows_synced == 15
+    assert res.watermark == 25
+    back = read_sink(spark, sink, fmt="csv")
+    assert back.count() == 25
+    assert back.select("audit_pk").distinct().count() == 25  # no duplicates
+
+
+def test_empty_delta_appends_nothing(spark, tmp_path):
+    sink = str(tmp_path / "t.csv")
+    sync_table(_audit_df(spark, 10), sink, fmt="csv")
+    res = sync_table(_audit_df(spark, 10), sink, fmt="csv")
+    assert res.rows_synced == 0
+    assert res.watermark == 10
+    assert read_sink(spark, sink, fmt="csv").count() == 10
+
+
+def test_watermark_recovery_from_sink_scan(spark, tmp_path):
+    # delete the state file; watermark must be recovered from the data
+    # (parity with the reference's tail read, sync:341-358)
+    import os
+
+    sink = str(tmp_path / "t.csv")
+    sync_table(_audit_df(spark, 10), sink, fmt="csv")
+    os.remove(os.path.join(sink, "_cdc_watermark.json"))
+    assert get_watermark(spark, sink, fmt="csv") == 10
+    res = sync_table(_audit_df(spark, 12), sink, fmt="csv")
+    assert res.rows_synced == 2
+
+
+def test_watermark_empty_sink_is_zero(spark, tmp_path):
+    assert get_watermark(spark, str(tmp_path / "nope.csv")) == 0
+
+
+def test_parquet_sink(spark, tmp_path):
+    sink = str(tmp_path / "t.parquet")
+    res = sync_table(_audit_df(spark, 100), sink, fmt="parquet")
+    assert res.rows_synced == 100
+    assert read_sink(spark, sink, fmt="parquet").count() == 100
+
+
+def test_incremental_filter_is_pushed_down(spark, tmp_path):
+    """The audit_pk > watermark predicate must reach the parquet scan (O2)."""
+    sink = str(tmp_path / "log.parquet")
+    _audit_df(spark, 50).write.parquet(sink)
+    log = spark.read.parquet(sink)
+    plan = log.filter(F.col("audit_pk") > F.lit(25))._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(audit_pk), GreaterThan(audit_pk,25)" in plan
