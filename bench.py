@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = full query execution including the action (count on the result —
+forces the whole plan without driver-side collection of wide rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "cdc_diff_customer",
+    "cdc_incremental_scan",
+    "cdc_keep_last_per_key",
+    "cdc_replay_state",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "topk_orders_per_customer",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "knn_cosine_topk",
+    "events_hourly_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+    from cdc_audit_spark.queries import queries
+    from cdc_audit_spark.session import get_spark
+
+    spark = get_spark(app_name="cdc_audit_spark-bench", cpus=cpus,
+                      shuffle_partitions=cpus)
+    qs = queries()
+
+    # warm the JVM/codegen once on a trivial action so per-query timings
+    # measure the queries, not session spin-up
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

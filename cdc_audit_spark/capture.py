@@ -146,7 +146,9 @@ def assign_audit_pk(
     """
     if strategy == "window":
         w = Window.orderBy(*[F.col(c) for c in order_cols])
-        return df.withColumn(AUDIT_PK, F.row_number().over(w) + F.lit(base))
+        return df.withColumn(
+            AUDIT_PK, (F.row_number().over(w) + F.lit(base)).cast("long")
+        )
     if strategy == "distributed":
         return _assign_pk_distributed(df, order_cols, base)
     raise ValueError(f"unknown pk strategy: {strategy}")

@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct (modality, mime, byte length, digest). The Spark-side
+plumbing — schema, partition sizing, Arrow batch shape through mapInPandas —
+is real and tested; the actual codec step is STUBBED (the image/audio
+libraries are not in this environment): ``decode_stub`` produces a
+deterministic fake feature vector, and ``decode_real`` raises
+NotImplementedError with the integration point documented.
+
+Scale notes: payload columns dominate row size, so operators here avoid
+shuffling payloads — metadata extraction is a narrow map; feature extraction
+yields small vectors and drops the payload before any wide transformation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_payload",
+    "payload_stats",
+    "extract_features",
+    "decode_real",
+]
+
+#: Canonical media-column schema: payload + typed metadata.
+MEDIA_SCHEMA = StructType([
+    StructField("payload", BinaryType(), True),
+    StructField("modality", StringType(), False),
+    StructField("mime", StringType(), True),
+    StructField("n_bytes", LongType(), False),
+    StructField("digest", StringType(), False),
+])
+
+
+def attach_payload(df: DataFrame, text_col: str, modality: str = "text") -> DataFrame:
+    """Wrap a column into the canonical media struct (UTF-8 payload).
+
+    For real media the payload would come from a binaryFile read
+    (``spark.read.format('binaryFiles')``) — same struct shape.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn(
+        "media",
+        F.struct(
+            payload.alias("payload"),
+            F.lit(modality).alias("modality"),
+            F.lit("text/plain; charset=utf-8").alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.md5(F.col(text_col)).alias("digest"),
+        ),
+    )
+
+
+def payload_stats(df: DataFrame, text_col: str, id_col: str, chunk_bytes: int = 65536) -> DataFrame:
+    """Byte length / digest / chunk count per payload — the partition-sizing
+    input for a media pipeline (all JVM-side)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    nbytes = F.octet_length(payload).cast("long")
+    return df.select(
+        F.col(id_col),
+        nbytes.alias("payload_bytes"),
+        F.md5(F.col(text_col)).alias("payload_digest"),
+        ((nbytes + F.lit(chunk_bytes - 1)) / F.lit(chunk_bytes)).cast("long").alias("n_chunks"),
+    )
+
+
+_FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = StructType([
+    StructField("id", LongType(), False),
+    StructField("features", ArrayType(FloatType()), False),
+    StructField("n_bytes", LongType(), False),
+])
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    batch_size_hint: int = 1024,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via mapInPandas.
+
+    The stub computes a deterministic byte-histogram projection (a fake
+    embedding) so the full distributed path — Arrow transfer of binary
+    columns, per-batch vectorized compute, payload dropped before return —
+    is exercised end-to-end. Swap ``_fake_decode`` for a real codec
+    (PIL/torchaudio/ffmpeg) at the marked line to productionize.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_name, payload_name = id_col, payload_col
+
+    def _fake_decode(buf: bytes) -> list[float]:
+        # REAL CODEC GOES HERE (e.g. PIL.Image.open(io.BytesIO(buf))).
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        if arr.size == 0:
+            return [0.0] * _FEATURE_DIM
+        hist = np.bincount(arr % _FEATURE_DIM, minlength=_FEATURE_DIM).astype("float32")
+        return (hist / max(arr.size, 1)).tolist()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "id": pdf[id_name].astype("int64"),
+                "features": [ _fake_decode(b) for b in pdf[payload_name] ],
+                "n_bytes": [len(b) for b in pdf[payload_name]],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(run, _FEATURES_SCHEMA)
+
+
+def decode_real(df: DataFrame, payload_col: str, modality: str):
+    """Integration point for real codecs — not available in this environment."""
+    raise NotImplementedError(
+        "real media decoding requires codec libraries (PIL/torchaudio/ffmpeg) "
+        "not present in this environment; use extract_features (stubbed) for "
+        "the plumbing path, and plug the codec into _fake_decode"
+    )

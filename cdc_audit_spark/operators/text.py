@@ -1,0 +1,129 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+fingerprinting.
+
+All hot-path expressions are built-in pyspark.sql.functions (split, filter,
+aggregate, regexp) — they run inside whole-stage codegen; nothing drops to
+Python per row. The operators are shaped for 100 TB corpora: every one is a
+narrow map over the documents table, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_stats",
+    "quality_stats",
+    "fingerprint",
+    "language_id",
+    "DEFAULT_STOPWORDS",
+]
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic (fastText-style signal, heuristic tier).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "los", "que", "es"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.col(text_col), r"\s+")
+
+
+def _stopword_count(tokens: Column, stopwords: tuple[str, ...]) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
+
+
+def _ratio(num: Column, den: Column, scale: int = 6) -> Column:
+    """Identical IEEE double division + decimal cast on both engines — a
+    double never sits exactly on a decimal rounding tie, so DuckDB and Spark
+    round identically (oracle-parity invariant)."""
+    return (num.cast("double") / den).cast(f"decimal(38,{scale})")
+
+
+def token_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    t = _tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        _stopword_count(t, stopwords).cast("long").alias("n_stopwords"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def quality_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    max_stopword_ratio: float = 0.5,
+) -> DataFrame:
+    """C4/Gopher-style quality gates: stopword ratio, mean token length,
+    token-count band."""
+    t = _tokens(text_col)
+    n_tokens = F.size(t)
+    sw_ratio = _ratio(_stopword_count(t, stopwords), n_tokens)
+    avg_tok = _ratio(F.length(F.regexp_replace(F.col(text_col), " ", "")), n_tokens)
+    passes = (
+        n_tokens.between(min_tokens, max_tokens)
+        & (
+            (_stopword_count(t, stopwords).cast("double") / n_tokens)
+            < F.lit(max_stopword_ratio)
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        sw_ratio.alias("stopword_ratio"),
+        avg_tok.alias("avg_token_len"),
+        passes.alias("passes"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content fingerprint over normalized text (lowercase, collapsed
+    whitespace) — stable under formatting noise."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: the language whose marker-stopword hit count is
+    highest wins; ties break lexicographically; no hits → 'und'.
+
+    Pure JVM expression tree (one filter+size per language). For a real
+    pipeline this is the cheap first tier before a model-based classifier.
+    """
+    t = _tokens(text_col)
+    langs = sorted(LANG_MARKERS.items())
+    # struct sort compares fields in order: (score desc, inv desc) where inv
+    # inverts the lexicographic index → ties resolve to the smallest lang.
+    scores = [
+        F.struct(
+            _stopword_count(t, markers).alias("score"),
+            F.lit(len(langs) - 1 - i).alias("inv"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, markers) in enumerate(langs)
+    ]
+    best = F.sort_array(F.array(*scores), asc=False)[0]
+    return df.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["score"].cast("long").alias("marker_hits"),
+    )

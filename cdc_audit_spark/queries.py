@@ -1,0 +1,771 @@
+"""The engine's query surface — every operator from SURVEY §2 plus the
+extension operators, each as a (spark, sf_dir) -> DataFrame callable with,
+where SQL-expressible, a DuckDB oracle that computes the identical result.
+
+Oracle-parity rules (driver hash-compares values after sorting columns by
+name):
+  * every computed column is aliased identically on both sides;
+  * money/ratio outputs go through DECIMAL: the fixture's doubles carry
+    exactly 2 decimals, so casting to DECIMAL(12,2) *before* aggregating
+    makes sums exact and engine-order-independent;
+  * averages/ratios use the same IEEE double division on both sides and a
+    final cast to DECIMAL — a double can never sit exactly on a decimal
+    rounding tie, so both engines round identically;
+  * timestamps are pinned to UTC (session.tune) and fixed literals are used
+    where the reference would use CURRENT_TIMESTAMP.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_audit_spark import capture, compact
+from cdc_audit_spark.session import tune
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+TS0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+WATERMARK = 10  # fixed watermark literal for the incremental-scan queries
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    tune(spark)
+    out = {}
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "events":
+            # events.ts is parquet TIMESTAMP(NANOS), which Spark reads only
+            # as a long (nanosAsLong, set in session.tune). Convert to
+            # microseconds with exact integer division (nanos exceed 2^53,
+            # so float division would lose precision) — same truncation
+            # DuckDB applies casting timestamp_ns → timestamp.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → not SQL-expressible; driver does rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        _REGISTRY[name] = QueryDef(fn, oracle, doc)
+        return fn
+    return deco
+
+
+# --------------------------------------------------------------------------
+# CDC core — scripted customer snapshot pair (FIXTURES.md §B2).
+# v1 = v0 minus keys ≡3 (mod 19), acctbal+100 on keys ≡0 (mod 10),
+# plus copies of keys ≡1 (mod 23) shifted beyond max(c_custkey).
+# --------------------------------------------------------------------------
+
+def customer_snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    v0 = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    survivors = v0.filter(F.col("c_custkey") % 19 != 3)
+    updated = survivors.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 100.0, 2))
+        .otherwise(F.col("c_acctbal")),
+    )
+    maxk = v0.agg(F.max("c_custkey")).first()[0]
+    inserts = (
+        v0.filter(F.col("c_custkey") % 23 == 1)
+        .withColumn("c_custkey", F.col("c_custkey") + F.lit(maxk))
+    )
+    return v0, updated.unionByName(inserts)
+
+
+def customer_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v0, v1 = customer_snapshots(spark, sf_dir)
+    return capture.snapshot_diff(v0, v1, ["c_custkey"], ts=TS0)
+
+
+# The same derivation as DuckDB CTEs, shared by every CDC oracle.
+_V1_CTE = """
+v1 AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 100.0, 2)
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+    FROM customer
+   WHERE c_custkey % 19 <> 3
+  UNION ALL
+  SELECT c_custkey + (SELECT max(c_custkey) FROM customer) AS c_custkey,
+         c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+   WHERE c_custkey % 23 = 1
+)
+"""
+
+_AUDIT_CTE = _V1_CTE + """,
+diff AS (
+  SELECT CASE WHEN o.c_custkey IS NULL THEN 'insert'
+              WHEN n.c_custkey IS NULL THEN 'delete'
+              ELSE 'update' END AS audit_event,
+         COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+         CASE WHEN n.c_custkey IS NULL THEN o.c_name ELSE n.c_name END AS c_name,
+         CASE WHEN n.c_custkey IS NULL THEN o.c_nationkey ELSE n.c_nationkey END AS c_nationkey,
+         CASE WHEN n.c_custkey IS NULL THEN o.c_acctbal ELSE n.c_acctbal END AS c_acctbal,
+         CASE WHEN n.c_custkey IS NULL THEN o.c_mktsegment ELSE n.c_mktsegment END AS c_mktsegment,
+         (o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL AND NOT (
+            o.c_name IS NOT DISTINCT FROM n.c_name AND
+            o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey AND
+            o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal AND
+            o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)) AS changed
+    FROM customer o FULL OUTER JOIN v1 n ON o.c_custkey = n.c_custkey
+),
+audit AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, audit_event,
+         TIMESTAMP '2026-01-01 00:00:00' AS audit_timestamp,
+         CAST(row_number() OVER (ORDER BY audit_event, c_custkey) AS BIGINT) AS audit_pk
+    FROM diff
+   WHERE audit_event <> 'update' OR changed
+)
+"""
+
+
+@register(
+    "cdc_diff_customer",
+    f"WITH {_AUDIT_CTE} SELECT * FROM audit",
+    "J1: snapshot-diff change capture — full-outer join + classify "
+    "(replaces reference triggers gen:409-439)",
+)
+def cdc_diff_customer(spark, sf_dir):
+    return customer_audit_log(spark, sf_dir)
+
+
+@register(
+    "cdc_diff_event_counts",
+    f"WITH {_AUDIT_CTE} SELECT audit_event, CAST(count(*) AS BIGINT) AS n "
+    "FROM audit GROUP BY audit_event",
+    "F2: event classification literals (gen:493-496), aggregated",
+)
+def cdc_diff_event_counts(spark, sf_dir):
+    return customer_audit_log(spark, sf_dir).groupBy("audit_event").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "cdc_incremental_scan",
+    f"WITH {_AUDIT_CTE} SELECT * FROM audit WHERE audit_pk > {WATERMARK}",
+    "S5/P3: the core incremental read — audit_pk > watermark (sync:243)",
+)
+def cdc_incremental_scan(spark, sf_dir):
+    return customer_audit_log(spark, sf_dir).filter(F.col("audit_pk") > F.lit(WATERMARK))
+
+
+@register(
+    "cdc_audit_stats",
+    f"WITH {_AUDIT_CTE} SELECT CAST(count(audit_pk) AS BIGINT) AS cnt, "
+    "min(audit_pk) AS min_pk, max(audit_pk) AS max_pk FROM audit",
+    "A1: global count/min/max driving the wipe loop (sync:297-302)",
+)
+def cdc_audit_stats(spark, sf_dir):
+    return customer_audit_log(spark, sf_dir).agg(
+        F.count("audit_pk").alias("cnt"),
+        F.min("audit_pk").alias("min_pk"),
+        F.max("audit_pk").alias("max_pk"),
+    )
+
+
+@register(
+    "cdc_watermark_recovery",
+    f"WITH {_AUDIT_CTE} SELECT max(audit_pk) AS watermark FROM audit",
+    "A2/S7: watermark = max(audit_pk) over the sink (sync:341-358)",
+)
+def cdc_watermark_recovery(spark, sf_dir):
+    return customer_audit_log(spark, sf_dir).agg(F.max("audit_pk").alias("watermark"))
+
+
+@register(
+    "cdc_keep_last",
+    f"WITH {_AUDIT_CTE} SELECT * FROM audit "
+    "ORDER BY audit_pk DESC LIMIT 1",
+    "W1: wipe retains the row with global max audit_pk (sync:304)",
+)
+def cdc_keep_last(spark, sf_dir):
+    return compact.keep_last(customer_audit_log(spark, sf_dir))
+
+
+@register(
+    "cdc_keep_last_per_key",
+    f"WITH {_AUDIT_CTE} SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+    "c_mktsegment, audit_event, audit_timestamp, audit_pk FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY audit_pk DESC) rn"
+    "  FROM audit) WHERE rn = 1",
+    "W1 generalized: latest audit row per source key (log compaction)",
+)
+def cdc_keep_last_per_key(spark, sf_dir):
+    return compact.keep_last_per_key(customer_audit_log(spark, sf_dir), ["c_custkey"])
+
+
+@register(
+    "cdc_replay_state",
+    f"WITH {_V1_CTE} SELECT * FROM v1",
+    "apply_changes: replaying the change log onto v0 reconstructs v1 exactly",
+)
+def cdc_replay_state(spark, sf_dir):
+    v0, _ = customer_snapshots(spark, sf_dir)
+    audit = customer_audit_log(spark, sf_dir)
+    return capture.apply_changes(v0, audit, ["c_custkey"])
+
+
+# --------------------------------------------------------------------------
+# Relational parity — projections / filters / predicates (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+@register(
+    "scan_filter_project",
+    "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem "
+    "WHERE l_orderkey > 1000",
+    "P1/P3: projection + monotone-key range predicate; filter and column "
+    "pruning reach the parquet scan (verified via PushedFilters)",
+)
+def scan_filter_project(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") > 1000)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "filter_conj_eq",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'",
+    "P4: conjunctive equality predicate (gen:222,230)",
+)
+def filter_conj_eq(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "filter_range_closed",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "WHERE l_quantity >= 10 AND l_quantity < 20",
+    "P5: closed-range predicate (wipe batch window, sync:311)",
+)
+def filter_range_closed(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") < 20))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "filter_contains",
+    "SELECT doc_id, lang FROM documents WHERE text LIKE '%merge batch%'",
+    "P6: substring-containment filter (strstr, gen:215)",
+)
+def filter_contains(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["documents"].filter(F.col("text").contains("merge batch")).select("doc_id", "lang")
+
+
+@register(
+    "filter_isin",
+    "SELECT c_custkey, c_mktsegment FROM customer "
+    "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')",
+    "P7: set-membership filter (-t table list, gen:137-143)",
+)
+def filter_isin(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "agg_global_minmax",
+    "SELECT CAST(count(*) AS BIGINT) AS cnt, min(o_orderkey) AS min_key, "
+    "max(o_orderkey) AS max_key, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) "
+    "AS DECIMAL(38,2)) AS total FROM orders",
+    "A1: global multi-aggregate without GROUP BY (sync:297-302)",
+)
+def agg_global_minmax(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["orders"].agg(
+        F.count("*").alias("cnt"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("decimal(38,2)").alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytics — aggregation / join / window (the OLAP surface a Spark user
+# of this engine gets; TPC-H-shaped over the fixture star schema)
+# --------------------------------------------------------------------------
+
+def _avg(sum_col, cnt_col, scale=6):
+    """Identical IEEE double division on both engines, then decimal cast."""
+    return (sum_col.cast("double") / cnt_col).cast(f"decimal(38,{scale})")
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DECIMAL(38,6)) AS avg_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DECIMAL(38,6)) AS avg_price,
+           CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DECIMAL(38,6)) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+      FROM lineitem
+     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+     GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: scan → partial agg → final agg; stays in whole-stage "
+    "codegen, one shuffle on the (tiny) group keys",
+)
+def q1_pricing_summary(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit(dt.datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("decimal(38,6)").alias("sum_charge"),
+            _avg(F.sum(qty), F.count("*")).alias("avg_qty"),
+            _avg(F.sum(price), F.count("*")).alias("avg_price"),
+            _avg(F.sum(disc), F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+     WHERE c.c_mktsegment = 'BUILDING'
+       AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+       AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+     GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+     ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    "TPC-H Q3 shape: selective dim filter → fact joins → agg → top-k; "
+    "customer side broadcast, order deterministic via key tiebreak",
+)
+def q3_top_orders(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit(dt.datetime(1998, 3, 15)))
+    items = t["lineitem"].filter(F.col("l_shipdate") > F.lit(dt.datetime(1998, 3, 15)))
+    return (
+        items.join(orders, items.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+     WHERE r.r_name = 'ASIA'
+     GROUP BY n.n_name
+    """,
+    "TPC-H Q5 shape: star join with broadcast dims; only the fact tables "
+    "shuffle, dimension joins are broadcast (verified in plan)",
+)
+def q5_region_revenue(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    nation_asia = (
+        t["nation"].join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    supp = t["supplier"].join(
+        F.broadcast(nation_asia), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders)
+     WHERE rk <= 3
+    """,
+    "W1-adjacent: top-k per group via ranking window — one shuffle on the "
+    "partition key",
+)
+def topk_orders_per_customer(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t["orders"]
+        .select("o_custkey", "o_orderkey", "o_totalprice",
+                F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "revenue_rollup",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_bal,
+           CAST(count(*) AS BIGINT) AS n_cust
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+     GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    "Grouping-set aggregation (beyond-reference OLAP surface): rollup over "
+    "the dimension hierarchy",
+)
+def revenue_rollup(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("decimal(38,2)").alias("total_bal"),
+        F.count("*").alias("n_cust"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Extension operators: dedup / text analysis (SURVEY §2.11)
+# --------------------------------------------------------------------------
+
+# documents ∪ shifted copies of every 5th doc — a deterministic corpus with
+# known duplicates for dedup queries.
+_DUPED_CTE = """
+duped AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+    FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+
+def _duped_docs(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    copies = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(max_id + 1))
+    )
+    return docs.select("doc_id", "text").unionByName(copies.select("doc_id", "text"))
+
+
+@register(
+    "dedup_exact",
+    f"WITH {_DUPED_CTE} SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "
+    "CAST(count(*) AS BIGINT) AS n_copies FROM duped GROUP BY md5(text)",
+    "Exact dedup via content-hash groupBy: keeps the min doc_id per distinct "
+    "text; hash-shuffle on the digest, partial agg map-side",
+)
+def dedup_exact(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_duped_docs(spark, sf_dir), "text", "doc_id")
+
+
+@register(
+    "dedup_survivors",
+    f"WITH {_DUPED_CTE} SELECT doc_id FROM ("
+    "  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn"
+    "  FROM duped) WHERE rn = 1",
+    "Exact dedup survivor set: deterministic representative per duplicate group",
+)
+def dedup_survivors(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_duped_docs(spark, sf_dir), ["text"], order_col="doc_id").select("doc_id")
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_SW_SQL = "('" + "', '".join(_STOPWORDS) + "')"
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(array_length(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(array_length(list_distinct(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN {_SW_SQL})) AS BIGINT) AS n_stopwords,
+           CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    """,
+    "Token counting + vocabulary stats, all JVM-side (split/array ops — no "
+    "Python in the loop)",
+)
+def text_token_stats(spark, sf_dir):
+    from cdc_audit_spark.operators.text import token_stats
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return token_stats(docs, "text", id_col="doc_id", stopwords=_STOPWORDS)
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN {_SW_SQL})) AS DOUBLE)
+                / array_length(regexp_split_to_array(text, '\\s+')) AS DECIMAL(38,6)) AS stopword_ratio,
+           CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                / array_length(regexp_split_to_array(text, '\\s+')) AS DECIMAL(38,6)) AS avg_token_len,
+           CAST(array_length(regexp_split_to_array(text, '\\s+')) BETWEEN 20 AND 1000
+                AND CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN {_SW_SQL})) AS DOUBLE)
+                    / array_length(regexp_split_to_array(text, '\\s+')) < 0.5 AS BOOLEAN) AS passes
+      FROM documents
+    """,
+    "Quality scoring: stopword ratio + mean token length + length gate "
+    "(C4/Gopher-style heuristics, built-ins only)",
+)
+def text_quality(spark, sf_dir):
+    from cdc_audit_spark.operators.text import quality_stats
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return quality_stats(docs, "text", id_col="doc_id", stopwords=_STOPWORDS)
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    """,
+    "Document fingerprint: md5 over whitespace-normalized lowercased text",
+)
+def text_fingerprint(spark, sf_dir):
+    from cdc_audit_spark.operators.text import fingerprint
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return fingerprint(docs, "text", id_col="doc_id")
+
+
+@register(
+    "lang_distribution",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(CAST(sum(n_chars) AS DOUBLE) / count(*) AS DECIMAL(38,4)) AS avg_chars
+      FROM documents GROUP BY lang
+    """,
+    "Corpus language distribution with exact counts",
+)
+def lang_distribution(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        _avg(F.sum("n_chars"), F.count("*"), 4).alias("avg_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Extension operators: similarity search over embeddings
+# --------------------------------------------------------------------------
+
+@register(
+    "knn_cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(list_dot_product(embedding::DOUBLE[], qv)
+                / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(qv, qv))) AS DECIMAL(38,6)) AS cos_sim
+      FROM embeddings, q
+     WHERE vec_id <> 0
+     ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "Brute-force cosine top-k (ANN baseline): JVM-side zip_with/aggregate dot "
+    "product, TakeOrdered top-k — no Python, no full sort",
+)
+def knn_cosine_topk(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import cosine_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), qv, k=10,
+                       id_col="vec_id", vec_col="embedding")
+
+
+# --------------------------------------------------------------------------
+# Extension operators: event-stream analytics (batch shape of the streaming
+# queries; the streaming module runs the same plan via readStream)
+# --------------------------------------------------------------------------
+
+@register(
+    "events_hourly_stats",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value
+      FROM events GROUP BY 1, 2
+    """,
+    "Tumbling-window aggregation (F.window); identical plan runs under "
+    "Structured Streaming with a watermark (streaming.windows)",
+)
+def events_hourly_stats(spark, sf_dir):
+    from cdc_audit_spark.streaming.windows import windowed_event_stats
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return windowed_event_stats(ev, window="1 hour")
+
+
+@register(
+    "events_user_activity",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value
+      FROM events GROUP BY user_id
+    """,
+    "Per-entity activity profile: grouped multi-aggregate with exact "
+    "distinct count",
+)
+def events_user_activity(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(38,2)").alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Extension operators: multimodal column plumbing
+# --------------------------------------------------------------------------
+
+@register(
+    "multimodal_payload_stats",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           md5(text) AS payload_digest,
+           CAST(CAST(octet_length(encode(text)) + 65535 AS BIGINT) / 65536 AS BIGINT) AS n_chunks
+      FROM documents
+    """,
+    "Binary-column plumbing: text → binary payload, byte length, digest, "
+    "chunk count (the schema/partitioning path images/audio flow through)",
+)
+def multimodal_payload_stats(spark, sf_dir):
+    from cdc_audit_spark.operators.multimodal import payload_stats
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return payload_stats(docs, "text", id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible operators (driver does rows-only checks)
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_minhash_lsh",
+    None,
+    "MinHash+LSH near-dup candidate pairs — hash family not reproducible in "
+    "ANSI SQL; validated by tests against exact Jaccard",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _duped_docs(spark, sf_dir), "text", id_col="doc_id",
+        num_hashes=32, bands=8, shingle_size=3,
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,
+    "SimHash 64-bit fingerprint buckets — xxhash64-based, not ANSI SQL; "
+    "validated by tests (identical texts → identical simhash)",
+)
+def dedup_simhash(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import simhash
+
+    return simhash(_duped_docs(spark, sf_dir), "text", id_col="doc_id")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in _REGISTRY.items() if qd.oracle is not None}

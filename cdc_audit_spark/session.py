@@ -31,6 +31,9 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # the fixtures' events table stores TIMESTAMP(NANOS), which Spark only
+    # reads as long; queries.load_tables converts back to timestamps.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -1,0 +1,98 @@
+"""Windowed event analytics — one plan, batch and streaming.
+
+``windowed_event_stats`` builds the aggregation against whatever DataFrame
+it is given: a batch read (oracle-checkable) or a ``readStream`` source with
+a watermark (the production shape). The reference has no event-time
+semantics at all — its only "stream" is the cron-polled audit_pk scan
+(README:194-195) — so these are extension operators (SURVEY §2.9/§2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["windowed_event_stats", "sessionize", "stream_windowed_stats"]
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Tumbling-window stats per event type.
+
+    Shuffles once on (window, event_type); counts/sums are partially
+    aggregated map-side. countDistinct forces exact distinct — at extreme
+    scale swap for approx_count_distinct (documented tradeoff).
+    """
+    return (
+        events.groupBy(F.window(ts_col, window).alias("w"), F.col(type_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct(user_col).alias("n_users"),
+            F.sum(F.col(value_col).cast("decimal(12,2)")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), type_col,
+                "n_events", "n_users", "total_value")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Batch sessionization: lag + cumulative-sum-over-gap pattern.
+
+    One shuffle on user_id; session ids are deterministic
+    (user, session_index). The streaming analog is
+    ``F.session_window(ts, gap)`` (see stream_windowed_stats).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    with_breaks = events.withColumn(
+        "__new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_ids = with_breaks.withColumn(
+        "session_idx", F.sum("__new_session").over(w).cast("long")
+    ).drop("__new_session")
+    return (
+        with_ids.groupBy(user_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")))
+            .alias("duration_secs"),
+        )
+    )
+
+
+def stream_windowed_stats(
+    spark,
+    source_path: str,
+    schema,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """The same windowed aggregation as a Structured Streaming query over a
+    file source — late rows beyond ``watermark`` are dropped, state is
+    bounded. Returns the streaming DataFrame (caller starts the sink)."""
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
