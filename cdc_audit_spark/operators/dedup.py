@@ -72,9 +72,15 @@ def minhash_signatures(
     """(id, sig: array<long>) — element i is min over shingles of
     xxhash64(i, shingle). One narrow map stage, no shuffle, no Python."""
     sh = _shingles(text_col, shingle_size)
+
+    def hasher(i: int):
+        # NB: must be a one-parameter lambda — a second (defaulted) parameter
+        # would make PySpark treat it as an (element, index) lambda and feed
+        # the array index into the seed slot.
+        return lambda s: F.xxhash64(F.lit(i), s)
+
     sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-        for i in range(num_hashes)
+        F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)
     ])
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 

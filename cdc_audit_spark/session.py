@@ -22,6 +22,7 @@ _BUILD_CONF = {
     # 1000-executor cluster; locally it keeps small files in one task.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.driver.memory": "8g",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 # Confs safe to set on a live session.

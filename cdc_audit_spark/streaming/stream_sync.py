@@ -1,0 +1,72 @@
+"""Structured-Streaming audit sync — the always-on form of the reference's
+cron-polled micro-batch loop (README:194-195).
+
+The reference approximates a stream by re-running
+``SELECT * WHERE audit_pk > watermark`` from cron and appending to CSV
+(cdc_audit_sync_mysql.php:238-265). Structured Streaming gives the same
+drain-and-append semantics natively:
+
+  * source offsets replace the audit_pk watermark (checkpointed, exactly-once
+    to file sinks — strictly stronger than the reference's at-least-once,
+    README:213-215);
+  * ``trigger(availableNow=True)`` is the cron-parity mode: drain everything
+    available, then stop — one reference "sync run";
+  * ``foreachBatch`` hooks replace legacy-trigger body splicing (M4): user
+    code runs per micro-batch after capture, idempotence by construction.
+
+The audit log itself is file-backed here (parquet dir an upstream capture
+job appends to); a JDBC audit table can't be a native streaming source, so
+its cron-parity path is the batch ``sync.sync_table`` — same dataflow, the
+reference's own cadence model.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_audit_spark.schema import check_no_schema_drift
+
+__all__ = ["stream_audit_sync"]
+
+
+def stream_audit_sync(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    sink_path: str,
+    checkpoint_path: str,
+    fmt: str = "csv",
+    available_now: bool = True,
+    foreach_batch: Callable[[DataFrame, int], None] | None = None,
+):
+    """Stream an audit log directory into a sink with checkpointed offsets.
+
+    Returns the started StreamingQuery; with ``available_now`` the caller
+    awaits termination for one cron-parity drain. Schema drift fails loudly
+    before the query starts (the reference's documented unsolved issue,
+    README:210-212).
+    """
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    check_no_schema_drift(schema, stream.schema)
+
+    if foreach_batch is not None:
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            writer = batch_df.write.mode("append").format(fmt)
+            if fmt == "csv":
+                writer = writer.option("header", True)
+            writer.save(sink_path)
+            foreach_batch(batch_df, epoch_id)
+
+        writer = stream.writeStream.foreachBatch(handle)
+    else:
+        writer = stream.writeStream.format(fmt).outputMode("append")
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        writer = writer.option("path", sink_path)
+
+    writer = writer.option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,58 @@
+import datetime as dt
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, "-m", "cdc_audit_spark.cli", *args],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+
+
+def test_gen_writes_ddl_files(tmp_path):
+    out = tmp_path / "ddl"
+    r = _run(["gen", "--data-dir", "/root/testdata/sf0.001",
+              "-m", str(out), "-t", "customer,region", "--pk", "c_custkey"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = sorted(p.name for p in out.glob("*.audit.sql"))
+    assert files == ["customer.audit.sql", "region.audit.sql"]
+    sql = (out / "customer.audit.sql").read_text()
+    assert "create table if not exists `customer_audit`" in sql
+    assert "CREATE TRIGGER `customer_after_insert`" in sql
+
+
+def test_sync_and_wipe(tmp_path, spark):
+    # build a tiny audit parquet table, then drive the CLI sync over it
+    data = tmp_path / "data"
+    rows = (
+        spark.range(1, 8)
+        .select(
+            F.col("id").alias("k"),
+            F.lit("insert").alias("audit_event"),
+            F.lit(dt.datetime(2026, 1, 1)).alias("audit_timestamp"),
+            F.col("id").alias("audit_pk"),
+        )
+    )
+    rows.write.parquet(str(data / "items_audit.parquet"))
+    sink_dir = tmp_path / "sink"
+
+    r = _run(["sync", "--data-dir", str(data), "-m", str(sink_dir), "-v", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "+7 rows" in r.stdout
+
+    back = spark.read.option("header", True).csv(str(sink_dir / "items_audit.csv"))
+    assert back.count() == 7
+
+    r2 = _run(["sync", "--data-dir", str(data), "-m", str(sink_dir), "-w", "-v", "2"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "+0 rows" in r2.stdout  # empty delta on resync
+    compacted = spark.read.option("header", True).csv(str(sink_dir / "items_audit.csv"))
+    assert compacted.count() == 1  # wipe keeps global last row
+    assert compacted.first()["audit_pk"] == "7"

@@ -1,0 +1,74 @@
+from pyspark.sql import functions as F
+
+from cdc_audit_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"),        # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "another unrelated document mentioning data pipelines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark), ["text"], order_col="doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # 2 dropped, 1 survives as min id
+
+
+def test_exact_dedup_groups_counts(spark):
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup_groups(_docs(spark), "text", "doc_id").collect()}
+    assert out[1] == 2
+    assert out[3] == 1
+
+
+def test_minhash_identical_texts_identical_sigs(spark):
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(_docs(spark), "text", "doc_id", 16, 2).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_finds_exact_and_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(_docs(spark), "text", "doc_id",
+                               num_hashes=16, bands=8, shingle_size=2).collect()}
+    assert (1, 2) in pairs               # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup: 8 bands of 2 is permissive
+    assert (4, 5) not in pairs
+
+
+def test_lsh_verify_with_exact_jaccard(spark):
+    docs = _docs(spark)
+    cand = minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=8, shingle_size=2)
+    verified = ngram_jaccard_pairs(docs, "text", "doc_id", cand, shingle_size=2)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert j[(1, 2)] == 1.0
+    if (1, 3) in j:
+        assert 0.5 < j[(1, 3)] < 1.0
+
+
+def test_simhash_properties(spark):
+    out = {r["id"]: r["simhash64"] for r in simhash(_docs(spark), "text", "doc_id").collect()}
+    assert out[1] == out[2]  # identical text → identical fingerprint
+    # near-dup differs in few bits; unrelated differs in many
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert hamming(out[1], out[3]) < hamming(out[1], out[4])
+
+
+def test_lsh_pairs_deterministic(spark):
+    docs = _docs(spark)
+    p1 = sorted(map(tuple, minhash_lsh_pairs(docs, "text", "doc_id", 16, 8, 2).collect()))
+    p2 = sorted(map(tuple, minhash_lsh_pairs(docs, "text", "doc_id", 16, 8, 2).collect()))
+    assert p1 == p2

@@ -1,0 +1,54 @@
+import pytest
+
+from cdc_audit_spark.operators.multimodal import (
+    attach_payload,
+    decode_real,
+    extract_features,
+    payload_stats,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "binary payload plumbing test")],
+        "doc_id long, text string",
+    )
+
+
+def test_attach_payload_schema(spark):
+    out = attach_payload(_docs(spark), "text")
+    media = out.schema["media"].dataType
+    names = [f.name for f in media.fields]
+    assert names == ["payload", "modality", "mime", "n_bytes", "digest"]
+    row = out.filter("doc_id = 1").first()["media"]
+    assert bytes(row["payload"]) == b"hello world"
+    assert row["n_bytes"] == 11
+
+
+def test_payload_stats(spark):
+    out = {r["doc_id"]: r for r in payload_stats(_docs(spark), "text", "doc_id").collect()}
+    assert out[1]["payload_bytes"] == 11
+    assert out[2]["payload_bytes"] == 0
+    assert out[1]["n_chunks"] == 1
+
+
+def test_extract_features_arrow_path(spark):
+    df = attach_payload(_docs(spark), "text").select("doc_id", "media.payload")
+    feats = extract_features(df, "doc_id", "payload")
+    rows = {r["id"]: r for r in feats.collect()}
+    assert len(rows[1]["features"]) == 8
+    assert rows[1]["n_bytes"] == 11
+    assert rows[2]["features"] == [0.0] * 8  # empty payload → zero vector
+    # deterministic
+    again = {r["id"]: r["features"] for r in extract_features(df, "doc_id", "payload").collect()}
+    assert again[1] == rows[1]["features"]
+
+
+def test_extract_features_distributed_partitions(spark):
+    df = attach_payload(_docs(spark), "text").select("doc_id", "media.payload").repartition(3)
+    assert extract_features(df, "doc_id", "payload").count() == 3
+
+
+def test_decode_real_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        decode_real(_docs(spark), "text", "image")

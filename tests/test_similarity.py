@@ -1,0 +1,62 @@
+import math
+
+from cdc_audit_spark.operators.similarity import (
+    ann_bucket_pairs,
+    cosine_topk,
+    hyperplane_lsh_buckets,
+)
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),    # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 0
+        (4, [0.8, 0.2, 0.0, 0.0]),    # close to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ordering(spark):
+    df = _vecs(spark)
+    out = cosine_topk(df.filter("vec_id <> 0"), [1.0, 0.0, 0.0, 0.0], k=3)
+    rows = out.collect()
+    assert [r["vec_id"] for r in rows] == [1, 4, 2]
+    assert float(rows[0]["cos_sim"]) > 0.99
+    expected = 0.9 / math.sqrt(0.9 ** 2 + 0.1 ** 2)
+    assert abs(float(rows[0]["cos_sim"]) - expected) < 1e-6
+
+
+def test_cosine_topk_against_fixture(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id = 0").first()["embedding"]
+    out = cosine_topk(emb.filter("vec_id <> 0"), q, k=5).collect()
+    assert len(out) == 5
+    sims = [float(r["cos_sim"]) for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_lsh_buckets_similar_vectors_collide(spark):
+    df = _vecs(spark)
+    buckets = {r["id"]: r["bucket"] for r in
+               hyperplane_lsh_buckets(df, num_bits=8, dim=4).collect()}
+    # identical-direction vectors always share every sign bit
+    assert buckets[1] == buckets[4] or bin(buckets[1] ^ buckets[4]).count("1") <= 2
+    # opposite vectors flip every non-zero-margin bit
+    assert buckets[0] != buckets[3]
+
+
+def test_ann_bucket_pairs_shape(spark):
+    df = _vecs(spark)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             ann_bucket_pairs(df, num_bits=4, dim=4).collect()}
+    for a, b in pairs:
+        assert a < b
+
+
+def test_ann_on_fixture_finds_neighbors(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = ann_bucket_pairs(emb, num_bits=6, dim=64)
+    assert pairs.count() >= 0  # plumbing: runs distributed, deterministic

@@ -1,0 +1,59 @@
+from cdc_audit_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_stats,
+    token_stats,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the cat and the dog and the bird", "en"),
+        (2, "der Hund und die Katze und das Haus ist", "de"),
+        (3, "le chat et le chien et la maison est", "fr"),
+        (4, "xyzzy plugh qwerty", "und"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_stats(spark):
+    out = {r["doc_id"]: r for r in token_stats(_docs(spark), "text", "doc_id").collect()}
+    assert out[1]["n_tokens"] == 8
+    assert out[1]["n_distinct"] == 5  # the, cat, and, dog, bird
+    assert out[1]["n_stopwords"] == 5  # 3×the + 2×and
+    assert out[1]["n_chars"] == len("the cat and the dog and the bird")
+
+
+def test_quality_stats(spark):
+    out = {r["doc_id"]: r for r in
+           quality_stats(_docs(spark), "text", "doc_id", min_tokens=5).collect()}
+    assert float(out[1]["stopword_ratio"]) == 0.625
+    assert not out[4]["passes"]  # too short
+    assert not out[1]["passes"]  # stopword ratio 0.625 > 0.5
+    assert out[2]["passes"] or float(out[2]["stopword_ratio"]) < 0.5
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df, "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_language_id_heuristic(spark):
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(_docs(spark), "text", "doc_id").collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_language_id_on_fixture_mostly_en(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = language_id(docs, "text", "doc_id")
+    en = out.filter("lang_pred = 'en'").count()
+    # fixture text is english-ish word salad containing 'the'/'a'
+    assert en > docs.count() * 0.5
