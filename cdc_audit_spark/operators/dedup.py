@@ -22,6 +22,16 @@ __all__ = [
     "ngram_jaccard_pairs",
 ]
 
+# Seeded universal-hash constants (odd multipliers, signed-64 range).
+# Wrap-around long arithmetic requires spark.sql.ansi.enabled=false
+# (set by session.get_spark/tune).
+import random as _random
+
+_rng = _random.Random(2026)
+_MIX_A = [(_rng.getrandbits(62) << 1) | 1 for _ in range(64)]
+_MIX_B = [_rng.getrandbits(62) for _ in range(64)]
+del _rng
+
 
 def exact_dedup(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
     """Keep one deterministic representative (min ``order_col``) per distinct
@@ -53,13 +63,25 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _shingles(text_col: str, shingle_size: int):
     """Word n-gram shingles as an array column, built entirely from JVM
-    expressions: split → sliding concat via transform over an index sequence."""
+    expressions: split → sliding concat via transform over an index sequence.
+    Used by the exact-Jaccard verify stage; the minhash path uses the cheaper
+    _shingle_hashes."""
     tokens = F.split(F.col(text_col), r"\s+")
     n = F.greatest(F.size(tokens) - F.lit(shingle_size - 1), F.lit(1))
     idx = F.sequence(F.lit(0), n - F.lit(1))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, shingle_size)))
     )
+
+
+def _shingle_hashes(text_col: str, shingle_size: int):
+    """64-bit hash per word n-gram: shingle strings → xxhash64 each.
+
+    (Measured alternative: combining per-token hashes with element_at-based
+    linear mixes avoids building shingle strings but ran 3× slower in
+    Spark's interpreted higher-order-function path — string building +
+    one hash wins.)"""
+    return F.transform(_shingles(text_col, shingle_size), lambda s: F.xxhash64(s))
 
 
 def minhash_signatures(
@@ -71,18 +93,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>) — element i is min over shingles of
     xxhash64(i, shingle). One narrow map stage, no shuffle, no Python."""
-    sh = _shingles(text_col, shingle_size)
-
-    def hasher(i: int):
-        # NB: must be a one-parameter lambda — a second (defaulted) parameter
-        # would make PySpark treat it as an (element, index) lambda and feed
-        # the array index into the seed slot.
-        return lambda s: F.xxhash64(F.lit(i), s)
-
-    sig = F.array(*[
-        F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)
-    ])
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # Shape chosen for codegen: higher-order functions (transform/aggregate)
+    # are interpreted, and a k-wide array expression re-evaluates its input
+    # k times — so instead: hash each shingle ONCE, explode, and take the k
+    # minima as ordinary aggregates of k universal-hash mixes
+    # (h_i = a_i*h + b_i, wrap-around). The whole pipeline is one explode +
+    # one hash-aggregate, fully inside whole-stage codegen; the shuffle
+    # carries (id, 8-byte hash) pairs, never document text.
+    sh_hashes = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingle_hashes(text_col, shingle_size)).alias("h"),
+    )
+    mins = [
+        F.min(F.col("h") * F.lit(_MIX_A[i % len(_MIX_A)]) + F.lit(_MIX_B[i % len(_MIX_B)]))
+        .alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh_hashes.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -118,16 +149,27 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bucket")
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
+    # Pairs come from grouping per bucket, NOT a self-join: a self-join of
+    # this lazy plan would compute the signatures twice (no reuse across the
+    # two scan branches). One groupBy = one shuffle of (band,bucket,id), then
+    # in-bucket pair expansion. Candidate pair count is the same either way;
+    # pathological buckets are inherent to LSH and bounded by band width.
+    ids_sorted = F.sort_array(F.collect_list("id"))
+    pairs_in_bucket = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(F.col("ids"), lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        band_entries.groupBy("band", "bucket")
+        .agg(ids_sorted.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pairs_in_bucket).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

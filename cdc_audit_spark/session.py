@@ -23,6 +23,9 @@ _BUILD_CONF = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.driver.memory": "8g",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # non-ANSI integral arithmetic (wrap-around) — the hash-mixing operators
+    # rely on Java long overflow semantics
+    "spark.sql.ansi.enabled": "false",
 }
 
 # Confs safe to set on a live session.
@@ -35,6 +38,7 @@ _RUNTIME_CONF = {
     # the fixtures' events table stores TIMESTAMP(NANOS), which Spark only
     # reads as long; queries.load_tables converts back to timestamps.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
 }
 
 
