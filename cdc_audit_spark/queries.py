@@ -733,8 +733,249 @@ def multimodal_payload_stats(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Joins beyond the reference: semi / anti / as-of
+# --------------------------------------------------------------------------
+
+@register(
+    "semi_join_urgent_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+     WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    """,
+    "Left-semi join (EXISTS): customers with at least one urgent order",
+)
+def semi_join_urgent_customers(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    "Left-anti join — the general form of the watermark 'rows not yet "
+    "synced' semantics (SURVEY §2.3 J2)",
+)
+def anti_join_customers_without_orders(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti")
+        .select("c_custkey")
+    )
+
+
+@register(
+    "asof_join_error_purchase",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           p.ts AS ts_right, p.purchase_value
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+      ASOF LEFT JOIN
+           (SELECT user_id, ts, value AS purchase_value FROM events
+             WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    "As-of join (operator Spark lacks): for each error event, the user's "
+    "most recent purchase at-or-before it — union-tag + running-last window, "
+    "one shuffle, no range explosion (operators/asof.py)",
+)
+def asof_join_error_purchase(spark, sf_dir):
+    from cdc_audit_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(errors, purchases, on="ts", by="user_id")
+
+
+# --------------------------------------------------------------------------
+# More event analytics: sliding windows, sessionization, pivot
+# --------------------------------------------------------------------------
+
+@register(
+    "events_sliding_window",
+    """
+    WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb, event_type
+                 FROM events),
+    expanded AS (
+      SELECT tb AS window_start, event_type FROM b
+      UNION ALL
+      SELECT tb - INTERVAL '30 minutes' AS window_start, event_type FROM b
+    )
+    SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM expanded GROUP BY 1, 2
+    """,
+    "Sliding-window aggregation (1h window, 30m slide): each event lands in "
+    "two windows; Spark expands via the window() generator",
+)
+def events_sliding_window(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+        FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM ordered
+    )
+    SELECT user_id, session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_secs
+      FROM sess GROUP BY 1, 2
+    """,
+    "Sessionization (30-min inactivity gap): lag + cumulative-break-sum, "
+    "one shuffle on user_id; exact microsecond gap arithmetic",
+)
+def events_sessionize(spark, sf_dir):
+    from cdc_audit_spark.streaming.windows import sessionize
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return sessionize(ev, gap_minutes=30, tiebreak_col="event_id")
+
+
+@register(
+    "events_type_pivot",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+      FROM events GROUP BY user_id
+    """,
+    "Pivot: per-user event-type count matrix (explicit value list keeps the "
+    "plan a single pass — no distinct-values pre-query)",
+)
+def events_type_pivot(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+@register(
+    "median_price_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(38,4)) AS median_price,
+           CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag
+    """,
+    "Exact median (percentile interpolation) per group — sort-based "
+    "aggregate; at extreme scale swap for percentile_approx (documented)",
+)
+def median_price_by_flag(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).cast("decimal(38,4)").alias("median_price"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID (heuristic tier) with exact SQL mirror
+# --------------------------------------------------------------------------
+
+@register(
+    "text_language_id",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+             len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+             len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS s_en,
+             len(list_filter(t, x -> x IN ('el','la','los','que','es'))) AS s_es,
+             len(list_filter(t, x -> x IN ('le','la','et','les','est'))) AS s_fr,
+             len(list_filter(t, x -> x IN ('的','是','了','在','我'))) AS s_zh
+        FROM tok
+    )
+    SELECT doc_id,
+           CASE WHEN mx = 0 THEN 'und'
+                WHEN s_de = mx THEN 'de'
+                WHEN s_en = mx THEN 'en'
+                WHEN s_es = mx THEN 'es'
+                WHEN s_fr = mx THEN 'fr'
+                ELSE 'zh' END AS lang_pred,
+           CAST(mx AS BIGINT) AS marker_hits
+      FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM sc)
+    """,
+    "Stopword-marker language ID; argmax with lexicographic tie-break, "
+    "matching operators/text.language_id exactly",
+)
+def text_language_id(spark, sf_dir):
+    from cdc_audit_spark.operators.text import language_id
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return language_id(docs, "text", id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
 # Non-SQL-expressible operators (driver does rows-only checks)
 # --------------------------------------------------------------------------
+
+@register(
+    "ann_embedding_pairs",
+    None,
+    "Random-hyperplane LSH candidate pairs over embeddings — seeded numpy "
+    "hyperplanes not reproducible in ANSI SQL; recall validated in tests",
+)
+def ann_embedding_pairs(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import ann_bucket_pairs
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return ann_bucket_pairs(emb, num_bits=8, dim=64)
+
+
+@register(
+    "multimodal_features",
+    None,
+    "Arrow-batched feature extraction over binary payloads (mapInPandas) — "
+    "the multimodal decode path with a deterministic stub codec",
+)
+def multimodal_features(spark, sf_dir):
+    from cdc_audit_spark.operators.multimodal import attach_payload, extract_features
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    payloads = attach_payload(docs, "text").select("doc_id", "media.payload")
+    return extract_features(payloads, "doc_id", "payload")
+
 
 @register(
     "dedup_minhash_lsh",

@@ -46,20 +46,26 @@ def sessionize(
     gap_minutes: int = 30,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Batch sessionization: lag + cumulative-sum-over-gap pattern.
 
     One shuffle on user_id; session ids are deterministic
-    (user, session_index). The streaming analog is
-    ``F.session_window(ts, gap)`` (see stream_windowed_stats).
+    (user, session_index), with an optional ``tiebreak_col`` making the
+    intra-user order total when timestamps can repeat. Gap comparison uses
+    exact microsecond arithmetic (unix_micros), never second-truncated
+    casts. The streaming analog is ``F.session_window(ts, gap)`` (see
+    stream_windowed_stats).
     """
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = W.partitionBy(user_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
     with_breaks = events.withColumn(
         "__new_session",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
     )
     with_ids = with_breaks.withColumn(
         "session_idx", F.sum("__new_session").over(w).cast("long")
@@ -70,8 +76,7 @@ def sessionize(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events"),
-            (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")))
-            .alias("duration_secs"),
+            ((F.max(us) - F.min(us)) / F.lit(1_000_000.0)).alias("duration_secs"),
         )
     )
 
