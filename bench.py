@@ -31,6 +31,10 @@ HEADLINE = [
     "text_token_stats",
     "knn_cosine_topk",
     "events_hourly_stats",
+    "events_sessionize",
+    "asof_join_error_purchase",
+    "events_sliding_window",
+    "ann_embedding_pairs",
 ]
 
 

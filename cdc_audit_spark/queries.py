@@ -946,9 +946,45 @@ def text_language_id(spark, sf_dir):
     return language_id(docs, "text", id_col="doc_id")
 
 
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(*) AS BIGINT) AS n,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type
+    """,
+    "Semi-structured extraction: JSON path into the props column, then "
+    "aggregate — stays JVM-side via get_json_object",
+)
+def events_json_extract(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count("*").alias("n"),
+        F.max(k).alias("max_k"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible operators (driver does rows-only checks)
 # --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    None,
+    "LSH candidates verified with exact n-gram Jaccard (array intersection "
+    "JVM-side); the verify stage of the near-dup pipeline",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _duped_docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=8, shingle_size=3)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", cand, shingle_size=3, threshold=0.8)
 
 @register(
     "ann_embedding_pairs",
