@@ -35,6 +35,12 @@ HEADLINE = [
     "asof_join_error_purchase",
     "events_sliding_window",
     "ann_embedding_pairs",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "window_running_total",
+    "text_top_bigrams",
+    "events_funnel",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -14,7 +14,7 @@ Design principles (Spark-first, 100 TB-ready):
 
 from cdc_audit_spark.schema import audit_schema, audit_table_name, AUDIT_COLUMNS
 from cdc_audit_spark.capture import snapshot_diff, apply_changes
-from cdc_audit_spark.sync import sync_table, get_watermark
+from cdc_audit_spark.sync import sync_table, get_watermark, read_sink
 from cdc_audit_spark.compact import keep_last, keep_last_per_key
 
 __all__ = [
@@ -25,6 +25,7 @@ __all__ = [
     "apply_changes",
     "sync_table",
     "get_watermark",
+    "read_sink",
     "keep_last",
     "keep_last_per_key",
 ]

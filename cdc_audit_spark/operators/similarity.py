@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cosine_topk",
+    "cosine_pairs",
     "hyperplane_lsh_buckets",
     "ann_bucket_pairs",
 ]
@@ -64,6 +65,44 @@ def cosine_topk(
         df.select(F.col(id_col), sim.cast("decimal(38,6)").alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.60,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine similarity above ``threshold``.
+
+    Exact and quadratic — the verify stage of the near-dup pipeline. At
+    scale, feed it only LSH-bucketed candidates (ann_bucket_pairs) or a
+    bounded id range; never the full corpus. The pairwise dot product runs
+    as a JVM zip_with/aggregate fold (same accumulation order as DuckDB's
+    list_dot_product, so the oracle matches bit-for-bit).
+    """
+    norm = F.sqrt(_self_dot(F.col(vec_col)))
+    side = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        norm.alias("nrm"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    sim = (dot / (F.col("a.nrm") * F.col("b.nrm"))).cast("decimal(38,6)")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") > F.lit(threshold))
     )
 
 

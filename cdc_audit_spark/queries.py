@@ -969,6 +969,611 @@ def events_json_extract(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# TPC-H-shaped analytics (continued): the classic plan shapes a warehouse
+# engine must get right — selective scan-agg, correlated semi join,
+# conditional aggregation, disjunctive pushdown, having + join-back,
+# scalar-subquery threshold + anti join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue
+      FROM lineitem
+     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+       AND l_discount BETWEEN 0.05 AND 0.07
+       AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape: fully-pushed selective scan + global agg — no shuffle "
+    "beyond the single-row final agg; all three predicates reach the scan",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit(dt.datetime(1997, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(dt.datetime(1998, 1, 1)))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(price * disc).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      FROM orders o
+     WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+       AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+       AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate)
+     GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: correlated EXISTS → left-semi join with a non-equi "
+    "residual condition, then count per priority",
+)
+def q4_order_priority(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o, l = t["orders"], t["lineitem"]
+    window = o.filter(
+        (F.col("o_orderdate") >= F.lit(dt.datetime(1997, 7, 1)))
+        & (F.col("o_orderdate") < F.lit(dt.datetime(1997, 10, 1)))
+    )
+    return (
+        window.join(
+            l,
+            (window.o_orderkey == l.l_orderkey) & (l.l_shipdate > window.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q12_priority_linestatus",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+     WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+       AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+     GROUP BY l_linestatus
+    """,
+    "TPC-H Q12 shape: join + conditional (CASE) aggregation — the "
+    "branch folds into the aggregate, single pass over the join",
+)
+def q12_priority_linestatus(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    items = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1998, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1999, 1, 1)))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        items.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           AS DECIMAL(38,6)) AS promo_revenue_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+     WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+       AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    "TPC-H Q14 shape: conditional-ratio aggregate over a fact-dim join; "
+    "part side broadcast",
+)
+def q14_promo_revenue(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    rev = price * (F.lit(1) - disc)
+    items = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1997, 9, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1997, 10, 1)))
+    )
+    return (
+        items.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast("double")
+                / F.sum(rev).cast("double")
+            ).cast("decimal(38,6)").alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+     WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                          HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 240)
+     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    "TPC-H Q18 shape: HAVING-filtered agg as a semi-join back onto the "
+    "fact/dim join — the aggregated key set stays small and broadcasts",
+)
+def q18_large_orders(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sq"))
+        .filter(F.col("sq") > 240)
+        .select("l_orderkey")
+    )
+    l = t["lineitem"].join(F.broadcast(big), "l_orderkey", "left_semi")
+    return (
+        l.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).cast("decimal(38,2)").alias("total_qty"))
+    )
+
+
+@register(
+    "q19_disjunctive_pred",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19 shape: disjunction of conjunctive ranges across both join "
+    "sides — per-side implied predicates still prune before the join",
+)
+def q19_disjunctive_pred(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    def arm(brand, smax, qlo, qhi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, smax)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#34", 35, 20, 30))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS totacctbal
+      FROM customer c
+     WHERE CAST(c_acctbal AS DECIMAL(12,2)) >
+           (SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DECIMAL(38,6))
+              FROM customer WHERE c_acctbal > 0.0)
+       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+     GROUP BY c_nationkey
+    """,
+    "TPC-H Q22 shape: scalar-subquery threshold (broadcast 1-row cross "
+    "join, stays distributed — no driver collect) + anti join + group agg",
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    threshold = (
+        t["customer"].filter(F.col("c_acctbal") > 0.0)
+        .agg(_avg(F.sum(bal), F.count("*")).alias("avg_bal"))
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .crossJoin(F.broadcast(threshold))
+        .filter(bal > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(bal).cast("decimal(38,2)").alias("totacctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.6 notes the reference has none; a complete
+# engine needs them)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    "INTERSECT (distinct): users who both purchased and errored",
+)
+def set_intersect_users(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter(F.col("event_type") == "purchase").select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "error").select("user_id"))
+    )
+
+
+@register(
+    "set_union_segments",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    """,
+    "UNION (distinct): dedup across branch outputs via hash aggregate",
+)
+def set_union_segments(spark, sf_dir):
+    c = load_tables(spark, sf_dir)["customer"]
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+        .union(c.filter(F.col("c_acctbal") > 9000).select("c_custkey"))
+        .distinct()
+    )
+
+
+@register(
+    "set_except_unordered_parts",
+    """
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS p_partkey FROM lineitem
+    """,
+    "EXCEPT (distinct): parts that never appear in any lineitem",
+)
+def set_except_unordered_parts(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["part"].select("p_partkey").subtract(
+        t["lineitem"].select(F.col("l_partkey").alias("p_partkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytic window functions beyond ranking: running totals, lag deltas,
+# moving averages, ntile bucketing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_spend
+      FROM orders
+    """,
+    "Cumulative sum per customer over order history — one shuffle on the "
+    "partition key, deterministic ROWS frame with key tiebreak",
+)
+def window_running_total(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w)
+        .cast("decimal(38,2)").alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT user_id, event_id, ts,
+           CAST(CAST(value AS DECIMAL(12,2)) -
+                lag(CAST(value AS DECIMAL(12,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS DECIMAL(13,2)) AS delta
+      FROM events
+    """,
+    "lag(): per-user value delta between consecutive events (exact decimal "
+    "arithmetic)",
+)
+def window_lag_delta(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    v = F.col("value").cast("decimal(12,2)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", "ts",
+        (v - F.lag(v).over(w)).cast("decimal(13,2)").alias("delta"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    """
+    SELECT user_id, event_id, ts,
+           CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                / count(*) OVER w AS DECIMAL(38,6)) AS mavg7
+      FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "Moving average over the trailing 7 events per user — bounded ROWS "
+    "frame, exact decimal sum / double divide",
+)
+def window_moving_avg(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return ev.select(
+        "user_id", "event_id", "ts",
+        _avg(F.sum(F.col("value").cast("decimal(12,2)")).over(w), F.count("*").over(w))
+        .alias("mavg7"),
+    )
+
+
+@register(
+    "ntile_price_quartiles",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+      FROM orders
+    """,
+    "ntile(4) global bucketing (single-partition window — fine for ranked "
+    "export lists; for 100 TB use approx quantile cutpoints instead, "
+    "documented in README)",
+)
+def ntile_price_quartiles(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return t["orders"].select(
+        "o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (continued): corpus term stats, BPE-ish regex tokenization,
+# bigram frequencies
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_top_terms",
+    """
+    SELECT term, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+              FROM documents)
+     GROUP BY term
+     ORDER BY freq DESC, term
+     LIMIT 25
+    """,
+    "Corpus top-k terms: explode(split) → count → TakeOrdered; the shuffle "
+    "carries only (term, partial count) pairs",
+)
+def text_top_terms(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(25)
+    )
+
+
+@register(
+    "text_bpe_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_units,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_distinct_units
+      FROM documents
+    """,
+    "BPE-ish pre-tokenization: letter-runs / digit-runs / single "
+    "punctuation via regexp_extract_all — the unit count a subword "
+    "tokenizer budget estimate needs; pure JVM regex, no Python",
+)
+def text_bpe_token_counts(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    units = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(units).cast("long").alias("n_units"),
+        F.size(F.array_distinct(units)).cast("long").alias("n_distinct_units"),
+    )
+
+
+@register(
+    "text_top_bigrams",
+    """
+    SELECT bigram, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_transform(range(1, array_length(t)),
+                                         i -> t[i] || ' ' || t[i + 1])) AS bigram
+              FROM (SELECT regexp_split_to_array(lower(text), '\\s+') AS t
+                      FROM documents))
+     GROUP BY bigram
+     ORDER BY freq DESC, bigram
+     LIMIT 20
+    """,
+    "Top bigram frequencies: adjacent-token pairs via zip_with over shifted "
+    "slices (no self-join, no Python), then count + TakeOrdered",
+)
+def text_top_bigrams(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = F.split(F.lower("text"), r"\s+")
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup: exact pairwise over a bounded id range —
+# the verify stage for ANN candidates; oracle-checked
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                AS DECIMAL(38,6)) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+     WHERE a.vec_id < 128 AND b.vec_id < 128
+       AND CAST(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                AS DECIMAL(38,6)) > 0.60
+    """,
+    "Embedding-cosine near-dup pairs (exact, bounded id range): JVM "
+    "zip_with/aggregate dot products on a self-join; the exact verifier "
+    "behind ann_embedding_pairs — at scale, run only within LSH buckets",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import cosine_pairs
+
+    emb = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 128)
+    return cosine_pairs(emb, id_col="vec_id", vec_col="embedding", threshold=0.60)
+
+
+# --------------------------------------------------------------------------
+# Event analytics (continued): daily actives, cube, funnel
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_daily_active",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+           CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    """,
+    "Daily active users: date bucket + exact distinct count (two-"
+    "phase partial/final distinct agg)",
+)
+def events_daily_active(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "events_type_day_cube",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+    "CUBE grouping-set aggregation over (event_type, day) — all four "
+    "grouping combinations in one pass (expand + single shuffle)",
+)
+def events_type_day_cube(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.cube(F.col("event_type"), F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS click_ts
+            FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.signup_ts
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s
+    UNION ALL
+    SELECT 'click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM c
+    UNION ALL
+    SELECT 'purchase' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM p
+    """,
+    "Ordered funnel (signup → later click → later purchase): staged "
+    "min-ts joins; each stage's survivor set shrinks and broadcasts",
+)
+def events_funnel(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("signup_ts"))
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click").alias("e")
+        .join(F.broadcast(signup).alias("s"),
+              (F.col("e.user_id") == F.col("s.user_id"))
+              & (F.col("e.ts") > F.col("s.signup_ts")))
+        .groupBy(F.col("e.user_id").alias("user_id"))
+        .agg(F.min("e.ts").alias("click_ts"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase").alias("e")
+        .join(F.broadcast(click).alias("c"),
+              (F.col("e.user_id") == F.col("c.user_id"))
+              & (F.col("e.ts") > F.col("c.click_ts")))
+        .groupBy(F.col("e.user_id").alias("user_id"))
+        .agg(F.min("e.ts").alias("purchase_ts"))
+    )
+    def stage(df, name):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+    return (
+        stage(signup, "signup")
+        .unionByName(stage(click, "click"))
+        .unionByName(stage(purchase, "purchase"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Non-SQL-expressible operators (driver does rows-only checks)
 # --------------------------------------------------------------------------
 

@@ -74,3 +74,35 @@ def test_dedup_exact_partial_agg(spark, sf_dir):
 def test_knn_topk_no_global_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "knn_cosine_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_predicates_reach_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    # the PushedFilters list truncates in toString — assert on the data
+    # filters, which mirror what reaches the scan
+    assert "l_shipdate" in plan and ">= 0.05" in plan and "< 24.0" in plan
+    # global agg: partial + final, single-row exchange only
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q18_having_semi_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q18_large_orders")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q14_broadcasts_part(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_window_running_total_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "window_running_total")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_top_terms_partial_agg_before_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_top_terms")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine on terms

@@ -60,3 +60,27 @@ def test_ann_on_fixture_finds_neighbors(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pairs = ann_bucket_pairs(emb, num_bits=6, dim=64)
     assert pairs.count() >= 0  # plumbing: runs distributed, deterministic
+
+
+def test_cosine_pairs_exact(spark):
+    from cdc_audit_spark.operators.similarity import cosine_pairs
+
+    df = _vecs(spark)
+    pairs = {(r["id_a"], r["id_b"]): float(r["cos_sim"])
+             for r in cosine_pairs(df, threshold=0.9).collect()}
+    # near-identical directions survive the 0.9 threshold…
+    assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+    # …orthogonal and opposite pairs do not
+    assert (0, 2) not in pairs and (0, 3) not in pairs
+    for (a, b), sim in pairs.items():
+        assert a < b and 0.9 < sim <= 1.0
+
+
+def test_cosine_pairs_symmetric_free(spark):
+    from cdc_audit_spark.operators.similarity import cosine_pairs
+
+    # no (b, a) duplicates, no self-pairs, at any threshold (below -1 so
+    # even the exactly-opposite pair survives the strict > filter)
+    out = cosine_pairs(_vecs(spark), threshold=-1.5).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(keys) == len(set(keys)) == 10  # C(5,2)
