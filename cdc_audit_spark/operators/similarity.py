@@ -22,6 +22,8 @@ __all__ = [
     "cosine_pairs",
     "hyperplane_lsh_buckets",
     "ann_bucket_pairs",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
@@ -147,4 +149,95 @@ def ann_bucket_pairs(
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+# --- IVF (inverted-file) coarse quantization: the recall-tunable scale ---
+# --- path. Centroids are sampled deterministically from the data; each  ---
+# --- vector is assigned to its nearest centroid (one narrow map against ---
+# --- a broadcast centroid array); a query probes only the nprobe        ---
+# --- nearest cells, cutting the scan to ~nprobe/k of the corpus.        ---
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, embedding) — each vector assigned to the centroid with
+    the highest cosine similarity (deterministic: lowest index on ties).
+
+    Centroids broadcast as literals into one whole-stage-codegen'd
+    expression; no shuffle. On a real deployment, write the result
+    partitioned by cell so probes read only their cells' files.
+    """
+    norm = F.sqrt(_self_dot(F.col(vec_col)))
+    scored = [
+        F.struct(
+            (_dot_lit(F.col(vec_col), c) / (norm * F.lit(_l2(c)))).alias("sim"),
+            F.lit(len(centroids) - 1 - i).alias("inv"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    best = F.sort_array(F.array(*scored), asc=False)[0]
+    return df.select(
+        F.col(id_col), best["cell"].alias("cell"), F.col(vec_col)
+    )
+
+
+def _l2(v: list[float]) -> float:
+    return sum(float(x) * float(x) for x in v) ** 0.5
+
+
+def sample_centroids(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic centroid sample: the k vectors whose xxhash64(id) is
+    smallest — a uniform, reproducible draw without a random seed.
+    (A k-means refinement pass would improve cell balance; the sampled
+    version keeps the operator dependency-free and deterministic.)
+    """
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.xxhash64(F.col("id")))
+        .orderBy("h", "id")
+        .limit(k)
+        .collect()
+    )
+    return [list(map(float, r["v"])) for r in rows]
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the ``nprobe`` cells whose
+    centroids are most cosine-similar to the query.
+
+    The cell filter prunes ~(1 - nprobe/len(centroids)) of the corpus
+    before any per-vector scoring; recall rises monotonically with
+    ``nprobe`` (== len(centroids) degenerates to exact brute force).
+    """
+    qn = _l2(query_vec)
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -sum(a * b for a, b in zip(centroids[i], query_vec)) / (_l2(centroids[i]) * qn),
+            i,
+        ),
+    )
+    probe = ranked[:nprobe]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    return cosine_topk(
+        assigned.filter(F.col("cell").isin(*probe)), query_vec, k, id_col, vec_col
     )

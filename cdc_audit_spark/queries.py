@@ -1605,6 +1605,24 @@ def ann_embedding_pairs(spark, sf_dir):
 
 
 @register(
+    "ann_ivf_topk",
+    None,
+    "IVF approximate top-k: deterministic sampled centroids, nprobe=4 of 8 "
+    "cells probed — recall vs brute force validated in tests "
+    "(test_ivf_topk_recall_vs_bruteforce); centroid sampling is a collect, "
+    "not ANSI SQL",
+)
+def ann_ivf_topk(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import ivf_topk, sample_centroids
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cents = sample_centroids(corpus, k=8)
+    return ivf_topk(corpus, cents, qv, k=10, nprobe=4)
+
+
+@register(
     "multimodal_features",
     None,
     "Arrow-batched feature extraction over binary payloads (mapInPandas) — "

@@ -1,0 +1,159 @@
+"""JDBC incremental change-capture source — the live-MySQL consumption mode.
+
+The reference's sync does ``SELECT * FROM `t` WHERE audit_pk > :last``
+against the audit table (cdc_audit_sync_mysql.php:243) in a single-threaded
+PHP loop. The Spark-native form of the same scan (SURVEY §2.1 S5, §3.3a
+log-consumption mode):
+
+  * the watermark predicate is baked into the JDBC *subquery* / partition
+    WHERE clauses, so MySQL — which indexes ``audit_pk`` (it is the primary
+    key, cdc_audit_gen_mysql.php:333) — does an index range scan, never a
+    full table scan;
+  * the read is *partitioned* on ``audit_pk``: N tasks each pull a
+    disjoint, contiguous pk range in parallel. Ranges are contiguous because
+    audit_pk is an auto-increment sequence (gen:359), so a uniform stride
+    over (watermark, max] is balanced up to deletion gaps;
+  * ``poll_sync`` is the reference's cron loop (README:194-195) run
+    in-process: poll → sync delta → advance watermark → sleep, with the
+    watermark carried by the sink's atomic state file between iterations
+    (and across restarts).
+
+No MySQL server exists in the test environment, so batch-plan construction
+is pure (unit-tested strings) and the execution path is exercised against
+parquet via an injected ``read_fn``.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_audit_spark.schema import AUDIT_PK
+from cdc_audit_spark.sync import SyncResult, get_watermark, sync_table
+
+__all__ = [
+    "incremental_subquery",
+    "partition_predicates",
+    "JdbcBatchPlan",
+    "plan_incremental_batch",
+    "poll_sync",
+]
+
+
+def incremental_subquery(table: str, watermark: int, pk_col: str = AUDIT_PK) -> str:
+    """The pushed-down incremental scan as a JDBC dbtable subquery.
+
+    Mirrors sync:243 with the predicate inside the subquery so the source
+    database applies it (index range scan), not Spark after transfer.
+    """
+    return f"(SELECT * FROM `{table}` WHERE `{pk_col}` > {int(watermark)}) AS cdc_delta"
+
+
+def partition_predicates(
+    watermark: int,
+    max_pk: int,
+    num_partitions: int,
+    pk_col: str = AUDIT_PK,
+) -> list[str]:
+    """Disjoint, covering pk-range predicates for a partitioned JDBC read.
+
+    Uniform stride over (watermark, max_pk]; the last partition is
+    unbounded above so rows committed between the max-probe and the read
+    are not lost (at-least-once across the probe race; the sink's
+    append-then-advance watermark makes re-delivery idempotent).
+    """
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    span = max_pk - watermark
+    if span <= 0 or num_partitions == 1:
+        return [f"`{pk_col}` > {int(watermark)}"]
+    stride = max(1, -(-span // num_partitions))  # ceil division
+    preds, lo = [], watermark
+    for i in range(num_partitions):
+        hi = min(lo + stride, max_pk)
+        if i == num_partitions - 1 or hi >= max_pk:
+            preds.append(f"`{pk_col}` > {int(lo)}")
+            break
+        preds.append(f"`{pk_col}` > {int(lo)} AND `{pk_col}` <= {int(hi)}")
+        lo = hi
+    return preds
+
+
+@dataclass
+class JdbcBatchPlan:
+    """One incremental micro-batch over a JDBC audit table, as data.
+
+    Pure and inspectable (tests assert on it without a database); ``load``
+    executes it via ``spark.read.jdbc`` with per-partition predicates.
+    """
+
+    url: str
+    table: str
+    watermark: int
+    predicates: list[str]
+    properties: dict = field(default_factory=dict)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        return spark.read.jdbc(
+            url=self.url,
+            table=f"`{self.table}`",
+            predicates=self.predicates,
+            properties=self.properties,
+        )
+
+
+def plan_incremental_batch(
+    url: str,
+    table: str,
+    watermark: int,
+    max_pk: int | None = None,
+    num_partitions: int = 8,
+    pk_col: str = AUDIT_PK,
+    properties: dict | None = None,
+) -> JdbcBatchPlan:
+    """Plan one incremental read.
+
+    ``max_pk`` comes from a cheap ``SELECT max(audit_pk)`` probe (the same
+    aggregate the reference's wipe loop runs, sync:297); with it the batch
+    splits into ``num_partitions`` disjoint index range scans. Without it,
+    a single-stream read. Each partition is one database connection —
+    bound ``num_partitions`` by what the source database tolerates, not by
+    cluster size (a 1000-executor cluster must not open 1000 connections).
+    """
+    if max_pk is None:
+        preds = [f"`{pk_col}` > {int(watermark)}"]
+    else:
+        preds = partition_predicates(watermark, max_pk, num_partitions, pk_col)
+    return JdbcBatchPlan(url, table, watermark, preds, dict(properties or {}))
+
+
+def poll_sync(
+    spark: SparkSession,
+    read_fn: Callable[[int], DataFrame],
+    sink_path: str,
+    fmt: str = "parquet",
+    max_polls: int = 1,
+    sleep_secs: float = 0.0,
+    stop_when_empty: bool = True,
+) -> list[SyncResult]:
+    """The reference's cron loop, in-process: poll → sync → sleep.
+
+    ``read_fn(watermark)`` returns the audit rows with pk > watermark —
+    ``plan_incremental_batch(...).load(spark)`` in production, any
+    DataFrame source in tests. Each iteration is one reference "sync run"
+    (cdc_audit_sync_mysql.php:238-265); the 1 s inter-batch pause of the
+    reference's wipe loop (sync:293-295) generalizes to ``sleep_secs``.
+    """
+    results: list[SyncResult] = []
+    for i in range(max_polls):
+        wm = get_watermark(spark, sink_path, fmt=fmt)
+        res = sync_table(read_fn(wm), sink_path, fmt=fmt, watermark=wm)
+        results.append(res)
+        if stop_when_empty and res.rows_synced == 0:
+            break
+        if sleep_secs and i + 1 < max_polls:
+            time.sleep(sleep_secs)
+    return results

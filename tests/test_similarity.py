@@ -84,3 +84,34 @@ def test_cosine_pairs_symmetric_free(spark):
     out = cosine_pairs(_vecs(spark), threshold=-1.5).collect()
     keys = [(r["id_a"], r["id_b"]) for r in out]
     assert len(keys) == len(set(keys)) == 10  # C(5,2)
+
+
+def test_ivf_assign_deterministic_cells(spark):
+    from cdc_audit_spark.operators.similarity import ivf_assign
+
+    df = _vecs(spark)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    cells = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()}
+    assert cells[0] == 0 and cells[1] == 0 and cells[4] == 0  # x-ish vectors
+    assert cells[2] == 1                                       # y vector
+    assert cells[3] == 1  # opposite of x: sim -1 vs 0 → y-cell wins
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import (
+        cosine_topk, ivf_topk, sample_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    corpus = emb.filter("vec_id <> 0")
+    cents = sample_centroids(corpus, k=8)
+    exact = [r["vec_id"] for r in cosine_topk(corpus, q, k=10).collect()]
+    # full probe degenerates to brute force → recall 1.0
+    full = [r["vec_id"] for r in
+            ivf_topk(corpus, cents, q, k=10, nprobe=8).collect()]
+    assert full == exact
+    # half the cells must already recover most of the true top-10
+    approx = [r["vec_id"] for r in
+              ivf_topk(corpus, cents, q, k=10, nprobe=4).collect()]
+    assert len(set(approx) & set(exact)) >= 5
