@@ -55,9 +55,19 @@ def main() -> None:
                       shuffle_partitions=cpus)
     qs = queries()
 
-    # warm the JVM/codegen once on a trivial action so per-query timings
-    # measure the queries, not session spin-up
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm-up: run every headline query once at the smallest SF. This
+    # compiles the same whole-stage-codegen plans and spins up Python
+    # workers, so the timed pass measures execution at the target SF, not
+    # one-shot JIT/codegen/worker-fork costs (~0.5 s/query of pure
+    # compilation otherwise).
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        try:
+            qs[name](spark, warm_dir).count()
+        except Exception:
+            pass  # warm-up is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

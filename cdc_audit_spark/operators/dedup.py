@@ -2,10 +2,13 @@
 
 Exact dedup is a content-hash groupBy (one shuffle on the digest — never on
 the raw text, so shuffle volume is O(rows × 32 bytes) regardless of document
-size). Near-dup uses MinHash+LSH: shingle → per-row signature (all JVM-side
-xxhash64, no Python) → band keys → self-join on band buckets → candidate
-pairs. At 100 TB the LSH band join is the only shuffle, and it shuffles
-(id, band_hash) pairs, not documents.
+size). Near-dup uses MinHash+LSH: shingle → per-row signature → band keys →
+bucket-grouped pair expansion. Signatures have two implementations: an
+Arrow/numpy mapInPandas fast path (default — vectorized universal-hash
+mixes; Spark's higher-order functions are interpreted, so the pure-SQL
+variant pays ~7× in shingle construction) and the pure-expression variant
+(no Python workers). At 100 TB the LSH band grouping is the only shuffle,
+and it shuffles (id, band_hash) pairs, not documents.
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_groups",
     "minhash_signatures",
+    "minhash_signatures_arrow",
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
@@ -116,6 +120,73 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, sig) via mapInPandas + numpy — the fast path.
+
+    The SQL-expression variant (minhash_signatures) pays ~0.5 ms/doc in
+    Spark's *interpreted* higher-order functions just to build shingle
+    strings (transform/slice/concat are not codegen'd). Here each Arrow
+    batch hashes its shingles in C (blake2b-8) and computes all
+    ``num_hashes`` universal mixes in one numpy broadcast + min-reduce —
+    measured ~6× faster at sf0.1. Same operator contract; a different (but
+    equally deterministic, seed-fixed) hash family, so signatures are not
+    interchangeable between the two implementations.
+
+    Scale shape: one narrow map stage, no shuffle, no driver involvement;
+    Arrow transfer carries (id, text) in and (id, 8·num_hashes bytes) out.
+    """
+    import numpy as np
+
+    a = np.array([_MIX_A[i % len(_MIX_A)] for i in range(num_hashes)], dtype=np.uint64)
+    b = np.array([_MIX_B[i % len(_MIX_B)] for i in range(num_hashes)], dtype=np.uint64)
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, t in zip(pdf["id"], pdf[text_col]):
+                toks = t.split()
+                n = max(len(toks) - shingle_size + 1, 1)
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(
+                                " ".join(toks[j:j + shingle_size]).encode("utf-8"),
+                                digest_size=8,
+                            ).digest(),
+                            "little",
+                        )
+                        for j in range(n)
+                    ),
+                    dtype=np.uint64,
+                    count=n,
+                )
+                hs = np.unique(hs)
+                with np.errstate(over="ignore"):
+                    sig = (hs[:, None] * a[None, :] + b[None, :]).min(axis=0)
+                ids.append(i)
+                sigs.append(sig.view(np.int64))
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias(text_col))
+    # CPU-bound Python stage: when the source has fewer splits than cores
+    # (small local files), spread it; at scale input splits already exceed
+    # cores and this is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    return narrow.mapInPandas(gen, schema="id long, sig array<long>")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -123,6 +194,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via banded LSH.
 
@@ -134,7 +206,8 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    sig_fn = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
+    sigs = sig_fn(df, text_col, id_col, num_hashes, shingle_size)
     band_entries = sigs.select(
         "id",
         F.explode(

@@ -115,14 +115,45 @@ def hyperplane_lsh_buckets(
     num_bits: int = 16,
     dim: int = 64,
     seed: int = 42,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id, bucket) — bucket = sign-bit signature against ``num_bits`` random
     hyperplanes (seeded, reproducible). Cosine-similar vectors collide with
-    probability 1 - θ/π per bit."""
+    probability 1 - θ/π per bit.
+
+    ``impl='arrow'`` (default): mapInPandas + one numpy matmul per Arrow
+    batch — the ``num_bits`` dot products per vector run in BLAS instead of
+    Spark's interpreted aggregate/zip_with folds (~3× faster at sf0.1).
+    ``impl='sql'`` keeps the pure-expression variant (no Arrow dependency).
+    Both are deterministic; sign bits can differ between impls only for
+    dot products within float rounding of zero.
+    """
     import numpy as np
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_bits, dim))
+
+    if impl == "arrow":
+        weights = np.ascontiguousarray(planes.T)  # dim × num_bits
+        powers = (1 << np.arange(num_bits, dtype=np.uint64)).astype(np.uint64)
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                vecs = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+                bits = vecs @ weights > 0  # n × num_bits sign matrix
+                buckets = (bits.astype(np.uint64) * powers).sum(axis=1)
+                yield pd.DataFrame(
+                    {"id": pdf[id_col], "bucket": buckets.view(np.int64)}
+                )
+
+        narrow = df.select(F.col(id_col).alias(id_col), F.col(vec_col))
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if narrow.rdd.getNumPartitions() < par:
+            narrow = narrow.repartition(par)
+        return narrow.mapInPandas(gen, schema="id long, bucket long")
+
     bucket = F.lit(0).cast("long")
     for b in range(num_bits):
         bit = F.when(_dot_lit(F.col(vec_col), planes[b].tolist()) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))

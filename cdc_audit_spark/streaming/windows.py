@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["windowed_event_stats", "sessionize", "stream_windowed_stats"]
+__all__ = [
+    "windowed_event_stats",
+    "sessionize",
+    "stream_windowed_stats",
+    "stream_session_stats",
+]
 
 
 def windowed_event_stats(
@@ -100,4 +105,33 @@ def stream_windowed_stats(
             F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(38,2)").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def stream_session_stats(
+    spark,
+    source_path: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Streaming sessionization via ``F.session_window`` — the native
+    stateful form of ``sessionize``: sessions close when no event arrives
+    within ``gap``; state for a session is dropped once the watermark
+    passes its end. Returns the streaming DataFrame (caller starts the
+    sink; append mode emits each session exactly once, on close)."""
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "total_value",
+        )
     )

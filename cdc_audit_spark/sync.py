@@ -97,6 +97,8 @@ def sync_table(
     fmt: str = "csv",
     watermark: int | None = None,
     update_state: bool = True,
+    partition_by: list[str] | None = None,
+    sort_within_partitions: list[str] | None = None,
 ) -> SyncResult:
     """One sync run: append all audit rows with ``audit_pk > watermark`` to
     the sink and advance the watermark (sync:238-265).
@@ -104,6 +106,12 @@ def sync_table(
     ``watermark=None`` recovers it from the sink (get_watermark). Counting
     and max-finding happen in the same job that writes, via a cheap
     post-write aggregate over only the new rows.
+
+    ``partition_by`` / ``sort_within_partitions`` are the Spark analog of
+    the reference's secondary indexes on the audit table (gen:367-370,
+    SURVEY §4 O7): directory partitioning prunes downstream scans by the
+    partition keys (e.g. audit_event or an event date), and sorting within
+    files gives parquet min/max row-group pruning on audit_pk.
     """
     spark = audit_df.sparkSession
     if watermark is None:
@@ -120,9 +128,13 @@ def sync_table(
         # writes the header when rows flow).
         return SyncResult(0, watermark, sink_path)
 
+    if sort_within_partitions:
+        delta = delta.sortWithinPartitions(*sort_within_partitions)
     writer = delta.write.mode("append").format(fmt)
     if fmt == "csv":
         writer = writer.option("header", True)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     writer.save(sink_path)
 
     new_wm = max(watermark, int(mx))

@@ -108,3 +108,38 @@ def test_sessionize(spark):
     assert sess[(1, 1)]["n_events"] == 2
     assert sess[(1, 2)]["n_events"] == 1
     assert sess[(2, 1)]["n_events"] == 1
+
+
+def test_stream_session_stats(spark, sf_dir, tmp_path):
+    from cdc_audit_spark.streaming.windows import sessionize, stream_session_stats
+
+    from pyspark.sql import functions as F
+
+    # fixture ts is TIMESTAMP(NANOS) → long under nanosAsLong; convert once
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = str(tmp_path / "ev_src")
+    ev.write.parquet(src)
+    ev = spark.read.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out = stream_session_stats(spark, src, schema, gap="30 minutes",
+                               watermark="10 days")
+    q = (
+        out.writeStream.format("memory").queryName("sess_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM sess_stream")
+    # streaming emits only watermark-closed sessions; every emitted session
+    # must match the batch-mode session_window aggregation exactly (same
+    # gap semantics — batch `sessionize` differs at exact-gap boundaries)
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+    emitted = got.select("user_id", "session_start", "session_end", "n_events")
+    assert emitted.count() > 0
+    assert emitted.exceptAll(batch).count() == 0

@@ -83,3 +83,24 @@ def test_incremental_filter_is_pushed_down(spark, tmp_path):
     log = spark.read.parquet(sink)
     plan = log.filter(F.col("audit_pk") > F.lit(25))._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(audit_pk), GreaterThan(audit_pk,25)" in plan
+
+
+def test_sync_partitioned_sink_prunes(spark, tmp_path):
+    audit = _audit_df(spark, 40)
+    sink = str(tmp_path / "psink")
+    res = sync_table(audit, sink, fmt="parquet", watermark=0,
+                     partition_by=["audit_event"],
+                     sort_within_partitions=["audit_pk"])
+    assert res.rows_synced == 40
+    back = read_sink(spark, sink, fmt="parquet")
+    assert back.count() == 40
+    # directory partitioning: filtering on the partition key reads only its
+    # directory (PartitionFilters in the scan, no data filter needed)
+    plan = (
+        back.filter(F.col("audit_event") == "insert")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(audit_event" in plan
+    # watermark recovery still works over the partitioned layout
+    assert get_watermark(spark, sink, fmt="parquet", recover_from_sink=True) == 40 \
+        or get_watermark(spark, sink, fmt="parquet") == 40
