@@ -33,6 +33,8 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_payload",
     "payload_stats",
+    "chunk_payload",
+    "frame_sample",
     "extract_features",
     "decode_real",
 ]
@@ -76,6 +78,57 @@ def payload_stats(df: DataFrame, text_col: str, id_col: str, chunk_bytes: int = 
         nbytes.alias("payload_bytes"),
         F.md5(F.col(text_col)).alias("payload_digest"),
         ((nbytes + F.lit(chunk_bytes - 1)) / F.lit(chunk_bytes)).cast("long").alias("n_chunks"),
+    )
+
+
+def chunk_payload(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_bytes: int = 65536,
+) -> DataFrame:
+    """Explode each payload into fixed-size byte chunks:
+    (id, chunk_idx, chunk, chunk_bytes) — the shard step before parallel
+    decode of large media (JVM-side substring, no Python, no payload
+    shuffle beyond the explode itself).
+
+    Row count multiplies by ceil(n_bytes/chunk_bytes); at scale write the
+    result partitioned by a hash of id so one giant file cannot skew a
+    partition.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    nbytes = F.octet_length(payload)
+    n_chunks = ((nbytes + F.lit(chunk_bytes - 1)) / F.lit(chunk_bytes)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - F.lit(1))
+    chunks = F.transform(
+        idx, lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.substring(payload, i * chunk_bytes + 1, chunk_bytes).alias("chunk"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk").alias("chunk"),
+            F.octet_length("c.chunk").cast("long").alias("chunk_bytes"),
+        )
+    )
+
+
+def frame_sample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    every_k: int = 4,
+    chunk_bytes: int = 65536,
+) -> DataFrame:
+    """Deterministic every-k-th-chunk sample — the frame-sampling shape for
+    video (decode only sampled frames). Pure filter over chunk_payload, so
+    the pruning happens before any decode cost."""
+    return chunk_payload(df, text_col, id_col, chunk_bytes).filter(
+        F.col("chunk_idx") % every_k == 0
     )
 
 

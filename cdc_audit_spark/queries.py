@@ -1637,6 +1637,20 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_chunk_sample",
+    None,
+    "Payload chunk-explode + every-4th-chunk frame sample (binary output "
+    "columns are not hash-comparable across engines; reassembly invariants "
+    "verified in tests/test_multimodal.py)",
+)
+def multimodal_chunk_sample(spark, sf_dir):
+    from cdc_audit_spark.operators.multimodal import frame_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return frame_sample(docs, "text", "doc_id", every_k=4, chunk_bytes=256)
+
+
+@register(
     "dedup_minhash_lsh",
     None,
     "MinHash+LSH near-dup candidate pairs — hash family not reproducible in "

@@ -52,3 +52,38 @@ def test_extract_features_distributed_partitions(spark):
 def test_decode_real_is_stubbed(spark):
     with pytest.raises(NotImplementedError):
         decode_real(_docs(spark), "text", "image")
+
+
+def test_chunk_payload_reassembles(spark):
+    from cdc_audit_spark.operators.multimodal import chunk_payload
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a" * 100), (2, "xyz"), (3, ""), (4, "日本語テキスト")],
+        "doc_id long, text string",
+    )
+    chunks = chunk_payload(df, "text", "doc_id", chunk_bytes=32)
+    rows = chunks.orderBy("doc_id", "chunk_idx").collect()
+    # byte-level chunking: utf-8 payload reassembles exactly
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(bytes(r["chunk"]))
+    assert b"".join(by_id[1]) == b"a" * 100
+    assert [len(c) for c in by_id[1]] == [32, 32, 32, 4]
+    assert b"".join(by_id[2]) == b"xyz"
+    assert by_id[3] == [b""]  # empty payload → single empty chunk
+    assert b"".join(by_id[4]).decode("utf-8") == "日本語テキスト"
+    # chunk_idx is dense from 0 per id
+    for doc, pieces in by_id.items():
+        idxs = [r["chunk_idx"] for r in rows if r["doc_id"] == doc]
+        assert idxs == list(range(len(pieces)))
+
+
+def test_frame_sample_every_k(spark):
+    from cdc_audit_spark.operators.multimodal import chunk_payload, frame_sample
+
+    df = spark.createDataFrame([(1, "b" * 300)], "doc_id long, text string")
+    all_chunks = chunk_payload(df, "text", "doc_id", chunk_bytes=32).collect()
+    sampled = frame_sample(df, "text", "doc_id", every_k=3, chunk_bytes=32).collect()
+    assert len(all_chunks) == 10
+    assert sorted(r["chunk_idx"] for r in sampled) == [0, 3, 6, 9]
