@@ -1205,6 +1205,103 @@ def q22_idle_rich_customers(spark, sf_dir):
     )
 
 
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS low_qty_revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+     WHERE p.p_brand = 'Brand#23'
+       AND l.l_quantity < (SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+                             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    "TPC-H Q17 shape: correlated scalar subquery (per-part average) "
+    "decorrelated into a grouped agg + join-back; the per-key threshold "
+    "join shuffles only (partkey, avg) pairs",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    thresholds = (
+        t["lineitem"].groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((F.lit(0.5) * _avg(F.sum(qty), F.count("*")).cast("double")).alias("half_avg_qty"))
+    )
+    brand = t["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("decimal(38,2)").alias("low_qty_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q2_min_balance_supplier",
+    """
+    SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal
+      FROM supplier s
+     WHERE CAST(s.s_acctbal AS DECIMAL(12,2)) =
+           (SELECT min(CAST(s2.s_acctbal AS DECIMAL(12,2)))
+              FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+    "TPC-H Q2 shape: per-group minimum as a correlated subquery → "
+    "grouped min + join-back on (group, min) — all ties returned",
+)
+def q2_min_balance_supplier(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    bal = F.col("s_acctbal").cast("decimal(12,2)")
+    mins = (
+        t["supplier"].groupBy(F.col("s_nationkey").alias("m_nationkey"))
+        .agg(F.min(bal).alias("min_bal"))
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(mins),
+            (F.col("s_nationkey") == F.col("m_nationkey")) & (bal == F.col("min_bal")),
+        )
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS total_revenue
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+      FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+     WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "TPC-H Q15 shape: derived revenue view + global-max scalar filter "
+    "(1-row broadcast) + dim join; exact decimal revenue makes the max "
+    "tie-safe",
+)
+def q15_top_supplier(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    rev = (
+        t["lineitem"].groupBy("l_suppkey")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("best_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_revenue"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 # --------------------------------------------------------------------------
 # Set operations (SURVEY §2.6 notes the reference has none; a complete
 # engine needs them)
