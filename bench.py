@@ -41,6 +41,8 @@ HEADLINE = [
     "text_top_bigrams",
     "events_funnel",
     "dedup_embedding_cosine",
+    "q17_small_quantity_revenue",
+    "range_join_click_windows",
 ]
 
 

@@ -801,6 +801,39 @@ def asof_join_error_purchase(spark, sf_dir):
     return asof_join(errors, purchases, on="ts", by="user_id")
 
 
+@register(
+    "range_join_click_windows",
+    """
+    SELECT p.event_id AS point_id, i.event_id AS iv_id
+      FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') p
+      JOIN (SELECT event_id, ts AS lo, ts + INTERVAL '30 minutes' AS hi
+              FROM events WHERE event_type = 'purchase' AND event_id % 40 = 0) i
+        ON p.ts >= i.lo AND p.ts <= i.hi
+    """,
+    "Point-in-interval range join: clicks falling inside 30-minute windows "
+    "after sampled purchases — executed as a bin equi-join + residual "
+    "filter (operators/rangejoin.py), never a nested-loop cross product",
+)
+def range_join_click_windows(spark, sf_dir):
+    from cdc_audit_spark.operators.rangejoin import point_in_interval_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    points = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("point_id"), "ts"
+    )
+    intervals = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("event_id") % 40 == 0))
+        .select(
+            F.col("event_id").alias("iv_id"),
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+        )
+    )
+    return point_in_interval_join(
+        points, intervals, "ts", "lo", "hi", bin_width_secs=1800
+    ).select("point_id", "iv_id")
+
+
 # --------------------------------------------------------------------------
 # More event analytics: sliding windows, sessionization, pivot
 # --------------------------------------------------------------------------
@@ -1731,6 +1764,24 @@ def multimodal_features(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     payloads = attach_payload(docs, "text").select("doc_id", "media.payload")
     return extract_features(payloads, "doc_id", "payload")
+
+
+@register(
+    "events_approx_stats",
+    None,
+    "Sketch-based aggregates — approx_count_distinct (HLL++) and "
+    "percentile_approx per event type: the bounded-memory scale path for "
+    "the exact variants (events_user_activity, median_price_by_flag); "
+    "sketch internals are engine-specific so no cross-engine oracle — "
+    "accuracy bounds asserted in tests/test_approx.py",
+)
+def events_approx_stats(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+        F.count("*").alias("n"),
+    )
 
 
 @register(
