@@ -1489,6 +1489,80 @@ def ntile_price_quartiles(spark, sf_dir):
     )
 
 
+@register(
+    "window_time_range_sum",
+    """
+    SELECT user_id, event_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS hour_sum
+      FROM events
+    """,
+    "Event-time RANGE frame: per-user rolling 1-hour value sum — frame "
+    "bounds in time, not rows (Spark: rangeBetween over unix_micros)",
+)
+def window_time_range_sum(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w)
+        .cast("decimal(38,2)").alias("hour_sum"),
+    )
+
+
+@register(
+    "window_first_last_value",
+    """
+    SELECT user_id, event_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+      FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "first_value/last_value: each user's first and final event type "
+    "(full-frame last_value — the default growing frame is a classic trap)",
+)
+def window_first_last_value(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    grow = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = grow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id", "event_id",
+        F.first("event_type").over(grow).alias("first_type"),
+        F.last("event_type").over(full).alias("last_type"),
+    )
+
+
+@register(
+    "window_percent_rank",
+    """
+    SELECT o_orderkey,
+           CAST(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS DECIMAL(38,6)) AS price_pctile,
+           CAST(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey) AS DECIMAL(38,6)) AS price_cume
+      FROM orders
+    """,
+    "percent_rank + cume_dist over a total order (global window — ranked "
+    "export shape; both are exact rational values so the decimal cast is "
+    "tie-free only because the tiebreak makes ranks unique)",
+)
+def window_percent_rank(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return t["orders"].select(
+        "o_orderkey",
+        F.percent_rank().over(w).cast("decimal(38,6)").alias("price_pctile"),
+        F.cume_dist().over(w).cast("decimal(38,6)").alias("price_cume"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis (continued): corpus term stats, BPE-ish regex tokenization,
 # bigram frequencies
