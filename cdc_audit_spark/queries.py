@@ -1899,6 +1899,236 @@ def dedup_simhash(spark, sf_dir):
     return simhash(_duped_docs(spark, sf_dir), "text", id_col="doc_id")
 
 
+# --------------------------------------------------------------------------
+# Training-data pipeline: deterministic sampling / splitting / sharding
+# (operators/sampling.py — portable md5-prefix hash, identical in DuckDB)
+# --------------------------------------------------------------------------
+
+# DuckDB spelling of operators.sampling.hash_bucket(key) — 24-bit md5 prefix.
+def _HB(key_sql: str, n: int | None = None) -> str:
+    from cdc_audit_spark.operators.sampling import hash_bucket_sql
+
+    return hash_bucket_sql(key_sql, n)
+
+
+_SPLITS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
+@register(
+    "sample_split_train_valid",
+    None,  # filled in below — needs the generated CASE expression
+    "Deterministic 90/5/5 train/valid/test split by md5-hash range: "
+    "map-side CASE, zero shuffles for the assignment, stable under appends "
+    "(a row never migrates when the corpus grows)",
+)
+def sample_split_train_valid(spark, sf_dir):
+    from cdc_audit_spark.operators.sampling import deterministic_split
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        deterministic_split(docs, "doc_id", _SPLITS)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "sample_hash_fraction",
+    f"""
+    SELECT o_orderkey, o_custkey
+      FROM orders
+     WHERE {_HB('o_orderkey')} < {round(0.1 * (1 << 24))}
+    """,
+    "Deterministic ~10% sample: hash-threshold filter, map-side only — at "
+    "100 TB this is a scan-time predicate, no shuffle, no RNG seed to plumb",
+)
+def sample_hash_fraction(spark, sf_dir):
+    from cdc_audit_spark.operators.sampling import hash_sample
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    return hash_sample(orders, "o_orderkey", 0.1).select("o_orderkey", "o_custkey")
+
+
+@register(
+    "sample_stratified_lang",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_HB('doc_id')}, doc_id) AS rn
+        FROM documents) WHERE rn <= 40
+    """,
+    "Stratified exactly-N-per-language sample: rank by content hash inside "
+    "each stratum — one shuffle on the stratum key, deterministic without RNG",
+)
+def sample_stratified_lang(spark, sf_dir):
+    from cdc_audit_spark.operators.sampling import stratified_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return stratified_sample(docs, "lang", "doc_id", 40).select("doc_id", "lang")
+
+
+_MIX = {"web": 0.25, "books": 1.0, "wiki": 1.0, "code": 0.5}
+
+
+@register(
+    "mix_weighted_sources",
+    None,  # filled in below — generated CASE thresholds
+    "Dataset mixing: per-source keep-fractions (100% wiki/books, 50% code, "
+    "25% web) via one map-side CASE filter — the 100 TB way to rebalance a "
+    "corpus without materializing per-source tables",
+)
+def mix_weighted_sources(spark, sf_dir):
+    from cdc_audit_spark.operators.sampling import weighted_source_mix
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        weighted_source_mix(docs, "source", "doc_id", _MIX)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
+    )
+
+
+@register(
+    "shard_global_shuffle",
+    f"""
+    SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+      FROM (SELECT doc_id, {_HB('doc_id', 32)} AS shard_id FROM documents)
+     GROUP BY shard_id
+    """,
+    "Deterministic global shuffle via stable shard assignment: hash → 32 "
+    "shards, repartition-by-shard + sort-within replaces ORDER BY rand() "
+    "(a global range sort) at export time; per-shard stats prove balance",
+)
+def shard_global_shuffle(spark, sf_dir):
+    from cdc_audit_spark.operators.sampling import shard_assign
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        shard_assign(docs, "doc_id", 32)
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("doc_id").alias("min_doc"), F.max("doc_id").alias("max_doc"))
+    )
+
+
+@register(
+    "pack_token_chunks",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             CAST(array_length(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+                                             ORDER BY {_HB('doc_id')}, doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        FROM sized)
+    SELECT lang, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+      FROM packed GROUP BY lang, pack_id
+    """,
+    "Sequence packing: fixed 2048-token packs per language via windowed "
+    "cumsum binning (offset packing — engine-portable, one shuffle; greedy "
+    "best-fit would be a sequential applyInPandas)",
+)
+def pack_token_chunks(spark, sf_dir):
+    from cdc_audit_spark.operators.sampling import pack_chunks
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sized = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_chunks(sized, "lang", "doc_id", F.col("n_tokens"), 2048)
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("pack_tokens")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           t -> len(t) >= 3))) AS term
+        FROM documents),
+    df_counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT term, df,
+           CAST(ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(38,6)) AS idf
+      FROM df_counts, n
+     WHERE df >= 50
+    """,
+    "Corpus IDF table (TF-IDF building block): distinct-term explode → "
+    "document frequency → ln(N/df); explode+agg is two shuffles, both "
+    "partial-aggregated map-side; the df>=50 filter bounds the output",
+)
+def tfidf_top_terms(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda t: F.length(t) >= 3,
+                )
+            )
+        ).alias("term"),
+    )
+    n_docs = docs.count()
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 50)
+        .withColumn(
+            "idf",
+            F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            .cast("decimal(38,6)"),
+        )
+    )
+
+
+def _sampling_oracles():
+    """Oracles whose SQL embeds generated CASE expressions — built after the
+    module-level constants so Spark and DuckDB share one edge computation."""
+    from cdc_audit_spark.operators.sampling import (
+        deterministic_split_sql,
+        hash_bucket_sql,
+    )
+
+    split_case = deterministic_split_sql("doc_id", _SPLITS)
+    _REGISTRY["sample_split_train_valid"].oracle = f"""
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM (SELECT n_chars, {split_case} AS split FROM documents)
+     GROUP BY split
+    """
+
+    h = hash_bucket_sql("doc_id")
+    space = 1 << 24
+    mix_whens = " ".join(
+        f"WHEN source = '{src}' THEN {h} < {round(frac * space)}"
+        for src, frac in _MIX.items()
+    )
+    _REGISTRY["mix_weighted_sources"].oracle = f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+      FROM documents
+     WHERE CASE {mix_whens} ELSE FALSE END
+     GROUP BY source
+    """
+
+
+_sampling_oracles()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in _REGISTRY.items()}
 

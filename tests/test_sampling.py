@@ -1,0 +1,139 @@
+"""Invariants of the deterministic sampling / splitting / sharding operators
+(operators/sampling.py): exhaustive + stable splits, append-stability,
+exact-N strata, pack budget bounds, shard balance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_audit_spark.operators.sampling import (
+    HASH_SPACE,
+    deterministic_split,
+    hash_bucket,
+    hash_sample,
+    pack_chunks,
+    shard_assign,
+    stratified_sample,
+    weighted_source_mix,
+)
+
+SPLITS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_split_is_exhaustive_and_deterministic(docs):
+    out = deterministic_split(docs, "doc_id", SPLITS)
+    total = docs.count()
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == total  # every row assigned exactly once
+    # ratios within a loose tolerance of the weights (hash is uniform-ish)
+    assert counts["train"] / total == pytest.approx(0.9, abs=0.05)
+    # re-running yields the identical assignment (no RNG)
+    again = deterministic_split(docs, "doc_id", SPLITS)
+    assert (
+        out.select("doc_id", "split")
+        .exceptAll(again.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+
+
+def test_split_stable_under_append(docs):
+    """A row's split never changes when the dataset grows — the property
+    rand(seed) lacks (its value depends on partition layout)."""
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full_assign = deterministic_split(docs, "doc_id", SPLITS).select("doc_id", "split")
+    half_assign = deterministic_split(half, "doc_id", SPLITS).select("doc_id", "split")
+    assert half_assign.exceptAll(full_assign).count() == 0
+
+
+def test_split_rejects_nonpositive_weights(docs):
+    with pytest.raises(ValueError):
+        deterministic_split(docs, "doc_id", {"a": 0.0})
+
+
+def test_hash_sample_fraction_and_subset(docs):
+    total = docs.count()
+    s = hash_sample(docs, "doc_id", 0.2)
+    n = s.count()
+    assert n / total == pytest.approx(0.2, abs=0.08)
+    # nested property: a 10% sample is a strict subset of the 20% sample
+    # (thresholds nest) — lets pipelines downsample without reshuffling data
+    s10 = hash_sample(docs, "doc_id", 0.1)
+    assert s10.select("doc_id").exceptAll(s.select("doc_id")).count() == 0
+
+
+def test_weighted_mix_respects_per_source_fractions(docs):
+    kept = weighted_source_mix(docs, "source", "doc_id", {"wiki": 1.0, "web": 0.0})
+    srcs = {r["source"] for r in kept.select("source").distinct().collect()}
+    assert "web" not in srcs
+    n_wiki_all = docs.filter(F.col("source") == "wiki").count()
+    n_wiki_kept = kept.filter(F.col("source") == "wiki").count()
+    assert n_wiki_kept == n_wiki_all  # fraction 1.0 keeps everything
+    # unlisted sources fall to default_fraction=0.0
+    assert srcs <= {"wiki"}
+
+
+def test_stratified_sample_exact_n(docs):
+    out = stratified_sample(docs, "lang", "doc_id", 5)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n_avail in avail.items():
+        assert per.get(lang, 0) == min(5, n_avail)
+    # deterministic: same rows both runs
+    again = stratified_sample(docs, "lang", "doc_id", 5)
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_shard_assign_range_and_balance(docs):
+    out = shard_assign(docs, "doc_id", 16)
+    stats = out.agg(F.min("shard_id"), F.max("shard_id"), F.count("*")).first()
+    assert stats[0] >= 0 and stats[1] < 16
+    counts = [r["n"] for r in out.groupBy("shard_id").agg(F.count("*").alias("n")).collect()]
+    mean = stats[2] / 16
+    # hash balance: no shard more than 2.5x the mean on this small fixture
+    assert max(counts) < 2.5 * mean
+
+
+def test_pack_chunks_budget_overflow_bound(docs):
+    budget = 500
+    sized = docs.select(
+        "doc_id", "lang",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_chunks(sized, "lang", "doc_id", F.col("n_tokens"), budget)
+    per_pack = packed.groupBy("lang", "pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("biggest")
+    )
+    # offset packing invariant: a pack exceeds the budget by at most the size
+    # of its largest (overflowing) document
+    bad = per_pack.filter(F.col("tot") - F.col("biggest") >= budget).count()
+    assert bad == 0
+    # pack ids start at 0 per group and are dense
+    firsts = packed.groupBy("lang").agg(F.min("pack_id").alias("m")).collect()
+    assert all(r["m"] == 0 for r in firsts)
+
+
+def test_hash_bucket_matches_duckdb(spark, docs):
+    """Cross-engine parity of the primitive itself (the queries exercise it
+    end-to-end; this pins the exact md5-prefix convention)."""
+    import duckdb
+
+    ids = [r["doc_id"] for r in docs.select("doc_id").limit(20).collect()]
+    sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in sdf.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    for i in ids:
+        want = con.sql(
+            f"SELECT ('0x' || substr(md5(CAST({i} AS VARCHAR)), 1, 6))::INT"
+        ).fetchone()[0]
+        assert got[i] == want, i
+    assert max(got.values()) < HASH_SPACE
