@@ -1968,15 +1968,15 @@ def sample_stratified_lang(spark, sf_dir):
     return stratified_sample(docs, "lang", "doc_id", 40).select("doc_id", "lang")
 
 
-_MIX = {"web": 0.25, "books": 1.0, "wiki": 1.0, "code": 0.5}
+_MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 
 @register(
     "mix_weighted_sources",
     None,  # filled in below — generated CASE thresholds
-    "Dataset mixing: per-source keep-fractions (100% wiki/books, 50% code, "
-    "25% web) via one map-side CASE filter — the 100 TB way to rebalance a "
-    "corpus without materializing per-source tables",
+    "Dataset mixing: per-source keep-fractions (100% src0, 50% src1, 25% "
+    "src2, 10% src3, drop the rest) via one map-side CASE filter — the "
+    "100 TB way to rebalance a corpus without materializing per-source tables",
 )
 def mix_weighted_sources(spark, sf_dir):
     from cdc_audit_spark.operators.sampling import weighted_source_mix

@@ -69,14 +69,19 @@ def test_hash_sample_fraction_and_subset(docs):
 
 
 def test_weighted_mix_respects_per_source_fractions(docs):
-    kept = weighted_source_mix(docs, "source", "doc_id", {"wiki": 1.0, "web": 0.0})
-    srcs = {r["source"] for r in kept.select("source").distinct().collect()}
-    assert "web" not in srcs
-    n_wiki_all = docs.filter(F.col("source") == "wiki").count()
-    n_wiki_kept = kept.filter(F.col("source") == "wiki").count()
-    assert n_wiki_kept == n_wiki_all  # fraction 1.0 keeps everything
+    # fixture sources are src0..src19 — keep all of src0, none of src1,
     # unlisted sources fall to default_fraction=0.0
-    assert srcs <= {"wiki"}
+    n_src0_all = docs.filter(F.col("source") == "src0").count()
+    assert n_src0_all > 0, "fixture must contain src0"
+    kept = weighted_source_mix(docs, "source", "doc_id", {"src0": 1.0, "src1": 0.0})
+    srcs = {r["source"] for r in kept.select("source").distinct().collect()}
+    assert srcs == {"src0"}
+    assert kept.count() == n_src0_all  # fraction 1.0 keeps everything
+    # a mid fraction keeps a strict, deterministic subset
+    half = weighted_source_mix(docs, "source", "doc_id", {"src0": 0.5})
+    n_half = half.count()
+    assert 0 < n_half < n_src0_all
+    assert half.select("doc_id").exceptAll(kept.select("doc_id")).count() == 0
 
 
 def test_stratified_sample_exact_n(docs):
