@@ -1900,6 +1900,288 @@ def dedup_simhash(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# TPC-H join-shape completion: nation-pair joins, left-join distributions,
+# NOT IN, disjunctive pushdown, nested semi-joins, multi-EXISTS decorrelation
+# --------------------------------------------------------------------------
+
+_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+
+
+def _rev():
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+
+
+@register(
+    "q7_nation_volume",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DECIMAL(38,4)) AS revenue
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INT) AS l_year, {_REV} AS volume
+              FROM supplier s
+              JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+              JOIN orders o   ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+              JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+             WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+               AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                    AND TIMESTAMP '1997-12-31 00:00:00')
+     GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape: the same dimension table in two join roles with a "
+    "disjunctive pair predicate — both nation joins broadcast, the pair "
+    "filter applied after, facts shuffle once per equi-key",
+)
+def q7_nation_volume(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate").between(dt.datetime(1996, 1, 1), dt.datetime(1997, 12, 31)))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_rev()).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+           CAST(sum({_REV}) AS DECIMAL(38,4)) AS revenue
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+     WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+       AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       AND l.l_returnflag = 'R'
+     GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+     ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "TPC-H Q10 shape: returned-item revenue ranking — quarter + returnflag "
+    "filters push to both fact scans before the join; top-20 via TakeOrdered",
+)
+def q10_returned_items(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= dt.datetime(1996, 10, 1))
+        & (F.col("o_orderdate") < dt.datetime(1997, 1, 1)))
+    items = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        items.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(_rev()).cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                                AND o.o_orderpriority <> '1-URGENT'
+             GROUP BY c.c_custkey)
+     GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: left outer join preserving zero-order customers, "
+    "count over the join condition (not a WHERE — the filter lives in the "
+    "ON clause), then an aggregate of the aggregate",
+)
+def q13_order_count_distribution(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    filtered = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(filtered, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+     WHERE p.p_brand <> 'Brand#15'
+       AND p.p_size IN (1, 4, 9, 14, 19, 24)
+       AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+     GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    "TPC-H Q16 shape: COUNT(DISTINCT) over a join with a NOT IN "
+    "(null-aware anti join) supplier exclusion — the anti side is tiny and "
+    "broadcast; distinct-count expands then re-aggregates",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#15") & F.col("p_size").isin(1, 4, 9, 14, 19, 24))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(sum({_REV}) AS DECIMAL(38,4)) AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+     WHERE (p.p_brand = 'Brand#2'  AND l.l_quantity BETWEEN 1  AND 11 AND p.p_size BETWEEN 1 AND 5)
+        OR (p.p_brand = 'Brand#15' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+        OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+    """,
+    "TPC-H Q19 shape: disjunction of conjunctive predicate groups spanning "
+    "both join sides — per-side implied filters (brand ∈ {...}, qty ≤ 30) "
+    "are derived and pushed below the join, residual OR evaluated after",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    groups = (
+        ((br == "Brand#2") & q.between(1, 11) & sz.between(1, 5))
+        | ((br == "Brand#15") & q.between(10, 20) & sz.between(1, 10))
+        | ((br == "Brand#23") & q.between(20, 30) & sz.between(1, 15))
+    )
+    # implied single-side filters, stated explicitly so they reach the scans
+    parts = t["part"].filter(
+        br.isin("Brand#2", "Brand#15", "Brand#23") & sz.between(1, 15))
+    items = t["lineitem"].filter(q.between(1, 30))
+    return (
+        items.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(groups)
+        .agg(F.sum(_rev()).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+@register(
+    "q20_bulk_part_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name
+      FROM supplier s
+     WHERE s.s_suppkey IN (
+             SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_name LIKE '%widget%'
+                AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY l_suppkey, l_partkey
+             HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 60)
+    """,
+    "TPC-H Q20 shape: nested semi-join — suppliers who moved >60 units of "
+    "any widget part in 1997; inner agg on (supp, part), outer left-semi "
+    "with the distinct supplier set broadcast",
+)
+def q20_bulk_part_suppliers(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    widget_parts = t["part"].filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    bulk = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= dt.datetime(1997, 1, 1))
+                & (F.col("l_shipdate") < dt.datetime(1998, 1, 1)))
+        .join(F.broadcast(widget_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(bulk), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+      JOIN nation n    ON s.s_nationkey = n.n_nationkey
+     WHERE o.o_orderstatus = 'F'
+       AND n.n_name = 'NATION_3'
+       AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+       AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+       AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+     GROUP BY s.s_name
+    """,
+    "TPC-H Q21 shape (late = shipped >60 days after order date, the "
+    "fixture's receiptdate analog): EXISTS + NOT EXISTS on the same fact, "
+    "decorrelated into one per-order profile aggregate (supplier count + "
+    "late-supplier count) instead of two correlated re-scans",
+)
+def q21_sole_late_supplier(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    f_orders = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate")
+    # one profile pass replaces both correlated subqueries:
+    # EXISTS other-supplier      ⇔ n_supp > 1
+    # NOT EXISTS other-late-supp ⇔ n_late_supp = 1 (l1 itself is late)
+    profile = (
+        t["lineitem"]
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select(F.col("l_orderkey").alias("po_orderkey"))
+    )
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        t["lineitem"]
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .join(profile, F.col("l_orderkey") == F.col("po_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Training-data pipeline: deterministic sampling / splitting / sharding
 # (operators/sampling.py — portable md5-prefix hash, identical in DuckDB)
 # --------------------------------------------------------------------------
