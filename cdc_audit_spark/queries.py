@@ -2150,31 +2150,28 @@ def q21_sole_late_supplier(spark, sf_dir):
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     f_orders = t["orders"].filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate")
-    # one profile pass replaces both correlated subqueries:
-    # EXISTS other-supplier      ⇔ n_supp > 1
-    # NOT EXISTS other-late-supp ⇔ n_late_supp = 1 (l1 itself is late)
-    profile = (
-        t["lineitem"]
-        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
-        .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
-        )
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .select(F.col("l_orderkey").alias("po_orderkey"))
-    )
     supp = (
         t["supplier"]
         .join(F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
               F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name")
     )
+    # One per-order window pass replaces both correlated subqueries (and the
+    # second lineitem scan a self-join would take — lineitem is scanned ONCE,
+    # shuffled once on l_orderkey):
+    # EXISTS other-supplier      ⇔ n_supp > 1
+    # NOT EXISTS other-late-supp ⇔ n_late_supp = 1 (l1 itself is late)
+    # collect_set sizes are safe: lineitems-per-order is bounded (~7).
+    w = Window.partitionBy("l_orderkey")
     return (
         t["lineitem"]
         .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(late)
-        .join(profile, F.col("l_orderkey") == F.col("po_orderkey"))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)),
+        )
+        .filter(late & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
