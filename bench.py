@@ -43,6 +43,13 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "q17_small_quantity_revenue",
     "range_join_click_windows",
+    "q7_nation_volume",
+    "q13_order_count_distribution",
+    "q21_sole_late_supplier",
+    "sample_split_train_valid",
+    "shard_global_shuffle",
+    "pack_token_chunks",
+    "tfidf_top_terms",
 ]
 
 
