@@ -106,3 +106,51 @@ def test_top_terms_partial_agg_before_topk(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_top_terms")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2  # map-side combine on terms
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
+    # the derived single-side filters must reach each scan...
+    assert "In(p_brand, [Brand#15,Brand#2,Brand#23]" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    # ...and the tiny filtered part side must broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    # the EXISTS/NOT EXISTS decorrelation must NOT re-scan the fact table:
+    # one scan, one orderkey shuffle feeding the window profile
+    plan = plan_of(spark, sf_dir, "q21_sole_late_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_hash_sample_is_map_only(spark, sf_dir):
+    # deterministic sampling must stay shuffle-free: a scan + filter, nothing
+    # else — this is what makes it a scan-time operation at 100 TB
+    plan = plan_of(spark, sf_dir, "sample_hash_fraction")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_split_assignment_no_shuffle_before_agg(spark, sf_dir):
+    # split assignment itself is map-side; the only exchange is the final
+    # tiny groupBy on the split label
+    plan = plan_of(spark, sf_dir, "sample_split_train_valid")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2  # partial agg before the shuffle
+
+
+def test_pack_chunks_single_shuffle(spark, sf_dir):
+    # windowed-cumsum packing: one shuffle for the group window, one for the
+    # final (lang, pack) aggregate — no global sort anywhere
+    plan = plan_of(spark, sf_dir, "pack_token_chunks")
+    assert plan.count("Exchange rangepartitioning") == 0
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q13_preserves_left_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q13_order_count_distribution")
+    assert "LeftOuter" in plan
+    # the ON-clause priority filter reaches the orders scan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
