@@ -313,3 +313,88 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster assignment over a candidate-pair edge list: (id, component)
+    where component = the minimum id reachable from the node.
+
+    Min-label propagation: every node starts labeled with itself; each round
+    pushes the smaller label across every edge (both directions) until a
+    fixed point. Rounds needed = graph diameter — near-dup clusters are
+    shallow (a duplicate family is one LSH bucket wide, diameter ≲ 3), so
+    this converges in a handful of rounds where the general-graph answer
+    would be large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond").
+
+    Scale mechanics: each round is two aggregates on (node) — shuffle keys
+    are node ids, partial aggs combine map-side. ``localCheckpoint`` after
+    each round truncates the lineage so the plan doesn't deepen linearly
+    with iterations (the classic iterative-DataFrame trap: analysis time
+    grows superlinearly and executor stacks blow past ~50 joined rounds).
+    """
+    both = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        both.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # smallest label any neighbor currently holds, per node
+        neighbor_min = (
+            both.join(labels.withColumnsRenamed({"id": "b", "component": "nbr_comp"}), "b")
+            .groupBy("a")
+            .agg(F.min("nbr_comp").alias("nbr_comp"))
+            .withColumnRenamed("a", "id")
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nbr_comp", "component")).alias("component"),
+                (F.coalesce("nbr_comp", "component") < F.col("component")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_cluster_survivors(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: LSH candidates → exact-Jaccard verify →
+    connected components → (id, cluster, is_survivor). Survivor = min id per
+    cluster; singleton documents survive trivially."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_size)
+    verified = ngram_jaccard_pairs(
+        df, text_col, id_col, pairs, shingle_size, threshold=jaccard_threshold
+    ).select("id_a", "id_b")
+    comp = connected_components(verified)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", "id").alias("cluster"),
+            (F.coalesce("component", "id") == F.col("id")).alias("is_survivor"),
+        )
+    )

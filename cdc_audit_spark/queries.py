@@ -1905,6 +1905,23 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster_assign",
+    None,
+    "Near-dup clustering end-to-end: LSH candidates → exact-Jaccard verify "
+    "→ min-label connected components → survivor per cluster (iterative — "
+    "not SQL-expressible; validated against a union-find ground truth in "
+    "tests/test_dedup.py)",
+)
+def dedup_cluster_assign(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import dedup_cluster_survivors
+
+    return dedup_cluster_survivors(
+        _duped_docs(spark, sf_dir), "text", "doc_id",
+        num_hashes=32, bands=8, shingle_size=3, jaccard_threshold=0.6,
+    )
+
+
+@register(
     "dedup_simhash",
     None,
     "SimHash 64-bit fingerprint buckets — xxhash64-based, not ANSI SQL; "

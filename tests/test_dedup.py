@@ -72,3 +72,57 @@ def test_lsh_pairs_deterministic(spark):
     p1 = sorted(map(tuple, minhash_lsh_pairs(docs, "text", "doc_id", 16, 8, 2).collect()))
     p2 = sorted(map(tuple, minhash_lsh_pairs(docs, "text", "doc_id", 16, 8, 2).collect()))
     assert p1 == p2
+
+
+def test_connected_components_vs_union_find(spark):
+    """Spark min-label propagation must produce exactly the partition a
+    driver-side union-find computes on the same edges."""
+    from cdc_audit_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4)]
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(edf).collect()}
+
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    # component label is the minimum member id
+    assert got[4] == 1 and got[23] == 20 and got[11] == 10
+
+
+def test_dedup_cluster_survivors_end_to_end(spark, sf_dir):
+    """Full pipeline on the fixture corpus with planted duplicates: every
+    planted copy must share a cluster with its original, and exactly one
+    survivor exists per cluster."""
+    from cdc_audit_spark.operators.dedup import dedup_cluster_survivors
+    from cdc_audit_spark.queries import _duped_docs
+
+    docs = _duped_docs(spark, sf_dir)
+    out = dedup_cluster_survivors(docs, "text", "doc_id",
+                                  num_hashes=32, bands=8, jaccard_threshold=0.6)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # total assignment
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cluster, members in by_cluster.items():
+        survivors = [m for m in members if m["is_survivor"]]
+        assert len(survivors) == 1
+        assert survivors[0]["id"] == min(m["id"] for m in members) == cluster
+    # planted copies (doc_id % 5 == 0 shifted by max+1) must be clustered
+    # with their originals: those clusters have >= 2 members
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    multi = [c for c, ms in by_cluster.items() if len(ms) >= 2]
+    assert len(multi) >= n_docs // 5 - 1
