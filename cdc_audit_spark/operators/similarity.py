@@ -272,3 +272,47 @@ def ivf_topk(
     return cosine_topk(
         assigned.filter(F.col("cell").isin(*probe)), query_vec, k, id_col, vec_col
     )
+
+
+def l2_normalize(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> DataFrame:
+    """Unit-normalize an embedding column (prerequisite for cosine via plain
+    dot products and for quantization). Pure map-side array math, JVM-side,
+    double precision with a left-to-right fold so the oracle can reproduce
+    it bit-for-bit. Zero vectors map to NULL (not NaN) so downstream joins
+    drop them explicitly."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return df.withColumn(
+        out_col,
+        F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(F.lit(None)),
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: scale = max|x| / 127,
+    code_i = round(x_i / scale) ∈ [-127, 127]. Adds `codes`
+    (array<tinyint>) + `scale` (double); dequantize ≈ code * scale with
+    max abs error scale/2.
+
+    The 4× (float32) / 8× (double) size cut is what makes a 100 TB embedding
+    corpus scannable: codes stay JVM-side, distance kernels run on int8 with
+    one final rescale. Map-side only — no shuffle, no Python."""
+    v = F.col(vec_col).cast("array<double>")
+    max_abs = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = (max_abs / F.lit(127.0)).alias("scale")
+    return (
+        df.withColumn("scale", scale)
+        .withColumn(
+            codes_col,
+            F.when(
+                F.col("scale") > 0,
+                F.transform(v, lambda x: F.round(x / F.col("scale")).cast("tinyint")),
+            ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint"))),
+        )
+    )

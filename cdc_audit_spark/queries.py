@@ -727,6 +727,53 @@ def events_user_activity(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_l2_normalize",
+    """
+    SELECT vec_id,
+           CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                AS DECIMAL(38,6)) AS l2_norm,
+           CAST(embedding[1] / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                AS DECIMAL(38,6)) AS unit_head
+      FROM embeddings
+     WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    """,
+    "L2 normalization (cosine prep): per-vector norm + first unit "
+    "component — map-side array fold, JVM-side, no shuffle "
+    "(operators/similarity.l2_normalize)",
+)
+def embedding_l2_normalize(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import l2_normalize
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        l2_normalize(emb, "embedding")
+        .filter(F.col("unit_vec").isNotNull())
+        .select(
+            "vec_id",
+            norm.cast("decimal(38,6)").alias("l2_norm"),
+            F.col("unit_vec")[0].cast("decimal(38,6)").alias("unit_head"),
+        )
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    None,
+    "Symmetric int8 scalar quantization (4× embedding compression for "
+    "100 TB corpora): per-vector scale + codes, map-side only; "
+    "reconstruction-error bound asserted in tests/test_similarity.py "
+    "(binary/array outputs are not hash-comparable)",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import quantize_int8
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return quantize_int8(emb, "embedding").select("vec_id", "scale", "codes")
+
+
 # --------------------------------------------------------------------------
 # Extension operators: multimodal column plumbing
 # --------------------------------------------------------------------------
@@ -1990,6 +2037,69 @@ def q7_nation_volume(spark, sf_dir):
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.sum(_rev()).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume
+                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                / CAST(sum(volume) AS DOUBLE) AS DECIMAL(38,6)) AS mkt_share
+      FROM (SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   {_REV} AS volume, n1.n_name AS nation
+              FROM part p
+              JOIN lineitem l ON p.p_partkey = l.l_partkey
+              JOIN orders o   ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+              JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+              JOIN region r   ON r.r_regionkey = n2.n_regionkey
+             WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+               AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                     AND TIMESTAMP '1997-12-31 00:00:00')
+     GROUP BY o_year
+    """,
+    "TPC-H Q8 shape: market share = conditional-sum / total-sum within "
+    "group — numerator and denominator in ONE aggregation pass (no "
+    "self-join, no second scan); supplier nation via two nation roles",
+)
+def q8_market_share(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    supp_nation = t["supplier"].select(
+        "s_suppkey", F.col("s_nationkey").alias("sn_key"))
+    cust_region = (
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation"))
+    vol = _rev()
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"].filter(
+            F.col("o_orderdate").between(dt.datetime(1996, 1, 1), dt.datetime(1997, 12, 31))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_region), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("sn_key") == F.col("n1_key"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("volume", vol)
+        .groupBy("o_year")
+        .agg(
+            _avg(
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(zero)),
+                F.sum("volume").cast("double"),
+            ).alias("mkt_share")
+        )
     )
 
 

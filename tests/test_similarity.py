@@ -115,3 +115,47 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     approx = [r["vec_id"] for r in
               ivf_topk(corpus, cents, q, k=10, nprobe=4).collect()]
     assert len(set(approx) & set(exact)) >= 5
+
+
+def test_l2_normalize_unit_norm_and_zero_vec(spark):
+    from cdc_audit_spark.operators.similarity import l2_normalize
+    import math
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 1.0])],
+        "id long, embedding array<float>",
+    )
+    rows = {r["id"]: r["unit_vec"] for r in l2_normalize(df, "embedding").collect()}
+    assert rows[2] is None  # zero vector → NULL, not NaN
+    assert math.isclose(sum(x * x for x in rows[1]), 1.0, rel_tol=1e-12)
+    assert math.isclose(rows[1][0], 0.6) and math.isclose(rows[1][1], 0.8)
+    assert math.isclose(sum(x * x for x in rows[3]), 1.0, rel_tol=1e-12)
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import quantize_int8
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_int8(emb, "embedding")
+    checked = q.select(
+        "vec_id", "scale",
+        F.array_max("codes").alias("cmax"),
+        F.array_min("codes").alias("cmin"),
+        # max |x - code*scale| over the vector
+        F.array_max(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("codes"),
+                lambda x, c: F.abs(x - c.cast("double") * F.col("scale")),
+            )
+        ).alias("max_err"),
+    ).collect()
+    assert len(checked) == emb.count()
+    for r in checked:
+        assert -127 <= r["cmin"] <= r["cmax"] <= 127
+        if r["scale"] > 0:
+            # symmetric round-to-nearest: error ≤ scale/2 (+ fp slack)
+            assert r["max_err"] <= r["scale"] / 2 + 1e-12, r["vec_id"]
+        else:
+            assert r["max_err"] == 0.0
