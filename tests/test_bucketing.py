@@ -1,0 +1,79 @@
+"""Bucketed-layout tests: a join of two tables bucketed on the same key
+with the same bucket count must produce NO Exchange, and identical results
+to the plain join. This is the write-once-join-forever contract that
+amortizes the fact-fact shuffle at scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_audit_spark.operators.bucketing import (
+    assert_colocated_join_plan,
+    read_table,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, sf_dir, tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 4,
+                   sort_cols=["o_orderkey"], path=str(warehouse / "b_orders"))
+    write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], 4,
+                   sort_cols=["l_orderkey"], path=str(warehouse / "b_lineitem"))
+    yield orders, lineitem
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_no_shuffle(spark, bucketed_pair):
+    bo, bl = read_table(spark, "b_orders"), read_table(spark, "b_lineitem")
+    joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    # disable broadcast so the join strategy itself is under test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = assert_colocated_join_plan(
+            bl.join(bo, bl.l_orderkey == bo.o_orderkey).select("l_orderkey", "o_orderstatus")
+        )
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_pair):
+    orders, lineitem = bucketed_pair
+    bo, bl = read_table(spark, "b_orders"), read_table(spark, "b_lineitem")
+    plain = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    )
+    bucketed = (
+        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, bucketed.collect()))
+
+
+def test_mismatched_bucket_count_detected(spark, bucketed_pair):
+    """The assertion helper must catch the silent-reshuffle case (one side
+    bucketed differently) rather than report co-location."""
+    _, lineitem = bucketed_pair
+    write_bucketed(lineitem, "b_lineitem_8", ["l_orderkey"], 8,
+                   path="/tmp/spark_bucket_test_b_lineitem_8")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = read_table(spark, "b_orders")           # 4 buckets
+        bl8 = read_table(spark, "b_lineitem_8")      # 8 buckets
+        with pytest.raises(AssertionError, match="still shuffles"):
+            assert_colocated_join_plan(
+                bl8.join(bo, bl8.l_orderkey == bo.o_orderkey).select("l_orderkey")
+            )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem_8")
