@@ -135,3 +135,69 @@ def stream_session_stats(
             "n_events", "total_value",
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    lower: str = "0 seconds",
+    upper: str = "15 minutes",
+) -> DataFrame:
+    """Event-time interval join: pair each left row with right rows of the
+    same key whose timestamp falls in [left_ts + lower, left_ts + upper] —
+    the click→purchase attribution shape.
+
+    One plan, batch and streaming. In streaming BOTH inputs must carry
+    ``withWatermark`` before calling this; the time-bound condition is what
+    lets Spark's stream-stream join evict state (without it, both sides
+    buffer forever — the classic unbounded-state trap). Batch executes the
+    same plan as a sort-merge join with the range condition as a residual
+    filter.
+    """
+    lo = F.expr(f"INTERVAL {lower}")
+    hi = F.expr(f"INTERVAL {upper}")
+    cond = (
+        (left[key] == right[key])
+        & (right[right_ts] >= left[left_ts] + lo)
+        & (right[right_ts] <= left[left_ts] + hi)
+    )
+    return left.join(right, cond)
+
+
+def stream_interval_join(
+    spark,
+    left_path: str,
+    right_path: str,
+    schema,
+    key: str = "user_id",
+    watermark: str = "30 minutes",
+    upper: str = "15 minutes",
+) -> DataFrame:
+    """The streaming instantiation of :func:`interval_join` over two file
+    sources (the test/fixture harness; production swaps in Kafka readers —
+    same plan). Watermarks bound the join state on both sides: left rows
+    are dropped once older than watermark+upper, right rows once older than
+    watermark."""
+    lf = (
+        spark.readStream.schema(schema).parquet(left_path)
+        .withColumnRenamed("ts", "l_ts")
+        .withWatermark("l_ts", watermark)
+    )
+    rf = (
+        spark.readStream.schema(schema).parquet(right_path)
+        .withColumnRenamed("ts", "r_ts")
+        .withWatermark("r_ts", watermark)
+    )
+    lf = lf.select(key, "l_ts", F.col("event_id").alias("l_event_id"))
+    rf = rf.select(
+        F.col(key).alias("r_user_id"), "r_ts", F.col("event_id").alias("r_event_id")
+    )
+    cond = (
+        (lf[key] == rf["r_user_id"])
+        & (rf["r_ts"] >= lf["l_ts"])
+        & (rf["r_ts"] <= lf["l_ts"] + F.expr(f"INTERVAL {upper}"))
+    )
+    return lf.join(rf, cond).select(key, "l_event_id", "r_event_id", "l_ts", "r_ts")

@@ -143,3 +143,44 @@ def test_stream_session_stats(spark, sf_dir, tmp_path):
     emitted = got.select("user_id", "session_start", "session_end", "n_events")
     assert emitted.count() > 0
     assert emitted.exceptAll(batch).count() == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-stream interval join (click→purchase attribution): the
+    streaming result over file sources must equal the batch interval join
+    of the same data — one plan, two execution modes."""
+    from cdc_audit_spark.streaming.windows import stream_interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    lpath, rpath = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks.write.parquet(lpath)
+    purchases.write.parquet(rpath)
+
+    joined = stream_interval_join(
+        spark, lpath, rpath, spark.read.parquet(lpath).schema, upper="15 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(
+        "select user_id, l_event_id, r_event_id from ssj_out").collect()))
+
+    l = clicks.select("user_id", F.col("event_id").alias("l_event_id"),
+                      F.col("ts").alias("l_ts"))
+    r = purchases.select(F.col("user_id").alias("r_uid"),
+                         F.col("event_id").alias("r_event_id"),
+                         F.col("ts").alias("r_ts"))
+    want = sorted(map(tuple, l.join(
+        r,
+        (l.user_id == r.r_uid)
+        & (r.r_ts >= l.l_ts)
+        & (r.r_ts <= l.l_ts + F.expr("INTERVAL 15 minutes")),
+    ).select("user_id", "l_event_id", "r_event_id").collect()))
+    assert got == want
+    assert len(got) > 0  # fixture must actually produce attributed pairs
