@@ -1980,6 +1980,38 @@ def dedup_simhash(spark, sf_dir):
     return simhash(_duped_docs(spark, sf_dir), "text", id_col="doc_id")
 
 
+@register(
+    "cdc_incremental_agg",
+    f"""
+    WITH {_V1_CTE}
+    SELECT c_mktsegment,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_bal,
+           CAST(count(*) AS BIGINT) AS n_rows
+      FROM v1 GROUP BY c_mktsegment
+    """,
+    "Materialized-view maintenance: the per-segment balance aggregate is "
+    "maintained INCREMENTALLY from the audit batch (debit old "
+    "contributions of touched keys, credit surviving final images) — the "
+    "oracle aggregates the post-change snapshot directly, so equality "
+    "proves the maintenance algebra. Touches only changed keys; never "
+    "rescans the base (cdc_audit_spark/mview.py)",
+)
+def cdc_incremental_agg(spark, sf_dir):
+    from cdc_audit_spark.mview import incremental_group_sum
+
+    v0, _v1 = customer_snapshots(spark, sf_dir)
+    audit = customer_audit_log(spark, sf_dir)
+    out = incremental_group_sum(
+        v0, audit, ["c_custkey"], ["c_mktsegment"],
+        F.col("c_acctbal").cast("decimal(12,2)"),
+    )
+    return out.select(
+        "c_mktsegment",
+        F.col("total").cast("decimal(38,2)").alias("total_bal"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
 # --------------------------------------------------------------------------
 # TPC-H join-shape completion: nation-pair joins, left-join distributions,
 # NOT IN, disjunctive pushdown, nested semi-joins, multi-EXISTS decorrelation

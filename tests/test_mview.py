@@ -1,0 +1,89 @@
+"""Materialized-view maintenance (mview.py): the refreshed view must equal
+a direct aggregate over the post-batch snapshot — including the hard cases:
+updates that migrate rows between groups, groups emptied by deletes, and
+groups born from inserts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_audit_spark import capture
+from cdc_audit_spark.mview import (
+    bootstrap_group_sum,
+    incremental_group_sum,
+    maintain_group_sum,
+)
+
+
+def _direct(df):
+    return sorted(
+        map(tuple, df.groupBy("g").agg(
+            F.sum(F.col("val").cast("decimal(12,2)")).alias("total"),
+            F.count("*").alias("n_rows"),
+        ).collect())
+    )
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    v0 = spark.createDataFrame(
+        [
+            (1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0),
+            (4, "b", 40.0), (5, "c", 50.0),
+        ],
+        "pk long, g string, val double",
+    )
+    v1 = spark.createDataFrame(
+        [
+            (1, "a", 15.0),   # in-place update
+            (2, "b", 20.0),   # group migration a → b
+            (3, "b", 30.0),   # untouched
+            (4, "b", 40.0),   # untouched
+            # 5 deleted → group c disappears entirely
+            (6, "d", 60.0),   # insert into a brand-new group
+        ],
+        "pk long, g string, val double",
+    )
+    return v0, v1
+
+
+def test_maintained_view_equals_direct_aggregate(spark, snapshots):
+    v0, v1 = snapshots
+    audit = capture.snapshot_diff(v0, v1, ["pk"], ts=dt.datetime(2026, 1, 1))
+    got = incremental_group_sum(
+        v0, audit, ["pk"], ["g"], F.col("val").cast("decimal(12,2)")
+    )
+    assert sorted(map(tuple, got.collect())) == _direct(v1)
+    # group c must be ABSENT (not present with 0), group d must be present
+    groups = {r["g"] for r in got.collect()}
+    assert "c" not in groups and "d" in groups
+
+
+def test_two_step_maintenance_composes(spark, snapshots):
+    """view(v0) + batch1 + batch2 == direct(v2): maintenance composes across
+    refresh cycles without drift."""
+    v0, v1 = snapshots
+    v2 = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "a", 30.0), (4, "b", 40.0), (6, "d", 61.0)],
+        "pk long, g string, val double",
+    )
+    val = F.col("val").cast("decimal(12,2)")
+    b1 = capture.snapshot_diff(v0, v1, ["pk"], ts=dt.datetime(2026, 1, 1))
+    b2 = capture.snapshot_diff(v1, v2, ["pk"], ts=dt.datetime(2026, 1, 2))
+    view = bootstrap_group_sum(v0, ["g"], val)
+    view = maintain_group_sum(view, v0, b1, ["pk"], ["g"], val)
+    view = maintain_group_sum(view, v1, b2, ["pk"], ["g"], val)
+    assert sorted(map(tuple, view.collect())) == _direct(v2)
+
+
+def test_empty_batch_is_identity(spark, snapshots):
+    v0, _ = snapshots
+    val = F.col("val").cast("decimal(12,2)")
+    empty = capture.snapshot_diff(v0, v0, ["pk"], ts=dt.datetime(2026, 1, 1))
+    assert empty.count() == 0
+    view = bootstrap_group_sum(v0, ["g"], val)
+    refreshed = maintain_group_sum(view, v0, empty, ["pk"], ["g"], val)
+    assert sorted(map(tuple, refreshed.collect())) == sorted(map(tuple, view.collect()))
