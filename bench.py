@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "q17_small_quantity_revenue",
     "range_join_click_windows",
+    "cdc_incremental_agg",
     "q7_nation_volume",
     "q13_order_count_distribution",
     "q21_sole_late_supplier",

@@ -1981,6 +1981,35 @@ def dedup_simhash(spark, sf_dir):
 
 
 @register(
+    "cdc_scd2_history",
+    f"""
+    WITH {_AUDIT_CTE}
+    SELECT c_custkey, c_acctbal, audit_event, audit_pk,
+           audit_timestamp AS valid_from,
+           lead(audit_timestamp) OVER w AS valid_to,
+           CAST(lead(audit_pk) OVER w IS NULL AND audit_event <> 'delete'
+                AS BOOLEAN) AS is_current
+      FROM audit
+    WINDOW w AS (PARTITION BY c_custkey ORDER BY audit_pk)
+    """,
+    "SCD-type-2 dimension history from the audit log: each version's "
+    "validity interval via lead() per key (one shuffle on the key), "
+    "is_current marks the open version — the warehouse-standard consumer "
+    "of trigger-style audit rows",
+)
+def cdc_scd2_history(spark, sf_dir):
+    audit = customer_audit_log(spark, sf_dir)
+    w = Window.partitionBy("c_custkey").orderBy("audit_pk")
+    return audit.select(
+        "c_custkey", "c_acctbal", "audit_event", "audit_pk",
+        F.col("audit_timestamp").alias("valid_from"),
+        F.lead("audit_timestamp").over(w).alias("valid_to"),
+        (F.lead("audit_pk").over(w).isNull()
+         & (F.col("audit_event") != "delete")).alias("is_current"),
+    )
+
+
+@register(
     "cdc_incremental_agg",
     f"""
     WITH {_V1_CTE}
