@@ -63,3 +63,29 @@ def assert_colocated_join_plan(joined: DataFrame) -> str:
             "bucketed join still shuffles — bucket counts/keys mismatch:\n" + plan
         )
     return plan
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted export — the data-skipping layout.
+
+    ``repartitionByRange`` samples the key distribution and splits rows into
+    n contiguous, DISJOINT key ranges (one file each); ``sortWithinPartitions``
+    orders rows inside each file, so every parquet row group carries tight
+    min/max stats on the key. A later filtered scan (`WHERE ts BETWEEN ...`)
+    then skips whole files/row groups at the footer level — at 100 TB this
+    is the difference between scanning a day and scanning a decade. The
+    complement of bucketing: bucket for join keys, range-sort for
+    range-filtered keys (time, ids).
+    """
+    (
+        df.repartitionByRange(n_files, *range_cols)
+        .sortWithinPartitions(*range_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

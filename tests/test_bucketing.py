@@ -77,3 +77,38 @@ def test_mismatched_bucket_count_detected(spark, bucketed_pair):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_lineitem_8")
+
+
+def test_range_sorted_export_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """The exported files must carry DISJOINT, sorted key ranges — verified
+    from the parquet footers themselves (the stats a filtered scan prunes
+    on), plus content identity with the source."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cdc_audit_spark.operators.bucketing import write_range_sorted
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_by_key")
+    write_range_sorted(orders, out, ["o_orderkey"], n_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderkey"
+        )
+        mins = [md.row_group(g).column(col_idx).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(col_idx).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file key ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # layout change must not change content
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0
