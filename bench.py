@@ -51,6 +51,8 @@ HEADLINE = [
     "shard_global_shuffle",
     "pack_token_chunks",
     "tfidf_top_terms",
+    "cdc_state_asof",
+    "events_cohort_retention",
 ]
 
 

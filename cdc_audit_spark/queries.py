@@ -2579,6 +2579,142 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Time travel, grouping sets, statistical profile, cohort retention
+# --------------------------------------------------------------------------
+
+@register(
+    "cdc_state_asof",
+    f"""WITH {_AUDIT_CTE},
+    cut AS (
+      SELECT * FROM audit
+       WHERE audit_pk <= (SELECT max(audit_pk) // 2 FROM audit)),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY audit_pk DESC) AS rn
+        FROM cut),
+    eff AS (SELECT * FROM latest WHERE rn = 1)
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+      FROM customer c LEFT JOIN eff e ON c.c_custkey = e.c_custkey
+     WHERE e.c_custkey IS NULL
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM eff WHERE audit_event <> 'delete'""",
+    "Time travel: reconstruct the table state as-of an audit_pk watermark K "
+    "(= mid-log) by replaying the log prefix onto v0 — the query form of the "
+    "audit log's core promise (any historical state is recoverable). Same "
+    "apply_changes path as cdc_replay_state, with the pushdown-eligible "
+    "audit_pk <= K prefix filter (P3 on the monotone key).",
+)
+def cdc_state_asof(spark, sf_dir):
+    v0, _ = customer_snapshots(spark, sf_dir)
+    audit = customer_audit_log(spark, sf_dir)
+    k = audit.agg(F.expr("max(audit_pk) div 2")).first()[0]
+    return capture.apply_changes(
+        v0, audit.filter(F.col(capture.AUDIT_PK) <= k), ["c_custkey"]
+    )
+
+
+@register(
+    "revenue_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+             AS total_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders
+     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                             (o_orderstatus), ())
+    """,
+    "Explicit GROUPING SETS (completes the grouping-set family alongside "
+    "ROLLUP and CUBE): one Expand + one hash aggregate, partials map-side",
+)
+def revenue_grouping_sets(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "lineitem_stats_profile",
+    """
+    SELECT CAST(round(corr(l_quantity, l_extendedprice), 4)
+                AS DECIMAL(10,4)) AS corr_qty_price,
+           CAST(round(covar_samp(l_quantity, l_discount), 6)
+                AS DECIMAL(18,6)) AS cov_qty_disc,
+           CAST(round(stddev_samp(l_extendedprice), 2)
+                AS DECIMAL(18,2)) AS sd_price,
+           CAST(round(var_samp(l_quantity), 4) AS DECIMAL(18,4)) AS var_qty
+      FROM lineitem
+    """,
+    "Single-pass statistical profile: corr / covar_samp / stddev / variance "
+    "as one global aggregate (one partial-agg pass, 1-row output). Doubles "
+    "rounded to fixed decimals well above the engines' summation-order noise "
+    "(~1e-9 relative) so both engines hash identically.",
+)
+def lineitem_stats_profile(spark, sf_dir):
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+        .cast("decimal(10,4)")
+        .alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6)
+        .cast("decimal(18,6)")
+        .alias("cov_qty_disc"),
+        F.round(F.stddev_samp("l_extendedprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4)
+        .cast("decimal(18,4)")
+        .alias("var_qty"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort_day, CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+      FROM act a JOIN first_seen f ON a.user_id = f.user_id
+     WHERE a.day - f.cohort_day <= 7
+     GROUP BY f.cohort_day, day_offset
+    """,
+    "Cohort retention: first-seen day per user, then active-user counts per "
+    "(cohort, day-offset) — min-agg, distinct, and a user_id equi-join that "
+    "reuses the same hash partitioning across all three stages (AQE coalesces "
+    "the shuffles; no broadcast since both sides are user-cardinality).",
+)
+def events_cohort_retention(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(first_seen, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day").cast("long"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
 def _sampling_oracles():
     """Oracles whose SQL embeds generated CASE expressions — built after the
     module-level constants so Spark and DuckDB share one edge computation."""
