@@ -19,7 +19,10 @@ catalog is what records the bucket spec a future reader must trust.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -89,3 +92,101 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_value(
+    cols: list[Column], mins: list[int], maxs: list[int], bits: int = 8
+) -> Column:
+    """Morton (Z-order) key: per-column equal-width bucket ids, bit-interleaved.
+
+    Each column is scaled to a ``bits``-bit bucket id from its [min, max]
+    domain, then bit i of column j lands at position ``i*k + j`` of the key.
+    The whole thing is one codegen-friendly integer expression — no UDF, no
+    shuffle; the single pass that computes min/max is the only extra cost.
+    Equal-width bucketing is the right variant for roughly-uniform keys
+    (surrogate ids, timestamps); rank-normalize heavily skewed columns
+    before z-ordering them.
+    """
+    k = len(cols)
+    buckets = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = max(int(hi) - int(lo), 0) + 1
+        b = F.floor(
+            (c.cast("long") - F.lit(int(lo)))
+            * F.lit(1 << bits) / F.lit(span)
+        ).cast("long")
+        buckets.append(F.least(b, F.lit((1 << bits) - 1)))
+    z = F.lit(0).cast("long")
+    for j, b in enumerate(buckets):
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ordered export — multi-dimensional data skipping.
+
+    ``write_range_sorted`` gives perfect skipping on ONE key and none on any
+    other; interleaving the bits of k bucket ids makes every contiguous
+    z-range a small hyper-rectangle, so each output file carries TIGHT
+    min/max footer stats on ALL k columns at once. A scan filtered on any
+    subset of them prunes files — the layout behind Delta/Iceberg Z-order,
+    built from public Spark primitives: one min/max pass, a map-side Morton
+    key, ``repartitionByRange`` + ``sortWithinPartitions`` on it.
+
+    Per-dimension selectivity trades off against k: with n_files = 2^m, each
+    dimension's per-file width shrinks to ~2^-(m/k) of its domain (vs 2^-m
+    for single-key range sort on that key alone, and 1 for every other key).
+    """
+    stats = df.agg(
+        *[F.min(c).cast("long").alias(f"lo_{c}") for c in zorder_cols],
+        *[F.max(c).cast("long").alias(f"hi_{c}") for c in zorder_cols],
+    ).first()
+    mins = [stats[f"lo_{c}"] for c in zorder_cols]
+    maxs = [stats[f"hi_{c}"] for c in zorder_cols]
+    z = zorder_value([F.col(c) for c in zorder_cols], mins, maxs, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_bytes: int = 256 << 20,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into ~target-size files.
+
+    Long-running incremental sinks (every micro-batch of `stream_sync`, every
+    `sync_table` append) accrete small files; at scale the per-file open/footer
+    cost dominates scans and the NameNode/listing cost dominates planning. The
+    fix is a periodic rewrite sized by bytes, not partition count: total size
+    via Hadoop's FileSystem (works on HDFS/S3A, not just local), then one
+    round-robin repartition to ceil(total/target) writers. Returns the file
+    count written. Layout-preserving variants: re-apply `write_range_sorted` /
+    `write_zorder` instead when the sink has a sort contract.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode(mode).parquet(dest_path)
+    return n_files

@@ -112,3 +112,76 @@ def test_range_sorted_export_disjoint_file_ranges(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == orders.count()
     assert back.exceptAll(orders).count() == 0
+
+
+def _file_bounds(out_dir, col):
+    """Per-file (min, max) of a column, read from the parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    bounds = []
+    for f in glob.glob(f"{out_dir}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == col
+        )
+        mins = [md.row_group(g).column(col_idx).statistics.min
+                for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(col_idx).statistics.max
+                for g in range(md.num_row_groups)]
+        bounds.append((min(mins), max(maxs)))
+    return bounds
+
+
+def test_zorder_tight_bounds_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order's contract: every file's footer min/max is tight on BOTH
+    z-columns simultaneously. Single-key range sort fails this on the second
+    key (per-file width ≈ full domain); z-order must bound each dimension's
+    mean per-file width well below the domain — that bound is exactly what a
+    filtered scan on either column prunes with."""
+    from cdc_audit_spark.operators.bucketing import write_range_sorted, write_zorder
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    zout = str(tmp_path / "z")
+    write_zorder(lineitem, zout, ["l_orderkey", "l_partkey"], n_files=16)
+
+    lin_out = str(tmp_path / "linear")
+    write_range_sorted(lineitem, lin_out, ["l_orderkey"], n_files=16)
+
+    for col in ("l_orderkey", "l_partkey"):
+        lo, hi = (lineitem.agg(F.min(col), F.max(col)).first())
+        domain = hi - lo + 1
+        widths = [(mx - mn + 1) / domain for mn, mx in _file_bounds(zout, col)]
+        assert sum(widths) / len(widths) < 0.5, (col, widths)
+
+    # the single-key layout leaves the OTHER column unskippable — the gap
+    # z-order closes
+    pk_widths = [(mx - mn + 1) for mn, mx in _file_bounds(lin_out, "l_partkey")]
+    lo, hi = lineitem.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    assert sum(pk_widths) / len(pk_widths) / (hi - lo + 1) > 0.8
+
+    back = spark.read.parquet(zout)
+    assert back.count() == lineitem.count()
+    assert back.exceptAll(lineitem).count() == 0
+
+
+def test_compact_files_reduces_count_preserves_content(spark, sf_dir, tmp_path):
+    import glob
+
+    from cdc_audit_spark.operators.bucketing import compact_files
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fragmented = str(tmp_path / "fragmented")
+    orders.repartition(64).write.parquet(fragmented)
+    assert len(glob.glob(f"{fragmented}/part-*.parquet")) == 64
+
+    compacted = str(tmp_path / "compacted")
+    n = compact_files(spark, fragmented, compacted, target_bytes=1 << 20)
+    files = glob.glob(f"{compacted}/part-*.parquet")
+    assert len(files) == n < 64
+
+    back = spark.read.parquet(compacted)
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0
