@@ -2715,6 +2715,48 @@ def events_cohort_retention(spark, sf_dir):
     )
 
 
+@register(
+    "decontam_benchmark_overlap",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> len(t) > 0) AS w
+        FROM documents),
+    grams AS (
+      SELECT doc_id, source, array_to_string(w[gi:gi+7], ' ') AS g
+        FROM toks, UNNEST(range(1, len(w) - 6)) AS t(gi))
+    SELECT r.source, CAST(count(DISTINCT r.doc_id) AS BIGINT) AS n_contaminated,
+           CAST(count(DISTINCT r.g) AS BIGINT) AS n_shared_grams
+      FROM grams r
+     WHERE r.source <> 'src0'
+       AND r.g IN (SELECT g FROM grams WHERE source = 'src0')
+     GROUP BY r.source
+    """,
+    "Benchmark decontamination: corpus docs sharing any 8-token window with "
+    "the eval set (source src0 stands in as the benchmark). Sliding n-grams "
+    "are pure Catalyst transform/slice; the membership join runs on "
+    "xxhash64(gram) against a broadcast benchmark-gram set, so the corpus "
+    "side — the TB side at scale — never shuffles for the join itself.",
+)
+def decontam_benchmark_overlap(spark, sf_dir):
+    from cdc_audit_spark.operators import decontam
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    hits = decontam.benchmark_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        n=8,
+        keep=("source",),
+    )
+    return hits.groupBy("source").agg(
+        F.countDistinct("id").alias("n_contaminated"),
+        F.countDistinct("gram").alias("n_shared_grams"),
+    )
+
+
 def _sampling_oracles():
     """Oracles whose SQL embeds generated CASE expressions — built after the
     module-level constants so Spark and DuckDB share one edge computation."""
