@@ -100,3 +100,43 @@ def check_no_schema_drift(expected: StructType, actual: StructType) -> None:
 
 class SchemaDriftError(RuntimeError):
     pass
+
+
+def classify_schema_drift(
+    old: StructType, new: StructType
+) -> dict[str, list[str]]:
+    """Split a schema change into the cases that matter for a change log:
+    ``added`` (new columns — migratable), ``removed`` (columns gone), and
+    ``changed`` (same name, different type). The reference documents drift
+    as an unsolved breaking issue (README.md:210-212); classifying it is
+    what lets us auto-migrate the safe case and fail loudly on the rest."""
+    old_by = {f.name: f.dataType.simpleString() for f in old.fields}
+    new_by = {f.name: f.dataType.simpleString() for f in new.fields}
+    return {
+        "added": [n for n in new_by if n not in old_by],
+        "removed": [n for n in old_by if n not in new_by],
+        "changed": [
+            n for n, t in new_by.items() if n in old_by and old_by[n] != t
+        ],
+    }
+
+
+def evolve_schema(old: StructType, new: StructType) -> StructType:
+    """Additive schema migration: the old schema plus columns that appeared
+    in the new one (forced nullable — historical rows have no value for
+    them). Removed or type-changed columns are NOT migratable for an
+    append-only audit log (history would reinterpret silently) → raise.
+    This is the auto-migration left as a TODO in the reference
+    (README.md:222-224)."""
+    drift = classify_schema_drift(old, new)
+    if drift["removed"] or drift["changed"]:
+        raise SchemaDriftError(
+            "non-additive schema drift cannot be auto-migrated: "
+            f"removed={drift['removed']} changed={drift['changed']}"
+        )
+    merged = StructType(list(old.fields))
+    new_by = {f.name: f for f in new.fields}
+    for name in drift["added"]:
+        f = new_by[name]
+        merged = merged.add(f.name, f.dataType, True, f.metadata)
+    return merged

@@ -34,7 +34,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_audit_spark.schema import AUDIT_PK
+from cdc_audit_spark.schema import (
+    AUDIT_PK,
+    SchemaDriftError,
+    classify_schema_drift,
+    evolve_schema,
+)
 
 __all__ = ["sync_table", "get_watermark", "SyncResult"]
 
@@ -99,6 +104,7 @@ def sync_table(
     update_state: bool = True,
     partition_by: list[str] | None = None,
     sort_within_partitions: list[str] | None = None,
+    on_drift: str = "fail",
 ) -> SyncResult:
     """One sync run: append all audit rows with ``audit_pk > watermark`` to
     the sink and advance the watermark (sync:238-265).
@@ -112,10 +118,20 @@ def sync_table(
     SURVEY §4 O7): directory partitioning prunes downstream scans by the
     partition keys (e.g. audit_event or an event date), and sorting within
     files gives parquet min/max row-group pruning on audit_pk.
+
+    ``on_drift`` governs source-schema drift vs the existing sink — the
+    reference's documented unsolved breaking issue (README:210-212,222-224):
+    ``'fail'`` raises on ANY schema difference (detection, the safe
+    default); ``'evolve'`` auto-migrates the additive case — new columns
+    append as-is (parquet only; historical rows read as NULL under
+    ``read_sink(..., merge_schema=True)``) while removed/type-changed
+    columns still raise. One footer read per run pays for the check.
     """
     spark = audit_df.sparkSession
     if watermark is None:
         watermark = get_watermark(spark, sink_path, fmt=fmt)
+
+    _check_drift(spark, audit_df, sink_path, fmt, on_drift)
 
     delta = audit_df.filter(F.col(AUDIT_PK) > F.lit(watermark))
     # Single pass over the (source-pruned) delta: max + count are map-side.
@@ -143,12 +159,71 @@ def sync_table(
     return SyncResult(n, new_wm, sink_path)
 
 
-def read_sink(spark: SparkSession, sink_path: str, fmt: str = "csv", schema=None) -> DataFrame:
-    """Read a sink back as a DataFrame (header-aware for CSV)."""
+def _sink_schema(spark: SparkSession, sink_path: str, fmt: str):
+    """Schema of an existing sink, or None when the sink has no data yet.
+    For parquet this is a footer read, not a scan."""
+    if not os.path.isdir(sink_path):
+        return None
+    try:
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", True)
+        return reader.load(sink_path).schema
+    except Exception:
+        return None
+
+
+def _check_drift(
+    spark: SparkSession,
+    audit_df: DataFrame,
+    sink_path: str,
+    fmt: str,
+    on_drift: str,
+) -> None:
+    if on_drift not in ("fail", "evolve"):
+        raise ValueError(f"on_drift must be 'fail' or 'evolve', got {on_drift!r}")
+    existing = _sink_schema(spark, sink_path, fmt)
+    if existing is None:
+        return
+    drift = classify_schema_drift(existing, audit_df.schema)
+    if fmt == "csv":
+        # CSV carries no types (the sink schema above is inferred, the
+        # reference's own drift concern is column drift, README:222) —
+        # compare names only.
+        drift["changed"] = []
+    if not (drift["added"] or drift["removed"] or drift["changed"]):
+        return
+    if on_drift == "fail":
+        raise SchemaDriftError(
+            f"schema drift vs sink {sink_path}: {drift} "
+            "(pass on_drift='evolve' to auto-migrate additive drift)"
+        )
+    if fmt != "parquet":
+        raise SchemaDriftError(
+            f"schema evolution requires a parquet sink; {fmt} cannot "
+            f"represent per-file schemas (drift: {drift})"
+        )
+    # raises on removed/changed; additive drift appends as-is
+    evolve_schema(existing, audit_df.schema)
+
+
+def read_sink(
+    spark: SparkSession,
+    sink_path: str,
+    fmt: str = "csv",
+    schema=None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read a sink back as a DataFrame (header-aware for CSV).
+    ``merge_schema=True`` unions per-file parquet schemas — required after
+    an ``on_drift='evolve'`` migration; pre-drift rows surface NULL for the
+    added columns."""
     reader = spark.read.format(fmt)
     if fmt == "csv":
         reader = reader.option("header", True)
         reader = reader.schema(schema) if schema is not None else reader.option("inferSchema", True)
     elif schema is not None:
         reader = reader.schema(schema)
+    if merge_schema:
+        reader = reader.option("mergeSchema", True)
     return reader.load(sink_path)

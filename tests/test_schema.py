@@ -73,3 +73,33 @@ def test_schema_drift_detection():
     with pytest.raises(S.SchemaDriftError):
         S.check_no_schema_drift(CUSTOMER, drifted)
     S.check_no_schema_drift(CUSTOMER, CUSTOMER)  # no raise
+
+
+def test_classify_schema_drift():
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from cdc_audit_spark.schema import classify_schema_drift
+
+    old = StructType().add("a", LongType()).add("b", StringType())
+    new = StructType().add("a", StringType()).add("c", LongType())
+    d = classify_schema_drift(old, new)
+    assert d == {"added": ["c"], "removed": ["b"], "changed": ["a"]}
+
+
+def test_evolve_schema_appends_nullable_and_refuses_breaking():
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from cdc_audit_spark.schema import SchemaDriftError, evolve_schema
+
+    old = StructType().add("a", LongType(), False)
+    grown = StructType().add("a", LongType(), False).add("b", StringType(), False)
+    merged = evolve_schema(old, grown)
+    assert [f.name for f in merged.fields] == ["a", "b"]
+    assert merged["b"].nullable  # history has no values for it
+    assert not merged["a"].nullable  # existing fields untouched
+
+    with pytest.raises(SchemaDriftError):
+        evolve_schema(grown, old)  # removal
+    with pytest.raises(SchemaDriftError):
+        evolve_schema(old, StructType().add("a", StringType()))  # type change

@@ -104,3 +104,59 @@ def test_sync_partitioned_sink_prunes(spark, tmp_path):
     # watermark recovery still works over the partitioned layout
     assert get_watermark(spark, sink, fmt="parquet", recover_from_sink=True) == 40 \
         or get_watermark(spark, sink, fmt="parquet") == 40
+
+
+def _audit_df_v2(spark, n, base=0):
+    """The v1 audit shape plus a new source column (additive drift)."""
+    return _audit_df(spark, n, base).withColumn(
+        "region", F.concat(F.lit("r"), (F.col("k") % 3).cast("string"))
+    ).select("k", "v", "region", "audit_event", "audit_timestamp", "audit_pk")
+
+
+def test_drift_fails_by_default(spark, tmp_path):
+    import pytest
+
+    from cdc_audit_spark.schema import SchemaDriftError
+
+    sink = str(tmp_path / "t.parquet")
+    sync_table(_audit_df(spark, 10), sink, fmt="parquet")
+    with pytest.raises(SchemaDriftError, match="on_drift='evolve'"):
+        sync_table(_audit_df_v2(spark, 25), sink, fmt="parquet")
+
+
+def test_additive_drift_evolves(spark, tmp_path):
+    """New source column appears mid-stream: old rows read as NULL, new rows
+    carry values, watermark advances over both generations — the reference's
+    README:222-224 TODO, closed."""
+    sink = str(tmp_path / "t.parquet")
+    sync_table(_audit_df(spark, 10), sink, fmt="parquet")
+    res = sync_table(_audit_df_v2(spark, 25), sink, fmt="parquet", on_drift="evolve")
+    assert res.rows_synced == 15 and res.watermark == 25
+
+    back = read_sink(spark, sink, fmt="parquet", merge_schema=True)
+    assert "region" in back.columns and back.count() == 25
+    assert back.filter(F.col("region").isNull()).count() == 10
+    assert back.filter((F.col("audit_pk") > 10) & F.col("region").isNull()).count() == 0
+
+
+def test_non_additive_drift_refused_even_evolving(spark, tmp_path):
+    import pytest
+
+    from cdc_audit_spark.schema import SchemaDriftError
+
+    sink = str(tmp_path / "t.parquet")
+    sync_table(_audit_df_v2(spark, 10), sink, fmt="parquet")
+    # v1 shape lacks 'region' → a removed column: history would silently lose it
+    with pytest.raises(SchemaDriftError, match="removed"):
+        sync_table(_audit_df(spark, 25), sink, fmt="parquet", on_drift="evolve")
+
+
+def test_csv_sink_cannot_evolve(spark, tmp_path):
+    import pytest
+
+    from cdc_audit_spark.schema import SchemaDriftError
+
+    sink = str(tmp_path / "t.csv")
+    sync_table(_audit_df(spark, 10), sink, fmt="csv")
+    with pytest.raises(SchemaDriftError, match="parquet"):
+        sync_table(_audit_df_v2(spark, 25), sink, fmt="csv", on_drift="evolve")
