@@ -53,6 +53,9 @@ HEADLINE = [
     "tfidf_top_terms",
     "cdc_state_asof",
     "events_cohort_retention",
+    "decontam_benchmark_overlap",
+    "text_repetition_stats",
+    "events_transition_matrix",
 ]
 
 

@@ -123,3 +123,31 @@ def jdbc_columns(spark: SparkSession, url: str, db: str, table: str,
         )
         .orderBy("ordinal_position")
     )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column data-quality profile: (column, n_rows, n_nulls, n_distinct).
+
+    The engine-side ANALYZE the reference delegates to MySQL statistics. One
+    aggregate pass computes every column's null count; exact distincts ride
+    the same aggregate (Catalyst expands distinct aggregates into one
+    shuffle). The wide 1-row result is unpivoted driver-lite via stack() —
+    no collect, no per-column jobs. At very large scale swap
+    countDistinct for approx_count_distinct (HLL, single pass, no expand).
+    """
+    cols = cols or df.columns
+    n = F.count(F.lit(1))
+    aggs = [n.alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __dist_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column, n_nulls, n_distinct)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct")

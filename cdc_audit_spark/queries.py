@@ -2757,6 +2757,130 @@ def decontam_benchmark_overlap(spark, sf_dir):
     )
 
 
+@register(
+    "text_repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> len(t) > 0) AS w
+        FROM documents),
+    g AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+             list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+        FROM toks)
+    SELECT doc_id, n_tokens,
+           CAST((len(g2) - len(list_distinct(g2)))
+                / CAST(nullif(len(g2), 0) AS DOUBLE) AS DECIMAL(38,6)) AS dup2_ratio,
+           CAST((len(g3) - len(list_distinct(g3)))
+                / CAST(nullif(len(g3), 0) AS DOUBLE) AS DECIMAL(38,6)) AS dup3_ratio
+      FROM g
+    """,
+    "Repetition-based quality signal (Gopher-style filter): per-doc fraction "
+    "of duplicate 2-grams / 3-grams. Entirely map-side array expressions — "
+    "no explode, no shuffle; the per-doc result streams straight out of the "
+    "scan. High dup ratio → boilerplate/spam candidate for the quality gate.",
+)
+def text_repetition_stats(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: F.length(t) > 0,
+    )
+
+    def grams(n):
+        return F.expr(
+            "transform(sequence(0, size(__w) - %d), i -> %s)"
+            % (n, "concat_ws(' ', " + ", ".join(f"__w[i+{j}]" for j in range(n)) + ")")
+        )
+
+    def dup_ratio(g):
+        return (
+            (F.size(g) - F.size(F.array_distinct(g)))
+            / F.nullif(F.size(g), F.lit(0)).cast("double")
+        ).cast("decimal(38,6)")
+
+    return (
+        docs.withColumn("__w", w)
+        .select(
+            "doc_id",
+            F.size("__w").cast("long").alias("n_tokens"),
+            dup_ratio(grams(2)).alias("dup2_ratio"),
+            dup_ratio(grams(3)).alias("dup3_ratio"),
+        )
+    )
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+        FROM events)
+    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+     GROUP BY event_type, next_type
+    """,
+    "First-order Markov transition counts over per-user event sequences: "
+    "one lead() window (hash-shuffle on user_id, sort within partitions) "
+    "then a partial-aggregated count. Ties on ts broken by event_id so both "
+    "engines see identical sequences.",
+)
+def events_transition_matrix(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "profile_orders",
+    """
+    SELECT col AS column, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct
+      FROM (
+        SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               count(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice) FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority) FROM orders)
+    """,
+    "Per-column data-quality profile (engine-side ANALYZE): null and exact "
+    "distinct counts for every column of orders in ONE aggregate pass "
+    "(catalog.profile_table) — the oracle's 6 UNION ALL scans collapse to a "
+    "single scan + Expand on the Spark side.",
+)
+def profile_orders(spark, sf_dir):
+    from cdc_audit_spark.catalog import profile_table
+
+    return profile_table(load_tables(spark, sf_dir)["orders"])
+
+
 def _sampling_oracles():
     """Oracles whose SQL embeds generated CASE expressions — built after the
     module-level constants so Spark and DuckDB share one edge computation."""
