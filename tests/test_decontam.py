@@ -67,3 +67,31 @@ def test_fixture_overlap_matches_unhashed_join(spark, sf_dir):
     assert sorted(map(tuple, hashed.select("id", "gram").collect())) == sorted(
         map(tuple, plain.select("id", "gram").collect())
     )
+
+
+def test_streaming_decontamination_matches_batch(spark, sf_dir, tmp_path):
+    """The operator is stateless map + broadcast stream-static join, so the
+    SAME code decontaminates a stream of incoming documents: readStream →
+    benchmark_overlap(static benchmark) → append sink, no watermark or state
+    needed. Result must equal the batch run over the same files."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "docs")
+    docs.filter(F.col("source") != "src0").write.parquet(src)
+    bench = docs.filter(F.col("source") == "src0")
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    hits = benchmark_overlap(stream, bench, "text", "doc_id", n=8, keep=("source",))
+    q = (
+        hits.writeStream.format("memory").queryName("decontam_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    batch = benchmark_overlap(
+        docs.filter(F.col("source") != "src0"), bench, "text", "doc_id", n=8,
+        keep=("source",),
+    )
+    got = sorted(map(tuple, spark.sql(
+        "select id, source, gram from decontam_out").collect()))
+    want = sorted(map(tuple, batch.select("id", "source", "gram").collect()))
+    assert got == want
