@@ -316,3 +316,150 @@ def quantize_int8(
             ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint"))),
         )
     )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 1024,
+    n_iter: int = 8,
+) -> list:
+    """Product-quantization codebooks: ``m`` subspace codebooks of ``k``
+    centroids each (codebooks[s][c] is a D/m-dim list).
+
+    Training is driver-side numpy Lloyd iterations over a deterministic
+    hash-ordered sample (same reproducible draw as sample_centroids) —
+    the standard PQ recipe: codebooks are tiny (m·k·D/m floats) and
+    training cost is O(sample · k) per subspace, so the sample, not the
+    corpus, bounds it. Initialization = first k sample vectors per
+    subspace; empty clusters keep their previous centroid (deterministic,
+    seed-free end to end).
+    """
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.xxhash64(F.col("id")))
+        .orderBy("h", "id")
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        xs = x[:, s * sub:(s + 1) * sub]
+        cents = xs[:k].copy()
+        for _ in range(n_iter):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([list(map(float, c)) for c in cents])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector encoded as m uint8 centroid indices —
+    D floats → m bytes (32× at D=64, m=8 vs float32).
+
+    Arrow-batched numpy argmin per subspace (the ||x-c||² expansion:
+    x·c - ||c||²/2, one matmul per subspace per batch). Map-side only; at
+    corpus scale this is the pass that makes the vector table scannable.
+    """
+    import numpy as np
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * sub:(s + 1) * sub]
+                cb = books[s]
+                scores = xs @ cb.T - 0.5 * (cb * cb).sum(axis=1)
+                codes[:, s] = scores.argmax(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col], "codes": list(codes)})
+
+    narrow = df.select(F.col(id_col), F.col(vec_col))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    return narrow.mapInPandas(gen, schema="id long, codes array<int>")
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list,
+    query_vec: list[float],
+    k: int,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact; each
+    subspace contributes lut[s][code] = query_sub · centroid, so a vector's
+    approximate dot product is m table lookups + a sum — never touching the
+    original floats. (id, approx_dot), descending top-k via TakeOrdered.
+    """
+    import numpy as np
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+    q = np.array(query_vec, dtype=np.float64)
+    lut = np.stack([books[s] @ q[s * sub:(s + 1) * sub] for s in range(m)])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].to_list(), dtype=np.int64)
+            scores = lut[np.arange(m), codes].sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "approx_dot": scores})
+
+    scored = encoded.mapInPandas(gen, schema="id long, approx_dot double")
+    return scored.orderBy(F.desc("approx_dot"), "id").limit(k)
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    encoded: DataFrame,
+    codebooks: list,
+    query_vec: list[float],
+    k: int,
+    expand: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: PQ asymmetric scan retrieves ``expand·k`` candidates
+    from the compressed codes (the only full-corpus pass — m bytes/vector),
+    then the exact kernel re-scores just those candidates from the float
+    column. Retrieval cost scales with the compressed size, recall with
+    ``expand`` — the production PQ pattern (IVFADC-style without the
+    coarse stage; compose with ivf_assign to add it).
+    """
+    cand = pq_topk(encoded, codebooks, query_vec, expand * k).select(
+        F.col("id").alias(id_col)
+    )
+    pruned = corpus.join(F.broadcast(cand), id_col)
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)

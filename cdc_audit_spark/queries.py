@@ -1891,6 +1891,35 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "ann_pq_topk",
+    None,
+    "Product-quantization ANN with exact rerank: 16 subspace codebooks × 32 "
+    "centroids (16× compression), asymmetric-distance candidate scan over "
+    "the codes, exact cosine rerank of 5k candidates — recall@10 = 1.0 vs "
+    "brute force at sf0.01 (bounds in test_similarity). Codebook training "
+    "is a driver-side numpy pass over a deterministic sample; not ANSI SQL.",
+)
+def ann_pq_topk(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import (
+        l2_normalize,
+        pq_encode,
+        pq_rerank_topk,
+        train_pq_codebooks,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    norm = (
+        l2_normalize(emb, "embedding", "unit")
+        .filter(F.col("unit").isNotNull())
+        .select("vec_id", F.col("unit").alias("embedding"))
+    )
+    qv = [float(x) for x in norm.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = norm.filter(F.col("vec_id") != 0)
+    books = train_pq_codebooks(corpus, m=16, k=32)
+    return pq_rerank_topk(corpus, pq_encode(corpus, books), books, qv, k=10)
+
+
+@register(
     "multimodal_features",
     None,
     "Arrow-batched feature extraction over binary payloads (mapInPandas) — "

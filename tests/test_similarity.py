@@ -1,5 +1,7 @@
 import math
 
+from pyspark.sql import functions as F
+
 from cdc_audit_spark.operators.similarity import (
     ann_bucket_pairs,
     cosine_topk,
@@ -159,3 +161,57 @@ def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
             assert r["max_err"] <= r["scale"] / 2 + 1e-12, r["vec_id"]
         else:
             assert r["max_err"] == 0.0
+
+
+def _pq_setup(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import l2_normalize, train_pq_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norm = (
+        l2_normalize(emb, "embedding", "unit")
+        .filter(F.col("unit").isNotNull())
+        .select("vec_id", F.col("unit").alias("embedding"))
+    )
+    q = [float(x) for x in norm.filter("vec_id = 0").first()["embedding"]]
+    corpus = norm.filter("vec_id <> 0")
+    books = train_pq_codebooks(corpus, m=16, k=32)
+    return corpus, q, books
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import pq_encode, train_pq_codebooks
+
+    corpus, _, books = _pq_setup(spark, sf_dir)
+    enc = pq_encode(corpus, books).collect()
+    assert all(len(r["codes"]) == 16 for r in enc)
+    assert all(0 <= c < 32 for r in enc for c in r["codes"])
+    # seed-free training must reproduce identical codebooks
+    again = train_pq_codebooks(corpus, m=16, k=32)
+    assert books == again
+
+
+def test_pq_raw_recall_vs_bruteforce(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import cosine_topk, pq_encode, pq_topk
+
+    corpus, q, books = _pq_setup(spark, sf_dir)
+    exact = [r["vec_id"] for r in cosine_topk(corpus, q, k=10).collect()]
+    enc = pq_encode(corpus, books)
+    approx = [r["id"] for r in pq_topk(enc, books, q, 10).collect()]
+    # raw-PQ stage recall: 0.6 observed at sf0.01; at sf0.001 the corpus is
+    # ~50 vectors so the 32-centroid codebooks overfit — bound loosely here,
+    # the rerank test below carries the real guarantee
+    assert len(set(approx) & set(exact)) >= 3
+
+
+def test_pq_rerank_recovers_exact_topk(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import (
+        cosine_topk, pq_encode, pq_rerank_topk,
+    )
+
+    corpus, q, books = _pq_setup(spark, sf_dir)
+    exact = [r["vec_id"] for r in cosine_topk(corpus, q, k=10).collect()]
+    enc = pq_encode(corpus, books)
+    rr = [r["vec_id"] for r in
+          pq_rerank_topk(corpus, enc, books, q, 10, expand=5).collect()]
+    # candidate expansion + exact rerank: observed recall 1.0; bound at 0.8
+    assert len(set(rr) & set(exact)) >= 8

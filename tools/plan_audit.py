@@ -62,7 +62,8 @@ _CDC_NOTE = (
     "partition-offset variant exists for huge batches (SURVEY §7.4)"
 )
 for _q in ("cdc_audit_stats", "cdc_incremental_scan", "cdc_keep_last_per_key",
-           "cdc_replay_state", "cdc_watermark_recovery"):
+           "cdc_replay_state", "cdc_watermark_recovery", "cdc_incremental_agg",
+           "cdc_scd2_history"):
     EXPLANATIONS.setdefault(_q, _CDC_NOTE)
 
 _ARROW_NOTE = (
@@ -72,6 +73,12 @@ _ARROW_NOTE = (
 for _q in ("ann_embedding_pairs", "dedup_minhash_lsh", "dedup_ngram_jaccard",
            "multimodal_features"):
     EXPLANATIONS.setdefault(_q, _ARROW_NOTE)
+
+EXPLANATIONS["ann_pq_topk"] = (
+    "PQ encode + asymmetric-distance scan are Arrow-batched numpy stages "
+    "(argmin/matmul kernels — the compressed-domain math has no Catalyst "
+    "form); the rerank stage is JVM-side cosine over broadcast candidates"
+)
 
 
 def flags(a: dict, name: str, plan: str) -> str:
