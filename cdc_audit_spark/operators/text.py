@@ -127,3 +127,44 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
         best["score"].cast("long").alias("marker_hits"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, n_bytes, zlib_ratio): per-doc deflate ratio — the corpus-quality
+    signal used by CCNet/RefinedWeb-style web pipelines. Highly repetitive
+    or templated text compresses far below prose; near-random text ≈ 1.0.
+
+    No SQL form exists (deflate is algorithmic), so this is a deliberate
+    Arrow-batched Python stage: zlib's C deflate over each UTF-8 payload,
+    pandas-vectorized batch handling, map-side only — the same cost model
+    as the multimodal codec path. Pair with `quality_stats` /
+    `text_repetition_stats` thresholds in the filter tier.
+    """
+    import zlib
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n_bytes = raw.str.len()
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "zlib_ratio": (comp / n_bytes.clip(lower=1)).astype("float64"),
+                }
+            )
+
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    return narrow.mapInPandas(gen, schema="id long, n_bytes long, zlib_ratio double")

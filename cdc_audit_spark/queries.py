@@ -1920,6 +1920,21 @@ def ann_pq_topk(spark, sf_dir):
 
 
 @register(
+    "text_compression_ratio",
+    None,
+    "Per-doc zlib deflate ratio (CCNet/RefinedWeb-style quality signal): "
+    "templated/repetitive text compresses far below prose. Arrow-batched "
+    "C deflate, map-side; no ANSI-SQL form (validated by monotonicity "
+    "properties in test_text.py).",
+)
+def text_compression_ratio(spark, sf_dir):
+    from cdc_audit_spark.operators.text import compression_ratio
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return compression_ratio(docs, "text", "doc_id")
+
+
+@register(
     "multimodal_features",
     None,
     "Arrow-batched feature extraction over binary payloads (mapInPandas) — "

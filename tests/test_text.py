@@ -57,3 +57,27 @@ def test_language_id_on_fixture_mostly_en(spark, sf_dir):
     en = out.filter("lang_pred = 'en'").count()
     # fixture text is english-ish word salad containing 'the'/'a'
     assert en > docs.count() * 0.5
+
+
+def test_compression_ratio_orders_repetition_below_prose(spark):
+    from cdc_audit_spark.operators.text import compression_ratio
+
+    import random
+
+    rng = random.Random(7)
+    prose_words = ["".join(rng.choice("abcdefghijklmnop") for _ in range(6))
+                   for _ in range(200)]
+    rows = [
+        (1, "spam " * 400),                        # pure repetition
+        (2, " ".join(prose_words)),                # high-entropy prose-ish
+        (3, None),                                 # null text
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in compression_ratio(df, "text", "doc_id").collect()}
+    assert out[1]["zlib_ratio"] < 0.1                     # repetition crushes
+    assert out[2]["zlib_ratio"] > 3 * out[1]["zlib_ratio"]  # prose ≫ spam
+    assert out[3]["n_bytes"] == 0                         # null-safe
+    # deterministic across runs
+    again = {r["id"]: r["zlib_ratio"]
+             for r in compression_ratio(df, "text", "doc_id").collect()}
+    assert all(abs(out[i]["zlib_ratio"] - again[i]) < 1e-12 for i in out)

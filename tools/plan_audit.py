@@ -74,6 +74,10 @@ for _q in ("ann_embedding_pairs", "dedup_minhash_lsh", "dedup_ngram_jaccard",
            "multimodal_features"):
     EXPLANATIONS.setdefault(_q, _ARROW_NOTE)
 
+EXPLANATIONS["text_compression_ratio"] = (
+    "zlib deflate has no Catalyst form; Arrow-batched C deflate, map-side "
+    "(same cost model as the multimodal codec path)"
+)
 EXPLANATIONS["ann_pq_topk"] = (
     "PQ encode + asymmetric-distance scan are Arrow-batched numpy stages "
     "(argmin/matmul kernels — the compressed-domain math has no Catalyst "
