@@ -52,8 +52,16 @@ def ngram_exposure(
             lambda i: F.array_join(F.slice(w, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("id"),
+    narrow = df.select(F.col(id_col).alias("id"), *keep, F.col(text_col))
+    # CPU-bound per-doc stage: make sure input splits use every core (a
+    # single-file source otherwise runs the whole gram build on one task).
+    # Streaming micro-batches keep their source partitioning.
+    if not df.isStreaming:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if narrow.rdd.getNumPartitions() < par:
+            narrow = narrow.repartition(par)
+    return narrow.select(
+        "id",
         *keep,
         F.explode(F.array_distinct(grams)).alias("gram"),
     )
