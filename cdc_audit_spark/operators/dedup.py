@@ -187,6 +187,98 @@ def minhash_signatures_arrow(
     return narrow.mapInPandas(gen, schema="id long, sig array<long>")
 
 
+def lsh_band_entries(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    impl: str = "arrow",
+) -> DataFrame:
+    """(id, band, bucket): each document's banded-LSH bucket keys — the
+    joinable near-dup index representation (num_hashes/bands minhashes per
+    band, hashed to one 64-bit bucket key). Tiny rows (3 longs), so joins
+    and persisted indexes are independent of document size."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows_per_band = num_hashes // bands
+    sig_fn = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
+    sigs = sig_fn(df, text_col, id_col, num_hashes, shingle_size)
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[
+                        F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)
+                    ]).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+
+
+def incremental_lsh_dedup(
+    batch: DataFrame,
+    index: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    impl: str = "arrow",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against everything accepted before it, without
+    recomputing all-pairs — the growing-corpus form of near-dup dedup.
+
+    ``index`` is the persisted (band, bucket, id) table of previously
+    accepted documents (None for the first batch). A new document is
+    rejected if any of its band buckets (a) already exists in the index, or
+    (b) is shared with a smaller-id document in the same batch — so the
+    smallest id in every occupied bucket survives, deterministically.
+    Returns (accepted_ids, new_index); append new_index − index to the
+    persisted table. Contract matches the batch survivor pipeline for
+    bucket-clique duplicate families (the common case); chain-shaped
+    families can reject more than batch connected-components would —
+    verify candidates with ngram_jaccard_pairs first when that matters.
+
+    Cost per batch: one signature pass over the batch + one shuffle of the
+    tiny entry rows + a broadcast-or-hash join against the index. The index
+    grows with accepted docs only (bands rows each).
+    """
+    entries = lsh_band_entries(
+        batch, text_col, id_col, num_hashes, bands, shingle_size, impl
+    )
+    ids = F.sort_array(F.collect_list("id"))
+    # all ids in a bucket except the smallest — intra-batch rejects
+    intra = (
+        entries.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.slice("ids", 2, F.size("ids") - 1)).alias("id"))
+        .distinct()
+    )
+    if index is not None:
+        hist = entries.join(
+            index.select("band", "bucket").distinct(), ["band", "bucket"], "left_semi"
+        ).select("id").distinct()
+        rejected = intra.unionByName(hist).distinct()
+    else:
+        rejected = intra
+    all_ids = entries.select("id").distinct()
+    accepted = all_ids.join(rejected, "id", "left_anti")
+    accepted_entries = entries.join(accepted, "id", "left_semi")
+    new_index = (
+        accepted_entries
+        if index is None
+        else index.unionByName(accepted_entries)
+    )
+    return accepted, new_index
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -203,25 +295,9 @@ def minhash_lsh_pairs(
     self-join shuffle is independent of document size. distinct() collapses
     pairs found in multiple bands.
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must divide evenly into bands")
-    rows_per_band = num_hashes // bands
-    sig_fn = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
-    sigs = sig_fn(df, text_col, id_col, num_hashes, shingle_size)
-    band_entries = sigs.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[
-                        F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)
-                    ]).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bucket")
+    band_entries = lsh_band_entries(
+        df, text_col, id_col, num_hashes, bands, shingle_size, impl
+    )
     # Pairs come from grouping per bucket, NOT a self-join: a self-join of
     # this lazy plan would compute the signatures twice (no reuse across the
     # two scan branches). One groupBy = one shuffle of (band,bucket,id), then

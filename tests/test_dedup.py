@@ -126,3 +126,41 @@ def test_dedup_cluster_survivors_end_to_end(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     multi = [c for c, ms in by_cluster.items() if len(ms) >= 2]
     assert len(multi) >= n_docs // 5 - 1
+
+
+def test_incremental_lsh_dedup_synthetic(spark):
+    from cdc_audit_spark.operators.dedup import incremental_lsh_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest before nightfall comes down")
+    uniq = ("completely different content about spark shuffle partitions and "
+            "parquet footer statistics with no shared shingles whatsoever here")
+    b1 = spark.createDataFrame([(1, base), (2, base + " extra")], ["doc_id", "text"])
+    b2 = spark.createDataFrame([(3, base), (4, uniq)], ["doc_id", "text"])
+
+    a1, idx = incremental_lsh_dedup(b1, None, "text", "doc_id")
+    assert sorted(r["id"] for r in a1.collect()) == [1]   # 2 is a near-dup of 1
+    a2, idx2 = incremental_lsh_dedup(b2, idx, "text", "doc_id")
+    assert sorted(r["id"] for r in a2.collect()) == [4]   # 3 collides with history
+    # the index only grows by ACCEPTED docs' entries
+    assert sorted(r["id"] for r in idx2.select("id").distinct().collect()) == [1, 4]
+
+
+def test_incremental_lsh_dedup_matches_one_shot(spark, sf_dir):
+    """Feeding the corpus in id-ordered batches must accept exactly the same
+    documents as one full-corpus pass (fixture duplicate families are
+    bucket-cliques, where the greedy min-id contract is order-independent)."""
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.operators.dedup import incremental_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    med = docs.approxQuantile("doc_id", [0.5], 0)[0]
+    a1, idx = incremental_lsh_dedup(docs.filter(F.col("doc_id") <= med), None,
+                                    "text", "doc_id")
+    a2, _ = incremental_lsh_dedup(docs.filter(F.col("doc_id") > med), idx,
+                                  "text", "doc_id")
+    inc = {r["id"] for r in a1.collect()} | {r["id"] for r in a2.collect()}
+    full = {r["id"] for r in
+            incremental_lsh_dedup(docs, None, "text", "doc_id")[0].collect()}
+    assert inc == full
