@@ -2925,6 +2925,49 @@ def profile_orders(spark, sf_dir):
     return profile_table(load_tables(spark, sf_dir)["orders"])
 
 
+@register(
+    "events_hourly_anomalies",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    scored AS (
+      SELECT event_type, hr, n,
+             avg(n) OVER (PARTITION BY event_type) AS mu,
+             stddev_samp(n) OVER (PARTITION BY event_type) AS sd
+        FROM hourly)
+    SELECT event_type, CAST(hr AS TIMESTAMP) AS hr, CAST(n AS BIGINT) AS n,
+           CAST(round((n - mu) / sd, 4) AS DECIMAL(18,4)) AS zscore
+      FROM scored
+     WHERE sd > 0 AND abs((n - mu) / sd) > 2
+    """,
+    "Volume anomaly detection: hourly counts per event type, z-scored "
+    "against that type's own distribution via an unordered analytic window "
+    "(no join-back — the grouped stats ride the same partitioning as the "
+    "counts). Counts are integers, so mean/stddev are deterministic across "
+    "engines; the z-score rounds to 4 decimals far above double noise.",
+)
+def events_hourly_anomalies(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        hourly.withColumn("mu", F.avg("n").over(w))
+        .withColumn("sd", F.stddev_samp("n").over(w))
+        .filter((F.col("sd") > 0) & (F.abs(z) > 2))
+        .select(
+            "event_type",
+            "hr",
+            F.col("n").cast("long").alias("n"),
+            F.round(z, 4).cast("decimal(18,4)").alias("zscore"),
+        )
+    )
+
+
 def _sampling_oracles():
     """Oracles whose SQL embeds generated CASE expressions — built after the
     module-level constants so Spark and DuckDB share one edge computation."""
