@@ -2968,6 +2968,103 @@ def events_hourly_anomalies(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_column_change_stats",
+    f"""WITH {_V1_CTE}
+    SELECT col AS column, CAST(n AS BIGINT) AS n_changes FROM (
+      SELECT 'c_name' AS col,
+             sum(CASE WHEN o.c_name IS DISTINCT FROM n.c_name
+                      THEN 1 ELSE 0 END) AS n
+        FROM customer o JOIN v1 n ON o.c_custkey = n.c_custkey
+      UNION ALL
+      SELECT 'c_nationkey',
+             sum(CASE WHEN o.c_nationkey IS DISTINCT FROM n.c_nationkey
+                      THEN 1 ELSE 0 END)
+        FROM customer o JOIN v1 n ON o.c_custkey = n.c_custkey
+      UNION ALL
+      SELECT 'c_acctbal',
+             sum(CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                      THEN 1 ELSE 0 END)
+        FROM customer o JOIN v1 n ON o.c_custkey = n.c_custkey
+      UNION ALL
+      SELECT 'c_mktsegment',
+             sum(CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                      THEN 1 ELSE 0 END)
+        FROM customer o JOIN v1 n ON o.c_custkey = n.c_custkey)
+    """,
+    "CDC analytics: which columns actually change between snapshots, and "
+    "how often — per-column IS DISTINCT FROM counts over the update join. "
+    "Spark computes all columns in ONE join + one aggregate and unpivots "
+    "with stack(); the oracle needs a scan pair per column.",
+)
+def cdc_column_change_stats(spark, sf_dir):
+    v0, v1 = customer_snapshots(spark, sf_dir)
+    cols = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    o = v0.alias("o")
+    n = v1.alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"))
+    aggs = [
+        F.sum(
+            F.when(
+                ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), 1
+            ).otherwise(0)
+        ).alias(f"__{c}")
+        for c in cols
+    ]
+    wide = joined.agg(*aggs)
+    stack = ", ".join(f"'{c}', __{c}" for c in cols)
+    return wide.select(
+        F.expr(f"stack({len(cols)}, {stack}) AS (column, n_changes)")
+    ).select("column", F.col("n_changes").cast("long").alias("n_changes"))
+
+
+@register(
+    "cdc_fk_orphans",
+    f"""WITH {_V1_CTE}
+    SELECT CAST(count(*) AS BIGINT) AS n_orphan_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_missing_customers
+      FROM orders o
+     WHERE NOT EXISTS (SELECT 1 FROM v1 c WHERE c.c_custkey = o.o_custkey)
+    """,
+    "Referential-integrity audit after applying a change batch: orders "
+    "whose customer was deleted in v1 — the downstream-consistency check a "
+    "CDC pipeline runs before publishing a snapshot. Left-anti join on the "
+    "FK; the deleted-key side is broadcast when small.",
+)
+def cdc_fk_orphans(spark, sf_dir):
+    _, v1 = customer_snapshots(spark, sf_dir)
+    orders = load_tables(spark, sf_dir)["orders"]
+    orphans = orders.join(
+        v1.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+    )
+    return orphans.agg(
+        F.count("*").alias("n_orphan_orders"),
+        F.countDistinct("o_custkey").alias("n_missing_customers"),
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+      FROM documents GROUP BY source
+    """,
+    "Exact-duplicate rate per source — the triage report that decides where "
+    "dedup effort goes. Content digests (md5, identical across engines) "
+    "shuffle instead of document text; count + count-distinct share one "
+    "aggregation.",
+)
+def dedup_rate_by_source(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
+    )
+
+
 def _sampling_oracles():
     """Oracles whose SQL embeds generated CASE expressions — built after the
     module-level constants so Spark and DuckDB share one edge computation."""
