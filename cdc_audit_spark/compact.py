@@ -74,3 +74,25 @@ def compact_log(
     writer.save(sink_path)
     survivors.unpersist()
     return n
+
+
+def retention_compact(
+    audit_df: DataFrame,
+    horizon_pk: int,
+    pk_cols: list[str],
+) -> DataFrame:
+    """Bounded-history retention: full audit history is kept only AFTER the
+    horizon; at-or-before it, each key collapses to its latest row — a
+    per-key checkpoint that preserves every replay a consumer can still ask
+    for (any watermark ≥ horizon reconstructs identically; the property
+    test pins apply_changes-equivalence for the full log and per-key
+    as-of). The middle ground between the reference's all-history audit
+    table and its keep-1 wipe (sync:284-319): log-retention-with-checkpoint
+    semantics, expressed as a filter + one per-key window + a union — no
+    driver loop, no batched deletes.
+    """
+    recent = audit_df.filter(F.col(AUDIT_PK) > F.lit(horizon_pk))
+    base = keep_last_per_key(
+        audit_df.filter(F.col(AUDIT_PK) <= F.lit(horizon_pk)), pk_cols
+    )
+    return base.unionByName(recent)

@@ -54,3 +54,32 @@ def test_sync_after_compaction_emits_nothing_old(spark, tmp_path):
     # watermark state survives compaction → resync of same log adds nothing
     res = sync_table(log, sink, fmt="parquet")
     assert res.rows_synced == 0
+
+
+def test_retention_compact_preserves_replay(spark, sf_dir):
+    """Replaying the retention-compacted log must reconstruct the SAME final
+    state as the full log, for any horizon — the correctness contract of
+    log retention with per-key checkpoints."""
+    from cdc_audit_spark.capture import apply_changes
+    from cdc_audit_spark.compact import retention_compact
+    from cdc_audit_spark.queries import customer_audit_log, customer_snapshots
+
+    v0, v1 = customer_snapshots(spark, sf_dir)
+    log = customer_audit_log(spark, sf_dir).cache()
+    max_pk = log.agg(F.max("audit_pk")).first()[0]
+
+    for horizon in (0, max_pk // 3, max_pk // 2, max_pk):
+        compacted = retention_compact(log, horizon, ["c_custkey"])
+        got = apply_changes(v0, compacted, ["c_custkey"])
+        assert got.exceptAll(v1).count() == 0
+        assert v1.exceptAll(got).count() == 0
+
+    # rows at-or-before the horizon collapse to one per touched key
+    h = max_pk // 2
+    compacted = retention_compact(log, h, ["c_custkey"])
+    pre = compacted.filter(F.col("audit_pk") <= h)
+    assert pre.count() == pre.select("c_custkey").distinct().count()
+    # post-horizon history is untouched
+    assert (compacted.filter(F.col("audit_pk") > h).count()
+            == log.filter(F.col("audit_pk") > h).count())
+    log.unpersist()
