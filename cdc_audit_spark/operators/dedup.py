@@ -239,8 +239,10 @@ def incremental_lsh_dedup(
     rejected if any of its band buckets (a) already exists in the index, or
     (b) is shared with a smaller-id document in the same batch — so the
     smallest id in every occupied bucket survives, deterministically.
-    Returns (accepted_ids, new_index); append new_index − index to the
-    persisted table. Contract matches the batch survivor pipeline for
+    Returns (accepted_ids, accepted_entries): append ``accepted_entries``
+    to the persisted index (next batch's ``index`` = old ∪ accepted) — the
+    delta IS the return value, so a streaming caller appends it without
+    diffing a growing table. Contract matches the batch survivor pipeline for
     bucket-clique duplicate families (the common case); chain-shaped
     families can reject more than batch connected-components would —
     verify candidates with ngram_jaccard_pairs first when that matters.
@@ -271,12 +273,7 @@ def incremental_lsh_dedup(
     all_ids = entries.select("id").distinct()
     accepted = all_ids.join(rejected, "id", "left_anti")
     accepted_entries = entries.join(accepted, "id", "left_semi")
-    new_index = (
-        accepted_entries
-        if index is None
-        else index.unionByName(accepted_entries)
-    )
-    return accepted, new_index
+    return accepted, accepted_entries
 
 
 def minhash_lsh_pairs(

@@ -1,0 +1,77 @@
+"""Streaming near-dup dedup: incremental_lsh_dedup inside foreachBatch.
+
+The growing-corpus dedup operator (operators.dedup.incremental_lsh_dedup)
+needs exactly one piece of cross-batch state — the (band, bucket, id)
+entries of previously ACCEPTED documents. Structured Streaming's
+foreachBatch supplies the batch boundary and checkpointed source offsets;
+the index itself lives in a parquet directory the hook reads at the start
+of each micro-batch and appends to at the end. Accepted documents append
+to the output directory, duplicates are dropped — an always-on ingest
+filter with the same contract as the batch operator (batched ≡ one-shot,
+tested in test_dedup.py).
+
+Crash semantics: offsets are checkpointed AFTER the hook, so a crash
+mid-batch replays that batch. Replay re-reads the index as of the previous
+batch and re-derives the same accept set (the operator is deterministic),
+so the only hazard is double-appended output/index rows from a crash
+between the two writes — dedup by id downstream, or point the appends at a
+transactional table format. The reference's own sink has the same
+at-least-once window (README:213-215); this one is narrower.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from cdc_audit_spark.operators.dedup import incremental_lsh_dedup
+
+__all__ = ["stream_dedup_sync"]
+
+
+def stream_dedup_sync(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    accepted_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Stream documents from a parquet directory, keep only near-dup
+    survivors. Returns the started StreamingQuery.
+
+    ``max_files_per_trigger`` bounds micro-batch size (and therefore the
+    per-batch signature-pass memory); the index join cost grows only with
+    accepted documents.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        try:
+            index = spark.read.parquet(index_path)
+        except Exception:
+            index = None
+        accepted_ids, accepted_entries = incremental_lsh_dedup(
+            batch_df, index, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
+        )
+        accepted_ids = accepted_ids.withColumnRenamed("id", id_col)
+        survivors = batch_df.join(accepted_ids, id_col, "left_semi")
+        survivors.write.mode("append").parquet(accepted_path)
+        accepted_entries.write.mode("append").parquet(index_path)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

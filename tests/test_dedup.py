@@ -138,12 +138,12 @@ def test_incremental_lsh_dedup_synthetic(spark):
     b1 = spark.createDataFrame([(1, base), (2, base + " extra")], ["doc_id", "text"])
     b2 = spark.createDataFrame([(3, base), (4, uniq)], ["doc_id", "text"])
 
-    a1, idx = incremental_lsh_dedup(b1, None, "text", "doc_id")
+    a1, e1 = incremental_lsh_dedup(b1, None, "text", "doc_id")
     assert sorted(r["id"] for r in a1.collect()) == [1]   # 2 is a near-dup of 1
-    a2, idx2 = incremental_lsh_dedup(b2, idx, "text", "doc_id")
+    a2, e2 = incremental_lsh_dedup(b2, e1, "text", "doc_id")
     assert sorted(r["id"] for r in a2.collect()) == [4]   # 3 collides with history
-    # the index only grows by ACCEPTED docs' entries
-    assert sorted(r["id"] for r in idx2.select("id").distinct().collect()) == [1, 4]
+    # the index delta only carries ACCEPTED docs' entries
+    assert sorted(r["id"] for r in e2.select("id").distinct().collect()) == [4]
 
 
 def test_incremental_lsh_dedup_matches_one_shot(spark, sf_dir):
@@ -156,11 +156,44 @@ def test_incremental_lsh_dedup_matches_one_shot(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     med = docs.approxQuantile("doc_id", [0.5], 0)[0]
-    a1, idx = incremental_lsh_dedup(docs.filter(F.col("doc_id") <= med), None,
-                                    "text", "doc_id")
-    a2, _ = incremental_lsh_dedup(docs.filter(F.col("doc_id") > med), idx,
+    a1, e1 = incremental_lsh_dedup(docs.filter(F.col("doc_id") <= med), None,
+                                   "text", "doc_id")
+    a2, _ = incremental_lsh_dedup(docs.filter(F.col("doc_id") > med), e1,
                                   "text", "doc_id")
     inc = {r["id"] for r in a1.collect()} | {r["id"] for r in a2.collect()}
     full = {r["id"] for r in
             incremental_lsh_dedup(docs, None, "text", "doc_id")[0].collect()}
     assert inc == full
+
+
+def test_stream_dedup_sync_matches_batch(spark, sf_dir, tmp_path):
+    """Micro-batched streaming dedup (foreachBatch + persisted bucket index)
+    must accept exactly the one-shot batch result. maxFilesPerTrigger=1
+    forces multiple micro-batches so the index round-trip is exercised."""
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.operators.dedup import incremental_lsh_dedup
+    from cdc_audit_spark.streaming.stream_dedup import stream_dedup_sync
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "incoming")
+    med = docs.approxQuantile("doc_id", [0.5], 0)[0]
+    # two source files, ids ordered across them → deterministic batch order
+    docs.filter(F.col("doc_id") <= med).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") > med).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_dedup_sync(
+        spark, src, docs.schema,
+        accepted_path=str(tmp_path / "accepted"),
+        index_path=str(tmp_path / "index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        text_col="text", id_col="doc_id",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in
+           spark.read.parquet(str(tmp_path / "accepted")).select("doc_id").collect()}
+    want = {r["id"] for r in
+            incremental_lsh_dedup(docs, None, "text", "doc_id")[0].collect()}
+    assert got == want
