@@ -103,15 +103,23 @@ def _sync(args) -> int:
             if selected is not None and table not in selected and source_name not in selected:
                 continue
             audit_df = spark.read.parquet(os.path.join(args.data_dir, f"{table}.parquet"))
-            sink = os.path.join(args.output_dir, csv_sink_name(table))
-            res = sync_table(audit_df, sink, fmt="csv")
+            if args.format == "csv":
+                sink = os.path.join(args.output_dir, csv_sink_name(table))
+            else:
+                sink = os.path.join(args.output_dir, table)
+            res = sync_table(
+                audit_df, sink, fmt=args.format,
+                on_drift="evolve" if args.evolve else "fail",
+            )
             if args.verbosity >= 2:
                 print(f"{table}: +{res.rows_synced} rows, watermark={res.watermark}")
             if args.wipe:
                 # keep-last compaction of the SOURCE audit log is a
                 # database-side op in the reference (sync:284-319); here we
                 # compact the sink copy (keep global last row).
-                compact_log(read_sink(spark, sink, fmt="csv"), sink, fmt="csv")
+                compact_log(
+                    read_sink(spark, sink, fmt=args.format), sink, fmt=args.format
+                )
             synced += 1
         print(f"synced {synced} audit table(s) into {args.output_dir}")
         return 0
@@ -136,6 +144,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--data-dir", required=True, help="directory containing *_audit parquet tables")
     s.add_argument("-m", "--output-dir", default="./cdc_audit_sync", help="CSV sink directory")
     s.add_argument("-t", "--tables", default=None)
+    s.add_argument("--format", default="csv", choices=["csv", "parquet"],
+                   help="sink format (CSV = reference parity; parquet enables --evolve)")
+    s.add_argument("--evolve", action="store_true",
+                   help="auto-migrate additive schema drift (parquet sinks only)")
     s.add_argument("-w", "--wipe", action="store_true",
                    help="keep only the last audit row after syncing (compaction)")
     s.add_argument("-v", "--verbosity", type=int, default=1)

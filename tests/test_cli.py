@@ -56,3 +56,47 @@ def test_sync_and_wipe(tmp_path, spark):
     compacted = spark.read.option("header", True).csv(str(sink_dir / "items_audit.csv"))
     assert compacted.count() == 1  # wipe keeps global last row
     assert compacted.first()["audit_pk"] == "7"
+
+
+def test_sync_parquet_evolve(tmp_path, spark):
+    """CLI drives the evolving-parquet sink path: second run brings a new
+    column, --evolve accepts it, old rows read as NULL under mergeSchema."""
+    data = tmp_path / "data"
+    v1 = (
+        spark.range(1, 6)
+        .select(
+            F.col("id").alias("k"),
+            F.lit("insert").alias("audit_event"),
+            F.lit(dt.datetime(2026, 1, 1)).alias("audit_timestamp"),
+            F.col("id").alias("audit_pk"),
+        )
+    )
+    v1.write.parquet(str(data / "items_audit.parquet"))
+    sink_dir = tmp_path / "sink"
+    r = _run(["sync", "--data-dir", str(data), "-m", str(sink_dir),
+              "--format", "parquet"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    v2 = (
+        spark.range(1, 11)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("r"), (F.col("id") % 2).cast("string")).alias("region"),
+            F.lit("insert").alias("audit_event"),
+            F.lit(dt.datetime(2026, 1, 2)).alias("audit_timestamp"),
+            F.col("id").alias("audit_pk"),
+        )
+    )
+    v2.write.mode("overwrite").parquet(str(data / "items_audit.parquet"))
+    # without --evolve the drift must fail the run
+    r_fail = _run(["sync", "--data-dir", str(data), "-m", str(sink_dir),
+                   "--format", "parquet"])
+    assert r_fail.returncode != 0
+    r2 = _run(["sync", "--data-dir", str(data), "-m", str(sink_dir),
+               "--format", "parquet", "--evolve"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    back = (spark.read.option("mergeSchema", True)
+            .parquet(str(sink_dir / "items_audit")))
+    assert back.count() == 10
+    assert back.filter(F.col("region").isNull()).count() == 5
