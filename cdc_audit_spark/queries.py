@@ -3065,6 +3065,45 @@ def dedup_rate_by_source(spark, sf_dir):
     )
 
 
+@register(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+                AS DECIMAL(38,4)) AS profit
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+     WHERE p.p_name LIKE '%red%'
+     GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    "TPC-H Q9 shape adapted to the fixture schema (no partsupp table, so "
+    "the supplycost term drops — SURVEY §2 note): product-line profit by "
+    "supplier nation and order year. Part/supplier/nation broadcast; only "
+    "lineitem⋈orders shuffles; the LIKE filter prunes part before its "
+    "broadcast.",
+)
+def q9_profit_by_nation_year(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    supp_nation = t["supplier"].join(
+        F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    red_parts = t["part"].filter(F.col("p_name").contains("red")).select("p_partkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("profit"))
+    )
+
+
 def _sampling_oracles():
     """Oracles whose SQL embeds generated CASE expressions — built after the
     module-level constants so Spark and DuckDB share one edge computation."""
