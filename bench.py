@@ -56,6 +56,8 @@ HEADLINE = [
     "decontam_benchmark_overlap",
     "text_repetition_stats",
     "events_transition_matrix",
+    "q9_profit_by_nation_year",
+    "events_hourly_anomalies",
 ]
 
 
