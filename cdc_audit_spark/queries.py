@@ -3104,6 +3104,36 @@ def q9_profit_by_nation_year(spark, sf_dir):
     )
 
 
+@register(
+    "events_value_histogram",
+    """
+    SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(value) AS DECIMAL(12,2)) AS lo,
+           CAST(max(value) AS DECIMAL(12,2)) AS hi
+      FROM events
+     WHERE value IS NOT NULL
+     GROUP BY CAST(least(floor(value / 50.0), 9) AS BIGINT)
+    """,
+    "Fixed-width histogram of event values (bucket = floor(value/50) capped "
+    "at 9): one map-side bucket expression + one partial-aggregated count — "
+    "the profile primitive behind range-pruning and skew diagnosis. "
+    "floor/least on doubles are bit-identical IEEE ops across engines.",
+)
+def events_value_histogram(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("long")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").cast("decimal(12,2)").alias("lo"),
+            F.max("value").cast("decimal(12,2)").alias("hi"),
+        )
+    )
+
+
 def _sampling_oracles():
     """Oracles whose SQL embeds generated CASE expressions — built after the
     module-level constants so Spark and DuckDB share one edge computation."""
