@@ -3134,6 +3134,55 @@ def events_value_histogram(spark, sf_dir):
     )
 
 
+@register(
+    "scalar_function_sampler",
+    """
+    SELECT o_orderkey,
+           upper(o_orderstatus) AS status_u,
+           translate(o_orderpriority, '-', ' ') AS prio_t,
+           lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_pad,
+           concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+           CAST(greatest(CAST(o_totalprice AS DECIMAL(12,2)),
+                         CAST(1000.00 AS DECIMAL(12,2)))
+                AS DECIMAL(12,2)) AS floored_price,
+           coalesce(nullif(o_orderstatus, 'F'), 'FINAL') AS status_tagged,
+           CAST(date_diff('day', DATE '1990-01-01', o_orderdate) % 7
+                AS BIGINT) AS weekday_idx
+      FROM orders
+     WHERE o_orderkey % 97 = 0
+    """,
+    "Scalar-function parity sampler (SURVEY §2.8 breadth): string "
+    "(upper/translate/lpad/concat_ws), conditional "
+    "(greatest/coalesce/nullif), and date arithmetic (weekday via day-diff "
+    "mod 7 — engine-neutral, unlike dayofweek whose origin differs across "
+    "engines). All map-side; the modulus filter keeps the projection "
+    "pushdown-visible.",
+)
+def scalar_function_sampler(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    dec = "decimal(12,2)"
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.upper("o_orderstatus").alias("status_u"),
+            F.translate("o_orderpriority", "-", " ").alias("prio_t"),
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_pad"),
+            F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("tag"),
+            F.greatest(
+                F.col("o_totalprice").cast(dec), F.lit("1000.00").cast(dec)
+            ).cast(dec).alias("floored_price"),
+            F.coalesce(
+                F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("FINAL")
+            ).alias("status_tagged"),
+            F.pmod(F.datediff("o_orderdate", F.lit("1990-01-01")), F.lit(7))
+            .cast("long")
+            .alias("weekday_idx"),
+        )
+    )
+
+
 def _sampling_oracles():
     """Oracles whose SQL embeds generated CASE expressions — built after the
     module-level constants so Spark and DuckDB share one edge computation."""
