@@ -3183,6 +3183,45 @@ def scalar_function_sampler(spark, sf_dir):
     )
 
 
+@register(
+    "nation_top_customer_list",
+    """
+    WITH ranked AS (
+      SELECT c_nationkey, c_custkey,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer)
+    SELECT c_nationkey,
+           array_to_string(array_agg(c_custkey ORDER BY c_custkey), ',')
+             AS top_keys,
+           CAST(count(*) AS BIGINT) AS n
+      FROM ranked WHERE rn <= 5
+     GROUP BY c_nationkey
+    """,
+    "Array aggregation parity: per-nation top-5 customers by balance, "
+    "collected into a deterministic sorted list (collect_list ordering is "
+    "undefined in both engines, so sort-then-join makes the value "
+    "comparable and hashable). Window + grouped collect in one shuffle "
+    "chain on the same key.",
+)
+def nation_top_customer_list(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        t["customer"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_custkey")), ",")
+            .alias("top_keys"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def _sampling_oracles():
     """Oracles whose SQL embeds generated CASE expressions — built after the
     module-level constants so Spark and DuckDB share one edge computation."""
