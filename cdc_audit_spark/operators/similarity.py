@@ -463,3 +463,41 @@ def pq_rerank_topk(
     )
     pruned = corpus.join(F.broadcast(cand), id_col)
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list,
+    query_vec: list[float],
+    k: int,
+    nprobe: int = 2,
+    expand: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC: the full production ANN stack — coarse cells prune the
+    corpus (IVF), PQ codes score the survivors in the compressed domain
+    (asymmetric distance), the exact kernel reranks the short candidate
+    list. Per query: nprobe/len(centroids) of the corpus is touched, m
+    bytes per touched vector are scanned, expand·k floats are reranked.
+    Recall composes multiplicatively (cell recall × code recall), so both
+    stages are tunable independently (nprobe, expand).
+    """
+    qn = _l2(query_vec)
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -sum(a * b for a, b in zip(centroids[i], query_vec))
+            / (_l2(centroids[i]) * qn),
+            i,
+        ),
+    )
+    probe = ranked[:nprobe]
+    cells = ivf_assign(df, centroids, id_col, vec_col).filter(
+        F.col("cell").isin(*probe)
+    )
+    encoded = pq_encode(cells, codebooks, id_col, vec_col)
+    return pq_rerank_topk(
+        cells, encoded, codebooks, query_vec, k, expand, id_col, vec_col
+    )

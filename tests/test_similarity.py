@@ -215,3 +215,21 @@ def test_pq_rerank_recovers_exact_topk(spark, sf_dir):
           pq_rerank_topk(corpus, enc, books, q, 10, expand=5).collect()]
     # candidate expansion + exact rerank: observed recall 1.0; bound at 0.8
     assert len(set(rr) & set(exact)) >= 8
+
+
+def test_ivf_pq_topk_recall(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import (
+        cosine_topk, ivf_pq_topk, sample_centroids,
+    )
+
+    corpus, q, books = _pq_setup(spark, sf_dir)
+    exact = [r["vec_id"] for r in cosine_topk(corpus, q, k=10).collect()]
+    cents = sample_centroids(corpus, k=8)
+    # full probe: only the PQ+rerank stages can lose recall (bounded by the
+    # rerank test); half probe must still recover most of the neighborhood
+    full = [r["vec_id"] for r in
+            ivf_pq_topk(corpus, cents, books, q, k=10, nprobe=8).collect()]
+    assert len(set(full) & set(exact)) >= 8
+    half = [r["vec_id"] for r in
+            ivf_pq_topk(corpus, cents, books, q, k=10, nprobe=4).collect()]
+    assert len(set(half) & set(exact)) >= 5
