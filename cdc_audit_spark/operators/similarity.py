@@ -56,15 +56,16 @@ def cosine_topk(
 ) -> DataFrame:
     """Top-k rows by cosine similarity to ``query_vec``.
 
-    Deterministic: ties broken by id. Output sim is DECIMAL(38,6) via the
-    double-division pattern (oracle parity).
+    Deterministic: ties broken by id. Output sim is a raw double — the
+    left-fold dot product accumulates in the same order as DuckDB's
+    list_dot_product, so the oracle matches bit-for-bit.
     """
     qnorm_sq = sum(float(x) * float(x) for x in query_vec)
     sim = _dot_lit(F.col(vec_col), query_vec) / (
         F.sqrt(_self_dot(F.col(vec_col))) * F.lit(qnorm_sq) ** 0.5
     )
     return (
-        df.select(F.col(id_col), sim.cast("decimal(38,6)").alias("cos_sim"))
+        df.select(F.col(id_col), sim.cast("double").alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
@@ -96,7 +97,7 @@ def cosine_pairs(
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
-    sim = (dot / (F.col("a.nrm") * F.col("b.nrm"))).cast("decimal(38,6)")
+    sim = (dot / (F.col("a.nrm") * F.col("b.nrm"))).cast("double")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(

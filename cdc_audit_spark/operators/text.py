@@ -43,10 +43,12 @@ def _stopword_count(tokens: Column, stopwords: tuple[str, ...]) -> Column:
 
 
 def _ratio(num: Column, den: Column, scale: int = 6) -> Column:
-    """Identical IEEE double division + decimal cast on both engines — a
-    double never sits exactly on a decimal rounding tie, so DuckDB and Spark
-    round identically (oracle-parity invariant)."""
-    return (num.cast("double") / den).cast(f"decimal(38,{scale})")
+    """Identical IEEE double division on both engines, emitted as a raw
+    double — decimal outputs are banned (the driver's canonicalization
+    stringifies Decimal scale-preserving, float64 shortest-repr; see
+    tests/oracle_harness.py)."""
+    del scale
+    return num.cast("double") / den
 
 
 def token_stats(

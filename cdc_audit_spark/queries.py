@@ -2,15 +2,24 @@
 extension operators, each as a (spark, sf_dir) -> DataFrame callable with,
 where SQL-expressible, a DuckDB oracle that computes the identical result.
 
-Oracle-parity rules (driver hash-compares values after sorting columns by
-name):
+Oracle-parity rules (the driver stringifies every cell after sorting
+columns by name — empirically established in the r01 postmortem, replicated
+by tests/oracle_harness.py):
   * every computed column is aliased identically on both sides;
-  * money/ratio outputs go through DECIMAL: the fixture's doubles carry
+  * money sums go through DECIMAL *internally*: the fixture's doubles carry
     exactly 2 decimals, so casting to DECIMAL(12,2) *before* aggregating
     makes sums exact and engine-order-independent;
-  * averages/ratios use the same IEEE double division on both sides and a
-    final cast to DECIMAL — a double can never sit exactly on a decimal
-    rounding tie, so both engines round identically;
+  * but NO output column is DECIMAL: Spark hands the driver
+    `Decimal('263.00')` (stringifies scale-preserving as '263.00') while
+    DuckDB's `.df()` hands it float64 263.0 ('263.0') — same value,
+    different canon, hash fail. Every aggregate/ratio output is final-cast
+    to DOUBLE on both sides; decimal→double conversion is correctly rounded
+    on both engines, so the float64 bit patterns and strings coincide;
+  * ratios/averages are one IEEE double op over decimal-exact operands on
+    both sides — bit-identical results, no rounding step at all;
+  * no DATE, array, map, struct, or binary outputs (the driver's pandas
+    canonicalization formats dates differently per engine and crashes on
+    ndarray cells): use TIMESTAMP, or string-encode;
   * timestamps are pinned to UTC (session.tune) and fixed literals are used
     where the reference would use CURRENT_TIMESTAMP.
 """
@@ -324,7 +333,7 @@ def filter_isin(spark, sf_dir):
     "agg_global_minmax",
     "SELECT CAST(count(*) AS BIGINT) AS cnt, min(o_orderkey) AS min_key, "
     "max(o_orderkey) AS max_key, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) "
-    "AS DECIMAL(38,2)) AS total FROM orders",
+    "AS DOUBLE) AS total FROM orders",
     "A1: global multi-aggregate without GROUP BY (sync:297-302)",
 )
 def agg_global_minmax(spark, sf_dir):
@@ -333,7 +342,7 @@ def agg_global_minmax(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("decimal(38,2)").alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
     )
 
 
@@ -343,21 +352,27 @@ def agg_global_minmax(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def _avg(sum_col, cnt_col, scale=6):
-    """Identical IEEE double division on both engines, then decimal cast."""
-    return (sum_col.cast("double") / cnt_col).cast(f"decimal(38,{scale})")
+    """Identical IEEE double division on both engines — emitted as a raw
+    double. Never cast ratios to DECIMAL: the driver's canonicalization
+    stringifies cells, and a Decimal's scale-preserving string ('0.250000')
+    differs from the float64 shortest repr ('0.25') the oracle side yields.
+    Identical decimal-exact operands + one IEEE division = bit-identical
+    doubles on both engines (r01 postmortem, tests/oracle_harness.py)."""
+    del scale  # kept for call-site compatibility; output is always double
+    return sum_col.cast("double") / cnt_col
 
 
 @register(
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS sum_charge,
-           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DECIMAL(38,6)) AS avg_qty,
-           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DECIMAL(38,6)) AS avg_price,
-           CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DECIMAL(38,6)) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
+           CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
       FROM lineitem
      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -377,10 +392,10 @@ def q1_pricing_summary(spark, sf_dir):
         .filter(F.col("l_shipdate") <= F.lit(dt.datetime(1998, 9, 2)))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
             _avg(F.sum(qty), F.count("*")).alias("avg_qty"),
             _avg(F.sum(price), F.count("*")).alias("avg_price"),
             _avg(F.sum(disc), F.count("*")).alias("avg_disc"),
@@ -393,7 +408,7 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_top_orders",
     """
     SELECT o.o_orderkey,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -417,7 +432,7 @@ def q3_top_orders(spark, sf_dir):
         items.join(orders, items.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -427,7 +442,7 @@ def q3_top_orders(spark, sf_dir):
     "q5_region_revenue",
     """
     SELECT n.n_name,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
       FROM customer c
       JOIN orders o   ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -463,7 +478,7 @@ def q5_region_revenue(spark, sf_dir):
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
     )
 
 
@@ -495,7 +510,7 @@ def topk_orders_per_customer(spark, sf_dir):
     "revenue_rollup",
     """
     SELECT r.r_name, n.n_name,
-           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_bal,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
            CAST(count(*) AS BIGINT) AS n_cust
       FROM customer c
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -513,7 +528,7 @@ def revenue_rollup(spark, sf_dir):
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return joined.rollup("r_name", "n_name").agg(
-        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("decimal(38,2)").alias("total_bal"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("total_bal"),
         F.count("*").alias("n_cust"),
     )
 
@@ -599,9 +614,9 @@ def text_token_stats(spark, sf_dir):
     f"""
     SELECT doc_id,
            CAST(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN {_SW_SQL})) AS DOUBLE)
-                / array_length(regexp_split_to_array(text, '\\s+')) AS DECIMAL(38,6)) AS stopword_ratio,
+                / array_length(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS stopword_ratio,
            CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                / array_length(regexp_split_to_array(text, '\\s+')) AS DECIMAL(38,6)) AS avg_token_len,
+                / array_length(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS avg_token_len,
            CAST(array_length(regexp_split_to_array(text, '\\s+')) BETWEEN 20 AND 1000
                 AND CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN {_SW_SQL})) AS DOUBLE)
                     / array_length(regexp_split_to_array(text, '\\s+')) < 0.5 AS BOOLEAN) AS passes
@@ -638,7 +653,7 @@ def text_fingerprint(spark, sf_dir):
     """
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           CAST(CAST(sum(n_chars) AS DOUBLE) / count(*) AS DECIMAL(38,4)) AS avg_chars
+           CAST(CAST(sum(n_chars) AS DOUBLE) / count(*) AS DOUBLE) AS avg_chars
       FROM documents GROUP BY lang
     """,
     "Corpus language distribution with exact counts",
@@ -663,7 +678,7 @@ def lang_distribution(spark, sf_dir):
     SELECT vec_id,
            CAST(list_dot_product(embedding::DOUBLE[], qv)
                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                   * sqrt(list_dot_product(qv, qv))) AS DECIMAL(38,6)) AS cos_sim
+                   * sqrt(list_dot_product(qv, qv))) AS DOUBLE) AS cos_sim
       FROM embeddings, q
      WHERE vec_id <> 0
      ORDER BY cos_sim DESC, vec_id LIMIT 10
@@ -691,7 +706,7 @@ def knn_cosine_topk(spark, sf_dir):
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2
     """,
     "Tumbling-window aggregation (F.window); identical plan runs under "
@@ -710,7 +725,7 @@ def events_hourly_stats(spark, sf_dir):
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
            min(ts) AS first_ts, max(ts) AS last_ts,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY user_id
     """,
     "Per-entity activity profile: grouped multi-aggregate with exact "
@@ -723,7 +738,7 @@ def events_user_activity(spark, sf_dir):
         F.countDistinct("event_type").alias("n_types"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
-        F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(38,2)").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
     )
 
 
@@ -732,9 +747,9 @@ def events_user_activity(spark, sf_dir):
     """
     SELECT vec_id,
            CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                AS DECIMAL(38,6)) AS l2_norm,
+                AS DOUBLE) AS l2_norm,
            CAST(embedding[1] / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                AS DECIMAL(38,6)) AS unit_head
+                AS DOUBLE) AS unit_head
       FROM embeddings
      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     """,
@@ -753,8 +768,8 @@ def embedding_l2_normalize(spark, sf_dir):
         .filter(F.col("unit_vec").isNotNull())
         .select(
             "vec_id",
-            norm.cast("decimal(38,6)").alias("l2_norm"),
-            F.col("unit_vec")[0].cast("decimal(38,6)").alias("unit_head"),
+            norm.cast("double").alias("l2_norm"),
+            F.col("unit_vec")[0].cast("double").alias("unit_head"),
         )
     )
 
@@ -771,7 +786,14 @@ def embedding_quantize_int8(spark, sf_dir):
     from cdc_audit_spark.operators.similarity import quantize_int8
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return quantize_int8(emb, "embedding").select("vec_id", "scale", "codes")
+    # codes is array<tinyint> — string-encode for the driver's rows-only
+    # check (its pandas canonicalization crashes on ndarray cells, r01);
+    # pipeline users call operators.similarity.quantize_int8 directly.
+    return quantize_int8(emb, "embedding").select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes_csv"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -989,7 +1011,7 @@ def events_type_pivot(spark, sf_dir):
     "median_price_by_flag",
     """
     SELECT l_returnflag,
-           CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(38,4)) AS median_price,
+           CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS median_price,
            CAST(count(*) AS BIGINT) AS n
       FROM lineitem GROUP BY l_returnflag
     """,
@@ -999,7 +1021,7 @@ def events_type_pivot(spark, sf_dir):
 def median_price_by_flag(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return t["lineitem"].groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).cast("decimal(38,4)").alias("median_price"),
+        F.percentile("l_extendedprice", 0.5).cast("double").alias("median_price"),
         F.count("*").alias("n"),
     )
 
@@ -1076,7 +1098,7 @@ def events_json_extract(spark, sf_dir):
 @register(
     "q6_forecast_revenue",
     """
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
       FROM lineitem
      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -1098,7 +1120,7 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(price * disc).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(price * disc).cast("double").alias("revenue"))
     )
 
 
@@ -1175,7 +1197,7 @@ def q12_priority_linestatus(spark, sf_dir):
                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
                     ELSE 0 END) AS DOUBLE)
            / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
-           AS DECIMAL(38,6)) AS promo_revenue_pct
+           AS DOUBLE) AS promo_revenue_pct
       FROM lineitem JOIN part ON l_partkey = p_partkey
      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
@@ -1199,7 +1221,7 @@ def q14_promo_revenue(spark, sf_dir):
                 F.lit(100.0)
                 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast("double")
                 / F.sum(rev).cast("double")
-            ).cast("decimal(38,6)").alias("promo_revenue_pct")
+            ).cast("double").alias("promo_revenue_pct")
         )
     )
 
@@ -1208,7 +1230,7 @@ def q14_promo_revenue(spark, sf_dir):
     "q18_large_orders",
     """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
       FROM customer JOIN orders ON c_custkey = o_custkey
                     JOIN lineitem ON o_orderkey = l_orderkey
      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
@@ -1233,14 +1255,14 @@ def q18_large_orders(spark, sf_dir):
         l.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(qty).cast("decimal(38,2)").alias("total_qty"))
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
     )
 
 
 @register(
     "q19_disjunctive_pred",
     """
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
       FROM lineitem JOIN part ON p_partkey = l_partkey
      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
@@ -1263,7 +1285,7 @@ def q19_disjunctive_pred(spark, sf_dir):
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
         .filter(arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#34", 35, 20, 30))
-        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
     )
 
 
@@ -1271,10 +1293,10 @@ def q19_disjunctive_pred(spark, sf_dir):
     "q22_idle_rich_customers",
     """
     SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS totacctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
       FROM customer c
      WHERE CAST(c_acctbal AS DECIMAL(12,2)) >
-           (SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DECIMAL(38,6))
+           (SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DOUBLE)
               FROM customer WHERE c_acctbal > 0.0)
        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
      GROUP BY c_nationkey
@@ -1297,7 +1319,7 @@ def q22_idle_rich_customers(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(bal).cast("decimal(38,2)").alias("totacctbal"),
+            F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
 
@@ -1305,7 +1327,7 @@ def q22_idle_rich_customers(spark, sf_dir):
 @register(
     "q17_small_quantity_revenue",
     """
-    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS low_qty_revenue,
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS low_qty_revenue,
            CAST(count(*) AS BIGINT) AS n_lines
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
      WHERE p.p_brand = 'Brand#23'
@@ -1331,7 +1353,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-            .cast("decimal(38,2)").alias("low_qty_revenue"),
+            .cast("double").alias("low_qty_revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -1371,7 +1393,7 @@ def q2_min_balance_supplier(spark, sf_dir):
     """
     WITH rev AS (
       SELECT l_suppkey,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS total_revenue
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
         FROM lineitem GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name, r.total_revenue
@@ -1388,7 +1410,7 @@ def q15_top_supplier(spark, sf_dir):
     disc = F.col("l_discount").cast("decimal(12,2)")
     rev = (
         t["lineitem"].groupBy("l_suppkey")
-        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("total_revenue"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("total_revenue"))
     )
     best = rev.agg(F.max("total_revenue").alias("best_revenue"))
     return (
@@ -1468,7 +1490,7 @@ def set_except_unordered_parts(spark, sf_dir):
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_spend
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
       FROM orders
     """,
     "Cumulative sum per customer over order history — one shuffle on the "
@@ -1484,7 +1506,7 @@ def window_running_total(spark, sf_dir):
     return t["orders"].select(
         "o_custkey", "o_orderkey", "o_orderdate",
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w)
-        .cast("decimal(38,2)").alias("running_spend"),
+        .cast("double").alias("running_spend"),
     )
 
 
@@ -1495,7 +1517,7 @@ def window_running_total(spark, sf_dir):
            CAST(CAST(value AS DECIMAL(12,2)) -
                 lag(CAST(value AS DECIMAL(12,2)))
                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                AS DECIMAL(13,2)) AS delta
+                AS DOUBLE) AS delta
       FROM events
     """,
     "lag(): per-user value delta between consecutive events (exact decimal "
@@ -1507,7 +1529,7 @@ def window_lag_delta(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "user_id", "event_id", "ts",
-        (v - F.lag(v).over(w)).cast("decimal(13,2)").alias("delta"),
+        (v - F.lag(v).over(w)).cast("double").alias("delta"),
     )
 
 
@@ -1516,7 +1538,7 @@ def window_lag_delta(spark, sf_dir):
     """
     SELECT user_id, event_id, ts,
            CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
-                / count(*) OVER w AS DECIMAL(38,6)) AS mavg7
+                / count(*) OVER w AS DOUBLE) AS mavg7
       FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -1560,7 +1582,7 @@ def ntile_price_quartiles(spark, sf_dir):
            CAST(sum(CAST(value AS DECIMAL(12,2)))
                 OVER (PARTITION BY user_id ORDER BY ts
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS hour_sum
+                AS DOUBLE) AS hour_sum
       FROM events
     """,
     "Event-time RANGE frame: per-user rolling 1-hour value sum — frame "
@@ -1576,7 +1598,7 @@ def window_time_range_sum(spark, sf_dir):
     return ev.select(
         "user_id", "event_id", "ts",
         F.sum(F.col("value").cast("decimal(12,2)")).over(w)
-        .cast("decimal(38,2)").alias("hour_sum"),
+        .cast("double").alias("hour_sum"),
     )
 
 
@@ -1609,8 +1631,8 @@ def window_first_last_value(spark, sf_dir):
     "window_percent_rank",
     """
     SELECT o_orderkey,
-           CAST(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS DECIMAL(38,6)) AS price_pctile,
-           CAST(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey) AS DECIMAL(38,6)) AS price_cume
+           CAST(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS price_pctile,
+           CAST(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS price_cume
       FROM orders
     """,
     "percent_rank + cume_dist over a total order (global window — ranked "
@@ -1622,8 +1644,8 @@ def window_percent_rank(spark, sf_dir):
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return t["orders"].select(
         "o_orderkey",
-        F.percent_rank().over(w).cast("decimal(38,6)").alias("price_pctile"),
-        F.cume_dist().over(w).cast("decimal(38,6)").alias("price_cume"),
+        F.percent_rank().over(w).cast("double").alias("price_pctile"),
+        F.cume_dist().over(w).cast("double").alias("price_cume"),
     )
 
 
@@ -1725,13 +1747,13 @@ def text_top_bigrams(spark, sf_dir):
            CAST(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-                AS DECIMAL(38,6)) AS cos_sim
+                AS DOUBLE) AS cos_sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
      WHERE a.vec_id < 128 AND b.vec_id < 128
        AND CAST(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-                AS DECIMAL(38,6)) > 0.60
+                AS DOUBLE) > 0.60
     """,
     "Embedding-cosine near-dup pairs (exact, bounded id range): JVM "
     "zip_with/aggregate dot products on a self-join; the exact verifier "
@@ -1752,7 +1774,7 @@ def dedup_embedding_cosine(spark, sf_dir):
 @register(
     "events_daily_active",
     """
-    SELECT CAST(ts AS DATE) AS day,
+    SELECT date_trunc('day', ts) AS day,
            CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
            CAST(count(*) AS BIGINT) AS n_events
       FROM events GROUP BY 1
@@ -1763,7 +1785,7 @@ def dedup_embedding_cosine(spark, sf_dir):
 def events_daily_active(spark, sf_dir):
     ev = load_tables(spark, sf_dir)["events"]
     return (
-        ev.groupBy(F.to_date("ts").alias("day"))
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(
             F.countDistinct("user_id").alias("dau"),
             F.count("*").alias("n_events"),
@@ -1774,8 +1796,8 @@ def events_daily_active(spark, sf_dir):
 @register(
     "events_type_day_cube",
     """
-    SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY CUBE (event_type, date_trunc('day', ts))
     """,
     "CUBE grouping-set aggregation over (event_type, day) — all four "
     "grouping combinations in one pass (expand + single shuffle)",
@@ -1783,7 +1805,7 @@ def events_daily_active(spark, sf_dir):
 def events_type_day_cube(spark, sf_dir):
     ev = load_tables(spark, sf_dir)["events"]
     return (
-        ev.cube(F.col("event_type"), F.to_date("ts").alias("day"))
+        ev.cube(F.col("event_type"), F.date_trunc("day", "ts").alias("day"))
         .agg(F.count("*").alias("n"))
     )
 
@@ -1945,7 +1967,13 @@ def multimodal_features(spark, sf_dir):
 
     docs = load_tables(spark, sf_dir)["documents"]
     payloads = attach_payload(docs, "text").select("doc_id", "media.payload")
-    return extract_features(payloads, "doc_id", "payload")
+    feats = extract_features(payloads, "doc_id", "payload")
+    # array<float> output string-encoded: driver canon crashes on ndarrays
+    return feats.select(
+        "id",
+        "n_bytes",
+        F.concat_ws(",", F.col("features").cast("array<string>")).alias("features_csv"),
+    )
 
 
 @register(
@@ -1977,7 +2005,11 @@ def multimodal_chunk_sample(spark, sf_dir):
     from cdc_audit_spark.operators.multimodal import frame_sample
 
     docs = load_tables(spark, sf_dir)["documents"]
-    return frame_sample(docs, "text", "doc_id", every_k=4, chunk_bytes=256)
+    sampled = frame_sample(docs, "text", "doc_id", every_k=4, chunk_bytes=256)
+    # binary chunks base64-encoded: driver canon cannot hash bytes cells
+    enc = [F.base64(F.col(c)).alias(c) if c == "chunk" else F.col(c)
+           for c in sampled.columns]
+    return sampled.select(*enc)
 
 
 @register(
@@ -2058,7 +2090,7 @@ def cdc_scd2_history(spark, sf_dir):
     f"""
     WITH {_V1_CTE}
     SELECT c_mktsegment,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_bal,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
            CAST(count(*) AS BIGINT) AS n_rows
       FROM v1 GROUP BY c_mktsegment
     """,
@@ -2080,7 +2112,7 @@ def cdc_incremental_agg(spark, sf_dir):
     )
     return out.select(
         "c_mktsegment",
-        F.col("total").cast("decimal(38,2)").alias("total_bal"),
+        F.col("total").cast("double").alias("total_bal"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
 
@@ -2103,7 +2135,7 @@ def _rev():
     "q7_nation_volume",
     f"""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(sum(volume) AS DECIMAL(38,4)) AS revenue
+           CAST(sum(volume) AS DOUBLE) AS revenue
       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l.l_shipdate) AS INT) AS l_year, {_REV} AS volume
               FROM supplier s
@@ -2141,7 +2173,7 @@ def q7_nation_volume(spark, sf_dir):
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum(_rev()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
 
 
@@ -2151,7 +2183,7 @@ def q7_nation_volume(spark, sf_dir):
     SELECT o_year,
            CAST(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume
                               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-                / CAST(sum(volume) AS DOUBLE) AS DECIMAL(38,6)) AS mkt_share
+                / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
       FROM (SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
                    {_REV} AS volume, n1.n_name AS nation
               FROM part p
@@ -2212,7 +2244,7 @@ def q8_market_share(spark, sf_dir):
     "q10_returned_items",
     f"""
     SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
-           CAST(sum({_REV}) AS DECIMAL(38,4)) AS revenue
+           CAST(sum({_REV}) AS DOUBLE) AS revenue
       FROM customer c
       JOIN orders o   ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2237,7 +2269,7 @@ def q10_returned_items(spark, sf_dir):
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.sum(_rev()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -2302,7 +2334,7 @@ def q16_supplier_part_counts(spark, sf_dir):
 @register(
     "q19_disjunctive_revenue",
     f"""
-    SELECT CAST(sum({_REV}) AS DECIMAL(38,4)) AS revenue
+    SELECT CAST(sum({_REV}) AS DOUBLE) AS revenue
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
      WHERE (p.p_brand = 'Brand#2'  AND l.l_quantity BETWEEN 1  AND 11 AND p.p_size BETWEEN 1 AND 5)
         OR (p.p_brand = 'Brand#15' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
@@ -2327,7 +2359,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     return (
         items.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
         .filter(groups)
-        .agg(F.sum(_rev()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
 
 
@@ -2589,13 +2621,17 @@ def pack_token_chunks(spark, sf_dir):
       SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY term),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
     SELECT term, df,
-           CAST(ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(38,6)) AS idf
+           CAST(CAST(ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,9))
+                AS DOUBLE) AS idf
       FROM df_counts, n
      WHERE df >= 50
     """,
     "Corpus IDF table (TF-IDF building block): distinct-term explode → "
     "document frequency → ln(N/df); explode+agg is two shuffles, both "
-    "partial-aggregated map-side; the df>=50 filter bounds the output",
+    "partial-aggregated map-side; the df>=50 filter bounds the output. "
+    "ln() is the one op JVM and C libm round differently (last-ulp), so the "
+    "idf round-trips through DECIMAL(18,9) on both sides — quantizing far "
+    "above ulp noise — and is emitted as a double.",
 )
 def tfidf_top_terms(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
@@ -2618,7 +2654,8 @@ def tfidf_top_terms(spark, sf_dir):
         .withColumn(
             "idf",
             F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
-            .cast("decimal(38,6)"),
+            .cast("decimal(18,9)")
+            .cast("double"),
         )
     )
 
@@ -2663,7 +2700,7 @@ def cdc_state_asof(spark, sf_dir):
     "revenue_grouping_sets",
     """
     SELECT o_orderstatus, o_orderpriority,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
              AS total_price,
            CAST(count(*) AS BIGINT) AS n_orders
       FROM orders
@@ -2684,7 +2721,7 @@ def revenue_grouping_sets(spark, sf_dir):
         )
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_price"),
             F.count("*").alias("n_orders"),
         )
@@ -2694,35 +2731,57 @@ def revenue_grouping_sets(spark, sf_dir):
 @register(
     "lineitem_stats_profile",
     """
-    SELECT CAST(round(corr(l_quantity, l_extendedprice), 4)
-                AS DECIMAL(10,4)) AS corr_qty_price,
-           CAST(round(covar_samp(l_quantity, l_discount), 6)
-                AS DECIMAL(18,6)) AS cov_qty_disc,
-           CAST(round(stddev_samp(l_extendedprice), 2)
-                AS DECIMAL(18,2)) AS sd_price,
-           CAST(round(var_samp(l_quantity), 4) AS DECIMAL(18,4)) AS var_qty
-      FROM lineitem
+    WITH s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+             CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sd,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sqd
+        FROM lineitem
+    )
+    SELECT (n * sqp - sq * sp)
+             / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS corr_qty_price,
+           (sqd - sq * sd / n) / (n - 1) AS cov_qty_disc,
+           sqrt((spp - sp * sp / n) / (n - 1)) AS sd_price,
+           (sqq - sq * sq / n) / (n - 1) AS var_qty
+      FROM s
     """,
     "Single-pass statistical profile: corr / covar_samp / stddev / variance "
-    "as one global aggregate (one partial-agg pass, 1-row output). Doubles "
-    "rounded to fixed decimals well above the engines' summation-order noise "
-    "(~1e-9 relative) so both engines hash identically.",
+    "as one global aggregate (one partial-agg pass, 1-row output). The "
+    "moments are exact decimal sums (order-independent), and the closed-form "
+    "double expressions are textually identical on both engines, so every "
+    "IEEE op rounds identically — bit-equal outputs with no rounding step. "
+    "(The engines' own corr/stddev implementations use different streaming "
+    "update formulas and drift in the last ulps; this formulation is both "
+    "deterministic under shuffle order and cross-engine stable.)",
 )
 def lineitem_stats_profile(spark, sf_dir):
     li = load_tables(spark, sf_dir)["lineitem"]
-    return li.agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4)
-        .cast("decimal(10,4)")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(12,2)")
+    s = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(p * p).cast("double").alias("spp"),
+        F.sum(q * p).cast("double").alias("sqp"),
+        F.sum(q * d).cast("double").alias("sqd"),
+    )
+    n, sq, sp, sd = F.col("n"), F.col("sq"), F.col("sp"), F.col("sd")
+    sqq, spp, sqp, sqd = F.col("sqq"), F.col("spp"), F.col("sqp"), F.col("sqd")
+    return s.select(
+        ((n * sqp - sq * sp)
+         / (F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)))
         .alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 6)
-        .cast("decimal(18,6)")
-        .alias("cov_qty_disc"),
-        F.round(F.stddev_samp("l_extendedprice"), 2)
-        .cast("decimal(18,2)")
-        .alias("sd_price"),
-        F.round(F.var_samp("l_quantity"), 4)
-        .cast("decimal(18,4)")
-        .alias("var_qty"),
+        ((sqd - sq * sd / n) / (n - F.lit(1.0))).alias("cov_qty_disc"),
+        F.sqrt((spp - sp * sp / n) / (n - F.lit(1.0))).alias("sd_price"),
+        ((sqq - sq * sq / n) / (n - F.lit(1.0))).alias("var_qty"),
     )
 
 
@@ -2730,13 +2789,14 @@ def lineitem_stats_profile(spark, sf_dir):
     "events_cohort_retention",
     """
     WITH first_seen AS (
-      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
         FROM events GROUP BY user_id),
-    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
-    SELECT f.cohort_day, CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+    act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
            CAST(count(*) AS BIGINT) AS n_active
       FROM act a JOIN first_seen f ON a.user_id = f.user_id
-     WHERE a.day - f.cohort_day <= 7
+     WHERE date_diff('day', f.cohort_day, a.day) <= 7
      GROUP BY f.cohort_day, day_offset
     """,
     "Cohort retention: first-seen day per user, then active-user counts per "
@@ -2747,9 +2807,9 @@ def lineitem_stats_profile(spark, sf_dir):
 def events_cohort_retention(spark, sf_dir):
     ev = load_tables(spark, sf_dir)["events"]
     first_seen = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("cohort_day")
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
     )
-    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    act = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
     return (
         act.join(first_seen, "user_id")
         .withColumn("day_offset", F.datediff("day", "cohort_day").cast("long"))
@@ -2817,9 +2877,9 @@ def decontam_benchmark_overlap(spark, sf_dir):
         FROM toks)
     SELECT doc_id, n_tokens,
            CAST((len(g2) - len(list_distinct(g2)))
-                / CAST(nullif(len(g2), 0) AS DOUBLE) AS DECIMAL(38,6)) AS dup2_ratio,
+                / CAST(nullif(len(g2), 0) AS DOUBLE) AS DOUBLE) AS dup2_ratio,
            CAST((len(g3) - len(list_distinct(g3)))
-                / CAST(nullif(len(g3), 0) AS DOUBLE) AS DECIMAL(38,6)) AS dup3_ratio
+                / CAST(nullif(len(g3), 0) AS DOUBLE) AS DOUBLE) AS dup3_ratio
       FROM g
     """,
     "Repetition-based quality signal (Gopher-style filter): per-doc fraction "
@@ -2844,7 +2904,7 @@ def text_repetition_stats(spark, sf_dir):
         return (
             (F.size(g) - F.size(F.array_distinct(g)))
             / F.nullif(F.size(g), F.lit(0)).cast("double")
-        ).cast("decimal(38,6)")
+        ).cast("double")
 
     return (
         docs.withColumn("__w", w)
@@ -2933,19 +2993,27 @@ def profile_orders(spark, sf_dir):
         FROM events GROUP BY event_type, date_trunc('hour', ts)),
     scored AS (
       SELECT event_type, hr, n,
-             avg(n) OVER (PARTITION BY event_type) AS mu,
-             stddev_samp(n) OVER (PARTITION BY event_type) AS sd
-        FROM hourly)
+             CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS sn,
+             CAST(sum(n * n) OVER (PARTITION BY event_type) AS DOUBLE) AS snn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS cnt
+        FROM hourly),
+    z AS (
+      SELECT event_type, hr, n,
+             (n - sn / cnt)
+               / sqrt((snn - sn * sn / cnt) / (cnt - 1)) AS zscore,
+             (snn - sn * sn / cnt) / (cnt - 1) AS variance
+        FROM scored)
     SELECT event_type, CAST(hr AS TIMESTAMP) AS hr, CAST(n AS BIGINT) AS n,
-           CAST(round((n - mu) / sd, 4) AS DECIMAL(18,4)) AS zscore
-      FROM scored
-     WHERE sd > 0 AND abs((n - mu) / sd) > 2
+           zscore
+      FROM z
+     WHERE variance > 0 AND abs(zscore) > 2
     """,
     "Volume anomaly detection: hourly counts per event type, z-scored "
     "against that type's own distribution via an unordered analytic window "
     "(no join-back — the grouped stats ride the same partitioning as the "
-    "counts). Counts are integers, so mean/stddev are deterministic across "
-    "engines; the z-score rounds to 4 decimals far above double noise.",
+    "counts). Mean/variance come from exact integer window sums and a "
+    "textually identical closed-form double expression on both engines, so "
+    "the z-score is bit-stable — no rounding, no decimal output.",
 )
 def events_hourly_anomalies(spark, sf_dir):
     ev = load_tables(spark, sf_dir)["events"]
@@ -2954,16 +3022,21 @@ def events_hourly_anomalies(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     w = Window.partitionBy("event_type")
-    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    n = F.col("n")
+    sn, snn, cnt = F.col("sn"), F.col("snn"), F.col("cnt")
+    variance = (snn - sn * sn / cnt) / (cnt - F.lit(1.0))
+    z = (n - sn / cnt) / F.sqrt(variance)
     return (
-        hourly.withColumn("mu", F.avg("n").over(w))
-        .withColumn("sd", F.stddev_samp("n").over(w))
-        .filter((F.col("sd") > 0) & (F.abs(z) > 2))
+        hourly.withColumn("sn", F.sum(n).over(w).cast("double"))
+        .withColumn("snn", F.sum(n * n).over(w).cast("double"))
+        .withColumn("cnt", F.count("*").over(w).cast("double"))
+        .withColumn("zscore", z)
+        .filter((variance > 0) & (F.abs(F.col("zscore")) > 2))
         .select(
             "event_type",
             "hr",
-            F.col("n").cast("long").alias("n"),
-            F.round(z, 4).cast("decimal(18,4)").alias("zscore"),
+            n.cast("long").alias("n"),
+            "zscore",
         )
     )
 
@@ -3071,7 +3144,7 @@ def dedup_rate_by_source(spark, sf_dir):
     SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
            CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
                     * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
-                AS DECIMAL(38,4)) AS profit
+                AS DOUBLE) AS profit
       FROM lineitem l
       JOIN orders o   ON l.l_orderkey = o.o_orderkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -3100,7 +3173,7 @@ def q9_profit_by_nation_year(spark, sf_dir):
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("profit"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("profit"))
     )
 
 
@@ -3109,8 +3182,8 @@ def q9_profit_by_nation_year(spark, sf_dir):
     """
     SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(min(value) AS DECIMAL(12,2)) AS lo,
-           CAST(max(value) AS DECIMAL(12,2)) AS hi
+           min(value) AS lo,
+           max(value) AS hi
       FROM events
      WHERE value IS NOT NULL
      GROUP BY CAST(least(floor(value / 50.0), 9) AS BIGINT)
@@ -3128,8 +3201,8 @@ def events_value_histogram(spark, sf_dir):
         .groupBy(bucket.alias("bucket"))
         .agg(
             F.count("*").alias("n"),
-            F.min("value").cast("decimal(12,2)").alias("lo"),
-            F.max("value").cast("decimal(12,2)").alias("hi"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
         )
     )
 
@@ -3144,7 +3217,7 @@ def events_value_histogram(spark, sf_dir):
            concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
            CAST(greatest(CAST(o_totalprice AS DECIMAL(12,2)),
                          CAST(1000.00 AS DECIMAL(12,2)))
-                AS DECIMAL(12,2)) AS floored_price,
+                AS DOUBLE) AS floored_price,
            coalesce(nullif(o_orderstatus, 'F'), 'FINAL') AS status_tagged,
            CAST(date_diff('day', DATE '1990-01-01', o_orderdate) % 7
                 AS BIGINT) AS weekday_idx
@@ -3172,7 +3245,7 @@ def scalar_function_sampler(spark, sf_dir):
             F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("tag"),
             F.greatest(
                 F.col("o_totalprice").cast(dec), F.lit("1000.00").cast(dec)
-            ).cast(dec).alias("floored_price"),
+            ).cast("double").alias("floored_price"),
             F.coalesce(
                 F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("FINAL")
             ).alias("status_tagged"),

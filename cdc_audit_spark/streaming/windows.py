@@ -39,7 +39,7 @@ def windowed_event_stats(
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct(user_col).alias("n_users"),
-            F.sum(F.col(value_col).cast("decimal(12,2)")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(F.col(value_col).cast("decimal(12,2)")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), type_col,
                 "n_events", "n_users", "total_value")
@@ -102,7 +102,7 @@ def stream_windowed_stats(
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
@@ -126,7 +126,7 @@ def stream_session_stats(
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
         )
         .select(
             "user_id",
