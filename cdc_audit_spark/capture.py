@@ -17,11 +17,13 @@ Scale notes (100 TB):
     (e.g. a dimension table) Catalyst broadcasts it automatically.
   * Change detection (`any non-key column differs`) is a null-safe column
     comparison evaluated inside whole-stage codegen — no UDFs.
-  * audit_pk assignment offers two strategies (see assign_audit_pk):
-    "window" (contiguous, single-partition shuffle of the *change set* only —
-    change sets are usually orders of magnitude smaller than snapshots) and
-    "distributed" (contiguous, no single-partition bottleneck: per-partition
-    counts + offsets, the zipWithIndex pattern).
+  * audit_pk assignment auto-selects between two strategies (see
+    assign_audit_pk): "window" (contiguous, single-partition shuffle — only
+    safe for small change sets) and "distributed" (contiguous, no
+    single-partition bottleneck: per-partition counts + offsets, the
+    zipWithIndex pattern). The default "auto" picks by Catalyst's optimized-
+    plan size estimate, erring toward distributed — a 100 TB backfill diff
+    must never funnel through one task (r01 verdict item 3).
 """
 
 from __future__ import annotations
@@ -59,7 +61,7 @@ def snapshot_diff(
     pk_cols: list[str],
     ts: _dt.datetime | None = None,
     base_pk: int = 0,
-    pk_strategy: str = "window",
+    pk_strategy: str = "auto",
 ) -> DataFrame:
     """Diff two snapshots into an audit-table DataFrame.
 
@@ -123,27 +125,53 @@ def snapshot_diff(
     )
 
 
+# A change set whose Catalyst size estimate fits comfortably in one task's
+# sort buffer may take the cheaper single-shuffle window path; anything
+# larger — or unestimable — takes the distributed path. Join-heavy plans
+# overestimate, which only pushes toward distributed: the safe direction.
+_WINDOW_MAX_EST_BYTES = 64 * 1024 * 1024
+
+
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan sizeInBytes — free (no job), conservative."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # noqa: BLE001 — estimation is best-effort by design
+        return None
+
+
 def assign_audit_pk(
     df: DataFrame,
     order_cols: list[str],
     base: int = 0,
-    strategy: str = "window",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Append a contiguous, deterministic ``audit_pk`` = base + rank in the
     total order given by ``order_cols``.
 
     MySQL gets this for free from auto_increment (gen:333); distributed Spark
-    does not. Two strategies:
+    does not. Strategies:
 
+    * ``auto`` (default) — ``window`` when Catalyst's optimized-plan size
+      estimate is under 64 MiB, else ``distributed``. Estimates for joins
+      skew high, so ambiguity resolves toward the scale-safe path; a missing
+      estimate also means ``distributed``.
     * ``window`` — ``row_number()`` over a global window. One single-partition
-      shuffle of the change set. Right choice when the change set is small
-      relative to cluster memory (the common CDC case).
+      shuffle of the change set. Only right when the change set is known
+      small (it is a scale-killer otherwise — r01 verdict).
     * ``distributed`` — range-repartition on the order columns, sort within
       partitions, then add per-partition offsets computed from partition
       counts (the classic zipWithIndex pattern, done with mapInPandas so rows
       never leave Arrow batches). No single-partition bottleneck; use for
       huge backfills. Deterministic given the same input data.
     """
+    if strategy == "auto":
+        est = _plan_size_estimate(df)
+        strategy = (
+            "window"
+            if est is not None and est <= _WINDOW_MAX_EST_BYTES
+            else "distributed"
+        )
     if strategy == "window":
         w = Window.orderBy(*[F.col(c) for c in order_cols])
         return df.withColumn(
@@ -156,7 +184,20 @@ def assign_audit_pk(
 
 def _assign_pk_distributed(df: DataFrame, order_cols: list[str], base: int) -> DataFrame:
     import pandas as pd
+    from pyspark import StorageLevel
 
+    # This strategy needs three passes over the change set: the range
+    # partitioner's key-sampling job, the per-partition count job, and the
+    # id-assigning output job. Persist the *pre-shuffle* change set (for
+    # CDC: the snapshot-diff output) so its lineage executes once — the
+    # sampling job fills the cache, and the count/output jobs additionally
+    # reuse the range-exchange's shuffle files (same exchange RDD). Spills
+    # to disk if it can't fit; change sets are far smaller than snapshots.
+    # Spark's own RDD.zipWithIndex has the same multi-job shape. The cache
+    # stays registered on the returned DataFrame's lineage; Spark evicts it
+    # LRU — callers doing many diffs in one session can `.unpersist()`
+    # explicitly if needed.
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     parted = df.repartitionByRange(*[F.col(c) for c in order_cols]) \
                .sortWithinPartitions(*order_cols)
     parted = parted.withColumn("__pid", F.spark_partition_id())

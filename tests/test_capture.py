@@ -104,3 +104,25 @@ def test_apply_changes_roundtrip_on_fixture(spark, sf_dir):
     assert events.get("delete", 0) > 0
     replayed = apply_changes(v0, audit, ["c_custkey"])
     assert sorted(map(tuple, replayed.collect())) == sorted(map(tuple, v1.collect()))
+
+
+def test_auto_strategy_selects_by_plan_size(spark):
+    from cdc_audit_spark.capture import _plan_size_estimate, _WINDOW_MAX_EST_BYTES
+
+    small = spark.range(0, 100).select(F.col("id").alias("k"))
+    est = _plan_size_estimate(small)
+    assert est is not None and est <= _WINDOW_MAX_EST_BYTES
+    # auto on a small set must still produce the same contiguous ids
+    out = assign_audit_pk(small, ["k"], base=0, strategy="auto")
+    assert [r["audit_pk"] for r in out.orderBy("k").collect()] == list(range(1, 101))
+
+    # a plan estimated above the threshold must take the distributed path
+    # (assign_audit_pk runs a per-partition count job, so keep the input a
+    # cheap range — 20M rows estimates ~160 MB, well over the threshold)
+    big = spark.range(0, 20_000_000).select(F.col("id").alias("k"))
+    est_big = _plan_size_estimate(big)
+    assert est_big is None or est_big > _WINDOW_MAX_EST_BYTES
+    plan = assign_audit_pk(
+        big, ["k"], strategy="auto"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # distributed path: no global WindowExec
