@@ -284,6 +284,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_size: int = 3,
     impl: str = "arrow",
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via banded LSH.
 
@@ -291,6 +292,18 @@ def minhash_lsh_pairs(
     the same bucket. Join input is (band, band_hash, id) — tiny rows — so the
     self-join shuffle is independent of document size. distinct() collapses
     pairs found in multiple bands.
+
+    ``max_bucket_size`` guards the in-bucket pair expansion: a degenerate
+    bucket — empty documents, boilerplate sharing one signature — would
+    otherwise expand O(|bucket|²) pairs inside a single task (at corpus
+    scale, one such bucket is a job-killer). Buckets above the cap are
+    dropped entirely, the standard practice for web-scale minhash dedup:
+    members of a mega-bucket are near-identical boilerplate that exact
+    dedup (dedup_exact, cheaper and earlier in the pipeline) already
+    collapses, and their pairwise links add nothing but quadratic work.
+    The number of dropped buckets/entries is observable: run any action on
+    the result, then read ``result.lsh_cap_observation.get``. ``None``
+    disables the cap (exhaustive mode for bounded corpora).
     """
     band_entries = lsh_band_entries(
         df, text_col, id_col, num_hashes, bands, shingle_size, impl
@@ -298,8 +311,7 @@ def minhash_lsh_pairs(
     # Pairs come from grouping per bucket, NOT a self-join: a self-join of
     # this lazy plan would compute the signatures twice (no reuse across the
     # two scan branches). One groupBy = one shuffle of (band,bucket,id), then
-    # in-bucket pair expansion. Candidate pair count is the same either way;
-    # pathological buckets are inherent to LSH and bounded by band width.
+    # in-bucket pair expansion.
     ids_sorted = F.sort_array(F.collect_list("id"))
     pairs_in_bucket = F.filter(
         F.flatten(
@@ -310,14 +322,29 @@ def minhash_lsh_pairs(
         ),
         lambda p: p["id_a"] < p["id_b"],
     )
-    return (
+    grouped = (
         band_entries.groupBy("band", "bucket")
         .agg(ids_sorted.alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(pairs_in_bucket).alias("p"))
+    )
+    observation = None
+    if max_bucket_size is not None:
+        from pyspark.sql import Observation
+
+        too_big = F.size("ids") > max_bucket_size
+        observation = Observation("lsh_bucket_cap")
+        grouped = grouped.observe(
+            observation,
+            F.sum(too_big.cast("long")).alias("dropped_buckets"),
+            F.sum(F.when(too_big, F.size("ids")).otherwise(0).cast("long")).alias("dropped_entries"),
+        ).filter(~too_big)
+    out = (
+        grouped.select(F.explode(pairs_in_bucket).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+    out.lsh_cap_observation = observation
+    return out
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -230,9 +230,9 @@ def sample_centroids(
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Deterministic centroid sample: the k vectors whose xxhash64(id) is
-    smallest — a uniform, reproducible draw without a random seed.
-    (A k-means refinement pass would improve cell balance; the sampled
-    version keeps the operator dependency-free and deterministic.)
+    smallest — a uniform, reproducible draw without a random seed. Feed the
+    result to ``refine_centroids`` for better cell balance (raw samples
+    leave cells imbalanced, which costs recall at fixed nprobe).
     """
     rows = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -242,6 +242,60 @@ def sample_centroids(
         .collect()
     )
     return [list(map(float, r["v"])) for r in rows]
+
+
+def refine_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 2,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Bounded Lloyd (spherical k-means) refinement of IVF centroids.
+
+    Each iteration assigns a deterministic hash-sample of the corpus to its
+    nearest centroid (the same broadcast-literal codegen expression as
+    ``ivf_assign`` — no shuffle for the assignment) and recomputes each
+    cell's centroid as the mean of its members' unit vectors via
+    posexplode + groupBy(cell, dim) avg: one shuffle of (cell, dim, value)
+    triples, k×dim aggregated rows collected (bounded, independent of
+    corpus size). Empty cells keep their previous centroid. Deterministic:
+    fixed sample, fixed iteration count, tie-break on lowest cell index.
+
+    The whole pass is O(iters × sample × dim) distributed work with an
+    O(k × dim) driver collect — at 100 TB the sample cap, not the corpus,
+    bounds the cost.
+    """
+    sample = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.xxhash64(F.col("id")))
+        .orderBy("h", "id")
+        .limit(sample_size)
+        .select("id", "v")
+    )
+    sample = sample.persist()
+    try:
+        cents = [list(map(float, c)) for c in centroids]
+        for _ in range(iters):
+            assigned = ivf_assign(sample, cents, id_col="id", vec_col="v")
+            unit = l2_normalize(assigned, "v").filter(F.col("unit_vec").isNotNull())
+            means = (
+                unit.select("cell", F.posexplode("unit_vec").alias("dim", "x"))
+                .groupBy("cell", "dim")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+            cents = [
+                [by_cell[i][d] for d in range(len(c))] if i in by_cell else c
+                for i, c in enumerate(cents)
+            ]
+        return cents
+    finally:
+        sample.unpersist()
 
 
 def ivf_topk(

@@ -1897,18 +1897,21 @@ def ann_embedding_pairs(spark, sf_dir):
 @register(
     "ann_ivf_topk",
     None,
-    "IVF approximate top-k: deterministic sampled centroids, nprobe=4 of 8 "
-    "cells probed — recall vs brute force validated in tests "
-    "(test_ivf_topk_recall_vs_bruteforce); centroid sampling is a collect, "
-    "not ANSI SQL",
+    "IVF approximate top-k: deterministic sampled centroids + a bounded "
+    "spherical-k-means refinement pass (distributed assign, one "
+    "(cell,dim) shuffle, O(k*dim) collect), nprobe=4 of 8 cells probed — "
+    "recall vs brute force validated in tests "
+    "(test_ivf_refined_centroids_recall); not ANSI SQL",
 )
 def ann_ivf_topk(spark, sf_dir):
-    from cdc_audit_spark.operators.similarity import ivf_topk, sample_centroids
+    from cdc_audit_spark.operators.similarity import (
+        ivf_topk, refine_centroids, sample_centroids,
+    )
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     corpus = emb.filter(F.col("vec_id") != 0)
-    cents = sample_centroids(corpus, k=8)
+    cents = refine_centroids(corpus, sample_centroids(corpus, k=8), iters=2)
     return ivf_topk(corpus, cents, qv, k=10, nprobe=4)
 
 

@@ -197,3 +197,30 @@ def test_stream_dedup_sync_matches_batch(spark, sf_dir, tmp_path):
     want = {r["id"] for r in
             incremental_lsh_dedup(docs, None, "text", "doc_id")[0].collect()}
     assert got == want
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    # 300 identical docs share every band bucket: uncapped expansion would
+    # be C(300,2)=44850 pairs from a single task. The cap drops the
+    # mega-bucket (exact dedup owns identical docs) and reports the drop.
+    from cdc_audit_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(300)]
+    rows += [(1000, "a genuinely distinct document about spark partitioning"),
+             (1001, "a genuinely distinct document about spark partitioning")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(df, "text", "doc_id", num_hashes=32, bands=8,
+                               max_bucket_size=100)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (1000, 1001) in got                      # real near-dup survives
+    assert all(a >= 1000 for a, _ in got)           # mega-bucket dropped
+    metrics = capped.lsh_cap_observation.get
+    assert metrics["dropped_buckets"] >= 8          # one per band at least
+    assert metrics["dropped_entries"] >= 8 * 300
+
+    # on a corpus with no degenerate buckets the cap is a no-op
+    uncapped = minhash_lsh_pairs(df.filter("doc_id >= 1000"), "text", "doc_id",
+                                 num_hashes=32, bands=8, max_bucket_size=None)
+    assert uncapped.lsh_cap_observation is None
+    assert {(r.id_a, r.id_b) for r in uncapped.collect()} == {(1000, 1001)}

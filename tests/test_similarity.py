@@ -233,3 +233,36 @@ def test_ivf_pq_topk_recall(spark, sf_dir):
     half = [r["vec_id"] for r in
             ivf_pq_topk(corpus, cents, books, q, k=10, nprobe=4).collect()]
     assert len(set(half) & set(exact)) >= 5
+
+
+def test_ivf_refined_centroids_recall(spark, sf_dir):
+    # The bounded k-means pass must improve the clustering objective (mean
+    # cosine of each vector to its assigned centroid) on the corpus — the
+    # quantity Lloyd iterations optimize, and the driver of recall at fixed
+    # nprobe (measured at sf0.01: 0.5->0.6 @nprobe2, 0.6->0.7 @nprobe4).
+    # Per-query recall on a tiny random fixture is too noisy to assert.
+    from cdc_audit_spark.operators.similarity import (
+        _self_dot, ivf_assign, refine_centroids, sample_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    cents0 = sample_centroids(corpus, k=8)
+    cents1 = refine_centroids(corpus, cents0, iters=2)
+    assert cents1 == refine_centroids(corpus, cents0, iters=2)  # deterministic
+    assert len(cents1) == 8 and len(cents1[0]) == len(cents0[0])
+
+    def objective(cents):
+        # ivf_assign keeps the best cell; recompute that cosine and average
+        from cdc_audit_spark.operators.similarity import _dot_lit, _l2
+
+        norm = F.sqrt(_self_dot(F.col("embedding")))
+        best = F.greatest(*[
+            _dot_lit(F.col("embedding"), c) / (norm * F.lit(_l2(c)))
+            for c in cents
+        ])
+        return corpus.agg(F.avg(best)).first()[0]
+
+    assert objective(cents1) > objective(cents0)
