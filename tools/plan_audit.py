@@ -43,8 +43,10 @@ EXPLANATIONS = {
     "the scale path is `ann_embedding_pairs` (LSH buckets) / `ann_ivf_topk`",
     "q22_idle_rich_customers": "BroadcastNestedLoopJoin's build side is the "
     "1-row scalar-subquery result — the standard scalar-subquery plan",
-    "cdc_diff_customer": "global row_number assigns audit_pk over ONE change "
-    "batch (bounded); partition-offset variant exists for huge batches "
+    "cdc_diff_customer": "the range exchange + Arrow stage IS the "
+    "distributed audit_pk assignment (parallel range-partitioned total "
+    "order + per-partition offsets — no single-task stage); capture's "
+    "auto strategy keeps the window path only for small estimated batches "
     "(capture.assign_audit_pk, SURVEY §7.4)",
     "window_percent_rank": "percent_rank over a total order is a ranked "
     "export — global by definition; bounded output",
@@ -57,9 +59,10 @@ EXPLANATIONS = {
 }
 
 _CDC_NOTE = (
-    "derives from the audit log built by snapshot_diff: the global "
-    "row_number assigns audit_pk over ONE change batch (bounded); "
-    "partition-offset variant exists for huge batches (SURVEY §7.4)"
+    "derives from the audit log built by snapshot_diff: the range exchange "
+    "+ Arrow stage is the distributed audit_pk assignment (parallel "
+    "range-partitioned total order, per-partition offsets — no single-task "
+    "stage; capture.assign_audit_pk auto strategy, SURVEY §7.4)"
 )
 for _q in ("cdc_audit_stats", "cdc_incremental_scan", "cdc_keep_last_per_key",
            "cdc_replay_state", "cdc_watermark_recovery", "cdc_incremental_agg",
@@ -78,6 +81,8 @@ EXPLANATIONS["text_compression_ratio"] = (
     "zlib deflate has no Catalyst form; Arrow-batched C deflate, map-side "
     "(same cost model as the multimodal codec path)"
 )
+EXPLANATIONS["cdc_state_asof"] = _CDC_NOTE
+EXPLANATIONS["cdc_diff_event_counts"] = _CDC_NOTE
 EXPLANATIONS["ann_pq_topk"] = (
     "PQ encode + asymmetric-distance scan are Arrow-batched numpy stages "
     "(argmin/matmul kernels — the compressed-domain math has no Catalyst "
@@ -115,6 +120,12 @@ def main() -> None:
     rows, flagged = [], []
     for name, qd in sorted(_REGISTRY.items()):
         try:
+            # Cold-cache plans: a prior query's persisted fragments would
+            # otherwise substitute into this plan (accurate small stats flip
+            # capture's auto pk strategy to the informed window path) and
+            # the audit would record warm-session shapes instead of the
+            # conservative cold ones a fresh cluster run sees.
+            spark.catalog.clearCache()
             plan = qd.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # streaming-only entries etc.
             rows.append((name, None, f"(not plannable in batch: {type(e).__name__})"))
