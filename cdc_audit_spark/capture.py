@@ -39,7 +39,7 @@ from cdc_audit_spark.schema import (
     AUDIT_TIMESTAMP,
 )
 
-__all__ = ["snapshot_diff", "assign_audit_pk", "apply_changes"]
+__all__ = ["snapshot_diff", "assign_audit_pk", "global_row_ids", "apply_changes"]
 
 
 def _changed_predicate(value_cols: list[str]) -> Column:
@@ -165,6 +165,20 @@ def assign_audit_pk(
       never leave Arrow batches). No single-partition bottleneck; use for
       huge backfills. Deterministic given the same input data.
     """
+    return global_row_ids(df, order_cols, AUDIT_PK, base=base, strategy=strategy)
+
+
+def global_row_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str,
+    base: int = 0,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Contiguous deterministic 1-based row ids in the total order given by
+    ``order_cols`` — the primitive under audit_pk assignment and the
+    scale-safe ranked exports (operators.ranks). Strategy semantics are
+    documented on assign_audit_pk."""
     if strategy == "auto":
         est = _plan_size_estimate(df)
         strategy = (
@@ -175,32 +189,48 @@ def assign_audit_pk(
     if strategy == "window":
         w = Window.orderBy(*[F.col(c) for c in order_cols])
         return df.withColumn(
-            AUDIT_PK, (F.row_number().over(w) + F.lit(base)).cast("long")
+            out_col, (F.row_number().over(w) + F.lit(base)).cast("long")
         )
     if strategy == "distributed":
-        return _assign_pk_distributed(df, order_cols, base)
+        return _assign_ids_distributed(df, order_cols, out_col, base)
     raise ValueError(f"unknown pk strategy: {strategy}")
 
 
-def _assign_pk_distributed(df: DataFrame, order_cols: list[str], base: int) -> DataFrame:
+def _assign_ids_distributed(
+    df: DataFrame, order_cols: list[str], out_col: str, base: int
+) -> DataFrame:
     import pandas as pd
     from pyspark import StorageLevel
 
     # This strategy needs three passes over the change set: the range
     # partitioner's key-sampling job, the per-partition count job, and the
-    # id-assigning output job. Persist the *pre-shuffle* change set (for
-    # CDC: the snapshot-diff output) so its lineage executes once — the
-    # sampling job fills the cache, and the count/output jobs additionally
-    # reuse the range-exchange's shuffle files (same exchange RDD). Spills
-    # to disk if it can't fit; change sets are far smaller than snapshots.
-    # Spark's own RDD.zipWithIndex has the same multi-job shape. The cache
-    # stays registered on the returned DataFrame's lineage; Spark evicts it
-    # LRU — callers doing many diffs in one session can `.unpersist()`
-    # explicitly if needed.
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    parted = df.repartitionByRange(*[F.col(c) for c in order_cols]) \
+    # id-assigning output job. Only the *post-shuffle* frame is persisted
+    # (below) — persisting the raw input here is tempting (one source scan
+    # instead of two) but WRONG session-wide: Spark's cache manager
+    # substitutes a cached plan into ANY later query containing an equal
+    # subtree, so caching a bare table scan (ranked exports pass base
+    # tables straight in) silently rewrites every other query on that
+    # table to InMemoryTableScan and destroys parquet filter pushdown.
+    # The repartitioned+__pid shape below can only match an identical
+    # ranked call, where reuse is exactly what we want.
+    # Two stability requirements for the offsets to be valid in the output
+    # job: (1) explicit partition count — an unspecified count lets AQE
+    # coalesce the range exchange, and it can decide differently for the
+    # count job (planned on estimates) and the output job (planned on the
+    # populated cache's accurate stats); a user-specified count is exempt.
+    # (2) the post-shuffle data itself must be pinned: the range
+    # partitioner's boundary sample is seeded from the RDD id, which is
+    # fresh per execution — two executions of the same exchange can place
+    # rows in different partitions. Persisting the partitioned frame makes
+    # the count job materialize the one partitioning every later job reads
+    # (lost blocks recompute the SAME RDD lineage, same seed, same
+    # boundaries).
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parted = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols]) \
                .sortWithinPartitions(*order_cols)
     parted = parted.withColumn("__pid", F.spark_partition_id())
+    parted = parted.persist(StorageLevel.MEMORY_AND_DISK)
     # Small aggregate: one row per partition — collect is O(num_partitions).
     counts = {
         r["__pid"]: r["cnt"]
@@ -211,7 +241,7 @@ def _assign_pk_distributed(df: DataFrame, order_cols: list[str], base: int) -> D
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    out_schema = parted.drop("__pid").schema.add(AUDIT_PK, "long", False)
+    out_schema = parted.drop("__pid").schema.add(out_col, "long", False)
 
     def add_ids(iterator):
         seen = 0
@@ -222,7 +252,7 @@ def _assign_pk_distributed(df: DataFrame, order_cols: list[str], base: int) -> D
             if off is None:
                 off = offsets[int(pdf["__pid"].iloc[0])]
             pdf = pdf.drop(columns="__pid")
-            pdf[AUDIT_PK] = pd.RangeIndex(off + seen + 1, off + seen + 1 + len(pdf))
+            pdf[out_col] = pd.RangeIndex(off + seen + 1, off + seen + 1 + len(pdf))
             seen += len(pdf)
             yield pdf
 

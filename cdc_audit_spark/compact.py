@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from cdc_audit_spark.schema import AUDIT_PK
 
-__all__ = ["keep_last", "keep_last_per_key", "compact_log"]
+__all__ = ["keep_last", "keep_last_per_key", "compact_log", "throttled_wipe"]
 
 
 def keep_last(audit_df: DataFrame) -> DataFrame:
@@ -74,6 +74,55 @@ def compact_log(
     writer.save(sink_path)
     survivors.unpersist()
     return n
+
+
+def throttled_wipe(
+    conn,
+    table: str,
+    pk_col: str = AUDIT_PK,
+    batch_size: int = 100,
+    pause_s: float = 1.0,
+    sleep_fn=None,
+) -> int:
+    """Load-bounded wipe of a *live source database's* audit table: delete
+    everything except the single max-``pk_col`` row, ``batch_size`` rows per
+    statement with a pause between batches — the reference's wipe loop
+    (cdc_audit_sync_mysql.php:284-319: DELETE ... LIMIT 100 + sleep 1 until
+    one row remains, stop condition sync:304).
+
+    This is deliberately a driver-side loop over a DB-API connection, not a
+    Spark job: the constraint it serves is bounding write load on an OLTP
+    master, which parallelism would defeat. Batches are *ranged* on the
+    ordered surrogate key (pk >= lo AND pk < hi) rather than LIMIT-ed, so
+    each statement is an index range scan with a bounded lock footprint and
+    the loop is restartable from any point. Spark-side sinks use the
+    rewrite-based ``compact_log`` / ``retention_compact`` instead.
+
+    Returns rows deleted. ``sleep_fn`` is injectable for tests.
+    """
+    import time
+
+    sleep = sleep_fn if sleep_fn is not None else time.sleep
+    cur = conn.cursor()
+    cur.execute(f"SELECT min({pk_col}), max({pk_col}) FROM {table}")  # noqa: S608
+    lo, hi = cur.fetchone()
+    if lo is None or lo == hi:
+        return 0  # empty or already wiped to the single retained row
+    deleted = 0
+    # ranged batches over [lo, hi): the max-pk row is never touched
+    start = lo
+    while start < hi:
+        end = min(start + batch_size, hi)
+        cur.execute(
+            f"DELETE FROM {table} WHERE {pk_col} >= ? AND {pk_col} < ?",  # noqa: S608
+            (start, end),
+        )
+        deleted += cur.rowcount
+        conn.commit()
+        start = end
+        if start < hi:
+            sleep(pause_s)
+    return deleted
 
 
 def retention_compact(

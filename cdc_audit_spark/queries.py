@@ -1563,16 +1563,18 @@ def window_moving_avg(spark, sf_dir):
            CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
       FROM orders
     """,
-    "ntile(4) global bucketing (single-partition window — fine for ranked "
-    "export lists; for 100 TB use approx quantile cutpoints instead, "
-    "documented in README)",
+    "ntile(4) global bucketing via the scale-safe ranked export "
+    "(operators.ranks.ntile_buckets): range-partitioned global row ids + "
+    "closed-form positional tile arithmetic — SQL-exact, no "
+    "single-partition window",
 )
 def ntile_price_quartiles(spark, sf_dir):
+    from cdc_audit_spark.operators.ranks import ntile_buckets
+
     t = load_tables(spark, sf_dir)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return t["orders"].select(
-        "o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile")
-    )
+    return ntile_buckets(
+        t["orders"], ["o_totalprice", "o_orderkey"], k=4, out_col="quartile"
+    ).select("o_orderkey", "quartile")
 
 
 @register(
@@ -1635,18 +1637,20 @@ def window_first_last_value(spark, sf_dir):
            CAST(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS price_cume
       FROM orders
     """,
-    "percent_rank + cume_dist over a total order (global window — ranked "
-    "export shape; both are exact rational values so the decimal cast is "
-    "tie-free only because the tiebreak makes ranks unique)",
+    "percent_rank + cume_dist over a total order via the scale-safe ranked "
+    "export (operators.ranks.ranked_export): range-partitioned global row "
+    "ids + closed-form (rn-1)/(n-1) and rn/n — bit-identical to the SQL "
+    "window forms because the tiebreak makes ranks unique and both engines "
+    "evaluate the same integer-operand double divisions",
 )
 def window_percent_rank(spark, sf_dir):
+    from cdc_audit_spark.operators.ranks import ranked_export
+
     t = load_tables(spark, sf_dir)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return t["orders"].select(
-        "o_orderkey",
-        F.percent_rank().over(w).cast("double").alias("price_pctile"),
-        F.cume_dist().over(w).cast("double").alias("price_cume"),
-    )
+    return ranked_export(
+        t["orders"], ["o_totalprice", "o_orderkey"],
+        percent_col="price_pctile", cume_col="price_cume",
+    ).select("o_orderkey", "price_pctile", "price_cume")
 
 
 # --------------------------------------------------------------------------

@@ -83,3 +83,30 @@ def test_retention_compact_preserves_replay(spark, sf_dir):
     assert (compacted.filter(F.col("audit_pk") > h).count()
             == log.filter(F.col("audit_pk") > h).count())
     log.unpersist()
+
+
+def test_throttled_wipe_sqlite_batches_and_retains_max():
+    # the reference's live-master wipe loop (sync:284-319): batched ranged
+    # deletes + pause, exactly one (max audit_pk) row left standing
+    import sqlite3
+
+    from cdc_audit_spark.compact import throttled_wipe
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute("CREATE TABLE audit_t (audit_pk INTEGER PRIMARY KEY, v TEXT)")
+    conn.executemany(
+        "INSERT INTO audit_t VALUES (?, ?)", [(i, f"r{i}") for i in range(1, 1006)]
+    )
+    conn.commit()
+
+    pauses = []
+    deleted = throttled_wipe(
+        conn, "audit_t", batch_size=100, pause_s=0.5, sleep_fn=pauses.append
+    )
+    assert deleted == 1004
+    rows = conn.execute("SELECT audit_pk FROM audit_t").fetchall()
+    assert rows == [(1005,)]                       # only the max-pk row survives
+    assert len(pauses) >= 10 and set(pauses) == {0.5}  # throttled between batches
+
+    # idempotent on the wiped table
+    assert throttled_wipe(conn, "audit_t", sleep_fn=pauses.append) == 0

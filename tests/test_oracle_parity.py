@@ -33,3 +33,21 @@ def test_every_query_runs_and_is_nonempty(spark, sf_dir):
 
 def test_oracle_keys_subset_of_queries():
     assert set(oracle_sql()) <= set(queries())
+
+
+def test_no_unhashable_output_types(spark, sf_dir):
+    """The driver's canonicalization makes DECIMAL outputs hash-unstable
+    (Decimal str keeps scale, float64 repr doesn't), crashes on
+    array/map/binary cells, and formats DATE differently per engine.
+    Ban them at the schema level for every registered query — including
+    rows-only (no-oracle) ones, which still pass through the canon."""
+    from pyspark.sql import types as T
+
+    banned = (T.DecimalType, T.ArrayType, T.MapType, T.BinaryType,
+              T.StructType, T.DateType)
+    offenders = []
+    for name, fn in queries().items():
+        for f in fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, banned):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders

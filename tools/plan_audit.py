@@ -48,10 +48,13 @@ EXPLANATIONS = {
     "order + per-partition offsets — no single-task stage); capture's "
     "auto strategy keeps the window path only for small estimated batches "
     "(capture.assign_audit_pk, SURVEY §7.4)",
-    "window_percent_rank": "percent_rank over a total order is a ranked "
-    "export — global by definition; bounded output",
-    "ntile_price_quartiles": "global quartile assignment — same ranked-export "
-    "class",
+    "window_percent_rank": "the range exchange + Arrow stage is the "
+    "scale-safe ranked export (operators.ranks): parallel range-partitioned "
+    "row ids + closed-form percent_rank/cume_dist — replaced the "
+    "single-partition global window in r02",
+    "ntile_price_quartiles": "same ranked-export machinery: positional "
+    "ntile arithmetic over distributed row ids — no single-partition "
+    "window",
     "cdc_keep_last": "keep-last parity op: orderBy desc + limit 1 — output "
     "is one row",
     "events_funnel": "funnel step-match window is per-user; the single "
