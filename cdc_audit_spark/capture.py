@@ -125,17 +125,41 @@ def snapshot_diff(
     )
 
 
-# A change set whose Catalyst size estimate fits comfortably in one task's
-# sort buffer may take the cheaper single-shuffle window path; anything
-# larger — or unestimable — takes the distributed path. Join-heavy plans
-# overestimate, which only pushes toward distributed: the safe direction.
+# A change set whose size estimate fits comfortably in one task's sort
+# buffer may take the cheaper single-shuffle window path; anything larger —
+# or unestimable — takes the distributed path.
 _WINDOW_MAX_EST_BYTES = 64 * 1024 * 1024
+
+# Parquet leaf stats are compressed file bytes; rows expand roughly this
+# much once decoded into the sort buffer.
+_LEAF_INFLATION = 4
 
 
 def _plan_size_estimate(df: DataFrame) -> int | None:
-    """Catalyst's optimized-plan sizeInBytes — free (no job), conservative."""
+    """Best-effort change-set size estimate in bytes — free (no job).
+
+    Catalyst's raw optimizedPlan sizeInBytes multiplies through joins
+    (a 1 MB × 1 MB snapshot diff 'estimates' hundreds of GB), which made
+    auto pick the multi-job distributed path for every capture batch and
+    tripled small-batch latency. A diff/filter/project plan, however, can
+    never out-produce its inputs, so the sum of its leaf-relation sizes
+    (× an inflation factor for parquet decompression) is a sound upper
+    bound — take the min of the two. The bound is wrong only for
+    generative plans (explode and friends); capture inputs are never
+    generative, and callers with such plans should pass an explicit
+    strategy instead of auto.
+    """
     try:
-        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        plan = df._jdf.queryExecution().optimizedPlan()
+        est = int(str(plan.stats().sizeInBytes()))
+        leaves = plan.collectLeaves()
+        leaf_sum = sum(
+            int(str(leaves.apply(i).stats().sizeInBytes()))
+            for i in range(leaves.size())
+        )
+        if leaf_sum > 0:
+            est = min(est, leaf_sum * _LEAF_INFLATION)
+        return est
     except Exception:  # noqa: BLE001 — estimation is best-effort by design
         return None
 
@@ -204,15 +228,19 @@ def _assign_ids_distributed(
 
     # This strategy needs three passes over the change set: the range
     # partitioner's key-sampling job, the per-partition count job, and the
-    # id-assigning output job. Only the *post-shuffle* frame is persisted
-    # (below) — persisting the raw input here is tempting (one source scan
-    # instead of two) but WRONG session-wide: Spark's cache manager
+    # id-assigning output job. Persist the input so its lineage (for CDC:
+    # the snapshot-diff full-outer join) executes once, not once per job —
+    # but NEVER persist the caller's frame as-is: Spark's cache manager
     # substitutes a cached plan into ANY later query containing an equal
     # subtree, so caching a bare table scan (ranked exports pass base
     # tables straight in) silently rewrites every other query on that
-    # table to InMemoryTableScan and destroys parquet filter pushdown.
-    # The repartitioned+__pid shape below can only match an identical
-    # ranked call, where reuse is exactly what we want.
+    # table to InMemoryTableScan and destroys parquet filter pushdown
+    # session-wide. The throwaway marker column gives the cached plan a
+    # shape nothing else can contain; it is dropped with __pid below. The
+    # input cache is released as soon as the offsets are known — the
+    # post-shuffle cache (below) carries the output job, and lost blocks
+    # recompute through the materialized cache's own fixed lineage.
+    df = df.withColumn("__cas_pin", F.lit(True)).persist(StorageLevel.MEMORY_AND_DISK)
     # Two stability requirements for the offsets to be valid in the output
     # job: (1) explicit partition count — an unspecified count lets AQE
     # coalesce the range exchange, and it can decide differently for the
@@ -236,12 +264,16 @@ def _assign_ids_distributed(
         r["__pid"]: r["cnt"]
         for r in parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
     }
+    # parted's cache is materialized by the count job; the input cache has
+    # served its one purpose (single execution of the upstream lineage).
+    df.unpersist()
     offsets = {}
     acc = base
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    out_schema = parted.drop("__pid").schema.add(out_col, "long", False)
+    helper_cols = ["__pid", "__cas_pin"]
+    out_schema = parted.drop(*helper_cols).schema.add(out_col, "long", False)
 
     def add_ids(iterator):
         seen = 0
@@ -251,7 +283,7 @@ def _assign_ids_distributed(
                 continue
             if off is None:
                 off = offsets[int(pdf["__pid"].iloc[0])]
-            pdf = pdf.drop(columns="__pid")
+            pdf = pdf.drop(columns=helper_cols)
             pdf[out_col] = pd.RangeIndex(off + seen + 1, off + seen + 1 + len(pdf))
             seen += len(pdf)
             yield pdf

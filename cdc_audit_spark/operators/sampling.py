@@ -169,6 +169,34 @@ def shard_assign(
     return df.withColumn(shard_col, hash_bucket(F.col(key_col), n_shards))
 
 
+def source_quota(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    n_per_source: int,
+) -> DataFrame:
+    """Deterministic per-source document cap — the per-domain quota a
+    corpus-mixing pipeline applies so no single source dominates training
+    data. Keeps the ``n_per_source`` rows with the lowest portable hash
+    priority (tiebroken by key) within each source.
+
+    Hash priority, not arrival order: the kept subset is a uniform sample
+    of the source, stable across reruns, engines, and row order. The
+    window is PARTITIONED by source — each source ranks independently in
+    its own tasks (no global window); a pathologically hot source is one
+    partition's sort, bounded further upstream by AQE skew splitting on
+    the exchange.
+    """
+    w = Window.partitionBy(source_col).orderBy(
+        hash_bucket(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n_per_source)
+        .drop("__rank")
+    )
+
+
 def pack_chunks(
     df: DataFrame,
     group_col: str,

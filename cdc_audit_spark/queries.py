@@ -1238,8 +1238,11 @@ def q14_promo_revenue(spark, sf_dir):
                           HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 240)
      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     """,
-    "TPC-H Q18 shape: HAVING-filtered agg as a semi-join back onto the "
-    "fact/dim join — the aggregated key set stays small and broadcasts",
+    "TPC-H Q18 shape: one aggregation pass over the fact table computes "
+    "BOTH the HAVING filter and the output measure (the textbook plan's "
+    "second lineitem pass + re-aggregation is redundant: the per-order "
+    "quantity sum IS the output); the surviving key set is tiny and "
+    "broadcast-joins the dims — lineitem shuffles once, on l_orderkey",
 )
 def q18_large_orders(spark, sf_dir):
     t = load_tables(spark, sf_dir)
@@ -1248,14 +1251,14 @@ def q18_large_orders(spark, sf_dir):
         t["lineitem"].groupBy("l_orderkey")
         .agg(F.sum(qty).alias("sq"))
         .filter(F.col("sq") > 240)
-        .select("l_orderkey")
     )
-    l = t["lineitem"].join(F.broadcast(big), "l_orderkey", "left_semi")
     return (
-        l.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        t["orders"].join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("sq").cast("double").alias("total_qty"),
+        )
     )
 
 
@@ -3334,6 +3337,124 @@ def _sampling_oracles():
 
 
 _sampling_oracles()
+
+
+# --------------------------------------------------------------------------
+# Corpus hygiene (operators/clean.py) — boilerplate removal, PII redaction,
+# per-source quotas. Registered behind the driver window; rotate in r03.
+# --------------------------------------------------------------------------
+
+@register(
+    "clean_boilerplate_tokens",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS seg,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), dfreq AS (
+      SELECT seg, count(DISTINCT doc_id) AS ndocs FROM toks GROUP BY seg
+    ), blocked AS (
+      SELECT seg FROM dfreq
+       WHERE ndocs > CAST(floor(0.5 * (SELECT count(*) FROM documents)) AS BIGINT)
+    ), rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY pos) AS text_clean
+        FROM toks
+       WHERE seg NOT IN (SELECT seg FROM blocked)
+       GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_total,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS BIGINT)
+             AS n_dropped,
+           coalesce(r.text_clean, '') AS text_clean
+      FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    "corpus-driven boilerplate removal (MassiveText line-dedup shape, "
+    "word-separated here): segments in > half the corpus are dropped, "
+    "survivors reassemble in original order; the blocklist is tiny by "
+    "construction and broadcast — the corpus shuffles once, on doc_id",
+)
+def clean_boilerplate_tokens(spark, sf_dir):
+    from cdc_audit_spark.operators.clean import remove_boilerplate
+
+    t = load_tables(spark, sf_dir)
+    return remove_boilerplate(
+        t["documents"], "doc_id", "text", sep=" ", max_doc_frac=0.5
+    )
+
+
+def _pii_oracle() -> str:
+    from cdc_audit_spark.operators.clean import PII_PATTERNS
+
+    staged = "text"
+    count_cols = []
+    for name, (pat, rep) in PII_PATTERNS.items():
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({staged}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        staged = f"regexp_replace({staged}, '{pat}', '{rep}', 'g')"
+    total = " + ".join(f"n_{n}" for n in PII_PATTERNS)
+    cols = ",\n           ".join(count_cols)
+    return f"""
+    SELECT doc_id, {cols},
+           CAST({total} AS BIGINT) AS n_redacted,
+           {staged} AS text_redacted
+      FROM (SELECT doc_id, text FROM documents)
+    """
+
+
+@register(
+    "clean_pii_redact",
+    None,  # oracle attached below (embeds the shared pattern table)
+    "PII masking: email/ipv4/phone regex chain, each count taken on the "
+    "text as already redacted by earlier patterns — pure map-side "
+    "whole-stage-codegen, zero shuffle; the RE2/Java-compatible pattern "
+    "subset guarantees identical matches on both engines",
+)
+def clean_pii_redact(spark, sf_dir):
+    from cdc_audit_spark.operators.clean import redact_patterns
+
+    t = load_tables(spark, sf_dir)
+    return redact_patterns(t["documents"], "doc_id", "text")
+
+
+_REGISTRY["clean_pii_redact"].oracle = _pii_oracle()
+
+
+def _source_quota_oracle() -> str:
+    from cdc_audit_spark.operators.sampling import hash_bucket_sql
+
+    return f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {hash_bucket_sql('doc_id')}, doc_id) AS rn
+        FROM documents)
+     WHERE rn <= 7
+    """
+
+
+@register(
+    "sample_source_quota",
+    None,  # oracle attached below (embeds the shared portable hash)
+    "per-source document cap (the per-domain quota of corpus mixing): "
+    "keep the 7 lowest-hash-priority docs per source — a uniform, "
+    "rerun-stable sample; window partitioned by source, no global window",
+)
+def sample_source_quota(spark, sf_dir):
+    from cdc_audit_spark.operators.sampling import source_quota
+
+    t = load_tables(spark, sf_dir)
+    return source_quota(
+        t["documents"].select("doc_id", "source"), "doc_id", "source", 7
+    )
+
+
+_REGISTRY["sample_source_quota"].oracle = _source_quota_oracle()
 
 
 # --------------------------------------------------------------------------

@@ -126,3 +126,28 @@ def test_auto_strategy_selects_by_plan_size(spark):
         big, ["k"], strategy="auto"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # distributed path: no global WindowExec
+
+
+def test_auto_estimate_join_bounded_by_leaf_sizes(spark, sf_dir):
+    """Catalyst multiplies sizes through joins (a snapshot diff of two
+    ~300 KB snapshots 'estimates' GBs); the leaf-sum bound must bring a
+    small diff back under the window threshold so small capture batches
+    keep the cheap single-shuffle path."""
+    import datetime as dt
+
+    from cdc_audit_spark.capture import _plan_size_estimate, _WINDOW_MAX_EST_BYTES
+
+    v0 = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    v1 = v0.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 1.0)
+        .otherwise(F.col("c_acctbal")),
+    )
+    diff = snapshot_diff(v0, v1, ["c_custkey"], ts=dt.datetime(2026, 1, 1),
+                         pk_strategy="window")
+    est = _plan_size_estimate(diff)
+    assert est is not None and est <= _WINDOW_MAX_EST_BYTES
+    # and the id-assignment plan under auto is the single-window form
+    audit = snapshot_diff(v0, v1, ["c_custkey"], ts=dt.datetime(2026, 1, 1))
+    plan = audit._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "mapInPandas" not in plan.lower()
