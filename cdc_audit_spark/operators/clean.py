@@ -25,7 +25,7 @@ from __future__ import annotations
 import math
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -100,39 +100,38 @@ def remove_boilerplate(
     than ``max_doc_frac`` of documents, reassemble the rest in original
     order.
 
-    Output: id, n_total, n_kept, n_dropped, ``out_col``. Documents whose
-    every segment is boilerplate survive with an empty string — a cleaner
-    must never silently drop document rows (downstream joins rely on the
-    id set being stable; emptiness is the downstream filter's decision).
+    Appends n_total, n_kept, n_dropped, ``out_col`` to the input columns
+    (preserve-all, so the cleaner composes into pipelines). Documents
+    whose every segment is boilerplate survive with an empty string — a
+    cleaner must never silently drop document rows (downstream joins rely
+    on the id set being stable; emptiness is the downstream filter's
+    decision).
     """
     segs = _segments(df, id_col, text_col, sep)
     blocked = boilerplate_blocklist(df, id_col, text_col, sep, max_doc_frac)
     kept = segs.join(F.broadcast(blocked.select("seg")), "seg", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_kept"),
+        F.count("*").alias("__n_kept"),
         F.concat_ws(
             sep,
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "seg"))),
                 lambda s: s["seg"],
             ),
-        ).alias(out_col),
+        ).alias("__clean"),
     )
-    base = df.select(
-        id_col,
-        F.size(F.split(F.col(text_col), re.escape(sep))).alias("n_total"),
-    )
+    n_total = F.size(F.split(F.col(text_col), re.escape(sep)))
     return (
-        base.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.col("n_total").cast("long").alias("n_total"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_dropped"),
-            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        df.join(rebuilt, id_col, "left")
+        .withColumns(
+            {
+                "n_total": n_total.cast("long"),
+                "n_kept": F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long"),
+                "n_dropped": (n_total - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("long"),
+                out_col: F.coalesce(F.col("__clean"), F.lit("")),
+            }
         )
+        .drop("__n_kept", "__clean")
     )
 
 
@@ -149,21 +148,21 @@ def redact_patterns(
     phone pattern never double-counts digits the email mask consumed) —
     the same chain any engine can replay for exact parity.
 
-    Output: id, n_<name> per pattern, n_redacted (total), ``out_col``.
-    Map-side only.
+    Appends n_<name> per pattern, n_redacted (total), and ``out_col`` to
+    the input columns (preserve-all, so the operator composes into
+    pipelines and streams). Map-side only.
     """
+    del id_col  # kept in the signature for symmetry with the other cleaners
     patterns = PII_PATTERNS if patterns is None else patterns
-    count_exprs = []
+    new_cols: dict[str, Column] = {}
     cur = F.col(text_col)
     for name, (pat, rep) in patterns.items():
-        count_exprs.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        new_cols[f"n_{name}"] = F.regexp_count(cur, F.lit(pat)).cast("long")
         cur = F.regexp_replace(cur, pat, rep)
     total = None
     for name in patterns:
-        total = F.col(f"n_{name}") if total is None else total + F.col(f"n_{name}")
-    return df.select(id_col, *count_exprs, cur.alias(out_col)).select(
-        id_col,
-        *[f"n_{n}" for n in patterns],
-        total.cast("long").alias("n_redacted"),
-        out_col,
-    )
+        c = new_cols[f"n_{name}"]
+        total = c if total is None else total + c
+    new_cols["n_redacted"] = total.cast("long")
+    new_cols[out_col] = cur
+    return df.withColumns(new_cols)

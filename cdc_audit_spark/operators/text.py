@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "token_stats",
     "quality_stats",
+    "with_quality",
     "fingerprint",
     "language_id",
     "DEFAULT_STOPWORDS",
@@ -67,17 +68,15 @@ def token_stats(
     )
 
 
-def quality_stats(
-    df: DataFrame,
+def _quality_cols(
     text_col: str,
-    id_col: str,
-    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
-    min_tokens: int = 20,
-    max_tokens: int = 1000,
-    max_stopword_ratio: float = 0.5,
-) -> DataFrame:
-    """C4/Gopher-style quality gates: stopword ratio, mean token length,
-    token-count band."""
+    stopwords: tuple[str, ...],
+    min_tokens: int,
+    max_tokens: int,
+    max_stopword_ratio: float,
+) -> dict[str, Column]:
+    """The C4/Gopher-style quality expressions, reusable in select
+    (quality_stats) and preserve-all (with_quality) forms."""
     t = _tokens(text_col)
     n_tokens = F.size(t)
     sw_ratio = _ratio(_stopword_count(t, stopwords), n_tokens)
@@ -89,12 +88,41 @@ def quality_stats(
             < F.lit(max_stopword_ratio)
         )
     )
-    return df.select(
-        F.col(id_col),
-        sw_ratio.alias("stopword_ratio"),
-        avg_tok.alias("avg_token_len"),
-        passes.alias("passes"),
-    )
+    return {
+        "stopword_ratio": sw_ratio,
+        "avg_token_len": avg_tok,
+        "passes": passes,
+    }
+
+
+def quality_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    max_stopword_ratio: float = 0.5,
+) -> DataFrame:
+    """C4/Gopher-style quality gates: stopword ratio, mean token length,
+    token-count band."""
+    cols = _quality_cols(text_col, stopwords, min_tokens, max_tokens, max_stopword_ratio)
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+def with_quality(
+    df: DataFrame,
+    text_col: str,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    max_stopword_ratio: float = 0.5,
+) -> DataFrame:
+    """Preserve-all form of :func:`quality_stats` — appends the quality
+    columns so the gate composes into pipelines without a join-back (the
+    map-side flag is the 100 TB shape; a self-join on id is not)."""
+    cols = _quality_cols(text_col, stopwords, min_tokens, max_tokens, max_stopword_ratio)
+    return df.withColumns(cols)
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -3383,7 +3383,7 @@ def clean_boilerplate_tokens(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return remove_boilerplate(
         t["documents"], "doc_id", "text", sep=" ", max_doc_frac=0.5
-    )
+    ).select("doc_id", "n_total", "n_kept", "n_dropped", "text_clean")
 
 
 def _pii_oracle() -> str:
@@ -3415,10 +3415,12 @@ def _pii_oracle() -> str:
     "subset guarantees identical matches on both engines",
 )
 def clean_pii_redact(spark, sf_dir):
-    from cdc_audit_spark.operators.clean import redact_patterns
+    from cdc_audit_spark.operators.clean import PII_PATTERNS, redact_patterns
 
     t = load_tables(spark, sf_dir)
-    return redact_patterns(t["documents"], "doc_id", "text")
+    return redact_patterns(t["documents"], "doc_id", "text").select(
+        "doc_id", *[f"n_{n}" for n in PII_PATTERNS], "n_redacted", "text_redacted"
+    )
 
 
 _REGISTRY["clean_pii_redact"].oracle = _pii_oracle()
