@@ -27,6 +27,7 @@ by tests/oracle_harness.py):
 from __future__ import annotations
 
 import datetime as dt
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -49,33 +50,59 @@ WATERMARK = 10  # fixed watermark literal for the incremental-scan queries
 # round-trip + parquet footer read per table) and the inputs are immutable
 # fixtures, so cache per (session, sf_dir) — the analog of a metastore's
 # schema/file-listing cache, which is what keeps per-query planning cheap at
-# scale. Temp views are (re-)registered only when the session's active
-# sf_dir changes.
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
-_ACTIVE_VIEWS: dict[int, str] = {}
+# scale. Keyed on the live SparkSession object (WeakKeyDictionary): keying on
+# id(spark) could hand out DataFrames bound to a dead JVM session if a stopped
+# session's id were reused by a new object. Temp views are (re-)registered
+# only when the session's active sf_dir changes.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
+_ACTIVE_VIEWS: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Return ``df`` with an ``ts`` column of timestamp type, whatever the
+    parquet encoding was.
+
+    The fixtures' ``events.ts`` is parquet timestamp[us] (verified via the
+    footer at sf0.001/0.01/0.1), which Spark reads directly as a timestamp —
+    no conversion needed. An earlier environment encoded it as
+    TIMESTAMP(NANOS), which Spark reads only as a long (under
+    ``spark.sql.legacy.parquet.nanosAsLong``); that case needs an exact
+    integer nanos→micros division (nanos exceed 2^53, so float division
+    would lose precision — the same truncation DuckDB applies casting
+    timestamp_ns → timestamp). Key off the OBSERVED dtype so the engine
+    works under either encoding instead of assuming one.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # identity on values (session tz pinned UTC in tune()); gives
+        # downstream unix_micros()/window() the TIMESTAMP type they expect
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    key = (id(spark), sf_dir)
-    out = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.get(spark)
+    if per_session is None:
+        per_session = {}
+        _TABLE_CACHE[spark] = per_session
+    out = per_session.get(sf_dir)
     if out is None:
         tune(spark)
         out = {}
         for t in TABLES:
             df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
             if t == "events":
-                # events.ts is parquet TIMESTAMP(NANOS), which Spark reads
-                # only as a long (nanosAsLong, set in session.tune). Convert
-                # to microseconds with exact integer division (nanos exceed
-                # 2^53, so float division would lose precision) — same
-                # truncation DuckDB applies casting timestamp_ns → timestamp.
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                df = normalize_events_ts(df)
             out[t] = df
-        _TABLE_CACHE[key] = out
-    if _ACTIVE_VIEWS.get(id(spark)) != sf_dir:
+        per_session[sf_dir] = out
+    if _ACTIVE_VIEWS.get(spark) != sf_dir:
         for t, df in out.items():
             df.createOrReplaceTempView(t)
-        _ACTIVE_VIEWS[id(spark)] = sf_dir
+        _ACTIVE_VIEWS[spark] = sf_dir
     return dict(out)
 
 

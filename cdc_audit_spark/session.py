@@ -7,9 +7,12 @@ Arrow) to any externally-provided session, e.g. the driver's.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+log = logging.getLogger(__name__)
 
 # Confs that must be set before the session starts.
 _BUILD_CONF = {
@@ -35,8 +38,10 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
-    # the fixtures' events table stores TIMESTAMP(NANOS), which Spark only
-    # reads as long; queries.load_tables converts back to timestamps.
+    # Harmless when the data is timestamp[us] (the current fixtures); lets a
+    # TIMESTAMP(NANOS) file be read as long instead of erroring. The actual
+    # encoding is OBSERVED per-dataframe by queries.normalize_events_ts —
+    # never assume it from this conf.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.ansi.enabled": "false",
 }
@@ -67,11 +72,23 @@ def get_spark(app_name: str = "cdc_audit_spark", cpus: int | None = None,
     return spark
 
 
+_TUNE_WARNED: set[str] = set()
+
+
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an externally-created session (idempotent)."""
+    """Apply runtime confs to an externally-created session (idempotent).
+
+    A conf that cannot be set is LOGGED (once per key), not silently
+    swallowed — a load-bearing environment assumption dying invisibly is
+    exactly how the r03 loader outage happened.
+    """
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
-        except Exception:  # conf locked down — proceed with its value
-            pass
+        except Exception as e:  # conf locked down — proceed with its value
+            if k not in _TUNE_WARNED:
+                _TUNE_WARNED.add(k)
+                log.warning("tune: could not set %s=%s (%s); proceeding with "
+                            "session value %r", k, v, e,
+                            spark.conf.get(k, None))
     return spark

@@ -1,0 +1,79 @@
+"""Fixture-schema smoke test (VERDICT r03 item 3).
+
+The r03 outage happened because the code *assumed* the parquet encoding of
+``events.ts`` (nanos-as-long) instead of observing it, and the environment
+shifted under it — 50/50 driver queries died in the shared loader. This test
+fails loudly and specifically if the fixture schemas drift again, so the
+failure is one readable assert instead of 50 opaque AnalysisExceptions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_audit_spark.queries import TABLES, load_tables
+
+# Expected dtypes per FIXTURES.md §A. Timestamp-typed columns accept either
+# tz flavor: parquet isAdjustedToUTC decides timestamp vs timestamp_ntz, both
+# behave identically here (session tz pinned UTC, naive literals).
+_TS = ("timestamp", "timestamp_ntz")
+
+EXPECTED = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint", "c_name": "string", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint", "s_name": "string", "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int", "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint", "o_custkey": "bigint", "o_orderstatus": "string",
+        "o_totalprice": "double", "o_orderdate": _TS, "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint", "l_partkey": "bigint", "l_suppkey": "bigint",
+        "l_linenumber": "int", "l_quantity": "double", "l_extendedprice": "double",
+        "l_discount": "double", "l_tax": "double", "l_returnflag": "string",
+        "l_linestatus": "string", "l_shipdate": _TS,
+    },
+    "events": {
+        "event_id": "bigint", "ts": _TS, "user_id": "bigint",
+        "event_type": "string", "value": "double", "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint", "embedding": "array<float>", "label": "int"},
+}
+
+
+@pytest.mark.parametrize("table", TABLES)
+def test_fixture_schema(spark, sf_dir, table):
+    got = dict(load_tables(spark, sf_dir)[table].dtypes)
+    exp = EXPECTED[table]
+    assert set(got) == set(exp), (
+        f"{table}: column set drifted — got {sorted(got)}, expected {sorted(exp)}")
+    for col, want in exp.items():
+        ok = got[col] in want if isinstance(want, tuple) else got[col] == want
+        assert ok, (
+            f"{table}.{col}: fixture dtype drifted — got {got[col]!r}, "
+            f"expected {want!r}. If the environment re-encoded the parquet, "
+            f"update normalize_events_ts / this table's loader to key off the "
+            f"observed dtype (see VERDICT r03).")
+
+
+def test_events_ts_is_usable_timestamp(spark, sf_dir):
+    # the exact r03 failure mode: ts must come out of the loader as a
+    # timestamp type regardless of the on-disk encoding
+    ev = load_tables(spark, sf_dir)["events"]
+    assert dict(ev.dtypes)["ts"] in _TS
+    assert ev.selectExpr("min(ts)").first()[0] is not None

@@ -2,6 +2,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
+from cdc_audit_spark.queries import normalize_events_ts
 from cdc_audit_spark.schema import audit_schema
 from cdc_audit_spark.streaming.stream_sync import stream_audit_sync
 from cdc_audit_spark.streaming.windows import (
@@ -79,9 +80,7 @@ def test_windowed_event_stats_batch(spark):
 def test_stream_windowed_stats_runs(spark, tmp_path, sf_dir):
     # same plan as the batch query, driven through readStream on fixture data
     src = str(tmp_path / "events")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     ev.write.parquet(src)
     agg = stream_windowed_stats(spark, src, spark.read.parquet(src).schema)
     q = (
@@ -115,9 +114,7 @@ def test_stream_session_stats(spark, sf_dir, tmp_path):
 
     from pyspark.sql import functions as F
 
-    # fixture ts is TIMESTAMP(NANOS) → long under nanosAsLong; convert once
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     src = str(tmp_path / "ev_src")
     ev.write.parquet(src)
     ev = spark.read.parquet(src)
@@ -151,9 +148,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
     of the same data — one plan, two execution modes."""
     from cdc_audit_spark.streaming.windows import stream_interval_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
     lpath, rpath = str(tmp_path / "clicks"), str(tmp_path / "purch")
