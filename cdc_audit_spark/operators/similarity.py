@@ -71,20 +71,40 @@ def cosine_topk(
     )
 
 
+#: Row-count ceiling for cosine_pairs' quadratic self-join. 65536 rows →
+#: ~2.1e9 candidate pairs, the most a single exact verify should ever see;
+#: LSH buckets (the intended feeder) are orders of magnitude smaller.
+COSINE_PAIRS_MAX_ROWS = 65536
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.60,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine similarity above ``threshold``.
 
     Exact and quadratic — the verify stage of the near-dup pipeline. At
     scale, feed it only LSH-bucketed candidates (ann_bucket_pairs) or a
-    bounded id range; never the full corpus. The pairwise dot product runs
-    as a JVM zip_with/aggregate fold (same accumulation order as DuckDB's
+    bounded id range; never the full corpus. To keep a user from pointing
+    it at 100 TB by accident, the input is COUNTED and rejected above
+    ``COSINE_PAIRS_MAX_ROWS`` unless ``allow_quadratic=True`` (the count is
+    one cheap job against an already-filtered input; the O(N²) join it
+    prevents is unboundedly worse). The pairwise dot product runs as a JVM
+    zip_with/aggregate fold (same accumulation order as DuckDB's
     list_dot_product, so the oracle matches bit-for-bit).
     """
+    if not allow_quadratic:
+        n = df.count()
+        if n > COSINE_PAIRS_MAX_ROWS:
+            raise ValueError(
+                f"cosine_pairs: input has {n} rows; the exact all-pairs join "
+                f"is O(N²) and is refused above {COSINE_PAIRS_MAX_ROWS} rows. "
+                f"Use the LSH/ANN path (ann_bucket_pairs) to generate "
+                f"candidates, or pass allow_quadratic=True if you really "
+                f"mean it.")
     norm = F.sqrt(_self_dot(F.col(vec_col)))
     side = df.select(
         F.col(id_col).alias("id"),

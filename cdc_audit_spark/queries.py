@@ -3498,34 +3498,32 @@ _REGISTRY["sample_source_quota"].oracle = _source_quota_oracle()
 # behind the window; next round rotates the remaining unchecked ones in.
 
 _DRIVER_WINDOW = [
-    # r01 hash-fails, fixed this round (decimal/date/array output ban)
+    # The 25 queries no driver round has ever checked (r01 ∪ r03 windows
+    # miss exactly these) — they lead so every SURVEY-§2 query family gets
+    # at least one driver verdict across r01/r04 (VERDICT r03 item 5).
+    "text_top_terms", "text_bpe_token_counts", "text_top_bigrams",
+    "text_compression_ratio", "dedup_embedding_cosine", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_cluster_assign",
+    "dedup_rate_by_source", "ann_embedding_pairs", "ann_ivf_topk",
+    "ann_pq_topk", "events_daily_active", "events_type_day_cube",
+    "events_funnel", "events_approx_stats", "events_value_histogram",
+    "multimodal_features", "multimodal_chunk_sample",
+    "scalar_function_sampler", "nation_top_customer_list",
+    "clean_boilerplate_tokens", "clean_pii_redact", "sample_source_quota",
+    # The 10 r01 hash-fails — fixed by r02's canonicalization, erred in the
+    # r03 window before the fix could be observed; their green rows prove it.
     "q1_pricing_summary", "revenue_rollup", "text_quality",
     "lang_distribution", "events_hourly_stats", "events_user_activity",
     "embedding_l2_normalize", "embedding_quantize_int8",
     "median_price_by_flag", "q18_large_orders",
-    # TPC-H shapes never driver-checked
+    # Highest-value shapes from the r03 window (all erred there, so none has
+    # a green row yet): TPC-H joins/aggs + the hard window/CDC analytics.
     "q7_nation_volume", "q8_market_share", "q9_profit_by_nation_year",
     "q10_returned_items", "q13_order_count_distribution", "q15_top_supplier",
     "q16_supplier_part_counts", "q19_disjunctive_revenue",
     "q20_bulk_part_suppliers", "q21_sole_late_supplier",
-    # window functions
-    "window_running_total", "window_lag_delta", "window_moving_avg",
-    "ntile_price_quartiles", "window_time_range_sum",
-    "window_first_last_value", "window_percent_rank",
-    # set operators
-    "set_intersect_users", "set_union_segments", "set_except_unordered_parts",
-    # deterministic sampling / sharding / packing
-    "sample_split_train_valid", "sample_hash_fraction",
-    "sample_stratified_lang", "mix_weighted_sources", "shard_global_shuffle",
-    "pack_token_chunks",
-    # CDC analytics
-    "cdc_scd2_history", "cdc_incremental_agg", "cdc_state_asof",
-    "cdc_column_change_stats", "cdc_fk_orphans",
-    # corpus analytics / profiles
-    "tfidf_top_terms", "revenue_grouping_sets", "lineitem_stats_profile",
-    "events_cohort_retention", "decontam_benchmark_overlap",
-    "text_repetition_stats", "events_transition_matrix", "profile_orders",
-    "events_hourly_anomalies",
+    "window_running_total", "window_percent_rank", "cdc_scd2_history",
+    "cdc_incremental_agg", "tfidf_top_terms",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

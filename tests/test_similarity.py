@@ -266,3 +266,18 @@ def test_ivf_refined_centroids_recall(spark, sf_dir):
         return corpus.agg(F.avg(best)).first()[0]
 
     assert objective(cents1) > objective(cents0)
+
+
+def test_cosine_pairs_quadratic_gate(spark, monkeypatch):
+    from cdc_audit_spark.operators import similarity
+    from cdc_audit_spark.operators.similarity import cosine_pairs
+
+    import pytest
+
+    # shrink the ceiling so the 5-row fixture trips it
+    monkeypatch.setattr(similarity, "COSINE_PAIRS_MAX_ROWS", 3)
+    with pytest.raises(ValueError, match="O\\(N²\\)|allow_quadratic"):
+        cosine_pairs(_vecs(spark))
+    # explicit opt-in bypasses the count entirely
+    assert len(cosine_pairs(_vecs(spark), threshold=-1.5,
+                            allow_quadratic=True).collect()) == 10
