@@ -43,13 +43,18 @@ __all__ = [
 ]
 
 
-def incremental_subquery(table: str, watermark: int, pk_col: str = AUDIT_PK) -> str:
+def incremental_subquery(table: str, watermark: int, pk_col: str = AUDIT_PK,
+                         quote: str = "`") -> str:
     """The pushed-down incremental scan as a JDBC dbtable subquery.
 
     Mirrors sync:243 with the predicate inside the subquery so the source
     database applies it (index range scan), not Spark after transfer.
+    ``quote`` is the identifier quote char: backtick for MySQL (reference
+    parity), double-quote for ANSI databases (Derby, Postgres), "" for none.
     """
-    return f"(SELECT * FROM `{table}` WHERE `{pk_col}` > {int(watermark)}) AS cdc_delta"
+    q = quote
+    return (f"(SELECT * FROM {q}{table}{q} WHERE {q}{pk_col}{q} > "
+            f"{int(watermark)}) AS cdc_delta")
 
 
 def partition_predicates(
@@ -57,6 +62,7 @@ def partition_predicates(
     max_pk: int,
     num_partitions: int,
     pk_col: str = AUDIT_PK,
+    quote: str = "`",
 ) -> list[str]:
     """Disjoint, covering pk-range predicates for a partitioned JDBC read.
 
@@ -67,17 +73,18 @@ def partition_predicates(
     """
     if num_partitions < 1:
         raise ValueError("num_partitions must be >= 1")
+    q = quote
     span = max_pk - watermark
     if span <= 0 or num_partitions == 1:
-        return [f"`{pk_col}` > {int(watermark)}"]
+        return [f"{q}{pk_col}{q} > {int(watermark)}"]
     stride = max(1, -(-span // num_partitions))  # ceil division
     preds, lo = [], watermark
     for i in range(num_partitions):
         hi = min(lo + stride, max_pk)
         if i == num_partitions - 1 or hi >= max_pk:
-            preds.append(f"`{pk_col}` > {int(lo)}")
+            preds.append(f"{q}{pk_col}{q} > {int(lo)}")
             break
-        preds.append(f"`{pk_col}` > {int(lo)} AND `{pk_col}` <= {int(hi)}")
+        preds.append(f"{q}{pk_col}{q} > {int(lo)} AND {q}{pk_col}{q} <= {int(hi)}")
         lo = hi
     return preds
 
@@ -95,11 +102,13 @@ class JdbcBatchPlan:
     watermark: int
     predicates: list[str]
     properties: dict = field(default_factory=dict)
+    quote: str = "`"
 
     def load(self, spark: SparkSession) -> DataFrame:
+        q = self.quote
         return spark.read.jdbc(
             url=self.url,
-            table=f"`{self.table}`",
+            table=f"{q}{self.table}{q}",
             predicates=self.predicates,
             properties=self.properties,
         )
@@ -113,6 +122,7 @@ def plan_incremental_batch(
     num_partitions: int = 8,
     pk_col: str = AUDIT_PK,
     properties: dict | None = None,
+    quote: str = "`",
 ) -> JdbcBatchPlan:
     """Plan one incremental read.
 
@@ -124,10 +134,12 @@ def plan_incremental_batch(
     cluster size (a 1000-executor cluster must not open 1000 connections).
     """
     if max_pk is None:
-        preds = [f"`{pk_col}` > {int(watermark)}"]
+        preds = [f"{quote}{pk_col}{quote} > {int(watermark)}"]
     else:
-        preds = partition_predicates(watermark, max_pk, num_partitions, pk_col)
-    return JdbcBatchPlan(url, table, watermark, preds, dict(properties or {}))
+        preds = partition_predicates(watermark, max_pk, num_partitions, pk_col,
+                                     quote=quote)
+    return JdbcBatchPlan(url, table, watermark, preds, dict(properties or {}),
+                         quote=quote)
 
 
 def poll_sync(

@@ -1,0 +1,102 @@
+"""Live-database e2e for the JDBC incremental CDC source (SURVEY §2.1 S5).
+
+The reference's entire runtime is a MySQL connection
+(cdc_audit_sync_mysql.php:167-180, 243); until now the JDBC path was only
+unit-tested as strings because no MySQL server exists in the sandbox. Derby
+(embedded, shipped in pyspark's jars) is a real JDBC database, so these
+tests exercise the actual ``spark.read.jdbc`` execution path end-to-end:
+connection, pushed-down subquery, partitioned predicate reads, and the
+poll→sync→watermark loop — everything except the MySQL dialect itself
+(identifier quoting is the parametrized difference, covered both ways in
+test_sources.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_audit_spark.sources.jdbc_cdc import (
+    incremental_subquery,
+    plan_incremental_batch,
+    poll_sync,
+)
+
+N_ROWS = 57
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    """An embedded Derby database holding a reference-shaped audit table."""
+    db = str(tmp_path_factory.mktemp("derby") / "cdcdb")
+    url = f"jdbc:derby:{db};create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    # B1 audit-table shape (FIXTURES.md): source cols + 3 audit cols,
+    # audit_pk last (gen:331-333). Unquoted Derby identifiers fold to
+    # UPPERCASE — the test passes quote='"' with uppercase names, the ANSI
+    # flavor of the MySQL backtick path.
+    st.executeUpdate(
+        "CREATE TABLE customer_audit ("
+        "c_custkey BIGINT, c_name VARCHAR(64), c_acctbal DOUBLE, "
+        "audit_event VARCHAR(8) NOT NULL, "
+        "audit_timestamp TIMESTAMP NOT NULL, "
+        "audit_pk BIGINT NOT NULL PRIMARY KEY)"
+    )
+    ps = conn.prepareStatement(
+        "INSERT INTO customer_audit VALUES (?, ?, ?, ?, ?, ?)")
+    for pk in range(1, N_ROWS + 1):
+        ps.setLong(1, pk * 10)
+        ps.setString(2, f"Customer#{pk:09d}")
+        ps.setDouble(3, round(pk * 1.25, 2))
+        ps.setString(4, ("insert", "update", "delete")[pk % 3])
+        ps.setTimestamp(5, jvm.java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+        ps.setLong(6, pk)
+        ps.executeUpdate()
+    st.close()
+    ps.close()
+    conn.close()
+    return url
+
+
+def test_jdbc_partitioned_incremental_read(spark, derby_url):
+    wm = 17
+    plan = plan_incremental_batch(
+        derby_url, "CUSTOMER_AUDIT", watermark=wm, max_pk=N_ROWS,
+        num_partitions=4, pk_col="AUDIT_PK", quote='"',
+    )
+    df = plan.load(spark)
+    # partitioned read: one Spark partition per predicate, disjoint+covering
+    assert df.rdd.getNumPartitions() == 4
+    got = sorted(r["AUDIT_PK"] for r in df.select("AUDIT_PK").collect())
+    assert got == list(range(wm + 1, N_ROWS + 1))
+
+
+def test_jdbc_subquery_pushdown_read(spark, derby_url):
+    sub = incremental_subquery("CUSTOMER_AUDIT", 50, pk_col="AUDIT_PK",
+                               quote='"')
+    df = spark.read.jdbc(url=derby_url, table=sub)
+    rows = df.collect()
+    assert {r["AUDIT_PK"] for r in rows} == set(range(51, N_ROWS + 1))
+    # full row fidelity through the JDBC type mappings
+    by_pk = {r["AUDIT_PK"]: r for r in rows}
+    assert by_pk[51]["C_CUSTKEY"] == 510
+    assert by_pk[51]["AUDIT_EVENT"] == ("insert", "update", "delete")[51 % 3]
+    assert float(by_pk[51]["C_ACCTBAL"]) == round(51 * 1.25, 2)
+
+
+def test_jdbc_poll_sync_e2e(spark, derby_url, tmp_path):
+    """The reference's cron loop against a live database: first poll drains
+    everything past the watermark, second poll is an empty delta."""
+    sink = str(tmp_path / "sink_parquet")
+
+    def read_fn(wm):
+        return plan_incremental_batch(
+            derby_url, "CUSTOMER_AUDIT", watermark=wm, max_pk=N_ROWS,
+            num_partitions=3, pk_col="AUDIT_PK", quote='"',
+        ).load(spark).withColumnRenamed("AUDIT_PK", "audit_pk")
+
+    results = poll_sync(spark, read_fn, sink, fmt="parquet", max_polls=3)
+    assert [r.rows_synced for r in results] == [N_ROWS, 0]
+    assert results[0].watermark == N_ROWS
+    assert spark.read.parquet(sink).count() == N_ROWS
