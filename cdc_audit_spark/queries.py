@@ -805,22 +805,45 @@ def embedding_l2_normalize(spark, sf_dir):
     "embedding_quantize_int8",
     None,
     "Symmetric int8 scalar quantization (4× embedding compression for "
-    "100 TB corpora): per-vector scale + codes, map-side only; "
-    "reconstruction-error bound asserted in tests/test_similarity.py "
-    "(binary/array outputs are not hash-comparable)",
+    "100 TB corpora): per-vector scale + codes, map-side only; codes "
+    "string-encoded (array outputs are not hash-comparable) so the whole "
+    "row is oracle-checkable; reconstruction-error bound asserted in "
+    "tests/test_similarity.py",
 )
 def embedding_quantize_int8(spark, sf_dir):
     from cdc_audit_spark.operators.similarity import quantize_int8
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    # codes is array<tinyint> — string-encode for the driver's rows-only
-    # check (its pandas canonicalization crashes on ndarray cells, r01);
+    # codes is array<tinyint> — string-encode for the driver's hash check
+    # (its pandas canonicalization crashes on ndarray cells, r01);
     # pipeline users call operators.similarity.quantize_int8 directly.
     return quantize_int8(emb, "embedding").select(
         "vec_id",
         "scale",
         F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes_csv"),
     )
+
+
+# DuckDB reproduces the quantization exactly: max|x| is an exact fold, the
+# /127.0 and x/scale divisions are single IEEE double ops on identical
+# operands, and round() ties (the only divergence risk between the engines'
+# rounding modes) cannot occur for float32-derived quotients in practice —
+# hash-verified by the local harness before registration.
+_REGISTRY["embedding_quantize_int8"].oracle = """
+    WITH q AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+        FROM embeddings)
+    SELECT vec_id,
+           CAST(mx / 127.0 AS DOUBLE) AS scale,
+           CASE WHEN mx > 0
+                THEN array_to_string(list_transform(
+                         v, x -> CAST(round(x / (mx / 127.0)) AS BIGINT)), ',')
+                ELSE array_to_string(list_transform(v, x -> 0), ',')
+           END AS codes_csv
+      FROM q
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1894,6 +1917,75 @@ def events_funnel(spark, sf_dir):
         stage(signup, "signup")
         .unionByName(stage(click, "click"))
         .unionByName(stage(purchase, "purchase"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_exact",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+                FROM documents WHERE doc_id < 64))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s))
+                / len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+     WHERE CAST(len(list_intersect(a.s, b.s))
+                / len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.05
+    """,
+    "Exact word-trigram Jaccard over a bounded id range — the hash-checked "
+    "analog of the LSH verify stage (operators.dedup.ngram_jaccard_pairs): "
+    "shingle sets built from pure JVM expressions, |∩|/|∪| via "
+    "array_intersect/array_union; at scale the candidate pairs come from "
+    "MinHash-LSH buckets, never a self-join",
+)
+def dedup_ngram_jaccard_exact(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 64)
+    ids = docs.select(F.col("doc_id"))
+    cand = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .join(ids.select(F.col("doc_id").alias("id_b")),
+              F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        ngram_jaccard_pairs(docs, "text", "doc_id", cand, shingle_size=3)
+        .filter(F.col("jaccard") >= 0.05)
+        .select("id_a", "id_b", F.col("jaccard").cast("double").alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_prefix_digest",
+    """
+    WITH d AS (SELECT doc_id, source, md5(substr(text, 1, 256)) AS prefix_digest
+                 FROM documents)
+    SELECT prefix_digest,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS survivor_doc_id
+      FROM d GROUP BY prefix_digest HAVING count(*) > 1
+    """,
+    "Prefix-fingerprint dedup: md5 over the first 256 chars groups "
+    "boilerplate-headed duplicates that differ only in their tails (the "
+    "cheap first pass before shingle-level near-dup); digest computed "
+    "map-side, one shuffle on the 16-byte digest, min-id survivor — "
+    "identical mechanics to dedup_exact at any corpus size",
+)
+def dedup_prefix_digest(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("doc_id", F.md5(F.substring("text", 1, 256)).alias("prefix_digest"))
+        .groupBy("prefix_digest")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
     )
 
 
