@@ -2125,19 +2125,42 @@ def events_approx_stats(spark, sf_dir):
 
 @register(
     "multimodal_chunk_sample",
-    None,
-    "Payload chunk-explode + every-4th-chunk frame sample (binary output "
-    "columns are not hash-comparable across engines; reassembly invariants "
-    "verified in tests/test_multimodal.py)",
+    # DuckDB cannot slice BLOBs, so the oracle slices VARCHAR then encodes —
+    # equivalent only when the corpus is ASCII (byte == char), which the
+    # fixture is at every SF (asserted by the harness via octet_length ==
+    # length). The Spark side stays byte-correct for arbitrary payloads.
+    """
+    WITH c AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
+                 FROM documents),
+    x AS (SELECT doc_id, text,
+                 unnest(range(0, greatest(CAST(ceil(nb / 256.0) AS BIGINT), 1)))
+                   AS chunk_idx
+            FROM c)
+    SELECT doc_id, chunk_idx,
+           to_base64(encode(substring(text, CAST(chunk_idx * 256 + 1 AS BIGINT),
+                                      256))) AS chunk,
+           CAST(octet_length(encode(substring(text,
+                CAST(chunk_idx * 256 + 1 AS BIGINT), 256))) AS BIGINT)
+             AS chunk_bytes
+      FROM x WHERE chunk_idx % 4 = 0
+    """,
+    "Payload chunk-explode + every-4th-chunk frame sample; chunks "
+    "base64-encoded so the whole row is hash-comparable (reassembly "
+    "invariants verified in tests/test_multimodal.py)",
 )
 def multimodal_chunk_sample(spark, sf_dir):
     from cdc_audit_spark.operators.multimodal import frame_sample
 
     docs = load_tables(spark, sf_dir)["documents"]
     sampled = frame_sample(docs, "text", "doc_id", every_k=4, chunk_bytes=256)
-    # binary chunks base64-encoded: driver canon cannot hash bytes cells
-    enc = [F.base64(F.col(c)).alias(c) if c == "chunk" else F.col(c)
-           for c in sampled.columns]
+    # binary chunks base64-encoded (driver canon cannot hash bytes cells);
+    # Spark's base64 is MIME-chunked with \r\n every 76 chars — strip to the
+    # canonical single-line form every other encoder (incl. DuckDB) emits
+    enc = [
+        F.regexp_replace(F.base64(F.col(c)), r"[\r\n]", "").alias(c)
+        if c == "chunk" else F.col(c)
+        for c in sampled.columns
+    ]
     return sampled.select(*enc)
 
 
