@@ -637,6 +637,48 @@ def text_token_stats(spark, sf_dir):
 
 
 @register(
+    "corpus_source_accounting",
+    """
+    WITH per AS (SELECT source,
+                        CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(array_length(regexp_split_to_array(text, '\\s+')))
+                             AS BIGINT) AS total_tokens,
+                        CAST(sum(length(text)) AS BIGINT) AS total_chars
+                   FROM documents GROUP BY source)
+    SELECT source, n_docs, total_tokens, total_chars,
+           CAST(total_tokens / sum(total_tokens) OVER () AS DOUBLE) AS token_share
+      FROM per
+    """,
+    "Per-source corpus accounting (docs / tokens / chars / token share) — "
+    "the mixture-weighting input for training-data pipelines: token counts "
+    "computed map-side, ONE shuffle on source, and the share-of-total "
+    "window runs over the already-aggregated frame (cardinality = number "
+    "of sources, bounded at any corpus size)",
+)
+def corpus_source_accounting(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    per = (
+        docs.select(
+            "source",
+            F.size(F.split("text", r"\s+")).alias("tok"),
+            F.length("text").alias("chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.sum("chars").alias("total_chars"),
+        )
+    )
+    total = Window.partitionBy()
+    return per.select(
+        "source", "n_docs", "total_tokens", "total_chars",
+        (F.col("total_tokens") / F.sum("total_tokens").over(total))
+        .cast("double").alias("token_share"),
+    )
+
+
+@register(
     "text_quality",
     f"""
     SELECT doc_id,

@@ -83,6 +83,15 @@ EXPLANATIONS["text_compression_ratio"] = (
     "zlib deflate has no Catalyst form; Arrow-batched C deflate, map-side "
     "(same cost model as the multimodal codec path)"
 )
+EXPLANATIONS["dedup_ngram_jaccard_exact"] = (
+    "the candidate cross-pairs come from an id-bounded (< 64) non-equi "
+    "self-join — the hash-checked analog of the LSH verify stage; at scale "
+    "candidates come from MinHash-LSH buckets (dedup_ngram_jaccard)"
+)
+EXPLANATIONS["corpus_source_accounting"] = (
+    "the share-of-total window runs over the already-aggregated per-source "
+    "frame — cardinality = number of sources, bounded at any corpus size"
+)
 EXPLANATIONS["cdc_state_asof"] = _CDC_NOTE
 EXPLANATIONS["cdc_diff_event_counts"] = _CDC_NOTE
 EXPLANATIONS["ann_pq_topk"] = (
