@@ -702,6 +702,44 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "quality_filter_per_lang",
+    f"""
+    WITH d AS (SELECT lang,
+                      CAST(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                t -> t IN {_SW_SQL})) AS DOUBLE)
+                           / array_length(regexp_split_to_array(text, '\\s+'))
+                           AS DOUBLE) AS r
+                 FROM documents),
+    m AS (SELECT lang, r, median(r) OVER (PARTITION BY lang) AS med FROM d)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN r <= med THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(min(med) AS DOUBLE) AS median_stopword_ratio
+      FROM m GROUP BY lang
+    """,
+    "Per-language quality gating: keep documents at or below their "
+    "language's median stopword ratio (per-group adaptive threshold — the "
+    "curation shape when one global cutoff over/under-filters low-resource "
+    "languages). Ratio is map-side; ONE shuffle on lang serves both the "
+    "median window and the final aggregate (same partitioning, no second "
+    "exchange, no join-back)",
+)
+def quality_filter_per_lang(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    tokens = F.split("text", r"\s+")
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin(*_STOPWORDS)))
+    ratio = (n_stop.cast("double") / F.size(tokens)).cast("double")
+    w = Window.partitionBy("lang")
+    d = docs.select("lang", ratio.alias("r")).withColumn(
+        "med", F.median("r").over(w))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("r") <= F.col("med"), 1).otherwise(0)).alias("n_kept"),
+        F.min("med").cast("double").alias("median_stopword_ratio"),
+    )
+
+
+@register(
     "text_fingerprint",
     """
     SELECT doc_id,
@@ -891,6 +929,46 @@ _REGISTRY["embedding_quantize_int8"].oracle = """
 # --------------------------------------------------------------------------
 # Extension operators: multimodal column plumbing
 # --------------------------------------------------------------------------
+
+@register(
+    "embedding_label_centroids",
+    """
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT label, unnest(range(0, len(v))) AS pos, v FROM e)
+    SELECT label, pos,
+           CAST(sum(CAST(round(v[pos + 1] * 1000000.0) AS BIGINT))
+                / (count(*) * 1000000.0) AS DOUBLE) AS centroid,
+           CAST(count(*) AS BIGINT) AS n_vecs
+      FROM x GROUP BY label, pos
+    """,
+    "Per-label embedding centroids (the class-prototype computation over a "
+    "vector corpus): posexplode → two-level (label, dim) aggregate — one "
+    "shuffle whose key count is labels × dim, independent of corpus size. "
+    "Values are micro-scaled to BIGINT before summing so the aggregate is "
+    "order-independent and bit-identical across engines; the final "
+    "rescale is one IEEE double division",
+)
+def embedding_label_centroids(spark, sf_dir):
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>"))
+            .alias("pos", "val"),
+        )
+        .groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+        .agg(
+            F.sum(F.round(F.col("val") * 1e6).cast("bigint")).alias("s"),
+            F.count("*").alias("n_vecs"),
+        )
+        .select(
+            "label", "pos",
+            (F.col("s") / (F.col("n_vecs") * F.lit(1e6)))
+            .cast("double").alias("centroid"),
+            "n_vecs",
+        )
+    )
+
 
 @register(
     "multimodal_payload_stats",
