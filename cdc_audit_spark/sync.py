@@ -173,6 +173,11 @@ def _sink_schema(spark: SparkSession, sink_path: str, fmt: str):
         return None
 
 
+# Sinks whose on-disk representation is typeless text: their re-read schema
+# is inferred, so type-level drift comparison is meaningless for them.
+_TEXT_FORMATS = ("csv", "json")
+
+
 def _check_drift(
     spark: SparkSession,
     audit_df: DataFrame,
@@ -186,8 +191,9 @@ def _check_drift(
     if existing is None:
         return
     drift = classify_schema_drift(existing, audit_df.schema)
-    if fmt == "csv":
-        # CSV carries no types (the sink schema above is inferred, the
+    if fmt in _TEXT_FORMATS:
+        # Text formats carry no types (the sink schema above is inferred —
+        # JSON reads timestamps back as strings, ints as bigints; the
         # reference's own drift concern is column drift, README:222) —
         # compare names only.
         drift["changed"] = []

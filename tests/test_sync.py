@@ -160,3 +160,32 @@ def test_csv_sink_cannot_evolve(spark, tmp_path):
     sync_table(_audit_df(spark, 10), sink, fmt="csv")
     with pytest.raises(SchemaDriftError, match="parquet"):
         sync_table(_audit_df_v2(spark, 25), sink, fmt="csv", on_drift="evolve")
+
+
+def test_json_sink_full_cycle(spark, tmp_path):
+    """JSON sink (ndjson, the common CDC bus format): incremental append,
+    name-only drift comparison (JSON re-reads timestamps as strings and
+    ints as bigints — type-level comparison would false-positive), scan
+    recovery, and typed read-back with an explicit schema."""
+    import os
+
+    sink = str(tmp_path / "t.json")
+    df = _audit_df(spark, 10)
+    res = sync_table(df, sink, fmt="json")
+    assert res.rows_synced == 10 and res.watermark == 10
+    # second run: same rows, empty delta — the inferred-schema drift check
+    # must NOT fire on type differences
+    res2 = sync_table(df, sink, fmt="json")
+    assert res2.rows_synced == 0 and res2.watermark == 10
+    # incremental append
+    res3 = sync_table(_audit_df(spark, 15), sink, fmt="json")
+    assert res3.rows_synced == 5 and res3.watermark == 15
+    # recovery by scan after state loss
+    for f in os.listdir(sink):
+        if "state" in f:
+            os.remove(os.path.join(sink, f))
+    assert get_watermark(spark, sink, fmt="json") == 15
+    # typed read-back restores timestamp/long types
+    back = read_sink(spark, sink, fmt="json", schema=df.schema)
+    assert dict(back.dtypes)["audit_timestamp"] == "timestamp"
+    assert back.count() == 15
