@@ -189,3 +189,15 @@ def test_json_sink_full_cycle(spark, tmp_path):
     back = read_sink(spark, sink, fmt="json", schema=df.schema)
     assert dict(back.dtypes)["audit_timestamp"] == "timestamp"
     assert back.count() == 15
+
+
+def test_orc_sink(spark, tmp_path):
+    """ORC is a typed format like parquet: full-fidelity round trip through
+    the same generic sink path, including the typed drift comparison."""
+    sink = str(tmp_path / "t.orc")
+    res = sync_table(_audit_df(spark, 10), sink, fmt="orc")
+    assert res.rows_synced == 10
+    assert sync_table(_audit_df(spark, 10), sink, fmt="orc").rows_synced == 0
+    back = read_sink(spark, sink, fmt="orc")
+    assert back.count() == 10
+    assert dict(back.dtypes)["audit_timestamp"] == "timestamp"
