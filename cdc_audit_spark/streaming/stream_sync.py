@@ -40,15 +40,21 @@ def stream_audit_sync(
     fmt: str = "csv",
     available_now: bool = True,
     foreach_batch: Callable[[DataFrame, int], None] | None = None,
+    source_fmt: str = "parquet",
 ):
     """Stream an audit log directory into a sink with checkpointed offsets.
 
     Returns the started StreamingQuery; with ``available_now`` the caller
     awaits termination for one cron-parity drain. Schema drift fails loudly
     before the query starts (the reference's documented unsolved issue,
-    README:210-212).
+    README:210-212). ``source_fmt`` is any streaming file source (parquet /
+    json / csv / orc) — an upstream capture job picks the bus format, the
+    drain is format-agnostic.
     """
-    stream = spark.readStream.schema(schema).parquet(source_path)
+    reader = spark.readStream.schema(schema)
+    if source_fmt == "csv":
+        reader = reader.option("header", True)
+    stream = reader.format(source_fmt).load(source_path)
     check_no_schema_drift(schema, stream.schema)
 
     if foreach_batch is not None:

@@ -47,6 +47,22 @@ def test_stream_audit_sync_drains_and_resumes(spark, tmp_path):
     assert out.select("audit_pk").distinct().count() == 15  # no re-emission
 
 
+def test_stream_audit_sync_json_source(spark, tmp_path):
+    """The drain is source-format-agnostic: a JSON audit bus streams into a
+    parquet sink with the same checkpointed-offset semantics."""
+    src = str(tmp_path / "log_json")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    rows = _audit_rows(spark, 1, 11)
+    rows.write.mode("append").json(src)
+    q = stream_audit_sync(spark, src, rows.schema, sink, ckpt,
+                          fmt="parquet", source_fmt="json")
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == 10
+    assert dict(out.dtypes)["audit_timestamp"] == "timestamp"
+
+
 def test_stream_audit_sync_foreach_batch_hook(spark, tmp_path):
     # M4 capability: user logic per micro-batch (legacy-trigger analog)
     src = str(tmp_path / "log")
