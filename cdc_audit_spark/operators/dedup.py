@@ -65,6 +65,50 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def cdc_exact_index_sync(
+    index: DataFrame | None,
+    audit_batch: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Maintain the exact-dedup membership index from a CDC audit batch —
+    the corpus-hygiene consumer of the audit log (reference audit rows:
+    cdc_audit_gen_mysql.php:331-333; batch shape = sync's delta output).
+
+    ``index`` is the persisted ``(digest, id)`` membership table of the
+    current corpus (None for an empty corpus). The batch is reduced to one
+    final image per document (keep-last on ``audit_pk``), then:
+
+      * every touched document's old membership row is dropped — by id, so
+        the OLD text (which an update's audit row does not carry) is never
+        needed;
+      * surviving inserts/updates add their new digest membership.
+
+    Returns ``(new_index, additions)``: callers with rewrite-capable sinks
+    persist ``new_index``; append-only callers append ``additions`` and
+    tombstone the touched ids. Survivor resolution stays a view over the
+    index (min id per digest) rather than maintained state — a min cannot
+    be decremented under deletion without the membership rows anyway.
+
+    Scale shape: the index (corpus-sized) is only ever the probe side of a
+    semi/anti join against the batch's touched-id set, which is broadcast —
+    the index never shuffles; the batch pays one keep-last shuffle on id.
+    """
+    from cdc_audit_spark.compact import keep_last_per_key
+    from cdc_audit_spark.schema import AUDIT_EVENT
+
+    final = keep_last_per_key(audit_batch, [id_col])
+    touched = final.select(F.col(id_col).alias("id")).distinct()
+    additions = (
+        final.filter(F.col(AUDIT_EVENT) != "delete")
+        .select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("id"))
+    )
+    if index is None:
+        return additions, additions
+    kept = index.join(F.broadcast(touched), "id", "left_anti")
+    return kept.unionByName(additions), additions
+
+
 def _shingles(text_col: str, shingle_size: int):
     """Word n-gram shingles as an array column, built entirely from JVM
     expressions: split → sliding concat via transform over an index sequence.

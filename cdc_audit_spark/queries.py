@@ -2081,6 +2081,66 @@ def dedup_ngram_jaccard_exact(spark, sf_dir):
 
 
 @register(
+    "cdc_dedup_index_sync",
+    """
+    WITH v0 AS (SELECT doc_id, text FROM documents),
+    survivors AS (SELECT doc_id,
+                         CASE WHEN doc_id % 13 = 0
+                              THEN 'TEMPLATE-' || CAST(doc_id % 5 AS VARCHAR)
+                              ELSE text END AS text
+                    FROM v0 WHERE doc_id % 17 <> 2),
+    ins AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM v0) AS doc_id, text
+              FROM v0 WHERE doc_id % 23 = 1),
+    final AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins),
+    idx AS (SELECT md5(text) AS digest, doc_id FROM final)
+    SELECT digest, CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS survivor_id
+      FROM idx GROUP BY digest HAVING count(*) > 1
+    """,
+    "CDC-maintained exact-dedup index: a scripted audit batch (deletes "
+    "doc_id≡2 mod 17, updates ≡0 mod 13 onto 5 template texts — creating "
+    "new duplicate families — inserts copies of ≡1 mod 23) is applied "
+    "INCREMENTALLY to the corpus's (digest, id) membership index via "
+    "cdc_exact_index_sync; the oracle computes the post-change state "
+    "directly, so equality proves the maintenance algebra. The index "
+    "never shuffles — touched ids broadcast into semi/anti joins",
+)
+def cdc_dedup_index_sync(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import cdc_exact_index_sync
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    maxid = docs.agg(F.max("doc_id")).first()[0]
+    idx0 = docs.select(F.md5("text").alias("digest"), F.col("doc_id").alias("id"))
+    deletes = (
+        docs.filter(F.col("doc_id") % 17 == 2)
+        .select("doc_id", "text",
+                F.lit("delete").alias("audit_event"),
+                (F.col("doc_id") * 2 + 1).alias("audit_pk"))
+    )
+    updates = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id",
+                F.concat(F.lit("TEMPLATE-"), (F.col("doc_id") % 5).cast("string"))
+                .alias("text"),
+                F.lit("update").alias("audit_event"),
+                (F.col("doc_id") * 2).alias("audit_pk"))
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") % 23 == 1)
+        .select((F.col("doc_id") + F.lit(maxid + 1)).alias("doc_id"), "text",
+                F.lit("insert").alias("audit_event"),
+                (F.col("doc_id") * 2).alias("audit_pk"))
+    )
+    batch = deletes.unionByName(updates).unionByName(inserts)
+    new_index, _additions = cdc_exact_index_sync(idx0, batch, "text", "doc_id")
+    return (
+        new_index.groupBy("digest")
+        .agg(F.count("*").alias("n_copies"), F.min("id").alias("survivor_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
     "dedup_prefix_digest",
     """
     WITH d AS (SELECT doc_id, source, md5(substr(text, 1, 256)) AS prefix_digest

@@ -224,3 +224,63 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
                                  num_hashes=32, bands=8, max_bucket_size=None)
     assert uncapped.lsh_cap_observation is None
     assert {(r.id_a, r.id_b) for r in uncapped.collect()} == {(1000, 1001)}
+
+
+def test_cdc_exact_index_sync_matches_recompute(spark):
+    """Applying audit batches incrementally must equal rebuilding the index
+    from the final corpus — insert, duplicate-creating update, survivor
+    deletion, and re-insert across three batches."""
+    import datetime as dt
+
+    from cdc_audit_spark.operators.dedup import cdc_exact_index_sync, exact_dedup_groups
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, audit_event string, audit_pk long")
+
+    def as_corpus(pairs):
+        return spark.createDataFrame(pairs, "doc_id long, text string")
+
+    # batch 1: initial inserts (two docs share text 'aa')
+    b1 = batch([(1, "aa", "insert", 1), (2, "bb", "insert", 2),
+                (3, "aa", "insert", 3)])
+    idx, _ = cdc_exact_index_sync(None, b1, "text", "doc_id")
+    # batch 2: update 2 onto 'aa' (joins the dup family), delete survivor 1
+    b2 = batch([(2, "aa", "update", 4), (1, "aa", "delete", 5)])
+    idx, _ = cdc_exact_index_sync(idx, b2, "text", "doc_id")
+    # batch 3: re-insert id 1 with fresh text, update 3 away from 'aa'
+    b3 = batch([(1, "cc", "insert", 6), (3, "dd", "update", 7)])
+    idx, _ = cdc_exact_index_sync(idx, b3, "text", "doc_id")
+
+    final_corpus = as_corpus([(1, "cc"), (2, "aa"), (3, "dd")])
+    got = {(r["text_hash"], r["keep_id"], r["n_copies"])
+           for r in exact_dedup_groups(
+               idx.selectExpr("id as doc_id", "digest as text"), "text", "doc_id"
+           ).collect()}
+    want = {(r["text_hash"], r["keep_id"], r["n_copies"])
+            for r in exact_dedup_groups(
+                final_corpus.select("doc_id", F.md5("text").alias("text")),
+                "text", "doc_id").collect()}
+    assert got == want
+    assert idx.count() == 3  # one membership row per live doc
+
+
+def test_cdc_exact_index_sync_intra_batch_last_wins(spark):
+    """A doc updated then deleted in ONE batch must vanish; updated twice
+    keeps only the last digest."""
+    from cdc_audit_spark.operators.dedup import cdc_exact_index_sync
+
+    base = spark.createDataFrame(
+        [(10, "x", "insert", 1), (11, "y", "insert", 2)],
+        "doc_id long, text string, audit_event string, audit_pk long")
+    idx, _ = cdc_exact_index_sync(None, base, "text", "doc_id")
+    b = spark.createDataFrame(
+        [(10, "x2", "update", 3), (10, "x3", "delete", 4),
+         (11, "y2", "update", 5), (11, "y3", "update", 6)],
+        "doc_id long, text string, audit_event string, audit_pk long")
+    idx, adds = cdc_exact_index_sync(idx, b, "text", "doc_id")
+    rows = {(r["id"], r["digest"]) for r in idx.collect()}
+    assert {r[0] for r in rows} == {11}
+    import hashlib
+    assert rows == {(11, hashlib.md5(b"y3").hexdigest())}
+    assert adds.count() == 1
