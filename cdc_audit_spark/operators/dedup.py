@@ -106,7 +106,8 @@ def cdc_exact_index_sync(
     if index is None:
         return additions, additions
     kept = index.join(F.broadcast(touched), "id", "left_anti")
-    return kept.unionByName(additions), additions
+    # stable (digest, id) column order regardless of join-key reordering
+    return kept.unionByName(additions).select("digest", "id"), additions
 
 
 def _shingles(text_col: str, shingle_size: int):

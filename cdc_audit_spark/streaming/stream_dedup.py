@@ -23,9 +23,12 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from cdc_audit_spark.operators.dedup import incremental_lsh_dedup
+from cdc_audit_spark.operators.dedup import (
+    cdc_exact_index_sync,
+    incremental_lsh_dedup,
+)
 
-__all__ = ["stream_dedup_sync"]
+__all__ = ["stream_dedup_sync", "stream_exact_index_sync"]
 
 
 def stream_dedup_sync(
@@ -68,6 +71,69 @@ def stream_dedup_sync(
         survivors = batch_df.join(accepted_ids, id_col, "left_semi")
         survivors.write.mode("append").parquet(accepted_path)
         accepted_entries.write.mode("append").parquet(index_path)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_exact_index_sync(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    index_path: str,
+    checkpoint_path: str,
+    text_col: str,
+    id_col: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Stream CDC audit batches and keep the exact-dedup membership index
+    current — the always-on form of cdc_exact_index_sync. Returns the
+    started StreamingQuery.
+
+    Each micro-batch reads the index (the previous batch's output), applies
+    the batch's final images, and REWRITES the index to a new snapshot
+    directory under ``index_path`` (``gen=<epoch>``), then repoints a
+    pointer file atomically — deletes cannot be expressed as parquet
+    appends, and a partial rewrite must never destroy the readable index.
+    A crash before the pointer flips replays the batch against the old
+    snapshot (the operator is deterministic, so the re-derived snapshot is
+    identical). Snapshot GC is the caller's policy.
+
+    At 100 TB the rewrite cost is the motivation for a transactional table
+    format; the operator itself is storage-agnostic — only this hook's
+    persistence strategy changes.
+    """
+    import json as _json
+    import os as _os
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    ptr = _os.path.join(index_path, "_current.json")
+
+    def _current():
+        if not _os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return spark.read.parquet(_json.load(f)["path"])
+
+    def handle(batch_df, epoch_id: int) -> None:
+        new_index, _adds = cdc_exact_index_sync(
+            _current(), batch_df, text_col, id_col
+        )
+        gen_dir = _os.path.join(index_path, f"gen={epoch_id}")
+        new_index.write.mode("overwrite").parquet(gen_dir)
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"path": gen_dir, "epoch": epoch_id}, f)
+        _os.replace(tmp, ptr)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_path

@@ -284,3 +284,36 @@ def test_cdc_exact_index_sync_intra_batch_last_wins(spark):
     import hashlib
     assert rows == {(11, hashlib.md5(b"y3").hexdigest())}
     assert adds.count() == 1
+
+
+def test_stream_exact_index_sync(spark, tmp_path):
+    """Streaming the audit batches must leave the same index a single batch
+    application would — state carried via index snapshots + pointer file."""
+    import json
+    import os
+
+    from cdc_audit_spark.operators.dedup import cdc_exact_index_sync
+    from cdc_audit_spark.streaming.stream_dedup import stream_exact_index_sync
+
+    rows = [(1, "aa", "insert", 1), (2, "bb", "insert", 2),
+            (3, "aa", "insert", 3), (2, "aa", "update", 4),
+            (1, "aa", "delete", 5), (4, "cc", "insert", 6)]
+    sch = "doc_id long, text string, audit_event string, audit_pk long"
+    src = str(tmp_path / "audit_src")
+    # one file per row → forced micro-batches under maxFilesPerTrigger=1
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], sch).coalesce(1).write.mode(
+            "append").parquet(src)
+    idx_dir = str(tmp_path / "index")
+    q = stream_exact_index_sync(
+        spark, src, spark.read.parquet(src).schema, idx_dir,
+        str(tmp_path / "ck"), "text", "doc_id", max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    with open(os.path.join(idx_dir, "_current.json")) as f:
+        streamed = spark.read.parquet(json.load(f)["path"])
+    batch_index, _ = cdc_exact_index_sync(
+        None, spark.createDataFrame(rows, sch), "text", "doc_id")
+    assert ({tuple(r) for r in streamed.collect()}
+            == {tuple(r) for r in batch_index.collect()})
+    assert {r["id"] for r in streamed.collect()} == {2, 3, 4}
