@@ -144,7 +144,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--data-dir", required=True, help="directory containing *_audit parquet tables")
     s.add_argument("-m", "--output-dir", default="./cdc_audit_sync", help="CSV sink directory")
     s.add_argument("-t", "--tables", default=None)
-    s.add_argument("--format", default="csv", choices=["csv", "parquet"],
+    s.add_argument("--format", default="csv",
+                   choices=["csv", "parquet", "json", "orc"],
                    help="sink format (CSV = reference parity; parquet enables --evolve)")
     s.add_argument("--evolve", action="store_true",
                    help="auto-migrate additive schema drift (parquet sinks only)")

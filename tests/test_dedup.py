@@ -317,3 +317,46 @@ def test_stream_exact_index_sync(spark, tmp_path):
     assert ({tuple(r) for r in streamed.collect()}
             == {tuple(r) for r in batch_index.collect()})
     assert {r["id"] for r in streamed.collect()} == {2, 3, 4}
+
+
+def test_cdc_exact_index_sync_random_sequences(spark):
+    """Seeded random insert/update/delete sequences across several batches:
+    the incrementally-maintained index must equal one built from the final
+    corpus state, for every prefix of batches."""
+    import random
+
+    from cdc_audit_spark.operators.dedup import cdc_exact_index_sync
+
+    rng = random.Random(42)
+    sch = "doc_id long, text string, audit_event string, audit_pk long"
+    texts = [f"t{i}" for i in range(6)]  # small text pool → many collisions
+    live: dict[int, str] = {}
+    idx = None
+    pk = 0
+    next_id = 0
+    for _ in range(4):  # 4 batches
+        rows = []
+        for _ in range(rng.randint(3, 8)):
+            pk += 1
+            op = rng.choice(["insert", "update", "delete"])
+            if op == "insert" or not live:
+                next_id += 1
+                txt = rng.choice(texts)
+                rows.append((next_id, txt, "insert", pk))
+                live[next_id] = txt
+            elif op == "update":
+                did = rng.choice(sorted(live))
+                txt = rng.choice(texts)
+                rows.append((did, txt, "update", pk))
+                live[did] = txt
+            else:
+                did = rng.choice(sorted(live))
+                rows.append((did, live[did], "delete", pk))
+                del live[did]
+        idx, _ = cdc_exact_index_sync(
+            idx, spark.createDataFrame(rows, sch), "text", "doc_id")
+        import hashlib
+        want = {(hashlib.md5(t.encode()).hexdigest(), i)
+                for i, t in live.items()}
+        got = {(r["digest"], r["id"]) for r in idx.collect()}
+        assert got == want
