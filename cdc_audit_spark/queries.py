@@ -2081,6 +2081,43 @@ def dedup_ngram_jaccard_exact(spark, sf_dir):
 
 
 @register(
+    "table_checksum_orders",
+    """
+    SELECT CAST(CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                 o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                 o_orderpriority)), 1, 12)) AS BIGINT))
+                AS DECIMAL(38,0)) AS VARCHAR) AS checksum,
+           CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders
+    """,
+    "Order-independent table checksum (sync.table_checksum shape): 48-bit "
+    "md5 prefix per canonicalized row, summed — the cross-system "
+    "data-validation primitive (does the sink equal the source?) that "
+    "reduces map-side to ONE row on each side; canonical casts make the "
+    "digest engine-portable",
+)
+def table_checksum_orders(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("decimal(20,0)")
+    return o.agg(
+        F.sum(h).cast("decimal(38,0)").cast("string").alias("checksum"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
     "cdc_dedup_index_sync",
     """
     WITH v0 AS (SELECT doc_id, text FROM documents),

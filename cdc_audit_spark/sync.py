@@ -41,7 +41,8 @@ from cdc_audit_spark.schema import (
     evolve_schema,
 )
 
-__all__ = ["sync_table", "get_watermark", "SyncResult"]
+__all__ = ["sync_table", "get_watermark", "SyncResult",
+           "table_checksum", "verify_sink"]
 
 _STATE_FILE = "_cdc_watermark.json"
 
@@ -211,6 +212,52 @@ def _check_drift(
         )
     # raises on removed/changed; additive drift appends as-is
     evolve_schema(existing, audit_df.schema)
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-independent content checksum of a DataFrame: SUM over a 48-bit
+    md5 prefix of each canonicalized row, plus the row count.
+
+    The integrity primitive for CDC consumers — the reference documents its
+    CSV sink as corruptible with no way to tell (README:213-215); comparing
+    ``table_checksum(source_delta)`` with ``table_checksum(read_sink(...))``
+    detects divergence without moving either dataset: both sides reduce
+    map-side to ONE row. Summing (not xor-folding) keeps duplicate rows
+    visible; 48-bit prefixes summed as DECIMAL(38,0) cannot overflow below
+    ~10^23 rows. Checksum returned as a digit string (decimal types
+    stringify differently across engines).
+    """
+    cols = cols or df.columns
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("decimal(20,0)")
+    return df.agg(
+        F.sum(h).cast("decimal(38,0)").cast("string").alias("checksum"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def verify_sink(
+    audit_df: DataFrame,
+    sink_path: str,
+    fmt: str = "csv",
+    cols: list[str] | None = None,
+) -> bool:
+    """True iff the sink's content checksum matches the audit source's.
+
+    Reads the sink with the SOURCE's schema so text formats (CSV/JSON)
+    canonicalize identically to the typed source — a string-typed re-read
+    would checksum '1.0' vs '1.0' fine but timestamps differently.
+    """
+    spark = audit_df.sparkSession
+    cols = cols or audit_df.columns
+    src = table_checksum(audit_df.select(*cols), cols).first()
+    snk = table_checksum(
+        read_sink(spark, sink_path, fmt=fmt, schema=audit_df.schema).select(*cols),
+        cols,
+    ).first()
+    return (src["checksum"], src["n_rows"]) == (snk["checksum"], snk["n_rows"])
 
 
 def read_sink(
