@@ -87,7 +87,7 @@ def _gen(args) -> int:
 
 def _sync(args) -> int:
     from cdc_audit_spark.compact import compact_log
-    from cdc_audit_spark.sync import read_sink, sync_table
+    from cdc_audit_spark.sync import read_sink, sync_table, verify_sink
     from cdc_audit_spark.session import get_spark
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -113,6 +113,12 @@ def _sync(args) -> int:
             )
             if args.verbosity >= 2:
                 print(f"{table}: +{res.rows_synced} rows, watermark={res.watermark}")
+            if args.verify and not args.wipe:
+                # post-sync integrity: sink content must equal the source
+                # (wipe rewrites the sink to one row, so skip under --wipe)
+                if not verify_sink(audit_df, sink, fmt=args.format):
+                    print(f"VERIFY FAILED: {sink} diverges from source {table}")
+                    return 1
             if args.wipe:
                 # keep-last compaction of the SOURCE audit log is a
                 # database-side op in the reference (sync:284-319); here we
@@ -147,6 +153,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--format", default="csv",
                    choices=["csv", "parquet", "json", "orc"],
                    help="sink format (CSV = reference parity; parquet enables --evolve)")
+    s.add_argument("--verify", action="store_true",
+                   help="after each sync, checksum-compare sink vs source")
     s.add_argument("--evolve", action="store_true",
                    help="auto-migrate additive schema drift (parquet sinks only)")
     s.add_argument("-w", "--wipe", action="store_true",

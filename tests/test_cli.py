@@ -100,3 +100,39 @@ def test_sync_parquet_evolve(tmp_path, spark):
             .parquet(str(sink_dir / "items_audit")))
     assert back.count() == 10
     assert back.filter(F.col("region").isNull()).count() == 5
+
+
+def test_sync_verify_flag(tmp_path, spark):
+    """--verify checksums sink vs source after each sync; tampering makes
+    the next verified sync exit non-zero."""
+    data = tmp_path / "data"
+    rows = (
+        spark.range(1, 6)
+        .select(
+            F.col("id").alias("k"),
+            F.lit("insert").alias("audit_event"),
+            F.lit(dt.datetime(2026, 1, 1)).alias("audit_timestamp"),
+            F.col("id").alias("audit_pk"),
+        )
+    )
+    rows.write.parquet(str(data / "items_audit.parquet"))
+    sink_dir = tmp_path / "sink"
+
+    r = _run(["sync", "--data-dir", str(data), "-m", str(sink_dir),
+              "--verify", "-v", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # tamper: drop a data line from the sink (and its integrity sidecar)
+    import glob
+
+    part = sorted(glob.glob(str(sink_dir / "items_audit.csv" / "part-*.csv")))[0]
+    crc = os.path.join(os.path.dirname(part), "." + os.path.basename(part) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    lines = open(part).read().splitlines()
+    open(part, "w").write("\n".join(lines[:-1]) + "\n")
+
+    r2 = _run(["sync", "--data-dir", str(data), "-m", str(sink_dir),
+               "--verify", "-v", "2"])
+    assert r2.returncode == 1
+    assert "VERIFY FAILED" in r2.stdout
