@@ -1058,6 +1058,38 @@ def asof_join_error_purchase(spark, sf_dir):
 
 
 @register(
+    "asof_forward_next_purchase",
+    """
+    SELECT event_id, user_id, ts, ts_right, purchase_value FROM (
+      SELECT e.event_id, e.user_id, e.ts, p.ts AS ts_right,
+             p.value AS purchase_value,
+             row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts)
+               AS rn
+        FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error') e
+        LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND p.ts >= e.ts)
+     WHERE rn = 1
+    """,
+    "Forward as-of join: for each error event, the user's NEXT purchase "
+    "at-or-after it — same union-tag + running-last machinery as the "
+    "backward direction, one shuffle, no range explosion; the oracle's "
+    "candidate join + row_number proves the window algebra",
+)
+def asof_forward_next_purchase(spark, sf_dir):
+    from cdc_audit_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value"))
+    return asof_join(errors, purchases, on="ts", by="user_id",
+                     direction="forward")
+
+
+@register(
     "range_join_click_windows",
     """
     SELECT p.event_id AS point_id, i.event_id AS iv_id
@@ -2077,6 +2109,37 @@ def dedup_ngram_jaccard_exact(spark, sf_dir):
         ngram_jaccard_pairs(docs, "text", "doc_id", cand, shingle_size=3)
         .filter(F.col("jaccard") >= 0.05)
         .select("id_a", "id_b", F.col("jaccard").cast("double").alias("jaccard"))
+    )
+
+
+@register(
+    "skew_salted_user_rollup",
+    """
+    WITH stats AS (SELECT user_id,
+                          CAST(count(*) AS BIGINT) AS n_user_events
+                     FROM events GROUP BY user_id)
+    SELECT e.event_type,
+           CAST(sum(s.n_user_events) AS BIGINT) AS weight,
+           CAST(count(*) AS BIGINT) AS n
+      FROM events e JOIN stats s ON e.user_id = s.user_id
+     GROUP BY e.event_type
+    """,
+    "Skew-robust fact-to-stats join: the events fact joins a per-user stats "
+    "dim through operators.skew.salted_join (deterministic row-hash salt, "
+    "dim replicated x8) so one hot user cannot pin a task at scale — the "
+    "oracle is the PLAIN join, so the hash check proves salting is "
+    "semantically invisible",
+)
+def skew_salted_user_rollup(spark, sf_dir):
+    from cdc_audit_spark.operators.skew import salted_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    stats = ev.groupBy("user_id").agg(F.count("*").alias("n_user_events"))
+    joined = salted_join(ev.select("user_id", "event_type"), stats,
+                         on="user_id", salts=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(F.sum("n_user_events").alias("weight"), F.count("*").alias("n"))
     )
 
 
