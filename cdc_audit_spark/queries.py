@@ -1835,6 +1835,114 @@ def window_first_last_value(spark, sf_dir):
 
 
 @register(
+    "window_dense_rank_brand_price",
+    """
+    SELECT p_partkey, p_brand,
+           CAST(rank() OVER w AS BIGINT) AS price_rank,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank
+      FROM part
+    WINDOW w AS (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey)
+    """,
+    "rank vs dense_rank per brand over retail price — the gap between the "
+    "two under duplicate prices; one shuffle on the partition key",
+)
+def window_dense_rank_brand_price(spark, sf_dir):
+    p = load_tables(spark, sf_dir)["part"]
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey"))
+    return p.select(
+        "p_partkey", "p_brand",
+        F.rank().over(w).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("price_dense_rank"),
+    )
+
+
+@register(
+    "window_nth_value_second_order",
+    """
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_orderkey
+      FROM orders
+    """,
+    "nth_value over the full frame: each customer's second-ever order "
+    "alongside every order row (NULL for single-order customers)",
+)
+def window_nth_value_second_order(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+    )
+
+
+@register(
+    "quartiles_by_segment",
+    """
+    SELECT c_mktsegment,
+           CAST(quantile_cont(c_acctbal, 0.25) AS DOUBLE) AS q1,
+           CAST(quantile_cont(c_acctbal, 0.50) AS DOUBLE) AS q2,
+           CAST(quantile_cont(c_acctbal, 0.75) AS DOUBLE) AS q3,
+           CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_mktsegment
+    """,
+    "Exact linear-interpolated quartiles of account balance per market "
+    "segment (percentile ≡ quantile_cont: same sort-based interpolation on "
+    "both engines); one shuffle, bounded output",
+)
+def quartiles_by_segment(spark, sf_dir):
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.25)).cast("double").alias("q1"),
+        F.percentile("c_acctbal", F.lit(0.50)).cast("double").alias("q2"),
+        F.percentile("c_acctbal", F.lit(0.75)).cast("double").alias("q3"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "full_outer_customer_supplier_nations",
+    """
+    SELECT n.n_name,
+           c.n_customers,
+           s.n_suppliers
+      FROM nation n
+      FULL OUTER JOIN (SELECT c_nationkey, CAST(count(*) AS BIGINT)
+                              AS n_customers
+                         FROM customer GROUP BY c_nationkey) c
+        ON n.n_nationkey = c.c_nationkey
+      FULL OUTER JOIN (SELECT s_nationkey, CAST(count(*) AS BIGINT)
+                              AS n_suppliers
+                         FROM supplier GROUP BY s_nationkey) s
+        ON n.n_nationkey = s.s_nationkey
+    """,
+    "Full-outer presence matrix: every nation with its customer and "
+    "supplier counts, preserving nations missing from either side — the "
+    "join family the snapshot-diff CDC core is built on, exposed directly",
+)
+def full_outer_customer_supplier_nations(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"))
+    supp = t["supplier"].groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"))
+    return (
+        t["nation"]
+        .join(cust, F.col("n_nationkey") == F.col("c_nationkey"), "full_outer")
+        .join(supp, F.col("n_nationkey") == F.col("s_nationkey"), "full_outer")
+        .select("n_name", "n_customers", "n_suppliers")
+    )
+
+
+@register(
     "window_percent_rank",
     """
     SELECT o_orderkey,

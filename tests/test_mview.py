@@ -87,3 +87,54 @@ def test_empty_batch_is_identity(spark, snapshots):
     view = bootstrap_group_sum(v0, ["g"], val)
     refreshed = maintain_group_sum(view, v0, empty, ["pk"], ["g"], val)
     assert sorted(map(tuple, refreshed.collect())) == sorted(map(tuple, view.collect()))
+
+
+def test_stream_mview_sync_matches_direct_aggregate(spark, tmp_path):
+    """Streaming maintenance across forced micro-batches must equal a
+    direct aggregate over the final state — inserts, group-migrating
+    updates, and a group-emptying delete."""
+    import datetime as dt
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.streaming.stream_mview import stream_mview_sync
+
+    sch = ("k long, seg string, val double, audit_event string, "
+           "audit_timestamp timestamp, audit_pk long")
+    ts = dt.datetime(2026, 1, 1)
+    base = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0)],
+        "k long, seg string, val double")
+    batches = [
+        [(4, "B", 40.0, "insert", ts, 1)],
+        [(1, "B", 10.0, "update", ts, 2),   # A → B migration
+         (2, "A", 25.0, "update", ts, 3)],
+        [(3, "B", 30.0, "delete", ts, 4),
+         (2, "A", 25.0, "delete", ts, 5)],  # empties group A
+    ]
+    src = str(tmp_path / "audit_src")
+    for rows in batches:
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    state = str(tmp_path / "mv_state")
+    q = stream_mview_sync(
+        spark, src, spark.read.parquet(src).schema, state,
+        str(tmp_path / "ck"), base, ["k"], ["seg"],
+        F.col("val").cast("decimal(12,2)"), max_files_per_trigger=1)
+    q.awaitTermination(240)
+
+    with open(os.path.join(state, "_current.json")) as f:
+        gen = json.load(f)
+    view = spark.read.parquet(gen["view"])
+    final = spark.read.parquet(gen["base"])
+    direct = final.groupBy("seg").agg(
+        F.sum(F.col("val").cast("decimal(12,2)")).alias("total"),
+        F.count("*").alias("n_rows"))
+    vs = {(r["seg"], float(r["total"]), r["n_rows"]) for r in view.collect()}
+    ds = {(r["seg"], float(r["total"]), r["n_rows"]) for r in direct.collect()}
+    assert vs == ds
+    # final state: k1→B(10), k4→B(40); k3 deleted; group A gone
+    assert vs == {("B", 50.0, 2)}
