@@ -3797,6 +3797,50 @@ def scalar_function_sampler(spark, sf_dir):
 
 
 @register(
+    "datetime_function_sampler",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS INT) AS y,
+           CAST(quarter(ts) AS INT) AS q,
+           CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS d,
+           CAST(hour(ts) AS INT) AS h,
+           CAST(dayofyear(ts) AS INT) AS doy,
+           strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S') AS month_start,
+           strftime(date_trunc('quarter', ts), '%Y-%m-%d %H:%M:%S') AS quarter_start,
+           strftime(ts + INTERVAL 36 HOUR, '%Y-%m-%d %H:%M:%S') AS plus_36h,
+           CAST(date_diff('minute', date_trunc('day', ts), ts) AS BIGINT)
+             AS minutes_into_day
+      FROM events WHERE event_id % 101 = 0
+    """,
+    "Datetime-function parity sampler (SURVEY §2.8 breadth): calendar "
+    "extraction (year/quarter/month/day/hour/dayofyear), date_trunc to "
+    "month/quarter, interval arithmetic, and minutes-into-day via "
+    "truncation diff — engine-neutral forms only (dayofweek/weekofyear "
+    "origins differ across engines and are covered by the day-diff-mod-7 "
+    "idiom in scalar_function_sampler). All map-side",
+)
+def datetime_function_sampler(spark, sf_dir):
+    ev = load_tables(spark, sf_dir)["events"]
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.filter(F.col("event_id") % 101 == 0).select(
+        "event_id",
+        F.year("ts").cast("int").alias("y"),
+        F.quarter("ts").cast("int").alias("q"),
+        F.month("ts").cast("int").alias("m"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        F.hour("ts").cast("int").alias("h"),
+        F.dayofyear("ts").cast("int").alias("doy"),
+        F.date_format(F.date_trunc("month", "ts"), fmt).alias("month_start"),
+        F.date_format(F.date_trunc("quarter", "ts"), fmt).alias("quarter_start"),
+        F.date_format(F.col("ts") + F.expr("INTERVAL 36 HOURS"), fmt)
+        .alias("plus_36h"),
+        ((F.unix_micros("ts") - F.unix_micros(F.date_trunc("day", "ts")))
+         / F.lit(60_000_000)).cast("bigint").alias("minutes_into_day"),
+    )
+
+
+@register(
     "nation_top_customer_list",
     """
     WITH ranked AS (
