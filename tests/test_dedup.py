@@ -360,3 +360,36 @@ def test_cdc_exact_index_sync_random_sequences(spark):
                 for i, t in live.items()}
         got = {(r["digest"], r["id"]) for r in idx.collect()}
         assert got == want
+
+
+def test_stream_exact_index_sync_resumes_from_checkpoint(spark, tmp_path):
+    """A second availableNow drain with the same checkpoint must apply only
+    NEW audit files — offsets prevent re-applying the first batch."""
+    import json
+    import os
+
+    from cdc_audit_spark.streaming.stream_dedup import stream_exact_index_sync
+
+    sch = "doc_id long, text string, audit_event string, audit_pk long"
+    src = str(tmp_path / "audit_src")
+    idx_dir = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, "aa", "insert", 1), (2, "bb", "insert", 2)], sch
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = stream_exact_index_sync(spark, src, schema, idx_dir, ck,
+                                "text", "doc_id")
+    q.awaitTermination(120)
+
+    # second wave: delete 1, insert 3 — drained by a NEW query, same ckpt
+    spark.createDataFrame(
+        [(1, "aa", "delete", 3), (3, "cc", "insert", 4)], sch
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_exact_index_sync(spark, src, schema, idx_dir, ck,
+                                 "text", "doc_id")
+    q2.awaitTermination(120)
+
+    with open(os.path.join(idx_dir, "_current.json")) as f:
+        idx = spark.read.parquet(json.load(f)["path"])
+    assert {r["id"] for r in idx.collect()} == {2, 3}

@@ -138,3 +138,42 @@ def test_stream_mview_sync_matches_direct_aggregate(spark, tmp_path):
     assert vs == ds
     # final state: k1→B(10), k4→B(40); k3 deleted; group A gone
     assert vs == {("B", 50.0, 2)}
+
+
+def test_stream_mview_sync_resumes_from_checkpoint(spark, tmp_path):
+    """Restarting the view-maintenance stream with the same checkpoint
+    applies only new audit files — no double debit/credit."""
+    import datetime as dt
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.streaming.stream_mview import stream_mview_sync
+
+    sch = ("k long, seg string, val double, audit_event string, "
+           "audit_timestamp timestamp, audit_pk long")
+    ts = dt.datetime(2026, 1, 1)
+    base = spark.createDataFrame([(1, "A", 10.0)], "k long, seg string, val double")
+    src = str(tmp_path / "audit_src")
+    state = str(tmp_path / "mv_state")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame([(2, "A", 5.0, "insert", ts, 1)], sch
+                          ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    val = F.col("val").cast("decimal(12,2)")
+    q = stream_mview_sync(spark, src, schema, state, ck, base,
+                          ["k"], ["seg"], val)
+    q.awaitTermination(120)
+
+    spark.createDataFrame([(1, "A", 10.0, "delete", ts, 2)], sch
+                          ).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_mview_sync(spark, src, schema, state, ck, base,
+                           ["k"], ["seg"], val)
+    q2.awaitTermination(120)
+
+    with open(os.path.join(state, "_current.json")) as f:
+        gen = json.load(f)
+    view = {(r["seg"], float(r["total"]), r["n_rows"])
+            for r in spark.read.parquet(gen["view"]).collect()}
+    assert view == {("A", 5.0, 1)}  # only k2 remains; no double-apply
