@@ -2349,6 +2349,35 @@ def cdc_dedup_index_sync(spark, sf_dir):
 
 
 @register(
+    "dedup_levenshtein_pairs",
+    """
+    WITH d AS (SELECT doc_id, substr(text, 1, 64) AS t
+                 FROM documents WHERE doc_id < 48)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_distance
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+     WHERE levenshtein(a.t, b.t) <= 42
+    """,
+    "Edit-distance near-dup pairs over a bounded id range (64-char "
+    "prefixes): the fourth similarity metric of the dedup family, exact "
+    "and quadratic like the cosine baseline — at scale run it only inside "
+    "LSH buckets. levenshtein is the standard DP algorithm on both engines",
+)
+def dedup_levenshtein_pairs(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = docs.filter(F.col("doc_id") < 48).select(
+        "doc_id", F.substring("text", 1, 64).alias("t"))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.levenshtein("ta", "tb").cast("bigint").alias("edit_distance"))
+        .filter(F.col("edit_distance") <= 42)
+    )
+
+
+@register(
     "dedup_prefix_digest",
     """
     WITH d AS (SELECT doc_id, source, md5(substr(text, 1, 256)) AS prefix_digest

@@ -88,6 +88,10 @@ EXPLANATIONS["dedup_ngram_jaccard_exact"] = (
     "self-join — the hash-checked analog of the LSH verify stage; at scale "
     "candidates come from MinHash-LSH buckets (dedup_ngram_jaccard)"
 )
+EXPLANATIONS["dedup_levenshtein_pairs"] = (
+    "bounded (< 48 ids) non-equi self-join — exact edit-distance verify "
+    "baseline; at scale run inside LSH buckets like the cosine baseline"
+)
 EXPLANATIONS["corpus_source_accounting"] = (
     "the share-of-total window runs over the already-aggregated per-source "
     "frame — cardinality = number of sources, bounded at any corpus size"
