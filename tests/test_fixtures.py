@@ -77,3 +77,34 @@ def test_events_ts_is_usable_timestamp(spark, sf_dir):
     ev = load_tables(spark, sf_dir)["events"]
     assert dict(ev.dtypes)["ts"] in _TS
     assert ev.selectExpr("min(ts)").first()[0] is not None
+
+
+def test_normalize_events_ts_all_encodings(spark):
+    """The loader's ts normalization must handle every encoding the
+    environment has ever produced: micros-timestamp (current fixtures),
+    TIMESTAMP_NTZ, and nanos-as-long (the r01 environment) — keyed off the
+    OBSERVED dtype, never an assumption (the r03 outage)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.queries import normalize_events_ts
+
+    want = dt.datetime(2026, 1, 2, 3, 4, 5, 123456)
+
+    # nanos-as-long: exact integer division, no float precision loss
+    nanos = int(want.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
+    as_long = spark.createDataFrame([(1, nanos)], "event_id long, ts long")
+    out = normalize_events_ts(as_long)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert out.first()["ts"] == want
+
+    # already-timestamp passes through unchanged
+    as_ts = spark.createDataFrame([(1, want)], "event_id long, ts timestamp")
+    assert normalize_events_ts(as_ts).first()["ts"] == want
+
+    # TIMESTAMP_NTZ → TIMESTAMP is identity on values under the UTC session
+    as_ntz = spark.createDataFrame([(1, want)], "event_id long, ts timestamp_ntz")
+    out3 = normalize_events_ts(as_ntz)
+    assert dict(out3.dtypes)["ts"] == "timestamp"
+    assert out3.first()["ts"] == want
