@@ -3942,6 +3942,83 @@ def _sampling_oracles():
 _sampling_oracles()
 
 
+@register(
+    "corpus_curation_report",
+    None,  # filled below — embeds the generated split CASE
+    "The full curation pipeline in one pass (operators/pipeline.curate): "
+    "quality gate → exact dedup among passers → 8-gram benchmark "
+    "decontamination (src0 = eval set) → 90/5/5 split, with per-stage "
+    "survivor counts computed from ONE lineage (stage flags per row, one "
+    "aggregation — no per-stage recount). Oracle recomputes every stage "
+    "directly in SQL, so equality proves the composition end-to-end",
+)
+def corpus_curation_report(spark, sf_dir):
+    from cdc_audit_spark.operators.pipeline import curate
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    bench = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    _labeled, report = curate(
+        corpus, "text", "doc_id", bench, _SPLITS, stopwords=_STOPWORDS)
+    return report
+
+
+def _pipeline_oracle():
+    from cdc_audit_spark.operators.sampling import deterministic_split_sql
+
+    split_case = deterministic_split_sql("doc_id", _SPLITS)
+    passes = f"""(array_length(regexp_split_to_array(text, '\\s+')) BETWEEN 20 AND 1000
+         AND CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> t IN {_SW_SQL})) AS DOUBLE)
+             / array_length(regexp_split_to_array(text, '\\s+')) < 0.5)"""
+    split_rows = " UNION ALL ".join(
+        f"SELECT 'split:{s}' AS stage, CAST(sum(CASE WHEN clean AND split = '{s}' "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS n_docs FROM x"
+        for s in _SPLITS
+    )
+    _REGISTRY["corpus_curation_report"].oracle = f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    bench AS (SELECT text FROM documents WHERE source = 'src0'),
+    q AS (SELECT doc_id, text, {passes} AS passes FROM corpus),
+    mins AS (SELECT md5(text) AS dg, min(doc_id) AS keep
+               FROM q WHERE passes GROUP BY md5(text)),
+    w AS (SELECT q.doc_id, q.text, q.passes,
+                 coalesce(q.passes AND q.doc_id = m.keep, FALSE) AS surv
+            FROM q LEFT JOIN mins m ON md5(q.text) = m.dg),
+    btoks AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 t -> len(t) > 0) AS wd FROM bench),
+    bgrams AS (SELECT DISTINCT array_to_string(wd[gi:gi+7], ' ') AS g
+                 FROM btoks, UNNEST(range(1, len(wd) - 6)) AS t(gi)),
+    stoks AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 t -> len(t) > 0) AS wd
+                FROM w WHERE surv),
+    cont AS (SELECT DISTINCT doc_id FROM
+               (SELECT doc_id, array_to_string(wd[gi:gi+7], ' ') AS g
+                  FROM stoks, UNNEST(range(1, len(wd) - 6)) AS t(gi))
+              WHERE g IN (SELECT g FROM bgrams)),
+    x AS (SELECT w.*,
+                 (surv AND doc_id NOT IN (SELECT doc_id FROM cont)) AS clean,
+                 {split_case} AS split
+            FROM w)
+    SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM x
+    UNION ALL
+    SELECT 'quality_pass', CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END)
+                                AS BIGINT) FROM x
+    UNION ALL
+    SELECT 'exact_dedup', CAST(sum(CASE WHEN surv THEN 1 ELSE 0 END)
+                               AS BIGINT) FROM x
+    UNION ALL
+    SELECT 'decontaminated', CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END)
+                                  AS BIGINT) FROM x
+    UNION ALL
+    {split_rows}
+    """
+
+
+_pipeline_oracle()
+
+
 # --------------------------------------------------------------------------
 # Corpus hygiene (operators/clean.py) — boilerplate removal, PII redaction,
 # per-source quotas. Registered behind the driver window; rotate in r03.
