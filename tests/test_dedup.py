@@ -393,3 +393,43 @@ def test_stream_exact_index_sync_resumes_from_checkpoint(spark, tmp_path):
     with open(os.path.join(idx_dir, "_current.json")) as f:
         idx = spark.read.parquet(json.load(f)["path"])
     assert {r["id"] for r in idx.collect()} == {2, 3}
+
+
+def test_prune_generations_keeps_current_and_newest(spark, tmp_path):
+    """GC deletes old snapshots but never the pointer's target, and a
+    pruned index state stays fully readable."""
+    import json
+    import os
+
+    from cdc_audit_spark.streaming.genstate import (
+        current_generation,
+        prune_generations,
+    )
+    from cdc_audit_spark.streaming.stream_dedup import stream_exact_index_sync
+
+    sch = "doc_id long, text string, audit_event string, audit_pk long"
+    src = str(tmp_path / "src")
+    idx_dir = str(tmp_path / "index")
+    rows = [(i, f"t{i}", "insert", i) for i in range(1, 6)]
+    for r in rows:
+        spark.createDataFrame([r], sch).coalesce(1).write.mode(
+            "append").parquet(src)
+    q = stream_exact_index_sync(
+        spark, src, spark.read.parquet(src).schema, idx_dir,
+        str(tmp_path / "ck"), "text", "doc_id", max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    gens = sorted(int(d.split("=")[1]) for d in os.listdir(idx_dir)
+                  if d.startswith("gen="))
+    assert len(gens) == 5
+    cur = current_generation(idx_dir)
+    assert cur == gens[-1]
+
+    deleted = prune_generations(idx_dir, keep=2)
+    assert deleted == gens[:-2]
+    left = sorted(int(d.split("=")[1]) for d in os.listdir(idx_dir)
+                  if d.startswith("gen="))
+    assert left == gens[-2:]
+    with open(os.path.join(idx_dir, "_current.json")) as f:
+        idx = spark.read.parquet(json.load(f)["path"])
+    assert idx.count() == 5  # state fully readable after GC
