@@ -90,10 +90,12 @@ def stream_exact_index_sync(
     id_col: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    keep_generations: int | None = None,
 ):
     """Stream CDC audit batches and keep the exact-dedup membership index
     current — the always-on form of cdc_exact_index_sync. Returns the
-    started StreamingQuery.
+    started StreamingQuery. ``keep_generations`` enables in-hook GC of old
+    snapshots (genstate.prune_generations) after each pointer flip.
 
     Each micro-batch reads the index (the previous batch's output), applies
     the batch's final images, and REWRITES the index to a new snapshot
@@ -134,6 +136,10 @@ def stream_exact_index_sync(
         with open(tmp, "w") as f:
             _json.dump({"path": gen_dir, "epoch": epoch_id}, f)
         _os.replace(tmp, ptr)
+        if keep_generations is not None:
+            from cdc_audit_spark.streaming.genstate import prune_generations
+
+            prune_generations(index_path, keep=keep_generations)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_path

@@ -38,6 +38,7 @@ def stream_mview_sync(
     value: Column,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    keep_generations: int | None = None,
 ):
     """Stream audit batches and keep a (group, total, n_rows) view current.
 
@@ -76,6 +77,10 @@ def stream_mview_sync(
         with open(tmp, "w") as f:
             json.dump({"base": gen_base, "view": gen_view, "epoch": epoch_id}, f)
         os.replace(tmp, ptr)
+        if keep_generations is not None:
+            from cdc_audit_spark.streaming.genstate import prune_generations
+
+            prune_generations(state_path, keep=keep_generations)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_path
