@@ -3298,6 +3298,57 @@ def revenue_grouping_sets(spark, sf_dir):
 
 
 @register(
+    "regression_price_on_quantity",
+    """
+    WITH s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        FROM lineitem
+    )
+    SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      FROM s
+    """,
+    "Least-squares regression of price on quantity (regr_slope / "
+    "regr_intercept / r²) in one partial-agg pass, same exact-decimal-"
+    "moment + closed-form-double recipe as lineitem_stats_profile — the "
+    "engines' own regr_* aggregates stream moments in different orders "
+    "and cannot hash-match",
+)
+def regression_price_on_quantity(spark, sf_dir):
+    li = load_tables(spark, sf_dir)["lineitem"]
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy))).alias("r2"),
+    )
+
+
+@register(
     "lineitem_stats_profile",
     """
     WITH s AS (
