@@ -84,8 +84,11 @@ def snapshot_diff(
         raise ValueError(f"snapshot schemas differ: {cols} vs {new_df.columns}")
     value_cols = [c for c in cols if c not in pk_cols]
 
-    old = old_df.alias("__old")
-    new = new_df.alias("__new")
+    # Explicit presence markers: detecting a side via pk IS NOT NULL would
+    # misclassify rows whose PK is legitimately NULL (the null-safe join
+    # below matches them) as inserts/deletes.
+    old = old_df.withColumn("__old_present", F.lit(True)).alias("__old")
+    new = new_df.withColumn("__new_present", F.lit(True)).alias("__new")
     # Null-safe equi-join on the PK: planned as sort-merge (or broadcast when
     # one side is small) — `<=>` keeps equi-join strategies available.
     cond = None
@@ -94,8 +97,8 @@ def snapshot_diff(
         cond = c if cond is None else (cond & c)
     joined = old.join(new, cond, "full_outer")
 
-    old_present = F.col(f"__old.{pk_cols[0]}").isNotNull()
-    new_present = F.col(f"__new.{pk_cols[0]}").isNotNull()
+    old_present = F.col("__old.__old_present").isNotNull()
+    new_present = F.col("__new.__new_present").isNotNull()
     event = (
         F.when(~old_present, F.lit("insert"))
         .when(~new_present, F.lit("delete"))

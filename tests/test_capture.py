@@ -151,3 +151,21 @@ def test_auto_estimate_join_bounded_by_leaf_sizes(spark, sf_dir):
     audit = snapshot_diff(v0, v1, ["c_custkey"], ts=dt.datetime(2026, 1, 1))
     plan = audit._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan and "mapInPandas" not in plan.lower()
+
+
+def test_snapshot_diff_null_pk_rows(spark):
+    """A NULL primary key is matched by the null-safe join and classified
+    like any other key — not misread as an insert+delete pair. (MySQL
+    forbids NULL PKs; arbitrary DataFrames do not.)"""
+    import datetime as dt
+
+    from cdc_audit_spark.capture import snapshot_diff
+
+    sch = "k long, v string"
+    v0 = spark.createDataFrame([(None, "a"), (1, "x")], sch)
+    # null-keyed row updated; key 1 unchanged
+    v1 = spark.createDataFrame([(None, "b"), (1, "x")], sch)
+    out = snapshot_diff(v0, v1, ["k"], ts=dt.datetime(2026, 1, 1)).collect()
+    assert len(out) == 1
+    assert out[0]["audit_event"] == "update"
+    assert out[0]["k"] is None and out[0]["v"] == "b"
