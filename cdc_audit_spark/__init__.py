@@ -14,7 +14,13 @@ Design principles (Spark-first, 100 TB-ready):
 
 from cdc_audit_spark.schema import audit_schema, audit_table_name, AUDIT_COLUMNS
 from cdc_audit_spark.capture import snapshot_diff, apply_changes
-from cdc_audit_spark.sync import sync_table, get_watermark, read_sink
+from cdc_audit_spark.sync import (
+    get_watermark,
+    read_sink,
+    sync_table,
+    table_checksum,
+    verify_sink,
+)
 from cdc_audit_spark.compact import keep_last, keep_last_per_key
 
 __all__ = [
@@ -26,6 +32,8 @@ __all__ = [
     "sync_table",
     "get_watermark",
     "read_sink",
+    "table_checksum",
+    "verify_sink",
     "keep_last",
     "keep_last_per_key",
 ]

@@ -41,7 +41,7 @@ from cdc_audit_spark.schema import (
     evolve_schema,
 )
 
-__all__ = ["sync_table", "get_watermark", "SyncResult",
+__all__ = ["sync_table", "sync_many", "get_watermark", "SyncResult",
            "table_checksum", "verify_sink"]
 
 _STATE_FILE = "_cdc_watermark.json"
@@ -212,6 +212,40 @@ def _check_drift(
         )
     # raises on removed/changed; additive drift appends as-is
     evolve_schema(existing, audit_df.schema)
+
+
+def sync_many(
+    jobs: dict[str, tuple[DataFrame, str]],
+    fmt: str = "csv",
+    max_concurrency: int = 8,
+    on_drift: str = "fail",
+) -> dict[str, SyncResult]:
+    """Sync several audit tables concurrently.
+
+    ``jobs`` maps table name → (audit_df, sink_path). Each sync is an
+    independent shuffle-free job, so submitting them from driver threads
+    lets the Spark scheduler interleave their tasks — a cluster is idle
+    while a small table's single-task write runs if syncs are sequential
+    (the reference loops tables one at a time, sync:182-200).
+    ``max_concurrency`` bounds in-flight jobs, not correctness: watermark
+    state files are per-sink, and sinks must be distinct paths.
+
+    Raises the first failure after all submitted jobs settle (no partial
+    silent loss — completed tables keep their advanced watermarks, which is
+    exactly the per-table crash contract of sequential syncs).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    sinks = [sink for _df, sink in jobs.values()]
+    if len(set(sinks)) != len(sinks):
+        raise ValueError("sync_many sinks must be distinct paths")
+
+    def run(item):
+        name, (df, sink) = item
+        return name, sync_table(df, sink, fmt=fmt, on_drift=on_drift)
+
+    with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+        return dict(pool.map(run, jobs.items()))
 
 
 def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

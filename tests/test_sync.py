@@ -244,3 +244,27 @@ def test_verify_sink_order_independent(spark, tmp_path):
     a = table_checksum(df).first()
     b = table_checksum(spark.read.parquet(shuffled).select(*df.columns)).first()
     assert (a["checksum"], a["n_rows"]) == (b["checksum"], b["n_rows"])
+
+
+def test_sync_many_concurrent(spark, tmp_path):
+    """Concurrent multi-table sync: distinct sinks, correct per-table
+    results, idempotent second pass, and distinct-sink enforcement."""
+    import pytest
+
+    from cdc_audit_spark.sync import sync_many
+
+    jobs = {
+        f"t{i}": (_audit_df(spark, 10 * (i + 1)), str(tmp_path / f"t{i}"))
+        for i in range(4)
+    }
+    res = sync_many(jobs, fmt="parquet", max_concurrency=4)
+    assert {n: r.rows_synced for n, r in res.items()} == {
+        "t0": 10, "t1": 20, "t2": 30, "t3": 40}
+    res2 = sync_many(jobs, fmt="parquet", max_concurrency=4)
+    assert all(r.rows_synced == 0 for r in res2.values())
+    for i in range(4):
+        assert read_sink(spark, str(tmp_path / f"t{i}"), fmt="parquet").count() == 10 * (i + 1)
+
+    with pytest.raises(ValueError, match="distinct"):
+        sync_many({"a": (_audit_df(spark, 1), str(tmp_path / "same")),
+                   "b": (_audit_df(spark, 1), str(tmp_path / "same"))})
