@@ -23,6 +23,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -30,6 +31,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = [
+    "resize_payloads",
     "MEDIA_SCHEMA",
     "attach_payload",
     "payload_stats",
@@ -177,6 +179,55 @@ def extract_features(
             })
 
     return df.select(id_col, payload_col).mapInPandas(run, _FEATURES_SCHEMA)
+
+
+def resize_payloads(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    target_w: int,
+    target_h: int,
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads via mapInPandas:
+    (id, width, height, resized) with ``len(resized) == target_w*target_h``.
+
+    The stub resamples the payload's bytes with nearest-neighbor index
+    arithmetic onto a ``target_w × target_h`` grid — deterministic and
+    shape-correct, so the distributed plumbing (binary in/binary out over
+    Arrow, per-batch vectorized compute, output size contract) is exercised
+    end-to-end. Swap ``_fake_resize`` for a real decoder+resampler
+    (PIL/cv2) at the marked line; nothing else changes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_name, payload_name = id_col, payload_col
+    out_len = target_w * target_h
+    schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("resized", BinaryType(), False),
+    ])
+
+    def _fake_resize(buf: bytes) -> bytes:
+        # REAL DECODE+RESAMPLE GOES HERE (e.g. PIL Image.resize).
+        if len(buf) == 0:
+            return b"\x00" * out_len
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        idx = (np.arange(out_len, dtype=np.int64) * arr.size) // out_len
+        return arr[idx].tobytes()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "id": pdf[id_name].astype("int64"),
+                "width": np.full(len(pdf), target_w, dtype="int32"),
+                "height": np.full(len(pdf), target_h, dtype="int32"),
+                "resized": [_fake_resize(b) for b in pdf[payload_name]],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 def decode_real(df: DataFrame, payload_col: str, modality: str):

@@ -87,3 +87,25 @@ def test_frame_sample_every_k(spark):
     sampled = frame_sample(df, "text", "doc_id", every_k=3, chunk_bytes=32).collect()
     assert len(all_chunks) == 10
     assert sorted(r["chunk_idx"] for r in sampled) == [0, 3, 6, 9]
+
+
+def test_resize_payloads_contract(spark):
+    """Resize plumbing: binary in → binary out over Arrow, exact output
+    size, deterministic, content-dependent."""
+    from cdc_audit_spark.operators.multimodal import attach_payload, resize_payloads
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 30), (2, "zyx"), (3, "")],
+        "doc_id long, text string")
+    payloads = attach_payload(docs, "text").select("doc_id", "media.payload")
+    out = resize_payloads(payloads, "doc_id", "payload", 16, 8)
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (16, 8)
+        assert len(r["resized"]) == 16 * 8
+    # deterministic and content-dependent
+    again = {r["id"]: bytes(r["resized"])
+             for r in resize_payloads(payloads, "doc_id", "payload", 16, 8).collect()}
+    assert {k: bytes(v["resized"]) for k, v in rows.items()} == again
+    assert again[1] != again[2]
