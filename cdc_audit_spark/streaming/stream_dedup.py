@@ -27,8 +27,14 @@ from cdc_audit_spark.operators.dedup import (
     cdc_exact_index_sync,
     incremental_lsh_dedup,
 )
+from cdc_audit_spark.streaming import genstate
 
-__all__ = ["stream_dedup_sync", "stream_exact_index_sync"]
+__all__ = [
+    "apply_exact_index_epoch",
+    "current_exact_index",
+    "stream_dedup_sync",
+    "stream_exact_index_sync",
+]
 
 
 def stream_dedup_sync(
@@ -80,6 +86,44 @@ def stream_dedup_sync(
     return writer.start()
 
 
+def current_exact_index(spark: SparkSession, index_path: str):
+    """The index snapshot named by ``<index_path>/_current.json``, or None
+    before the first committed epoch."""
+    p = genstate.read_pointer(index_path)
+    return None if p is None else spark.read.parquet(p["path"])
+
+
+def apply_exact_index_epoch(
+    spark: SparkSession,
+    index_path: str,
+    batch_df,
+    epoch_id: int,
+    text_col: str,
+    id_col: str,
+    keep_generations: int | None = None,
+) -> None:
+    """Apply one micro-batch to the generation-snapshot exact-dedup index.
+
+    Idempotent under epoch replay: if the pointer already names this
+    epoch (crash landed AFTER the flip but before the checkpoint commit),
+    the effects are durable and the call is a no-op — recomputing would
+    read ``gen=<epoch>`` via the pointer while overwriting the same
+    directory. A crash BEFORE the flip replays against the previous
+    generation and deterministically re-derives the same snapshot
+    (genstate module docstring has the full contract).
+    """
+    if genstate.epoch_applied(index_path, epoch_id):
+        return
+    new_index, _adds = cdc_exact_index_sync(
+        current_exact_index(spark, index_path), batch_df, text_col, id_col
+    )
+    gen_dir = genstate.generation_dir(index_path, epoch_id)
+    new_index.write.mode("overwrite").parquet(gen_dir)
+    genstate.flip_pointer(index_path, epoch_id, {"path": gen_dir})
+    if keep_generations is not None:
+        genstate.prune_generations(index_path, keep=keep_generations)
+
+
 def stream_exact_index_sync(
     spark: SparkSession,
     source_path: str,
@@ -102,44 +146,23 @@ def stream_exact_index_sync(
     directory under ``index_path`` (``gen=<epoch>``), then repoints a
     pointer file atomically — deletes cannot be expressed as parquet
     appends, and a partial rewrite must never destroy the readable index.
-    A crash before the pointer flips replays the batch against the old
-    snapshot (the operator is deterministic, so the re-derived snapshot is
-    identical). Snapshot GC is the caller's policy.
+    Crash recovery on both sides of the flip is handled by
+    apply_exact_index_epoch / genstate. Snapshot GC is the caller's policy.
 
     At 100 TB the rewrite cost is the motivation for a transactional table
     format; the operator itself is storage-agnostic — only this hook's
     persistence strategy changes.
     """
-    import json as _json
-    import os as _os
-
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_path)
 
-    ptr = _os.path.join(index_path, "_current.json")
-
-    def _current():
-        if not _os.path.exists(ptr):
-            return None
-        with open(ptr) as f:
-            return spark.read.parquet(_json.load(f)["path"])
-
     def handle(batch_df, epoch_id: int) -> None:
-        new_index, _adds = cdc_exact_index_sync(
-            _current(), batch_df, text_col, id_col
+        apply_exact_index_epoch(
+            spark, index_path, batch_df, epoch_id, text_col, id_col,
+            keep_generations=keep_generations,
         )
-        gen_dir = _os.path.join(index_path, f"gen={epoch_id}")
-        new_index.write.mode("overwrite").parquet(gen_dir)
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump({"path": gen_dir, "epoch": epoch_id}, f)
-        _os.replace(tmp, ptr)
-        if keep_generations is not None:
-            from cdc_audit_spark.streaming.genstate import prune_generations
-
-            prune_generations(index_path, keep=keep_generations)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_path

@@ -15,15 +15,59 @@ operators are storage-agnostic; only this hook's persistence changes.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import Column, SparkSession
 
 from cdc_audit_spark.capture import apply_changes
 from cdc_audit_spark.mview import bootstrap_group_sum, maintain_group_sum
+from cdc_audit_spark.streaming import genstate
 
-__all__ = ["stream_mview_sync"]
+__all__ = ["apply_mview_epoch", "current_mview", "stream_mview_sync"]
+
+
+def current_mview(spark: SparkSession, state_path: str):
+    """(base, view) snapshots named by ``<state_path>/_current.json``, or
+    (None, None) before the first committed epoch."""
+    p = genstate.read_pointer(state_path)
+    if p is None:
+        return None, None
+    return spark.read.parquet(p["base"]), spark.read.parquet(p["view"])
+
+
+def apply_mview_epoch(
+    spark: SparkSession,
+    state_path: str,
+    batch_df,
+    epoch_id: int,
+    base_bootstrap,
+    pk_cols: list[str],
+    group_cols: list[str],
+    value: Column,
+    keep_generations: int | None = None,
+) -> None:
+    """Apply one audit micro-batch to the generation-snapshot (base, view)
+    state.
+
+    Idempotent under epoch replay: a pointer already naming this epoch
+    means the crash landed AFTER the flip (effects durable) — skip, since
+    recomputing would lazily read ``gen=<epoch>``'s base/view while
+    overwriting those same paths. A crash BEFORE the flip replays against
+    the previous generation deterministically (genstate docstring).
+    """
+    if genstate.epoch_applied(state_path, epoch_id):
+        return
+    base, view = current_mview(spark, state_path)
+    if base is None:
+        base = base_bootstrap
+        view = bootstrap_group_sum(base, group_cols, value)
+    new_view = maintain_group_sum(view, base, batch_df, pk_cols, group_cols, value)
+    new_base = apply_changes(base, batch_df, pk_cols)
+    gen_base = genstate.generation_dir(state_path, epoch_id, "base")
+    gen_view = genstate.generation_dir(state_path, epoch_id, "view")
+    new_base.write.mode("overwrite").parquet(gen_base)
+    new_view.write.mode("overwrite").parquet(gen_view)
+    genstate.flip_pointer(state_path, epoch_id, {"base": gen_base, "view": gen_view})
+    if keep_generations is not None:
+        genstate.prune_generations(state_path, keep=keep_generations)
 
 
 def stream_mview_sync(
@@ -52,35 +96,11 @@ def stream_mview_sync(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_path)
 
-    ptr = os.path.join(state_path, "_current.json")
-
-    def _current():
-        if not os.path.exists(ptr):
-            return None, None
-        with open(ptr) as f:
-            gen = json.load(f)
-        return (spark.read.parquet(gen["base"]), spark.read.parquet(gen["view"]))
-
     def handle(batch_df, epoch_id: int) -> None:
-        base, view = _current()
-        if base is None:
-            base = base_bootstrap
-            view = bootstrap_group_sum(base, group_cols, value)
-        new_view = maintain_group_sum(
-            view, base, batch_df, pk_cols, group_cols, value)
-        new_base = apply_changes(base, batch_df, pk_cols)
-        gen_base = os.path.join(state_path, f"gen={epoch_id}", "base")
-        gen_view = os.path.join(state_path, f"gen={epoch_id}", "view")
-        new_base.write.mode("overwrite").parquet(gen_base)
-        new_view.write.mode("overwrite").parquet(gen_view)
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"base": gen_base, "view": gen_view, "epoch": epoch_id}, f)
-        os.replace(tmp, ptr)
-        if keep_generations is not None:
-            from cdc_audit_spark.streaming.genstate import prune_generations
-
-            prune_generations(state_path, keep=keep_generations)
+        apply_mview_epoch(
+            spark, state_path, batch_df, epoch_id, base_bootstrap,
+            pk_cols, group_cols, value, keep_generations=keep_generations,
+        )
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_path

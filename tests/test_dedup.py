@@ -433,3 +433,42 @@ def test_prune_generations_keeps_current_and_newest(spark, tmp_path):
     with open(os.path.join(idx_dir, "_current.json")) as f:
         idx = spark.read.parquet(json.load(f)["path"])
     assert idx.count() == 5  # state fully readable after GC
+
+
+def test_exact_index_epoch_replay_both_crash_windows(spark, tmp_path):
+    """foreachBatch replays an epoch whenever the crash preceded the
+    checkpoint commit. Both replay positions must converge: AFTER the
+    pointer flip the effects are durable → no-op (without the guard the
+    hook overwrites gen=N while reading it via the pointer and wedges the
+    stream); BEFORE the flip the epoch re-derives deterministically."""
+    from cdc_audit_spark.streaming import genstate
+    from cdc_audit_spark.streaming.stream_dedup import (
+        apply_exact_index_epoch,
+        current_exact_index,
+    )
+
+    sch = "doc_id long, text string, audit_event string, audit_pk long"
+    b0 = spark.createDataFrame(
+        [(1, "aa", "insert", 1), (2, "bb", "insert", 2)], sch)
+    b1 = spark.createDataFrame(
+        [(2, "aa", "update", 3), (3, "cc", "insert", 4)], sch)
+    idx = str(tmp_path / "index")
+
+    apply_exact_index_epoch(spark, idx, b0, 0, "text", "doc_id")
+    want0 = {tuple(r) for r in current_exact_index(spark, idx).collect()}
+
+    # replay AFTER the flip: pointer already at epoch 0
+    apply_exact_index_epoch(spark, idx, b0, 0, "text", "doc_id")
+    assert genstate.current_generation(idx) == 0
+    assert {tuple(r)
+            for r in current_exact_index(spark, idx).collect()} == want0
+
+    apply_exact_index_epoch(spark, idx, b1, 1, "text", "doc_id")
+    want1 = {tuple(r) for r in current_exact_index(spark, idx).collect()}
+
+    # replay BEFORE the flip: gen=1 fully written but pointer rewound to 0
+    genstate.flip_pointer(idx, 0, {"path": genstate.generation_dir(idx, 0)})
+    apply_exact_index_epoch(spark, idx, b1, 1, "text", "doc_id")
+    assert genstate.current_generation(idx) == 1
+    assert {tuple(r)
+            for r in current_exact_index(spark, idx).collect()} == want1

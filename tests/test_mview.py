@@ -177,3 +177,52 @@ def test_stream_mview_sync_resumes_from_checkpoint(spark, tmp_path):
     view = {(r["seg"], float(r["total"]), r["n_rows"])
             for r in spark.read.parquet(gen["view"]).collect()}
     assert view == {("A", 5.0, 1)}  # only k2 remains; no double-apply
+
+
+def test_mview_epoch_replay_both_crash_windows(spark, tmp_path):
+    """Same replay contract as the dedup index: a replay AFTER the pointer
+    flip is a durable no-op (no overwrite-while-reading of gen=N), a
+    replay BEFORE the flip re-derives the identical (base, view) pair."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.streaming import genstate
+    from cdc_audit_spark.streaming.stream_mview import (
+        apply_mview_epoch,
+        current_mview,
+    )
+
+    sch = ("k long, seg string, val double, audit_event string, "
+           "audit_timestamp timestamp, audit_pk long")
+    ts = dt.datetime(2026, 1, 1)
+    base = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0)], "k long, seg string, val double")
+    b0 = spark.createDataFrame([(3, "A", 5.0, "insert", ts, 1)], sch)
+    b1 = spark.createDataFrame([(1, "B", 10.0, "update", ts, 2)], sch)
+    state = str(tmp_path / "mv_state")
+    val = F.col("val").cast("decimal(12,2)")
+
+    def snap():
+        b, v = current_mview(spark, state)
+        return ({tuple(r) for r in b.collect()},
+                {tuple(r) for r in v.collect()})
+
+    apply_mview_epoch(spark, state, b0, 0, base, ["k"], ["seg"], val)
+    want0 = snap()
+
+    # replay AFTER the flip: pointer already at epoch 0 → no-op
+    apply_mview_epoch(spark, state, b0, 0, base, ["k"], ["seg"], val)
+    assert genstate.current_generation(state) == 0
+    assert snap() == want0
+
+    apply_mview_epoch(spark, state, b1, 1, base, ["k"], ["seg"], val)
+    want1 = snap()
+
+    # replay BEFORE the flip: gen=1 written, pointer rewound to epoch 0
+    genstate.flip_pointer(state, 0, {
+        "base": genstate.generation_dir(state, 0, "base"),
+        "view": genstate.generation_dir(state, 0, "view")})
+    apply_mview_epoch(spark, state, b1, 1, base, ["k"], ["seg"], val)
+    assert genstate.current_generation(state) == 1
+    assert snap() == want1
