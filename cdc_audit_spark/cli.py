@@ -87,7 +87,12 @@ def _gen(args) -> int:
 
 def _sync(args) -> int:
     from cdc_audit_spark.compact import compact_log
-    from cdc_audit_spark.sync import read_sink, sync_table, verify_sink
+    from cdc_audit_spark.sync import (
+        expected_sink_content,
+        read_sink,
+        sync_table,
+        verify_sink,
+    )
     from cdc_audit_spark.session import get_spark
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -113,10 +118,14 @@ def _sync(args) -> int:
             )
             if args.verbosity >= 2:
                 print(f"{table}: +{res.rows_synced} rows, watermark={res.watermark}")
-            if args.verify and not args.wipe:
-                # post-sync integrity: sink content must equal the source
-                # (wipe rewrites the sink to one row, so skip under --wipe)
-                if not verify_sink(audit_df, sink, fmt=args.format):
+            if args.verify:
+                # post-sync integrity: sink content must equal what the
+                # sink's recorded history says it should hold — the full
+                # source, or (after any previous run's --wipe) the
+                # keep-last survivors plus later rows. Runs before this
+                # run's wipe, whose record covers the NEXT verify.
+                expected = expected_sink_content(audit_df, sink)
+                if not verify_sink(expected, sink, fmt=args.format):
                     print(f"VERIFY FAILED: {sink} diverges from source {table}")
                     return 1
             if args.wipe:

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_audit_spark.schema import AUDIT_PK
+from cdc_audit_spark.sync import _TEXT_FORMATS, _TEXT_TS_FORMAT
 
 __all__ = ["keep_last", "keep_last_per_key", "compact_log", "throttled_wipe"]
 
@@ -68,11 +69,25 @@ def compact_log(
     survivors = keep_last_per_key(audit_df, pk_cols) if pk_cols else keep_last(audit_df)
     survivors = survivors.cache()
     n = survivors.count()
+    # The globally-last row survives either compaction mode, so its pk is
+    # the wipe boundary (== the sink's watermark at compaction time).
+    mx = survivors.agg(F.max(AUDIT_PK).alias("mx")).first()["mx"]
     writer = survivors.write.mode("overwrite").format(fmt)
     if fmt == "csv":
         writer = writer.option("header", True)
+    if fmt in _TEXT_FORMATS:
+        # same microsecond-preserving format as sync_table's appends — a
+        # compaction rewrite must not truncate what the sync kept
+        writer = writer.option("timestampFormat", _TEXT_TS_FORMAT)
     writer.save(sink_path)
     survivors.unpersist()
+    if mx is not None:
+        # The overwrite deleted the sink's state file; restore the
+        # watermark and record the wipe so verify_sink can reconstruct the
+        # expected (compacted) content instead of flagging corruption.
+        from cdc_audit_spark.sync import record_compaction
+
+        record_compaction(sink_path, int(mx), pk_cols)
     return n
 
 

@@ -42,9 +42,16 @@ from cdc_audit_spark.schema import (
 )
 
 __all__ = ["sync_table", "sync_many", "get_watermark", "SyncResult",
-           "table_checksum", "verify_sink"]
+           "table_checksum", "verify_sink", "expected_sink_content",
+           "record_compaction", "get_sync_state"]
 
 _STATE_FILE = "_cdc_watermark.json"
+
+# Spark's default text timestampFormat keeps only milliseconds, silently
+# truncating the microsecond precision of F.current_timestamp() audit
+# timestamps — which would make a faithful CSV/JSON sink checksum-diverge
+# from its source. Write AND read text sinks with full microseconds.
+_TEXT_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
 @dataclass
@@ -58,14 +65,55 @@ def _state_path(sink_path: str) -> str:
     return os.path.join(sink_path, _STATE_FILE)
 
 
-def _write_state(sink_path: str, watermark: int) -> None:
+def get_sync_state(sink_path: str) -> dict:
+    """The sink's full state payload ({} when no state file exists)."""
+    sp = _state_path(sink_path)
+    if not os.path.exists(sp):
+        return {}
+    with open(sp) as f:
+        return json.load(f)
+
+
+def _write_state(sink_path: str, watermark: int, extra: dict | None = None) -> None:
     """Atomic write (tmp + rename) — the locking the reference lacks
-    (README:213-215)."""
+    (README:213-215). Merges over the existing payload so advancing the
+    watermark never drops other recorded facts (e.g. a compaction)."""
     os.makedirs(sink_path, exist_ok=True)
+    state = {**get_sync_state(sink_path), "watermark": watermark, **(extra or {})}
     fd, tmp = tempfile.mkstemp(dir=sink_path, prefix=".wm_")
     with os.fdopen(fd, "w") as f:
-        json.dump({"watermark": watermark}, f)
+        json.dump(state, f)
     os.replace(tmp, _state_path(sink_path))
+
+
+def record_compaction(
+    sink_path: str, through: int, pk_cols: list[str] | None = None
+) -> None:
+    """Record that the sink was keep-last compacted over everything up to
+    ``audit_pk <= through`` (compact_log calls this after its rewrite —
+    which also restores the watermark the overwrite deleted). The record
+    lets a later ``verify_sink`` reconstruct the expected sink content
+    instead of reporting the wipe as corruption."""
+    _write_state(sink_path, through,
+                 extra={"compacted": {"through": through, "pk_cols": pk_cols}})
+
+
+def expected_sink_content(audit_df: DataFrame, sink_path: str) -> DataFrame:
+    """What an uncorrupted sink must contain, given its recorded history:
+    everything, unless a compaction is recorded — then the keep-last
+    survivors of rows up to the wipe boundary plus all later rows verbatim.
+    (This algebra is stable across repeated wipes: re-compacting an
+    already-compacted sink keeps the same per-key/global last rows.)"""
+    comp = get_sync_state(sink_path).get("compacted")
+    if not comp:
+        return audit_df
+    from cdc_audit_spark.compact import keep_last, keep_last_per_key
+
+    through = int(comp["through"])
+    pre = audit_df.filter(F.col(AUDIT_PK) <= through)
+    pre = (keep_last_per_key(pre, comp["pk_cols"]) if comp.get("pk_cols")
+           else keep_last(pre))
+    return pre.unionByName(audit_df.filter(F.col(AUDIT_PK) > through))
 
 
 def get_watermark(
@@ -150,6 +198,8 @@ def sync_table(
     writer = delta.write.mode("append").format(fmt)
     if fmt == "csv":
         writer = writer.option("header", True)
+    if fmt in _TEXT_FORMATS:
+        writer = writer.option("timestampFormat", _TEXT_TS_FORMAT)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(sink_path)
@@ -311,6 +361,8 @@ def read_sink(
         reader = reader.schema(schema) if schema is not None else reader.option("inferSchema", True)
     elif schema is not None:
         reader = reader.schema(schema)
+    if fmt in _TEXT_FORMATS:
+        reader = reader.option("timestampFormat", _TEXT_TS_FORMAT)
     if merge_schema:
         reader = reader.option("mergeSchema", True)
     return reader.load(sink_path)

@@ -136,3 +136,32 @@ def test_sync_verify_flag(tmp_path, spark):
                "--verify", "-v", "2"])
     assert r2.returncode == 1
     assert "VERIFY FAILED" in r2.stdout
+
+
+def test_sync_verify_after_previous_wipe(tmp_path, spark):
+    """--verify must pass on a sink compacted by a PREVIOUS run's --wipe:
+    the wipe is recorded in the sink state and verification reconstructs
+    the expected content instead of reporting corruption. Microsecond
+    timestamps pin the full text round trip (sync append AND compaction
+    rewrite must use the same microsecond-preserving format)."""
+    data = tmp_path / "data"
+    rows = (
+        spark.range(1, 8)
+        .select(
+            F.col("id").alias("k"),
+            F.lit("insert").alias("audit_event"),
+            F.lit(dt.datetime(2026, 1, 1, 3, 4, 5, 654321))
+            .alias("audit_timestamp"),
+            F.col("id").alias("audit_pk"),
+        )
+    )
+    rows.write.parquet(str(data / "items_audit.parquet"))
+    sink_dir = tmp_path / "sink"
+
+    r = _run(["sync", "--data-dir", str(data), "-m", str(sink_dir), "-w"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r2 = _run(["sync", "--data-dir", str(data), "-m", str(sink_dir),
+               "--verify", "-v", "2"])
+    assert r2.returncode == 0, (r2.stdout + r2.stderr)[-2000:]
+    assert "VERIFY FAILED" not in r2.stdout

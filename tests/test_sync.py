@@ -268,3 +268,54 @@ def test_sync_many_concurrent(spark, tmp_path):
     with pytest.raises(ValueError, match="distinct"):
         sync_many({"a": (_audit_df(spark, 1), str(tmp_path / "same")),
                    "b": (_audit_df(spark, 1), str(tmp_path / "same"))})
+
+
+def test_verify_sink_microsecond_timestamps(spark, tmp_path):
+    """A faithful CSV sink must verify even when audit timestamps carry
+    sub-millisecond precision — Spark's default text timestampFormat keeps
+    only milliseconds, which used to make the checksum diverge."""
+    from cdc_audit_spark.sync import verify_sink
+
+    df = (
+        spark.range(1, 6)
+        .select(
+            F.col("id").alias("k"),
+            F.lit(dt.datetime(2026, 1, 1, 12, 0, 0, 123456))
+            .alias("audit_timestamp"),
+            F.lit("insert").alias("audit_event"),
+            F.col("id").alias("audit_pk"),
+        )
+    )
+    for fmt in ("csv", "json"):
+        sink = str(tmp_path / f"t_us.{fmt}")
+        sync_table(df, sink, fmt=fmt)
+        back = read_sink(spark, sink, fmt=fmt, schema=df.schema)
+        assert back.first()["audit_timestamp"].microsecond == 123456
+        assert verify_sink(df, sink, fmt=fmt)
+
+
+def test_expected_sink_content_after_wipe(spark, tmp_path):
+    """verify_sink against expected_sink_content stays green across the
+    full lifecycle: sync → wipe → delta sync → re-verify — a wipe is a
+    recorded rewrite, not corruption (and tampering is still caught)."""
+    from cdc_audit_spark.compact import compact_log
+    from cdc_audit_spark.sync import expected_sink_content, verify_sink
+
+    sink = str(tmp_path / "t.csv")
+    full = _audit_df(spark, 12)
+    first = _audit_df(spark, 8)
+    sync_table(first, sink, fmt="csv")
+    assert verify_sink(expected_sink_content(first, sink), sink, fmt="csv")
+
+    compact_log(read_sink(spark, sink, fmt="csv",
+                          schema=first.schema), sink, fmt="csv")
+    # post-wipe: sink holds only row pk=8; reconstruction must agree
+    assert verify_sink(expected_sink_content(first, sink), sink, fmt="csv")
+
+    res = sync_table(full, sink, fmt="csv")  # delta rows 9..12 append
+    assert res.rows_synced == 4
+    assert verify_sink(expected_sink_content(full, sink), sink, fmt="csv")
+    # a genuinely missing row still fails verification
+    tampered = full.filter(F.col("audit_pk") != 10)
+    assert not verify_sink(expected_sink_content(tampered, sink), sink,
+                           fmt="csv")
