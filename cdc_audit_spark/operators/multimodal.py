@@ -207,10 +207,14 @@ def resize_payloads(
         StructField("id", LongType(), False),
         StructField("width", IntegerType(), False),
         StructField("height", IntegerType(), False),
-        StructField("resized", BinaryType(), False),
+        StructField("resized", BinaryType(), True),
     ])
 
-    def _fake_resize(buf: bytes) -> bytes:
+    def _fake_resize(buf: bytes | None) -> bytes | None:
+        # MEDIA_SCHEMA declares payload nullable; a NULL payload (e.g. a
+        # row with no media) must pass through as NULL, not kill the task.
+        if buf is None:
+            return None
         # REAL DECODE+RESAMPLE GOES HERE (e.g. PIL Image.resize).
         if len(buf) == 0:
             return b"\x00" * out_len

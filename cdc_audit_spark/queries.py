@@ -52,12 +52,31 @@ WATERMARK = 10  # fixed watermark literal for the incremental-scan queries
 # schema/file-listing cache, which is what keeps per-query planning cheap at
 # scale. Keyed on the live SparkSession object (WeakKeyDictionary): keying on
 # id(spark) could hand out DataFrames bound to a dead JVM session if a stopped
-# session's id were reused by a new object. Temp views are (re-)registered
-# only when the session's active sf_dir changes.
+# session's id were reused by a new object. Weak keys alone cannot evict,
+# though — each cached DataFrame strongly references its session, so the key
+# stays reachable through the value; _evict_stopped_sessions does the actual
+# reclamation on every cache miss. Temp views are (re-)registered only when
+# the session's active sf_dir changes.
 _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
     weakref.WeakKeyDictionary()
 )
 _ACTIVE_VIEWS: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
+
+
+def _evict_stopped_sessions() -> None:
+    """Drop cache entries whose SparkSession has been stopped.
+
+    A long-lived driver cycling sessions (service, test harness) would
+    otherwise accumulate one table cache per dead session forever. An
+    unreadable context is treated as stopped."""
+    for s in list(_TABLE_CACHE.keys()):
+        try:
+            stopped = s.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            stopped = True
+        if stopped:
+            _TABLE_CACHE.pop(s, None)
+            _ACTIVE_VIEWS.pop(s, None)
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
@@ -87,6 +106,7 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     per_session = _TABLE_CACHE.get(spark)
     if per_session is None:
+        _evict_stopped_sessions()
         per_session = {}
         _TABLE_CACHE[spark] = per_session
     out = per_session.get(sf_dir)

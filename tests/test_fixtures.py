@@ -108,3 +108,47 @@ def test_normalize_events_ts_all_encodings(spark):
     out3 = normalize_events_ts(as_ntz)
     assert dict(out3.dtypes)["ts"] == "timestamp"
     assert out3.first()["ts"] == want
+
+
+def test_table_cache_evicts_stopped_sessions():
+    """Weak keys alone cannot reclaim the loader cache (cached DataFrames
+    strongly reference their session), so eviction must actively drop
+    entries whose session is stopped — or unreadable."""
+    from cdc_audit_spark.queries import (
+        _ACTIVE_VIEWS,
+        _TABLE_CACHE,
+        _evict_stopped_sessions,
+    )
+
+    class FakeSession:
+        def __init__(self, stopped):
+            self._stopped = stopped
+
+        @property
+        def sparkContext(self):
+            if self._stopped == "raise":
+                raise RuntimeError("context gone")
+
+            class _S:
+                isStopped = staticmethod(lambda s=self: s._stopped)
+
+            class _J:
+                sc = staticmethod(lambda: _S)
+
+            class _C:
+                _jsc = _J
+
+            return _C
+
+    live, dead, broken = FakeSession(False), FakeSession(True), FakeSession("raise")
+    for s in (live, dead, broken):
+        _TABLE_CACHE[s] = {}
+        _ACTIVE_VIEWS[s] = "sf"
+    try:
+        _evict_stopped_sessions()
+        assert live in _TABLE_CACHE and live in _ACTIVE_VIEWS
+        assert dead not in _TABLE_CACHE and dead not in _ACTIVE_VIEWS
+        assert broken not in _TABLE_CACHE and broken not in _ACTIVE_VIEWS
+    finally:
+        _TABLE_CACHE.pop(live, None)
+        _ACTIVE_VIEWS.pop(live, None)

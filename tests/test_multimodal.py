@@ -109,3 +109,17 @@ def test_resize_payloads_contract(spark):
              for r in resize_payloads(payloads, "doc_id", "payload", 16, 8).collect()}
     assert {k: bytes(v["resized"]) for k, v in rows.items()} == again
     assert again[1] != again[2]
+
+
+def test_resize_payloads_null_passthrough(spark):
+    """A NULL payload (MEDIA_SCHEMA declares it nullable) must yield a
+    NULL resized cell, not a NoneType TypeError in the executor."""
+    from cdc_audit_spark.operators.multimodal import resize_payloads
+
+    df = spark.createDataFrame(
+        [(1, b"hello"), (2, None)], "doc_id long, payload binary")
+    rows = {r["id"]: r for r in
+            resize_payloads(df, "doc_id", "payload", 4, 4).collect()}
+    assert len(rows[1]["resized"]) == 16
+    assert rows[2]["resized"] is None
+    assert (rows[2]["width"], rows[2]["height"]) == (4, 4)
