@@ -319,3 +319,36 @@ def test_expected_sink_content_after_wipe(spark, tmp_path):
     tampered = full.filter(F.col("audit_pk") != 10)
     assert not verify_sink(expected_sink_content(tampered, sink), sink,
                            fmt="csv")
+
+
+def test_expected_sink_content_per_key_wipe(spark, tmp_path):
+    """Per-key compaction (pk_cols recorded with the wipe) reconstructs:
+    keep-last-per-key of rows up to the boundary, later rows verbatim —
+    including keys whose only surviving row predates the wipe."""
+    from cdc_audit_spark.compact import compact_log
+    from cdc_audit_spark.sync import expected_sink_content, verify_sink
+
+    sink = str(tmp_path / "t.parquet")
+    sch = "k long, v double, audit_event string, audit_pk long"
+    pre = [(1, 1.0, "insert", 1), (2, 2.0, "insert", 2),
+           (1, 1.5, "update", 3), (3, 3.0, "insert", 4)]
+    post = [(2, 2.5, "update", 5), (4, 4.0, "insert", 6)]
+    first = spark.createDataFrame(pre, sch)
+    full = spark.createDataFrame(pre + post, sch)
+
+    sync_table(first, sink, fmt="parquet")
+    compact_log(read_sink(spark, sink, fmt="parquet"), sink,
+                fmt="parquet", pk_cols=["k"])
+    # survivors: k1@pk3, k2@pk2, k3@pk4 — k1's pk1 row is gone
+    assert verify_sink(expected_sink_content(first, sink), sink,
+                       fmt="parquet")
+
+    res = sync_table(full, sink, fmt="parquet")
+    assert res.rows_synced == 2
+    assert verify_sink(expected_sink_content(full, sink), sink,
+                       fmt="parquet")
+    # reconstruction is content-exact, not just checksum-lucky
+    exp = {tuple(r) for r in expected_sink_content(full, sink).collect()}
+    assert exp == {(1, 1.5, "update", 3), (2, 2.0, "insert", 2),
+                   (3, 3.0, "insert", 4), (2, 2.5, "update", 5),
+                   (4, 4.0, "insert", 6)}
