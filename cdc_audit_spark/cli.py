@@ -90,6 +90,7 @@ def _sync(args) -> int:
     from cdc_audit_spark.sync import (
         expected_sink_content,
         read_sink,
+        repair_sink,
         sync_table,
         verify_sink,
     )
@@ -126,8 +127,19 @@ def _sync(args) -> int:
                 # run's wipe, whose record covers the NEXT verify.
                 expected = expected_sink_content(audit_df, sink)
                 if not verify_sink(expected, sink, fmt=args.format):
-                    print(f"VERIFY FAILED: {sink} diverges from source {table}")
-                    return 1
+                    if args.repair:
+                        n = repair_sink(audit_df, sink, fmt=args.format)
+                        print(f"REPAIRED: {sink} rebuilt from {table} "
+                              f"({n} rows)")
+                        if not verify_sink(
+                                expected_sink_content(audit_df, sink),
+                                sink, fmt=args.format):
+                            print(f"VERIFY FAILED after repair: {sink}")
+                            return 1
+                    else:
+                        print(f"VERIFY FAILED: {sink} diverges from source "
+                              f"{table} (re-run with --repair to rebuild)")
+                        return 1
             if args.wipe:
                 # keep-last compaction of the SOURCE audit log is a
                 # database-side op in the reference (sync:284-319); here we
@@ -164,6 +176,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sink format (CSV = reference parity; parquet enables --evolve)")
     s.add_argument("--verify", action="store_true",
                    help="after each sync, checksum-compare sink vs source")
+    s.add_argument("--repair", action="store_true",
+                   help="with --verify: rebuild a diverged sink from the "
+                        "source instead of failing")
     s.add_argument("--evolve", action="store_true",
                    help="auto-migrate additive schema drift (parquet sinks only)")
     s.add_argument("-w", "--wipe", action="store_true",

@@ -43,7 +43,7 @@ from cdc_audit_spark.schema import (
 
 __all__ = ["sync_table", "sync_many", "get_watermark", "SyncResult",
            "table_checksum", "verify_sink", "expected_sink_content",
-           "record_compaction", "get_sync_state"]
+           "record_compaction", "get_sync_state", "repair_sink"]
 
 _STATE_FILE = "_cdc_watermark.json"
 
@@ -342,6 +342,36 @@ def verify_sink(
         cols,
     ).first()
     return (src["checksum"], src["n_rows"]) == (snk["checksum"], snk["n_rows"])
+
+
+def repair_sink(
+    audit_df: DataFrame,
+    sink_path: str,
+    fmt: str = "csv",
+) -> int:
+    """Rebuild a diverged sink from the audit source; returns rows written.
+
+    The write target is the sink's EXPECTED content (expected_sink_content
+    — so a recorded wipe stays compacted rather than being un-wiped), and
+    the state file is rewritten with the source watermark plus any
+    surviving compaction record. The recovery half of verify_sink: detect
+    with one checksum pass, repair with one rewrite — the remediation the
+    reference's corruptible sink has no story for (README:213-215).
+    """
+    expected = expected_sink_content(audit_df, sink_path).cache()
+    n = expected.count()
+    comp = get_sync_state(sink_path).get("compacted")
+    writer = expected.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    if fmt in _TEXT_FORMATS:
+        writer = writer.option("timestampFormat", _TEXT_TS_FORMAT)
+    writer.save(sink_path)
+    expected.unpersist()
+    row = audit_df.agg(F.max(AUDIT_PK).alias("mx")).first()
+    wm = int(row["mx"]) if row["mx"] is not None else 0
+    _write_state(sink_path, wm, extra={"compacted": comp} if comp else None)
+    return n
 
 
 def read_sink(

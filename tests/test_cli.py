@@ -165,3 +165,49 @@ def test_sync_verify_after_previous_wipe(tmp_path, spark):
                "--verify", "-v", "2"])
     assert r2.returncode == 0, (r2.stdout + r2.stderr)[-2000:]
     assert "VERIFY FAILED" not in r2.stdout
+
+
+def test_sync_verify_repair_rebuilds(tmp_path, spark):
+    """--verify --repair turns a detected divergence into a rebuild that
+    re-verifies green, instead of a non-zero exit."""
+    data = tmp_path / "data"
+    rows = (
+        spark.range(1, 6)
+        .select(
+            F.col("id").alias("k"),
+            F.lit("insert").alias("audit_event"),
+            F.lit(dt.datetime(2026, 1, 1)).alias("audit_timestamp"),
+            F.col("id").alias("audit_pk"),
+        )
+    )
+    rows.write.parquet(str(data / "items_audit.parquet"))
+    sink_dir = tmp_path / "sink"
+
+    r = _run(["sync", "--data-dir", str(data), "-m", str(sink_dir)])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # tamper: drop a data line from the sink (and its integrity sidecar)
+    import glob
+
+    part = sorted(glob.glob(str(sink_dir / "items_audit.csv" / "part-*.csv")))[0]
+    crc = os.path.join(os.path.dirname(part), "." + os.path.basename(part) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    lines = open(part).read().splitlines()
+    with open(part, "w") as f:
+        f.write("\n".join(lines[:-1]) + "\n")
+
+    r2 = _run(["sync", "--data-dir", str(data), "-m", str(sink_dir),
+               "--verify"])
+    assert r2.returncode == 1  # without --repair: still a hard failure
+
+    r3 = _run(["sync", "--data-dir", str(data), "-m", str(sink_dir),
+               "--verify", "--repair"])
+    assert r3.returncode == 0, (r3.stdout + r3.stderr)[-2000:]
+    assert "REPAIRED" in r3.stdout
+
+    back = spark.read.option("header", True).csv(str(sink_dir / "items_audit.csv"))
+    assert back.count() == 5
+    r4 = _run(["sync", "--data-dir", str(data), "-m", str(sink_dir),
+               "--verify"])
+    assert r4.returncode == 0, (r4.stdout + r4.stderr)[-2000:]

@@ -352,3 +352,39 @@ def test_expected_sink_content_per_key_wipe(spark, tmp_path):
     assert exp == {(1, 1.5, "update", 3), (2, 2.0, "insert", 2),
                    (3, 3.0, "insert", 4), (2, 2.5, "update", 5),
                    (4, 4.0, "insert", 6)}
+
+
+def test_repair_sink_rebuilds_diverged_sink(spark, tmp_path):
+    """repair_sink rewrites a diverged sink to its expected content —
+    including keeping a recorded wipe compacted — and restores the state
+    file so subsequent incremental syncs resume correctly."""
+    from cdc_audit_spark.compact import compact_log
+    from cdc_audit_spark.sync import (
+        expected_sink_content,
+        get_sync_state,
+        repair_sink,
+        verify_sink,
+    )
+
+    sink = str(tmp_path / "t.parquet")
+    full = _audit_df(spark, 10)
+    sync_table(full, sink, fmt="parquet")
+    compact_log(read_sink(spark, sink, fmt="parquet"), sink, fmt="parquet")
+
+    # corrupt: duplicate rows appended to the sink (state file intact —
+    # an overwrite-style corruption would also destroy the wipe record,
+    # after which repair correctly rebuilds the full uncompacted source)
+    _audit_df(spark, 3).write.mode("append").parquet(sink)
+    assert not verify_sink(expected_sink_content(full, sink), sink,
+                           fmt="parquet")
+
+    n = repair_sink(full, sink, fmt="parquet")
+    assert n == 1  # wipe record preserved → repaired sink stays compacted
+    assert verify_sink(expected_sink_content(full, sink), sink,
+                       fmt="parquet")
+    st = get_sync_state(sink)
+    assert st["watermark"] == 10 and st["compacted"]["through"] == 10
+    # incremental resume: nothing re-syncs, new rows append normally
+    assert sync_table(full, sink, fmt="parquet").rows_synced == 0
+    assert sync_table(_audit_df(spark, 12), sink,
+                      fmt="parquet").rows_synced == 2
