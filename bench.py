@@ -65,6 +65,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
+    # Ambient load BEFORE Spark starts: anything above ~a few here is other
+    # processes competing for the same cores, and the timings below are
+    # inflated by contention, not plan regressions.
+    try:
+        load_ambient = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_ambient = None
+
     from cdc_audit_spark.queries import queries
     from cdc_audit_spark.session import get_spark
 
@@ -99,13 +107,38 @@ def main() -> None:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
+    # Drift sentinel: re-time one cheap, map-only query after the full run.
+    # If the machine got contended mid-bench, this re-run diverges from the
+    # same query's timed value and the reader can see it in the artifact
+    # (VERDICT r04: the 43s-vs-22s ambiguity was unadjudicable from the JSON).
+    sentinel = "text_token_stats"
+    t0 = time.perf_counter()
+    qs[sentinel](spark, sf_dir).count()
+    sentinel_sec = round(time.perf_counter() - t0, 4)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = None
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Environment metadata: lets a reader distinguish "plan regression"
+        # from "contended sandbox" without re-running the bench.
+        "env": {
+            "loadavg_ambient_prestart": load_ambient,
+            "loadavg_1_5_15": loadavg,
+            "os_cpus": os.cpu_count(),
+            "spark_cpus": cpus,
+            "unix_ts": round(time.time(), 1),
+            "sentinel": sentinel,
+            "sentinel_timed_sec": timings.get(sentinel),
+            "sentinel_rerun_sec": sentinel_sec,
+        },
     }))
     spark.stop()
 

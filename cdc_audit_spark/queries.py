@@ -4222,33 +4222,35 @@ _REGISTRY["sample_source_quota"].oracle = _source_quota_oracle()
 # behind the window; next round rotates the remaining unchecked ones in.
 
 _DRIVER_WINDOW = [
-    # The 25 queries no driver round has ever checked (r01 ∪ r03 windows
-    # miss exactly these) — they lead so every SURVEY-§2 query family gets
-    # at least one driver verdict across r01/r04 (VERDICT r03 item 5).
-    "text_top_terms", "text_bpe_token_counts", "text_top_bigrams",
-    "text_compression_ratio", "dedup_embedding_cosine", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_cluster_assign",
-    "dedup_rate_by_source", "ann_embedding_pairs", "ann_ivf_topk",
-    "ann_pq_topk", "events_daily_active", "events_type_day_cube",
-    "events_funnel", "events_approx_stats", "events_value_histogram",
-    "multimodal_features", "multimodal_chunk_sample",
-    "scalar_function_sampler", "nation_top_customer_list",
-    "clean_boilerplate_tokens", "clean_pii_redact", "sample_source_quota",
-    # The 10 r01 hash-fails — fixed by r02's canonicalization, erred in the
-    # r03 window before the fix could be observed; their green rows prove it.
-    "q1_pricing_summary", "revenue_rollup", "text_quality",
-    "lang_distribution", "events_hourly_stats", "events_user_activity",
-    "embedding_l2_normalize", "embedding_quantize_int8",
-    "median_price_by_flag", "q18_large_orders",
-    # Highest-value shapes from the r03 window (all erred there, so none has
-    # a green row yet): TPC-H joins/aggs + the hard window/CDC analytics.
-    "q7_nation_volume", "q8_market_share", "q9_profit_by_nation_year",
-    "q10_returned_items", "q13_order_count_distribution", "q15_top_supplier",
-    "q16_supplier_part_counts", "q19_disjunctive_revenue",
-    "q20_bulk_part_suppliers", "q21_sole_late_supplier",
-    "window_running_total", "window_percent_rank", "cdc_scd2_history",
-    "cdc_incremental_agg", "tfidf_top_terms",
+    # r05 rotation (VERDICT r04 item 1): the 42 queries with no green
+    # driver row across r01/r04 — 25 stranded in the dead r02/r03 windows
+    # plus 17 never scheduled. All 42 pass the DuckDB oracle locally
+    # (judge's full 132-query sweep, 0 failures); this edit converts that
+    # into driver evidence.
+    "asof_forward_next_purchase", "cdc_column_change_stats",
+    "cdc_dedup_index_sync", "cdc_fk_orphans", "cdc_state_asof",
+    "corpus_curation_report", "corpus_source_accounting",
+    "datetime_function_sampler", "decontam_benchmark_overlap",
+    "dedup_levenshtein_pairs", "dedup_ngram_jaccard_exact",
+    "dedup_prefix_digest", "embedding_label_centroids",
+    "events_cohort_retention", "events_hourly_anomalies",
+    "events_transition_matrix", "full_outer_customer_supplier_nations",
+    "lineitem_stats_profile", "mix_weighted_sources", "ntile_price_quartiles",
+    "pack_token_chunks", "profile_orders", "quality_filter_per_lang",
+    "quartiles_by_segment", "regression_price_on_quantity",
+    "revenue_grouping_sets", "sample_hash_fraction",
+    "sample_split_train_valid", "sample_stratified_lang",
+    "set_except_unordered_parts", "set_intersect_users", "set_union_segments",
+    "shard_global_shuffle", "skew_salted_user_rollup", "table_checksum_orders",
+    "text_repetition_stats", "window_dense_rank_brand_price",
+    "window_first_last_value", "window_lag_delta", "window_moving_avg",
+    "window_nth_value_second_order", "window_time_range_sum",
+    # 8 §2-core CDC anchors whose green rows are three rounds stale.
+    "cdc_diff_customer", "cdc_incremental_scan", "cdc_keep_last_per_key",
+    "cdc_watermark_recovery", "cdc_audit_stats", "scan_filter_project",
+    "dedup_exact", "knn_cosine_topk",
 ]
+
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert set(_DRIVER_WINDOW) <= set(_REGISTRY), sorted(set(_DRIVER_WINDOW) - set(_REGISTRY))

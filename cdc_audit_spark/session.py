@@ -69,7 +69,28 @@ def get_spark(app_name: str = "cdc_audit_spark", cpus: int | None = None,
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_known_bounded_warnings(spark)
     return spark
+
+
+def _quiet_known_bounded_warnings(spark: SparkSession) -> None:
+    """Silence WindowExec's single-partition warning.
+
+    The only unpartitioned windows in the engine are the documented small
+    side of ``capture.assign_audit_pk``'s size gate (capture.py), which is
+    bounded by the gate itself (the at-scale side re-plans to a range
+    exchange — both sides pinned in tests/test_capture). The warning is
+    correct in general but spams every bench/driver tail here; suppress just
+    that logger, not WARN globally.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception as e:  # log4j2 core absent / locked down — cosmetic only
+        log.debug("could not quiet WindowExec logger: %s", e)
 
 
 _TUNE_WARNED: set[str] = set()
