@@ -24,6 +24,16 @@ Recovery contract (foreachBatch checkpoints offsets AFTER the hook):
 Snapshot GC keeps the newest K generations (always including the
 pointer's target); deleting an old generation can never break recovery,
 because replay only ever reads the pointer's target.
+
+Run identity: foreachBatch epoch ids are scoped to the CHECKPOINT, not to
+the state path. If a stream restarts with a fresh (or deleted) checkpoint
+against an existing state directory whose pointer says e.g. epoch 10, the
+new run's epochs restart at 0 and ``pointer >= epoch`` would silently skip
+batches 0..10 of the new run — losing any new source files they contain.
+The pointer therefore records the checkpoint's streaming-query id
+(``run_id``); ``epoch_applied`` FAILS LOUDLY on a mismatch instead of
+guessing. A checkpoint and its state path must be created and deleted
+together; to rebuild state from scratch, delete both.
 """
 
 from __future__ import annotations
@@ -34,6 +44,8 @@ import re
 import shutil
 
 __all__ = [
+    "GenerationRunMismatch",
+    "checkpoint_run_id",
     "current_generation",
     "epoch_applied",
     "flip_pointer",
@@ -41,6 +53,13 @@ __all__ = [
     "prune_generations",
     "read_pointer",
 ]
+
+
+class GenerationRunMismatch(RuntimeError):
+    """The state pointer was written by a different streaming run
+    (checkpoint) than the one now applying epochs. Epoch numbers from
+    different runs are incomparable — proceeding could silently skip or
+    double-apply batches."""
 
 _GEN_RE = re.compile(r"^gen=(\d+)$")
 _POINTER = "_current.json"
@@ -61,15 +80,53 @@ def current_generation(state_path: str) -> int | None:
     return None if p is None else int(p["epoch"])
 
 
-def epoch_applied(state_path: str, epoch_id: int) -> bool:
+def checkpoint_run_id(checkpoint_path: str) -> str | None:
+    """The streaming-query id recorded in ``<checkpoint>/metadata``.
+
+    Spark writes this file at stream start (before batch 0) and preserves
+    it across restarts with the same checkpoint; a deleted/re-created
+    checkpoint gets a fresh id. None if the file doesn't exist yet (e.g.
+    hooks driven outside a real stream, as in unit tests).
+    """
+    meta = os.path.join(checkpoint_path, "metadata")
+    if not os.path.exists(meta):
+        return None
+    try:
+        with open(meta) as f:
+            return json.load(f).get("id")
+    except (OSError, ValueError):
+        return None
+
+
+def epoch_applied(state_path: str, epoch_id: int,
+                  run_id: str | None = None) -> bool:
     """True iff ``epoch_id``'s effects are already durable.
 
     The flip is strictly ordered after the generation write, so a pointer
     naming ``epoch_id`` (or later — epochs are monotone) proves the
     snapshot is complete; the replayed hook must skip.
+
+    ``run_id`` is the current checkpoint's streaming-query id. Epoch ids
+    are only monotone WITHIN one checkpoint, so if the pointer names a
+    different run this comparison is meaningless and the call raises
+    :class:`GenerationRunMismatch` — silently returning True here is how a
+    fresh-checkpoint restart loses data. Either side being None (legacy
+    pointer, or hooks driven outside a stream) skips the identity check.
     """
-    cur = current_generation(state_path)
-    return cur is not None and cur >= epoch_id
+    p = read_pointer(state_path)
+    if p is None:
+        return False
+    prev_run = p.get("run_id")
+    if run_id is not None and prev_run is not None and prev_run != run_id:
+        raise GenerationRunMismatch(
+            f"state at {state_path!r} was written by streaming run "
+            f"{prev_run} but the current checkpoint is run {run_id}: epoch "
+            f"ids are checkpoint-scoped, so batch {epoch_id} of this run "
+            "cannot be compared with the pointer. The checkpoint and state "
+            "directories must be created and deleted TOGETHER; to rebuild, "
+            "delete both and re-run."
+        )
+    return int(p["epoch"]) >= epoch_id
 
 
 def generation_dir(state_path: str, epoch_id: int, *parts: str) -> str:
@@ -77,15 +134,17 @@ def generation_dir(state_path: str, epoch_id: int, *parts: str) -> str:
     return os.path.join(state_path, f"gen={epoch_id}", *parts)
 
 
-def flip_pointer(state_path: str, epoch_id: int, payload: dict) -> None:
+def flip_pointer(state_path: str, epoch_id: int, payload: dict,
+                 run_id: str | None = None) -> None:
     """Atomically commit epoch ``epoch_id``: write ``payload`` (plus the
-    epoch) to a temp file and rename over ``_current.json``. Callers must
-    have finished writing the generation directories named by ``payload``
-    before flipping."""
+    epoch and the owning run's identity) to a temp file and rename over
+    ``_current.json``. Callers must have finished writing the generation
+    directories named by ``payload`` before flipping."""
     ptr = os.path.join(state_path, _POINTER)
     tmp = ptr + ".tmp"
+    extra = {"run_id": run_id} if run_id is not None else {}
     with open(tmp, "w") as f:
-        json.dump({**payload, "epoch": epoch_id}, f)
+        json.dump({**payload, "epoch": epoch_id, **extra}, f)
     os.replace(tmp, ptr)
 
 

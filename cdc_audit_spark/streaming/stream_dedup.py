@@ -101,6 +101,7 @@ def apply_exact_index_epoch(
     text_col: str,
     id_col: str,
     keep_generations: int | None = None,
+    run_id: str | None = None,
 ) -> None:
     """Apply one micro-batch to the generation-snapshot exact-dedup index.
 
@@ -111,15 +112,21 @@ def apply_exact_index_epoch(
     directory. A crash BEFORE the flip replays against the previous
     generation and deterministically re-derives the same snapshot
     (genstate module docstring has the full contract).
+
+    ``run_id`` is the owning checkpoint's streaming-query id; a pointer
+    written by a DIFFERENT run raises genstate.GenerationRunMismatch
+    instead of mis-comparing checkpoint-scoped epoch ids (checkpoint and
+    index directories must live and die together).
     """
-    if genstate.epoch_applied(index_path, epoch_id):
+    if genstate.epoch_applied(index_path, epoch_id, run_id=run_id):
         return
     new_index, _adds = cdc_exact_index_sync(
         current_exact_index(spark, index_path), batch_df, text_col, id_col
     )
     gen_dir = genstate.generation_dir(index_path, epoch_id)
     new_index.write.mode("overwrite").parquet(gen_dir)
-    genstate.flip_pointer(index_path, epoch_id, {"path": gen_dir})
+    genstate.flip_pointer(index_path, epoch_id, {"path": gen_dir},
+                          run_id=run_id)
     if keep_generations is not None:
         genstate.prune_generations(index_path, keep=keep_generations)
 
@@ -162,6 +169,7 @@ def stream_exact_index_sync(
         apply_exact_index_epoch(
             spark, index_path, batch_df, epoch_id, text_col, id_col,
             keep_generations=keep_generations,
+            run_id=genstate.checkpoint_run_id(checkpoint_path),
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(

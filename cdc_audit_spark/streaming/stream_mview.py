@@ -43,6 +43,7 @@ def apply_mview_epoch(
     group_cols: list[str],
     value: Column,
     keep_generations: int | None = None,
+    run_id: str | None = None,
 ) -> None:
     """Apply one audit micro-batch to the generation-snapshot (base, view)
     state.
@@ -52,8 +53,12 @@ def apply_mview_epoch(
     recomputing would lazily read ``gen=<epoch>``'s base/view while
     overwriting those same paths. A crash BEFORE the flip replays against
     the previous generation deterministically (genstate docstring).
+
+    ``run_id`` is the owning checkpoint's streaming-query id; a pointer
+    written by a DIFFERENT run raises genstate.GenerationRunMismatch —
+    for a mview, misreading a foreign pointer would double-count deltas.
     """
-    if genstate.epoch_applied(state_path, epoch_id):
+    if genstate.epoch_applied(state_path, epoch_id, run_id=run_id):
         return
     base, view = current_mview(spark, state_path)
     if base is None:
@@ -65,7 +70,8 @@ def apply_mview_epoch(
     gen_view = genstate.generation_dir(state_path, epoch_id, "view")
     new_base.write.mode("overwrite").parquet(gen_base)
     new_view.write.mode("overwrite").parquet(gen_view)
-    genstate.flip_pointer(state_path, epoch_id, {"base": gen_base, "view": gen_view})
+    genstate.flip_pointer(state_path, epoch_id,
+                          {"base": gen_base, "view": gen_view}, run_id=run_id)
     if keep_generations is not None:
         genstate.prune_generations(state_path, keep=keep_generations)
 
@@ -100,6 +106,7 @@ def stream_mview_sync(
         apply_mview_epoch(
             spark, state_path, batch_df, epoch_id, base_bootstrap,
             pk_cols, group_cols, value, keep_generations=keep_generations,
+            run_id=genstate.checkpoint_run_id(checkpoint_path),
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(

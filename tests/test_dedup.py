@@ -472,3 +472,75 @@ def test_exact_index_epoch_replay_both_crash_windows(spark, tmp_path):
     assert genstate.current_generation(idx) == 1
     assert {tuple(r)
             for r in current_exact_index(spark, idx).collect()} == want1
+
+
+def test_epoch_applied_run_identity(tmp_path):
+    """Epoch ids are checkpoint-scoped: a pointer written by a different
+    streaming run must not be compared against this run's epochs (ADVICE
+    r04 — a fresh checkpoint against existing state would silently skip
+    batches 0..N of the new run). Legacy pointers without a run_id keep
+    the old epoch-only comparison."""
+    import os
+
+    import pytest
+
+    from cdc_audit_spark.streaming import genstate
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    genstate.flip_pointer(state, 5, {"path": "p"}, run_id="run-A")
+
+    # same run: monotone-epoch comparison as before
+    assert genstate.epoch_applied(state, 5, run_id="run-A")
+    assert genstate.epoch_applied(state, 3, run_id="run-A")
+    assert not genstate.epoch_applied(state, 6, run_id="run-A")
+    # identity unknown on either side: legacy comparison (no silent skip
+    # risk — the caller explicitly opted out of identity)
+    assert genstate.epoch_applied(state, 5, run_id=None)
+    # different run: loud failure, never a guess
+    with pytest.raises(genstate.GenerationRunMismatch):
+        genstate.epoch_applied(state, 0, run_id="run-B")
+
+    # legacy pointer (no run_id recorded): current run can't validate → ok
+    genstate.flip_pointer(state, 7, {"path": "p"})
+    assert genstate.epoch_applied(state, 7, run_id="run-B")
+
+
+def test_stream_exact_index_fresh_checkpoint_fails_loudly(spark, tmp_path):
+    """Restarting with a DELETED/recreated checkpoint against surviving
+    index state must not silently skip the new run's replayed batches —
+    the stream dies with GenerationRunMismatch instead of losing the new
+    files those batches carry."""
+    import shutil
+
+    import pytest
+
+    from cdc_audit_spark.streaming import genstate
+    from cdc_audit_spark.streaming.stream_dedup import stream_exact_index_sync
+
+    sch = "doc_id long, text string, audit_event string, audit_pk long"
+    src = str(tmp_path / "src")
+    idx_dir = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame([(1, "aa", "insert", 1)], sch).coalesce(1).write.mode(
+        "append").parquet(src)
+    q = stream_exact_index_sync(
+        spark, src, spark.read.parquet(src).schema, idx_dir, ck,
+        "text", "doc_id")
+    q.awaitTermination(180)
+    assert genstate.checkpoint_run_id(ck) is not None
+    assert genstate.read_pointer(idx_dir)["run_id"] == \
+        genstate.checkpoint_run_id(ck)
+
+    # checkpoint wiped, index kept: the new run replays everything from
+    # batch 0 — comparing its epochs with the old pointer would skip them
+    shutil.rmtree(ck)
+    spark.createDataFrame([(2, "bb", "insert", 2)], sch).coalesce(1).write.mode(
+        "append").parquet(src)
+    q2 = stream_exact_index_sync(
+        spark, src, spark.read.parquet(src).schema, idx_dir, ck,
+        "text", "doc_id")
+    with pytest.raises(Exception, match="GenerationRunMismatch|different"):
+        q2.awaitTermination(180)
+        if q2.exception() is not None:
+            raise Exception(str(q2.exception()))
