@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_audit_spark.schema import AUDIT_PK
-from cdc_audit_spark.sync import _TEXT_FORMATS, _TEXT_TS_FORMAT
+from cdc_audit_spark.sync import text_write_options
 
 __all__ = ["keep_last", "keep_last_per_key", "compact_log", "throttled_wipe"]
 
@@ -72,13 +72,11 @@ def compact_log(
     # The globally-last row survives either compaction mode, so its pk is
     # the wipe boundary (== the sink's watermark at compaction time).
     mx = survivors.agg(F.max(AUDIT_PK).alias("mx")).first()["mx"]
-    writer = survivors.write.mode("overwrite").format(fmt)
-    if fmt == "csv":
-        writer = writer.option("header", True)
-    if fmt in _TEXT_FORMATS:
-        # same microsecond-preserving format as sync_table's appends — a
-        # compaction rewrite must not truncate what the sync kept
-        writer = writer.option("timestampFormat", _TEXT_TS_FORMAT)
+    # same text conventions as sync_table's appends (µs timestamps, NULL
+    # and empty-string sentinels) — a compaction rewrite must not change
+    # what the sync kept
+    writer = text_write_options(survivors.write.mode("overwrite").format(fmt),
+                                fmt)
     writer.save(sink_path)
     survivors.unpersist()
     if mx is not None:

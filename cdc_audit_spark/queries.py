@@ -2274,32 +2274,48 @@ def skew_salted_user_rollup(spark, sf_dir):
 @register(
     "table_checksum_orders",
     """
-    SELECT CAST(CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
-                 CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-                 o_orderstatus,
-                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
-                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
-                 o_orderpriority)), 1, 12)) AS BIGINT))
+    WITH canon AS (
+      SELECT concat(
+               coalesce('V' || CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR)
+                            || ':' || CAST(o_orderkey AS VARCHAR), 'N'),
+               coalesce('V' || CAST(length(CAST(o_custkey AS VARCHAR)) AS VARCHAR)
+                            || ':' || CAST(o_custkey AS VARCHAR), 'N'),
+               coalesce('V' || CAST(length(o_orderstatus) AS VARCHAR)
+                            || ':' || o_orderstatus, 'N'),
+               coalesce('V' || CAST(length(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)) AS VARCHAR)
+                            || ':' || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 'N'),
+               coalesce('V' || CAST(length(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS VARCHAR)
+                            || ':' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), 'N'),
+               coalesce('V' || CAST(length(o_orderpriority) AS VARCHAR)
+                            || ':' || o_orderpriority, 'N')) AS c
+        FROM orders)
+    SELECT CAST(CAST(sum(CAST(concat('0x', substr(md5(c), 1, 12)) AS BIGINT))
                 AS DECIMAL(38,0)) AS VARCHAR) AS checksum,
            CAST(count(*) AS BIGINT) AS n_rows
-      FROM orders
+      FROM canon
     """,
     "Order-independent table checksum (sync.table_checksum shape): 48-bit "
-    "md5 prefix per canonicalized row, summed — the cross-system "
-    "data-validation primitive (does the sink equal the source?) that "
-    "reduces map-side to ONE row on each side; canonical casts make the "
-    "digest engine-portable",
+    "md5 prefix per INJECTIVELY canonicalized row (length-prefixed fields, "
+    "NULL sentinel — no two distinct rows share a canonical form), summed "
+    "— the cross-system data-validation primitive (does the sink equal the "
+    "source?) that reduces map-side to ONE row on each side; canonical "
+    "casts make the digest engine-portable",
 )
 def table_checksum_orders(spark, sf_dir):
     o = load_tables(spark, sf_dir)["orders"]
-    canon = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
-        F.col("o_orderpriority"),
+
+    def fld(c):
+        s = c.cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s))
+
+    canon = F.concat(
+        fld(F.col("o_orderkey")),
+        fld(F.col("o_custkey")),
+        fld(F.col("o_orderstatus")),
+        fld(F.col("o_totalprice").cast("decimal(12,2)")),
+        fld(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")),
+        fld(F.col("o_orderpriority")),
     )
     h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("decimal(20,0)")
     return o.agg(

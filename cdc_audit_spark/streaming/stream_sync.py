@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from cdc_audit_spark.schema import check_no_schema_drift
+from cdc_audit_spark.sync import text_read_options, text_write_options
 
 __all__ = ["stream_audit_sync"]
 
@@ -51,25 +52,25 @@ def stream_audit_sync(
     json / csv / orc) — an upstream capture job picks the bus format, the
     drain is format-agnostic.
     """
-    reader = spark.readStream.schema(schema)
-    if source_fmt == "csv":
-        reader = reader.option("header", True)
+    # Same text conventions as the batch writers (µs timestampFormat,
+    # NULL/empty sentinels): a bus produced by sync_table/compact_log CSV
+    # or JSON writers mis-parses timestamps under Spark's default
+    # millisecond pattern otherwise.
+    reader = text_read_options(spark.readStream.schema(schema), source_fmt)
     stream = reader.format(source_fmt).load(source_path)
     check_no_schema_drift(schema, stream.schema)
 
     if foreach_batch is not None:
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
-            writer = batch_df.write.mode("append").format(fmt)
-            if fmt == "csv":
-                writer = writer.option("header", True)
+            writer = text_write_options(
+                batch_df.write.mode("append").format(fmt), fmt)
             writer.save(sink_path)
             foreach_batch(batch_df, epoch_id)
 
         writer = stream.writeStream.foreachBatch(handle)
     else:
-        writer = stream.writeStream.format(fmt).outputMode("append")
-        if fmt == "csv":
-            writer = writer.option("header", True)
+        writer = text_write_options(
+            stream.writeStream.format(fmt).outputMode("append"), fmt)
         writer = writer.option("path", sink_path)
 
     writer = writer.option("checkpointLocation", checkpoint_path)

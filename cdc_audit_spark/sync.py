@@ -43,7 +43,8 @@ from cdc_audit_spark.schema import (
 
 __all__ = ["sync_table", "sync_many", "get_watermark", "SyncResult",
            "table_checksum", "verify_sink", "expected_sink_content",
-           "record_compaction", "get_sync_state", "repair_sink"]
+           "record_compaction", "get_sync_state", "repair_sink",
+           "text_read_options", "text_write_options"]
 
 _STATE_FILE = "_cdc_watermark.json"
 
@@ -52,6 +53,42 @@ _STATE_FILE = "_cdc_watermark.json"
 # timestamps — which would make a faithful CSV/JSON sink checksum-diverge
 # from its source. Write AND read text sinks with full microseconds.
 _TEXT_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+# Spark CSV writes NULL and '' identically by default and reads both back
+# as NULL, so a source row containing an empty string would always
+# checksum-diverge from its re-read sink and --verify --repair could never
+# converge.
+# Write NULL as the MySQL-style \N sentinel and '' as a quoted empty field;
+# read maps \N back to NULL and the quoted empty back to ''. Caveat
+# (documented, matching the MySQL convention): a literal string value
+# '\\N' is indistinguishable from NULL on re-read.
+_CSV_NULL = r"\N"
+
+
+def text_write_options(writer, fmt: str):
+    """Apply this package's text-sink write conventions (header, µs
+    timestamps, NULL/empty-string sentinels) to a DataFrameWriter. Every
+    CSV/JSON producer in the package — batch sync, repair, streaming
+    drains — must route through this so read_sink round-trips bytes it
+    wrote under any producer."""
+    if fmt == "csv":
+        writer = (writer.option("header", True)
+                        .option("nullValue", _CSV_NULL)
+                        .option("emptyValue", '""'))
+    if fmt in _TEXT_FORMATS:
+        writer = writer.option("timestampFormat", _TEXT_TS_FORMAT)
+    return writer
+
+
+def text_read_options(reader, fmt: str):
+    """The read-side mirror of text_write_options (emptyValue stays unset:
+    the univocity parser already yields '' for a quoted empty field and
+    NULL for \\N under these options)."""
+    if fmt == "csv":
+        reader = reader.option("header", True).option("nullValue", _CSV_NULL)
+    if fmt in _TEXT_FORMATS:
+        reader = reader.option("timestampFormat", _TEXT_TS_FORMAT)
+    return reader
 
 
 @dataclass
@@ -133,9 +170,9 @@ def get_watermark(
     if not recover_from_sink or not os.path.isdir(sink_path):
         return 0
     try:
-        reader = spark.read.format(fmt)
+        reader = text_read_options(spark.read.format(fmt), fmt)
         if fmt == "csv":
-            reader = reader.option("header", True).option("inferSchema", True)
+            reader = reader.option("inferSchema", True)
         df = reader.load(sink_path)
     except Exception:
         return 0
@@ -195,11 +232,7 @@ def sync_table(
 
     if sort_within_partitions:
         delta = delta.sortWithinPartitions(*sort_within_partitions)
-    writer = delta.write.mode("append").format(fmt)
-    if fmt == "csv":
-        writer = writer.option("header", True)
-    if fmt in _TEXT_FORMATS:
-        writer = writer.option("timestampFormat", _TEXT_TS_FORMAT)
+    writer = text_write_options(delta.write.mode("append").format(fmt), fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(sink_path)
@@ -216,9 +249,7 @@ def _sink_schema(spark: SparkSession, sink_path: str, fmt: str):
     if not os.path.isdir(sink_path):
         return None
     try:
-        reader = spark.read.format(fmt)
-        if fmt == "csv":
-            reader = reader.option("header", True)
+        reader = text_read_options(spark.read.format(fmt), fmt)
         return reader.load(sink_path).schema
     except Exception:
         return None
@@ -310,11 +341,23 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     visible; 48-bit prefixes summed as DECIMAL(38,0) cannot overflow below
     ~10^23 rows. Checksum returned as a digit string (decimal types
     stringify differently across engines).
+
+    The canonical form is INJECTIVE: each value is length-prefixed
+    (``V<len>:<value>``, NULL → ``N``), so no two distinct rows share a
+    canonicalization — a bare separator-join would let a value containing
+    the separator shift bytes across column boundaries, and a literal NUL
+    string would collide with NULL, allowing a corrupted sink to
+    checksum-match its source.
     """
     cols = cols or df.columns
-    canon = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
-    )
+
+    def field(c: str):
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    canon = F.concat(*[field(c) for c in cols])
     h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("decimal(20,0)")
     return df.agg(
         F.sum(h).cast("decimal(38,0)").cast("string").alias("checksum"),
@@ -361,11 +404,8 @@ def repair_sink(
     expected = expected_sink_content(audit_df, sink_path).cache()
     n = expected.count()
     comp = get_sync_state(sink_path).get("compacted")
-    writer = expected.write.mode("overwrite").format(fmt)
-    if fmt == "csv":
-        writer = writer.option("header", True)
-    if fmt in _TEXT_FORMATS:
-        writer = writer.option("timestampFormat", _TEXT_TS_FORMAT)
+    writer = text_write_options(expected.write.mode("overwrite").format(fmt),
+                                fmt)
     writer.save(sink_path)
     expected.unpersist()
     row = audit_df.agg(F.max(AUDIT_PK).alias("mx")).first()
@@ -385,14 +425,11 @@ def read_sink(
     ``merge_schema=True`` unions per-file parquet schemas — required after
     an ``on_drift='evolve'`` migration; pre-drift rows surface NULL for the
     added columns."""
-    reader = spark.read.format(fmt)
-    if fmt == "csv":
-        reader = reader.option("header", True)
-        reader = reader.schema(schema) if schema is not None else reader.option("inferSchema", True)
-    elif schema is not None:
+    reader = text_read_options(spark.read.format(fmt), fmt)
+    if schema is not None:
         reader = reader.schema(schema)
-    if fmt in _TEXT_FORMATS:
-        reader = reader.option("timestampFormat", _TEXT_TS_FORMAT)
+    elif fmt == "csv":
+        reader = reader.option("inferSchema", True)
     if merge_schema:
         reader = reader.option("mergeSchema", True)
     return reader.load(sink_path)

@@ -388,3 +388,50 @@ def test_repair_sink_rebuilds_diverged_sink(spark, tmp_path):
     assert sync_table(full, sink, fmt="parquet").rows_synced == 0
     assert sync_table(_audit_df(spark, 12), sink,
                       fmt="parquet").rows_synced == 2
+
+
+def test_csv_empty_string_round_trip_and_repair_converges(spark, tmp_path):
+    """CSV sinks must distinguish '' from NULL (ADVICE r04): by default
+    Spark writes both identically and reads both as NULL, so a source row
+    with an empty string always checksum-diverged and --verify --repair
+    could never converge. With the \\N/quoted-empty sentinels, both values
+    round-trip and a repaired sink verifies."""
+    from cdc_audit_spark.sync import repair_sink, verify_sink
+
+    sch = "k long, note string, audit_event string, audit_pk long"
+    df = spark.createDataFrame(
+        [(1, "", "insert", 1), (2, None, "insert", 2), (3, "x", "insert", 3)],
+        sch,
+    )
+    sink = str(tmp_path / "t.csv")
+    sync_table(df, sink, fmt="csv")
+
+    back = read_sink(spark, sink, fmt="csv", schema=df.schema)
+    got = {r["k"]: r["note"] for r in back.collect()}
+    assert got == {1: "", 2: None, 3: "x"}
+    assert verify_sink(df, sink, fmt="csv")
+
+    # repair converges in one pass even with ''-bearing rows
+    n = repair_sink(df, sink, fmt="csv")
+    assert n == 3
+    assert verify_sink(df, sink, fmt="csv")
+
+
+def test_table_checksum_injective(spark):
+    """The canonical row form is injective (ADVICE r04): separator
+    injection ('a|b' vs 'a','b') and the NULL sentinel ('\\x00' vs NULL)
+    must produce DIFFERENT checksums — a bare join let distinct rows
+    collide, so a corrupted sink could checksum-match its source."""
+    from cdc_audit_spark.sync import table_checksum
+
+    sch = "a string, b string"
+
+    def ck(rows):
+        return table_checksum(spark.createDataFrame(rows, sch)).first()["checksum"]
+
+    assert ck([("a|b", "c")]) != ck([("a", "b|c")])
+    assert ck([("a|", "b")]) != ck([("a", "|b")])
+    assert ck([("\x00", "x")]) != ck([(None, "x")])
+    assert ck([("", "x")]) != ck([(None, "x")])
+    # and identical content still matches regardless of row order
+    assert ck([("a", "b"), ("c", "d")]) == ck([("c", "d"), ("a", "b")])
