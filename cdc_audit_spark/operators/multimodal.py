@@ -148,14 +148,18 @@ def extract_features(
     id_col: str,
     payload_col: str,
     batch_size_hint: int = 1024,
+    decode=None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via mapInPandas.
 
-    The stub computes a deterministic byte-histogram projection (a fake
-    embedding) so the full distributed path — Arrow transfer of binary
-    columns, per-batch vectorized compute, payload dropped before return —
-    is exercised end-to-end. Swap ``_fake_decode`` for a real codec
-    (PIL/torchaudio/ffmpeg) at the marked line to productionize.
+    ``decode`` is the codec: a picklable callable ``bytes -> list[float]``
+    run per payload inside the Arrow batches (a user with PIL/torchaudio
+    plugs theirs in here — no module edit needed; ``decode_real`` builds
+    one from PIL when it is importable). The default is a deterministic
+    byte-histogram stub (this environment has no codec libraries), so the
+    full distributed path — Arrow transfer of binary columns, per-batch
+    compute, payload dropped before return — is exercised end-to-end
+    either way.
     """
     import numpy as np
     import pandas as pd
@@ -163,18 +167,19 @@ def extract_features(
     id_name, payload_name = id_col, payload_col
 
     def _fake_decode(buf: bytes) -> list[float]:
-        # REAL CODEC GOES HERE (e.g. PIL.Image.open(io.BytesIO(buf))).
         arr = np.frombuffer(buf, dtype=np.uint8)
         if arr.size == 0:
             return [0.0] * _FEATURE_DIM
         hist = np.bincount(arr % _FEATURE_DIM, minlength=_FEATURE_DIM).astype("float32")
         return (hist / max(arr.size, 1)).tolist()
 
+    codec = decode if decode is not None else _fake_decode
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 "id": pdf[id_name].astype("int64"),
-                "features": [ _fake_decode(b) for b in pdf[payload_name] ],
+                "features": [codec(b) for b in pdf[payload_name]],
                 "n_bytes": [len(b) for b in pdf[payload_name]],
             })
 
@@ -187,16 +192,20 @@ def resize_payloads(
     payload_col: str,
     target_w: int,
     target_h: int,
+    resample=None,
 ) -> DataFrame:
     """Arrow-batched image resize over binary payloads via mapInPandas:
     (id, width, height, resized) with ``len(resized) == target_w*target_h``.
 
-    The stub resamples the payload's bytes with nearest-neighbor index
+    ``resample`` is the codec: a picklable callable
+    ``bytes | None -> bytes | None`` (receives the raw payload, returns
+    the resized image bytes; NULL payloads must pass through as NULL) —
+    inject a PIL/cv2-backed one without editing the module. The default
+    stub resamples the payload's bytes with nearest-neighbor index
     arithmetic onto a ``target_w × target_h`` grid — deterministic and
     shape-correct, so the distributed plumbing (binary in/binary out over
-    Arrow, per-batch vectorized compute, output size contract) is exercised
-    end-to-end. Swap ``_fake_resize`` for a real decoder+resampler
-    (PIL/cv2) at the marked line; nothing else changes.
+    Arrow, per-batch vectorized compute, output size contract) is
+    exercised end-to-end either way.
     """
     import numpy as np
     import pandas as pd
@@ -215,12 +224,13 @@ def resize_payloads(
         # row with no media) must pass through as NULL, not kill the task.
         if buf is None:
             return None
-        # REAL DECODE+RESAMPLE GOES HERE (e.g. PIL Image.resize).
         if len(buf) == 0:
             return b"\x00" * out_len
         arr = np.frombuffer(buf, dtype=np.uint8)
         idx = (np.arange(out_len, dtype=np.int64) * arr.size) // out_len
         return arr[idx].tobytes()
+
+    codec = resample if resample is not None else _fake_resize
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -228,16 +238,44 @@ def resize_payloads(
                 "id": pdf[id_name].astype("int64"),
                 "width": np.full(len(pdf), target_w, dtype="int32"),
                 "height": np.full(len(pdf), target_h, dtype="int32"),
-                "resized": [_fake_resize(b) for b in pdf[payload_name]],
+                "resized": [codec(b) for b in pdf[payload_name]],
             })
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
-def decode_real(df: DataFrame, payload_col: str, modality: str):
-    """Integration point for real codecs — not available in this environment."""
-    raise NotImplementedError(
-        "real media decoding requires codec libraries (PIL/torchaudio/ffmpeg) "
-        "not present in this environment; use extract_features (stubbed) for "
-        "the plumbing path, and plug the codec into _fake_decode"
-    )
+def decode_real(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    size: tuple[int, int] = (16, 16),
+) -> DataFrame:
+    """Feature extraction with a REAL image codec, when one is importable.
+
+    Builds a PIL-backed decoder (grayscale → ``size`` → normalized pixel
+    vector) and delegates to ``extract_features(..., decode=...)`` — the
+    same Arrow path the stub exercises. Raises NotImplementedError when no
+    codec library exists (this sandbox has neither PIL nor cv2); inject
+    any other codec directly via ``extract_features(decode=...)``.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real media decoding requires a codec library (PIL/cv2/"
+            "torchaudio), none of which is installed here; pass your own "
+            "callable via extract_features(..., decode=...) instead"
+        ) from e
+
+    w, h = size
+
+    def _pil_decode(buf: bytes) -> list[float]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(buf)).convert("L").resize((w, h))
+        return (np.asarray(im, dtype="float32").ravel() / 255.0).tolist()
+
+    return extract_features(df, id_col, payload_col, decode=_pil_decode)

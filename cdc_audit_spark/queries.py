@@ -3294,7 +3294,12 @@ def tfidf_top_terms(spark, sf_dir):
 )
 def cdc_state_asof(spark, sf_dir):
     v0, _ = customer_snapshots(spark, sf_dir)
-    audit = customer_audit_log(spark, sf_dir)
+    # The watermark (max audit_pk) needs an action of its own, so without
+    # materialization the full diff+pk-assignment chain runs TWICE — once
+    # for k, once inside the replay (r04: 7 scans / 4 exchanges).
+    # localCheckpoint builds the log once and truncates lineage; both the
+    # watermark probe and the replay read the materialized rows.
+    audit = customer_audit_log(spark, sf_dir).localCheckpoint(eager=True)
     k = audit.agg(F.expr("max(audit_pk) div 2")).first()[0]
     return capture.apply_changes(
         v0, audit.filter(F.col(capture.AUDIT_PK) <= k), ["c_custkey"]

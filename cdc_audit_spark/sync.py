@@ -43,7 +43,7 @@ from cdc_audit_spark.schema import (
 
 __all__ = ["sync_table", "sync_many", "get_watermark", "SyncResult",
            "table_checksum", "verify_sink", "expected_sink_content",
-           "record_compaction", "get_sync_state", "repair_sink",
+           "record_compaction", "get_sync_state", "repair_sink", "SyncManyError",
            "text_read_options", "text_write_options"]
 
 _STATE_FILE = "_cdc_watermark.json"
@@ -295,11 +295,30 @@ def _check_drift(
     evolve_schema(existing, audit_df.schema)
 
 
+class SyncManyError(RuntimeError):
+    """One or more tables in a ``sync_many`` batch failed. Carries the full
+    per-table outcome: ``results`` (completed tables, which KEEP their
+    advanced watermarks) and ``errors`` (table name → exception, including
+    timeouts)."""
+
+    def __init__(self, results: dict[str, SyncResult], errors: dict[str, Exception]):
+        self.results = results
+        self.errors = errors
+        detail = "; ".join(
+            f"{n}: {type(e).__name__}: {e}" for n, e in sorted(errors.items())
+        )
+        super().__init__(
+            f"sync_many: {len(errors)}/{len(results) + len(errors)} tables "
+            f"failed ({detail})"
+        )
+
+
 def sync_many(
     jobs: dict[str, tuple[DataFrame, str]],
     fmt: str = "csv",
     max_concurrency: int = 8,
     on_drift: str = "fail",
+    table_timeout: float | None = None,
 ) -> dict[str, SyncResult]:
     """Sync several audit tables concurrently.
 
@@ -311,22 +330,102 @@ def sync_many(
     ``max_concurrency`` bounds in-flight jobs, not correctness: watermark
     state files are per-sink, and sinks must be distinct paths.
 
-    Raises the first failure after all submitted jobs settle (no partial
-    silent loss — completed tables keep their advanced watermarks, which is
-    exactly the per-table crash contract of sequential syncs).
+    ``table_timeout`` bounds one stuck table's blast radius: each table's
+    Spark jobs run under their own job group, and a watchdog cancels the
+    group once its cumulative time WITH RUNNING TASKS exceeds
+    ``table_timeout`` seconds. The clock counts time-on-cluster, not
+    wall-clock since submission: a healthy table starved of task slots by
+    a wedged sibling (all slots held by its hung tasks) is accruing zero
+    run time and must not be cancelled alongside it — it proceeds once
+    the cancellation frees the slots. Other tables keep running to
+    completion.
+
+    Every submitted table settles before this returns: on any failure the
+    batch raises :class:`SyncManyError` naming EVERY failed table with its
+    exception (not just the first) and carrying the completed tables'
+    results — those keep their advanced watermarks, exactly the per-table
+    crash contract of sequential syncs.
     """
+    import threading
+    import time
     from concurrent.futures import ThreadPoolExecutor
 
     sinks = [sink for _df, sink in jobs.values()]
     if len(set(sinks)) != len(sinks):
         raise ValueError("sync_many sinks must be distinct paths")
 
+    def _group_running(tracker, group) -> bool:
+        """True while any task of the group's jobs is actively running."""
+        for jid in tracker.getJobIdsForGroup(group):
+            ji = tracker.getJobInfo(jid)
+            if ji is None:
+                continue
+            for sid in ji.stageIds:
+                si = tracker.getStageInfo(sid)
+                if si is not None and si.numActiveTasks > 0:
+                    return True
+        return False
+
     def run(item):
         name, (df, sink) = item
-        return name, sync_table(df, sink, fmt=fmt, on_drift=on_drift)
+        sc = df.sparkSession.sparkContext
+        stop = threading.Event()
+        fired = threading.Event()
+        if table_timeout is not None:
+            group = f"sync_many:{name}"
+            # interruptOnCancel: actually interrupt running tasks, don't
+            # just drop queued ones — a wedged write is the target case.
+            sc.setJobGroup(group, f"sync_many {name} -> {sink}",
+                           interruptOnCancel=True)
+            poll = min(1.0, table_timeout / 4)
 
+            def watch():
+                tracker = sc.statusTracker()
+                busy = 0.0
+                last = time.monotonic()
+                while not stop.wait(poll):
+                    try:
+                        running = _group_running(tracker, group)
+                    except Exception:  # tracker unavailable → wall-clock
+                        running = True
+                    now = time.monotonic()
+                    if running:
+                        busy += now - last
+                    last = now
+                    if busy >= table_timeout:
+                        fired.set()
+                        sc.cancelJobGroup(group)
+                        return
+
+            threading.Thread(target=watch, daemon=True,
+                             name=f"sync_many-watchdog-{name}").start()
+        try:
+            try:
+                return name, sync_table(df, sink, fmt=fmt, on_drift=on_drift)
+            except Exception as e:  # noqa: BLE001 — aggregated by caller
+                if fired.is_set():
+                    raise TimeoutError(
+                        f"table {name!r} ran over table_timeout="
+                        f"{table_timeout}s on-cluster and its job group was "
+                        "cancelled"
+                    ) from e
+                raise
+        finally:
+            stop.set()
+
+    results: dict[str, SyncResult] = {}
+    errors: dict[str, Exception] = {}
     with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-        return dict(pool.map(run, jobs.items()))
+        futures = {pool.submit(run, item): item[0] for item in jobs.items()}
+        for fut, name in futures.items():
+            try:
+                n, res = fut.result()
+                results[n] = res
+            except Exception as e:  # noqa: BLE001 — reported per-table
+                errors[name] = e
+    if errors:
+        raise SyncManyError(results, errors)
+    return results
 
 
 def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

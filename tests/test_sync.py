@@ -435,3 +435,67 @@ def test_table_checksum_injective(spark):
     assert ck([("", "x")]) != ck([(None, "x")])
     # and identical content still matches regardless of row order
     assert ck([("a", "b"), ("c", "d")]) == ck([("c", "d"), ("a", "b")])
+
+
+def test_sync_many_aggregates_failures(spark, tmp_path):
+    """A failing table must not take the batch down silently or solo
+    (VERDICT r04 item 6): every other table completes (keeping its
+    watermark), and the raised SyncManyError names EVERY failed table with
+    its exception plus the completed results."""
+    import pytest
+
+    from cdc_audit_spark.schema import SchemaDriftError
+    from cdc_audit_spark.sync import SyncManyError, sync_many
+
+    good = _audit_df(spark, 10)
+    # drifted table: sink pre-seeded with an extra column so its second
+    # sync raises SchemaDriftError deterministically
+    drift_sink = str(tmp_path / "drift")
+    sync_table(good.withColumn("extra", F.lit(1)), drift_sink, fmt="parquet")
+
+    jobs = {
+        "ok1": (good, str(tmp_path / "ok1")),
+        "bad": (good, drift_sink),
+        "ok2": (_audit_df(spark, 20), str(tmp_path / "ok2")),
+    }
+    with pytest.raises(SyncManyError) as ei:
+        sync_many(jobs, fmt="parquet")
+    err = ei.value
+    assert set(err.errors) == {"bad"}
+    assert isinstance(err.errors["bad"], SchemaDriftError)
+    assert "bad" in str(err) and "SchemaDriftError" in str(err)
+    # the healthy tables completed and kept their watermarks
+    assert err.results["ok1"].rows_synced == 10
+    assert err.results["ok2"].rows_synced == 20
+    assert read_sink(spark, str(tmp_path / "ok2"), fmt="parquet").count() == 20
+
+
+def test_sync_many_table_timeout_cancels_stuck_table(spark, tmp_path):
+    """table_timeout bounds one stuck table's blast radius: its job group
+    is cancelled and reported as a TimeoutError while the healthy tables
+    complete."""
+    import time
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.sync import SyncManyError, sync_many
+
+    @F.udf("long")
+    def slow(x):
+        time.sleep(30)
+        return x
+
+    stuck = _audit_df(spark, 5).withColumn("audit_pk", slow(F.col("audit_pk")))
+    jobs = {
+        "stuck": (stuck, str(tmp_path / "stuck")),
+        "fast": (_audit_df(spark, 10), str(tmp_path / "fast")),
+    }
+    t0 = time.monotonic()
+    with pytest.raises(SyncManyError) as ei:
+        sync_many(jobs, fmt="parquet", table_timeout=5)
+    assert time.monotonic() - t0 < 25  # did not wait out the 30s sleep
+    err = ei.value
+    assert isinstance(err.errors["stuck"], TimeoutError)
+    assert err.results["fast"].rows_synced == 10
