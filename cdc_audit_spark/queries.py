@@ -297,7 +297,11 @@ def cdc_keep_last_per_key(spark, sf_dir):
 )
 def cdc_replay_state(spark, sf_dir):
     v0, _ = customer_snapshots(spark, sf_dir)
-    audit = customer_audit_log(spark, sf_dir)
+    # apply_changes consumes the log through two branches (survivor images
+    # + touched-key anti-join); materialize it once — in a live pipeline
+    # the audit batch arrives materialized anyway, only this harness
+    # derives it from a snapshot diff inline.
+    audit = customer_audit_log(spark, sf_dir).localCheckpoint(eager=True)
     return capture.apply_changes(v0, audit, ["c_custkey"])
 
 
@@ -2710,7 +2714,9 @@ def cdc_incremental_agg(spark, sf_dir):
     from cdc_audit_spark.mview import incremental_group_sum
 
     v0, _v1 = customer_snapshots(spark, sf_dir)
-    audit = customer_audit_log(spark, sf_dir)
+    # The maintenance algebra reads the batch through two branches (debit
+    # semi-join + credit aggregate); materialize the synthetic log once.
+    audit = customer_audit_log(spark, sf_dir).localCheckpoint(eager=True)
     out = incremental_group_sum(
         v0, audit, ["c_custkey"], ["c_mktsegment"],
         F.col("c_acctbal").cast("decimal(12,2)"),
