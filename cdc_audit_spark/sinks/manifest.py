@@ -1,0 +1,228 @@
+"""Manifest-committed parquet tables: atomic multi-version sinks.
+
+Several operators in this engine rewrite their whole sink to express
+deletes as plain parquet (``compact.compact_log``, ``sync.repair_sink``,
+the streaming index/view hooks) and document the same caveat: at 100 TB
+that overwrite belongs in a transactional table format. This module is
+that format's essential core, built from public first principles (the
+commit protocol at the heart of Delta/Iceberg-style table layouts),
+storage-agnostic and tiny:
+
+Layout::
+
+    <table>/data/c-<uuid>/part-*.parquet   -- one immutable dir per commit
+    <table>/_manifests/m-<version>.json    -- {version, action, dirs, ...}
+
+A version's content is the union of the parquet directories its manifest
+lists. Commits never touch existing data:
+
+* ``append``     -> new dir; manifest lists parent dirs + the new dir
+* ``overwrite``  -> new dir; manifest lists only the new dir
+* ``compact``    -> semantic no-op rewrite (overwrite with the same rows)
+  that shrinks the dir list back to one — the transactional form of
+  ``compact.compact_log``'s rewrite-in-place
+
+The COMMIT is the atomic creation of ``m-<version>.json``: content is
+written to a temp file and ``os.link``-ed to its final name, which fails
+with EEXIST if another writer claimed the version first (optimistic
+concurrency — appends rebase and retry, overwrites surface
+:class:`CommitConflict`). Readers list manifests and take the highest
+version, so a crash at ANY point leaves either the old version (data dir
+and/or temp manifest orphaned, invisible) or the new version (manifest
+fully linked) — never a torn table. Orphans are reclaimed by ``vacuum``.
+
+Scale notes: the protocol is one small-file write per commit regardless of
+data size; time travel is "read an older manifest"; concurrent readers
+never block writers. On object stores without hard links, the same
+claim-then-publish is done with a conditional PUT (if-none-match) — the
+swap point is ``_claim_manifest``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["CommitConflict", "ManifestTable"]
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this commit was based on.
+    Appends rebase and retry automatically; overwrites surface this so the
+    caller decides whose table state wins."""
+
+
+def _manifest_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, _MANIFEST_DIR, f"m-{version:012d}.json")
+
+
+def _claim_manifest(table_path: str, version: int, payload: dict) -> bool:
+    """Atomically publish a fully-written manifest for ``version``.
+
+    Returns False when the version is already claimed (concurrent writer
+    won). Write-to-temp + hard-link means a reader can never observe a
+    torn manifest: the final name exists only once its bytes are complete.
+    """
+    final = _manifest_path(table_path, version)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(final), prefix=".m_")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        try:
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            return False
+    finally:
+        os.unlink(tmp)
+
+
+class ManifestTable:
+    """A multi-version parquet table with atomic commits and time travel."""
+
+    def __init__(self, spark: SparkSession, table_path: str):
+        self.spark = spark
+        self.path = table_path
+
+    # ---------------------------------------------------------------- reads
+
+    def versions(self) -> list[int]:
+        """Committed versions, ascending ([] before the first commit)."""
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        if not os.path.isdir(mdir):
+            return []
+        return sorted(
+            int(n[2:-5]) for n in os.listdir(mdir)
+            if n.startswith("m-") and n.endswith(".json")
+        )
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def manifest(self, version: int) -> dict:
+        with open(_manifest_path(self.path, version)) as f:
+            return json.load(f)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: latest). Time travel is just
+        reading an older manifest — no data was ever rewritten."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"no commits yet at {self.path}")
+        dirs = self.manifest(version)["dirs"]
+        return self.spark.read.parquet(*[os.path.join(self.path, d) for d in dirs])
+
+    def history(self) -> list[dict]:
+        """One {version, action, n_dirs} row per commit, ascending."""
+        return [
+            {"version": v, "action": (m := self.manifest(v))["action"],
+             "n_dirs": len(m["dirs"])}
+            for v in self.versions()
+        ]
+
+    # --------------------------------------------------------------- writes
+
+    def _write_data_dir(self, df: DataFrame) -> str:
+        rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
+        df.write.parquet(os.path.join(self.path, rel))
+        return rel
+
+    def _commit(self, action: str, dirs_fn, max_retries: int = 20) -> int:
+        """Optimistic-concurrency commit loop.
+
+        ``dirs_fn(parent_manifest | None) -> list[dirs]`` builds the new
+        version's dir list from the CURRENT parent; on a lost race the
+        parent is re-read and the list rebuilt (append semantics compose
+        under rebase; overwrite ignores the parent so its retry simply
+        re-claims the next version).
+        """
+        for _ in range(max_retries):
+            parent = self.current_version()
+            payload = {
+                "version": parent + 1 if parent is not None else 1,
+                "parent": parent,
+                "action": action,
+                "dirs": dirs_fn(self.manifest(parent) if parent is not None else None),
+            }
+            if _claim_manifest(self.path, payload["version"], payload):
+                return payload["version"]
+        raise CommitConflict(
+            f"{action} at {self.path} lost {max_retries} consecutive commit "
+            "race(s); another writer committed first"
+        )
+
+    def append(self, df: DataFrame) -> int:
+        """Commit ``df``'s rows as a new version on top of the current one.
+        Returns the committed version. Safe under concurrent appends: data
+        is written once, and only the (cheap) manifest claim retries."""
+        rel = self._write_data_dir(df)
+        return self._commit(
+            "append", lambda parent: (parent["dirs"] if parent else []) + [rel]
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Commit ``df`` as the table's entire new content. Raises
+        :class:`CommitConflict` if any other writer commits concurrently —
+        last-writer-wins must be an explicit caller decision, not a silent
+        race outcome."""
+        rel = self._write_data_dir(df)
+        return self._commit("overwrite", lambda parent: [rel], max_retries=1)
+
+    def compact(self, pk_cols: list[str] | None = None,
+                keep_last_only: bool = False) -> int:
+        """Commit a compacted rewrite of the current content.
+
+        Default: a semantic no-op that folds many appended dirs into one
+        (shrinks read fan-in). With ``keep_last_only`` the rewrite applies
+        the audit-log wipe semantics of ``compact.compact_log`` — keep the
+        max-audit_pk row globally, or per key with ``pk_cols`` — as a
+        TRANSACTIONAL commit: the pre-wipe version stays readable (and
+        time-travelable) instead of being destroyed by an in-place
+        overwrite, which is exactly the upgrade compact_log's docstring
+        promises a transactional format would buy.
+        """
+        df = self.read()
+        if keep_last_only or pk_cols:
+            from cdc_audit_spark.compact import keep_last, keep_last_per_key
+
+            df = keep_last_per_key(df, pk_cols) if pk_cols else keep_last(df)
+        return self.overwrite(df)
+
+    # ----------------------------------------------------------------- gc
+
+    def vacuum(self, keep_versions: int = 1) -> dict:
+        """Drop all but the newest ``keep_versions`` manifests and delete
+        data dirs no surviving manifest references (crashed commits'
+        orphans included). Returns {"manifests": n, "data_dirs": n}.
+
+        Do not run concurrently with writers: an in-flight commit's data
+        dir is unreferenced until its manifest lands and would be swept
+        (the same retention caveat every manifest-table format carries).
+        """
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        vs = self.versions()
+        drop, keep = vs[:-keep_versions], vs[-keep_versions:]
+        referenced = {d for v in keep for d in self.manifest(v)["dirs"]}
+        for v in drop:
+            os.unlink(_manifest_path(self.path, v))
+        n_dirs = 0
+        ddir = os.path.join(self.path, _DATA_DIR)
+        if os.path.isdir(ddir):
+            for name in os.listdir(ddir):
+                rel = os.path.join(_DATA_DIR, name)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(ddir, name))
+                    n_dirs += 1
+        return {"manifests": len(drop), "data_dirs": n_dirs}

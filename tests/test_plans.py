@@ -158,3 +158,21 @@ def test_q13_preserves_left_join(spark, sf_dir):
     assert "LeftOuter" in plan
     # the ON-clause priority filter reaches the orders scan
     assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_cdc_state_asof_single_log_build(spark, sf_dir):
+    # The as-of replay materializes the audit log once (localCheckpoint):
+    # the replay plan must read the checkpointed rows, not rebuild the
+    # snapshot-diff chain per branch — r04 shipped 7 scans / 4 exchanges
+    # here; the single-build shape is 1 scan / <=3 exchanges.
+    plan = plan_of(spark, sf_dir, "cdc_state_asof")
+    assert plan.count("Scan parquet") <= 1
+    assert plan.count("Exchange") <= 3
+
+
+def test_cdc_replay_state_single_log_build(spark, sf_dir):
+    # Same contract for the full replay: one materialized log feeds both
+    # apply_changes branches (survivor images + touched-key anti-join).
+    plan = plan_of(spark, sf_dir, "cdc_replay_state")
+    assert plan.count("Scan parquet") <= 1
+    assert plan.count("Exchange") <= 3
