@@ -138,7 +138,8 @@ class ManifestTable:
         df.write.parquet(os.path.join(self.path, rel))
         return rel
 
-    def _commit(self, action: str, dirs_fn, max_retries: int = 20) -> int:
+    def _commit(self, action: str, dirs_fn, max_retries: int = 20,
+                extra: dict | None = None) -> int:
         """Optimistic-concurrency commit loop.
 
         ``dirs_fn(parent_manifest | None) -> list[dirs]`` builds the new
@@ -150,6 +151,7 @@ class ManifestTable:
         for _ in range(max_retries):
             parent = self.current_version()
             payload = {
+                **(extra or {}),
                 "version": parent + 1 if parent is not None else 1,
                 "parent": parent,
                 "action": action,
@@ -162,13 +164,16 @@ class ManifestTable:
             "race(s); another writer committed first"
         )
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, extra: dict | None = None) -> int:
         """Commit ``df``'s rows as a new version on top of the current one.
         Returns the committed version. Safe under concurrent appends: data
-        is written once, and only the (cheap) manifest claim retries."""
+        is written once, and only the (cheap) manifest claim retries.
+        ``extra`` fields ride in the manifest payload — atomic with the
+        data (this is what makes the CDC watermark exactly-once below)."""
         rel = self._write_data_dir(df)
         return self._commit(
-            "append", lambda parent: (parent["dirs"] if parent else []) + [rel]
+            "append", lambda parent: (parent["dirs"] if parent else []) + [rel],
+            extra=extra,
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -198,6 +203,59 @@ class ManifestTable:
 
             df = keep_last_per_key(df, pk_cols) if pk_cols else keep_last(df)
         return self.overwrite(df)
+
+    # ------------------------------------------------------------ cdc sync
+
+    def watermark(self) -> int:
+        """High watermark of the newest sync commit (0 before the first).
+        Walks history newest-first so interleaved non-sync commits (e.g. a
+        compaction) don't hide it."""
+        for v in reversed(self.versions()):
+            m = self.manifest(v)
+            if "watermark" in m:
+                return int(m["watermark"])
+        return 0
+
+    def sync_audit(self, audit_df: DataFrame, audit_pk: str = "audit_pk"):
+        """Incremental CDC sync with an EXACTLY-ONCE watermark.
+
+        ``sync.sync_table`` on a plain sink is two steps — append files,
+        then write the state file — so a crash between them replays the
+        delta as duplicates (the documented at-least-once window, same as
+        the reference's CSV tail protocol). Here the watermark rides IN
+        the data's own manifest commit: either both land (claim succeeds)
+        or neither does (orphan data dir, invisible, vacuumed later), so a
+        replayed sync recomputes the same delta and the sink is
+        duplicate-free by construction.
+        """
+        from pyspark.sql import functions as F
+
+        from cdc_audit_spark.sync import SyncResult
+
+        wm = self.watermark()
+        delta = audit_df.filter(F.col(audit_pk) > F.lit(wm))
+        stats = delta.agg(F.count("*").alias("n"),
+                          F.max(audit_pk).alias("mx")).first()
+        n, mx = int(stats["n"]), stats["mx"]
+        if n == 0:
+            return SyncResult(0, wm, self.path)
+        new_wm = max(wm, int(mx))
+        rel = self._write_data_dir(delta)
+
+        def dirs(parent):
+            # the delta was computed against wm; if another sync advanced
+            # the watermark meanwhile, blindly rebasing would duplicate
+            # the overlap — surface the race instead
+            if self.watermark() != wm:
+                raise CommitConflict(
+                    f"sync_audit at {self.path}: watermark moved "
+                    f"{wm} -> {self.watermark()} during the sync; re-run "
+                    "(the rewritten delta will exclude the racer's rows)"
+                )
+            return (parent["dirs"] if parent else []) + [rel]
+
+        self._commit("append", dirs, extra={"watermark": new_wm})
+        return SyncResult(n, new_wm, self.path)
 
     # ----------------------------------------------------------------- gc
 

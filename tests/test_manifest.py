@@ -187,3 +187,74 @@ def test_manifest_payload_shape(spark, tmp_path):
     # manifests are plain JSON a non-Spark consumer can read
     with open(os.path.join(t.path, "_manifests", "m-000000000002.json")) as f:
         assert json.load(f) == m
+
+
+def test_sync_audit_exactly_once(spark, tmp_path):
+    """CDC sync into a manifest table: data + watermark commit atomically,
+    so replays are duplicate-free and incremental resumes are exact."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    full = _rows(spark, 1, 11)
+
+    r1 = t.sync_audit(full)
+    assert (r1.rows_synced, r1.watermark) == (10, 10)
+    # idempotent replay: same source, nothing re-syncs
+    r2 = t.sync_audit(full)
+    assert (r2.rows_synced, r2.watermark) == (0, 10)
+    assert t.read().count() == 10
+
+    # incremental resume, with a compaction commit interleaved — the
+    # watermark walk must see through non-sync commits
+    t.compact()
+    r3 = t.sync_audit(_rows(spark, 1, 16))
+    assert (r3.rows_synced, r3.watermark) == (5, 15)
+    assert t.read().count() == 15
+    assert {r["audit_pk"] for r in t.read().collect()} == set(range(1, 16))
+
+
+def test_sync_audit_crash_window_no_duplicates(spark, tmp_path):
+    """Crash between the delta's data write and the manifest claim: the
+    watermark never advanced, the orphan dir is invisible, and the re-run
+    syncs the same delta exactly once."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.sync_audit(_rows(spark, 1, 6))
+
+    # simulate the crash: data written, commit never claimed
+    delta = _rows(spark, 6, 11)
+    t._write_data_dir(delta)
+
+    assert t.watermark() == 5
+    assert t.read().count() == 5  # orphan invisible
+
+    r = t.sync_audit(_rows(spark, 1, 11))
+    assert (r.rows_synced, r.watermark) == (5, 10)
+    assert t.read().count() == 10
+    # exactly one copy of every pk
+    assert t.read().groupBy("audit_pk").count().filter("count > 1").count() == 0
+
+
+def test_sync_audit_concurrent_sync_is_loud(spark, tmp_path):
+    """A sync whose watermark moved underneath it (racing sync) must not
+    rebase blindly — the overlap would duplicate; it surfaces
+    CommitConflict and a re-run syncs the remainder."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.sync_audit(_rows(spark, 1, 6))
+
+    src = _rows(spark, 1, 11)
+    orig_write = t._write_data_dir
+
+    def racing_write(df):
+        rel = orig_write(df)
+        # racer lands a sync for the same delta before our claim
+        ManifestTable(spark, t.path).sync_audit(src)
+        return rel
+
+    t._write_data_dir = racing_write
+    try:
+        with pytest.raises(CommitConflict, match="watermark moved"):
+            t.sync_audit(src)
+    finally:
+        t._write_data_dir = orig_write
+    # racer's sync landed everything; re-run is a no-op, content exact
+    r = t.sync_audit(src)
+    assert (r.rows_synced, r.watermark) == (0, 10)
+    assert t.read().groupBy("audit_pk").count().filter("count > 1").count() == 0
