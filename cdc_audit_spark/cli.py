@@ -85,6 +85,35 @@ def _gen(args) -> int:
         spark.stop()
 
 
+def _sync_manifest(spark, args, table: str, audit_df, sink: str) -> int:
+    """The --format manifest sync path: exactly-once delta commits, wipes
+    as keep-last compaction commits (pre-wipe log stays time-travelable),
+    verification against the table's own commit history, and repair as a
+    transactional overwrite."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    t = ManifestTable(spark, sink)
+    res = t.sync_audit(audit_df)
+    if args.verbosity >= 2:
+        print(f"{table}: +{res.rows_synced} rows, watermark={res.watermark}, "
+              f"version={t.current_version()}")
+    if args.verify and not t.verify(audit_df):
+        if args.repair:
+            v = t.repair(audit_df)
+            print(f"REPAIRED: {sink} rebuilt from {table} (version {v})")
+            if not t.verify(audit_df):
+                print(f"VERIFY FAILED after repair: {sink}")
+                return 1
+        else:
+            print(f"VERIFY FAILED: {sink} diverges from source {table} "
+                  "(re-run with --repair to rebuild)")
+            return 1
+    if args.wipe:
+        t.compact(keep_last_only=True,
+                  extra={"wipe_through": res.watermark, "wipe_pk_cols": None})
+    return 0
+
+
 def _sync(args) -> int:
     from cdc_audit_spark.compact import compact_log
     from cdc_audit_spark.sync import (
@@ -113,6 +142,12 @@ def _sync(args) -> int:
                 sink = os.path.join(args.output_dir, csv_sink_name(table))
             else:
                 sink = os.path.join(args.output_dir, table)
+            if args.format == "manifest":
+                rc = _sync_manifest(spark, args, table, audit_df, sink)
+                if rc != 0:
+                    return rc
+                synced += 1
+                continue
             res = sync_table(
                 audit_df, sink, fmt=args.format,
                 on_drift="evolve" if args.evolve else "fail",
@@ -172,8 +207,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-m", "--output-dir", default="./cdc_audit_sync", help="CSV sink directory")
     s.add_argument("-t", "--tables", default=None)
     s.add_argument("--format", default="csv",
-                   choices=["csv", "parquet", "json", "orc"],
-                   help="sink format (CSV = reference parity; parquet enables --evolve)")
+                   choices=["csv", "parquet", "json", "orc", "manifest"],
+                   help="sink format (CSV = reference parity; parquet "
+                        "enables --evolve; manifest = transactional "
+                        "exactly-once commits with time travel)")
     s.add_argument("--verify", action="store_true",
                    help="after each sync, checksum-compare sink vs source")
     s.add_argument("--repair", action="store_true",

@@ -176,16 +176,18 @@ class ManifestTable:
             extra=extra,
         )
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, extra: dict | None = None) -> int:
         """Commit ``df`` as the table's entire new content. Raises
         :class:`CommitConflict` if any other writer commits concurrently —
         last-writer-wins must be an explicit caller decision, not a silent
         race outcome."""
         rel = self._write_data_dir(df)
-        return self._commit("overwrite", lambda parent: [rel], max_retries=1)
+        return self._commit("overwrite", lambda parent: [rel], max_retries=1,
+                            extra=extra)
 
     def compact(self, pk_cols: list[str] | None = None,
-                keep_last_only: bool = False) -> int:
+                keep_last_only: bool = False,
+                extra: dict | None = None) -> int:
         """Commit a compacted rewrite of the current content.
 
         Default: a semantic no-op that folds many appended dirs into one
@@ -202,7 +204,7 @@ class ManifestTable:
             from cdc_audit_spark.compact import keep_last, keep_last_per_key
 
             df = keep_last_per_key(df, pk_cols) if pk_cols else keep_last(df)
-        return self.overwrite(df)
+        return self.overwrite(df, extra=extra)
 
     # ------------------------------------------------------------ cdc sync
 
@@ -256,6 +258,56 @@ class ManifestTable:
 
         self._commit("append", dirs, extra={"watermark": new_wm})
         return SyncResult(n, new_wm, self.path)
+
+    # ------------------------------------------------------- verify/repair
+
+    def wipe_record(self) -> dict | None:
+        """The newest commit's recorded wipe (``wipe_through`` +
+        ``wipe_pk_cols`` extras on a keep-last compaction), or None."""
+        for v in reversed(self.versions()):
+            m = self.manifest(v)
+            if "wipe_through" in m:
+                return {"through": int(m["wipe_through"]),
+                        "pk_cols": m.get("wipe_pk_cols")}
+        return None
+
+    def expected_content(self, audit_df: DataFrame,
+                         audit_pk: str = "audit_pk") -> DataFrame:
+        """What an uncorrupted table must contain given its commit history
+        — the manifest-native form of ``sync.expected_sink_content``:
+        everything, unless a wipe is recorded, then the keep-last
+        survivors up to the wipe boundary plus later rows verbatim."""
+        from pyspark.sql import functions as F
+
+        w = self.wipe_record()
+        if w is None:
+            return audit_df
+        from cdc_audit_spark.compact import keep_last, keep_last_per_key
+
+        pre = audit_df.filter(F.col(audit_pk) <= w["through"])
+        pre = (keep_last_per_key(pre, w["pk_cols"]) if w["pk_cols"]
+               else keep_last(pre))
+        return pre.unionByName(audit_df.filter(F.col(audit_pk) > w["through"]))
+
+    def verify(self, audit_df: DataFrame) -> bool:
+        """True iff the table's content checksum matches what its history
+        says it should hold (one map-side reduction per side)."""
+        from cdc_audit_spark.sync import table_checksum
+
+        expected = self.expected_content(audit_df)
+        a = table_checksum(expected).first()
+        b = table_checksum(self.read().select(*expected.columns)).first()
+        return (a["checksum"], a["n_rows"]) == (b["checksum"], b["n_rows"])
+
+    def repair(self, audit_df: DataFrame) -> int:
+        """Commit a rebuild of the expected content — a TRANSACTIONAL
+        repair (the corrupt version stays readable for forensics). The
+        surviving wipe record is carried forward so later verifies still
+        reconstruct the compacted expectation. Returns the new version."""
+        w = self.wipe_record()
+        extra = ({"wipe_through": w["through"], "wipe_pk_cols": w["pk_cols"]}
+                 if w else None)
+        return self.overwrite(self.expected_content(audit_df), extra=extra)
 
     # ----------------------------------------------------------------- gc
 

@@ -317,3 +317,90 @@ def test_stream_audit_sync_manifest_exactly_once(spark, tmp_path):
         q.awaitTermination(180)
         if q.exception() is not None:
             raise Exception(str(q.exception()))
+
+
+def test_verify_and_repair_manifest(spark, tmp_path):
+    """Manifest-native verify/repair: corruption of a data file is caught
+    against the commit history, and repair lands as a commit (forensics:
+    the corrupt version stays readable)."""
+    import glob
+    import shutil
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    full = _rows(spark, 1, 21)
+    t.sync_audit(full)
+    assert t.verify(full)
+
+    # wipe + verify: the recorded wipe reconstructs the expectation
+    t.compact(keep_last_only=True,
+              extra={"wipe_through": 20, "wipe_pk_cols": None})
+    assert t.verify(full)
+
+    # later incremental rows post-wipe
+    more = _rows(spark, 1, 26)
+    t.sync_audit(more)
+    assert t.verify(more)
+
+    # corrupt: delete a parquet part file from the latest version's dirs
+    latest_dirs = t.manifest(t.current_version())["dirs"]
+    # pick the largest part file — small partitions write empty parts
+    part = max(glob.glob(os.path.join(t.path, latest_dirs[-1], "part-*")),
+               key=os.path.getsize)
+    os.remove(part)
+    crc = os.path.join(os.path.dirname(part), "." + os.path.basename(part) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(os.path.join(t.path, latest_dirs[-1]))
+    assert not t.verify(more)
+
+    corrupt_version = t.current_version()
+    v = t.repair(more)
+    assert v == corrupt_version + 1
+    assert t.verify(more)
+    # the wipe record survived the repair
+    assert t.wipe_record() == {"through": 20, "pk_cols": None}
+
+
+def test_cli_sync_manifest_format(spark, tmp_path):
+    """--format manifest through the reference-parity CLI: sync twice
+    (idempotent), --verify green, -w wipes transactionally. The CLI owns
+    its session, so it runs as a subprocess like the other CLI tests."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_cli(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "cdc_audit_spark.cli", "sync",
+             "--data-dir", str(data), "-m", str(out),
+             "--format", "manifest", "--verify", *extra],
+            capture_output=True, text=True, cwd=repo,
+            env={**os.environ, "PYTHONPATH": repo},
+        )
+
+    data = tmp_path / "data"
+    out = tmp_path / "out"
+    data.mkdir()
+    _rows(spark, 1, 11).write.parquet(str(data / "customer_audit.parquet"))
+
+    r = run_cli()
+    assert r.returncode == 0, r.stderr[-2000:]
+    t = ManifestTable(spark, str(out / "customer_audit"))
+    assert t.read().count() == 10
+    v1 = t.current_version()
+
+    r = run_cli()  # idempotent re-sync commits nothing
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert t.current_version() == v1
+
+    r = run_cli("-w")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert t.read().count() == 1  # keep-last wipe
+    assert t.read().first()["audit_pk"] == 10
+    # pre-wipe history still readable
+    assert t.read(version=v1).count() == 10
+
+    # post-wipe verify against the recorded wipe still passes
+    r = run_cli()
+    assert r.returncode == 0, r.stderr[-2000:]
