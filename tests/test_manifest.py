@@ -404,3 +404,64 @@ def test_cli_sync_manifest_format(spark, tmp_path):
     # post-wipe verify against the recorded wipe still passes
     r = run_cli()
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_manifest_random_op_walk_matches_model(spark, tmp_path):
+    """Model-based check: a seeded random walk of append / overwrite /
+    compact / vacuum / sync ops must keep the table's visible content
+    equal (as a MULTISET — duplicates count) to a trivial in-memory model
+    at every step, and every retained historical version must stay
+    byte-stable. sync_audit's delta is modeled off the table's own
+    watermark, so interleaved raw appends exercise the re-sync-overlap
+    semantics the watermark contract implies."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    model: Counter = Counter()       # expected (k, audit_pk) multiset
+    snapshots: dict[int, Counter] = {}
+    next_pk = 1
+
+    def rows_of(df):
+        return Counter((r["k"], r["audit_pk"]) for r in df.collect())
+
+    for step in range(12):
+        op = rng.choice(["append", "append", "overwrite", "compact",
+                         "vacuum", "sync"])
+        if op == "append":
+            lo, n = next_pk, rng.randint(1, 4)
+            v = t.append(_rows(spark, lo, lo + n))
+            model.update((k, k) for k in range(lo, lo + n))
+            next_pk += n
+        elif op == "overwrite":
+            lo, n = next_pk, rng.randint(1, 3)
+            v = t.overwrite(_rows(spark, lo, lo + n))
+            model = Counter((k, k) for k in range(lo, lo + n))
+            next_pk += n
+        elif op == "compact":
+            if not t.versions():
+                continue
+            v = t.compact()
+        elif op == "vacuum":
+            if not t.versions():
+                continue
+            keep = rng.randint(1, 3)
+            t.vacuum(keep_versions=keep)
+            snapshots = {ver: s for ver, s in snapshots.items()
+                         if ver in t.versions()}
+            v = t.current_version()
+        else:  # sync: exactly-once relative to the table's own watermark
+            hi = next_pk + rng.randint(1, 3)
+            wm = t.watermark()
+            t.sync_audit(_rows(spark, 1, hi))
+            model.update((k, k) for k in range(wm + 1, hi))
+            next_pk = hi
+            v = t.current_version()
+        snapshots[v] = Counter(model)
+        assert rows_of(t.read()) == model, f"step {step} ({op})"
+
+    # every version that survived vacuuming still reads its exact snapshot
+    for ver, expected in snapshots.items():
+        if ver in t.versions():
+            assert rows_of(t.read(version=ver)) == expected
