@@ -187,7 +187,9 @@ class ManifestTable:
 
     def compact(self, pk_cols: list[str] | None = None,
                 keep_last_only: bool = False,
-                extra: dict | None = None) -> int:
+                extra: dict | None = None,
+                range_by: list[str] | None = None,
+                n_files: int | None = None) -> int:
         """Commit a compacted rewrite of the current content.
 
         Default: a semantic no-op that folds many appended dirs into one
@@ -198,12 +200,25 @@ class ManifestTable:
         time-travelable) instead of being destroyed by an in-place
         overwrite, which is exactly the upgrade compact_log's docstring
         promises a transactional format would buy.
+
+        ``range_by`` additionally lays the rewrite out for data skipping
+        (operators.bucketing.write_range_sorted's contract): rows are
+        range-partitioned into ``n_files`` disjoint key ranges and sorted
+        within each, so every parquet footer carries tight min/max on the
+        key and later filtered scans prune whole files — compaction is
+        the natural moment to buy that layout, since the rewrite shuffles
+        anyway.
         """
         df = self.read()
         if keep_last_only or pk_cols:
             from cdc_audit_spark.compact import keep_last, keep_last_per_key
 
             df = keep_last_per_key(df, pk_cols) if pk_cols else keep_last(df)
+        if range_by:
+            df = df.repartitionByRange(
+                n_files or self.spark.sparkContext.defaultParallelism,
+                *range_by,
+            ).sortWithinPartitions(*range_by)
         return self.overwrite(df, extra=extra)
 
     # ------------------------------------------------------------ cdc sync

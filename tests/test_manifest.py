@@ -465,3 +465,40 @@ def test_manifest_random_op_walk_matches_model(spark, tmp_path):
     for ver, expected in snapshots.items():
         if ver in t.versions():
             assert rows_of(t.read(version=ver)) == expected
+
+
+def test_compact_range_by_disjoint_footers(spark, tmp_path):
+    """compact(range_by=...) lands the data-skipping layout as a commit:
+    the new version's files carry disjoint sorted key ranges (verified
+    from the parquet footers a filtered scan prunes on), content intact,
+    and the pre-compaction version still readable."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    for i in range(4):  # interleaved appends → overlapping file ranges
+        t.append(_rows(spark, i * 25 + 1, i * 25 + 26).repartition(3))
+    pre = t.current_version()
+
+    v = t.compact(range_by=["audit_pk"], n_files=4)
+    d = t.manifest(v)["dirs"]
+    assert len(d) == 1
+
+    ranges = []
+    for f in glob.glob(os.path.join(t.path, d[0], "part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        ci = next(i for i in range(md.num_columns)
+                  if md.row_group(0).column(i).path_in_schema == "audit_pk")
+        mins = [md.row_group(g).column(ci).statistics.min
+                for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(ci).statistics.max
+                for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    assert t.read().count() == 100
+    assert t.read(version=pre).count() == 100
