@@ -150,13 +150,21 @@ class ManifestTable:
         """
         for _ in range(max_retries):
             parent = self.current_version()
+            pm = self.manifest(parent) if parent is not None else None
             payload = {
                 **(extra or {}),
                 "version": parent + 1 if parent is not None else 1,
                 "parent": parent,
                 "action": action,
-                "dirs": dirs_fn(self.manifest(parent) if parent is not None else None),
+                "dirs": dirs_fn(pm),
             }
+            # carry per-dir metadata forward for dirs that survive this
+            # commit (an overwrite's filter naturally drops the parent's)
+            merged = {**(pm.get("dir_meta", {}) if pm else {}),
+                      **payload.get("dir_meta", {})}
+            merged = {d: m for d, m in merged.items() if d in payload["dirs"]}
+            if merged:
+                payload["dir_meta"] = merged
             if _claim_manifest(self.path, payload["version"], payload):
                 return payload["version"]
         raise CommitConflict(
@@ -271,8 +279,45 @@ class ManifestTable:
                 )
             return (parent["dirs"] if parent else []) + [rel]
 
-        self._commit("append", dirs, extra={"watermark": new_wm})
+        # per-dir pk range: lets read_since() prune whole commit dirs at
+        # the manifest level (carried forward through later rebases)
+        self._commit("append", dirs, extra={
+            "watermark": new_wm,
+            "dir_meta": {rel: {"pk_min": wm + 1, "pk_max": new_wm}},
+        })
         return SyncResult(n, new_wm, self.path)
+
+    def dirs_since(self, pk: int, version: int | None = None) -> list[str]:
+        """The current version's dirs that may hold rows with
+        ``audit_pk > pk`` — manifest-level pruning for incremental
+        consumers. A dir with recorded range metadata and ``pk_max <= pk``
+        is skipped; a dir without metadata (overwrite/compact output) is
+        kept conservatively."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return []
+        m = self.manifest(version)
+        meta = m.get("dir_meta", {})
+        return [d for d in m["dirs"]
+                if d not in meta or int(meta[d]["pk_max"]) > pk]
+
+    def read_since(self, pk: int, audit_pk: str = "audit_pk") -> DataFrame:
+        """Rows with ``audit_pk > pk`` — the downstream consumer's poll.
+
+        The file-level twin of the watermark pushdown: whole commit dirs
+        whose recorded pk range ends at or below ``pk`` are never listed,
+        so a consumer polling a long-lived table reads only the commits it
+        hasn't seen (plus parquet min/max pruning inside the survivors).
+        """
+        from pyspark.sql import functions as F
+
+        dirs = self.dirs_since(pk)
+        if not dirs:
+            return self.read().filter(F.lit(False))  # stable empty schema
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, d) for d in dirs])
+        return df.filter(F.col(audit_pk) > F.lit(pk))
 
     # ------------------------------------------------------- verify/repair
 

@@ -502,3 +502,38 @@ def test_compact_range_by_disjoint_footers(spark, tmp_path):
 
     assert t.read().count() == 100
     assert t.read(version=pre).count() == 100
+
+
+def test_read_since_prunes_commit_dirs(spark, tmp_path):
+    """Incremental consumers read only the commits past their watermark:
+    dirs_since drops whole dirs by recorded pk range (conservative for
+    dirs without metadata), read_since returns exactly the new rows, and
+    the metadata survives append rebases."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.sync_audit(_rows(spark, 1, 11))     # dir A: pk 1-10
+    t.sync_audit(_rows(spark, 1, 21))     # dir B: pk 11-20
+    t.sync_audit(_rows(spark, 1, 31))     # dir C: pk 21-30
+
+    assert len(t.manifest(t.current_version())["dirs"]) == 3
+    # consumer at watermark 20: only dir C may hold new rows
+    assert len(t.dirs_since(20)) == 1
+    assert len(t.dirs_since(10)) == 2
+    assert len(t.dirs_since(0)) == 3
+    got = t.read_since(20)
+    assert {r["audit_pk"] for r in got.collect()} == set(range(21, 31))
+    # nothing new → empty with the table's schema
+    empty = t.read_since(30)
+    assert empty.count() == 0
+    assert empty.columns == t.read().columns
+
+    # a compact folds dirs and loses per-dir ranges → conservative full read
+    t.compact()
+    assert len(t.dirs_since(25)) == 1  # single dir, no meta, kept
+    assert {r["audit_pk"] for r in t.read_since(25).collect()} == set(range(26, 31))
+
+    # post-compact syncs regain pruning for new commits
+    t.sync_audit(_rows(spark, 1, 41))
+    assert {r["audit_pk"] for r in t.read_since(30).collect()} == set(range(31, 41))
+    # the compacted dir has no metadata so it is retained conservatively,
+    # plus the new sync dir: 2 of 2 dirs listed, rows filtered correctly
+    assert len(t.dirs_since(30)) == 2
