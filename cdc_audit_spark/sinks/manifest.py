@@ -172,13 +172,26 @@ class ManifestTable:
             "race(s); another writer committed first"
         )
 
-    def append(self, df: DataFrame, extra: dict | None = None) -> int:
+    def append(self, df: DataFrame, extra: dict | None = None,
+               pk_range_col: str | None = None) -> int:
         """Commit ``df``'s rows as a new version on top of the current one.
         Returns the committed version. Safe under concurrent appends: data
         is written once, and only the (cheap) manifest claim retries.
         ``extra`` fields ride in the manifest payload — atomic with the
-        data (this is what makes the CDC watermark exactly-once below)."""
+        data (this is what makes the CDC watermark exactly-once below).
+        ``pk_range_col`` records the dir's min/max of that column in the
+        manifest (one small aggregate), enabling ``read_since`` pruning."""
+        meta = None
+        if pk_range_col is not None:
+            from pyspark.sql import functions as F
+
+            r = df.agg(F.min(pk_range_col).alias("lo"),
+                       F.max(pk_range_col).alias("hi")).first()
+            if r["lo"] is not None:
+                meta = {"pk_min": int(r["lo"]), "pk_max": int(r["hi"])}
         rel = self._write_data_dir(df)
+        if meta is not None:
+            extra = {**(extra or {}), "dir_meta": {rel: meta}}
         return self._commit(
             "append", lambda parent: (parent["dirs"] if parent else []) + [rel],
             extra=extra,

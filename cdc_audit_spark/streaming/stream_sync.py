@@ -87,6 +87,7 @@ def stream_audit_sync_manifest(
     checkpoint_path: str,
     available_now: bool = True,
     source_fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
 ):
     """Stream an audit log into a manifest-committed table, exactly-once.
 
@@ -126,6 +127,8 @@ def stream_audit_sync_manifest(
         return None
 
     reader = text_read_options(spark.readStream.schema(schema), source_fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.format(source_fmt).load(source_path)
     check_no_schema_drift(schema, stream.schema)
 
@@ -134,7 +137,12 @@ def stream_audit_sync_manifest(
         last = last_committed_epoch(rid)
         if last is not None and last >= epoch_id:
             return  # crash landed after the commit — effects are durable
-        table.append(batch_df, extra={"epoch": int(epoch_id), "run_id": rid})
+        # pk_range_col: one tiny agg per micro-batch buys manifest-level
+        # pruning for downstream read_since() consumers
+        table.append(
+            batch_df, extra={"epoch": int(epoch_id), "run_id": rid},
+            pk_range_col="audit_pk" if "audit_pk" in batch_df.columns else None,
+        )
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_path

@@ -537,3 +537,29 @@ def test_read_since_prunes_commit_dirs(spark, tmp_path):
     # the compacted dir has no metadata so it is retained conservatively,
     # plus the new sync dir: 2 of 2 dirs listed, rows filtered correctly
     assert len(t.dirs_since(30)) == 2
+
+
+def test_stream_drain_records_pk_ranges(spark, tmp_path):
+    """The streaming drain's commits carry their pk ranges too, so
+    read_since prunes micro-batch dirs exactly like batch sync commits."""
+    from cdc_audit_spark.streaming.stream_sync import (
+        stream_audit_sync_manifest,
+    )
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    for lo in (1, 6, 11):  # three files → three micro-batches with mFPT=1
+        _rows(spark, lo, lo + 5).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_audit_sync_manifest(
+        spark, src, spark.read.parquet(src).schema, tbl,
+        str(tmp_path / "ck"), max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    t = ManifestTable(spark, tbl)
+    m = t.manifest(t.current_version())
+    assert set(m["dir_meta"]) == set(m["dirs"])  # every dir has a range
+    lo_hi = sorted((v["pk_min"], v["pk_max"]) for v in m["dir_meta"].values())
+    assert lo_hi[0][0] == 1 and lo_hi[-1][1] == 15
+    assert len(t.dirs_since(10)) < len(m["dirs"])
+    assert {r["audit_pk"] for r in t.read_since(10).collect()} == {11, 12, 13, 14, 15}
