@@ -121,7 +121,10 @@ class ManifestTable:
         if version is None:
             raise FileNotFoundError(f"no commits yet at {self.path}")
         dirs = self.manifest(version)["dirs"]
-        return self.spark.read.parquet(*[os.path.join(self.path, d) for d in dirs])
+        # mergeSchema: after an on_drift='evolve' append, older dirs lack
+        # the new columns — pre-drift rows surface NULL for them
+        return (self.spark.read.option("mergeSchema", True)
+                .parquet(*[os.path.join(self.path, d) for d in dirs]))
 
     def history(self) -> list[dict]:
         """One {version, action, n_dirs} row per commit, ascending."""
@@ -173,7 +176,8 @@ class ManifestTable:
         )
 
     def append(self, df: DataFrame, extra: dict | None = None,
-               pk_range_col: str | None = None) -> int:
+               pk_range_col: str | None = None,
+               on_drift: str = "fail") -> int:
         """Commit ``df``'s rows as a new version on top of the current one.
         Returns the committed version. Safe under concurrent appends: data
         is written once, and only the (cheap) manifest claim retries.
@@ -181,6 +185,7 @@ class ManifestTable:
         data (this is what makes the CDC watermark exactly-once below).
         ``pk_range_col`` records the dir's min/max of that column in the
         manifest (one small aggregate), enabling ``read_since`` pruning."""
+        self._check_drift(df, on_drift)
         meta = None
         if pk_range_col is not None:
             from pyspark.sql import functions as F
@@ -190,12 +195,51 @@ class ManifestTable:
             if r["lo"] is not None:
                 meta = {"pk_min": int(r["lo"]), "pk_max": int(r["hi"])}
         rel = self._write_data_dir(df)
+        extra = {**(extra or {}), "schema": df.schema.json()}
         if meta is not None:
-            extra = {**(extra or {}), "dir_meta": {rel: meta}}
+            extra["dir_meta"] = {rel: meta}
         return self._commit(
             "append", lambda parent: (parent["dirs"] if parent else []) + [rel],
             extra=extra,
         )
+
+    def _check_drift(self, df: DataFrame, on_drift: str) -> None:
+        """Appended batches must match the table schema; ``on_drift=
+        'evolve'`` admits the additive case (historical rows read NULL for
+        the new columns under mergeSchema), removed/type-changed columns
+        always refuse — the same governance as sync_table(on_drift=)."""
+        from cdc_audit_spark.schema import (
+            SchemaDriftError,
+            classify_schema_drift,
+            evolve_schema,
+        )
+
+        existing = self.schema()
+        if existing is None:
+            return
+        drift = classify_schema_drift(existing, df.schema)
+        if not (drift["added"] or drift["removed"] or drift["changed"]):
+            return
+        if on_drift == "fail":
+            raise SchemaDriftError(
+                f"schema drift vs manifest table {self.path}: {drift} "
+                "(pass on_drift='evolve' to admit additive drift)"
+            )
+        if on_drift != "evolve":
+            raise ValueError(
+                f"on_drift must be 'fail' or 'evolve', got {on_drift!r}")
+        evolve_schema(existing, df.schema)  # raises on removed/changed
+
+    def schema(self):
+        """The table's committed schema (from the newest commit that
+        recorded one), or None before the first commit."""
+        from pyspark.sql.types import StructType
+
+        for v in reversed(self.versions()):
+            m = self.manifest(v)
+            if "schema" in m:
+                return StructType.fromJson(json.loads(m["schema"]))
+        return None
 
     def overwrite(self, df: DataFrame, extra: dict | None = None) -> int:
         """Commit ``df`` as the table's entire new content. Raises
@@ -204,7 +248,8 @@ class ManifestTable:
         race outcome."""
         rel = self._write_data_dir(df)
         return self._commit("overwrite", lambda parent: [rel], max_retries=1,
-                            extra=extra)
+                            extra={**(extra or {}),
+                                   "schema": df.schema.json()})
 
     def compact(self, pk_cols: list[str] | None = None,
                 keep_last_only: bool = False,
@@ -254,7 +299,8 @@ class ManifestTable:
                 return int(m["watermark"])
         return 0
 
-    def sync_audit(self, audit_df: DataFrame, audit_pk: str = "audit_pk"):
+    def sync_audit(self, audit_df: DataFrame, audit_pk: str = "audit_pk",
+                   on_drift: str = "fail"):
         """Incremental CDC sync with an EXACTLY-ONCE watermark.
 
         ``sync.sync_table`` on a plain sink is two steps — append files,
@@ -270,6 +316,7 @@ class ManifestTable:
 
         from cdc_audit_spark.sync import SyncResult
 
+        self._check_drift(audit_df, on_drift)
         wm = self.watermark()
         delta = audit_df.filter(F.col(audit_pk) > F.lit(wm))
         stats = delta.agg(F.count("*").alias("n"),
@@ -296,6 +343,7 @@ class ManifestTable:
         # the manifest level (carried forward through later rebases)
         self._commit("append", dirs, extra={
             "watermark": new_wm,
+            "schema": audit_df.schema.json(),
             "dir_meta": {rel: {"pk_min": wm + 1, "pk_max": new_wm}},
         })
         return SyncResult(n, new_wm, self.path)
@@ -328,8 +376,8 @@ class ManifestTable:
         dirs = self.dirs_since(pk)
         if not dirs:
             return self.read().filter(F.lit(False))  # stable empty schema
-        df = self.spark.read.parquet(
-            *[os.path.join(self.path, d) for d in dirs])
+        df = (self.spark.read.option("mergeSchema", True)
+              .parquet(*[os.path.join(self.path, d) for d in dirs]))
         return df.filter(F.col(audit_pk) > F.lit(pk))
 
     # ------------------------------------------------------- verify/repair

@@ -563,3 +563,37 @@ def test_stream_drain_records_pk_ranges(spark, tmp_path):
     assert lo_hi[0][0] == 1 and lo_hi[-1][1] == 15
     assert len(t.dirs_since(10)) < len(m["dirs"])
     assert {r["audit_pk"] for r in t.read_since(10).collect()} == {11, 12, 13, 14, 15}
+
+
+def test_schema_drift_governance(spark, tmp_path):
+    """Appends are schema-governed like sync_table(on_drift=): mismatched
+    batches refuse by default, additive drift is admitted with 'evolve'
+    (pre-drift rows read NULL for the new column), removed columns always
+    refuse."""
+    from cdc_audit_spark.schema import SchemaDriftError
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 1, 6))
+    assert [f.name for f in t.schema().fields] == [
+        "k", "audit_timestamp", "audit_event", "audit_pk"]
+
+    widened = _rows(spark, 6, 11).withColumn("source", F.lit("web"))
+    with pytest.raises(SchemaDriftError):
+        t.append(widened)
+    t.append(widened, on_drift="evolve")
+    got = {r["audit_pk"]: r["source"] for r in t.read().collect()}
+    assert got[3] is None and got[8] == "web"
+    assert "source" in [f.name for f in t.schema().fields]
+
+    # removed column refuses even under evolve
+    with pytest.raises(SchemaDriftError):
+        t.append(_rows(spark, 11, 16).drop("audit_event"), on_drift="evolve")
+
+    # sync_audit applies the same governance
+    with pytest.raises(SchemaDriftError):
+        t.sync_audit(_rows(spark, 1, 16))  # lost the 'source' column
+    # raw appends never advanced the sync watermark, so the first sync
+    # lands everything past 0 — the documented watermark contract
+    r = t.sync_audit(
+        _rows(spark, 1, 16).withColumn("source", F.lit("api")))
+    assert (r.rows_synced, r.watermark) == (15, 15)
