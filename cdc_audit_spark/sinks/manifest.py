@@ -255,6 +255,7 @@ class ManifestTable:
                 keep_last_only: bool = False,
                 extra: dict | None = None,
                 range_by: list[str] | None = None,
+                zorder_by: list[str] | None = None,
                 n_files: int | None = None) -> int:
         """Commit a compacted rewrite of the current content.
 
@@ -273,18 +274,40 @@ class ManifestTable:
         within each, so every parquet footer carries tight min/max on the
         key and later filtered scans prune whole files — compaction is
         the natural moment to buy that layout, since the rewrite shuffles
-        anyway.
+        anyway. ``zorder_by`` is the multi-key variant (Morton-key
+        interleaving, operators.bucketing.zorder_value): tight footer
+        stats on ALL listed columns at once, pruning scans filtered on
+        any subset of them.
         """
+        if range_by and zorder_by:
+            raise ValueError("pass range_by or zorder_by, not both")
         df = self.read()
         if keep_last_only or pk_cols:
             from cdc_audit_spark.compact import keep_last, keep_last_per_key
 
             df = keep_last_per_key(df, pk_cols) if pk_cols else keep_last(df)
+        n = n_files or self.spark.sparkContext.defaultParallelism
         if range_by:
-            df = df.repartitionByRange(
-                n_files or self.spark.sparkContext.defaultParallelism,
-                *range_by,
-            ).sortWithinPartitions(*range_by)
+            df = (df.repartitionByRange(n, *range_by)
+                  .sortWithinPartitions(*range_by))
+        elif zorder_by:
+            from pyspark.sql import functions as F
+
+            from cdc_audit_spark.operators.bucketing import zorder_value
+
+            stats = df.agg(
+                *[F.min(c).cast("long").alias(f"lo_{c}") for c in zorder_by],
+                *[F.max(c).cast("long").alias(f"hi_{c}") for c in zorder_by],
+            ).first()
+            z = zorder_value(
+                [F.col(c) for c in zorder_by],
+                [stats[f"lo_{c}"] for c in zorder_by],
+                [stats[f"hi_{c}"] for c in zorder_by],
+            )
+            df = (df.withColumn("__z", z)
+                  .repartitionByRange(n, "__z")
+                  .sortWithinPartitions("__z")
+                  .drop("__z"))
         return self.overwrite(df, extra=extra)
 
     # ------------------------------------------------------------ cdc sync

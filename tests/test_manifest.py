@@ -597,3 +597,42 @@ def test_schema_drift_governance(spark, tmp_path):
     r = t.sync_audit(
         _rows(spark, 1, 16).withColumn("source", F.lit("api")))
     assert (r.rows_synced, r.watermark) == (15, 15)
+
+
+def test_compact_zorder_tightens_both_columns(spark, tmp_path):
+    """compact(zorder_by=[a,b]) buys tight footer stats on BOTH columns:
+    each file's per-column span is far below the full domain, so scans
+    filtered on either column prune files. Content identity preserved."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    # 32x32 grid of (a, b) with audit cols
+    grid = spark.range(1024).selectExpr(
+        "id % 32 as a", "CAST(id / 32 AS LONG) as b",
+        "'insert' as audit_event", "id + 1 as audit_pk")
+    t.append(grid.repartition(4))
+
+    v = t.compact(zorder_by=["a", "b"], n_files=4)
+    d = t.manifest(v)["dirs"][0]
+
+    def spans(col):
+        out = []
+        for f in glob.glob(os.path.join(t.path, d, "part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            ci = next(i for i in range(md.num_columns)
+                      if md.row_group(0).column(i).path_in_schema == col)
+            mins = [md.row_group(g).column(ci).statistics.min
+                    for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(ci).statistics.max
+                    for g in range(md.num_row_groups)]
+            out.append(max(maxs) - min(mins))
+        return out
+
+    # un-z-ordered 4-way split would give every file the full 0-31 span on
+    # at least one column; z-order must tighten both below the full domain
+    assert all(s <= 16 for s in spans("a")), spans("a")
+    assert all(s <= 16 for s in spans("b")), spans("b")
+    assert t.read().count() == 1024
+    assert t.read().exceptAll(grid).count() == 0
