@@ -22,8 +22,11 @@ from cdc_audit_spark.sync import (
     verify_sink,
 )
 from cdc_audit_spark.compact import keep_last, keep_last_per_key
+from cdc_audit_spark.sinks import CommitConflict, ManifestTable
 
 __all__ = [
+    "CommitConflict",
+    "ManifestTable",
     "audit_schema",
     "audit_table_name",
     "AUDIT_COLUMNS",
