@@ -53,6 +53,11 @@ __all__ = ["CommitConflict", "ManifestTable"]
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
+# Payload keys that describe the TABLE (not one commit's delta) and are
+# inherited by every later commit — see _commit.
+_STATE_KEYS = ("watermark", "epoch", "run_id", "wipe_through",
+               "wipe_pk_cols", "schema")
+
 
 class CommitConflict(RuntimeError):
     """Another writer committed the version this commit was based on.
@@ -154,7 +159,15 @@ class ManifestTable:
         for _ in range(max_retries):
             parent = self.current_version()
             pm = self.manifest(parent) if parent is not None else None
+            # Table-level state (sync watermark, streaming epoch identity,
+            # wipe record, schema) is inherited by every commit unless the
+            # commit overrides it: content-preserving commits (compact,
+            # repair) must not orphan it, or a later vacuum of the older
+            # manifests would reset the watermark/epoch and make the next
+            # sync/replay DUPLICATE rows.
+            inherited = {k: pm[k] for k in _STATE_KEYS if pm and k in pm}
             payload = {
+                **inherited,
                 **(extra or {}),
                 "version": parent + 1 if parent is not None else 1,
                 "parent": parent,
@@ -309,6 +322,17 @@ class ManifestTable:
                   .sortWithinPartitions("__z")
                   .drop("__z"))
         return self.overwrite(df, extra=extra)
+
+    def maybe_compact(self, max_dirs: int = 16, **compact_kw) -> int | None:
+        """Compact only when the current version's dir fan-in exceeds
+        ``max_dirs`` — the small-files policy for long-lived tables where
+        every sync/micro-batch appends a dir. Returns the new version, or
+        None when no compaction was needed. Accepts compact()'s layout
+        options (range_by/zorder_by/n_files)."""
+        cur = self.current_version()
+        if cur is None or len(self.manifest(cur)["dirs"]) <= max_dirs:
+            return None
+        return self.compact(**compact_kw)
 
     # ------------------------------------------------------------ cdc sync
 

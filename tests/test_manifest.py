@@ -636,3 +636,47 @@ def test_compact_zorder_tightens_both_columns(spark, tmp_path):
     assert all(s <= 16 for s in spans("b")), spans("b")
     assert t.read().count() == 1024
     assert t.read().exceptAll(grid).count() == 0
+
+
+def test_state_survives_compact_and_vacuum(spark, tmp_path):
+    """Table-level state (watermark/epoch/wipe/schema) is inherited by
+    every commit: sync -> compact -> vacuum(keep=1) must NOT reset the
+    watermark (the older manifests that carried it are gone), or the next
+    sync would duplicate every row."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.sync_audit(_rows(spark, 1, 11))
+    t.compact()
+    t.vacuum(keep_versions=1)
+    assert t.versions() == [2]
+    assert t.watermark() == 10           # inherited through the compact
+    assert t.schema() is not None
+
+    r = t.sync_audit(_rows(spark, 1, 16))
+    assert (r.rows_synced, r.watermark) == (5, 15)
+    assert t.read().groupBy("audit_pk").count().filter("count > 1").count() == 0
+
+    # wipe record also survives compaction + vacuum for verify()
+    t.compact(keep_last_only=True,
+              extra={"wipe_through": 15, "wipe_pk_cols": None})
+    t.compact()
+    t.vacuum(keep_versions=1)
+    assert t.wipe_record() == {"through": 15, "pk_cols": None}
+    assert t.verify(_rows(spark, 1, 16))
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """maybe_compact folds dirs only past the threshold — the small-files
+    policy for long-lived sync tables."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    hi = 1
+    for _ in range(4):
+        t.sync_audit(_rows(spark, 1, hi + 3))
+        hi += 3
+    assert len(t.manifest(t.current_version())["dirs"]) == 4
+    assert t.maybe_compact(max_dirs=8) is None      # under threshold
+    v = t.maybe_compact(max_dirs=3)
+    assert v is not None
+    assert len(t.manifest(v)["dirs"]) == 1
+    assert t.watermark() == hi - 1                  # state intact
+    r = t.sync_audit(_rows(spark, 1, hi + 1))       # incremental continues
+    assert r.rows_synced == 1
