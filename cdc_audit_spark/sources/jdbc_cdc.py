@@ -40,6 +40,7 @@ __all__ = [
     "JdbcBatchPlan",
     "plan_incremental_batch",
     "poll_sync",
+    "poll_sync_manifest",
 ]
 
 
@@ -164,6 +165,41 @@ def poll_sync(
         wm = get_watermark(spark, sink_path, fmt=fmt)
         res = sync_table(read_fn(wm), sink_path, fmt=fmt, watermark=wm)
         results.append(res)
+        if stop_when_empty and res.rows_synced == 0:
+            break
+        if sleep_secs and i + 1 < max_polls:
+            time.sleep(sleep_secs)
+    return results
+
+
+def poll_sync_manifest(
+    spark: SparkSession,
+    read_fn: Callable[[int], DataFrame],
+    table_path: str,
+    max_polls: int = 1,
+    sleep_secs: float = 0.0,
+    stop_when_empty: bool = True,
+    auto_compact_dirs: int | None = None,
+) -> list[SyncResult]:
+    """The cron loop draining a live database into a manifest table.
+
+    Same cadence as ``poll_sync``, but each drained batch lands as ONE
+    atomic manifest commit carrying its watermark
+    (sinks.manifest.ManifestTable.sync_audit) — exactly-once instead of
+    the plain sink's append-then-state-file window, with time travel over
+    every poll. ``auto_compact_dirs`` applies the small-files policy
+    between polls (maybe_compact) so a long-lived loop doesn't accrete
+    one dir per poll forever.
+    """
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    t = ManifestTable(spark, table_path)
+    results: list[SyncResult] = []
+    for i in range(max_polls):
+        res = t.sync_audit(read_fn(t.watermark()))
+        results.append(res)
+        if auto_compact_dirs is not None:
+            t.maybe_compact(max_dirs=auto_compact_dirs)
         if stop_when_empty and res.rows_synced == 0:
             break
         if sleep_secs and i + 1 < max_polls:
