@@ -427,6 +427,49 @@ class ManifestTable:
               .parquet(*[os.path.join(self.path, d) for d in dirs]))
         return df.filter(F.col(audit_pk) > F.lit(pk))
 
+    def merge_audit(self, audit_df: DataFrame, pk_cols: list[str],
+                    audit_pk: str = "audit_pk",
+                    bootstrap: DataFrame | None = None):
+        """Maintain a CURRENT-STATE replica from the audit log — the
+        consumer-side MERGE. The unseen delta (``audit_pk`` past the
+        table's watermark) is replayed onto the current state with
+        ``capture.apply_changes`` (latest event per key wins; a latest
+        delete removes the key) and committed as one atomic overwrite
+        carrying the new watermark: exactly-once materialization with
+        every previous state time-travelable. ``bootstrap`` seeds the
+        first commit (source-shaped, no audit columns).
+
+        Replays are idempotent (unmoved watermark → empty delta → no
+        commit); an interleaved writer surfaces as CommitConflict via the
+        overwrite's single-claim commit. Each merge rewrites the state —
+        the generation-snapshot stand-in for a storage-level MERGE, same
+        contract as streaming.stream_mview (its docstring has the
+        at-scale note).
+        """
+        from pyspark.sql import functions as F
+
+        from cdc_audit_spark.capture import apply_changes
+        from cdc_audit_spark.sync import SyncResult
+
+        wm = self.watermark()
+        delta = audit_df.filter(F.col(audit_pk) > F.lit(wm))
+        stats = delta.agg(F.count("*").alias("n"),
+                          F.max(audit_pk).alias("mx")).first()
+        n, mx = int(stats["n"]), stats["mx"]
+        if n == 0 and (self.current_version() is not None or bootstrap is None):
+            return SyncResult(0, wm, self.path)
+        if self.current_version() is None:
+            if bootstrap is None:
+                raise ValueError(
+                    "first merge_audit needs a bootstrap state snapshot")
+            current = bootstrap
+        else:
+            current = self.read()
+        new_wm = max(wm, int(mx)) if mx is not None else wm
+        new_state = apply_changes(current, delta, pk_cols)
+        self.overwrite(new_state, extra={"watermark": new_wm})
+        return SyncResult(n, new_wm, self.path)
+
     # ------------------------------------------------------- verify/repair
 
     def wipe_record(self) -> dict | None:

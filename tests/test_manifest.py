@@ -680,3 +680,48 @@ def test_maybe_compact_policy(spark, tmp_path):
     assert t.watermark() == hi - 1                  # state intact
     r = t.sync_audit(_rows(spark, 1, hi + 1))       # incremental continues
     assert r.rows_synced == 1
+
+
+def test_merge_audit_maintains_current_state(spark, tmp_path):
+    """merge_audit = the consumer-side MERGE: a current-state replica
+    maintained exactly-once from the audit log, with every previous state
+    time-travelable."""
+    from cdc_audit_spark.capture import snapshot_diff
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double")
+
+    # batch 1: update k=2, delete k=3, insert k=4
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0)],
+        "k long, name string, bal double")
+    b1 = snapshot_diff(v0, v1, ["k"], ts=dt.datetime(2026, 1, 1))
+
+    r1 = t.merge_audit(b1, ["k"], bootstrap=v0)
+    assert r1.rows_synced == b1.count()
+    state1 = {r["k"]: (r["name"], r["bal"]) for r in t.read().collect()}
+    assert state1 == {1: ("a", 10.0), 2: ("b", 25.0), 4: ("d", 40.0)}
+    ver1 = t.current_version()
+
+    # idempotent replay of the same log
+    r2 = t.merge_audit(b1, ["k"])
+    assert r2.rows_synced == 0
+    assert t.current_version() == ver1
+
+    # batch 2 continues from the watermark: delete k=1, update k=4
+    v2 = spark.createDataFrame(
+        [(2, "b", 25.0), (4, "d", 44.0)], "k long, name string, bal double")
+    b2 = snapshot_diff(v1, v2, ["k"], ts=dt.datetime(2026, 1, 2),
+                       base_pk=r1.watermark)
+    full_log = b1.unionByName(b2)
+    r3 = t.merge_audit(full_log, ["k"])
+    assert r3.rows_synced == b2.count()
+    state2 = {r["k"]: (r["name"], r["bal"]) for r in t.read().collect()}
+    assert state2 == {2: ("b", 25.0), 4: ("d", 44.0)}
+    # time travel to the pre-merge state
+    assert {r["k"] for r in t.read(version=ver1).collect()} == {1, 2, 4}
+
+    # replay of the full log after both merges: nothing to do
+    assert t.merge_audit(full_log, ["k"]).rows_synced == 0
