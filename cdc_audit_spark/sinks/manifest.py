@@ -395,6 +395,41 @@ class ManifestTable:
         })
         return SyncResult(n, new_wm, self.path)
 
+    def last_epoch(self, run_id: str | None = None) -> int | None:
+        """Newest committed streaming epoch, or None before the first.
+
+        Epoch ids are checkpoint-scoped: when both the pointer's recorded
+        run id and ``run_id`` are known and differ, raises
+        ``streaming.genstate.GenerationRunMismatch`` instead of comparing
+        incomparable epochs (a fresh checkpoint against a surviving table
+        must fail loudly, not silently skip replayed batches)."""
+        for v in reversed(self.versions()):
+            m = self.manifest(v)
+            if "epoch" not in m:
+                continue
+            prev = m.get("run_id")
+            if run_id is not None and prev is not None and prev != run_id:
+                from cdc_audit_spark.streaming.genstate import (
+                    GenerationRunMismatch,
+                )
+
+                raise GenerationRunMismatch(
+                    f"manifest table {self.path!r} was last streamed by "
+                    f"run {prev} but the current checkpoint is run "
+                    f"{run_id}: epoch ids are checkpoint-scoped and cannot "
+                    "be compared. Delete the checkpoint and table together "
+                    "to rebuild."
+                )
+            return int(m["epoch"])
+        return None
+
+    def epoch_applied(self, epoch_id: int, run_id: str | None = None) -> bool:
+        """True iff ``epoch_id``'s commit is already durable in this table
+        (same-run epochs are monotone) — the per-table replay guard for
+        foreachBatch hooks."""
+        last = self.last_epoch(run_id)
+        return last is not None and last >= epoch_id
+
     def dirs_since(self, pk: int, version: int | None = None) -> list[str]:
         """The current version's dirs that may hold rows with
         ``audit_pk > pk`` — manifest-level pruning for incremental

@@ -13,10 +13,13 @@ tested in test_dedup.py).
 Crash semantics: offsets are checkpointed AFTER the hook, so a crash
 mid-batch replays that batch. Replay re-reads the index as of the previous
 batch and re-derives the same accept set (the operator is deterministic),
-so the only hazard is double-appended output/index rows from a crash
-between the two writes — dedup by id downstream, or point the appends at a
-transactional table format. The reference's own sink has the same
-at-least-once window (README:213-215); this one is narrower.
+so ``stream_dedup_sync``'s only hazard is double-appended output/index
+rows from a crash between the two writes (the reference's own sink has
+the same at-least-once window, README:213-215).
+``stream_dedup_sync_manifest`` closes even that: both tables are
+manifest-committed with per-table epoch guards, so the replayed batch
+skips whichever half already landed — exactly-once with no cross-table
+transaction (apply_dedup_epoch has the argument).
 """
 
 from __future__ import annotations
@@ -30,9 +33,11 @@ from cdc_audit_spark.operators.dedup import (
 from cdc_audit_spark.streaming import genstate
 
 __all__ = [
+    "apply_dedup_epoch",
     "apply_exact_index_epoch",
     "current_exact_index",
     "stream_dedup_sync",
+    "stream_dedup_sync_manifest",
     "stream_exact_index_sync",
 ]
 
@@ -178,3 +183,97 @@ def stream_exact_index_sync(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_sync_manifest(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    accepted_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Exactly-once form of ``stream_dedup_sync``: both the accepted-docs
+    output and the (band, bucket, id) index live in manifest tables, each
+    micro-batch landing as one atomic epoch-tagged commit per table.
+
+    ``stream_dedup_sync`` documents its at-least-once window (a crash
+    between the output append and the index append double-appends on
+    replay). Per-table epoch guards close it: the accept set is a
+    deterministic function of (batch, index-at-previous-epoch), so a
+    replay recomputes identical survivors/entries and each table
+    independently skips the half it already committed — both converge
+    with zero duplicates, no cross-table transaction needed. A fresh
+    checkpoint against surviving tables raises GenerationRunMismatch
+    (checkpoint and both tables live and die together).
+    """
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    acc = ManifestTable(spark, accepted_path)
+    idx = ManifestTable(spark, index_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        apply_dedup_epoch(
+            acc, idx, batch_df, epoch_id,
+            genstate.checkpoint_run_id(checkpoint_path),
+            text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def apply_dedup_epoch(
+    acc,
+    idx,
+    batch_df,
+    epoch_id: int,
+    run_id: str | None,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> None:
+    """One micro-batch of the exactly-once dedup drain, per-table guarded.
+
+    The accept set is a deterministic function of (batch, index at the
+    previous epoch), so a replay after a crash BETWEEN the two commits
+    recomputes identical survivors/entries; each table independently skips
+    the half it already holds and both converge duplicate-free — no
+    cross-table transaction needed. Factored out of the streaming hook so
+    the half-committed replay window is directly testable.
+    """
+    acc_done = acc.epoch_applied(epoch_id, run_id)
+    idx_done = idx.epoch_applied(epoch_id, run_id)
+    if acc_done and idx_done:
+        return
+    index_df = idx.read() if idx.versions() else None
+    accepted_ids, accepted_entries = incremental_lsh_dedup(
+        batch_df, index_df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
+    )
+    extra = {"epoch": int(epoch_id), "run_id": run_id}
+    if not acc_done:
+        survivors = batch_df.join(
+            accepted_ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+        acc.append(survivors, extra=extra)
+    if not idx_done:
+        idx.append(accepted_entries, extra=extra)

@@ -109,23 +109,6 @@ def stream_audit_sync_manifest(
 
     table = ManifestTable(spark, table_path)
 
-    def last_committed_epoch(run_id: str | None) -> int | None:
-        for v in reversed(table.versions()):
-            m = table.manifest(v)
-            if "epoch" not in m:
-                continue
-            prev = m.get("run_id")
-            if run_id is not None and prev is not None and prev != run_id:
-                raise genstate.GenerationRunMismatch(
-                    f"manifest table {table_path!r} was last streamed by "
-                    f"run {prev} but the current checkpoint is run "
-                    f"{run_id}: epoch ids are checkpoint-scoped and cannot "
-                    "be compared. Delete the checkpoint and table together "
-                    "to rebuild."
-                )
-            return int(m["epoch"])
-        return None
-
     reader = text_read_options(spark.readStream.schema(schema), source_fmt)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -134,8 +117,7 @@ def stream_audit_sync_manifest(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         rid = genstate.checkpoint_run_id(checkpoint_path)
-        last = last_committed_epoch(rid)
-        if last is not None and last >= epoch_id:
+        if table.epoch_applied(epoch_id, rid):
             return  # crash landed after the commit — effects are durable
         # pk_range_col: one tiny agg per micro-batch buys manifest-level
         # pruning for downstream read_since() consumers

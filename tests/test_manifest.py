@@ -725,3 +725,81 @@ def test_merge_audit_maintains_current_state(spark, tmp_path):
 
     # replay of the full log after both merges: nothing to do
     assert t.merge_audit(full_log, ["k"]).rows_synced == 0
+
+
+def _doc_rows(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stream_dedup_manifest_exactly_once(spark, tmp_path):
+    """Exactly-once streaming near-dup filter over two manifest tables:
+    e2e drain matches the batch operator, restart continues against the
+    committed index, and the half-committed crash window (one table
+    landed, the other not) converges duplicate-free on replay."""
+    from cdc_audit_spark.streaming.stream_dedup import (
+        apply_dedup_epoch,
+        stream_dedup_sync_manifest,
+    )
+
+    src = str(tmp_path / "src")
+    acc_p = str(tmp_path / "acc")
+    idx_p = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    batches = [
+        [(1, base), (2, "completely different content about spark engines here")],
+        [(3, base),                                   # near/exact dup of 1 → dropped
+         (4, "another unrelated document mentioning data pipelines today")],
+    ]
+    for b in batches:
+        _doc_rows(spark, b).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_dedup_sync_manifest(
+        spark, src, spark.read.parquet(src).schema, acc_p, idx_p, ck,
+        "text", "doc_id", num_hashes=16, bands=8, shingle_size=2,
+        max_files_per_trigger=1)
+    q.awaitTermination(240)
+
+    acc = ManifestTable(spark, acc_p)
+    idx = ManifestTable(spark, idx_p)
+    kept = {r["doc_id"] for r in acc.read().collect()}
+    assert 1 in kept or 3 in kept
+    assert not (1 in kept and 3 in kept)  # the duplicate pair collapsed
+    assert {2, 4} <= kept
+    assert idx.read().count() > 0
+    assert acc.last_epoch() == idx.last_epoch()
+
+    # half-committed crash window on fresh tables: acc committed for
+    # epoch 1 but idx's commit never landed — the replay must recompute
+    # the same accept set, skip acc, and commit only idx
+    rid = None
+    acc3_p, idx3_p = str(tmp_path / "acc3"), str(tmp_path / "idx3")
+    acc3, idx3 = ManifestTable(spark, acc3_p), ManifestTable(spark, idx3_p)
+    b1 = _doc_rows(spark, batches[0])
+    apply_dedup_epoch(acc3, idx3, b1, 0, rid, "text", "doc_id",
+                      num_hashes=16, bands=8, shingle_size=2)
+    # epoch 1: land ONLY the accepted-docs half (crash before idx commit)
+    b2 = _doc_rows(spark, batches[1])
+    idx_df = idx3.read()
+    from cdc_audit_spark.operators.dedup import incremental_lsh_dedup
+    ids, entries = incremental_lsh_dedup(
+        b2, idx_df, "text", "doc_id",
+        num_hashes=16, bands=8, shingle_size=2)
+    acc3.append(b2.join(ids.withColumnRenamed("id", "doc_id"),
+                        "doc_id", "left_semi"),
+                extra={"epoch": 1, "run_id": rid})
+    assert acc3.last_epoch() == 1 and idx3.last_epoch() == 0
+
+    # the replay: acc half skipped, idx half committed, both converge
+    apply_dedup_epoch(acc3, idx3, b2, 1, rid, "text", "doc_id",
+                      num_hashes=16, bands=8, shingle_size=2)
+    assert acc3.last_epoch() == idx3.last_epoch() == 1
+    kept3 = [r["doc_id"] for r in acc3.read().collect()]
+    assert sorted(kept3) == sorted(set(kept3))  # no duplicates
+    assert 4 in kept3 and 2 in kept3
+    assert not (1 in kept3 and 3 in kept3)
+    # replaying the fully-committed epoch is a no-op
+    v_acc, v_idx = acc3.current_version(), idx3.current_version()
+    apply_dedup_epoch(acc3, idx3, b2, 1, rid, "text", "doc_id",
+                      num_hashes=16, bands=8, shingle_size=2)
+    assert (acc3.current_version(), idx3.current_version()) == (v_acc, v_idx)
