@@ -305,6 +305,37 @@ def cdc_replay_state(spark, sf_dir):
     return capture.apply_changes(v0, audit, ["c_custkey"])
 
 
+@register(
+    "cdc_manifest_roundtrip",
+    f"WITH {_AUDIT_CTE} SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+    "c_mktsegment, audit_event, audit_timestamp, audit_pk FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY audit_pk DESC) rn"
+    "  FROM audit) WHERE rn = 1",
+    "Transactional-sink round trip (sinks.manifest): the audit log lands "
+    "via TWO incremental exactly-once sync_audit commits (watermark rides "
+    "in each manifest claim), a keep-last-per-key compaction commit wipes "
+    "the history transactionally, and the read-back of the final version "
+    "must equal the keep-last oracle — proving the commit protocol, "
+    "watermark recovery, and wipe semantics end-to-end on a real table",
+)
+def cdc_manifest_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    audit = customer_audit_log(spark, sf_dir).localCheckpoint(eager=True)
+    k = audit.agg(F.expr("max(audit_pk) div 2")).first()[0]
+    # fresh table per invocation: the query must be rerun-deterministic
+    t = ManifestTable(spark, tempfile.mkdtemp(prefix="cdc_manifest_rt_"))
+    t.sync_audit(audit.filter(F.col("audit_pk") <= k))   # first drain
+    t.sync_audit(audit)                                   # incremental rest
+    t.compact(pk_cols=["c_custkey"])                      # transactional wipe
+    return t.read().select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        "audit_event", "audit_timestamp", "audit_pk",
+    )
+
+
 # --------------------------------------------------------------------------
 # Relational parity — projections / filters / predicates (SURVEY §2.2)
 # --------------------------------------------------------------------------
