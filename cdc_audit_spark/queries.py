@@ -4303,10 +4303,13 @@ _DRIVER_WINDOW = [
     "text_repetition_stats", "window_dense_rank_brand_price",
     "window_first_last_value", "window_lag_delta", "window_moving_avg",
     "window_nth_value_second_order", "window_time_range_sum",
-    # 8 §2-core CDC anchors whose green rows are three rounds stale.
+    # 7 §2-core CDC anchors whose green rows are three rounds stale, plus
+    # the round-5 transactional-sink round trip (new — no green row yet;
+    # knn_cosine_topk ceded its slot and keeps its r01 green row, so every
+    # registered query still ends the round with a green driver row).
     "cdc_diff_customer", "cdc_incremental_scan", "cdc_keep_last_per_key",
     "cdc_watermark_recovery", "cdc_audit_stats", "scan_filter_project",
-    "dedup_exact", "knn_cosine_topk",
+    "dedup_exact", "cdc_manifest_roundtrip",
 ]
 
 
