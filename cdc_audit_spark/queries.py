@@ -3390,11 +3390,13 @@ def revenue_grouping_sets(spark, sf_dir):
                       * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
         FROM lineitem
     )
-    SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-             AS intercept,
-           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    SELECT CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     AS DECIMAL(22,10)) AS DOUBLE) AS slope,
+           CAST(CAST((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                     AS DECIMAL(24,6)) AS DOUBLE) AS intercept,
+           CAST(CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     AS DECIMAL(16,12)) AS DOUBLE) AS r2
       FROM s
     """,
     "Least-squares regression of price on quantity (regr_slope / "
@@ -3418,11 +3420,16 @@ def regression_price_on_quantity(spark, sf_dir):
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # moment sums are exact, but the closed-form doubles drift in the last
+    # ulp across engines once the sums grow (observed at sf0.1) — quantize
+    # far above the drift, same treatment as ln() in tfidf_top_terms
     return s.select(
-        slope.alias("slope"),
-        ((sy - slope * sx) / n).alias("intercept"),
+        slope.cast("decimal(22,10)").cast("double").alias("slope"),
+        ((sy - slope * sx) / n).cast("decimal(24,6)").cast("double")
+        .alias("intercept"),
         (((n * sxy - sx * sy) * (n * sxy - sx * sy))
-         / ((n * sxx - sx * sx) * (n * syy - sy * sy))).alias("r2"),
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        .cast("decimal(16,12)").cast("double").alias("r2"),
     )
 
 
@@ -3440,11 +3447,15 @@ def regression_price_on_quantity(spark, sf_dir):
              CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sqd
         FROM lineitem
     )
-    SELECT (n * sqp - sq * sp)
-             / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS corr_qty_price,
-           (sqd - sq * sd / n) / (n - 1) AS cov_qty_disc,
-           sqrt((spp - sp * sp / n) / (n - 1)) AS sd_price,
-           (sqq - sq * sq / n) / (n - 1) AS var_qty
+    SELECT CAST(CAST((n * sqp - sq * sp)
+             / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp))
+             AS DECIMAL(16,12)) AS DOUBLE) AS corr_qty_price,
+           CAST(CAST((sqd - sq * sd / n) / (n - 1) AS DECIMAL(20,9))
+             AS DOUBLE) AS cov_qty_disc,
+           CAST(CAST(sqrt((spp - sp * sp / n) / (n - 1)) AS DECIMAL(24,6))
+             AS DOUBLE) AS sd_price,
+           CAST(CAST((sqq - sq * sq / n) / (n - 1) AS DECIMAL(22,8))
+             AS DOUBLE) AS var_qty
       FROM s
     """,
     "Single-pass statistical profile: corr / covar_samp / stddev / variance "
@@ -3473,13 +3484,19 @@ def lineitem_stats_profile(spark, sf_dir):
     )
     n, sq, sp, sd = F.col("n"), F.col("sq"), F.col("sp"), F.col("sd")
     sqq, spp, sqp, sqd = F.col("sqq"), F.col("spp"), F.col("sqp"), F.col("sqd")
+    # quantized outputs: the exact-decimal moments are cross-engine
+    # identical, but closed-form IEEE chains drift in the last ulp at
+    # larger sums (observed sf0.1) — round far above the drift
     return s.select(
         ((n * sqp - sq * sp)
          / (F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)))
-        .alias("corr_qty_price"),
-        ((sqd - sq * sd / n) / (n - F.lit(1.0))).alias("cov_qty_disc"),
-        F.sqrt((spp - sp * sp / n) / (n - F.lit(1.0))).alias("sd_price"),
-        ((sqq - sq * sq / n) / (n - F.lit(1.0))).alias("var_qty"),
+        .cast("decimal(16,12)").cast("double").alias("corr_qty_price"),
+        ((sqd - sq * sd / n) / (n - F.lit(1.0)))
+        .cast("decimal(20,9)").cast("double").alias("cov_qty_disc"),
+        F.sqrt((spp - sp * sp / n) / (n - F.lit(1.0)))
+        .cast("decimal(24,6)").cast("double").alias("sd_price"),
+        ((sqq - sq * sq / n) / (n - F.lit(1.0)))
+        .cast("decimal(22,8)").cast("double").alias("var_qty"),
     )
 
 
