@@ -53,6 +53,10 @@ __all__ = ["CommitConflict", "ManifestTable"]
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
+# sentinel: "this commit does not pin its parent" (append semantics) /
+# "capture the current version at call time" (overwrite's default)
+_ANY = object()
+
 # Payload keys that describe the TABLE (not one commit's delta) and are
 # inherited by every later commit — see _commit.
 _STATE_KEYS = ("watermark", "epoch", "run_id", "wipe_through",
@@ -147,7 +151,7 @@ class ManifestTable:
         return rel
 
     def _commit(self, action: str, dirs_fn, max_retries: int = 20,
-                extra: dict | None = None) -> int:
+                extra: dict | None = None, expected_parent=_ANY) -> int:
         """Optimistic-concurrency commit loop.
 
         ``dirs_fn(parent_manifest | None) -> list[dirs]`` builds the new
@@ -155,9 +159,24 @@ class ManifestTable:
         parent is re-read and the list rebuilt (append semantics compose
         under rebase; overwrite ignores the parent so its retry simply
         re-claims the next version).
+
+        ``expected_parent`` pins the commit to the version its CONTENT was
+        derived from: overwrite-action commits (compact/merge/repair) read
+        the table, rewrite it, and commit — if another writer lands
+        between the read and the claim, blindly claiming parent+1 would
+        silently drop the racer's rows while inheriting its state keys
+        (watermark/epoch), permanently losing data on the next sync. With
+        the pin, a moved parent raises :class:`CommitConflict` instead.
         """
         for _ in range(max_retries):
             parent = self.current_version()
+            if expected_parent is not _ANY and parent != expected_parent:
+                raise CommitConflict(
+                    f"{action} at {self.path}: table advanced from version "
+                    f"{expected_parent} to {parent} after this commit's "
+                    "content was derived; committing would silently drop "
+                    "the interleaved writer's rows — re-derive and retry"
+                )
             pm = self.manifest(parent) if parent is not None else None
             # Table-level state (sync watermark, streaming epoch identity,
             # wipe record, schema) is inherited by every commit unless the
@@ -254,15 +273,27 @@ class ManifestTable:
                 return StructType.fromJson(json.loads(m["schema"]))
         return None
 
-    def overwrite(self, df: DataFrame, extra: dict | None = None) -> int:
+    def overwrite(self, df: DataFrame, extra: dict | None = None,
+                  base_version: int | None = _ANY) -> int:
         """Commit ``df`` as the table's entire new content. Raises
         :class:`CommitConflict` if any other writer commits concurrently —
         last-writer-wins must be an explicit caller decision, not a silent
-        race outcome."""
+        race outcome.
+
+        ``base_version`` is the version ``df``'s content was derived from
+        (compact/merge/repair pass the version they read); the commit
+        refuses if the table has moved past it, covering the whole
+        read→rewrite→claim window, not just the final claim race. By
+        default the current version at call entry is captured, which
+        still covers the (long) data-write phase.
+        """
+        if base_version is _ANY:
+            base_version = self.current_version()
         rel = self._write_data_dir(df)
         return self._commit("overwrite", lambda parent: [rel], max_retries=1,
                             extra={**(extra or {}),
-                                   "schema": df.schema.json()})
+                                   "schema": df.schema.json()},
+                            expected_parent=base_version)
 
     def compact(self, pk_cols: list[str] | None = None,
                 keep_last_only: bool = False,
@@ -294,7 +325,8 @@ class ManifestTable:
         """
         if range_by and zorder_by:
             raise ValueError("pass range_by or zorder_by, not both")
-        df = self.read()
+        base = self.current_version()
+        df = self.read(base)
         if keep_last_only or pk_cols:
             from cdc_audit_spark.compact import keep_last, keep_last_per_key
 
@@ -321,7 +353,7 @@ class ManifestTable:
                   .repartitionByRange(n, "__z")
                   .sortWithinPartitions("__z")
                   .drop("__z"))
-        return self.overwrite(df, extra=extra)
+        return self.overwrite(df, extra=extra, base_version=base)
 
     def maybe_compact(self, max_dirs: int = 16, **compact_kw) -> int | None:
         """Compact only when the current version's dir fan-in exceeds
@@ -336,11 +368,16 @@ class ManifestTable:
 
     # ------------------------------------------------------------ cdc sync
 
-    def watermark(self) -> int:
+    def watermark(self, at_version: int | None = None) -> int:
         """High watermark of the newest sync commit (0 before the first).
         Walks history newest-first so interleaved non-sync commits (e.g. a
-        compaction) don't hide it."""
-        for v in reversed(self.versions()):
+        compaction) don't hide it. ``at_version`` pins the walk to
+        commits <= that version (merge_audit reads state as of its base
+        so an interleaved sync can't skew the pinned derivation)."""
+        vs = self.versions()
+        if at_version is not None:
+            vs = [v for v in vs if v <= at_version]
+        for v in reversed(vs):
             m = self.manifest(v)
             if "watermark" in m:
                 return int(m["watermark"])
@@ -486,31 +523,39 @@ class ManifestTable:
         from cdc_audit_spark.capture import apply_changes
         from cdc_audit_spark.sync import SyncResult
 
-        wm = self.watermark()
+        base = self.current_version()
+        wm = self.watermark(at_version=base)
         delta = audit_df.filter(F.col(audit_pk) > F.lit(wm))
         stats = delta.agg(F.count("*").alias("n"),
                           F.max(audit_pk).alias("mx")).first()
         n, mx = int(stats["n"]), stats["mx"]
-        if n == 0 and (self.current_version() is not None or bootstrap is None):
+        if n == 0 and (base is not None or bootstrap is None):
             return SyncResult(0, wm, self.path)
-        if self.current_version() is None:
+        if base is None:
             if bootstrap is None:
                 raise ValueError(
                     "first merge_audit needs a bootstrap state snapshot")
             current = bootstrap
         else:
-            current = self.read()
+            current = self.read(base)
         new_wm = max(wm, int(mx)) if mx is not None else wm
         new_state = apply_changes(current, delta, pk_cols)
-        self.overwrite(new_state, extra={"watermark": new_wm})
+        # pinned to base: an interleaved commit (another merge, a sync)
+        # raises CommitConflict instead of being silently overwritten
+        self.overwrite(new_state, extra={"watermark": new_wm},
+                       base_version=base)
         return SyncResult(n, new_wm, self.path)
 
     # ------------------------------------------------------- verify/repair
 
-    def wipe_record(self) -> dict | None:
+    def wipe_record(self, at_version: int | None = None) -> dict | None:
         """The newest commit's recorded wipe (``wipe_through`` +
-        ``wipe_pk_cols`` extras on a keep-last compaction), or None."""
-        for v in reversed(self.versions()):
+        ``wipe_pk_cols`` extras on a keep-last compaction), or None.
+        ``at_version`` pins the walk to commits <= that version."""
+        vs = self.versions()
+        if at_version is not None:
+            vs = [v for v in vs if v <= at_version]
+        for v in reversed(vs):
             m = self.manifest(v)
             if "wipe_through" in m:
                 return {"through": int(m["wipe_through"]),
@@ -518,14 +563,15 @@ class ManifestTable:
         return None
 
     def expected_content(self, audit_df: DataFrame,
-                         audit_pk: str = "audit_pk") -> DataFrame:
+                         audit_pk: str = "audit_pk",
+                         at_version: int | None = None) -> DataFrame:
         """What an uncorrupted table must contain given its commit history
         — the manifest-native form of ``sync.expected_sink_content``:
         everything, unless a wipe is recorded, then the keep-last
         survivors up to the wipe boundary plus later rows verbatim."""
         from pyspark.sql import functions as F
 
-        w = self.wipe_record()
+        w = self.wipe_record(at_version=at_version)
         if w is None:
             return audit_df
         from cdc_audit_spark.compact import keep_last, keep_last_per_key
@@ -549,36 +595,68 @@ class ManifestTable:
         """Commit a rebuild of the expected content — a TRANSACTIONAL
         repair (the corrupt version stays readable for forensics). The
         surviving wipe record is carried forward so later verifies still
-        reconstruct the compacted expectation. Returns the new version."""
-        w = self.wipe_record()
+        reconstruct the compacted expectation. Returns the new version.
+        Pinned to the version whose history the rebuild was derived from
+        (an interleaved commit raises CommitConflict, not silent loss)."""
+        base = self.current_version()
+        w = self.wipe_record(at_version=base)
         extra = ({"wipe_through": w["through"], "wipe_pk_cols": w["pk_cols"]}
                  if w else None)
-        return self.overwrite(self.expected_content(audit_df), extra=extra)
+        return self.overwrite(
+            self.expected_content(audit_df, at_version=base),
+            extra=extra, base_version=base)
 
     # ----------------------------------------------------------------- gc
 
-    def vacuum(self, keep_versions: int = 1) -> dict:
+    def vacuum(self, keep_versions: int = 1, retain_seconds: float = 3600,
+               force: bool = False) -> dict:
         """Drop all but the newest ``keep_versions`` manifests and delete
         data dirs no surviving manifest references (crashed commits'
-        orphans included). Returns {"manifests": n, "data_dirs": n}.
+        orphans included). Returns {"manifests": n, "data_dirs": n,
+        "skipped_young": n}.
 
-        Do not run concurrently with writers: an in-flight commit's data
-        dir is unreferenced until its manifest lands and would be swept
-        (the same retention caveat every manifest-table format carries).
+        Safe concurrently with writers BY POLICY: an in-flight commit's
+        data dir is unreferenced until its manifest lands, so sweeping it
+        would let the writer commit a manifest pointing at deleted files —
+        a corrupted table, not a failed commit. Data dirs younger than
+        ``retain_seconds`` (newest-file mtime; default 1h — the standard
+        Delta-style RETAIN guard) are therefore never swept unless
+        ``force=True``, making only genuinely orphaned dirs eligible.
         """
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
+        import time
+
         vs = self.versions()
         drop, keep = vs[:-keep_versions], vs[-keep_versions:]
         referenced = {d for v in keep for d in self.manifest(v)["dirs"]}
         for v in drop:
             os.unlink(_manifest_path(self.path, v))
-        n_dirs = 0
+        n_dirs = n_young = 0
+        cutoff = time.time() - retain_seconds
         ddir = os.path.join(self.path, _DATA_DIR)
         if os.path.isdir(ddir):
             for name in os.listdir(ddir):
                 rel = os.path.join(_DATA_DIR, name)
-                if rel not in referenced:
-                    shutil.rmtree(os.path.join(ddir, name))
-                    n_dirs += 1
-        return {"manifests": len(drop), "data_dirs": n_dirs}
+                if rel in referenced:
+                    continue
+                full = os.path.join(ddir, name)
+                if not force and self._dir_mtime(full) > cutoff:
+                    n_young += 1  # possibly an in-flight commit: retained
+                    continue
+                shutil.rmtree(full)
+                n_dirs += 1
+        return {"manifests": len(drop), "data_dirs": n_dirs,
+                "skipped_young": n_young}
+
+    @staticmethod
+    def _dir_mtime(path: str) -> float:
+        """Newest mtime within a data dir (the dir itself plus direct
+        children — a writer still adding part files keeps it young)."""
+        times = [os.path.getmtime(path)]
+        try:
+            with os.scandir(path) as it:
+                times += [e.stat().st_mtime for e in it]
+        except OSError:
+            pass
+        return max(times)

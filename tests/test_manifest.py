@@ -148,7 +148,7 @@ def test_crash_windows_leave_readable_table(spark, tmp_path):
     assert t.read().count() == 10
     assert os.path.isdir(os.path.join(t.path, orphan))
 
-    stats = t.vacuum(keep_versions=1)
+    stats = t.vacuum(keep_versions=1, retain_seconds=0)
     assert stats["data_dirs"] == 1  # the orphan
     assert not os.path.isdir(os.path.join(t.path, orphan))
     assert t.read().count() == 10
@@ -168,7 +168,7 @@ def test_vacuum_respects_references(spark, tmp_path):
     assert t.read(version=2).count() == 20
     assert t.read(version=3).count() == 5
 
-    stats = t.vacuum(keep_versions=1)
+    stats = t.vacuum(keep_versions=1, retain_seconds=0)
     assert t.versions() == [3]
     assert stats["data_dirs"] == 2  # both append dirs now unreferenced
     assert t.read().count() == 5
@@ -803,3 +803,97 @@ def test_stream_dedup_manifest_exactly_once(spark, tmp_path):
     apply_dedup_epoch(acc3, idx3, b2, 1, rid, "text", "doc_id",
                       num_hashes=16, bands=8, shingle_size=2)
     assert (acc3.current_version(), idx3.current_version()) == (v_acc, v_idx)
+
+
+def test_overwrite_pinned_to_base_version(spark, tmp_path):
+    """The wide race window: content derived at version B, another writer
+    commits B+1 during the (long) data-rewrite phase, and the overwrite
+    would land cleanly as B+2 listing only its own dir — silently dropping
+    the racer's rows while inheriting its state keys. The base-version pin
+    must surface CommitConflict instead, for compact AND merge_audit."""
+    import cdc_audit_spark.sinks.manifest as mod
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.sync_audit(_rows(spark, 1, 11))
+
+    racer = ManifestTable(spark, str(tmp_path / "t"))
+    orig_write = mod.ManifestTable._write_data_dir
+
+    def racing_write(self, df):
+        # a concurrent sync lands DURING the rewrite's data-write phase
+        mod.ManifestTable._write_data_dir = orig_write
+        racer.sync_audit(_rows(spark, 1, 16))
+        return orig_write(self, df)
+
+    mod.ManifestTable._write_data_dir = racing_write
+    try:
+        with pytest.raises(CommitConflict):
+            t.compact()
+    finally:
+        mod.ManifestTable._write_data_dir = orig_write
+    # the racer's rows and watermark both survived
+    assert t.read().count() == 15
+    assert t.watermark() == 15
+    r = t.sync_audit(_rows(spark, 1, 16))
+    assert r.rows_synced == 0  # nothing replayed, nothing lost
+
+    # merge_audit: same window, same loud failure
+    m = ManifestTable(spark, str(tmp_path / "m"))
+    m.merge_audit(_rows(spark, 1, 6), ["k"],
+                  bootstrap=_rows(spark, 1, 6).drop("audit_pk", "audit_event"))
+    m_racer = ManifestTable(spark, str(tmp_path / "m"))
+
+    def racing_write2(self, df):
+        mod.ManifestTable._write_data_dir = orig_write
+        m_racer.append(_rows(spark, 50, 52).drop("audit_pk", "audit_event"),
+                       extra={"watermark": 51})
+        return orig_write(self, df)
+
+    mod.ManifestTable._write_data_dir = racing_write2
+    try:
+        with pytest.raises(CommitConflict):
+            m.merge_audit(_rows(spark, 1, 8), ["k"])
+    finally:
+        mod.ManifestTable._write_data_dir = orig_write
+    assert m.watermark() == 51  # racer's state intact
+
+
+def test_explicit_base_version_pin(spark, tmp_path):
+    """overwrite(base_version=...) covers the caller's own read-to-commit
+    window even when the read happened long before the call."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 5))
+    base = t.current_version()
+    content = t.read()
+    t.append(_rows(spark, 5, 10))  # interleaved writer
+    with pytest.raises(CommitConflict):
+        t.overwrite(content, base_version=base)
+    # unpinned call captures the CURRENT version and succeeds
+    assert t.overwrite(_rows(spark, 100, 102)) == 3
+
+
+def test_vacuum_retains_young_unreferenced_dirs(spark, tmp_path):
+    """Age-based retention: an unreferenced-but-young data dir (possibly
+    an in-flight commit) survives vacuum; a genuinely old orphan is swept;
+    force=True overrides."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 10))
+
+    young = t._write_data_dir(_rows(spark, 100, 105))   # in-flight commit
+    old = t._write_data_dir(_rows(spark, 200, 205))     # crashed long ago
+    old_full = os.path.join(t.path, old)
+    stale = 0.0  # epoch — far older than any retain window
+    for root, dirs, files in os.walk(old_full):
+        for name in [*dirs, *files]:
+            os.utime(os.path.join(root, name), (stale, stale))
+    os.utime(old_full, (stale, stale))
+
+    stats = t.vacuum(keep_versions=1)
+    assert stats == {"manifests": 0, "data_dirs": 1, "skipped_young": 1}
+    assert os.path.isdir(os.path.join(t.path, young))
+    assert not os.path.isdir(old_full)
+    assert t.read().count() == 10
+
+    stats = t.vacuum(keep_versions=1, force=True)
+    assert stats["data_dirs"] == 1 and stats["skipped_young"] == 0
+    assert not os.path.isdir(os.path.join(t.path, young))
