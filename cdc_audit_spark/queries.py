@@ -319,6 +319,7 @@ def cdc_replay_state(spark, sf_dir):
     "watermark recovery, and wipe semantics end-to-end on a real table",
 )
 def cdc_manifest_roundtrip(spark, sf_dir):
+    import shutil
     import tempfile
 
     from cdc_audit_spark.sinks.manifest import ManifestTable
@@ -326,14 +327,22 @@ def cdc_manifest_roundtrip(spark, sf_dir):
     audit = customer_audit_log(spark, sf_dir).localCheckpoint(eager=True)
     k = audit.agg(F.expr("max(audit_pk) div 2")).first()[0]
     # fresh table per invocation: the query must be rerun-deterministic
-    t = ManifestTable(spark, tempfile.mkdtemp(prefix="cdc_manifest_rt_"))
-    t.sync_audit(audit.filter(F.col("audit_pk") <= k))   # first drain
-    t.sync_audit(audit)                                   # incremental rest
-    t.compact(pk_cols=["c_custkey"])                      # transactional wipe
-    return t.read().select(
-        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
-        "audit_event", "audit_timestamp", "audit_pk",
-    )
+    root = tempfile.mkdtemp(prefix="cdc_manifest_rt_")
+    try:
+        t = ManifestTable(spark, root)
+        t.sync_audit(audit.filter(F.col("audit_pk") <= k))  # first drain
+        t.sync_audit(audit)                                 # incremental rest
+        t.compact(pk_cols=["c_custkey"])                    # transactional wipe
+        out = t.read().select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+            "audit_event", "audit_timestamp", "audit_pk",
+        )
+        # pin the result in the block manager so the on-disk table can be
+        # deleted — bench/correctness invoke each query repeatedly and an
+        # unremoved temp table leaks a full audit-log copy per run
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------

@@ -139,9 +139,18 @@ def flip_pointer(state_path: str, epoch_id: int, payload: dict,
     """Atomically commit epoch ``epoch_id``: write ``payload`` (plus the
     epoch and the owning run's identity) to a temp file and rename over
     ``_current.json``. Callers must have finished writing the generation
-    directories named by ``payload`` before flipping."""
+    directories named by ``payload`` before flipping.
+
+    ``run_id=None`` (checkpoint metadata unreadable this epoch, or hooks
+    driven outside a stream) carries the EXISTING pointer's run_id forward
+    rather than dropping it: one transient metadata read failure must not
+    erase the run identity and silently disable the
+    :class:`GenerationRunMismatch` fresh-checkpoint guard."""
     ptr = os.path.join(state_path, _POINTER)
     tmp = ptr + ".tmp"
+    if run_id is None:
+        prev = read_pointer(state_path)
+        run_id = prev.get("run_id") if prev else None
     extra = {"run_id": run_id} if run_id is not None else {}
     with open(tmp, "w") as f:
         json.dump({**payload, "epoch": epoch_id, **extra}, f)

@@ -353,6 +353,19 @@ def sync_many(
     sinks = [sink for _df, sink in jobs.values()]
     if len(set(sinks)) != len(sinks):
         raise ValueError("sync_many sinks must be distinct paths")
+    if table_timeout is not None and (
+        os.environ.get("PYSPARK_PIN_THREAD", "true").lower() == "false"
+    ):
+        # setJobGroup is only thread-local under pinned-thread mode (the
+        # default since Spark 3.2); in legacy non-pinned mode the group is
+        # process-global, so cancelling one timed-out table's group would
+        # cancel healthy sibling tables' in-flight jobs too.
+        raise RuntimeError(
+            "sync_many(table_timeout=...) requires PySpark pinned-thread "
+            "mode (PYSPARK_PIN_THREAD is set to 'false'): per-table job "
+            "groups are not thread-isolated without it, so a timeout "
+            "cancellation could kill sibling tables' jobs"
+        )
 
     def _group_running(tracker, group) -> bool:
         """True while any task of the group's jobs is actively running."""

@@ -501,9 +501,21 @@ def test_epoch_applied_run_identity(tmp_path):
     with pytest.raises(genstate.GenerationRunMismatch):
         genstate.epoch_applied(state, 0, run_id="run-B")
 
-    # legacy pointer (no run_id recorded): current run can't validate → ok
+    # flip WITHOUT a run_id (transient checkpoint-metadata read failure):
+    # the previously recorded identity is carried forward, not erased —
+    # one bad epoch must not silently disable the mismatch guard
     genstate.flip_pointer(state, 7, {"path": "p"})
-    assert genstate.epoch_applied(state, 7, run_id="run-B")
+    assert genstate.read_pointer(state)["run_id"] == "run-A"
+    assert genstate.epoch_applied(state, 7, run_id="run-A")
+    with pytest.raises(genstate.GenerationRunMismatch):
+        genstate.epoch_applied(state, 7, run_id="run-B")
+
+    # genuinely legacy pointer (no identity EVER recorded): current run
+    # can't validate → legacy epoch-only comparison
+    state2 = str(tmp_path / "state2")
+    os.makedirs(state2)
+    genstate.flip_pointer(state2, 7, {"path": "p"})
+    assert genstate.epoch_applied(state2, 7, run_id="run-B")
 
 
 def test_stream_exact_index_fresh_checkpoint_fails_loudly(spark, tmp_path):
