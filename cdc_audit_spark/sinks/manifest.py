@@ -35,7 +35,8 @@ Scale notes: the protocol is one small-file write per commit regardless of
 data size; time travel is "read an older manifest"; concurrent readers
 never block writers. On object stores without hard links, the same
 claim-then-publish is done with a conditional PUT (if-none-match) — the
-swap point is ``_claim_manifest``.
+swap point is :class:`ClaimBackend` (inject one; the default is the
+POSIX hard-link implementation).
 """
 
 from __future__ import annotations
@@ -48,7 +49,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["CommitConflict", "ManifestTable"]
+__all__ = ["ClaimBackend", "CommitConflict", "HardLinkClaimBackend",
+           "ManifestTable"]
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -73,6 +75,10 @@ def _manifest_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, _MANIFEST_DIR, f"m-{version:012d}.json")
 
 
+def _checkpoint_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, _MANIFEST_DIR, f"ckpt-{version:012d}.json")
+
+
 def _claim_manifest(table_path: str, version: int, payload: dict) -> bool:
     """Atomically publish a fully-written manifest for ``version``.
 
@@ -95,12 +101,53 @@ def _claim_manifest(table_path: str, version: int, payload: dict) -> bool:
         os.unlink(tmp)
 
 
-class ManifestTable:
-    """A multi-version parquet table with atomic commits and time travel."""
+class ClaimBackend:
+    """Storage adapter for the ONE primitive the commit protocol needs:
+    publish-if-absent of a fully-written manifest for a version. Returns
+    True when this writer won the version, False when it was already
+    claimed. The commit loop's correctness (rebase-and-retry appends,
+    loud overwrite conflicts, exactly-once sync watermarks) rests only on
+    this compare-and-publish contract — NOT on POSIX hard-link semantics:
+    on an object store the same contract is a conditional PUT
+    (if-none-match), on a database a unique-key insert."""
 
-    def __init__(self, spark: SparkSession, table_path: str):
+    def publish(self, table_path: str, version: int, payload: dict) -> bool:
+        raise NotImplementedError
+
+
+class HardLinkClaimBackend(ClaimBackend):
+    """Default local-filesystem backend: write-to-temp + os.link, which
+    fails with EEXIST if the version is already claimed."""
+
+    def publish(self, table_path: str, version: int, payload: dict) -> bool:
+        return _claim_manifest(table_path, version, payload)
+
+
+class ManifestTable:
+    """A multi-version parquet table with atomic commits and time travel.
+
+    ``checkpoint_interval``: every Nth commit additionally writes a
+    ``ckpt-<version>.json`` roll-up beside the manifests. A manifest
+    payload is already a fully RESOLVED snapshot (full dir list, state
+    keys inherited on every commit), so the checkpoint is simply that
+    payload pinned under a name state readers can jump to: the newest-
+    first state walks (watermark/last_epoch/wipe_record/schema) stop at
+    the newest checkpoint instead of potentially scanning the whole
+    history, bounding every state read to <= interval + 1 file reads no
+    matter how many commits the table has accrued (a cron-cadence table
+    gains ~1e5 commits/year). Vacuum may then drop pre-checkpoint
+    manifests without losing state — the public Delta `_last_checkpoint`
+    pattern. 0 disables checkpointing."""
+
+    def __init__(self, spark: SparkSession, table_path: str,
+                 checkpoint_interval: int = 16,
+                 claim_backend: ClaimBackend | None = None):
+        if checkpoint_interval < 0:
+            raise ValueError("checkpoint_interval must be >= 0")
         self.spark = spark
         self.path = table_path
+        self.checkpoint_interval = checkpoint_interval
+        self.claim_backend = claim_backend or HardLinkClaimBackend()
 
     # ---------------------------------------------------------------- reads
 
@@ -119,8 +166,55 @@ class ManifestTable:
         return vs[-1] if vs else None
 
     def manifest(self, version: int) -> dict:
-        with open(_manifest_path(self.path, version)) as f:
+        try:
+            with open(_manifest_path(self.path, version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            # a vacuumed manifest whose version was checkpointed is still
+            # reconstructible — time travel to checkpointed versions
+            # survives manifest GC
+            try:
+                with open(_checkpoint_path(self.path, version)) as f:
+                    return json.load(f)
+            except FileNotFoundError:
+                pass
+            raise
+
+    def checkpoints(self) -> list[int]:
+        """Versions with a ``ckpt-*.json`` roll-up, ascending."""
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        if not os.path.isdir(mdir):
+            return []
+        return sorted(
+            int(n[5:-5]) for n in os.listdir(mdir)
+            if n.startswith("ckpt-") and n.endswith(".json")
+        )
+
+    def _newest_checkpoint(self, at_version: int | None = None) -> dict | None:
+        cks = self.checkpoints()
+        if at_version is not None:
+            cks = [v for v in cks if v <= at_version]
+        if not cks:
+            return None
+        with open(_checkpoint_path(self.path, cks[-1])) as f:
             return json.load(f)
+
+    def _state_manifests(self, at_version: int | None = None):
+        """Manifests newest-first, STOPPING at the newest checkpoint (whose
+        payload — a fully resolved snapshot — is yielded last). Every state
+        read built on this touches <= (commits since checkpoint) + 1 files
+        regardless of total history length."""
+        ck = self._newest_checkpoint(at_version)
+        ck_v = ck["version"] if ck else None
+        vs = self.versions()
+        if at_version is not None:
+            vs = [v for v in vs if v <= at_version]
+        for v in reversed(vs):
+            if ck_v is not None and v <= ck_v:
+                break
+            yield self.manifest(v)
+        if ck is not None:
+            yield ck
 
     def read(self, version: int | None = None) -> DataFrame:
         """The table at ``version`` (default: latest). Time travel is just
@@ -200,12 +294,35 @@ class ManifestTable:
             merged = {d: m for d, m in merged.items() if d in payload["dirs"]}
             if merged:
                 payload["dir_meta"] = merged
-            if _claim_manifest(self.path, payload["version"], payload):
+            if self.claim_backend.publish(self.path, payload["version"],
+                                          payload):
+                self._maybe_checkpoint(payload["version"], payload)
                 return payload["version"]
         raise CommitConflict(
             f"{action} at {self.path} lost {max_retries} consecutive commit "
             "race(s); another writer committed first"
         )
+
+    def _maybe_checkpoint(self, version: int, payload: dict) -> None:
+        """Best-effort roll-up write after a claimed commit. Only version
+        N*interval's committer writes ckpt-N*interval (its payload is that
+        version's manifest verbatim, so a re-write is byte-identical);
+        atomic os.replace means readers never see a torn checkpoint, and a
+        failed/skipped write only costs a longer state walk."""
+        import contextlib
+
+        if not self.checkpoint_interval or version % self.checkpoint_interval:
+            return
+        final = _checkpoint_path(self.path, version)
+        with contextlib.suppress(OSError):
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(final),
+                                       prefix=".ckpt_")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump(payload, f)
+                os.replace(tmp, final)
+            except OSError:
+                os.unlink(tmp)
 
     def append(self, df: DataFrame, extra: dict | None = None,
                pk_range_col: str | None = None,
@@ -248,7 +365,7 @@ class ManifestTable:
 
         existing = self.schema()
         if existing is None:
-            return
+            return  # first commit sets the schema
         drift = classify_schema_drift(existing, df.schema)
         if not (drift["added"] or drift["removed"] or drift["changed"]):
             return
@@ -267,8 +384,7 @@ class ManifestTable:
         recorded one), or None before the first commit."""
         from pyspark.sql.types import StructType
 
-        for v in reversed(self.versions()):
-            m = self.manifest(v)
+        for m in self._state_manifests():
             if "schema" in m:
                 return StructType.fromJson(json.loads(m["schema"]))
         return None
@@ -374,11 +490,7 @@ class ManifestTable:
         compaction) don't hide it. ``at_version`` pins the walk to
         commits <= that version (merge_audit reads state as of its base
         so an interleaved sync can't skew the pinned derivation)."""
-        vs = self.versions()
-        if at_version is not None:
-            vs = [v for v in vs if v <= at_version]
-        for v in reversed(vs):
-            m = self.manifest(v)
+        for m in self._state_manifests(at_version):
             if "watermark" in m:
                 return int(m["watermark"])
         return 0
@@ -440,8 +552,7 @@ class ManifestTable:
         ``streaming.genstate.GenerationRunMismatch`` instead of comparing
         incomparable epochs (a fresh checkpoint against a surviving table
         must fail loudly, not silently skip replayed batches)."""
-        for v in reversed(self.versions()):
-            m = self.manifest(v)
+        for m in self._state_manifests():
             if "epoch" not in m:
                 continue
             prev = m.get("run_id")
@@ -501,28 +612,41 @@ class ManifestTable:
 
     def merge_audit(self, audit_df: DataFrame, pk_cols: list[str],
                     audit_pk: str = "audit_pk",
-                    bootstrap: DataFrame | None = None):
+                    bootstrap: DataFrame | None = None,
+                    pruned: bool = False, range_buckets: int = 32):
         """Maintain a CURRENT-STATE replica from the audit log — the
         consumer-side MERGE. The unseen delta (``audit_pk`` past the
         table's watermark) is replayed onto the current state with
         ``capture.apply_changes`` (latest event per key wins; a latest
-        delete removes the key) and committed as one atomic overwrite
+        delete removes the key) and committed as one atomic commit
         carrying the new watermark: exactly-once materialization with
         every previous state time-travelable. ``bootstrap`` seeds the
         first commit (source-shaped, no audit columns).
 
         Replays are idempotent (unmoved watermark → empty delta → no
         commit); an interleaved writer surfaces as CommitConflict via the
-        overwrite's single-claim commit. Each merge rewrites the state —
-        the generation-snapshot stand-in for a storage-level MERGE, same
-        contract as streaming.stream_mview (its docstring has the
-        at-scale note).
+        base-version pin. Default mode rewrites the whole state per merge
+        — O(state) per batch.
+
+        ``pruned=True`` is the storage-level MERGE: the replica is laid
+        out as disjoint key-range dirs (``write_range_layout``), each
+        merge reads ONLY the dirs whose committed pk range intersects the
+        delta's keys, rewrites those, and carries every untouched dir
+        into the child manifest verbatim — O(touched state) per batch.
+        Requires a single integer merge key (``pk_cols == [key]``). Dirs
+        written by a pruned merge cover only touched ranges, so the
+        layout stays disjoint; a periodic ``compact(range_by=[key])``
+        re-tightens it if many merges fragment the dir list.
         """
         from pyspark.sql import functions as F
 
         from cdc_audit_spark.capture import apply_changes
         from cdc_audit_spark.sync import SyncResult
 
+        if pruned and len(pk_cols) != 1:
+            raise ValueError(
+                "pruned merge_audit needs a single integer merge key "
+                f"(got pk_cols={pk_cols!r}); use pruned=False")
         base = self.current_version()
         wm = self.watermark(at_version=base)
         delta = audit_df.filter(F.col(audit_pk) > F.lit(wm))
@@ -531,20 +655,136 @@ class ManifestTable:
         n, mx = int(stats["n"]), stats["mx"]
         if n == 0 and (base is not None or bootstrap is None):
             return SyncResult(0, wm, self.path)
-        if base is None:
-            if bootstrap is None:
-                raise ValueError(
-                    "first merge_audit needs a bootstrap state snapshot")
-            current = bootstrap
-        else:
-            current = self.read(base)
+        if base is None and bootstrap is None:
+            raise ValueError(
+                "first merge_audit needs a bootstrap state snapshot")
         new_wm = max(wm, int(mx)) if mx is not None else wm
-        new_state = apply_changes(current, delta, pk_cols)
-        # pinned to base: an interleaved commit (another merge, a sync)
-        # raises CommitConflict instead of being silently overwritten
-        self.overwrite(new_state, extra={"watermark": new_wm},
-                       base_version=base)
+
+        if not pruned:
+            current = bootstrap if base is None else self.read(base)
+            new_state = apply_changes(current, delta, pk_cols)
+            # pinned to base: an interleaved commit (another merge, a
+            # sync) raises CommitConflict instead of being silently lost
+            self.overwrite(new_state, extra={"watermark": new_wm},
+                           base_version=base)
+            return SyncResult(n, new_wm, self.path)
+
+        key = pk_cols[0]
+        if base is None:
+            state = apply_changes(bootstrap, delta, pk_cols)
+            self.write_range_layout(state, key, n_buckets=range_buckets,
+                                    extra={"watermark": new_wm},
+                                    base_version=base)
+            return SyncResult(n, new_wm, self.path)
+
+        m = self.manifest(base)
+        touched, untouched = self._touched_dirs(m, delta, key)
+        if touched:
+            cur = (self.spark.read.option("mergeSchema", True)
+                   .parquet(*[os.path.join(self.path, d) for d in touched]))
+        else:  # empty table (a version with no dirs): delta is everything
+            cur = self.spark.createDataFrame([], self.schema())
+        new_rows = apply_changes(cur, delta, pk_cols)
+        new_dirs, new_meta = self._write_range_dirs(
+            new_rows, key, max(1, len(touched)))
+        dirs_all = untouched + new_dirs
+        self._commit(
+            "merge", lambda parent: dirs_all, max_retries=1,
+            extra={"watermark": new_wm, "dir_meta": new_meta},
+            expected_parent=base)
         return SyncResult(n, new_wm, self.path)
+
+    # ------------------------------------------- partition-pruned MERGE
+
+    def write_range_layout(self, df: DataFrame, key: str,
+                           n_buckets: int = 32,
+                           extra: dict | None = None,
+                           base_version: int | None = _ANY) -> int:
+        """Commit ``df`` as the table's content laid out as up to
+        ``n_buckets`` DISJOINT key-range dirs, each a separate manifest
+        dir with recorded ``pk_min``/``pk_max`` — the layout
+        :meth:`merge_audit`'s pruned mode rewrites at dir granularity.
+        ``key`` must be integer-valued (range metadata is integral).
+
+        One Spark write job produces all buckets (``partitionBy`` on a
+        computed bucket id); each ``__bucket=K`` subdir is then registered
+        as its own manifest dir, so the partition column never appears in
+        the data and readers see plain rows."""
+        from pyspark.sql import functions as F
+
+        if base_version is _ANY:
+            base_version = self.current_version()
+        dirs, meta = self._write_range_dirs(df, key, n_buckets)
+        return self._commit(
+            "overwrite", lambda parent: dirs, max_retries=1,
+            extra={**(extra or {}), "schema": df.schema.json(),
+                   "dir_meta": meta},
+            expected_parent=base_version)
+
+    def _write_range_dirs(self, df: DataFrame, key: str,
+                          n_buckets: int) -> tuple[list[str], dict]:
+        """Write ``df`` once, split into up to ``n_buckets`` disjoint
+        key-range subdirs; return (dirs, dir_meta) for the commit. The
+        bucket id is a map-side comparison chain against the approximate
+        quantile boundaries — no extra shuffle beyond the write's own."""
+        from pyspark.sql import functions as F
+
+        bounds = [] if n_buckets <= 1 else sorted(set(
+            df.approxQuantile(key, [i / n_buckets
+                                    for i in range(1, n_buckets)], 0.001)))
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + (F.col(key) >= F.lit(float(b))).cast("int")
+        rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
+        (df.withColumn("__bucket", bucket)
+           .repartition("__bucket")
+           .sortWithinPartitions(key)
+           .write.partitionBy("__bucket")
+           .parquet(os.path.join(self.path, rel)))
+        ranges = (df.withColumn("__bucket", bucket)
+                  .groupBy("__bucket")
+                  .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+                  .collect())
+        dirs = [f"{rel}/__bucket={int(r['__bucket'])}" for r in ranges]
+        meta = {d: {"pk_min": int(r["lo"]), "pk_max": int(r["hi"])}
+                for d, r in zip(dirs, ranges)}
+        return dirs, meta
+
+    def _touched_dirs(self, manifest: dict, delta: DataFrame,
+                      key: str) -> tuple[list[str], list[str]]:
+        """Split the manifest's dirs into (touched, untouched) w.r.t. the
+        delta's ``key`` values, using the committed per-dir ranges. One
+        small aggregation over the delta — never a collect of keys. A dir
+        without range metadata is conservatively touched; delta keys
+        outside every range touch the edge dirs (they adopt the new
+        keys)."""
+        from pyspark.sql import functions as F
+
+        meta = manifest.get("dir_meta", {})
+        ranged = [(d, meta[d]["pk_min"], meta[d]["pk_max"])
+                  for d in manifest["dirs"] if d in meta]
+        bare = [d for d in manifest["dirs"] if d not in meta]
+        if not ranged:
+            return list(manifest["dirs"]), []
+        glo = min(lo for _, lo, _ in ranged)
+        ghi = max(hi for _, _, hi in ranged)
+        flags = delta.agg(
+            *[F.max(F.col(key).between(F.lit(lo), F.lit(hi)).cast("int"))
+              .alias(f"d{i}") for i, (_, lo, hi) in enumerate(ranged)],
+            F.max((F.col(key) < F.lit(glo)).cast("int")).alias("below"),
+            F.max((F.col(key) > F.lit(ghi)).cast("int")).alias("above"),
+        ).first()
+        touched = set(bare)
+        by_lo = sorted(range(len(ranged)), key=lambda i: ranged[i][1])
+        for i, (d, _, _) in enumerate(ranged):
+            if flags[f"d{i}"]:
+                touched.add(d)
+        if flags["below"]:
+            touched.add(ranged[by_lo[0]][0])    # lowest range adopts
+        if flags["above"]:
+            touched.add(ranged[by_lo[-1]][0])   # highest range adopts
+        return ([d for d in manifest["dirs"] if d in touched],
+                [d for d in manifest["dirs"] if d not in touched])
 
     # ------------------------------------------------------- verify/repair
 
@@ -552,11 +792,7 @@ class ManifestTable:
         """The newest commit's recorded wipe (``wipe_through`` +
         ``wipe_pk_cols`` extras on a keep-last compaction), or None.
         ``at_version`` pins the walk to commits <= that version."""
-        vs = self.versions()
-        if at_version is not None:
-            vs = [v for v in vs if v <= at_version]
-        for v in reversed(vs):
-            m = self.manifest(v)
+        for m in self._state_manifests(at_version):
             if "wipe_through" in m:
                 return {"through": int(m["wipe_through"]),
                         "pk_cols": m.get("wipe_pk_cols")}
@@ -612,8 +848,9 @@ class ManifestTable:
                force: bool = False) -> dict:
         """Drop all but the newest ``keep_versions`` manifests and delete
         data dirs no surviving manifest references (crashed commits'
-        orphans included). Returns {"manifests": n, "data_dirs": n,
-        "skipped_young": n}.
+        orphans included), plus superseded checkpoint roll-ups. Returns
+        {"manifests": n, "data_dirs": n, "skipped_young": n,
+        "checkpoints": n}.
 
         Safe concurrently with writers BY POLICY: an in-flight commit's
         data dir is unreferenced until its manifest lands, so sweeping it
@@ -632,6 +869,16 @@ class ManifestTable:
         referenced = {d for v in keep for d in self.manifest(v)["dirs"]}
         for v in drop:
             os.unlink(_manifest_path(self.path, v))
+        # checkpoints older than the newest are fully superseded for state
+        # reads; their only residual value is time travel to versions this
+        # vacuum is discarding anyway — drop them so checkpoint count stays
+        # O(1) rather than O(history/interval)
+        cks = self.checkpoints()
+        n_ckpt = 0
+        for v in cks[:-1]:
+            if v not in keep:
+                os.unlink(_checkpoint_path(self.path, v))
+                n_ckpt += 1
         n_dirs = n_young = 0
         cutoff = time.time() - retain_seconds
         ddir = os.path.join(self.path, _DATA_DIR)
@@ -647,7 +894,7 @@ class ManifestTable:
                 shutil.rmtree(full)
                 n_dirs += 1
         return {"manifests": len(drop), "data_dirs": n_dirs,
-                "skipped_young": n_young}
+                "skipped_young": n_young, "checkpoints": n_ckpt}
 
     @staticmethod
     def _dir_mtime(path: str) -> float:

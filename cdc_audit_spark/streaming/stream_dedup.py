@@ -260,20 +260,42 @@ def apply_dedup_epoch(
     the half it already holds and both converge duplicate-free — no
     cross-table transaction needed. Factored out of the streaming hook so
     the half-committed replay window is directly testable.
+
+    The index is read PINNED at the newest version committed BEFORE this
+    epoch, not at HEAD: if only the index half of a previous attempt
+    landed (idx committed, accepted missing), an unpinned read would see
+    the batch's own index entries and reject every batch doc — the
+    exactly-once guarantee must not depend on the statement order of the
+    two commits below.
     """
     acc_done = acc.epoch_applied(epoch_id, run_id)
     idx_done = idx.epoch_applied(epoch_id, run_id)
     if acc_done and idx_done:
         return
-    index_df = idx.read() if idx.versions() else None
+    pre = _version_before_epoch(idx, epoch_id)
+    index_df = idx.read(pre) if pre is not None else None
     accepted_ids, accepted_entries = incremental_lsh_dedup(
         batch_df, index_df, text_col, id_col,
         num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
     )
     extra = {"epoch": int(epoch_id), "run_id": run_id}
     if not acc_done:
+        # (commit order: accepted first — but correctness no longer
+        # depends on it, see the pinned read above)
         survivors = batch_df.join(
             accepted_ids.withColumnRenamed("id", id_col), id_col, "left_semi")
         acc.append(survivors, extra=extra)
     if not idx_done:
         idx.append(accepted_entries, extra=extra)
+
+
+def _version_before_epoch(idx, epoch_id: int) -> int | None:
+    """Newest index version committed BEFORE ``epoch_id`` (untagged, or
+    tagged with a smaller epoch). Epochs are monotone within a run, so any
+    version tagged >= epoch_id can only be this batch's own half-landed
+    replay — it must not feed the accept-set recompute."""
+    for v in reversed(idx.versions()):
+        e = idx.manifest(v).get("epoch")
+        if e is None or int(e) < epoch_id:
+            return v
+    return None

@@ -889,7 +889,8 @@ def test_vacuum_retains_young_unreferenced_dirs(spark, tmp_path):
     os.utime(old_full, (stale, stale))
 
     stats = t.vacuum(keep_versions=1)
-    assert stats == {"manifests": 0, "data_dirs": 1, "skipped_young": 1}
+    assert stats == {"manifests": 0, "data_dirs": 1, "skipped_young": 1,
+                     "checkpoints": 0}
     assert os.path.isdir(os.path.join(t.path, young))
     assert not os.path.isdir(old_full)
     assert t.read().count() == 10
@@ -897,3 +898,239 @@ def test_vacuum_retains_young_unreferenced_dirs(spark, tmp_path):
     stats = t.vacuum(keep_versions=1, force=True)
     assert stats["data_dirs"] == 1 and stats["skipped_young"] == 0
     assert not os.path.isdir(os.path.join(t.path, young))
+
+
+def test_checkpoint_bounds_state_reads_at_5k_commits(spark, tmp_path):
+    """VERDICT r05 item 1: a long-lived table (cron cadence ~1e5
+    commits/year) must not pay O(commit-count) file reads per state
+    lookup. Every 16th commit rolls up a ckpt-<version>.json; state walks
+    stop there, so watermark()/schema()/wipe_record()/last_epoch() touch
+    <= 1 checkpoint + interval manifests on a 5000-commit table."""
+    t = ManifestTable(spark, str(tmp_path / "t"), checkpoint_interval=16)
+    t.sync_audit(_rows(spark, 1, 11))
+    # drive 5000 commits through the REAL commit path (manifest-only
+    # no-op appends — no data rewrite, like a cron of empty syncs)
+    for _ in range(5000):
+        t._commit("append", lambda pm: pm["dirs"])
+    assert t.current_version() == 5001
+    assert t.checkpoints()[-1] == 4992
+
+    reads = []
+    orig = ManifestTable.manifest
+
+    def counting(self, version):
+        reads.append(version)
+        return orig(self, version)
+
+    ManifestTable.manifest = counting
+    try:
+        # worst case: a key that was NEVER set walks until the checkpoint
+        # stops it (without the bound this scans all 5001 manifests)
+        assert t.wipe_record() is None
+        assert len(reads) <= t.checkpoint_interval
+        reads.clear()
+        # set keys resolve from the newest manifest (inheritance)
+        assert t.watermark() == 10
+        assert t.schema() is not None
+        assert t.last_epoch() is None or True
+        assert len(reads) <= 3 * t.checkpoint_interval
+        reads.clear()
+        assert t.read().count() == 10   # 1 manifest read
+        assert len(reads) == 1
+    finally:
+        ManifestTable.manifest = orig
+
+    # vacuum: pre-checkpoint manifests AND superseded checkpoints drop;
+    # state + time travel to the retained checkpointed version survive
+    stats = t.vacuum(keep_versions=1, retain_seconds=0)
+    assert stats["manifests"] == 5000
+    assert t.versions() == [5001]
+    assert t.checkpoints() == [4992]
+    assert t.watermark() == 10
+    assert t.read().count() == 10
+    # manifest() falls back to the checkpoint for its exact version
+    assert t.read(version=4992).count() == 10
+    # and the table keeps working: next sync is still exactly-once
+    r = t.sync_audit(_rows(spark, 1, 16))
+    assert (r.rows_synced, r.watermark) == (5, 15)
+
+
+def test_dedup_replay_with_index_half_committed_first(spark, tmp_path):
+    """VERDICT r05 item 4: the OTHER half-committed state — idx landed,
+    acc missing. An unpinned index read would see the batch's own entries
+    and reject every batch doc, silently losing the whole batch. The
+    pinned pre-epoch read must recompute the same accept set and land the
+    survivors in acc."""
+    from cdc_audit_spark.operators.dedup import incremental_lsh_dedup
+    from cdc_audit_spark.streaming.stream_dedup import apply_dedup_epoch
+
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    acc = ManifestTable(spark, str(tmp_path / "acc"))
+    idx = ManifestTable(spark, str(tmp_path / "idx"))
+    b1 = _doc_rows(spark, [
+        (1, base), (2, "completely different content about spark engines")])
+    apply_dedup_epoch(acc, idx, b1, 0, None, "text", "doc_id",
+                      num_hashes=16, bands=8, shingle_size=2)
+
+    # epoch 1: land ONLY the index half (simulates a reordered commit or
+    # a crash in a future implementation that writes idx first)
+    b2 = _doc_rows(spark, [
+        (3, base),  # dup of 1 → must be dropped
+        (4, "another unrelated document mentioning data pipelines")])
+    ids, entries = incremental_lsh_dedup(
+        b2, idx.read(), "text", "doc_id",
+        num_hashes=16, bands=8, shingle_size=2)
+    idx.append(entries, extra={"epoch": 1, "run_id": None})
+    assert idx.last_epoch() == 1 and acc.last_epoch() == 0
+
+    # replay: acc half must still land doc 4 (NOT an empty accept set)
+    apply_dedup_epoch(acc, idx, b2, 1, None, "text", "doc_id",
+                      num_hashes=16, bands=8, shingle_size=2)
+    assert acc.last_epoch() == idx.last_epoch() == 1
+    kept = [r["doc_id"] for r in acc.read().collect()]
+    assert sorted(kept) == sorted(set(kept))   # no duplicates
+    assert 4 in kept                            # the batch was NOT lost
+    assert 3 not in kept                        # the dup still dropped
+
+
+class _ConditionalPutBackend:
+    """Object-store test double: publish-if-absent as an if-none-match PUT
+    over a mutex — the final object is written DIRECTLY (no temp file, no
+    hard link), proving the commit protocol rests only on the
+    compare-and-publish contract, not on POSIX link semantics.
+    ``race_hooks`` run (once each, FIFO) at the START of publish — i.e.
+    after the caller chose its version but before the claim — the exact
+    window a concurrent writer exploits."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.race_hooks = []
+        self.puts = 0
+
+    def publish(self, table_path, version, payload):
+        if self.race_hooks:
+            self.race_hooks.pop(0)()
+        from cdc_audit_spark.sinks.manifest import _manifest_path
+        with self._lock:
+            self.puts += 1
+            final = _manifest_path(table_path, version)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            if os.path.exists(final):
+                return False  # 412 Precondition Failed
+            with open(final, "w") as f:
+                json.dump(payload, f)
+            return True
+
+
+def test_commit_protocol_on_conditional_put_backend(spark, tmp_path):
+    """VERDICT r05 item 7: the full protocol — rebased appends, loud
+    overwrite conflicts, exactly-once sync watermarks — against a fake
+    object store with injected races at the claim window."""
+    backend = _ConditionalPutBackend()
+    path = str(tmp_path / "t")
+    t = ManifestTable(spark, path, claim_backend=backend)
+    racer = ManifestTable(spark, path, claim_backend=_ConditionalPutBackend())
+
+    # plain commits work without any hard link ever being created
+    t.append(_rows(spark, 0, 5))
+    t.append(_rows(spark, 5, 10))
+    assert t.read().count() == 10
+
+    # race 1: a concurrent append claims the version first → this append
+    # must rebase onto it and BOTH contribute rows
+    backend.race_hooks.append(lambda: racer.append(_rows(spark, 100, 103)))
+    t.append(_rows(spark, 200, 203))
+    assert t.current_version() == 4
+    assert {r["k"] for r in t.read().collect()} == (
+        set(range(0, 10)) | {100, 101, 102} | {200, 201, 202})
+
+    # race 2: overwrite loses the claim → CommitConflict, racer's rows win
+    backend.race_hooks.append(lambda: racer.append(_rows(spark, 300, 302)))
+    with pytest.raises(CommitConflict):
+        t.overwrite(_rows(spark, 999, 1000))
+    assert 300 in {r["k"] for r in t.read().collect()}
+
+    # race 3: concurrent sync advances the watermark during a sync →
+    # loud conflict, and the winning watermark is exact (no replayed rows)
+    t2 = ManifestTable(spark, str(tmp_path / "s"), claim_backend=backend)
+    t2.sync_audit(_rows(spark, 1, 6))
+    t2_racer = ManifestTable(spark, str(tmp_path / "s"),
+                             claim_backend=_ConditionalPutBackend())
+    backend.race_hooks.append(lambda: t2_racer.sync_audit(_rows(spark, 1, 9)))
+    with pytest.raises(CommitConflict):
+        t2.sync_audit(_rows(spark, 1, 11))
+    assert t2.watermark() == 8
+    r = t2.sync_audit(_rows(spark, 1, 11))   # re-run picks up the rest
+    assert (r.rows_synced, r.watermark) == (2, 10)
+    assert t2.read().groupBy("audit_pk").count().filter(
+        "count > 1").count() == 0
+
+    # the fake backend really was the only claim path
+    assert backend.puts > 0
+    link_free = [n for n in os.listdir(os.path.join(path, "_manifests"))
+                 if n.startswith(".m_")]
+    assert link_free == []  # no temp-link artifacts from the POSIX path
+
+
+def test_pruned_merge_reuses_untouched_dirs(spark, tmp_path):
+    """VERDICT r05 item 2: storage-level MERGE. The replica is laid out
+    as disjoint key-range dirs; a merge touching a narrow key band must
+    carry every untouched dir into the child manifest VERBATIM (same dir
+    names) while the merged content equals a full apply_changes
+    recompute — including a delete and a brand-new out-of-range key."""
+    from cdc_audit_spark.capture import apply_changes
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    boot = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    empty_log = spark.createDataFrame(
+        [], "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(empty_log, ["k"], bootstrap=boot,
+                  pruned=True, range_buckets=8)
+    m1 = t.manifest(t.current_version())
+    assert len(m1["dirs"]) == 8
+    assert all(d in m1["dir_meta"] for d in m1["dirs"])
+
+    rows = ([(k, k + 10000, "update", 2000 + k) for k in range(100, 120)]
+            + [(110, 0, "delete", 3000), (5000, 42, "insert", 3001)])
+    log = spark.createDataFrame(
+        rows, "k long, v long, audit_event string, audit_pk long")
+    r = t.merge_audit(log, ["k"], pruned=True)
+    assert r.rows_synced == 22 and r.watermark == 3001
+
+    m2 = t.manifest(t.current_version())
+    assert m2["action"] == "merge"
+    reused = set(m1["dirs"]) & set(m2["dirs"])
+    # keys 100-119 live in at most 2 range dirs; key 5000 touches the
+    # highest dir — at least 5 of the 8 dirs must be carried verbatim
+    assert len(reused) >= 5
+    assert len(set(m2["dirs"]) - set(m1["dirs"])) >= 1  # rewritten dirs
+    assert all(d in m2.get("dir_meta", {}) for d in m2["dirs"])
+
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    exp = {r["k"]: r["v"]
+           for r in apply_changes(boot, log, ["k"]).collect()}
+    assert got == exp
+    assert 110 not in got and got[5000] == 42 and got[105] == 10105
+    assert got[500] == 500  # untouched dir rows intact
+    assert t.read().count() == len(got)  # no duplicate keys
+
+    # replay of the same log: empty delta, no commit
+    v = t.current_version()
+    assert t.merge_audit(log, ["k"], pruned=True).rows_synced == 0
+    assert t.current_version() == v
+
+    # a second delta against the merged layout (now mixed old/new dirs)
+    rows2 = [(5000, 43, "update", 4000), (0, -1, "update", 4001)]
+    log2 = spark.createDataFrame(
+        rows2, "k long, v long, audit_event string, audit_pk long")
+    full_log = log.unionByName(log2)
+    t.merge_audit(full_log, ["k"], pruned=True)
+    got2 = {r["k"]: r["v"] for r in t.read().collect()}
+    exp2 = {r["k"]: r["v"]
+            for r in apply_changes(boot, full_log, ["k"]).collect()}
+    assert got2 == exp2
+
+    # pruned mode refuses composite keys loudly
+    with pytest.raises(ValueError):
+        t.merge_audit(log, ["k", "v"], pruned=True)
