@@ -287,6 +287,13 @@ class ManifestTable:
                 "action": action,
                 "dirs": dirs_fn(pm),
             }
+            # record the dirs THIS commit introduced (the commit's delta at
+            # file granularity) — the streaming source reads exactly these
+            # per consumed version, without needing the parent manifest to
+            # still exist (it may be vacuumed)
+            prev_dirs = set(pm["dirs"]) if pm else set()
+            payload["added"] = [d for d in payload["dirs"]
+                                if d not in prev_dirs]
             # carry per-dir metadata forward for dirs that survive this
             # commit (an overwrite's filter naturally drops the parent's)
             merged = {**(pm.get("dir_meta", {}) if pm else {}),

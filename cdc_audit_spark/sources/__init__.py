@@ -5,6 +5,11 @@ from cdc_audit_spark.sources.jdbc_cdc import (
     plan_incremental_batch,
     poll_sync,
 )
+from cdc_audit_spark.sources.manifest_stream import (
+    ManifestStreamDataSource,
+    read_manifest_stream,
+    register_manifest_stream,
+)
 
 __all__ = [
     "incremental_subquery",
@@ -12,4 +17,7 @@ __all__ = [
     "JdbcBatchPlan",
     "plan_incremental_batch",
     "poll_sync",
+    "ManifestStreamDataSource",
+    "read_manifest_stream",
+    "register_manifest_stream",
 ]

@@ -1,0 +1,173 @@
+"""Structured-Streaming source over a ManifestTable: commits as offsets.
+
+Closes the sink/source loop for the transactional table
+(``sinks.manifest``): a table written by ``sync_audit`` / ``append`` /
+the streaming drains is ALSO a streaming source for downstream Spark
+consumers — the reference's audit-table-as-stream semantic (tail the
+audit log, cdc_audit_sync_mysql.php's consumer loop) lifted to the file
+level, with the manifest's own commit versions as the offset axis:
+
+* ``initialOffset``  -> {"version": startingVersion (default 0)}
+* ``latestOffset``   -> {"version": current committed version}
+* a micro-batch (v0, v1] reads exactly the data dirs those commits
+  INTRODUCED (the ``added`` list each manifest records), one input
+  partition per dir — so a consumer never re-reads dirs it has seen,
+  and the work per batch is proportional to the new commits only.
+
+Append-action commits stream their added dirs. Overwrite-action commits
+(compact / merge / repair) are REWRITES of existing content, not new
+rows — streaming them would re-emit the whole table — so they are
+skipped, exactly like file-compaction is invisible to log consumers in
+public table formats' change feeds.
+
+Executors read the parquet files with pyarrow and yield Arrow record
+batches (the vectorized path of the Python DataSource API) — no
+row-at-a-time Python. Offsets live in the consumer's checkpoint;
+deterministic (version-range -> dirs) mapping makes replay exact.
+
+Scale note: partitions() lists only the NEW commits' dirs per batch
+(O(delta)); at 1000 executors each dir's files fan out as independent
+partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "ManifestStreamDataSource",
+    "register_manifest_stream",
+    "read_manifest_stream",
+]
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _versions(table_path: str) -> list[int]:
+    mdir = os.path.join(table_path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(n[2:-5]) for n in os.listdir(mdir)
+        if n.startswith("m-") and n.endswith(".json")
+    )
+
+
+def _manifest(table_path: str, version: int) -> dict:
+    for prefix in ("m-", "ckpt-"):
+        p = os.path.join(table_path, _MANIFEST_DIR,
+                         f"{prefix}{version:012d}.json")
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            continue
+    raise FileNotFoundError(
+        f"manifest version {version} not found at {table_path} (vacuumed? "
+        "the consumer's checkpointed offset predates the table's retention)")
+
+
+class ManifestFilesPartition(InputPartition):
+    """One committed data dir's parquet files (absolute paths)."""
+
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class ManifestStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, schema: StructType):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "manifest_stream requires .option('path', <table dir>)")
+        self.path = path
+        self.start_version = int(options.get("startingversion", 0))
+        self.spark_schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self.path)
+        return {"version": vs[-1] if vs else self.start_version}
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            m = _manifest(self.path, v)
+            if m["action"] != "append":
+                continue  # rewrites (compact/merge/repair) are not new rows
+            for d in m.get("added", m["dirs"]):
+                full = os.path.join(self.path, d)
+                files = sorted(
+                    os.path.join(full, f) for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+                if files:
+                    parts.append(ManifestFilesPartition(files))
+        return parts
+
+    def read(self, partition: ManifestFilesPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        # cast to the DECLARED schema's arrow form: parquet-native types
+        # (e.g. nanosecond/INT96 timestamps) are not all ingestible by
+        # Spark's arrow path, and column order must match the plan
+        target = to_arrow_schema(self.spark_schema)
+        for f in partition.files:
+            for batch in pq.ParquetFile(f).iter_batches():
+                yield pa.Table.from_batches([batch]).select(
+                    target.names).cast(target).to_batches()[0]
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the consumer's checkpoint
+
+
+class ManifestStreamDataSource(DataSource):
+    """``spark.readStream.format("manifest_stream").option("path", p)``
+    after :func:`register_manifest_stream`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_stream"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "manifest_stream requires .option('path', <table dir>)")
+        for v in reversed(_versions(path)):
+            m = _manifest(path, v)
+            if "schema" in m:
+                return StructType.fromJson(json.loads(m["schema"]))
+        raise ValueError(
+            f"no committed schema at {path}: the table has no commits yet "
+            "(start the stream after the first commit, or pass .schema())")
+
+    def streamReader(self, schema: StructType) -> ManifestStreamReader:
+        return ManifestStreamReader(dict(self.options), schema)
+
+
+def register_manifest_stream(spark) -> None:
+    """Idempotently register the ``manifest_stream`` format."""
+    spark.dataSource.register(ManifestStreamDataSource)
+
+
+def read_manifest_stream(spark, table_path: str,
+                         starting_version: int = 0):
+    """Convenience: a streaming DataFrame over the table's commits."""
+    register_manifest_stream(spark)
+    return (spark.readStream.format("manifest_stream")
+            .option("path", table_path)
+            .option("startingVersion", starting_version)
+            .load())

@@ -1,0 +1,114 @@
+"""ManifestTable as a Structured-Streaming SOURCE: commit versions are
+offsets, each micro-batch reads exactly the dirs its commits introduced.
+
+The audit-table-as-stream semantic (SURVEY §1.1.3 — the reference's
+consumers tail the audit table) at the file level: the transactional
+sink's output is directly consumable by downstream Spark streams with
+exactly-once offsets and no re-reads of seen data.
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cdc_audit_spark.sinks.manifest import ManifestTable
+from cdc_audit_spark.sources.manifest_stream import read_manifest_stream
+
+
+def _rows(spark, lo, hi, event="insert"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.lit(dt.datetime(2026, 1, 1)).alias("audit_timestamp"),
+        F.lit(event).alias("audit_event"),
+        F.col("id").alias("audit_pk"),
+    )
+
+
+def _drain(spark, table_path, sink, ck):
+    q = (read_manifest_stream(spark, table_path)
+         .writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ck).start())
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return spark.read.parquet(sink)
+
+
+def test_stream_equals_batch_read_since(spark, tmp_path):
+    """Identity: draining the stream from version 0 yields exactly
+    read_since(0) — same rows, no duplicates, no drops — even with a
+    compaction rewrite interleaved between syncs (rewrites are NOT new
+    rows and must not be re-emitted)."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.sync_audit(_rows(spark, 1, 11))
+    t.sync_audit(_rows(spark, 1, 21))
+    t.compact()                      # rewrite: invisible to the stream
+    t.sync_audit(_rows(spark, 1, 26))
+
+    got = _drain(spark, t.path, str(tmp_path / "sink"), str(tmp_path / "ck"))
+    want = t.read_since(0)
+    assert got.count() == want.count() == 25
+    assert sorted(r["audit_pk"] for r in got.collect()) == sorted(
+        r["audit_pk"] for r in want.collect())
+    # full row fidelity through the arrow path, timestamps included
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Checkpointed offsets: a restarted consumer reads ONLY commits it
+    has not seen; an idle restart emits nothing."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    t.sync_audit(_rows(spark, 1, 11))
+    assert _drain(spark, t.path, sink, ck).count() == 10
+
+    t.sync_audit(_rows(spark, 1, 16))        # 5 new rows
+    got = _drain(spark, t.path, sink, ck)
+    assert got.count() == 15
+    assert got.groupBy("audit_pk").count().filter("count > 1").count() == 0
+
+    # idle restart: no new commits, nothing re-emitted
+    assert _drain(spark, t.path, sink, ck).count() == 15
+
+
+def test_stream_starting_version_skips_history(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.sync_audit(_rows(spark, 1, 11))        # version 1
+    t.sync_audit(_rows(spark, 1, 16))        # version 2
+    q = (read_manifest_stream(spark, t.path, starting_version=1)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "sink"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(str(tmp_path / "sink"))
+    assert sorted(r["audit_pk"] for r in got.collect()) == [11, 12, 13, 14, 15]
+
+
+def test_stream_feeds_downstream_merge(spark, tmp_path):
+    """Sink AND source composed: audit commits stream into a foreachBatch
+    that maintains a keyed replica via merge_audit — the full CDC loop
+    (capture table -> manifest log -> streamed -> replica) on one stack."""
+    log = ManifestTable(spark, str(tmp_path / "log"))
+    replica = ManifestTable(spark, str(tmp_path / "replica"))
+    log.sync_audit(_rows(spark, 1, 11))
+    log.sync_audit(_rows(spark, 1, 16, "update"))
+
+    boot = _rows(spark, 0, 0).drop("audit_event", "audit_pk")
+
+    def apply(batch_df, epoch_id):
+        replica.merge_audit(
+            batch_df, ["k"],
+            bootstrap=boot if replica.current_version() is None else None)
+
+    q = (read_manifest_stream(spark, log.path)
+         .writeStream.foreachBatch(apply)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r["k"]: r for r in replica.read().collect()}
+    # first sync inserts keys 1-10; the second commit's delta (audit_pk
+    # 11-15) carries update images for unseen keys 11-15 → upserted
+    assert set(got) == set(range(1, 16))
+    assert replica.watermark() == 15
