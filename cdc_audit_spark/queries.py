@@ -345,6 +345,80 @@ def cdc_manifest_roundtrip(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "cdc_merge_replica_pruned",
+    f"WITH {_V1_CTE} SELECT * FROM v1",
+    "Storage-level MERGE (sinks.manifest.merge_audit pruned=True): the "
+    "replica is laid out as disjoint key-range dirs; each merge rewrites "
+    "ONLY dirs whose committed pk range intersects the delta's keys and "
+    "carries untouched dirs into the child manifest verbatim — O(touched) "
+    "per batch, not O(state). Two incremental pruned merges of the "
+    "customer audit log onto the v0 bootstrap must reconstruct v1 exactly",
+)
+def cdc_merge_replica_pruned(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    v0, _ = customer_snapshots(spark, sf_dir)
+    audit = customer_audit_log(spark, sf_dir).localCheckpoint(eager=True)
+    k = audit.agg(F.expr("max(audit_pk) div 2")).first()[0]
+    root = tempfile.mkdtemp(prefix="cdc_merge_pruned_")
+    try:
+        t = ManifestTable(spark, root)
+        t.merge_audit(audit.filter(F.col("audit_pk") <= k), ["c_custkey"],
+                      bootstrap=v0, pruned=True, range_buckets=8)
+        t.merge_audit(audit, ["c_custkey"], pruned=True)
+        out = t.read().select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "cdc_manifest_stream_drain",
+    f"WITH {_AUDIT_CTE} SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+    "c_mktsegment, audit_event, audit_timestamp, audit_pk FROM audit",
+    "Manifest table as a Structured-Streaming SOURCE "
+    "(sources.manifest_stream): commit versions are offsets; draining a "
+    "log built from two exactly-once syncs with an interleaved compaction "
+    "rewrite must emit every audit row exactly once (the rewrite commit "
+    "is invisible to consumers, like a table format's change feed)",
+)
+def cdc_manifest_stream_drain(spark, sf_dir):
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.sources.manifest_stream import read_manifest_stream
+
+    audit = customer_audit_log(spark, sf_dir).localCheckpoint(eager=True)
+    k = audit.agg(F.expr("max(audit_pk) div 2")).first()[0]
+    root = tempfile.mkdtemp(prefix="cdc_stream_drain_")
+    name = f"drain_{_uuid.uuid4().hex[:12]}"
+    try:
+        t = ManifestTable(spark, root + "/t")
+        t.sync_audit(audit.filter(F.col("audit_pk") <= k))
+        t.compact()                       # rewrite: must not re-emit
+        t.sync_audit(audit)
+        q = (read_manifest_stream(spark, t.path)
+             .writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", root + "/ck").start())
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(name).select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+            "audit_event", "audit_timestamp", "audit_pk",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # Relational parity — projections / filters / predicates (SURVEY §2.2)
 # --------------------------------------------------------------------------
@@ -4306,36 +4380,32 @@ _REGISTRY["sample_source_quota"].oracle = _source_quota_oracle()
 # behind the window; next round rotates the remaining unchecked ones in.
 
 _DRIVER_WINDOW = [
-    # r05 rotation (VERDICT r04 item 1): the 42 queries with no green
-    # driver row across r01/r04 — 25 stranded in the dead r02/r03 windows
-    # plus 17 never scheduled. All 42 pass the DuckDB oracle locally
-    # (judge's full 132-query sweep, 0 failures); this edit converts that
-    # into driver evidence.
-    "asof_forward_next_purchase", "cdc_column_change_stats",
-    "cdc_dedup_index_sync", "cdc_fk_orphans", "cdc_state_asof",
-    "corpus_curation_report", "corpus_source_accounting",
-    "datetime_function_sampler", "decontam_benchmark_overlap",
-    "dedup_levenshtein_pairs", "dedup_ngram_jaccard_exact",
-    "dedup_prefix_digest", "embedding_label_centroids",
-    "events_cohort_retention", "events_hourly_anomalies",
-    "events_transition_matrix", "full_outer_customer_supplier_nations",
-    "lineitem_stats_profile", "mix_weighted_sources", "ntile_price_quartiles",
-    "pack_token_chunks", "profile_orders", "quality_filter_per_lang",
-    "quartiles_by_segment", "regression_price_on_quantity",
-    "revenue_grouping_sets", "sample_hash_fraction",
-    "sample_split_train_valid", "sample_stratified_lang",
-    "set_except_unordered_parts", "set_intersect_users", "set_union_segments",
-    "shard_global_shuffle", "skew_salted_user_rollup", "table_checksum_orders",
-    "text_repetition_stats", "window_dense_rank_brand_price",
-    "window_first_last_value", "window_lag_delta", "window_moving_avg",
-    "window_nth_value_second_order", "window_time_range_sum",
-    # 7 §2-core CDC anchors whose green rows are three rounds stale, plus
-    # the round-5 transactional-sink round trip (new — no green row yet;
-    # knn_cosine_topk ceded its slot and keeps its r01 green row, so every
-    # registered query still ends the round with a green driver row).
-    "cdc_diff_customer", "cdc_incremental_scan", "cdc_keep_last_per_key",
-    "cdc_watermark_recovery", "cdc_audit_stats", "scan_filter_project",
-    "dedup_exact", "cdc_manifest_roundtrip",
+    # r06 rotation (VERDICT r05 item 5): keep every green driver row <= 3
+    # rounds old. The 33 queries whose ONLY green row is r01 (5 rounds
+    # stale by now — exact set via CORRECTNESS_r0*.json set-difference):
+    "agg_global_minmax", "anti_join_customers_without_orders",
+    "asof_join_error_purchase", "cdc_diff_event_counts", "cdc_keep_last",
+    "cdc_replay_state", "dedup_survivors", "events_json_extract",
+    "events_sessionize", "events_sliding_window", "events_type_pivot",
+    "filter_conj_eq", "filter_contains", "filter_isin",
+    "filter_range_closed", "knn_cosine_topk", "multimodal_payload_stats",
+    "q12_priority_linestatus", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q19_disjunctive_pred",
+    "q22_idle_rich_customers", "q2_min_balance_supplier", "q3_top_orders",
+    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "range_join_click_windows", "semi_join_urgent_customers",
+    "text_fingerprint", "text_language_id", "text_token_stats",
+    "topk_orders_per_customer",
+    # the round-6 surface (no green row yet): storage-level pruned MERGE
+    # and the manifest streaming source
+    "cdc_merge_replica_pruned", "cdc_manifest_stream_drain",
+    # 15 slots freshen the oldest r04 rows (2 rounds stale): TPC-H stars,
+    # CDC incremental/SCD2, and the heaviest LLM-pipeline anchors
+    "cdc_incremental_agg", "cdc_scd2_history", "q1_pricing_summary",
+    "q7_nation_volume", "q8_market_share", "q9_profit_by_nation_year",
+    "q10_returned_items", "q18_large_orders", "q21_sole_late_supplier",
+    "clean_pii_redact", "dedup_embedding_cosine", "embedding_quantize_int8",
+    "events_funnel", "text_bpe_token_counts", "tfidf_top_terms",
 ]
 
 

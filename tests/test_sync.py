@@ -499,3 +499,21 @@ def test_sync_many_table_timeout_cancels_stuck_table(spark, tmp_path):
     err = ei.value
     assert isinstance(err.errors["stuck"], TimeoutError)
     assert err.results["fast"].rows_synced == 10
+
+
+def test_sync_many_table_timeout_requires_pinned_threads(
+        spark, tmp_path, monkeypatch):
+    """table_timeout relies on thread-local job groups; legacy non-pinned
+    mode makes setJobGroup process-global, so a timeout cancellation could
+    kill sibling tables' jobs — refuse loudly instead."""
+    import pytest
+
+    from cdc_audit_spark.sync import sync_many
+
+    monkeypatch.setenv("PYSPARK_PIN_THREAD", "false")
+    df = spark.range(3).selectExpr("id + 1 as audit_pk")
+    with pytest.raises(RuntimeError, match="pinned-thread"):
+        sync_many({"t": (df, str(tmp_path / "t.csv"))}, table_timeout=5)
+    # without a timeout the watchdog is off: no job groups, no hazard
+    out = sync_many({"t": (df, str(tmp_path / "t.csv"))})
+    assert out["t"].rows_synced == 3
