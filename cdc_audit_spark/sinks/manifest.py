@@ -59,6 +59,22 @@ _DATA_DIR = "data"
 # "capture the current version at call time" (overwrite's default)
 _ANY = object()
 
+
+def _plain(v):
+    """JSON-comparable form of an aggregate bound: numbers/strings pass
+    through; datetimes become ISO strings (lexicographic order == time
+    order, so pruning comparisons stay valid); anything else is skipped
+    (None) — never record a bound we can't compare faithfully."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, bool):  # bool before int: not a bound
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return None
+
 # Payload keys that describe the TABLE (not one commit's delta) and are
 # inherited by every later commit — see _commit.
 _STATE_KEYS = ("watermark", "epoch", "run_id", "wipe_through",
@@ -333,6 +349,7 @@ class ManifestTable:
 
     def append(self, df: DataFrame, extra: dict | None = None,
                pk_range_col: str | None = None,
+               stats_cols: list[str] | None = None,
                on_drift: str = "fail") -> int:
         """Commit ``df``'s rows as a new version on top of the current one.
         Returns the committed version. Safe under concurrent appends: data
@@ -340,19 +357,35 @@ class ManifestTable:
         ``extra`` fields ride in the manifest payload — atomic with the
         data (this is what makes the CDC watermark exactly-once below).
         ``pk_range_col`` records the dir's min/max of that column in the
-        manifest (one small aggregate), enabling ``read_since`` pruning."""
-        self._check_drift(df, on_drift)
-        meta = None
-        if pk_range_col is not None:
-            from pyspark.sql import functions as F
+        manifest (one small aggregate), enabling ``read_since`` pruning.
+        ``stats_cols`` additionally records per-dir min/max for those
+        columns (one combined aggregate), enabling :meth:`read_pruned`'s
+        manifest-level data skipping on ANY recorded column — the
+        Delta/Iceberg per-file-stats pattern at dir granularity."""
+        from pyspark.sql import functions as F
 
-            r = df.agg(F.min(pk_range_col).alias("lo"),
-                       F.max(pk_range_col).alias("hi")).first()
-            if r["lo"] is not None:
-                meta = {"pk_min": int(r["lo"]), "pk_max": int(r["hi"])}
+        self._check_drift(df, on_drift)
+        meta: dict = {}
+        agg_cols = []
+        if pk_range_col is not None:
+            agg_cols += [F.min(pk_range_col).alias("__pk_lo"),
+                         F.max(pk_range_col).alias("__pk_hi")]
+        for c in stats_cols or []:
+            agg_cols += [F.min(c).alias(f"__lo_{c}"),
+                         F.max(c).alias(f"__hi_{c}")]
+        if agg_cols:
+            r = df.agg(*agg_cols).first()
+            if pk_range_col is not None and r["__pk_lo"] is not None:
+                meta.update(pk_min=int(r["__pk_lo"]),
+                            pk_max=int(r["__pk_hi"]))
+            stats = {c: [_plain(r[f"__lo_{c}"]), _plain(r[f"__hi_{c}"])]
+                     for c in stats_cols or []
+                     if _plain(r[f"__lo_{c}"]) is not None}
+            if stats:
+                meta["stats"] = stats
         rel = self._write_data_dir(df)
         extra = {**(extra or {}), "schema": df.schema.json()}
-        if meta is not None:
+        if meta:
             extra["dir_meta"] = {rel: meta}
         return self._commit(
             "append", lambda parent: (parent["dirs"] if parent else []) + [rel],
@@ -598,7 +631,8 @@ class ManifestTable:
         m = self.manifest(version)
         meta = m.get("dir_meta", {})
         return [d for d in m["dirs"]
-                if d not in meta or int(meta[d]["pk_max"]) > pk]
+                if "pk_max" not in meta.get(d, {})
+                or int(meta[d]["pk_max"]) > pk]
 
     def read_since(self, pk: int, audit_pk: str = "audit_pk") -> DataFrame:
         """Rows with ``audit_pk > pk`` — the downstream consumer's poll.
@@ -616,6 +650,56 @@ class ManifestTable:
         df = (self.spark.read.option("mergeSchema", True)
               .parquet(*[os.path.join(self.path, d) for d in dirs]))
         return df.filter(F.col(audit_pk) > F.lit(pk))
+
+    def dirs_pruned(self, filters: dict[str, tuple],
+                    version: int | None = None) -> list[str]:
+        """Dirs that may hold rows satisfying EVERY ``col: (lo, hi)``
+        range filter, judged by the per-dir stats ``append(stats_cols=)``
+        recorded. A dir without stats for a filtered column is kept
+        conservatively; a bound of None means unbounded on that side.
+        Datetime bounds compare as ISO strings (pass datetimes or ISO
+        strings — both order correctly)."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return []
+        m = self.manifest(version)
+        meta = m.get("dir_meta", {})
+
+        def keep(d: str) -> bool:
+            st = meta.get(d, {}).get("stats", {})
+            for c, (lo, hi) in filters.items():
+                if c not in st:
+                    continue
+                dlo, dhi = st[c]
+                if lo is not None and _plain(dhi) < _plain(lo):
+                    return False
+                if hi is not None and _plain(dlo) > _plain(hi):
+                    return False
+            return True
+
+        return [d for d in m["dirs"] if keep(d)]
+
+    def read_pruned(self, filters: dict[str, tuple]) -> DataFrame:
+        """Range-filtered read with manifest-level data skipping: whole
+        dirs whose recorded stats exclude the filters are never listed,
+        and the residual predicate is applied to the survivors (pushed
+        into the parquet scan on top) — correct regardless of which dirs
+        carry stats."""
+        from pyspark.sql import functions as F
+
+        dirs = self.dirs_pruned(filters)
+        if not dirs:
+            df = self.read().filter(F.lit(False))  # stable empty schema
+        else:
+            df = (self.spark.read.option("mergeSchema", True)
+                  .parquet(*[os.path.join(self.path, d) for d in dirs]))
+        for c, (lo, hi) in filters.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df
 
     def merge_audit(self, audit_df: DataFrame, pk_cols: list[str],
                     audit_pk: str = "audit_pk",

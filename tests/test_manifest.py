@@ -1134,3 +1134,52 @@ def test_pruned_merge_reuses_untouched_dirs(spark, tmp_path):
     # pruned mode refuses composite keys loudly
     with pytest.raises(ValueError):
         t.merge_audit(log, ["k", "v"], pruned=True)
+
+
+def test_column_stats_pruned_reads(spark, tmp_path):
+    """append(stats_cols=...) records per-dir min/max for arbitrary
+    columns; read_pruned skips whole dirs by those stats (the file-stats
+    skipping of public table formats at dir granularity) while residual
+    filters keep results exactly equal to a full filtered read."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+
+    def batch(lo, hi, day):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+            F.lit(dt.datetime(2026, 1, day)).alias("ts"))
+
+    t.append(batch(0, 100, 1), stats_cols=["v", "ts"])      # v 0..990
+    t.append(batch(100, 200, 2), stats_cols=["v", "ts"])    # v 1000..1990
+    t.append(batch(200, 300, 3), stats_cols=["v", "ts"])    # v 2000..2990
+    t.append(batch(300, 310, 4))                             # NO stats
+
+    m = t.manifest(t.current_version())
+    assert m["dir_meta"][m["dirs"][0]]["stats"]["v"] == [0, 990]
+
+    # numeric pruning: middle band → dir 2 + the stats-less dir
+    dirs = t.dirs_pruned({"v": (1000, 1500)})
+    assert len(dirs) == 2
+    got = t.read_pruned({"v": (1000, 1500)})
+    want = t.read().filter("v between 1000 and 1500")
+    assert got.count() == want.count() == 51
+    assert got.exceptAll(want).count() == 0
+
+    # half-open bound: dir 3 (v 2500-2990) + the stats-less dir's rows
+    # (v 3000-3090) — 50 + 10
+    assert len(t.dirs_pruned({"v": (2500, None)})) == 2
+    assert t.read_pruned({"v": (2500, None)}).count() == 60
+
+    # conjunctive filters: v range matches dir 2 but ts excludes it
+    dirs = t.dirs_pruned({"v": (1000, 1500),
+                          "ts": (dt.datetime(2026, 1, 3), None)})
+    assert len(dirs) == 1  # only the stats-less dir survives both
+    assert t.read_pruned({"v": (1000, 1500),
+                          "ts": (dt.datetime(2026, 1, 3), None)}).count() == 0
+
+    # datetime pruning alone (ISO-string comparison under the hood)
+    assert t.read_pruned(
+        {"ts": (dt.datetime(2026, 1, 2), dt.datetime(2026, 1, 2))}
+    ).count() == 100
+
+    # nothing matches: stable empty schema, no dirs listed
+    assert t.read_pruned({"v": (10**9, None)}).count() == 0
