@@ -741,6 +741,8 @@ class ManifestTable:
         base = self.current_version()
         wm = self.watermark(at_version=base)
         delta = audit_df.filter(F.col(audit_pk) > F.lit(wm))
+        if pruned and base is not None:
+            return self._merge_pruned(delta, pk_cols[0], base, wm, audit_pk)
         stats = delta.agg(F.count("*").alias("n"),
                           F.max(audit_pk).alias("mx")).first()
         n, mx = int(stats["n"]), stats["mx"]
@@ -751,39 +753,119 @@ class ManifestTable:
                 "first merge_audit needs a bootstrap state snapshot")
         new_wm = max(wm, int(mx)) if mx is not None else wm
 
-        if not pruned:
-            current = bootstrap if base is None else self.read(base)
-            new_state = apply_changes(current, delta, pk_cols)
-            # pinned to base: an interleaved commit (another merge, a
-            # sync) raises CommitConflict instead of being silently lost
-            self.overwrite(new_state, extra={"watermark": new_wm},
-                           base_version=base)
-            return SyncResult(n, new_wm, self.path)
+        if pruned:  # first commit: lay the replica out for future pruning
+            from cdc_audit_spark.capture import apply_changes
 
-        key = pk_cols[0]
-        if base is None:
             state = apply_changes(bootstrap, delta, pk_cols)
-            self.write_range_layout(state, key, n_buckets=range_buckets,
+            self.write_range_layout(state, pk_cols[0],
+                                    n_buckets=range_buckets,
                                     extra={"watermark": new_wm},
                                     base_version=base)
             return SyncResult(n, new_wm, self.path)
 
+        from cdc_audit_spark.capture import apply_changes
+
+        current = bootstrap if base is None else self.read(base)
+        new_state = apply_changes(current, delta, pk_cols)
+        # pinned to base: an interleaved commit (another merge, a
+        # sync) raises CommitConflict instead of being silently lost
+        self.overwrite(new_state, extra={"watermark": new_wm},
+                       base_version=base)
+        return SyncResult(n, new_wm, self.path)
+
+    def _merge_pruned(self, delta: DataFrame, key: str, base: int,
+                      wm: int, audit_pk: str):
+        """Incremental storage-level MERGE: ONE aggregation over the delta
+        yields its count, watermark, key bounds AND the per-dir touched
+        flags; the rewrite reuses the touched dirs' committed range
+        boundaries for bucket assignment (no re-quantile — the rewritten
+        rows are scanned exactly once, by the write), and the new dirs'
+        range metadata is the touched ranges widened by the delta's key
+        bounds — conservative, so pruning stays correct without another
+        pass. Two Spark jobs per merge: the delta aggregate and the
+        rewrite write."""
+        from pyspark.sql import functions as F
+
+        from cdc_audit_spark.capture import apply_changes
+        from cdc_audit_spark.sync import SyncResult
+
         m = self.manifest(base)
-        touched, untouched = self._touched_dirs(m, delta, key)
+        meta = m.get("dir_meta", {})
+        ranged = [(d, meta[d]["pk_min"], meta[d]["pk_max"])
+                  for d in m["dirs"] if "pk_min" in meta.get(d, {})]
+        bare = [d for d in m["dirs"] if "pk_min" not in meta.get(d, {})]
+        aggs = [F.count("*").alias("__n"), F.max(audit_pk).alias("__mx"),
+                F.min(key).alias("__klo"), F.max(key).alias("__khi")]
+        aggs += [F.max(F.col(key).between(F.lit(lo), F.lit(hi)).cast("int"))
+                 .alias(f"__d{i}") for i, (_, lo, hi) in enumerate(ranged)]
+        r = delta.agg(*aggs).first()
+        n = int(r["__n"])
+        if n == 0:
+            return SyncResult(0, wm, self.path)
+        new_wm = max(wm, int(r["__mx"]))
+        klo, khi = int(r["__klo"]), int(r["__khi"])
+
+        by_lo = sorted(range(len(ranged)), key=lambda i: ranged[i][1])
+        touched_idx = {i for i in range(len(ranged)) if r[f"__d{i}"]}
+        if ranged:
+            if klo < min(lo for _, lo, _ in ranged):
+                touched_idx.add(by_lo[0])     # lowest range adopts
+            if khi > max(hi for _, _, hi in ranged):
+                touched_idx.add(by_lo[-1])    # highest range adopts
+        touched = bare + [ranged[i][0] for i in sorted(touched_idx)]
+        untouched = [d for d in m["dirs"] if d not in set(touched)]
+
         if touched:
             cur = (self.spark.read.option("mergeSchema", True)
                    .parquet(*[os.path.join(self.path, d) for d in touched]))
         else:  # empty table (a version with no dirs): delta is everything
             cur = self.spark.createDataFrame([], self.schema())
-        new_rows = apply_changes(cur, delta, pk_cols)
-        new_dirs, new_meta = self._write_range_dirs(
-            new_rows, key, max(1, len(touched)))
+        new_rows = apply_changes(cur, delta, [key])
+
+        if bare or not ranged:
+            # no reusable boundaries: fall back to the quantile layout
+            new_dirs, new_meta = self._write_range_dirs(
+                new_rows, key, max(1, len(touched)))
+        else:
+            spans = [list(ranged[i][1:]) for i in sorted(touched_idx,
+                     key=lambda i: ranged[i][1])]
+            spans[0][0] = min(spans[0][0], klo)
+            spans[-1][1] = max(spans[-1][1], khi)
+            new_dirs, new_meta = self._write_assigned_dirs(
+                new_rows, key, spans)
         dirs_all = untouched + new_dirs
         self._commit(
             "merge", lambda parent: dirs_all, max_retries=1,
             extra={"watermark": new_wm, "dir_meta": new_meta},
             expected_parent=base)
         return SyncResult(n, new_wm, self.path)
+
+    def _write_assigned_dirs(self, df: DataFrame, key: str,
+                             spans: list[list[int]]) -> tuple[list[str], dict]:
+        """Write ``df`` split into len(spans) dirs by PRE-KNOWN disjoint
+        key spans (ascending); every row's key falls inside a span by
+        construction (out-of-range keys were folded into the edge spans).
+        No statistics pass — the spans themselves become the recorded
+        (conservative) per-dir ranges."""
+        from pyspark.sql import functions as F
+
+        bucket = F.lit(0)
+        for lo, _hi in spans[1:]:
+            bucket = bucket + (F.col(key) >= F.lit(lo)).cast("int")
+        rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
+        (df.withColumn("__bucket", bucket)
+           .repartition("__bucket")
+           .sortWithinPartitions(key)
+           .write.partitionBy("__bucket")
+           .parquet(os.path.join(self.path, rel)))
+        out = os.path.join(self.path, rel)
+        present = sorted(
+            int(nm.split("=", 1)[1]) for nm in os.listdir(out)
+            if nm.startswith("__bucket="))
+        dirs = [f"{rel}/__bucket={b}" for b in present]
+        meta = {d: {"pk_min": int(spans[b][0]), "pk_max": int(spans[b][1])}
+                for d, b in zip(dirs, present)}
+        return dirs, meta
 
     # ------------------------------------------- partition-pruned MERGE
 
