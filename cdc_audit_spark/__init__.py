@@ -22,10 +22,20 @@ from cdc_audit_spark.sync import (
     verify_sink,
 )
 from cdc_audit_spark.compact import keep_last, keep_last_per_key
-from cdc_audit_spark.sinks import CommitConflict, ManifestTable
+from cdc_audit_spark.sinks import (
+    ClaimBackend,
+    CommitConflict,
+    HardLinkClaimBackend,
+    ManifestTable,
+)
+from cdc_audit_spark.sources import read_manifest_stream, register_manifest_stream
 
 __all__ = [
+    "ClaimBackend",
     "CommitConflict",
+    "HardLinkClaimBackend",
+    "read_manifest_stream",
+    "register_manifest_stream",
     "ManifestTable",
     "audit_schema",
     "audit_table_name",
