@@ -27,7 +27,12 @@ deterministic (version-range -> dirs) mapping makes replay exact.
 
 Scale note: partitions() lists only the NEW commits' dirs per batch
 (O(delta)); at 1000 executors each dir's files fan out as independent
-partitions.
+partitions. Works under ``trigger(availableNow=True)`` (drain-and-stop)
+as well as continuous micro-batching. A consumer whose checkpointed
+offset predates the table's manifest retention (vacuum dropped the
+commits it still needed) fails LOUDLY with FileNotFoundError rather
+than silently skipping — retention must outlive the slowest consumer,
+the same contract public change feeds carry.
 """
 
 from __future__ import annotations

@@ -1183,3 +1183,54 @@ def test_column_stats_pruned_reads(spark, tmp_path):
 
     # nothing matches: stable empty schema, no dirs listed
     assert t.read_pruned({"v": (10**9, None)}).count() == 0
+
+
+def test_pruned_merge_random_walk_matches_model(spark, tmp_path):
+    """Model-based: a seeded walk of random pruned merges (updates,
+    deletes, inserts below/inside/above the key space) with an occasional
+    re-tightening compaction must keep the replica equal to a dict model
+    at every step, with per-step dir reuse whenever the delta is narrow."""
+    import random
+
+    rng = random.Random(7)
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    model = {k: k for k in range(0, 400)}
+    boot = spark.createDataFrame(sorted(model.items()), "k long, v long")
+    empty = spark.createDataFrame(
+        [], "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(empty, ["k"], bootstrap=boot, pruned=True, range_buckets=6)
+    pk = 1000
+
+    for step in range(8):
+        rows = []
+        for _ in range(rng.randint(1, 6)):
+            op = rng.choice(["update", "update", "delete", "insert"])
+            if op == "insert":
+                k = rng.choice([rng.randint(-50, -1), rng.randint(0, 399),
+                                rng.randint(400, 600)])
+            else:
+                k = rng.randint(0, 399)
+            pk += 1
+            v = pk * 10
+            rows.append((k, v, "delete" if op == "delete" else op, pk))
+            # model applies LAST event per key (apply_changes semantics)
+        last = {}
+        for k, v, ev, p in rows:
+            last[k] = (v, ev)
+        for k, (v, ev) in last.items():
+            if ev == "delete":
+                model.pop(k, None)
+            else:
+                model[k] = v
+        delta = spark.createDataFrame(
+            rows, "k long, v long, audit_event string, audit_pk long")
+        before = set(t.manifest(t.current_version())["dirs"])
+        t.merge_audit(delta, ["k"], pruned=True)
+        after = set(t.manifest(t.current_version())["dirs"])
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got == model, f"step {step}"
+        assert before & after or len(before) <= 1, f"step {step}: no reuse"
+        if step == 4:   # re-tighten the fragmented layout mid-walk
+            t.compact(range_by=["k"])
+            got = {r["k"]: r["v"] for r in t.read().collect()}
+            assert got == model

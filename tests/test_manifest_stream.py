@@ -112,3 +112,43 @@ def test_stream_feeds_downstream_merge(spark, tmp_path):
     # 11-15) carries update images for unseen keys 11-15 → upserted
     assert set(got) == set(range(1, 16))
     assert replica.watermark() == 15
+
+
+def test_stream_available_now_trigger(spark, tmp_path):
+    """trigger(availableNow=True): drain everything committed so far and
+    stop — the batch-drain deployment mode of the reference's cron loop."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.sync_audit(_rows(spark, 1, 11))
+    t.sync_audit(_rows(spark, 1, 21))
+    q = (read_manifest_stream(spark, t.path)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "sink"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == 20
+
+
+def test_stream_behind_retention_fails_loudly(spark, tmp_path):
+    """A consumer whose checkpointed offset predates manifest retention
+    (vacuum dropped the commits it still needed) must fail with a clear
+    error, never silently skip the vacuumed commits' rows."""
+    import pytest
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    t.sync_audit(_rows(spark, 1, 6))
+    assert _drain(spark, t.path, sink, ck).count() == 5   # offset now v1
+
+    t.sync_audit(_rows(spark, 1, 11))    # v2 — never consumed
+    t.sync_audit(_rows(spark, 1, 16))    # v3
+    t.vacuum(keep_versions=1)            # drops m-1, m-2
+    assert t.versions() == [3]
+
+    q = (read_manifest_stream(spark, t.path)
+         .writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ck).start())
+    with pytest.raises(Exception, match="vacuumed|not found"):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    q.stop()
