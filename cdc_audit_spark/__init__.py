@@ -28,7 +28,11 @@ from cdc_audit_spark.sinks import (
     HardLinkClaimBackend,
     ManifestTable,
 )
-from cdc_audit_spark.sources import read_manifest_stream, register_manifest_stream
+from cdc_audit_spark.sources import (
+    read_manifest_stream,
+    register_manifest_stream,
+    register_manifest_table,
+)
 
 __all__ = [
     "ClaimBackend",
@@ -36,6 +40,7 @@ __all__ = [
     "HardLinkClaimBackend",
     "read_manifest_stream",
     "register_manifest_stream",
+    "register_manifest_table",
     "ManifestTable",
     "audit_schema",
     "audit_table_name",

@@ -29,10 +29,14 @@ _BUILD_CONF = {
     # non-ANSI integral arithmetic (wrap-around) — the hash-mixing operators
     # rely on Java long overflow semantics
     "spark.sql.ansi.enabled": "false",
+    # Catalyst filter pushdown into Python data sources: the
+    # manifest_table format prunes whole data dirs from pushed predicates
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 # Confs safe to set on a live session.
 _RUNTIME_CONF = {
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -10,6 +10,10 @@ from cdc_audit_spark.sources.manifest_stream import (
     read_manifest_stream,
     register_manifest_stream,
 )
+from cdc_audit_spark.sources.manifest_table import (
+    ManifestTableDataSource,
+    register_manifest_table,
+)
 
 __all__ = [
     "incremental_subquery",
@@ -18,6 +22,8 @@ __all__ = [
     "plan_incremental_batch",
     "poll_sync",
     "ManifestStreamDataSource",
+    "ManifestTableDataSource",
+    "register_manifest_table",
     "read_manifest_stream",
     "register_manifest_stream",
 ]

@@ -1,0 +1,274 @@
+"""Batch Spark FORMAT over ManifestTable: ``spark.read/write.format(
+"manifest_table")`` (Python DataSource API).
+
+Reads are metadata-pruned by Catalyst-pushed filters: ``pushFilters``
+receives the query's conjunctive predicates, the reader intersects the
+range/equality bounds with the per-dir column statistics the manifests
+record (``append(stats_cols=)`` / ``write_range_layout`` /
+``sync_audit``'s pk ranges), and whole dirs whose stats exclude the
+predicate are never listed — the user writes a plain ``df.filter(...)``
+and the skipping happens inside the source, exactly like file skipping
+in public table formats. All filters are RETURNED to Spark (re-applied
+after the scan), so pruning is purely an optimization and strict/closed
+bound differences cannot affect correctness. ``.option("version", N)``
+time-travels.
+
+Writes run THROUGH the commit protocol: each executor task streams its
+Arrow record batches into one parquet file inside a fresh data dir
+(``DataSourceArrowWriter`` — no row-at-a-time Python), and the driver's
+``commit`` publishes the manifest atomically — ``mode("append")``
+commits parent dirs + the new dir, ``mode("overwrite")`` commits only
+the new dir, pinned to the version observed at job start (a concurrent
+writer surfaces ``CommitConflict``, never silent loss). A failed job
+``abort``s by removing the unreferenced dir (also vacuum-reclaimable).
+Appends are schema-governed like ``ManifestTable.append``
+(``.option("onDrift", "evolve")`` admits additive drift).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from cdc_audit_spark.sources.manifest_stream import (
+    ManifestFilesPartition,
+    _manifest,
+    _versions,
+)
+
+__all__ = ["ManifestTableDataSource", "register_manifest_table"]
+
+_DATA_DIR = "data"
+
+
+def _arrow_batches(files: list[str], spark_schema: StructType):
+    """Read parquet files as record batches cast to the declared schema's
+    arrow form (shared with the streaming reader — see its rationale)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(spark_schema)
+    for f in files:
+        for batch in pq.ParquetFile(f).iter_batches():
+            yield pa.Table.from_batches([batch]).select(
+                target.names).cast(target).to_batches()[0]
+
+
+def _committed_schema(path: str) -> StructType | None:
+    import json
+
+    for v in reversed(_versions(path)):
+        m = _manifest(path, v)
+        if "schema" in m:
+            return StructType.fromJson(json.loads(m["schema"]))
+    return None
+
+
+class ManifestTableReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "manifest_table requires .option('path', <table dir>)")
+        self.path = path
+        self.version = (int(options["version"])
+                        if "version" in options else None)
+        self.spark_schema = schema
+        self._bounds: dict[str, list] = {}
+
+    def pushFilters(self, filters):
+        """Collect range/equality bounds per top-level column for dir
+        pruning; every filter is returned (Spark re-applies them), so the
+        stats-based skip is pure optimization."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col, v = attr[0], getattr(f, "value", None)
+            if v is None or isinstance(v, bool) or not isinstance(
+                    v, (int, float, str)):
+                continue
+            lo, hi = self._bounds.setdefault(col, [None, None])
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                self._bounds[col][0] = v if lo is None else max(lo, v)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                self._bounds[col][1] = v if hi is None else min(hi, v)
+            elif isinstance(f, EqualTo):
+                self._bounds[col] = [v, v]
+        return filters
+
+    def partitions(self):
+        from cdc_audit_spark.sinks.manifest import ManifestTable
+
+        # metadata-only use: dirs_pruned/manifest never touch the session
+        t = ManifestTable(None, self.path)
+        filters = {c: (lo, hi) for c, (lo, hi) in self._bounds.items()}
+        version = self.version
+        if version is None:
+            vs = _versions(self.path)
+            if not vs:
+                raise FileNotFoundError(f"no commits yet at {self.path}")
+            version = vs[-1]
+        m = _manifest(self.path, version)
+        dirs = t.dirs_pruned(filters, version=version) if filters else m["dirs"]
+        parts = []
+        for d in dirs:
+            full = os.path.join(self.path, d)
+            files = sorted(
+                os.path.join(full, f) for f in os.listdir(full)
+                if f.endswith(".parquet"))
+            parts.extend(ManifestFilesPartition([f]) for f in files)
+        return parts or [ManifestFilesPartition([])]
+
+    def read(self, partition: ManifestFilesPartition):
+        yield from _arrow_batches(partition.files, self.spark_schema)
+
+
+@dataclass
+class _WroteFiles(WriterCommitMessage):
+    files: list = field(default_factory=list)
+    rows: int = 0
+
+
+class ManifestTableWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "manifest_table requires .option('path', <table dir>)")
+        self.path = path
+        self.overwrite = overwrite
+        self.schema = schema
+        self.on_drift = options.get("ondrift", "fail")
+        # chosen on the driver, shared by every pickled task writer
+        self.rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
+        self.base_version = (_versions(path) or [None])[-1]
+        if not overwrite:
+            self._check_drift()
+
+    def _check_drift(self) -> None:
+        from cdc_audit_spark.schema import (
+            SchemaDriftError,
+            classify_schema_drift,
+            evolve_schema,
+        )
+
+        existing = _committed_schema(self.path)
+        if existing is None:
+            return
+        drift = classify_schema_drift(existing, self.schema)
+        if not (drift["added"] or drift["removed"] or drift["changed"]):
+            return
+        if self.on_drift == "fail":
+            raise SchemaDriftError(
+                f"schema drift vs manifest table {self.path}: {drift} "
+                "(.option('onDrift', 'evolve') admits additive drift)")
+        if self.on_drift != "evolve":
+            raise ValueError(
+                f"onDrift must be 'fail' or 'evolve', got {self.on_drift!r}")
+        evolve_schema(existing, self.schema)
+
+    def write(self, iterator):
+        import pyarrow.parquet as pq
+
+        out_dir = os.path.join(self.path, self.rel)
+        os.makedirs(out_dir, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(out_dir, name), batch.schema)
+                writer.write_batch(batch)
+                rows += len(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        return _WroteFiles(files=[name] if writer is not None else [],
+                           rows=rows)
+
+    def commit(self, messages):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from cdc_audit_spark.sinks.manifest import ManifestTable
+
+        n_files = sum(len(m.files) for m in messages if m is not None)
+        if n_files == 0:
+            # an all-empty write still commits a version: materialize the
+            # schema as one empty parquet file so reads stay well-formed
+            import pyarrow.parquet as pq
+            import pyarrow as pa
+
+            out_dir = os.path.join(self.path, self.rel)
+            os.makedirs(out_dir, exist_ok=True)
+            pq.write_table(
+                pa.table({f.name: [] for f in self.schema.fields},
+                         schema=to_arrow_schema(self.schema)),
+                os.path.join(out_dir, "part-empty.parquet"))
+        t = ManifestTable(None, self.path)
+        extra = {"schema": self.schema.json()}
+        if self.overwrite:
+            t._commit("overwrite", lambda parent: [self.rel],
+                      max_retries=1, extra=extra,
+                      expected_parent=self.base_version)
+        else:
+            t._commit(
+                "append",
+                lambda parent: (parent["dirs"] if parent else []) + [self.rel],
+                extra=extra)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, self.rel), ignore_errors=True)
+
+
+class ManifestTableDataSource(DataSource):
+    """``spark.read.format("manifest_table")`` /
+    ``df.write.format("manifest_table")`` after
+    :func:`register_manifest_table`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_table"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "manifest_table requires .option('path', <table dir>)")
+        sch = _committed_schema(path)
+        if sch is None:
+            raise ValueError(
+                f"no committed schema at {path}: the table has no commits "
+                "yet (write first, or pass .schema())")
+        return sch
+
+    def reader(self, schema: StructType) -> ManifestTableReader:
+        return ManifestTableReader(dict(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return ManifestTableWriter(dict(self.options), schema, overwrite)
+
+
+def register_manifest_table(spark) -> None:
+    """Idempotently register the ``manifest_table`` format."""
+    spark.dataSource.register(ManifestTableDataSource)

@@ -1,0 +1,149 @@
+"""The ``manifest_table`` batch FORMAT (Python DataSource API):
+spark.read/write.format("manifest_table") over the commit protocol, with
+Catalyst-pushed filters driving manifest-level dir pruning on reads and
+atomic manifest commits on writes.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+from cdc_audit_spark.sinks.manifest import CommitConflict, ManifestTable
+from cdc_audit_spark.sources.manifest_table import (
+    ManifestTableReader,
+    register_manifest_table,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+
+
+def test_format_write_read_roundtrip(spark, tmp_path):
+    register_manifest_table(spark)
+    p = str(tmp_path / "t")
+    _df(spark, 0, 100).write.format("manifest_table").option(
+        "path", p).mode("append").save()
+    _df(spark, 100, 200).write.format("manifest_table").option(
+        "path", p).mode("append").save()
+
+    t = ManifestTable(spark, p)
+    assert t.versions() == [1, 2]
+    assert [h["action"] for h in t.history()] == ["append", "append"]
+    got = spark.read.format("manifest_table").option("path", p).load()
+    want = t.read()
+    assert got.count() == 200
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # time travel option
+    assert (spark.read.format("manifest_table").option("path", p)
+            .option("version", 1).load().count()) == 100
+
+    # overwrite mode commits a single-dir version, history intact
+    _df(spark, 0, 5).write.format("manifest_table").option(
+        "path", p).mode("overwrite").save()
+    assert t.read().count() == 5
+    assert t.read(version=2).count() == 200
+
+
+def test_format_read_interops_with_native_writes(spark, tmp_path):
+    """Tables written by sync_audit/append are readable through the
+    format, and format-written tables are readable by ManifestTable —
+    one on-disk contract, two access paths."""
+    import datetime as dt
+
+    register_manifest_table(spark)
+    p = str(tmp_path / "t")
+    t = ManifestTable(spark, p)
+    audit = spark.range(1, 11).select(
+        F.col("id").alias("k"),
+        F.lit(dt.datetime(2026, 1, 1)).alias("audit_timestamp"),
+        F.lit("insert").alias("audit_event"),
+        F.col("id").alias("audit_pk"))
+    t.sync_audit(audit)
+    got = spark.read.format("manifest_table").option("path", p).load()
+    assert got.count() == 10
+    assert got.exceptAll(t.read()).count() == 0
+    assert t.watermark() == 10  # state untouched by the format read
+
+
+def test_pushed_filters_prune_dirs(spark, tmp_path):
+    """pushFilters → per-dir stats pruning: a narrow predicate over a
+    stats'd layout must plan FEWER input partitions, while results equal
+    the unpruned filtered read exactly."""
+    register_manifest_table(spark)
+    p = str(tmp_path / "t")
+    t = ManifestTable(spark, p)
+    for i in range(4):   # four dirs with disjoint v ranges, stats recorded
+        t.append(_df(spark, i * 100, (i + 1) * 100).coalesce(1),
+                 stats_cols=["v"])
+
+    rd = ManifestTableReader({"path": p}, t.schema())
+    all_parts = rd.partitions()
+    rd2 = ManifestTableReader({"path": p}, t.schema())
+    kept = rd2.pushFilters([GreaterThanOrEqual(("v",), 1000),
+                            LessThan(("v",), 1500)])
+    assert list(kept) == [GreaterThanOrEqual(("v",), 1000),
+                          LessThan(("v",), 1500)]  # Spark re-applies all
+    pruned_parts = rd2.partitions()
+    assert len(pruned_parts) < len(all_parts)
+    assert len(pruned_parts) == 1    # only dir 2 (v 1000-1990) survives
+
+    rd3 = ManifestTableReader({"path": p}, t.schema())
+    rd3.pushFilters([EqualTo(("v",), 50)])
+    assert len(rd3.partitions()) == 1
+
+    # e2e: the pushed-down plan returns exactly the right rows
+    got = (spark.read.format("manifest_table").option("path", p).load()
+           .filter("v >= 1000 and v < 1500"))
+    assert sorted(r["k"] for r in got.collect()) == list(range(100, 150))
+
+
+def test_format_write_schema_governance(spark, tmp_path):
+    register_manifest_table(spark)
+    p = str(tmp_path / "t")
+    _df(spark, 0, 10).write.format("manifest_table").option(
+        "path", p).mode("append").save()
+
+    widened = _df(spark, 10, 20).withColumn("extra", F.lit("x"))
+    with pytest.raises(Exception, match="drift"):
+        widened.write.format("manifest_table").option(
+            "path", p).mode("append").save()
+    # additive drift admitted explicitly; old rows read NULL for the
+    # new column under the mergeSchema read
+    widened.write.format("manifest_table").option("path", p).option(
+        "onDrift", "evolve").mode("append").save()
+    t = ManifestTable(spark, p)
+    assert t.read().count() == 20
+    assert t.read().filter("extra IS NULL").count() == 10
+
+
+def test_format_write_empty_and_concurrent_overwrite(spark, tmp_path):
+    register_manifest_table(spark)
+    p = str(tmp_path / "t")
+    _df(spark, 0, 10).write.format("manifest_table").option(
+        "path", p).mode("append").save()
+    # an all-empty append still commits a well-formed version
+    _df(spark, 0, 10).filter("k < 0").write.format("manifest_table").option(
+        "path", p).mode("append").save()
+    t = ManifestTable(spark, p)
+    assert t.current_version() == 2
+    assert t.read().count() == 10
+
+    # overwrite pinned at job start: an interleaved commit conflicts
+    from cdc_audit_spark.sources.manifest_table import ManifestTableWriter
+
+    w = ManifestTableWriter({"path": p}, t.schema(), overwrite=True)
+    t.append(_df(spark, 50, 55))          # racer lands mid-job
+    with pytest.raises(CommitConflict):
+        w.commit([])
+    assert 50 in {r["k"] for r in t.read().collect()}
+
+    # abort removes the unreferenced dir
+    w2 = ManifestTableWriter({"path": p}, t.schema(), overwrite=False)
+    os.makedirs(os.path.join(p, w2.rel), exist_ok=True)
+    w2.abort([])
+    assert not os.path.isdir(os.path.join(p, w2.rel))
