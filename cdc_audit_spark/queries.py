@@ -419,6 +419,46 @@ def cdc_manifest_stream_drain(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "cdc_manifest_format_rw",
+    f"WITH {_AUDIT_CTE} SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+    "c_mktsegment, audit_event, audit_timestamp, audit_pk FROM audit "
+    "WHERE audit_pk <= (SELECT max(audit_pk) // 2 FROM audit)",
+    "The manifest table as a first-class batch Spark FORMAT "
+    "(sources.manifest_table): the audit log lands as two stats-recorded "
+    "append commits, and the read goes through "
+    "spark.read.format('manifest_table') with a Catalyst-pushed audit_pk "
+    "filter — pushFilters intersects it with the per-dir stats and prunes "
+    "the second commit's dir inside the source; the filtered read-back "
+    "must equal the oracle's filtered audit CTE exactly",
+)
+def cdc_manifest_format_rw(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.sources.manifest_table import register_manifest_table
+
+    register_manifest_table(spark)
+    audit = customer_audit_log(spark, sf_dir).localCheckpoint(eager=True)
+    k = audit.agg(F.expr("max(audit_pk) div 2")).first()[0]
+    root = tempfile.mkdtemp(prefix="cdc_format_rw_")
+    try:
+        t = ManifestTable(spark, root)
+        t.append(audit.filter(F.col("audit_pk") <= k),
+                 stats_cols=["audit_pk"])
+        t.append(audit.filter(F.col("audit_pk") > k),
+                 stats_cols=["audit_pk"])
+        out = (spark.read.format("manifest_table").option("path", root).load()
+               .filter(F.col("audit_pk") <= F.lit(int(k)))
+               .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                       "c_mktsegment", "audit_event", "audit_timestamp",
+                       "audit_pk"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # Relational parity — projections / filters / predicates (SURVEY §2.2)
 # --------------------------------------------------------------------------
@@ -4396,16 +4436,17 @@ _DRIVER_WINDOW = [
     "range_join_click_windows", "semi_join_urgent_customers",
     "text_fingerprint", "text_language_id", "text_token_stats",
     "topk_orders_per_customer",
-    # the round-6 surface (no green row yet): storage-level pruned MERGE
-    # and the manifest streaming source
+    # the round-6 surface (no green rows yet): storage-level pruned MERGE,
+    # the manifest streaming source, and the batch manifest_table format
     "cdc_merge_replica_pruned", "cdc_manifest_stream_drain",
-    # 15 slots freshen the oldest r04 rows (2 rounds stale): TPC-H stars,
+    "cdc_manifest_format_rw",
+    # 14 slots freshen the oldest r04 rows (2 rounds stale): TPC-H stars,
     # CDC incremental/SCD2, and the heaviest LLM-pipeline anchors
     "cdc_incremental_agg", "cdc_scd2_history", "q1_pricing_summary",
     "q7_nation_volume", "q8_market_share", "q9_profit_by_nation_year",
     "q10_returned_items", "q18_large_orders", "q21_sole_late_supplier",
     "clean_pii_redact", "dedup_embedding_cosine", "embedding_quantize_int8",
-    "events_funnel", "text_bpe_token_counts", "tfidf_top_terms",
+    "events_funnel", "text_bpe_token_counts",
 ]
 
 
