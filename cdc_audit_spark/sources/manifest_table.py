@@ -23,6 +23,10 @@ writer surfaces ``CommitConflict``, never silent loss). A failed job
 ``abort``s by removing the unreferenced dir (also vacuum-reclaimable).
 Appends are schema-governed like ``ManifestTable.append``
 (``.option("onDrift", "evolve")`` admits additive drift).
+``.option("statsCols", "a,b")`` records the written dir's per-column
+min/max in the manifest for read-side pruning — each task folds its
+batches' bounds INLINE while writing (pyarrow min_max, no extra pass)
+and the driver merges them at commit.
 """
 
 from __future__ import annotations
@@ -144,6 +148,8 @@ class ManifestTableReader(DataSourceReader):
 class _WroteFiles(WriterCommitMessage):
     files: list = field(default_factory=list)
     rows: int = 0
+    # per-column [min, max] observed by this task (JSON-plain values)
+    stats: dict = field(default_factory=dict)
 
 
 class ManifestTableWriter(DataSourceArrowWriter):
@@ -156,6 +162,16 @@ class ManifestTableWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
         self.schema = schema
         self.on_drift = options.get("ondrift", "fail")
+        # columns whose per-dir min/max ride into the manifest for
+        # read-side pruning — computed INLINE by each task while it
+        # writes (no extra pass), merged at commit
+        self.stats_cols = [c.strip()
+                           for c in options.get("statscols", "").split(",")
+                           if c.strip()]
+        missing = [c for c in self.stats_cols
+                   if c not in set(schema.fieldNames())]
+        if missing:
+            raise ValueError(f"statsCols not in schema: {missing}")
         # chosen on the driver, shared by every pickled task writer
         self.rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
         self.base_version = (_versions(path) or [None])[-1]
@@ -185,13 +201,17 @@ class ManifestTableWriter(DataSourceArrowWriter):
         evolve_schema(existing, self.schema)
 
     def write(self, iterator):
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
+
+        from cdc_audit_spark.sinks.manifest import _plain
 
         out_dir = os.path.join(self.path, self.rel)
         os.makedirs(out_dir, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.parquet"
         writer = None
         rows = 0
+        stats: dict = {}
         try:
             for batch in iterator:
                 if writer is None:
@@ -199,11 +219,20 @@ class ManifestTableWriter(DataSourceArrowWriter):
                         os.path.join(out_dir, name), batch.schema)
                 writer.write_batch(batch)
                 rows += len(batch)
+                for c in self.stats_cols:
+                    mm = pc.min_max(batch.column(c))
+                    lo = _plain(mm["min"].as_py())
+                    hi = _plain(mm["max"].as_py())
+                    if lo is None:
+                        continue
+                    prev = stats.get(c)
+                    stats[c] = ([lo, hi] if prev is None
+                                else [min(prev[0], lo), max(prev[1], hi)])
         finally:
             if writer is not None:
                 writer.close()
         return _WroteFiles(files=[name] if writer is not None else [],
-                           rows=rows)
+                           rows=rows, stats=stats)
 
     def commit(self, messages):
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -225,6 +254,14 @@ class ManifestTableWriter(DataSourceArrowWriter):
                 os.path.join(out_dir, "part-empty.parquet"))
         t = ManifestTable(None, self.path)
         extra = {"schema": self.schema.json()}
+        merged: dict = {}
+        for m in messages:
+            for c, (lo, hi) in (getattr(m, "stats", None) or {}).items():
+                prev = merged.get(c)
+                merged[c] = ([lo, hi] if prev is None
+                             else [min(prev[0], lo), max(prev[1], hi)])
+        if merged:
+            extra["dir_meta"] = {self.rel: {"stats": merged}}
         if self.overwrite:
             t._commit("overwrite", lambda parent: [self.rel],
                       max_retries=1, extra=extra,

@@ -147,3 +147,55 @@ def test_format_write_empty_and_concurrent_overwrite(spark, tmp_path):
     os.makedirs(os.path.join(p, w2.rel), exist_ok=True)
     w2.abort([])
     assert not os.path.isdir(os.path.join(p, w2.rel))
+
+
+def test_format_write_records_stats_for_pruning(spark, tmp_path):
+    """.option('statsCols', ...): each task folds its batches' min/max
+    inline; the committed manifest carries merged per-dir stats, and a
+    later pushed-down read prunes format-written dirs too."""
+    register_manifest_table(spark)
+    p = str(tmp_path / "t")
+    for i in range(3):
+        (_df(spark, i * 100, (i + 1) * 100)
+         .write.format("manifest_table").option("path", p)
+         .option("statsCols", "v").mode("append").save())
+
+    t = ManifestTable(spark, p)
+    m = t.manifest(t.current_version())
+    assert len(m["dirs"]) == 3
+    stats = [m["dir_meta"][d]["stats"]["v"] for d in m["dirs"]]
+    assert sorted(stats) == [[0, 990], [1000, 1990], [2000, 2990]]
+
+    rd = ManifestTableReader({"path": p}, t.schema())
+    rd.pushFilters([GreaterThanOrEqual(("v",), 1000),
+                    LessThan(("v",), 1500)])
+    assert len({pt.files[0].rsplit("/", 2)[1] for pt in rd.partitions()}) == 1
+    got = (spark.read.format("manifest_table").option("path", p).load()
+           .filter("v >= 1000 and v < 1500"))
+    assert got.count() == 50
+
+    # unknown stats column refuses loudly
+    with pytest.raises(Exception, match="statsCols"):
+        _df(spark, 0, 1).write.format("manifest_table").option(
+            "path", p).option("statsCols", "nope").mode("append").save()
+
+
+def test_format_writes_feed_streaming_source(spark, tmp_path):
+    """Format-written append commits stream through manifest_stream —
+    the three access paths share one on-disk contract."""
+    from cdc_audit_spark.sources.manifest_stream import read_manifest_stream
+
+    register_manifest_table(spark)
+    p = str(tmp_path / "t")
+    _df(spark, 0, 50).write.format("manifest_table").option(
+        "path", p).mode("append").save()
+    _df(spark, 50, 100).write.format("manifest_table").option(
+        "path", p).mode("append").save()
+    q = (read_manifest_stream(spark, p)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "sink"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(str(tmp_path / "sink"))
+    assert sorted(r["k"] for r in got.collect()) == list(range(100))
