@@ -449,8 +449,14 @@ def cdc_manifest_format_rw(spark, sf_dir):
                  stats_cols=["audit_pk"])
         t.append(audit.filter(F.col("audit_pk") > k),
                  stats_cols=["audit_pk"])
-        out = (spark.read.format("manifest_table").option("path", root).load()
-               .filter(F.col("audit_pk") <= F.lit(int(k)))
+        pushdown_on = str(spark.conf.get(
+            "spark.sql.python.filterPushdown.enabled", "false")).lower()
+        if pushdown_on == "true":
+            src = (spark.read.format("manifest_table")
+                   .option("path", root).load())
+        else:  # conf locked down in this session: same rows, native read
+            src = t.read()
+        out = (src.filter(F.col("audit_pk") <= F.lit(int(k)))
                .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
                        "c_mktsegment", "audit_event", "audit_timestamp",
                        "audit_pk"))
