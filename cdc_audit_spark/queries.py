@@ -399,6 +399,7 @@ def cdc_manifest_stream_drain(spark, sf_dir):
     k = audit.agg(F.expr("max(audit_pk) div 2")).first()[0]
     root = tempfile.mkdtemp(prefix="cdc_stream_drain_")
     name = f"drain_{_uuid.uuid4().hex[:12]}"
+    q = None
     try:
         t = ManifestTable(spark, root + "/t")
         t.sync_audit(audit.filter(F.col("audit_pk") <= k))
@@ -408,13 +409,16 @@ def cdc_manifest_stream_drain(spark, sf_dir):
              .writeStream.format("memory").queryName(name)
              .option("checkpointLocation", root + "/ck").start())
         q.processAllAvailable()
-        q.stop()
         out = spark.table(name).select(
             "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
             "audit_event", "audit_timestamp", "audit_pk",
         )
         return out.localCheckpoint(eager=True)
     finally:
+        # stop BEFORE deleting the table/checkpoint: a failed drain must
+        # not leave an active query scheduling against removed paths
+        if q is not None:
+            q.stop()
         spark.catalog.dropTempView(name)
         shutil.rmtree(root, ignore_errors=True)
 

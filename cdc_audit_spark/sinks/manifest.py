@@ -377,7 +377,8 @@ class ManifestTable:
             r = df.agg(*agg_cols).first()
             if pk_range_col is not None and r["__pk_lo"] is not None:
                 meta.update(pk_min=int(r["__pk_lo"]),
-                            pk_max=int(r["__pk_hi"]))
+                            pk_max=int(r["__pk_hi"]),
+                            pk_col=pk_range_col)
             stats = {c: [_plain(r[f"__lo_{c}"]), _plain(r[f"__hi_{c}"])]
                      for c in stats_cols or []
                      if _plain(r[f"__lo_{c}"]) is not None}
@@ -580,7 +581,8 @@ class ManifestTable:
         self._commit("append", dirs, extra={
             "watermark": new_wm,
             "schema": audit_df.schema.json(),
-            "dir_meta": {rel: {"pk_min": wm + 1, "pk_max": new_wm}},
+            "dir_meta": {rel: {"pk_min": wm + 1, "pk_max": new_wm,
+                               "pk_col": audit_pk}},
         })
         return SyncResult(n, new_wm, self.path)
 
@@ -655,10 +657,13 @@ class ManifestTable:
                     version: int | None = None) -> list[str]:
         """Dirs that may hold rows satisfying EVERY ``col: (lo, hi)``
         range filter, judged by the per-dir stats ``append(stats_cols=)``
-        recorded. A dir without stats for a filtered column is kept
-        conservatively; a bound of None means unbounded on that side.
-        Datetime bounds compare as ISO strings (pass datetimes or ISO
-        strings — both order correctly)."""
+        recorded — plus the pk ranges sync_audit / write_range_layout /
+        append(pk_range_col=) record (their column rides in ``pk_col``).
+        A dir without stats for a filtered column is kept conservatively,
+        as is any bound that cannot be compared to the recorded type; a
+        bound of None means unbounded on that side. Datetime bounds
+        compare as ISO strings (pass datetimes or ISO strings — both
+        order correctly)."""
         if version is None:
             version = self.current_version()
         if version is None:
@@ -666,15 +671,27 @@ class ManifestTable:
         m = self.manifest(version)
         meta = m.get("dir_meta", {})
 
+        def excluded(dlo, dhi, lo, hi) -> bool:
+            try:
+                if lo is not None:
+                    plo = _plain(lo)
+                    if plo is not None and dhi < plo:
+                        return True
+                if hi is not None:
+                    phi = _plain(hi)
+                    if phi is not None and dlo > phi:
+                        return True
+            except TypeError:  # incomparable bound/stat types: keep
+                return False
+            return False
+
         def keep(d: str) -> bool:
-            st = meta.get(d, {}).get("stats", {})
+            dm = meta.get(d, {})
+            st = dict(dm.get("stats", {}))
+            if "pk_min" in dm and dm.get("pk_col"):
+                st.setdefault(dm["pk_col"], [dm["pk_min"], dm["pk_max"]])
             for c, (lo, hi) in filters.items():
-                if c not in st:
-                    continue
-                dlo, dhi = st[c]
-                if lo is not None and _plain(dhi) < _plain(lo):
-                    return False
-                if hi is not None and _plain(dlo) > _plain(hi):
+                if c in st and excluded(st[c][0], st[c][1], lo, hi):
                     return False
             return True
 
@@ -777,13 +794,22 @@ class ManifestTable:
                       wm: int, audit_pk: str):
         """Incremental storage-level MERGE: ONE aggregation over the delta
         yields its count, watermark, key bounds AND the per-dir touched
-        flags; the rewrite reuses the touched dirs' committed range
-        boundaries for bucket assignment (no re-quantile — the rewritten
-        rows are scanned exactly once, by the write), and the new dirs'
-        range metadata is the touched ranges widened by the delta's key
-        bounds — conservative, so pruning stays correct without another
-        pass. Two Spark jobs per merge: the delta aggregate and the
-        rewrite write."""
+        flags; the rewrite reuses the committed boundaries for bucket
+        assignment (no re-quantile — the rewritten rows are scanned
+        exactly once, by the write). Two Spark jobs per merge: the delta
+        aggregate and the rewrite write.
+
+        Touch detection and bucket assignment both work on OWNERSHIP
+        intervals, not the recorded [pk_min, pk_max] content ranges: the
+        dirs' sorted lower bounds partition the whole keyline (dir i owns
+        [lo_i, lo_{i+1}-1]; the first dir extends to -inf, the last to
+        +inf), so a delta key in a GAP between content ranges — normal
+        for sparse key spaces — deterministically belongs to exactly one
+        dir, touches it, and is bucketed back into its replacement. The
+        new dirs record their ownership span (edges widened by the
+        delta's key bounds) as pk range — a conservative superset of the
+        actual content, so read-side pruning stays correct and future
+        ownership computations see the same partition points."""
         from pyspark.sql import functions as F
 
         from cdc_audit_spark.capture import apply_changes
@@ -794,10 +820,27 @@ class ManifestTable:
         ranged = [(d, meta[d]["pk_min"], meta[d]["pk_max"])
                   for d in m["dirs"] if "pk_min" in meta.get(d, {})]
         bare = [d for d in m["dirs"] if "pk_min" not in meta.get(d, {})]
+        ranged.sort(key=lambda t: t[1])
+        # ownership interval per ranged dir (complete, disjoint keyline
+        # cover): [own_lo, own_hi], None = unbounded
+        own = []
+        for j, (d, lo, hi) in enumerate(ranged):
+            own_lo = lo if j > 0 else None
+            own_hi = ranged[j + 1][1] - 1 if j + 1 < len(ranged) else None
+            own.append((own_lo, own_hi))
+
+        def owned(j):
+            cond = F.lit(True)
+            if own[j][0] is not None:
+                cond = cond & (F.col(key) >= F.lit(own[j][0]))
+            if own[j][1] is not None:
+                cond = cond & (F.col(key) <= F.lit(own[j][1]))
+            return cond
+
         aggs = [F.count("*").alias("__n"), F.max(audit_pk).alias("__mx"),
                 F.min(key).alias("__klo"), F.max(key).alias("__khi")]
-        aggs += [F.max(F.col(key).between(F.lit(lo), F.lit(hi)).cast("int"))
-                 .alias(f"__d{i}") for i, (_, lo, hi) in enumerate(ranged)]
+        aggs += [F.max(owned(j).cast("int")).alias(f"__d{j}")
+                 for j in range(len(ranged))]
         r = delta.agg(*aggs).first()
         n = int(r["__n"])
         if n == 0:
@@ -805,14 +848,8 @@ class ManifestTable:
         new_wm = max(wm, int(r["__mx"]))
         klo, khi = int(r["__klo"]), int(r["__khi"])
 
-        by_lo = sorted(range(len(ranged)), key=lambda i: ranged[i][1])
-        touched_idx = {i for i in range(len(ranged)) if r[f"__d{i}"]}
-        if ranged:
-            if klo < min(lo for _, lo, _ in ranged):
-                touched_idx.add(by_lo[0])     # lowest range adopts
-            if khi > max(hi for _, _, hi in ranged):
-                touched_idx.add(by_lo[-1])    # highest range adopts
-        touched = bare + [ranged[i][0] for i in sorted(touched_idx)]
+        touched_idx = sorted(j for j in range(len(ranged)) if r[f"__d{j}"])
+        touched = bare + [ranged[j][0] for j in touched_idx]
         untouched = [d for d in m["dirs"] if d not in set(touched)]
 
         if touched:
@@ -827,8 +864,14 @@ class ManifestTable:
             new_dirs, new_meta = self._write_range_dirs(
                 new_rows, key, max(1, len(touched)))
         else:
-            spans = [list(ranged[i][1:]) for i in sorted(touched_idx,
-                     key=lambda i: ranged[i][1])]
+            # span of touched dir j = its ownership hull: lo_j ..
+            # min(own_hi_j, recorded hi widened) — content (old rows +
+            # adopted gap keys) provably falls inside it
+            spans = []
+            for j in touched_idx:
+                lo = ranged[j][1]
+                hi = own[j][1] if own[j][1] is not None else ranged[j][2]
+                spans.append([lo, hi])
             spans[0][0] = min(spans[0][0], klo)
             spans[-1][1] = max(spans[-1][1], khi)
             new_dirs, new_meta = self._write_assigned_dirs(
@@ -863,7 +906,8 @@ class ManifestTable:
             int(nm.split("=", 1)[1]) for nm in os.listdir(out)
             if nm.startswith("__bucket="))
         dirs = [f"{rel}/__bucket={b}" for b in present]
-        meta = {d: {"pk_min": int(spans[b][0]), "pk_max": int(spans[b][1])}
+        meta = {d: {"pk_min": int(spans[b][0]), "pk_max": int(spans[b][1]),
+                    "pk_col": key}
                 for d, b in zip(dirs, present)}
         return dirs, meta
 
@@ -899,65 +943,39 @@ class ManifestTable:
         """Write ``df`` once, split into up to ``n_buckets`` disjoint
         key-range subdirs; return (dirs, dir_meta) for the commit. The
         bucket id is a map-side comparison chain against the approximate
-        quantile boundaries — no extra shuffle beyond the write's own."""
+        quantile boundaries — no extra shuffle beyond the write's own.
+        ``df`` is evaluated three times (quantiles, write, range agg), so
+        its lineage is persisted for the duration — without this a merge/
+        bootstrap input carrying a join+window recomputes per pass."""
         from pyspark.sql import functions as F
+        from pyspark.storagelevel import StorageLevel
 
-        bounds = [] if n_buckets <= 1 else sorted(set(
-            df.approxQuantile(key, [i / n_buckets
-                                    for i in range(1, n_buckets)], 0.001)))
-        bucket = F.lit(0)
-        for b in bounds:
-            bucket = bucket + (F.col(key) >= F.lit(float(b))).cast("int")
-        rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
-        (df.withColumn("__bucket", bucket)
-           .repartition("__bucket")
-           .sortWithinPartitions(key)
-           .write.partitionBy("__bucket")
-           .parquet(os.path.join(self.path, rel)))
-        ranges = (df.withColumn("__bucket", bucket)
-                  .groupBy("__bucket")
-                  .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
-                  .collect())
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            bounds = [] if n_buckets <= 1 else sorted(set(
+                df.approxQuantile(key, [i / n_buckets
+                                        for i in range(1, n_buckets)],
+                                  0.001)))
+            bucket = F.lit(0)
+            for b in bounds:
+                bucket = bucket + (F.col(key) >= F.lit(float(b))).cast("int")
+            rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
+            (df.withColumn("__bucket", bucket)
+               .repartition("__bucket")
+               .sortWithinPartitions(key)
+               .write.partitionBy("__bucket")
+               .parquet(os.path.join(self.path, rel)))
+            ranges = (df.withColumn("__bucket", bucket)
+                      .groupBy("__bucket")
+                      .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+                      .collect())
+        finally:
+            df.unpersist()
         dirs = [f"{rel}/__bucket={int(r['__bucket'])}" for r in ranges]
-        meta = {d: {"pk_min": int(r["lo"]), "pk_max": int(r["hi"])}
+        meta = {d: {"pk_min": int(r["lo"]), "pk_max": int(r["hi"]),
+                    "pk_col": key}
                 for d, r in zip(dirs, ranges)}
         return dirs, meta
-
-    def _touched_dirs(self, manifest: dict, delta: DataFrame,
-                      key: str) -> tuple[list[str], list[str]]:
-        """Split the manifest's dirs into (touched, untouched) w.r.t. the
-        delta's ``key`` values, using the committed per-dir ranges. One
-        small aggregation over the delta — never a collect of keys. A dir
-        without range metadata is conservatively touched; delta keys
-        outside every range touch the edge dirs (they adopt the new
-        keys)."""
-        from pyspark.sql import functions as F
-
-        meta = manifest.get("dir_meta", {})
-        ranged = [(d, meta[d]["pk_min"], meta[d]["pk_max"])
-                  for d in manifest["dirs"] if d in meta]
-        bare = [d for d in manifest["dirs"] if d not in meta]
-        if not ranged:
-            return list(manifest["dirs"]), []
-        glo = min(lo for _, lo, _ in ranged)
-        ghi = max(hi for _, _, hi in ranged)
-        flags = delta.agg(
-            *[F.max(F.col(key).between(F.lit(lo), F.lit(hi)).cast("int"))
-              .alias(f"d{i}") for i, (_, lo, hi) in enumerate(ranged)],
-            F.max((F.col(key) < F.lit(glo)).cast("int")).alias("below"),
-            F.max((F.col(key) > F.lit(ghi)).cast("int")).alias("above"),
-        ).first()
-        touched = set(bare)
-        by_lo = sorted(range(len(ranged)), key=lambda i: ranged[i][1])
-        for i, (d, _, _) in enumerate(ranged):
-            if flags[f"d{i}"]:
-                touched.add(d)
-        if flags["below"]:
-            touched.add(ranged[by_lo[0]][0])    # lowest range adopts
-        if flags["above"]:
-            touched.add(ranged[by_lo[-1]][0])   # highest range adopts
-        return ([d for d in manifest["dirs"] if d in touched],
-                [d for d in manifest["dirs"] if d not in touched])
 
     # ------------------------------------------------------- verify/repair
 
@@ -1052,6 +1070,12 @@ class ManifestTable:
             if v not in keep:
                 os.unlink(_checkpoint_path(self.path, v))
                 n_ckpt += 1
+        # the RETAINED checkpoints still offer time travel to their exact
+        # versions (manifest() falls back to them), so their data dirs
+        # must survive the sweep; the space is reclaimed once a newer
+        # checkpoint supersedes them on a later vacuum
+        for v in self.checkpoints():
+            referenced |= set(self.manifest(v)["dirs"])
         n_dirs = n_young = 0
         cutoff = time.time() - retain_seconds
         ddir = os.path.join(self.path, _DATA_DIR)

@@ -110,7 +110,7 @@ class ManifestStreamReader(DataSourceStreamReader):
             m = _manifest(self.path, v)
             if m["action"] != "append":
                 continue  # rewrites (compact/merge/repair) are not new rows
-            for d in m.get("added", m["dirs"]):
+            for d in self._added_dirs(m):
                 full = os.path.join(self.path, d)
                 files = sorted(
                     os.path.join(full, f) for f in os.listdir(full)
@@ -120,19 +120,36 @@ class ManifestStreamReader(DataSourceStreamReader):
                     parts.append(ManifestFilesPartition(files))
         return parts
 
-    def read(self, partition: ManifestFilesPartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
+    def _added_dirs(self, m: dict) -> list[str]:
+        """The dirs commit ``m`` introduced. Manifests record this as
+        ``added``; for a legacy manifest the parent diff reconstructs it
+        — and a vacuumed parent fails LOUDLY rather than falling back to
+        the cumulative dir list, which would re-emit every inherited
+        dir's rows (silent duplicates)."""
+        if "added" in m:
+            return m["added"]
+        if m.get("parent") is None:
+            return m["dirs"]
+        try:
+            parent_dirs = set(_manifest(self.path, m["parent"])["dirs"])
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"cannot stream version {m['version']} at {self.path}: the "
+                "manifest predates the 'added' record and its parent "
+                f"manifest {m['parent']} was vacuumed — the commit's delta "
+                "is unrecoverable; restart the consumer from a newer "
+                "startingVersion"
+            ) from e
+        return [d for d in m["dirs"] if d not in parent_dirs]
 
+    def read(self, partition: ManifestFilesPartition):
         # cast to the DECLARED schema's arrow form: parquet-native types
         # (e.g. nanosecond/INT96 timestamps) are not all ingestible by
-        # Spark's arrow path, and column order must match the plan
-        target = to_arrow_schema(self.spark_schema)
-        for f in partition.files:
-            for batch in pq.ParquetFile(f).iter_batches():
-                yield pa.Table.from_batches([batch]).select(
-                    target.names).cast(target).to_batches()[0]
+        # Spark's arrow path, column order must match the plan, and
+        # pre-evolution files surface NULLs for later-added columns
+        from cdc_audit_spark.sources.manifest_table import _arrow_batches
+
+        yield from _arrow_batches(partition.files, self.spark_schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the consumer's checkpoint
@@ -147,17 +164,19 @@ class ManifestStreamDataSource(DataSource):
         return "manifest_stream"
 
     def schema(self) -> StructType:
+        from cdc_audit_spark.sources.manifest_table import _committed_schema
+
         path = self.options.get("path")
         if not path:
             raise ValueError(
                 "manifest_stream requires .option('path', <table dir>)")
-        for v in reversed(_versions(path)):
-            m = _manifest(path, v)
-            if "schema" in m:
-                return StructType.fromJson(json.loads(m["schema"]))
-        raise ValueError(
-            f"no committed schema at {path}: the table has no commits yet "
-            "(start the stream after the first commit, or pass .schema())")
+        sch = _committed_schema(path)  # all-nullable: mergeSchema semantics
+        if sch is None:
+            raise ValueError(
+                f"no committed schema at {path}: the table has no commits "
+                "yet (start the stream after the first commit, or pass "
+                ".schema())")
+        return sch
 
     def streamReader(self, schema: StructType) -> ManifestStreamReader:
         return ManifestStreamReader(dict(self.options), schema)

@@ -62,7 +62,10 @@ _DATA_DIR = "data"
 
 def _arrow_batches(files: list[str], spark_schema: StructType):
     """Read parquet files as record batches cast to the declared schema's
-    arrow form (shared with the streaming reader — see its rationale)."""
+    arrow form (shared with the streaming reader — see its rationale).
+    A column the file predates (additive schema evolution via
+    ``on_drift='evolve'``) surfaces as NULLs, matching the native
+    mergeSchema read."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -70,17 +73,34 @@ def _arrow_batches(files: list[str], spark_schema: StructType):
     target = to_arrow_schema(spark_schema)
     for f in files:
         for batch in pq.ParquetFile(f).iter_batches():
-            yield pa.Table.from_batches([batch]).select(
-                target.names).cast(target).to_batches()[0]
+            tbl = pa.Table.from_batches([batch])
+            cols = []
+            for field in target:
+                if field.name in tbl.column_names:
+                    cols.append(tbl.column(field.name).cast(field.type))
+                else:
+                    cols.append(pa.nulls(len(tbl), field.type))
+            out = pa.Table.from_arrays(cols, schema=target)
+            yield from out.combine_chunks().to_batches()
 
 
 def _committed_schema(path: str) -> StructType | None:
+    """The table's committed schema with every field NULLABLE — matching
+    parquet/mergeSchema read semantics: rows written before an additive
+    evolution surface NULL for the later-added columns, so a column's
+    writer-side non-nullability cannot hold table-wide."""
     import json
+
+    from pyspark.sql.types import StructField
 
     for v in reversed(_versions(path)):
         m = _manifest(path, v)
         if "schema" in m:
-            return StructType.fromJson(json.loads(m["schema"]))
+            sch = StructType.fromJson(json.loads(m["schema"]))
+            return StructType([
+                StructField(f.name, f.dataType, True, f.metadata)
+                for f in sch.fields
+            ])
     return None
 
 

@@ -1234,3 +1234,107 @@ def test_pruned_merge_random_walk_matches_model(spark, tmp_path):
             t.compact(range_by=["k"])
             got = {r["k"]: r["v"] for r in t.read().collect()}
             assert got == model
+
+
+def _handcraft_ranged_table(spark, path, spans):
+    """A replica table whose dirs have EXACT recorded pk ranges (with
+    deliberate gaps) — built through the real commit path."""
+    t = ManifestTable(spark, path)
+    dirs, meta = [], {}
+    for lo, hi in spans:
+        df = (spark.range(lo, hi + 1)
+              .select(F.col("id").alias("k"), F.col("id").alias("v")))
+        rel = t._write_data_dir(df)
+        dirs.append(rel)
+        meta[rel] = {"pk_min": lo, "pk_max": hi, "pk_col": "k"}
+    t._commit("overwrite", lambda parent: dirs, max_retries=1,
+              extra={"watermark": 0, "dir_meta": meta,
+                     "schema": df.schema.json()})
+    return t
+
+
+def test_pruned_merge_gap_keys(spark, tmp_path):
+    """Delta keys in GAPS between committed content ranges (normal for
+    sparse key spaces). A gap-only insert must not crash, and a gap key
+    must land in a dir whose recorded range COVERS it, so later merges
+    touching that key find its old row (no silent duplicates)."""
+    from cdc_audit_spark.capture import apply_changes
+
+    # (a) the whole delta in a gap
+    t = _handcraft_ranged_table(spark, str(tmp_path / "a"),
+                                [(0, 10), (20, 30)])
+    log1 = spark.createDataFrame([(15, 150, "insert", 1)],
+                                 "k long, v long, audit_event string, audit_pk long")
+    r = t.merge_audit(log1, ["k"], pruned=True)
+    assert r.rows_synced == 1
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[15] == 150 and len(got) == 23
+    # the adopting dir's recorded range covers 15 → a later update finds it
+    log2 = log1.unionByName(spark.createDataFrame(
+        [(15, 151, "update", 2)],
+        "k long, v long, audit_event string, audit_pk long"))
+    t.merge_audit(log2, ["k"], pruned=True)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[15] == 151
+    assert t.read().count() == 23          # no duplicate key 15
+
+    # (b) gap key riding along with touched edge dirs (the review's
+    # corruption scenario): dirs [0,10],[20,30],[40,50], delta {5,15,45}
+    t2 = _handcraft_ranged_table(spark, str(tmp_path / "b"),
+                                 [(0, 10), (20, 30), (40, 50)])
+    boot_model = {k: k for ks in [(0, 10), (20, 30), (40, 50)]
+                  for k in range(ks[0], ks[1] + 1)}
+    log3 = spark.createDataFrame(
+        [(5, 500, "update", 1), (15, 1500, "insert", 2),
+         (45, 4500, "update", 3)],
+        "k long, v long, audit_event string, audit_pk long")
+    t2.merge_audit(log3, ["k"], pruned=True)
+    got = {r["k"]: r["v"] for r in t2.read().collect()}
+    model = {**boot_model, 5: 500, 15: 1500, 45: 4500}
+    assert got == model
+    # and the middle dir [20,30] was NOT rewritten
+    m = t2.manifest(t2.current_version())
+    mid = [d for d, dm in m["dir_meta"].items()
+           if dm.get("pk_min") == 20 and d in m["dirs"]]
+    assert mid
+    # later update of the gap key converges (its old row is findable)
+    log4 = log3.unionByName(spark.createDataFrame(
+        [(15, 1501, "update", 4)],
+        "k long, v long, audit_event string, audit_pk long"))
+    t2.merge_audit(log4, ["k"], pruned=True)
+    got = {r["k"]: r["v"] for r in t2.read().collect()}
+    assert got[15] == 1501 and t2.read().count() == len(model)
+
+
+def test_vacuum_keeps_retained_checkpoint_dirs(spark, tmp_path):
+    """The retained checkpoint's versions stay time-travelable after
+    vacuum: their data dirs must survive the sweep even when no kept
+    MANIFEST references them (compact-after-checkpoint)."""
+    t = ManifestTable(spark, str(tmp_path / "t"), checkpoint_interval=2)
+    t.append(_rows(spark, 0, 5))
+    t.append(_rows(spark, 5, 10))      # version 2 → ckpt-2
+    t.compact()                        # version 3: overwrite, new dir
+    assert t.checkpoints() == [2]
+    t.vacuum(keep_versions=1, retain_seconds=0)
+    assert t.versions() == [3]
+    assert t.checkpoints() == [2]
+    # the checkpointed version still reads — its dirs were protected
+    assert t.read(version=2).count() == 10
+    assert t.read().count() == 10
+
+
+def test_dirs_pruned_pk_ranges_and_robust_bounds(spark, tmp_path):
+    """sync_audit's pk ranges participate in pruning (pk_col is
+    recorded), and uncomparable filter bounds skip pruning instead of
+    raising."""
+    import decimal
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.sync_audit(_rows(spark, 1, 11))     # pk 1-10
+    t.sync_audit(_rows(spark, 11, 21))    # pk 11-20
+
+    assert len(t.dirs_pruned({"audit_pk": (15, None)})) == 1
+    assert t.read_pruned({"audit_pk": (15, None)}).count() == 6
+    # uncomparable bounds: conservative, never a crash
+    assert len(t.dirs_pruned({"audit_pk": (decimal.Decimal("15"), None)})) == 2
+    assert len(t.dirs_pruned({"audit_pk": ("x", None)})) == 2

@@ -199,3 +199,73 @@ def test_format_writes_feed_streaming_source(spark, tmp_path):
     q.stop()
     got = spark.read.parquet(str(tmp_path / "sink"))
     assert sorted(r["k"] for r in got.collect()) == list(range(100))
+
+
+def test_format_reads_evolved_schema_tables(spark, tmp_path):
+    """Files written before an additive schema evolution lack the new
+    column; both the batch format and the streaming source must surface
+    NULLs for it (like the native mergeSchema read), not crash."""
+    from cdc_audit_spark.sources.manifest_stream import read_manifest_stream
+
+    register_manifest_table(spark)
+    p = str(tmp_path / "t")
+    t = ManifestTable(spark, p)
+    t.append(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 20).withColumn("extra", F.lit("x")),
+             on_drift="evolve")
+
+    got = spark.read.format("manifest_table").option("path", p).load()
+    assert got.count() == 20
+    assert got.filter("extra IS NULL").count() == 10
+    assert got.filter("extra = 'x'").count() == 10
+
+    q = (read_manifest_stream(spark, p)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "sink"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    sunk = spark.read.parquet(str(tmp_path / "sink"))
+    assert sunk.count() == 20
+    assert sunk.filter("extra IS NULL").count() == 10
+
+
+def test_stream_legacy_manifest_without_added(spark, tmp_path):
+    """Manifests written before the 'added' record: the parent diff
+    reconstructs each commit's delta (no duplicate emission); a vacuumed
+    parent fails loudly instead of re-emitting inherited dirs."""
+    import json
+
+    from cdc_audit_spark.sources.manifest_stream import (
+        ManifestStreamReader,
+        read_manifest_stream,
+    )
+
+    p = str(tmp_path / "t")
+    t = ManifestTable(spark, p)
+    t.append(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 20))
+    # strip the modern 'added' records (legacy table)
+    mdir = os.path.join(p, "_manifests")
+    for name in os.listdir(mdir):
+        full = os.path.join(mdir, name)
+        with open(full) as f:
+            m = json.load(f)
+        m.pop("added", None)
+        with open(full, "w") as f:
+            json.dump(m, f)
+
+    q = (read_manifest_stream(spark, p)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "sink"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(str(tmp_path / "sink"))
+    assert sorted(r["k"] for r in got.collect()) == list(range(20))  # once
+
+    # parent vacuumed: the delta of v2 is unrecoverable — loud failure
+    os.unlink(os.path.join(mdir, "m-000000000001.json"))
+    rd = ManifestStreamReader({"path": p}, t.schema())
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        rd.partitions({"version": 0}, {"version": 2})
