@@ -416,10 +416,16 @@ def cdc_manifest_stream_drain(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         # stop BEFORE deleting the table/checkpoint: a failed drain must
-        # not leave an active query scheduling against removed paths
+        # not leave an active query scheduling against removed paths —
+        # and a failing stop() must not skip the cleanup below or mask
+        # the original error
+        import contextlib
+
         if q is not None:
-            q.stop()
-        spark.catalog.dropTempView(name)
+            with contextlib.suppress(Exception):
+                q.stop()
+        with contextlib.suppress(Exception):
+            spark.catalog.dropTempView(name)
         shutil.rmtree(root, ignore_errors=True)
 
 

@@ -817,9 +817,20 @@ class ManifestTable:
 
         m = self.manifest(base)
         meta = m.get("dir_meta", {})
-        ranged = [(d, meta[d]["pk_min"], meta[d]["pk_max"])
-                  for d in m["dirs"] if "pk_min" in meta.get(d, {})]
-        bare = [d for d in m["dirs"] if "pk_min" not in meta.get(d, {})]
+
+        def range_of(d):
+            # a recorded range is a MERGE-KEY ownership interval only if
+            # it describes the merge key: ranges over another column
+            # (e.g. audit_pk from sync_audit) or of unknown provenance
+            # are conservatively bare → quantile-fallback rewrite
+            dm = meta.get(d, {})
+            if "pk_min" in dm and dm.get("pk_col") == key:
+                return dm["pk_min"], dm["pk_max"]
+            return None
+
+        ranged = [(d, *range_of(d)) for d in m["dirs"]
+                  if range_of(d) is not None]
+        bare = [d for d in m["dirs"] if range_of(d) is None]
         ranged.sort(key=lambda t: t[1])
         # ownership interval per ranged dir (complete, disjoint keyline
         # cover): [own_lo, own_hi], None = unbounded
@@ -950,7 +961,10 @@ class ManifestTable:
         from pyspark.sql import functions as F
         from pyspark.storagelevel import StorageLevel
 
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        lvl = df.storageLevel
+        owns_cache = not (lvl.useMemory or lvl.useDisk)
+        if owns_cache:  # never clobber a cache the caller owns
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             bounds = [] if n_buckets <= 1 else sorted(set(
                 df.approxQuantile(key, [i / n_buckets
@@ -970,7 +984,8 @@ class ManifestTable:
                       .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
                       .collect())
         finally:
-            df.unpersist()
+            if owns_cache:
+                df.unpersist()
         dirs = [f"{rel}/__bucket={int(r['__bucket'])}" for r in ranges]
         meta = {d: {"pk_min": int(r["lo"]), "pk_max": int(r["hi"]),
                     "pk_col": key}
@@ -1078,18 +1093,36 @@ class ManifestTable:
             referenced |= set(self.manifest(v)["dirs"])
         n_dirs = n_young = 0
         cutoff = time.time() - retain_seconds
+
+        def sweep(full: str, rel: str) -> None:
+            nonlocal n_dirs, n_young
+            if not force and self._dir_mtime(full) > cutoff:
+                n_young += 1  # possibly an in-flight commit: retained
+                return
+            shutil.rmtree(full)
+            n_dirs += 1
+
         ddir = os.path.join(self.path, _DATA_DIR)
         if os.path.isdir(ddir):
             for name in os.listdir(ddir):
                 rel = os.path.join(_DATA_DIR, name)
+                full = os.path.join(ddir, name)
                 if rel in referenced:
                     continue
-                full = os.path.join(ddir, name)
-                if not force and self._dir_mtime(full) > cutoff:
-                    n_young += 1  # possibly an in-flight commit: retained
+                # a range-layout write registers its __bucket SUBDIRS as
+                # manifest dirs: the parent is then partially referenced
+                # and must not be swept whole; only its unreferenced
+                # bucket subdirs are eligible
+                kids = {r for r in referenced
+                        if r.startswith(rel + os.sep)}
+                if not kids:
+                    sweep(full, rel)
                     continue
-                shutil.rmtree(full)
-                n_dirs += 1
+                for sub in os.listdir(full):
+                    sfull = os.path.join(full, sub)
+                    srel = os.path.join(rel, sub)
+                    if os.path.isdir(sfull) and srel not in referenced:
+                        sweep(sfull, srel)
         return {"manifests": len(drop), "data_dirs": n_dirs,
                 "skipped_young": n_young, "checkpoints": n_ckpt}
 

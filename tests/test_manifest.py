@@ -1338,3 +1338,50 @@ def test_dirs_pruned_pk_ranges_and_robust_bounds(spark, tmp_path):
     # uncomparable bounds: conservative, never a crash
     assert len(t.dirs_pruned({"audit_pk": (decimal.Decimal("15"), None)})) == 2
     assert len(t.dirs_pruned({"audit_pk": ("x", None)})) == 2
+
+
+def test_vacuum_preserves_range_layout_bucket_dirs(spark, tmp_path):
+    """A range layout registers __bucket SUBDIRS as manifest dirs; vacuum
+    must not sweep their live parent (exact-name matching would), and a
+    pruned merge's replaced buckets ARE reclaimed individually."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    boot = spark.range(0, 200).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    empty = spark.createDataFrame(
+        [], "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(empty, ["k"], bootstrap=boot, pruned=True, range_buckets=4)
+    log = spark.createDataFrame(
+        [(5, 500, "update", 1)],
+        "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(log, ["k"], pruned=True)
+
+    stats = t.vacuum(keep_versions=1, retain_seconds=0, force=True)
+    # the replaced bucket subdir is reclaimed; live buckets survive
+    assert stats["data_dirs"] >= 1
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 200 and got[5] == 500 and got[150] == 150
+
+
+def test_pruned_merge_ignores_foreign_pk_ranges(spark, tmp_path):
+    """Ranges recorded for a DIFFERENT column (sync_audit's audit_pk)
+    must not be used as merge-key ownership intervals — such dirs fall
+    back to the full quantile rewrite, and the result stays exact."""
+    from cdc_audit_spark.capture import apply_changes
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    # audit table: dir ranges describe audit_pk (pk 1-10), NOT k (1-10)
+    t.sync_audit(_rows(spark, 1, 11))
+    boot_state = t.read().drop("audit_event", "audit_pk")
+    # replica merge keyed on k over a table whose dir ranges are audit_pk
+    log = _rows(spark, 1, 4, "update").withColumn(
+        "audit_pk", F.col("audit_pk") + 100)
+    m0 = t.manifest(t.current_version())
+    assert m0["dir_meta"][m0["dirs"][0]]["pk_col"] == "audit_pk"
+    r = t.merge_audit(log, ["k"], pruned=True)
+    assert r.rows_synced == 3
+    got = {r["k"]: r["audit_event"] for r in t.read().collect()}
+    want = {r["k"]: r["audit_event"]
+            for r in apply_changes(
+                t.read(version=1), log, ["k"]).collect()}
+    assert got == want
+    assert t.read().count() == 10          # no duplicate keys

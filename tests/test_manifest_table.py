@@ -265,7 +265,9 @@ def test_stream_legacy_manifest_without_added(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == list(range(20))  # once
 
     # parent vacuumed: the delta of v2 is unrecoverable — loud failure
+    # from the PARENT-DIFF path specifically (range starts at v2, so
+    # v1's own missing manifest is not what raises)
     os.unlink(os.path.join(mdir, "m-000000000001.json"))
     rd = ManifestStreamReader({"path": p}, t.schema())
-    with pytest.raises(FileNotFoundError, match="vacuumed"):
-        rd.partitions({"version": 0}, {"version": 2})
+    with pytest.raises(FileNotFoundError, match="parent manifest 1"):
+        rd.partitions({"version": 1}, {"version": 2})
