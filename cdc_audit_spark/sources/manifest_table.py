@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -164,8 +165,37 @@ class ManifestTableReader(DataSourceReader):
         yield from _arrow_batches(partition.files, self.spark_schema)
 
 
+def _check_write_drift(path: str, schema: StructType, on_drift: str) -> None:
+    """Append writes carry the same schema governance as
+    ``ManifestTable.append``: additive drift only with explicit opt-in,
+    breakage always refuses."""
+    from cdc_audit_spark.schema import (
+        SchemaDriftError,
+        classify_schema_drift,
+        evolve_schema,
+    )
+
+    existing = _committed_schema(path)
+    if existing is None:
+        return
+    drift = classify_schema_drift(existing, schema)
+    if not (drift["added"] or drift["removed"] or drift["changed"]):
+        return
+    if on_drift == "fail":
+        raise SchemaDriftError(
+            f"schema drift vs manifest table {path}: {drift} "
+            "(.option('onDrift', 'evolve') admits additive drift)")
+    if on_drift != "evolve":
+        raise ValueError(
+            f"onDrift must be 'fail' or 'evolve', got {on_drift!r}")
+    evolve_schema(existing, schema)
+
+
 @dataclass
 class _WroteFiles(WriterCommitMessage):
+    # batch writer: parquet file NAMES inside the job's shared dir;
+    # stream writer: per-task data-dir RELPATHS — each variant's own
+    # commit/abort is the only consumer
     files: list = field(default_factory=list)
     rows: int = 0
     # per-column [min, max] observed by this task (JSON-plain values)
@@ -199,26 +229,7 @@ class ManifestTableWriter(DataSourceArrowWriter):
             self._check_drift()
 
     def _check_drift(self) -> None:
-        from cdc_audit_spark.schema import (
-            SchemaDriftError,
-            classify_schema_drift,
-            evolve_schema,
-        )
-
-        existing = _committed_schema(self.path)
-        if existing is None:
-            return
-        drift = classify_schema_drift(existing, self.schema)
-        if not (drift["added"] or drift["removed"] or drift["changed"]):
-            return
-        if self.on_drift == "fail":
-            raise SchemaDriftError(
-                f"schema drift vs manifest table {self.path}: {drift} "
-                "(.option('onDrift', 'evolve') admits additive drift)")
-        if self.on_drift != "evolve":
-            raise ValueError(
-                f"onDrift must be 'fail' or 'evolve', got {self.on_drift!r}")
-        evolve_schema(existing, self.schema)
+        _check_write_drift(self.path, self.schema, self.on_drift)
 
     def write(self, iterator):
         import pyarrow.compute as pc
@@ -298,6 +309,97 @@ class ManifestTableWriter(DataSourceArrowWriter):
         shutil.rmtree(os.path.join(self.path, self.rel), ignore_errors=True)
 
 
+class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("manifest_table")`` — each micro-batch is
+    one atomic epoch-tagged append commit: every task writes its record
+    batches into its OWN fresh data dir (invisible until committed) and
+    the driver's per-epoch ``commit`` registers all task dirs in a single
+    manifest claim carrying the epoch, so a replayed epoch is detected
+    via ``epoch_applied`` and skipped — exactly-once without a
+    cross-system transaction. ``abort`` removes the epoch's task dirs
+    (also vacuum-reclaimable as unreferenced orphans).
+
+    ``.option("streamId", <stable id>)`` is REQUIRED: epoch ids are
+    scoped to the consumer's CHECKPOINT, so a fresh checkpoint restarted
+    against a surviving table would replay epoch 0 and be silently
+    skipped by a bare epoch comparison — the recorded run identity makes
+    that mismatch fail loudly instead (GenerationRunMismatch), the same
+    contract as the foreachBatch drains. Use one streamId per
+    (checkpoint, table) pairing and change it only when deleting both.
+    """
+
+    def __init__(self, options: dict, schema: StructType):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "manifest_table requires .option('path', <table dir>)")
+        if not options.get("streamid"):
+            raise ValueError(
+                "streaming writes to manifest_table require "
+                ".option('streamId', <stable id>): epoch ids are "
+                "checkpoint-scoped, and without a recorded run identity a "
+                "fresh checkpoint against a surviving table silently "
+                "skips its replayed batches (data loss). Pick any stable "
+                "string tied to the checkpoint's lifetime.")
+        self.path = path
+        self.run_id = options["streamid"]
+        self.schema = schema
+        _check_write_drift(path, schema, options.get("ondrift", "fail"))
+
+    def write(self, iterator):
+        import pyarrow.parquet as pq
+
+        rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
+        out_dir = os.path.join(self.path, rel)
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    os.makedirs(out_dir, exist_ok=True)
+                    writer = pq.ParquetWriter(
+                        os.path.join(out_dir, "part-0.parquet"),
+                        batch.schema)
+                writer.write_batch(batch)
+                rows += len(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        return _WroteFiles(files=[rel] if writer is not None else [],
+                           rows=rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        from cdc_audit_spark.sinks.manifest import ManifestTable
+
+        task_dirs = [rel for m in messages if m is not None
+                     for rel in m.files]
+        t = ManifestTable(None, self.path)
+        if t.epoch_applied(batchId, self.run_id):
+            # crash landed after the commit but before the checkpoint:
+            # the replayed epoch's rewritten dirs are redundant orphans
+            for rel in task_dirs:
+                shutil.rmtree(os.path.join(self.path, rel),
+                              ignore_errors=True)
+            return
+        if not task_dirs:
+            return  # empty epoch: nothing to make durable
+        t._commit(
+            "append",
+            lambda parent: (parent["dirs"] if parent else []) + task_dirs,
+            extra={"schema": self.schema.json(),
+                   "epoch": int(batchId), "run_id": self.run_id})
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        for m in messages:
+            for rel in (m.files if m is not None else []):
+                shutil.rmtree(os.path.join(self.path, rel),
+                              ignore_errors=True)
+
+
 class ManifestTableDataSource(DataSource):
     """``spark.read.format("manifest_table")`` /
     ``df.write.format("manifest_table")`` after
@@ -324,6 +426,15 @@ class ManifestTableDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return ManifestTableWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "manifest_table streaming writes are append-only "
+                "(outputMode 'append'); complete/update modes would "
+                "rewrite state per epoch — use foreachBatch + "
+                "ManifestTable.merge_audit for keyed state")
+        return ManifestTableStreamWriter(dict(self.options), schema)
 
 
 def register_manifest_table(spark) -> None:

@@ -271,3 +271,82 @@ def test_stream_legacy_manifest_without_added(spark, tmp_path):
     rd = ManifestStreamReader({"path": p}, t.schema())
     with pytest.raises(FileNotFoundError, match="parent manifest 1"):
         rd.partitions({"version": 1}, {"version": 2})
+
+
+def test_stream_writer_exactly_once(spark, tmp_path):
+    """df.writeStream.format('manifest_table'): each micro-batch is one
+    atomic epoch-tagged append commit; restarts append only unseen
+    batches; a replayed epoch commit is skipped and its redundant task
+    dirs are reclaimed; a fresh checkpoint against the surviving table
+    fails loudly (streamId identity)."""
+    from cdc_audit_spark.sources.manifest_table import (
+        ManifestTableStreamWriter,
+        _WroteFiles,
+    )
+
+    register_manifest_table(spark)
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    _df(spark, 0, 50).coalesce(4).write.parquet(src)
+
+    def drain(stream_id, ckpt):
+        q = (spark.readStream.schema("k long, v long")
+             .option("maxFilesPerTrigger", 2).parquet(src)
+             .writeStream.format("manifest_table").option("path", tbl)
+             .option("streamId", stream_id)
+             .option("checkpointLocation", ckpt).start())
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+
+    drain("s1", ck)
+    t = ManifestTable(spark, tbl)
+    assert t.read().count() == 50
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(50))
+    assert t.last_epoch("s1") is not None
+    assert all(h["action"] == "append" for h in t.history())
+
+    # restart: only new source files land
+    _df(spark, 50, 60).coalesce(1).write.mode("append").parquet(src)
+    drain("s1", ck)
+    assert t.read().count() == 60
+    assert t.read().groupBy("k").count().filter("count > 1").count() == 0
+
+    # replayed epoch: the commit is skipped and the replay's task dirs
+    # are reclaimed immediately
+    w = ManifestTableStreamWriter(
+        {"path": tbl, "streamid": "s1"}, t.schema())
+    orphan = os.path.join("data", "c-replayed")
+    os.makedirs(os.path.join(tbl, orphan))
+    v = t.current_version()
+    w.commit([_WroteFiles(files=[orphan])], t.last_epoch("s1"))
+    assert t.current_version() == v
+    assert not os.path.isdir(os.path.join(tbl, orphan))
+
+    # abort reclaims the epoch's task dirs
+    os.makedirs(os.path.join(tbl, orphan))
+    w.abort([_WroteFiles(files=[orphan])], 999)
+    assert not os.path.isdir(os.path.join(tbl, orphan))
+
+    # fresh checkpoint + surviving table: loud identity mismatch
+    import shutil
+
+    shutil.rmtree(ck)
+    q = (spark.readStream.schema("k long, v long").parquet(src)
+         .writeStream.format("manifest_table").option("path", tbl)
+         .option("streamId", "s2")
+         .option("checkpointLocation", ck).start())
+    with pytest.raises(Exception, match="GenerationRunMismatch|checkpoint-scoped"):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    q.stop()
+
+    # streamId is mandatory (writer constructed when the stream runs)
+    q = (spark.readStream.schema("k long, v long").parquet(src)
+         .writeStream.format("manifest_table").option("path", tbl)
+         .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    with pytest.raises(Exception, match="streamId"):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    q.stop()
