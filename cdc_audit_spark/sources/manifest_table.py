@@ -165,10 +165,16 @@ class ManifestTableReader(DataSourceReader):
         yield from _arrow_batches(partition.files, self.spark_schema)
 
 
-def _check_write_drift(path: str, schema: StructType, on_drift: str) -> None:
+def _check_write_drift(path: str, schema: StructType,
+                       on_drift: str) -> StructType:
     """Append writes carry the same schema governance as
     ``ManifestTable.append``: additive drift only with explicit opt-in,
-    breakage always refuses."""
+    breakage always refuses. Returns the schema the commit should STAMP:
+    the committed one when compatible (a commit must never override a
+    schema a concurrent writer evolved with a stale copy), the evolved
+    union under ``on_drift='evolve'``, or the incoming schema for a new
+    table. Call this AT COMMIT TIME, not just at job start — governance
+    must see the table as it is when the commit lands."""
     from cdc_audit_spark.schema import (
         SchemaDriftError,
         classify_schema_drift,
@@ -177,10 +183,10 @@ def _check_write_drift(path: str, schema: StructType, on_drift: str) -> None:
 
     existing = _committed_schema(path)
     if existing is None:
-        return
+        return schema
     drift = classify_schema_drift(existing, schema)
     if not (drift["added"] or drift["removed"] or drift["changed"]):
-        return
+        return existing
     if on_drift == "fail":
         raise SchemaDriftError(
             f"schema drift vs manifest table {path}: {drift} "
@@ -188,7 +194,7 @@ def _check_write_drift(path: str, schema: StructType, on_drift: str) -> None:
     if on_drift != "evolve":
         raise ValueError(
             f"onDrift must be 'fail' or 'evolve', got {on_drift!r}")
-    evolve_schema(existing, schema)
+    return evolve_schema(existing, schema)
 
 
 @dataclass
@@ -200,6 +206,57 @@ class _WroteFiles(WriterCommitMessage):
     rows: int = 0
     # per-column [min, max] observed by this task (JSON-plain values)
     stats: dict = field(default_factory=dict)
+
+
+
+
+def _write_task_file(iterator, out_dir: str,
+                     stats_cols: list[str]) -> tuple[bool, str, int, dict]:
+    """Stream one task's record batches into a single parquet file under
+    ``out_dir`` (created lazily — an empty task creates nothing), folding
+    per-column min/max INLINE for ``stats_cols``. Returns
+    (wrote, file_name, rows, stats). Shared by the batch and streaming
+    writers so write-path fixes and the stats fold stay in one place."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from cdc_audit_spark.sinks.manifest import _plain
+
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    writer = None
+    rows = 0
+    stats: dict = {}
+    try:
+        for batch in iterator:
+            if writer is None:
+                os.makedirs(out_dir, exist_ok=True)
+                writer = pq.ParquetWriter(
+                    os.path.join(out_dir, name), batch.schema)
+            writer.write_batch(batch)
+            rows += len(batch)
+            for c in stats_cols:
+                mm = pc.min_max(batch.column(c))
+                lo = _plain(mm["min"].as_py())
+                hi = _plain(mm["max"].as_py())
+                if lo is None:
+                    continue
+                prev = stats.get(c)
+                stats[c] = ([lo, hi] if prev is None
+                            else [min(prev[0], lo), max(prev[1], hi)])
+    finally:
+        if writer is not None:
+            writer.close()
+    return writer is not None, name, rows, stats
+
+
+def _parse_stats_cols(options: dict, schema: StructType) -> list[str]:
+    cols = [c.strip() for c in options.get("statscols", "").split(",")
+            if c.strip()]
+    missing = [c for c in cols if c not in set(schema.fieldNames())]
+    if missing:
+        raise ValueError(f"statsCols not in schema: {missing}")
+    return cols
+
 
 
 class ManifestTableWriter(DataSourceArrowWriter):
@@ -215,54 +272,17 @@ class ManifestTableWriter(DataSourceArrowWriter):
         # columns whose per-dir min/max ride into the manifest for
         # read-side pruning — computed INLINE by each task while it
         # writes (no extra pass), merged at commit
-        self.stats_cols = [c.strip()
-                           for c in options.get("statscols", "").split(",")
-                           if c.strip()]
-        missing = [c for c in self.stats_cols
-                   if c not in set(schema.fieldNames())]
-        if missing:
-            raise ValueError(f"statsCols not in schema: {missing}")
+        self.stats_cols = _parse_stats_cols(options, schema)
         # chosen on the driver, shared by every pickled task writer
         self.rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
         self.base_version = (_versions(path) or [None])[-1]
-        if not overwrite:
-            self._check_drift()
-
-    def _check_drift(self) -> None:
-        _check_write_drift(self.path, self.schema, self.on_drift)
+        if not overwrite:  # fail-fast; governance re-runs at commit time
+            _check_write_drift(path, schema, self.on_drift)
 
     def write(self, iterator):
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        from cdc_audit_spark.sinks.manifest import _plain
-
-        out_dir = os.path.join(self.path, self.rel)
-        os.makedirs(out_dir, exist_ok=True)
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        writer = None
-        rows = 0
-        stats: dict = {}
-        try:
-            for batch in iterator:
-                if writer is None:
-                    writer = pq.ParquetWriter(
-                        os.path.join(out_dir, name), batch.schema)
-                writer.write_batch(batch)
-                rows += len(batch)
-                for c in self.stats_cols:
-                    mm = pc.min_max(batch.column(c))
-                    lo = _plain(mm["min"].as_py())
-                    hi = _plain(mm["max"].as_py())
-                    if lo is None:
-                        continue
-                    prev = stats.get(c)
-                    stats[c] = ([lo, hi] if prev is None
-                                else [min(prev[0], lo), max(prev[1], hi)])
-        finally:
-            if writer is not None:
-                writer.close()
-        return _WroteFiles(files=[name] if writer is not None else [],
+        wrote, name, rows, stats = _write_task_file(
+            iterator, os.path.join(self.path, self.rel), self.stats_cols)
+        return _WroteFiles(files=[name] if wrote else [],
                            rows=rows, stats=stats)
 
     def commit(self, messages):
@@ -284,7 +304,15 @@ class ManifestTableWriter(DataSourceArrowWriter):
                          schema=to_arrow_schema(self.schema)),
                 os.path.join(out_dir, "part-empty.parquet"))
         t = ManifestTable(None, self.path)
-        extra = {"schema": self.schema.json()}
+        if self.overwrite:
+            stamp = self.schema  # overwrite REPLACES the table schema
+        else:
+            # re-run governance NOW: a concurrent writer may have evolved
+            # the schema since job start — stamping our (possibly stale)
+            # copy would silently regress it; stamp the compatible union
+            stamp = _check_write_drift(self.path, self.schema,
+                                       self.on_drift)
+        extra = {"schema": stamp.json()}
         merged: dict = {}
         for m in messages:
             for c, (lo, hi) in (getattr(m, "stats", None) or {}).items():
@@ -344,29 +372,23 @@ class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
         self.path = path
         self.run_id = options["streamid"]
         self.schema = schema
-        _check_write_drift(path, schema, options.get("ondrift", "fail"))
+        self.on_drift = options.get("ondrift", "fail")
+        self.stats_cols = _parse_stats_cols(options, schema)
+        _check_write_drift(path, schema, self.on_drift)
+        # fail the MISCONFIGURED stream at start, not at its first
+        # commit after a full write stage (and even an idle source never
+        # reaches a commit): probing last_epoch raises
+        # GenerationRunMismatch if the table belongs to another stream
+        from cdc_audit_spark.sinks.manifest import ManifestTable
+
+        ManifestTable(None, path).last_epoch(self.run_id)
 
     def write(self, iterator):
-        import pyarrow.parquet as pq
-
         rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
-        out_dir = os.path.join(self.path, rel)
-        writer = None
-        rows = 0
-        try:
-            for batch in iterator:
-                if writer is None:
-                    os.makedirs(out_dir, exist_ok=True)
-                    writer = pq.ParquetWriter(
-                        os.path.join(out_dir, "part-0.parquet"),
-                        batch.schema)
-                writer.write_batch(batch)
-                rows += len(batch)
-        finally:
-            if writer is not None:
-                writer.close()
-        return _WroteFiles(files=[rel] if writer is not None else [],
-                           rows=rows)
+        wrote, _name, rows, stats = _write_task_file(
+            iterator, os.path.join(self.path, rel), self.stats_cols)
+        return _WroteFiles(files=[rel] if wrote else [],
+                           rows=rows, stats=stats)
 
     def commit(self, messages, batchId: int) -> None:
         import shutil
@@ -375,21 +397,46 @@ class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
 
         task_dirs = [rel for m in messages if m is not None
                      for rel in m.files]
+
+        def reclaim():
+            for rel in task_dirs:
+                shutil.rmtree(os.path.join(self.path, rel),
+                              ignore_errors=True)
+
         t = ManifestTable(None, self.path)
         if t.epoch_applied(batchId, self.run_id):
             # crash landed after the commit but before the checkpoint:
             # the replayed epoch's rewritten dirs are redundant orphans
-            for rel in task_dirs:
-                shutil.rmtree(os.path.join(self.path, rel),
-                              ignore_errors=True)
+            reclaim()
             return
         if not task_dirs:
             return  # empty epoch: nothing to make durable
-        t._commit(
-            "append",
-            lambda parent: (parent["dirs"] if parent else []) + task_dirs,
-            extra={"schema": self.schema.json(),
-                   "epoch": int(batchId), "run_id": self.run_id})
+        stamp = _check_write_drift(self.path, self.schema, self.on_drift)
+        dir_meta = {m.files[0]: {"stats": m.stats}
+                    for m in messages
+                    if m is not None and m.files and m.stats}
+
+        class _AlreadyApplied(Exception):
+            pass
+
+        def dirs_fn(parent):
+            # re-validate INSIDE the claim loop: a zombie driver sharing
+            # this streamId (failover) may have committed the epoch
+            # between our check above and the claim — sync_audit's
+            # pattern; without this both drivers' rebase-appends land and
+            # the epoch's rows duplicate
+            if t.epoch_applied(batchId, self.run_id):
+                raise _AlreadyApplied()
+            return (parent["dirs"] if parent else []) + task_dirs
+
+        extra = {"schema": stamp.json(),
+                 "epoch": int(batchId), "run_id": self.run_id}
+        if dir_meta:
+            extra["dir_meta"] = dir_meta
+        try:
+            t._commit("append", dirs_fn, extra=extra)
+        except _AlreadyApplied:
+            reclaim()
 
     def abort(self, messages, batchId: int) -> None:
         import shutil

@@ -350,3 +350,83 @@ def test_stream_writer_exactly_once(spark, tmp_path):
         q.processAllAvailable()
         q.awaitTermination(60)
     q.stop()
+
+
+def test_stream_writer_stats_and_stale_schema(spark, tmp_path):
+    """Stream-written dirs record pruning stats (statsCols), and an epoch
+    commit never regresses a schema a concurrent writer evolved after the
+    stream started."""
+    register_manifest_table(spark)
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    _df(spark, 0, 40).coalesce(2).write.parquet(src)
+    q = (spark.readStream.schema("k long, v long").parquet(src)
+         .writeStream.format("manifest_table").option("path", tbl)
+         .option("streamId", "s1").option("statsCols", "v")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    t = ManifestTable(spark, tbl)
+    m = t.manifest(t.current_version())
+    assert any("stats" in dm and "v" in dm["stats"]
+               for dm in m.get("dir_meta", {}).values())
+    rd = ManifestTableReader({"path": tbl}, t.schema())
+    rd.pushFilters([GreaterThanOrEqual(("v",), 10**9)])
+    assert rd.partitions() == [] or len(rd.partitions()[0].files) == 0
+
+    # concurrent additive evolution while the stream is down: the stale
+    # (k, v) stream must be REFUSED loudly (its commit would regress the
+    # evolved schema), and a stream carrying the evolved schema proceeds
+    t.append(_df(spark, 100, 105).withColumn("extra", F.lit("x")),
+             on_drift="evolve")
+    assert "extra" in t.schema().fieldNames()
+    _df(spark, 40, 50).coalesce(1).write.mode("append").parquet(src)
+    q = (spark.readStream.schema("k long, v long").parquet(src)
+         .writeStream.format("manifest_table").option("path", tbl)
+         .option("streamId", "s1").option("statsCols", "v")
+         .option("onDrift", "evolve")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    with pytest.raises(Exception, match="drift"):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    q.stop()
+    assert "extra" in t.schema().fieldNames()   # NOT regressed
+
+    q = (spark.readStream.schema("k long, v long, extra string").parquet(src)
+         .writeStream.format("manifest_table").option("path", tbl)
+         .option("streamId", "s1").option("statsCols", "v")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    assert "extra" in t.schema().fieldNames()
+    assert t.read().count() == 55
+    assert t.read().filter("extra = 'x'").count() == 5
+
+
+def test_stream_writer_zombie_epoch_guard(spark, tmp_path):
+    """Two drivers sharing a streamId (failover zombie): the second
+    commit of the same epoch must be skipped inside the claim loop, not
+    land as a duplicate rebase-append."""
+    from cdc_audit_spark.sources.manifest_table import (
+        ManifestTableStreamWriter,
+        _WroteFiles,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    t = ManifestTable(spark, tbl)
+    t.append(_df(spark, 0, 10), extra={"epoch": 0, "run_id": "s1"})
+
+    w = ManifestTableStreamWriter(
+        {"path": tbl, "streamid": "s1"}, t.schema())
+    # zombie prepared epoch 1's task dir...
+    zombie_rel = os.path.join("data", "c-zombie")
+    _df(spark, 10, 20).coalesce(1).write.parquet(
+        os.path.join(tbl, zombie_rel))
+    # ...but the NEW driver commits epoch 1 first (between the zombie's
+    # entry check and its claim — simulated by committing now)
+    t.append(_df(spark, 10, 20), extra={"epoch": 1, "run_id": "s1"})
+    v = t.current_version()
+    w.commit([_WroteFiles(files=[zombie_rel], rows=10)], 1)
+    assert t.current_version() == v            # no duplicate commit
+    assert t.read().count() == 20              # rows not duplicated
+    assert not os.path.isdir(os.path.join(tbl, zombie_rel))  # reclaimed
