@@ -270,6 +270,14 @@ class ManifestTable:
         under rebase; overwrite ignores the parent so its retry simply
         re-claims the next version).
 
+        ``extra`` may be a dict (fixed payload fields) or a CALLABLE
+        ``extra_fn(parent_manifest | None) -> dict`` re-evaluated on every
+        claim attempt — required when a payload field is derived from
+        table state (e.g. the schema stamp the format writers govern):
+        a rebase retry must re-derive it against the NEW parent, or a
+        concurrent writer's evolution is silently overridden by the
+        stale pre-race copy.
+
         ``expected_parent`` pins the commit to the version its CONTENT was
         derived from: overwrite-action commits (compact/merge/repair) read
         the table, rewrite it, and commit — if another writer lands
@@ -295,9 +303,10 @@ class ManifestTable:
             # manifests would reset the watermark/epoch and make the next
             # sync/replay DUPLICATE rows.
             inherited = {k: pm[k] for k in _STATE_KEYS if pm and k in pm}
+            ex = extra(pm) if callable(extra) else (extra or {})
             payload = {
                 **inherited,
-                **(extra or {}),
+                **ex,
                 "version": parent + 1 if parent is not None else 1,
                 "parent": parent,
                 "action": action,

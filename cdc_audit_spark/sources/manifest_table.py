@@ -13,20 +13,23 @@ after the scan), so pruning is purely an optimization and strict/closed
 bound differences cannot affect correctness. ``.option("version", N)``
 time-travels.
 
-Writes run THROUGH the commit protocol: each executor task streams its
-Arrow record batches into one parquet file inside a fresh data dir
-(``DataSourceArrowWriter`` — no row-at-a-time Python), and the driver's
-``commit`` publishes the manifest atomically — ``mode("append")``
-commits parent dirs + the new dir, ``mode("overwrite")`` commits only
-the new dir, pinned to the version observed at job start (a concurrent
-writer surfaces ``CommitConflict``, never silent loss). A failed job
-``abort``s by removing the unreferenced dir (also vacuum-reclaimable).
+Writes run THROUGH the commit protocol: each executor task ATTEMPT
+streams its Arrow record batches into one parquet file inside its own
+fresh data dir (``DataSourceArrowWriter`` — no row-at-a-time Python; a
+failed/speculative attempt's partial file is stranded in a dir no
+commit references), and the driver's ``commit`` publishes the manifest
+atomically — ``mode("append")`` commits parent dirs + the task dirs,
+``mode("overwrite")`` commits only the task dirs, pinned to the version
+observed at job start (a concurrent writer surfaces ``CommitConflict``,
+never silent loss). A failed job ``abort``s by removing the
+unreferenced dirs (also vacuum-reclaimable).
 Appends are schema-governed like ``ManifestTable.append``
 (``.option("onDrift", "evolve")`` admits additive drift).
-``.option("statsCols", "a,b")`` records the written dir's per-column
-min/max in the manifest for read-side pruning — each task folds its
+``.option("statsCols", "a,b")`` records each written dir's per-column
+min/max in the manifest for read-side pruning — every task folds its
 batches' bounds INLINE while writing (pyarrow min_max, no extra pass)
-and the driver merges them at commit.
+and commits them as that dir's stats, so pruning works at task-dir
+granularity.
 """
 
 from __future__ import annotations
@@ -85,6 +88,15 @@ def _arrow_batches(files: list[str], spark_schema: StructType):
             yield from out.combine_chunks().to_batches()
 
 
+def _all_nullable(sch: StructType) -> StructType:
+    from pyspark.sql.types import StructField
+
+    return StructType([
+        StructField(f.name, f.dataType, True, f.metadata)
+        for f in sch.fields
+    ])
+
+
 def _committed_schema(path: str) -> StructType | None:
     """The table's committed schema with every field NULLABLE — matching
     parquet/mergeSchema read semantics: rows written before an additive
@@ -92,17 +104,25 @@ def _committed_schema(path: str) -> StructType | None:
     writer-side non-nullability cannot hold table-wide."""
     import json
 
-    from pyspark.sql.types import StructField
-
     for v in reversed(_versions(path)):
         m = _manifest(path, v)
         if "schema" in m:
-            sch = StructType.fromJson(json.loads(m["schema"]))
-            return StructType([
-                StructField(f.name, f.dataType, True, f.metadata)
-                for f in sch.fields
-            ])
+            return _all_nullable(StructType.fromJson(json.loads(m["schema"])))
     return None
+
+
+def _parent_schema(pm: dict | None, path: str) -> StructType | None:
+    """Committed schema AS OF the parent manifest a commit is rebasing
+    onto: the parent's inherited stamp when present (every commit of this
+    format stamps one, and ``_STATE_KEYS`` inherits it), else the full
+    history walk. None for a brand-new table."""
+    import json
+
+    if pm is None:
+        return None
+    if "schema" in pm:
+        return _all_nullable(StructType.fromJson(json.loads(pm["schema"])))
+    return _committed_schema(path)
 
 
 class ManifestTableReader(DataSourceReader):
@@ -165,23 +185,24 @@ class ManifestTableReader(DataSourceReader):
         yield from _arrow_batches(partition.files, self.spark_schema)
 
 
-def _check_write_drift(path: str, schema: StructType,
-                       on_drift: str) -> StructType:
+def _govern_stamp(existing: StructType | None, schema: StructType,
+                  on_drift: str, path: str) -> StructType:
     """Append writes carry the same schema governance as
     ``ManifestTable.append``: additive drift only with explicit opt-in,
     breakage always refuses. Returns the schema the commit should STAMP:
     the committed one when compatible (a commit must never override a
     schema a concurrent writer evolved with a stale copy), the evolved
     union under ``on_drift='evolve'``, or the incoming schema for a new
-    table. Call this AT COMMIT TIME, not just at job start — governance
-    must see the table as it is when the commit lands."""
+    table. The writers call this per CLAIM ATTEMPT against the exact
+    parent being rebased onto (via ``_parent_schema``) — governance must
+    see the table as it is when the commit lands, not as it was at job
+    start, or a rebase retry re-stamps a concurrent evolution away."""
     from cdc_audit_spark.schema import (
         SchemaDriftError,
         classify_schema_drift,
         evolve_schema,
     )
 
-    existing = _committed_schema(path)
     if existing is None:
         return schema
     drift = classify_schema_drift(existing, schema)
@@ -191,17 +212,32 @@ def _check_write_drift(path: str, schema: StructType,
         raise SchemaDriftError(
             f"schema drift vs manifest table {path}: {drift} "
             "(.option('onDrift', 'evolve') admits additive drift)")
-    if on_drift != "evolve":
-        raise ValueError(
-            f"onDrift must be 'fail' or 'evolve', got {on_drift!r}")
     return evolve_schema(existing, schema)
+
+
+def _check_write_drift(path: str, schema: StructType,
+                       on_drift: str) -> StructType:
+    """Job-start fail-fast form of :func:`_govern_stamp` (governance
+    re-runs per claim attempt at commit time regardless)."""
+    return _govern_stamp(_committed_schema(path), schema, on_drift, path)
+
+
+def _parse_on_drift(options: dict) -> str:
+    """Validate at WRITER CONSTRUCTION, consistent with the statsCols and
+    streamId probes: a typo'd onDrift must fail at query start, not days
+    later at the first commit that actually sees drift."""
+    v = options.get("ondrift", "fail")
+    if v not in ("fail", "evolve"):
+        raise ValueError(f"onDrift must be 'fail' or 'evolve', got {v!r}")
+    return v
 
 
 @dataclass
 class _WroteFiles(WriterCommitMessage):
-    # batch writer: parquet file NAMES inside the job's shared dir;
-    # stream writer: per-task data-dir RELPATHS — each variant's own
-    # commit/abort is the only consumer
+    # per-task data-dir RELPATHS (both writers): each task attempt gets
+    # its own fresh dir, so a failed/speculative attempt's leftover file
+    # sits in a dir no commit ever references — retries cannot surface
+    # duplicate or torn rows through the dir-listing reads
     files: list = field(default_factory=list)
     rows: int = 0
     # per-column [min, max] observed by this task (JSON-plain values)
@@ -268,73 +304,81 @@ class ManifestTableWriter(DataSourceArrowWriter):
         self.path = path
         self.overwrite = overwrite
         self.schema = schema
-        self.on_drift = options.get("ondrift", "fail")
+        self.on_drift = _parse_on_drift(options)
         # columns whose per-dir min/max ride into the manifest for
         # read-side pruning — computed INLINE by each task while it
-        # writes (no extra pass), merged at commit
+        # writes (no extra pass), committed per task dir
         self.stats_cols = _parse_stats_cols(options, schema)
-        # chosen on the driver, shared by every pickled task writer
-        self.rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
         self.base_version = (_versions(path) or [None])[-1]
         if not overwrite:  # fail-fast; governance re-runs at commit time
             _check_write_drift(path, schema, self.on_drift)
 
     def write(self, iterator):
-        wrote, name, rows, stats = _write_task_file(
-            iterator, os.path.join(self.path, self.rel), self.stats_cols)
-        return _WroteFiles(files=[name] if wrote else [],
+        # one fresh dir per TASK ATTEMPT (the stream writer's pattern): a
+        # failed attempt's partial file lives in a dir only its (lost)
+        # commit message knew about, so the retry's duplicate can never
+        # reach a reader — the orphan dir is vacuum-reclaimable
+        rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
+        wrote, _name, rows, stats = _write_task_file(
+            iterator, os.path.join(self.path, rel), self.stats_cols)
+        return _WroteFiles(files=[rel] if wrote else [],
                            rows=rows, stats=stats)
 
     def commit(self, messages):
-        from pyspark.sql.pandas.types import to_arrow_schema
-
         from cdc_audit_spark.sinks.manifest import ManifestTable
 
-        n_files = sum(len(m.files) for m in messages if m is not None)
-        if n_files == 0:
+        task_dirs = [rel for m in messages if m is not None
+                     for rel in m.files]
+        dir_meta = {m.files[0]: {"stats": m.stats}
+                    for m in messages
+                    if m is not None and m.files and m.stats}
+        if not task_dirs:
             # an all-empty write still commits a version: materialize the
             # schema as one empty parquet file so reads stay well-formed
             import pyarrow.parquet as pq
             import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
 
-            out_dir = os.path.join(self.path, self.rel)
+            rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
+            out_dir = os.path.join(self.path, rel)
             os.makedirs(out_dir, exist_ok=True)
             pq.write_table(
                 pa.table({f.name: [] for f in self.schema.fields},
                          schema=to_arrow_schema(self.schema)),
                 os.path.join(out_dir, "part-empty.parquet"))
+            task_dirs = [rel]
         t = ManifestTable(None, self.path)
+
+        def extra_fn(pm):
+            # re-derived per claim attempt: a rebase retry must govern
+            # against the parent it actually lands on, or a concurrent
+            # evolve is re-stamped away by this job's stale schema copy
+            stamp = (self.schema if self.overwrite
+                     else _govern_stamp(_parent_schema(pm, self.path),
+                                        self.schema, self.on_drift,
+                                        self.path))
+            e = {"schema": stamp.json()}
+            if dir_meta:
+                e["dir_meta"] = dir_meta
+            return e
+
         if self.overwrite:
-            stamp = self.schema  # overwrite REPLACES the table schema
-        else:
-            # re-run governance NOW: a concurrent writer may have evolved
-            # the schema since job start — stamping our (possibly stale)
-            # copy would silently regress it; stamp the compatible union
-            stamp = _check_write_drift(self.path, self.schema,
-                                       self.on_drift)
-        extra = {"schema": stamp.json()}
-        merged: dict = {}
-        for m in messages:
-            for c, (lo, hi) in (getattr(m, "stats", None) or {}).items():
-                prev = merged.get(c)
-                merged[c] = ([lo, hi] if prev is None
-                             else [min(prev[0], lo), max(prev[1], hi)])
-        if merged:
-            extra["dir_meta"] = {self.rel: {"stats": merged}}
-        if self.overwrite:
-            t._commit("overwrite", lambda parent: [self.rel],
-                      max_retries=1, extra=extra,
+            t._commit("overwrite", lambda parent: list(task_dirs),
+                      max_retries=1, extra=extra_fn,
                       expected_parent=self.base_version)
         else:
             t._commit(
                 "append",
-                lambda parent: (parent["dirs"] if parent else []) + [self.rel],
-                extra=extra)
+                lambda parent: (parent["dirs"] if parent else []) + task_dirs,
+                extra=extra_fn)
 
     def abort(self, messages):
         import shutil
 
-        shutil.rmtree(os.path.join(self.path, self.rel), ignore_errors=True)
+        for m in messages or []:
+            for rel in (m.files if m is not None else []):
+                shutil.rmtree(os.path.join(self.path, rel),
+                              ignore_errors=True)
 
 
 class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
@@ -372,7 +416,7 @@ class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
         self.path = path
         self.run_id = options["streamid"]
         self.schema = schema
-        self.on_drift = options.get("ondrift", "fail")
+        self.on_drift = _parse_on_drift(options)
         self.stats_cols = _parse_stats_cols(options, schema)
         _check_write_drift(path, schema, self.on_drift)
         # fail the MISCONFIGURED stream at start, not at its first
@@ -411,7 +455,6 @@ class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
             return
         if not task_dirs:
             return  # empty epoch: nothing to make durable
-        stamp = _check_write_drift(self.path, self.schema, self.on_drift)
         dir_meta = {m.files[0]: {"stats": m.stats}
                     for m in messages
                     if m is not None and m.files and m.stats}
@@ -429,12 +472,20 @@ class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
                 raise _AlreadyApplied()
             return (parent["dirs"] if parent else []) + task_dirs
 
-        extra = {"schema": stamp.json(),
+        def extra_fn(pm):
+            # schema stamp re-governed per claim attempt (see the batch
+            # writer): a concurrent evolve landing mid-epoch must not be
+            # regressed by this stream's stale schema copy on rebase
+            stamp = _govern_stamp(_parent_schema(pm, self.path),
+                                  self.schema, self.on_drift, self.path)
+            e = {"schema": stamp.json(),
                  "epoch": int(batchId), "run_id": self.run_id}
-        if dir_meta:
-            extra["dir_meta"] = dir_meta
+            if dir_meta:
+                e["dir_meta"] = dir_meta
+            return e
+
         try:
-            t._commit("append", dirs_fn, extra=extra)
+            t._commit("append", dirs_fn, extra=extra_fn)
         except _AlreadyApplied:
             reclaim()
 

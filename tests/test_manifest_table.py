@@ -142,21 +142,24 @@ def test_format_write_empty_and_concurrent_overwrite(spark, tmp_path):
         w.commit([])
     assert 50 in {r["k"] for r in t.read().collect()}
 
-    # abort removes the unreferenced dir
+    # abort removes the dirs its tasks reported
+    from cdc_audit_spark.sources.manifest_table import _WroteFiles
+
     w2 = ManifestTableWriter({"path": p}, t.schema(), overwrite=False)
-    os.makedirs(os.path.join(p, w2.rel), exist_ok=True)
-    w2.abort([])
-    assert not os.path.isdir(os.path.join(p, w2.rel))
+    rel = os.path.join("data", "c-aborted")
+    os.makedirs(os.path.join(p, rel), exist_ok=True)
+    w2.abort([_WroteFiles(files=[rel], rows=0)])
+    assert not os.path.isdir(os.path.join(p, rel))
 
 
 def test_format_write_records_stats_for_pruning(spark, tmp_path):
     """.option('statsCols', ...): each task folds its batches' min/max
-    inline; the committed manifest carries merged per-dir stats, and a
-    later pushed-down read prunes format-written dirs too."""
+    inline and commits them as its own dir's stats, and a later
+    pushed-down read prunes format-written dirs too."""
     register_manifest_table(spark)
     p = str(tmp_path / "t")
     for i in range(3):
-        (_df(spark, i * 100, (i + 1) * 100)
+        (_df(spark, i * 100, (i + 1) * 100).coalesce(1)
          .write.format("manifest_table").option("path", p)
          .option("statsCols", "v").mode("append").save())
 
@@ -403,10 +406,11 @@ def test_stream_writer_stats_and_stale_schema(spark, tmp_path):
     assert t.read().filter("extra = 'x'").count() == 5
 
 
-def test_stream_writer_zombie_epoch_guard(spark, tmp_path):
-    """Two drivers sharing a streamId (failover zombie): the second
-    commit of the same epoch must be skipped inside the claim loop, not
-    land as a duplicate rebase-append."""
+def test_stream_writer_zombie_epoch_guard(spark, tmp_path, monkeypatch):
+    """Two drivers sharing a streamId (failover zombie): the rival lands
+    its copy of the epoch BETWEEN the zombie's entry check and its claim
+    — the in-claim-loop re-validation must catch it (a duplicate
+    rebase-append is permanent row duplication)."""
     from cdc_audit_spark.sources.manifest_table import (
         ManifestTableStreamWriter,
         _WroteFiles,
@@ -422,11 +426,122 @@ def test_stream_writer_zombie_epoch_guard(spark, tmp_path):
     zombie_rel = os.path.join("data", "c-zombie")
     _df(spark, 10, 20).coalesce(1).write.parquet(
         os.path.join(tbl, zombie_rel))
-    # ...but the NEW driver commits epoch 1 first (between the zombie's
-    # entry check and its claim — simulated by committing now)
-    t.append(_df(spark, 10, 20), extra={"epoch": 1, "run_id": "s1"})
-    v = t.current_version()
+
+    real = ManifestTable.epoch_applied
+    calls = {"n": 0}
+
+    def racy(self, epoch_id, run_id=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the entry check sees the epoch unapplied; the rival driver
+            # then commits it before this writer reaches its claim
+            assert not real(self, epoch_id, run_id)
+            monkeypatch.undo()
+            t.append(_df(spark, 10, 20),
+                     extra={"epoch": 1, "run_id": "s1"})
+            monkeypatch.setattr(ManifestTable, "epoch_applied", racy)
+            return False
+        return real(self, epoch_id, run_id)
+
+    monkeypatch.setattr(ManifestTable, "epoch_applied", racy)
     w.commit([_WroteFiles(files=[zombie_rel], rows=10)], 1)
-    assert t.current_version() == v            # no duplicate commit
+    assert calls["n"] >= 2                     # claim-loop guard ran
+    assert t.current_version() == 2            # no duplicate commit
     assert t.read().count() == 20              # rows not duplicated
     assert not os.path.isdir(os.path.join(tbl, zombie_rel))  # reclaimed
+
+
+def test_format_append_rebase_refuses_stale_schema(spark, tmp_path,
+                                                   monkeypatch):
+    """A concurrent EVOLVE landing between an append's governance check
+    and its claim: the rebase re-governs against the new parent and
+    REFUSES the now-stale subset schema loudly — before this fix the
+    retry re-claimed with the pre-race stamp, silently dropping the
+    evolved column from the committed schema (and every later read)."""
+    from cdc_audit_spark.schema import SchemaDriftError
+    from cdc_audit_spark.sinks import manifest as msink
+    from cdc_audit_spark.sources.manifest_table import (
+        ManifestTableWriter,
+        _WroteFiles,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    t = ManifestTable(spark, tbl)
+    t.append(_df(spark, 0, 10))
+    w = ManifestTableWriter({"path": tbl}, t.schema(), overwrite=False)
+    rel = os.path.join("data", "c-task1")
+    _df(spark, 10, 20).coalesce(1).write.parquet(os.path.join(tbl, rel))
+
+    real = msink.HardLinkClaimBackend.publish
+    state = {"raced": False}
+
+    def racy(self, table_path, version, payload):
+        if not state["raced"]:
+            state["raced"] = True
+            # rival evolve steals this version first
+            t.append(_df(spark, 20, 25).withColumn("extra", F.lit("x")),
+                     on_drift="evolve")
+        return real(self, table_path, version, payload)
+
+    monkeypatch.setattr(msink.HardLinkClaimBackend, "publish", racy)
+    with pytest.raises(SchemaDriftError):
+        w.commit([_WroteFiles(files=[rel], rows=10)])
+    monkeypatch.undo()
+    assert "extra" in t.schema().fieldNames()   # NOT regressed
+    assert t.read().count() == 15               # stale append never landed
+
+
+def test_format_append_rebase_succeeds_same_schema(spark, tmp_path,
+                                                   monkeypatch):
+    """The benign race: a same-schema rival steals the version; the
+    append rebases and lands cleanly with both writers' rows."""
+    from cdc_audit_spark.sinks import manifest as msink
+    from cdc_audit_spark.sources.manifest_table import (
+        ManifestTableWriter,
+        _WroteFiles,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    t = ManifestTable(spark, tbl)
+    t.append(_df(spark, 0, 10))
+    w = ManifestTableWriter({"path": tbl}, t.schema(), overwrite=False)
+    rel = os.path.join("data", "c-task1")
+    _df(spark, 10, 20).coalesce(1).write.parquet(os.path.join(tbl, rel))
+
+    real = msink.HardLinkClaimBackend.publish
+    state = {"raced": False}
+
+    def racy(self, table_path, version, payload):
+        if not state["raced"]:
+            state["raced"] = True
+            t.append(_df(spark, 20, 30))
+        return real(self, table_path, version, payload)
+
+    monkeypatch.setattr(msink.HardLinkClaimBackend, "publish", racy)
+    w.commit([_WroteFiles(files=[rel], rows=10)])
+    monkeypatch.undo()
+    assert t.read().count() == 30               # rival + this append
+    assert t.current_version() == 3
+
+
+def test_format_failed_task_attempt_invisible(spark, tmp_path):
+    """A failed/speculative task attempt strands its (possibly partial)
+    file in a dir no commit references: every read path skips it, and
+    vacuum reclaims it as an orphan."""
+    register_manifest_table(spark)
+    p = str(tmp_path / "t")
+    _df(spark, 0, 10).write.format("manifest_table").option(
+        "path", p).mode("append").save()
+    # simulate a retried task's leftover attempt dir (valid footer — the
+    # worst case: dir-listing reads would serve it as duplicate rows)
+    stray = os.path.join("data", "c-failed-attempt")
+    _df(spark, 0, 10).coalesce(1).write.parquet(os.path.join(p, stray))
+
+    t = ManifestTable(spark, p)
+    assert t.read().count() == 10                              # native
+    assert (spark.read.format("manifest_table").option("path", p)
+            .load().count()) == 10                             # format
+    swept = t.vacuum(force=True)
+    assert swept["data_dirs"] == 1
+    assert not os.path.isdir(os.path.join(p, stray))
+    assert t.read().count() == 10
