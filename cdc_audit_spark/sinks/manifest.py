@@ -303,6 +303,12 @@ class ManifestTable:
             # manifests would reset the watermark/epoch and make the next
             # sync/replay DUPLICATE rows.
             inherited = {k: pm[k] for k in _STATE_KEYS if pm and k in pm}
+            # dirs_fn FIRST: it carries the guards that turn a racer into
+            # a graceful outcome (sync_audit's watermark conflict, the
+            # stream writer's already-applied-epoch skip) — a callable
+            # extra's own failure mode (e.g. schema governance refusing)
+            # must not shadow them
+            dirs = dirs_fn(pm)
             ex = extra(pm) if callable(extra) else (extra or {})
             payload = {
                 **inherited,
@@ -310,7 +316,7 @@ class ManifestTable:
                 "version": parent + 1 if parent is not None else 1,
                 "parent": parent,
                 "action": action,
-                "dirs": dirs_fn(pm),
+                "dirs": dirs,
             }
             # record the dirs THIS commit introduced (the commit's delta at
             # file granularity) — the streaming source reads exactly these

@@ -116,8 +116,10 @@ class ManifestStreamReader(DataSourceStreamReader):
                     os.path.join(full, f) for f in os.listdir(full)
                     if f.endswith(".parquet")
                 )
-                if files:
-                    parts.append(ManifestFilesPartition(files))
+                # one partition per FILE (matching the batch reader): a
+                # commit dir holds one file per writing task, so the
+                # consumer's read parallelism tracks the producer's
+                parts.extend(ManifestFilesPartition([f]) for f in files)
         return parts
 
     def _added_dirs(self, m: dict) -> list[str]:

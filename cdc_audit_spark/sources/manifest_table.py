@@ -15,21 +15,24 @@ time-travels.
 
 Writes run THROUGH the commit protocol: each executor task ATTEMPT
 streams its Arrow record batches into one parquet file inside its own
-fresh data dir (``DataSourceArrowWriter`` — no row-at-a-time Python; a
-failed/speculative attempt's partial file is stranded in a dir no
-commit references), and the driver's ``commit`` publishes the manifest
-atomically — ``mode("append")`` commits parent dirs + the task dirs,
-``mode("overwrite")`` commits only the task dirs, pinned to the version
-observed at job start (a concurrent writer surfaces ``CommitConflict``,
-never silent loss). A failed job ``abort``s by removing the
-unreferenced dirs (also vacuum-reclaimable).
+fresh attempt dir (``DataSourceArrowWriter`` — no row-at-a-time Python;
+a failed/speculative attempt's partial file is stranded in a dir no
+commit references, so retries can never surface duplicate or torn
+rows), and the driver's ``commit`` COALESCES the reported files into
+one commit dir (same-filesystem renames) before publishing the
+manifest atomically — the dirs list grows by ONE per commit regardless
+of task count, so manifest size stays O(commits), not
+O(commits x partitions). ``mode("append")`` commits parent dirs + the
+new dir, ``mode("overwrite")`` commits only the new dir, pinned to the
+version observed at job start (a concurrent writer surfaces
+``CommitConflict``, never silent loss). A failed job ``abort``s by
+removing the attempt dirs (also vacuum-reclaimable).
 Appends are schema-governed like ``ManifestTable.append``
 (``.option("onDrift", "evolve")`` admits additive drift).
-``.option("statsCols", "a,b")`` records each written dir's per-column
+``.option("statsCols", "a,b")`` records the commit dir's per-column
 min/max in the manifest for read-side pruning — every task folds its
 batches' bounds INLINE while writing (pyarrow min_max, no extra pass)
-and commits them as that dir's stats, so pruning works at task-dir
-granularity.
+and the driver merges them into the commit dir's stats.
 """
 
 from __future__ import annotations
@@ -234,10 +237,11 @@ def _parse_on_drift(options: dict) -> str:
 
 @dataclass
 class _WroteFiles(WriterCommitMessage):
-    # per-task data-dir RELPATHS (both writers): each task attempt gets
-    # its own fresh dir, so a failed/speculative attempt's leftover file
-    # sits in a dir no commit ever references — retries cannot surface
-    # duplicate or torn rows through the dir-listing reads
+    # parquet FILE relpaths inside per-attempt dirs (both writers): each
+    # task attempt writes into its own fresh dir, so a failed/speculative
+    # attempt's leftover file is never reported and never referenced —
+    # the driver's commit renames only the reported files into the final
+    # commit dir, so retries cannot surface duplicate or torn rows
     files: list = field(default_factory=list)
     rows: int = 0
     # per-column [min, max] observed by this task (JSON-plain values)
@@ -294,6 +298,70 @@ def _parse_stats_cols(options: dict, schema: StructType) -> list[str]:
     return cols
 
 
+def _write_attempt(path: str, iterator, stats_cols: list[str]) -> _WroteFiles:
+    """Executor side, shared by both writers: stream this task attempt's
+    batches into one parquet file inside a fresh attempt dir. Only the
+    returned (reported) file can ever reach a commit; a failed attempt's
+    partial file stays stranded in its own dir, vacuum-reclaimable."""
+    rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
+    wrote, name, rows, stats = _write_task_file(
+        iterator, os.path.join(path, rel), stats_cols)
+    return _WroteFiles(files=[os.path.join(rel, name)] if wrote else [],
+                       rows=rows, stats=stats)
+
+
+def _reclaim_attempts(path: str, messages) -> None:
+    """Remove the attempt dirs the messages report (job abort, replayed
+    epoch). Unreported attempts stay as orphans for vacuum."""
+    import shutil
+
+    for m in messages or []:
+        for f in (m.files if m is not None else []):
+            shutil.rmtree(os.path.join(path, os.path.dirname(f)),
+                          ignore_errors=True)
+
+
+def _coalesce_commit_dir(path: str, messages,
+                         schema: StructType) -> tuple[str, dict]:
+    """Driver side, shared by both writers: move every REPORTED task file
+    into one fresh commit dir (same-filesystem renames — the attempt
+    dirs exist only to isolate failed attempts) and merge the tasks'
+    inline stats into that dir's stats, so the manifest's dirs list
+    grows by ONE per commit regardless of the job's task count. An
+    all-empty write materializes the schema as a single empty parquet
+    file so reads stay well-formed. Returns (rel_dir, merged_stats)."""
+    import contextlib
+
+    rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
+    out_dir = os.path.join(path, rel)
+    os.makedirs(out_dir, exist_ok=True)
+    merged: dict = {}
+    moved = 0
+    for m in messages or []:
+        if m is None:
+            continue
+        for f in m.files:
+            os.rename(os.path.join(path, f),
+                      os.path.join(out_dir, os.path.basename(f)))
+            moved += 1
+            with contextlib.suppress(OSError):  # non-empty: leave for gc
+                os.rmdir(os.path.join(path, os.path.dirname(f)))
+        for c, (lo, hi) in (getattr(m, "stats", None) or {}).items():
+            prev = merged.get(c)
+            merged[c] = ([lo, hi] if prev is None
+                         else [min(prev[0], lo), max(prev[1], hi)])
+    if moved == 0:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        pq.write_table(
+            pa.table({f.name: [] for f in schema.fields},
+                     schema=to_arrow_schema(schema)),
+            os.path.join(out_dir, "part-empty.parquet"))
+    return rel, merged
+
+
 
 class ManifestTableWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
@@ -314,39 +382,14 @@ class ManifestTableWriter(DataSourceArrowWriter):
             _check_write_drift(path, schema, self.on_drift)
 
     def write(self, iterator):
-        # one fresh dir per TASK ATTEMPT (the stream writer's pattern): a
-        # failed attempt's partial file lives in a dir only its (lost)
-        # commit message knew about, so the retry's duplicate can never
-        # reach a reader — the orphan dir is vacuum-reclaimable
-        rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
-        wrote, _name, rows, stats = _write_task_file(
-            iterator, os.path.join(self.path, rel), self.stats_cols)
-        return _WroteFiles(files=[rel] if wrote else [],
-                           rows=rows, stats=stats)
+        return _write_attempt(self.path, iterator, self.stats_cols)
 
     def commit(self, messages):
+        import shutil
+
         from cdc_audit_spark.sinks.manifest import ManifestTable
 
-        task_dirs = [rel for m in messages if m is not None
-                     for rel in m.files]
-        dir_meta = {m.files[0]: {"stats": m.stats}
-                    for m in messages
-                    if m is not None and m.files and m.stats}
-        if not task_dirs:
-            # an all-empty write still commits a version: materialize the
-            # schema as one empty parquet file so reads stay well-formed
-            import pyarrow.parquet as pq
-            import pyarrow as pa
-            from pyspark.sql.pandas.types import to_arrow_schema
-
-            rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
-            out_dir = os.path.join(self.path, rel)
-            os.makedirs(out_dir, exist_ok=True)
-            pq.write_table(
-                pa.table({f.name: [] for f in self.schema.fields},
-                         schema=to_arrow_schema(self.schema)),
-                os.path.join(out_dir, "part-empty.parquet"))
-            task_dirs = [rel]
+        rel, stats = _coalesce_commit_dir(self.path, messages, self.schema)
         t = ManifestTable(None, self.path)
 
         def extra_fn(pm):
@@ -358,38 +401,41 @@ class ManifestTableWriter(DataSourceArrowWriter):
                                         self.schema, self.on_drift,
                                         self.path))
             e = {"schema": stamp.json()}
-            if dir_meta:
-                e["dir_meta"] = dir_meta
+            if stats:
+                e["dir_meta"] = {rel: {"stats": stats}}
             return e
 
-        if self.overwrite:
-            t._commit("overwrite", lambda parent: list(task_dirs),
-                      max_retries=1, extra=extra_fn,
-                      expected_parent=self.base_version)
-        else:
-            t._commit(
-                "append",
-                lambda parent: (parent["dirs"] if parent else []) + task_dirs,
-                extra=extra_fn)
+        try:
+            if self.overwrite:
+                t._commit("overwrite", lambda parent: [rel],
+                          max_retries=1, extra=extra_fn,
+                          expected_parent=self.base_version)
+            else:
+                t._commit(
+                    "append",
+                    lambda parent: (parent["dirs"] if parent else []) + [rel],
+                    extra=extra_fn)
+        except BaseException:
+            # failed commit (conflict, governance refusal): the coalesced
+            # dir is this job's data and nothing references it — remove
+            # it now rather than leaving an orphan for vacuum
+            shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+            raise
 
     def abort(self, messages):
-        import shutil
-
-        for m in messages or []:
-            for rel in (m.files if m is not None else []):
-                shutil.rmtree(os.path.join(self.path, rel),
-                              ignore_errors=True)
+        _reclaim_attempts(self.path, messages)
 
 
 class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
     """``df.writeStream.format("manifest_table")`` — each micro-batch is
-    one atomic epoch-tagged append commit: every task writes its record
-    batches into its OWN fresh data dir (invisible until committed) and
-    the driver's per-epoch ``commit`` registers all task dirs in a single
-    manifest claim carrying the epoch, so a replayed epoch is detected
-    via ``epoch_applied`` and skipped — exactly-once without a
-    cross-system transaction. ``abort`` removes the epoch's task dirs
-    (also vacuum-reclaimable as unreferenced orphans).
+    one atomic epoch-tagged append commit: every task ATTEMPT writes its
+    record batches into its own fresh attempt dir (invisible until
+    committed), the driver coalesces the reported files into one commit
+    dir per epoch, and a single manifest claim carries the epoch — so a
+    replayed epoch is detected via ``epoch_applied`` and skipped:
+    exactly-once without a cross-system transaction. ``abort`` removes
+    the epoch's attempt dirs (also vacuum-reclaimable as unreferenced
+    orphans).
 
     ``.option("streamId", <stable id>)`` is REQUIRED: epoch ids are
     scoped to the consumer's CHECKPOINT, so a fresh checkpoint restarted
@@ -428,36 +474,22 @@ class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
         ManifestTable(None, path).last_epoch(self.run_id)
 
     def write(self, iterator):
-        rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
-        wrote, _name, rows, stats = _write_task_file(
-            iterator, os.path.join(self.path, rel), self.stats_cols)
-        return _WroteFiles(files=[rel] if wrote else [],
-                           rows=rows, stats=stats)
+        return _write_attempt(self.path, iterator, self.stats_cols)
 
     def commit(self, messages, batchId: int) -> None:
         import shutil
 
         from cdc_audit_spark.sinks.manifest import ManifestTable
 
-        task_dirs = [rel for m in messages if m is not None
-                     for rel in m.files]
-
-        def reclaim():
-            for rel in task_dirs:
-                shutil.rmtree(os.path.join(self.path, rel),
-                              ignore_errors=True)
-
         t = ManifestTable(None, self.path)
         if t.epoch_applied(batchId, self.run_id):
             # crash landed after the commit but before the checkpoint:
-            # the replayed epoch's rewritten dirs are redundant orphans
-            reclaim()
+            # the replayed epoch's rewritten files are redundant orphans
+            _reclaim_attempts(self.path, messages)
             return
-        if not task_dirs:
+        if not any(m is not None and m.files for m in messages):
             return  # empty epoch: nothing to make durable
-        dir_meta = {m.files[0]: {"stats": m.stats}
-                    for m in messages
-                    if m is not None and m.files and m.stats}
+        rel, stats = _coalesce_commit_dir(self.path, messages, self.schema)
 
         class _AlreadyApplied(Exception):
             pass
@@ -470,7 +502,7 @@ class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
             # the epoch's rows duplicate
             if t.epoch_applied(batchId, self.run_id):
                 raise _AlreadyApplied()
-            return (parent["dirs"] if parent else []) + task_dirs
+            return (parent["dirs"] if parent else []) + [rel]
 
         def extra_fn(pm):
             # schema stamp re-governed per claim attempt (see the batch
@@ -480,22 +512,21 @@ class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
                                   self.schema, self.on_drift, self.path)
             e = {"schema": stamp.json(),
                  "epoch": int(batchId), "run_id": self.run_id}
-            if dir_meta:
-                e["dir_meta"] = dir_meta
+            if stats:
+                e["dir_meta"] = {rel: {"stats": stats}}
             return e
 
         try:
             t._commit("append", dirs_fn, extra=extra_fn)
         except _AlreadyApplied:
-            reclaim()
+            # the rival's copy of this epoch is durable; ours is redundant
+            shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+            raise
 
     def abort(self, messages, batchId: int) -> None:
-        import shutil
-
-        for m in messages:
-            for rel in (m.files if m is not None else []):
-                shutil.rmtree(os.path.join(self.path, rel),
-                              ignore_errors=True)
+        _reclaim_attempts(self.path, messages)
 
 
 class ManifestTableDataSource(DataSource):

@@ -22,6 +22,19 @@ def _df(spark, lo, hi):
         F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
 
 
+def _attempt_files(base, rel, strip=False):
+    """File relpaths of a hand-built attempt dir, as a task would report
+    them. ``strip`` drops Spark's _SUCCESS marker so the dir matches the
+    real single-file attempt layout (and empties after coalescing)."""
+    d = os.path.join(base, rel)
+    if strip:
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                os.remove(os.path.join(d, f))
+    return [os.path.join(rel, f) for f in os.listdir(d)
+            if f.endswith(".parquet")]
+
+
 def test_format_write_read_roundtrip(spark, tmp_path):
     register_manifest_table(spark)
     p = str(tmp_path / "t")
@@ -142,13 +155,13 @@ def test_format_write_empty_and_concurrent_overwrite(spark, tmp_path):
         w.commit([])
     assert 50 in {r["k"] for r in t.read().collect()}
 
-    # abort removes the dirs its tasks reported
+    # abort removes the attempt dirs its tasks reported
     from cdc_audit_spark.sources.manifest_table import _WroteFiles
 
     w2 = ManifestTableWriter({"path": p}, t.schema(), overwrite=False)
     rel = os.path.join("data", "c-aborted")
     os.makedirs(os.path.join(p, rel), exist_ok=True)
-    w2.abort([_WroteFiles(files=[rel], rows=0)])
+    w2.abort([_WroteFiles(files=[os.path.join(rel, "f.parquet")], rows=0)])
     assert not os.path.isdir(os.path.join(p, rel))
 
 
@@ -422,10 +435,11 @@ def test_stream_writer_zombie_epoch_guard(spark, tmp_path, monkeypatch):
 
     w = ManifestTableStreamWriter(
         {"path": tbl, "streamid": "s1"}, t.schema())
-    # zombie prepared epoch 1's task dir...
+    # zombie prepared epoch 1's attempt dir...
     zombie_rel = os.path.join("data", "c-zombie")
     _df(spark, 10, 20).coalesce(1).write.parquet(
         os.path.join(tbl, zombie_rel))
+    zfiles = _attempt_files(tbl, zombie_rel, strip=True)
 
     real = ManifestTable.epoch_applied
     calls = {"n": 0}
@@ -444,11 +458,18 @@ def test_stream_writer_zombie_epoch_guard(spark, tmp_path, monkeypatch):
         return real(self, epoch_id, run_id)
 
     monkeypatch.setattr(ManifestTable, "epoch_applied", racy)
-    w.commit([_WroteFiles(files=[zombie_rel], rows=10)], 1)
+    w.commit([_WroteFiles(files=zfiles, rows=10)], 1)
     assert calls["n"] >= 2                     # claim-loop guard ran
     assert t.current_version() == 2            # no duplicate commit
     assert t.read().count() == 20              # rows not duplicated
     assert not os.path.isdir(os.path.join(tbl, zombie_rel))  # reclaimed
+    # the coalesced-but-unclaimed commit dir was reclaimed too: only the
+    # two committed versions' dirs remain on disk
+    referenced = {d for v in t.versions()
+                  for d in t.manifest(v)["dirs"]}
+    on_disk = {os.path.join("data", n)
+               for n in os.listdir(os.path.join(tbl, "data"))}
+    assert on_disk == referenced
 
 
 def test_format_append_rebase_refuses_stale_schema(spark, tmp_path,
@@ -471,6 +492,7 @@ def test_format_append_rebase_refuses_stale_schema(spark, tmp_path,
     w = ManifestTableWriter({"path": tbl}, t.schema(), overwrite=False)
     rel = os.path.join("data", "c-task1")
     _df(spark, 10, 20).coalesce(1).write.parquet(os.path.join(tbl, rel))
+    files = _attempt_files(tbl, rel, strip=True)
 
     real = msink.HardLinkClaimBackend.publish
     state = {"raced": False}
@@ -485,10 +507,15 @@ def test_format_append_rebase_refuses_stale_schema(spark, tmp_path,
 
     monkeypatch.setattr(msink.HardLinkClaimBackend, "publish", racy)
     with pytest.raises(SchemaDriftError):
-        w.commit([_WroteFiles(files=[rel], rows=10)])
+        w.commit([_WroteFiles(files=files, rows=10)])
     monkeypatch.undo()
     assert "extra" in t.schema().fieldNames()   # NOT regressed
     assert t.read().count() == 15               # stale append never landed
+    # the refused commit's coalesced dir was cleaned up, not orphaned
+    referenced = {d for v in t.versions() for d in t.manifest(v)["dirs"]}
+    on_disk = {os.path.join("data", n)
+               for n in os.listdir(os.path.join(tbl, "data"))}
+    assert on_disk == referenced
 
 
 def test_format_append_rebase_succeeds_same_schema(spark, tmp_path,
@@ -507,6 +534,7 @@ def test_format_append_rebase_succeeds_same_schema(spark, tmp_path,
     w = ManifestTableWriter({"path": tbl}, t.schema(), overwrite=False)
     rel = os.path.join("data", "c-task1")
     _df(spark, 10, 20).coalesce(1).write.parquet(os.path.join(tbl, rel))
+    files = _attempt_files(tbl, rel, strip=True)
 
     real = msink.HardLinkClaimBackend.publish
     state = {"raced": False}
@@ -518,10 +546,11 @@ def test_format_append_rebase_succeeds_same_schema(spark, tmp_path,
         return real(self, table_path, version, payload)
 
     monkeypatch.setattr(msink.HardLinkClaimBackend, "publish", racy)
-    w.commit([_WroteFiles(files=[rel], rows=10)])
+    w.commit([_WroteFiles(files=files, rows=10)])
     monkeypatch.undo()
     assert t.read().count() == 30               # rival + this append
     assert t.current_version() == 3
+    assert not os.path.isdir(os.path.join(tbl, rel))  # attempt dir folded
 
 
 def test_format_failed_task_attempt_invisible(spark, tmp_path):
@@ -545,3 +574,26 @@ def test_format_failed_task_attempt_invisible(spark, tmp_path):
     assert swept["data_dirs"] == 1
     assert not os.path.isdir(os.path.join(p, stray))
     assert t.read().count() == 10
+
+
+def test_format_append_commits_one_dir_regardless_of_tasks(spark, tmp_path):
+    """The manifest's dirs list must grow by ONE per commit, not by the
+    job's task count — at cron cadence a per-task-dir layout would make
+    manifest size O(commits x partitions). Task files are coalesced into
+    the commit dir by driver-side renames; their inline stats merge into
+    that dir's stats."""
+    register_manifest_table(spark)
+    p = str(tmp_path / "t")
+    (_df(spark, 0, 1000).repartition(8)
+     .write.format("manifest_table").option("path", p)
+     .option("statsCols", "v").mode("append").save())
+    t = ManifestTable(spark, p)
+    m = t.manifest(t.current_version())
+    assert len(m["dirs"]) == 1
+    d = m["dirs"][0]
+    assert len(os.listdir(os.path.join(p, d))) == 8   # one file per task
+    assert m["dir_meta"][d]["stats"]["v"] == [0, 9990]
+    assert t.read().count() == 1000
+    # a clean commit leaves no stranded attempt dirs behind
+    assert {os.path.join("data", n)
+            for n in os.listdir(os.path.join(p, "data"))} == {d}
