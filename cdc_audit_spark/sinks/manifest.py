@@ -847,6 +847,15 @@ class ManifestTable:
                   if range_of(d) is not None]
         bare = [d for d in m["dirs"] if range_of(d) is None]
         ranged.sort(key=lambda t: t[1])
+        # Bare dirs (e.g. a plain append interleaved between merges) force
+        # a ONE-TIME full rewrite: the quantile fallback lays the rewritten
+        # rows out by CONTENT ranges, and if any ranged dir were carried
+        # verbatim those content ranges could overlap its ownership
+        # interval — the next merge's ownership partition would then route
+        # a key to one dir while its stale row lives in the other,
+        # silently duplicating it. Rewriting everything makes the new
+        # layout globally disjoint again (ADVICE r06 high).
+        full_rewrite = bool(bare) and bool(ranged)
         # ownership interval per ranged dir (complete, disjoint keyline
         # cover): [own_lo, own_hi], None = unbounded
         own = []
@@ -865,8 +874,9 @@ class ManifestTable:
 
         aggs = [F.count("*").alias("__n"), F.max(audit_pk).alias("__mx"),
                 F.min(key).alias("__klo"), F.max(key).alias("__khi")]
-        aggs += [F.max(owned(j).cast("int")).alias(f"__d{j}")
-                 for j in range(len(ranged))]
+        if not full_rewrite:  # per-dir flags are moot when all are touched
+            aggs += [F.max(owned(j).cast("int")).alias(f"__d{j}")
+                     for j in range(len(ranged))]
         r = delta.agg(*aggs).first()
         n = int(r["__n"])
         if n == 0:
@@ -874,7 +884,11 @@ class ManifestTable:
         new_wm = max(wm, int(r["__mx"]))
         klo, khi = int(r["__klo"]), int(r["__khi"])
 
-        touched_idx = sorted(j for j in range(len(ranged)) if r[f"__d{j}"])
+        if full_rewrite:
+            touched_idx = list(range(len(ranged)))
+        else:
+            touched_idx = sorted(j for j in range(len(ranged))
+                                 if r[f"__d{j}"])
         touched = bare + [ranged[j][0] for j in touched_idx]
         untouched = [d for d in m["dirs"] if d not in set(touched)]
 
@@ -886,7 +900,10 @@ class ManifestTable:
         new_rows = apply_changes(cur, delta, [key])
 
         if bare or not ranged:
-            # no reusable boundaries: fall back to the quantile layout
+            # no reusable boundaries: fall back to the quantile layout —
+            # safe ONLY because full_rewrite guarantees untouched == []
+            # whenever ranged dirs exist alongside bare ones (content
+            # ranges from the quantile pass may not overlap carried dirs)
             new_dirs, new_meta = self._write_range_dirs(
                 new_rows, key, max(1, len(touched)))
         else:

@@ -1306,6 +1306,69 @@ def test_pruned_merge_gap_keys(spark, tmp_path):
     assert got[15] == 1501 and t2.read().count() == len(model)
 
 
+def test_pruned_merge_bare_dirs_full_rewrite(spark, tmp_path):
+    """ADVICE r06 high: a BARE dir (plain append, no merge-key range)
+    interleaved between pruned merges must force a full rewrite. The
+    quantile fallback lays rewritten rows out by CONTENT ranges; if
+    untouched ranged dirs were carried verbatim those ranges could
+    overlap their ownership intervals, and the NEXT merge would route a
+    key to one dir while its stale row lives in the other — a silent
+    duplicate. Scenario from the advice: range layout 1-100, bare append
+    of k=200, pruned merge touching k=10, then pruned merge of k=200."""
+    from cdc_audit_spark.capture import apply_changes
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    boot = spark.range(1, 101).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    empty = spark.createDataFrame(
+        [], "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(empty, ["k"], bootstrap=boot, pruned=True,
+                  range_buckets=4)
+    ranged_dirs = set(t.manifest(t.current_version())["dirs"])
+
+    # bare append: no pk_col=k range metadata on its dir
+    t.append(spark.createDataFrame([(200, 200)], "k long, v long"))
+
+    log1 = spark.createDataFrame(
+        [(10, 1010, "update", 500)],
+        "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(log1, ["k"], pruned=True)
+    m = t.manifest(t.current_version())
+    # the bare dir forced a FULL rewrite: no pre-merge dir carried over,
+    # and every new dir records a k-range (layout is ranged again)
+    assert not (set(m["dirs"]) & ranged_dirs)
+    assert all(m["dir_meta"][d].get("pk_col") == "k" for d in m["dirs"])
+    # recorded ranges are globally disjoint
+    spans = sorted((m["dir_meta"][d]["pk_min"], m["dir_meta"][d]["pk_max"])
+                   for d in m["dirs"])
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+
+    log2 = log1.unionByName(spark.createDataFrame(
+        [(200, 201, "update", 600)],
+        "k long, v long, audit_event string, audit_pk long"))
+    t.merge_audit(log2, ["k"], pruned=True)
+    assert t.read().count() == 101                     # not 102
+    assert t.read().groupBy("k").count().filter("count > 1").count() == 0
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[200] == 201 and got[10] == 1010 and got[50] == 50
+
+    # and the NEXT merge prunes again (fast path restored): a narrow
+    # update must carry at least one dir verbatim
+    pre = set(t.manifest(t.current_version())["dirs"])
+    log3 = log2.unionByName(spark.createDataFrame(
+        [(10, 1011, "update", 700)],
+        "k long, v long, audit_event string, audit_pk long"))
+    t.merge_audit(log3, ["k"], pruned=True)
+    m3 = t.manifest(t.current_version())
+    assert m3["action"] == "merge"
+    assert set(m3["dirs"]) & pre                       # reuse is back
+    exp = {r["k"]: r["v"]
+           for r in apply_changes(boot.unionByName(
+               spark.createDataFrame([(200, 200)], "k long, v long")),
+               log3, ["k"]).collect()}
+    assert {r["k"]: r["v"] for r in t.read().collect()} == exp
+
+
 def test_vacuum_keeps_retained_checkpoint_dirs(spark, tmp_path):
     """The retained checkpoint's versions stay time-travelable after
     vacuum: their data dirs must survive the sweep even when no kept
