@@ -379,6 +379,8 @@ class ManifestTable:
         Delta/Iceberg per-file-stats pattern at dir granularity."""
         from pyspark.sql import functions as F
 
+        from pyspark.storagelevel import StorageLevel
+
         self._check_drift(df, on_drift)
         meta: dict = {}
         agg_cols = []
@@ -388,18 +390,29 @@ class ManifestTable:
         for c in stats_cols or []:
             agg_cols += [F.min(c).alias(f"__lo_{c}"),
                          F.max(c).alias(f"__hi_{c}")]
-        if agg_cols:
-            r = df.agg(*agg_cols).first()
-            if pk_range_col is not None and r["__pk_lo"] is not None:
-                meta.update(pk_min=int(r["__pk_lo"]),
-                            pk_max=int(r["__pk_hi"]),
-                            pk_col=pk_range_col)
-            stats = {c: [_plain(r[f"__lo_{c}"]), _plain(r[f"__hi_{c}"])]
-                     for c in stats_cols or []
-                     if _plain(r[f"__lo_{c}"]) is not None}
-            if stats:
-                meta["stats"] = stats
-        rel = self._write_data_dir(df)
+        # stats + write evaluate df twice: persist for the duration (same
+        # rationale/guard as _write_range_dirs) so an expensive input
+        # lineage (join+window) isn't recomputed per pass
+        lvl = df.storageLevel
+        owns_cache = bool(agg_cols) and not (lvl.useMemory or lvl.useDisk)
+        if owns_cache:  # never clobber a cache the caller owns
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if agg_cols:
+                r = df.agg(*agg_cols).first()
+                if pk_range_col is not None and r["__pk_lo"] is not None:
+                    meta.update(pk_min=int(r["__pk_lo"]),
+                                pk_max=int(r["__pk_hi"]),
+                                pk_col=pk_range_col)
+                stats = {c: [_plain(r[f"__lo_{c}"]), _plain(r[f"__hi_{c}"])]
+                         for c in stats_cols or []
+                         if _plain(r[f"__lo_{c}"]) is not None}
+                if stats:
+                    meta["stats"] = stats
+            rel = self._write_data_dir(df)
+        finally:
+            if owns_cache:
+                df.unpersist()
         extra = {**(extra or {}), "schema": df.schema.json()}
         if meta:
             extra["dir_meta"] = {rel: meta}

@@ -15,10 +15,18 @@ level, with the manifest's own commit versions as the offset axis:
   and the work per batch is proportional to the new commits only.
 
 Append-action commits stream their added dirs. Overwrite-action commits
-(compact / merge / repair) are REWRITES of existing content, not new
-rows — streaming them would re-emit the whole table — so they are
-skipped, exactly like file-compaction is invisible to log consumers in
-public table formats' change feeds.
+(compact / repair / full overwrite) are REWRITES of existing content,
+not new rows — streaming them would re-emit the whole table — so they
+are skipped, exactly like file-compaction is invisible to log consumers
+in public table formats' change feeds. Merge-action commits
+(``merge_audit`` pruned=True) are DIFFERENT: their rewritten dirs mix
+genuinely new delta rows with carried-over old rows, so neither
+emitting them (old-row duplicates) nor skipping them (silent change
+loss) is change-feed-correct — the source FAILS LOUDLY when it
+encounters one. A consumer that knowingly wants append-only semantics
+over a merge-maintained table can opt into skipping with
+``.option("skipMerges", "true")``; to stream a replica's changes, tail
+the AUDIT table feeding the merge instead (it IS the change feed).
 
 Executors read the parquet files with pyarrow and yield Arrow record
 batches (the vectorized path of the Python DataSource API) — no
@@ -95,6 +103,10 @@ class ManifestStreamReader(DataSourceStreamReader):
                 "manifest_stream requires .option('path', <table dir>)")
         self.path = path
         self.start_version = int(options.get("startingversion", 0))
+        sm = options.get("skipmerges", "false").lower()
+        if sm not in ("true", "false"):
+            raise ValueError(f"skipMerges must be true/false, got {sm!r}")
+        self.skip_merges = sm == "true"
         self.spark_schema = schema
 
     def initialOffset(self) -> dict:
@@ -109,7 +121,21 @@ class ManifestStreamReader(DataSourceStreamReader):
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             m = _manifest(self.path, v)
             if m["action"] != "append":
-                continue  # rewrites (compact/merge/repair) are not new rows
+                # overwrite rewrites (compact/repair) are not new rows —
+                # invisible, like any change feed. A MERGE commit's dirs
+                # mix new delta rows with carried old rows: emitting
+                # duplicates, skipping loses changes — refuse unless the
+                # consumer opted into append-only semantics explicitly
+                if m["action"] == "merge" and not self.skip_merges:
+                    raise ValueError(
+                        f"version {v} at {self.path} is a merge commit: "
+                        "its dirs mix new delta rows with rewritten old "
+                        "rows, so a change feed can neither emit nor "
+                        "silently skip it. Stream the AUDIT table feeding "
+                        "the merge instead (it is the change feed), or "
+                        "pass .option('skipMerges', 'true') to knowingly "
+                        "receive only plain appends.")
+                continue
             for d in self._added_dirs(m):
                 full = os.path.join(self.path, d)
                 files = sorted(

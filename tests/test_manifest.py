@@ -1136,6 +1136,44 @@ def test_pruned_merge_reuses_untouched_dirs(spark, tmp_path):
         t.merge_audit(log, ["k", "v"], pruned=True)
 
 
+def test_append_with_stats_evaluates_input_once(spark, tmp_path):
+    """ADVICE r06: append(stats_cols=) runs a stats aggregate AND the
+    parquet write — the input lineage must be persisted for the duration
+    (not recomputed per pass), without clobbering a caller-owned cache."""
+    from pyspark.sql.functions import udf
+    from pyspark.storagelevel import StorageLevel
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @udf("long")
+    def bump(x):
+        acc.add(1)
+        return x
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    df = (spark.range(0, 100, 1, 2)
+          .select(bump(F.col("id")).alias("v")))
+    t.append(df, stats_cols=["v"], pk_range_col="v")
+    # persisted: the UDF ran once per row, not once per pass
+    assert acc.value == 100
+    m = t.manifest(t.current_version())
+    dm = m["dir_meta"][m["dirs"][0]]
+    assert dm["stats"]["v"] == [0, 99]
+    assert (dm["pk_min"], dm["pk_max"]) == (0, 99)
+    assert t.read().count() == 100
+    # the temporary cache was released
+    assert df.storageLevel == StorageLevel.NONE
+
+    # a caller-owned cache is left alone
+    df2 = spark.range(100, 110).select(F.col("id").alias("v"))
+    df2.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        t.append(df2, stats_cols=["v"])
+        assert df2.storageLevel == StorageLevel.MEMORY_AND_DISK
+    finally:
+        df2.unpersist()
+
+
 def test_column_stats_pruned_reads(spark, tmp_path):
     """append(stats_cols=...) records per-dir min/max for arbitrary
     columns; read_pruned skips whole dirs by those stats (the file-stats
