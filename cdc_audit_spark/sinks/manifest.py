@@ -117,6 +117,66 @@ def _claim_manifest(table_path: str, version: int, payload: dict) -> bool:
         os.unlink(tmp)
 
 
+def _last_pointer_path(table_path: str) -> str:
+    return os.path.join(table_path, _MANIFEST_DIR, "_last.json")
+
+
+def _read_last_pointer(table_path: str) -> int | None:
+    """Best-effort hint of the newest committed version (the Delta
+    ``_last_checkpoint`` analog for the version axis). May LAG the truth
+    (a committer can crash between claim and pointer write, and the
+    pointer write itself is unsynchronized) — callers must probe forward
+    from it; it is never authoritative."""
+    try:
+        with open(_last_pointer_path(table_path)) as f:
+            v = json.load(f).get("version")
+        return int(v) if v is not None else None
+    except (OSError, ValueError, TypeError, json.JSONDecodeError):
+        return None
+
+
+def _write_last_pointer(table_path: str, version: int) -> None:
+    """Best-effort, monotone pointer update after a successful claim.
+    Racy by design (two committers can interleave read-check and
+    replace); a regression only costs the next reader extra forward
+    probes — the claim files remain the source of truth."""
+    import contextlib
+
+    prev = _read_last_pointer(table_path)
+    if prev is not None and prev >= version:
+        return
+    with contextlib.suppress(OSError):
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(table_path, _MANIFEST_DIR),
+                                   prefix="._last_")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"version": int(version)}, f)
+            os.replace(tmp, _last_pointer_path(table_path))
+        except OSError:
+            os.unlink(tmp)
+
+
+def current_committed_version(table_path: str) -> int | None:
+    """The newest committed version WITHOUT listing ``_manifests/`` on
+    the happy path: read the ``_last.json`` pointer, verify its manifest
+    exists, then probe forward one version at a time past any commits
+    the pointer missed (versions are claimed densely, so the first gap
+    is the frontier). Cost: O(1 + pointer lag) stat calls. Falls back to
+    the full directory listing when the pointer is absent or stale
+    (pre-pointer tables, manual copies)."""
+    v = _read_last_pointer(table_path)
+    if v is not None and os.path.exists(_manifest_path(table_path, v)):
+        while os.path.exists(_manifest_path(table_path, v + 1)):
+            v += 1
+        return v
+    mdir = os.path.join(table_path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    vs = [int(n[2:-5]) for n in os.listdir(mdir)
+          if n.startswith("m-") and n.endswith(".json")]
+    return max(vs) if vs else None
+
+
 class ClaimBackend:
     """Storage adapter for the ONE primitive the commit protocol needs:
     publish-if-absent of a fully-written manifest for a version. Returns
@@ -178,8 +238,9 @@ class ManifestTable:
         )
 
     def current_version(self) -> int | None:
-        vs = self.versions()
-        return vs[-1] if vs else None
+        # pointer + forward probe: O(1 + lag) stats, no directory listing
+        # on the happy path — this runs on EVERY claim attempt
+        return current_committed_version(self.path)
 
     def manifest(self, version: int) -> dict:
         try:
@@ -207,6 +268,21 @@ class ManifestTable:
         )
 
     def _newest_checkpoint(self, at_version: int | None = None) -> dict | None:
+        # fast path: checkpoints land at multiples of checkpoint_interval,
+        # so probe downward from floor(at/interval)*interval — no listing.
+        # A miss falls back to the listing (another writer may checkpoint
+        # at a different cadence); picking an OLDER checkpoint than the
+        # true newest is always safe — the state walk just runs longer.
+        top = (at_version if at_version is not None
+               else current_committed_version(self.path))
+        if self.checkpoint_interval and top is not None:
+            k = (top // self.checkpoint_interval) * self.checkpoint_interval
+            while k > 0:
+                try:
+                    with open(_checkpoint_path(self.path, k)) as f:
+                        return json.load(f)
+                except FileNotFoundError:
+                    k -= self.checkpoint_interval
         cks = self.checkpoints()
         if at_version is not None:
             cks = [v for v in cks if v <= at_version]
@@ -219,16 +295,30 @@ class ManifestTable:
         """Manifests newest-first, STOPPING at the newest checkpoint (whose
         payload — a fully resolved snapshot — is yielded last). Every state
         read built on this touches <= (commits since checkpoint) + 1 files
-        regardless of total history length."""
+        regardless of total history length.
+
+        Versions are claimed densely (parent + 1), so the walk descends
+        arithmetically from the current version — no directory listing on
+        the happy path. A missing manifest mid-walk (vacuum dropped a
+        version between the checkpoint and the frontier under a
+        non-default policy) falls back to the listing for the remainder.
+        """
         ck = self._newest_checkpoint(at_version)
         ck_v = ck["version"] if ck else None
-        vs = self.versions()
-        if at_version is not None:
-            vs = [v for v in vs if v <= at_version]
-        for v in reversed(vs):
-            if ck_v is not None and v <= ck_v:
+        top = (at_version if at_version is not None
+               else current_committed_version(self.path))
+        v = top if top is not None else 0
+        while v >= 1 and (ck_v is None or v > ck_v):
+            try:
+                yield self.manifest(v)
+            except FileNotFoundError:
+                # vacuumed gap below the frontier: the listing knows
+                # exactly which versions survive — walk those instead
+                for lv in reversed(self.versions()):
+                    if lv < v and (ck_v is None or lv > ck_v):
+                        yield self.manifest(lv)
                 break
-            yield self.manifest(v)
+            v -= 1
         if ck is not None:
             yield ck
 
@@ -334,6 +424,7 @@ class ManifestTable:
                 payload["dir_meta"] = merged
             if self.claim_backend.publish(self.path, payload["version"],
                                           payload):
+                _write_last_pointer(self.path, payload["version"])
                 self._maybe_checkpoint(payload["version"], payload)
                 return payload["version"]
         raise CommitConflict(

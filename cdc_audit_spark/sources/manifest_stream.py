@@ -113,8 +113,13 @@ class ManifestStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        vs = _versions(self.path)
-        return {"version": vs[-1] if vs else self.start_version}
+        # pointer + forward probe (O(1 + lag) stats): this runs once per
+        # micro-batch, and a full _manifests/ listing per tick would grow
+        # with table age on never-vacuumed tables
+        from cdc_audit_spark.sinks.manifest import current_committed_version
+
+        v = current_committed_version(self.path)
+        return {"version": v if v is not None else self.start_version}
 
     def partitions(self, start: dict, end: dict):
         parts = []

@@ -107,6 +107,15 @@ def _committed_schema(path: str) -> StructType | None:
     writer-side non-nullability cannot hold table-wide."""
     import json
 
+    from cdc_audit_spark.sinks.manifest import current_committed_version
+
+    # every commit inherits the schema stamp (_STATE_KEYS), so the newest
+    # manifest almost always has it — pointer fast path, no listing
+    cur = current_committed_version(path)
+    if cur is not None:
+        m = _manifest(path, cur)
+        if "schema" in m:
+            return _all_nullable(StructType.fromJson(json.loads(m["schema"])))
     for v in reversed(_versions(path)):
         m = _manifest(path, v)
         if "schema" in m:
@@ -169,10 +178,13 @@ class ManifestTableReader(DataSourceReader):
         filters = {c: (lo, hi) for c, (lo, hi) in self._bounds.items()}
         version = self.version
         if version is None:
-            vs = _versions(self.path)
-            if not vs:
+            from cdc_audit_spark.sinks.manifest import (
+                current_committed_version,
+            )
+
+            version = current_committed_version(self.path)
+            if version is None:
                 raise FileNotFoundError(f"no commits yet at {self.path}")
-            version = vs[-1]
         m = _manifest(self.path, version)
         dirs = t.dirs_pruned(filters, version=version) if filters else m["dirs"]
         parts = []
@@ -377,7 +389,9 @@ class ManifestTableWriter(DataSourceArrowWriter):
         # read-side pruning — computed INLINE by each task while it
         # writes (no extra pass), committed per task dir
         self.stats_cols = _parse_stats_cols(options, schema)
-        self.base_version = (_versions(path) or [None])[-1]
+        from cdc_audit_spark.sinks.manifest import current_committed_version
+
+        self.base_version = current_committed_version(path)
         if not overwrite:  # fail-fast; governance re-runs at commit time
             _check_write_drift(path, schema, self.on_drift)
 

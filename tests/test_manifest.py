@@ -955,6 +955,63 @@ def test_checkpoint_bounds_state_reads_at_5k_commits(spark, tmp_path):
     assert (r.rows_synced, r.watermark) == (5, 15)
 
 
+def test_last_pointer_makes_sync_loop_listing_free(spark, tmp_path,
+                                                   monkeypatch):
+    """VERDICT r06 item 3: every claim attempt used to LIST the whole
+    _manifests/ dir (O(live manifests), bounded only by vacuum). The
+    best-effort _last.json pointer + forward probing makes the whole
+    sync loop — watermark walk, drift check, claim — run with at most
+    ONE full _manifests listing on a 1k-commit un-vacuumed table
+    (zero on the happy path); the claim files stay the source of truth."""
+    import os as _os
+
+    from cdc_audit_spark.sinks.manifest import (
+        _read_last_pointer,
+        current_committed_version,
+    )
+
+    t = ManifestTable(spark, str(tmp_path / "t"), checkpoint_interval=16)
+    t.sync_audit(_rows(spark, 1, 11))
+    for _ in range(1000):
+        t._commit("append", lambda pm: pm["dirs"])
+    assert t.current_version() == 1001
+    assert _read_last_pointer(t.path) == 1001
+
+    mdir = _os.path.join(t.path, "_manifests")
+    listings = []
+    real_listdir = _os.listdir
+
+    def counting(path="."):
+        if _os.path.abspath(str(path)) == _os.path.abspath(mdir):
+            listings.append(str(path))
+        return real_listdir(path)
+
+    monkeypatch.setattr(_os, "listdir", counting)
+    r = t.sync_audit(_rows(spark, 1, 16))
+    monkeypatch.undo()
+    assert (r.rows_synced, r.watermark) == (5, 15)
+    assert len(listings) <= 1, f"{len(listings)} _manifests listings"
+
+    # a LAGGING pointer (committer crashed between claim and pointer
+    # write) is probed past, never trusted: claim files win
+    import json as _json
+
+    with open(_os.path.join(mdir, "_last.json"), "w") as f:
+        _json.dump({"version": 5}, f)
+    assert current_committed_version(t.path) == 1002
+    # and the next commit repairs the pointer monotonically
+    t._commit("append", lambda pm: pm["dirs"])
+    assert _read_last_pointer(t.path) == 1003
+
+    # a corrupt/missing pointer falls back to the listing
+    with open(_os.path.join(mdir, "_last.json"), "w") as f:
+        f.write("not json")
+    assert current_committed_version(t.path) == 1003
+    _os.unlink(_os.path.join(mdir, "_last.json"))
+    assert current_committed_version(t.path) == 1003
+    assert t.watermark() == 15
+
+
 def test_dedup_replay_with_index_half_committed_first(spark, tmp_path):
     """VERDICT r05 item 4: the OTHER half-committed state — idx landed,
     acc missing. An unpinned index read would see the batch's own entries
