@@ -117,6 +117,13 @@ def _claim_manifest(table_path: str, version: int, payload: dict) -> bool:
         os.unlink(tmp)
 
 
+def _parquet_files(table_path: str, rel_dir: str) -> list[str]:
+    """Parquet file names inside a freshly-written commit dir (driver
+    side, write time — recorded in dir_meta so reads never LIST)."""
+    full = os.path.join(table_path, rel_dir)
+    return sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+
+
 def _last_pointer_path(table_path: str) -> str:
     return os.path.join(table_path, _MANIFEST_DIR, "_last.json")
 
@@ -345,10 +352,17 @@ class ManifestTable:
 
     # --------------------------------------------------------------- writes
 
-    def _write_data_dir(self, df: DataFrame) -> str:
+    def _write_data_dir(self, df: DataFrame) -> tuple[str, list[str]]:
+        """Write one commit dir; returns (rel_dir, parquet file names).
+        The file list is recorded in the commit's ``dir_meta`` so readers
+        discover files from the MANIFEST alone — no LIST call on the data
+        path at read time (object-store-friendly); one driver listdir
+        here, at write time, when the dir is known-complete."""
         rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
-        df.write.parquet(os.path.join(self.path, rel))
-        return rel
+        out = os.path.join(self.path, rel)
+        df.write.parquet(out)
+        files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+        return rel, files
 
     def _commit(self, action: str, dirs_fn, max_retries: int = 20,
                 extra: dict | None = None, expected_parent=_ANY) -> int:
@@ -500,13 +514,13 @@ class ManifestTable:
                          if _plain(r[f"__lo_{c}"]) is not None}
                 if stats:
                     meta["stats"] = stats
-            rel = self._write_data_dir(df)
+            rel, files = self._write_data_dir(df)
         finally:
             if owns_cache:
                 df.unpersist()
-        extra = {**(extra or {}), "schema": df.schema.json()}
-        if meta:
-            extra["dir_meta"] = {rel: meta}
+        meta["files"] = files
+        extra = {**(extra or {}), "schema": df.schema.json(),
+                 "dir_meta": {rel: meta}}
         return self._commit(
             "append", lambda parent: (parent["dirs"] if parent else []) + [rel],
             extra=extra,
@@ -565,10 +579,11 @@ class ManifestTable:
         """
         if base_version is _ANY:
             base_version = self.current_version()
-        rel = self._write_data_dir(df)
+        rel, files = self._write_data_dir(df)
         return self._commit("overwrite", lambda parent: [rel], max_retries=1,
                             extra={**(extra or {}),
-                                   "schema": df.schema.json()},
+                                   "schema": df.schema.json(),
+                                   "dir_meta": {rel: {"files": files}}},
                             expected_parent=base_version)
 
     def compact(self, pk_cols: list[str] | None = None,
@@ -681,7 +696,7 @@ class ManifestTable:
         if n == 0:
             return SyncResult(0, wm, self.path)
         new_wm = max(wm, int(mx))
-        rel = self._write_data_dir(delta)
+        rel, files = self._write_data_dir(delta)
 
         def dirs(parent):
             # the delta was computed against wm; if another sync advanced
@@ -701,7 +716,7 @@ class ManifestTable:
             "watermark": new_wm,
             "schema": audit_df.schema.json(),
             "dir_meta": {rel: {"pk_min": wm + 1, "pk_max": new_wm,
-                               "pk_col": audit_pk}},
+                               "pk_col": audit_pk, "files": files}},
         })
         return SyncResult(n, new_wm, self.path)
 
@@ -1054,7 +1069,7 @@ class ManifestTable:
             if nm.startswith("__bucket="))
         dirs = [f"{rel}/__bucket={b}" for b in present]
         meta = {d: {"pk_min": int(spans[b][0]), "pk_max": int(spans[b][1]),
-                    "pk_col": key}
+                    "pk_col": key, "files": _parquet_files(self.path, d)}
                 for d, b in zip(dirs, present)}
         return dirs, meta
 
@@ -1124,7 +1139,7 @@ class ManifestTable:
                 df.unpersist()
         dirs = [f"{rel}/__bucket={int(r['__bucket'])}" for r in ranges]
         meta = {d: {"pk_min": int(r["lo"]), "pk_max": int(r["hi"]),
-                    "pk_col": key}
+                    "pk_col": key, "files": _parquet_files(self.path, d)}
                 for d, r in zip(dirs, ranges)}
         return dirs, meta
 

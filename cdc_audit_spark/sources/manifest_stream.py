@@ -141,16 +141,17 @@ class ManifestStreamReader(DataSourceStreamReader):
                         "pass .option('skipMerges', 'true') to knowingly "
                         "receive only plain appends.")
                 continue
+            from cdc_audit_spark.sources.manifest_table import _dir_files
+
+            dir_meta = m.get("dir_meta", {})
             for d in self._added_dirs(m):
-                full = os.path.join(self.path, d)
-                files = sorted(
-                    os.path.join(full, f) for f in os.listdir(full)
-                    if f.endswith(".parquet")
-                )
                 # one partition per FILE (matching the batch reader): a
                 # commit dir holds one file per writing task, so the
-                # consumer's read parallelism tracks the producer's
-                parts.extend(ManifestFilesPartition([f]) for f in files)
+                # consumer's read parallelism tracks the producer's.
+                # File names come from the manifest when recorded (no
+                # LIST on the data path), else one legacy listdir.
+                parts.extend(ManifestFilesPartition([f])
+                             for f in _dir_files(self.path, d, dir_meta))
         return parts
 
     def _added_dirs(self, m: dict) -> list[str]:

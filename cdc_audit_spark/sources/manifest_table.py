@@ -137,6 +137,19 @@ def _parent_schema(pm: dict | None, path: str) -> StructType | None:
     return _committed_schema(path)
 
 
+def _dir_files(table_path: str, rel_dir: str, dir_meta: dict) -> list[str]:
+    """Absolute parquet paths of a committed dir. Manifests written since
+    the file lists landed record them in ``dir_meta[d]["files"]`` — file
+    discovery is then fully manifest-described (no LIST on the data path:
+    object-store-friendly, and O(0) driver syscalls per dir). Legacy
+    manifests without the record fall back to one listdir."""
+    full = os.path.join(table_path, rel_dir)
+    names = dir_meta.get(rel_dir, {}).get("files")
+    if names is None:
+        names = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    return [os.path.join(full, f) for f in names]
+
+
 class ManifestTableReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
         path = options.get("path")
@@ -187,13 +200,11 @@ class ManifestTableReader(DataSourceReader):
                 raise FileNotFoundError(f"no commits yet at {self.path}")
         m = _manifest(self.path, version)
         dirs = t.dirs_pruned(filters, version=version) if filters else m["dirs"]
+        dir_meta = m.get("dir_meta", {})
         parts = []
         for d in dirs:
-            full = os.path.join(self.path, d)
-            files = sorted(
-                os.path.join(full, f) for f in os.listdir(full)
-                if f.endswith(".parquet"))
-            parts.extend(ManifestFilesPartition([f]) for f in files)
+            parts.extend(ManifestFilesPartition([f])
+                         for f in _dir_files(self.path, d, dir_meta))
         return parts or [ManifestFilesPartition([])]
 
     def read(self, partition: ManifestFilesPartition):
@@ -334,35 +345,37 @@ def _reclaim_attempts(path: str, messages) -> None:
 
 
 def _coalesce_commit_dir(path: str, messages,
-                         schema: StructType) -> tuple[str, dict]:
+                         schema: StructType) -> tuple[str, dict, list]:
     """Driver side, shared by both writers: move every REPORTED task file
     into one fresh commit dir (same-filesystem renames — the attempt
     dirs exist only to isolate failed attempts) and merge the tasks'
     inline stats into that dir's stats, so the manifest's dirs list
     grows by ONE per commit regardless of the job's task count. An
     all-empty write materializes the schema as a single empty parquet
-    file so reads stay well-formed. Returns (rel_dir, merged_stats)."""
+    file so reads stay well-formed. Returns (rel_dir, merged_stats,
+    file_names) — the names are recorded in dir_meta so readers discover
+    files from the manifest alone, never LISTing the data path."""
     import contextlib
 
     rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
     out_dir = os.path.join(path, rel)
     os.makedirs(out_dir, exist_ok=True)
     merged: dict = {}
-    moved = 0
+    names: list = []
     for m in messages or []:
         if m is None:
             continue
         for f in m.files:
             os.rename(os.path.join(path, f),
                       os.path.join(out_dir, os.path.basename(f)))
-            moved += 1
+            names.append(os.path.basename(f))
             with contextlib.suppress(OSError):  # non-empty: leave for gc
                 os.rmdir(os.path.join(path, os.path.dirname(f)))
         for c, (lo, hi) in (getattr(m, "stats", None) or {}).items():
             prev = merged.get(c)
             merged[c] = ([lo, hi] if prev is None
                          else [min(prev[0], lo), max(prev[1], hi)])
-    if moved == 0:
+    if not names:
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -371,7 +384,8 @@ def _coalesce_commit_dir(path: str, messages,
             pa.table({f.name: [] for f in schema.fields},
                      schema=to_arrow_schema(schema)),
             os.path.join(out_dir, "part-empty.parquet"))
-    return rel, merged
+        names.append("part-empty.parquet")
+    return rel, merged, sorted(names)
 
 
 
@@ -403,7 +417,8 @@ class ManifestTableWriter(DataSourceArrowWriter):
 
         from cdc_audit_spark.sinks.manifest import ManifestTable
 
-        rel, stats = _coalesce_commit_dir(self.path, messages, self.schema)
+        rel, stats, names = _coalesce_commit_dir(
+            self.path, messages, self.schema)
         t = ManifestTable(None, self.path)
 
         def extra_fn(pm):
@@ -414,10 +429,10 @@ class ManifestTableWriter(DataSourceArrowWriter):
                      else _govern_stamp(_parent_schema(pm, self.path),
                                         self.schema, self.on_drift,
                                         self.path))
-            e = {"schema": stamp.json()}
+            dm = {"files": names}
             if stats:
-                e["dir_meta"] = {rel: {"stats": stats}}
-            return e
+                dm["stats"] = stats
+            return {"schema": stamp.json(), "dir_meta": {rel: dm}}
 
         try:
             if self.overwrite:
@@ -503,7 +518,8 @@ class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
             return
         if not any(m is not None and m.files for m in messages):
             return  # empty epoch: nothing to make durable
-        rel, stats = _coalesce_commit_dir(self.path, messages, self.schema)
+        rel, stats, names = _coalesce_commit_dir(
+            self.path, messages, self.schema)
 
         class _AlreadyApplied(Exception):
             pass
@@ -524,11 +540,12 @@ class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
             # regressed by this stream's stale schema copy on rebase
             stamp = _govern_stamp(_parent_schema(pm, self.path),
                                   self.schema, self.on_drift, self.path)
-            e = {"schema": stamp.json(),
-                 "epoch": int(batchId), "run_id": self.run_id}
+            dm = {"files": names}
             if stats:
-                e["dir_meta"] = {rel: {"stats": stats}}
-            return e
+                dm["stats"] = stats
+            return {"schema": stamp.json(),
+                    "epoch": int(batchId), "run_id": self.run_id,
+                    "dir_meta": {rel: dm}}
 
         try:
             t._commit("append", dirs_fn, extra=extra_fn)

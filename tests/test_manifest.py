@@ -138,7 +138,7 @@ def test_crash_windows_leave_readable_table(spark, tmp_path):
     t.append(_rows(spark, 0, 10))
 
     # crash window 1: data dir written, manifest never claimed
-    orphan = t._write_data_dir(_rows(spark, 50, 60))
+    orphan, _ = t._write_data_dir(_rows(spark, 50, 60))
     # crash window 2: torn temp manifest left beside committed ones
     tmp_manifest = os.path.join(t.path, "_manifests", ".m_torn")
     with open(tmp_manifest, "w") as f:
@@ -879,8 +879,8 @@ def test_vacuum_retains_young_unreferenced_dirs(spark, tmp_path):
     t = ManifestTable(spark, str(tmp_path / "t"))
     t.append(_rows(spark, 0, 10))
 
-    young = t._write_data_dir(_rows(spark, 100, 105))   # in-flight commit
-    old = t._write_data_dir(_rows(spark, 200, 205))     # crashed long ago
+    young, _ = t._write_data_dir(_rows(spark, 100, 105))  # in-flight commit
+    old, _ = t._write_data_dir(_rows(spark, 200, 205))    # crashed long ago
     old_full = os.path.join(t.path, old)
     stale = 0.0  # epoch — far older than any retain window
     for root, dirs, files in os.walk(old_full):
@@ -1339,9 +1339,10 @@ def _handcraft_ranged_table(spark, path, spans):
     for lo, hi in spans:
         df = (spark.range(lo, hi + 1)
               .select(F.col("id").alias("k"), F.col("id").alias("v")))
-        rel = t._write_data_dir(df)
+        rel, files = t._write_data_dir(df)
         dirs.append(rel)
-        meta[rel] = {"pk_min": lo, "pk_max": hi, "pk_col": "k"}
+        meta[rel] = {"pk_min": lo, "pk_max": hi, "pk_col": "k",
+                     "files": files}
     t._commit("overwrite", lambda parent: dirs, max_retries=1,
               extra={"watermark": 0, "dir_meta": meta,
                      "schema": df.schema.json()})

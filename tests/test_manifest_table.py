@@ -597,3 +597,101 @@ def test_format_append_commits_one_dir_regardless_of_tasks(spark, tmp_path):
     # a clean commit leaves no stranded attempt dirs behind
     assert {os.path.join("data", n)
             for n in os.listdir(os.path.join(p, "data"))} == {d}
+
+
+def test_file_lists_recorded_and_reads_listing_free(spark, tmp_path,
+                                                    monkeypatch):
+    """VERDICT r06 item 4: commits record their dir's parquet file names
+    in dir_meta["files"] (known at write/coalesce time), so BOTH Python
+    readers discover files from the manifest alone — zero os.listdir on
+    the data path for new tables (object-store: no LIST)."""
+    import json
+
+    register_manifest_table(spark)
+    p = str(tmp_path / "t")
+    t = ManifestTable(spark, p)
+    # every write path records files: format writer, native append,
+    # sync_audit, overwrite (via compact)
+    _df(spark, 0, 50).write.format("manifest_table").option(
+        "path", p).mode("append").save()
+    t.append(_df(spark, 50, 100), stats_cols=["k"])
+    t.compact()
+    for v in t.versions():
+        m = t.manifest(v)
+        for d in m["dirs"]:
+            names = m["dir_meta"][d]["files"]
+            assert names and all(n.endswith(".parquet") for n in names)
+            assert sorted(names) == sorted(
+                f for f in os.listdir(os.path.join(p, d))
+                if f.endswith(".parquet"))
+
+    # batch reader: partitions() must not list any data dir
+    data_listings = []
+    real = os.listdir
+
+    def counting(path="."):
+        if f"{os.sep}data" in str(path):
+            data_listings.append(str(path))
+        return real(path)
+
+    monkeypatch.setattr(os, "listdir", counting)
+    rd = ManifestTableReader({"path": p}, t.schema())
+    parts = rd.partitions()
+    monkeypatch.undo()
+    assert parts and not data_listings
+    got = spark.read.format("manifest_table").option("path", p).load()
+    assert got.count() == 100
+
+    # legacy interop: a manifest WITHOUT the files record still reads
+    # (one listdir fallback per dir), same rows
+    mpath = os.path.join(p, "_manifests",
+                         f"m-{t.current_version():012d}.json")
+    with open(mpath) as f:
+        payload = json.load(f)
+    for dm in payload.get("dir_meta", {}).values():
+        dm.pop("files", None)
+    os.remove(mpath)
+    with open(mpath, "w") as f:
+        json.dump(payload, f)
+    got2 = spark.read.format("manifest_table").option("path", p).load()
+    assert got2.count() == 100
+    assert got2.exceptAll(got).count() == 0
+
+
+def test_stream_source_reads_files_from_manifest(spark, tmp_path,
+                                                 monkeypatch):
+    """The streaming source's per-batch file discovery is also
+    manifest-described: partitions() for new commits performs no data-dir
+    listing."""
+    from cdc_audit_spark.sources.manifest_stream import (
+        ManifestStreamReader,
+    )
+
+    p = str(tmp_path / "t")
+    t = ManifestTable(spark, p)
+    t.append(_df(spark, 0, 30))
+    t.append(_df(spark, 30, 60))
+
+    data_listings = []
+    real = os.listdir
+
+    def counting(path="."):
+        if f"{os.sep}data" in str(path):
+            data_listings.append(str(path))
+        return real(path)
+
+    monkeypatch.setattr(os, "listdir", counting)
+    rd = ManifestStreamReader({"path": p}, t.schema())
+    parts = rd.partitions({"version": 0}, {"version": 2})
+    monkeypatch.undo()
+    assert parts and not data_listings
+    # and the drained rows are exactly the table
+    from cdc_audit_spark.sources.manifest_stream import read_manifest_stream
+
+    q = (read_manifest_stream(spark, p)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "sink"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == 60
