@@ -435,43 +435,125 @@ def cdc_manifest_stream_drain(spark, sf_dir):
     "c_mktsegment, audit_event, audit_timestamp, audit_pk FROM audit "
     "WHERE audit_pk <= (SELECT max(audit_pk) // 2 FROM audit)",
     "The manifest table as a first-class batch Spark FORMAT "
-    "(sources.manifest_table): the audit log lands as two stats-recorded "
-    "append commits, and the read goes through "
-    "spark.read.format('manifest_table') with a Catalyst-pushed audit_pk "
-    "filter — pushFilters intersects it with the per-dir stats and prunes "
-    "the second commit's dir inside the source; the filtered read-back "
-    "must equal the oracle's filtered audit CTE exactly",
+    "(sources.manifest_table): the audit log lands through the registered "
+    "FORMAT WRITER (df.write.format('manifest_table'), task-attempt "
+    "isolation + driver coalesce + inline stats fold) as two stats-"
+    "recorded append commits, and the read goes through spark.read."
+    "format('manifest_table') with a Catalyst-pushed audit_pk filter — "
+    "pushFilters intersects it with the per-dir stats and the query "
+    "ASSERTS the second commit's dir is pruned from the plan (partition "
+    "count drops). No silent fallback: the pushdown session conf is "
+    "forced on and the query raises if any leg of the protocol path is "
+    "unavailable. The filtered read-back must equal the oracle's "
+    "filtered audit CTE exactly",
 )
 def cdc_manifest_format_rw(spark, sf_dir):
     import shutil
     import tempfile
 
+    from pyspark.sql.datasource import LessThanOrEqual
+
     from cdc_audit_spark.sinks.manifest import ManifestTable
-    from cdc_audit_spark.sources.manifest_table import register_manifest_table
+    from cdc_audit_spark.sources.manifest_table import (
+        ManifestTableReader,
+        register_manifest_table,
+    )
 
     register_manifest_table(spark)
     audit = customer_audit_log(spark, sf_dir).localCheckpoint(eager=True)
-    k = audit.agg(F.expr("max(audit_pk) div 2")).first()[0]
+    k = int(audit.agg(F.expr("max(audit_pk) div 2")).first()[0])
     root = tempfile.mkdtemp(prefix="cdc_format_rw_")
     try:
+        for cond in (F.col("audit_pk") <= k, F.col("audit_pk") > k):
+            (audit.filter(cond)
+             .write.format("manifest_table").option("path", root)
+             .option("statsCols", "audit_pk").mode("append").save())
         t = ManifestTable(spark, root)
-        t.append(audit.filter(F.col("audit_pk") <= k),
-                 stats_cols=["audit_pk"])
-        t.append(audit.filter(F.col("audit_pk") > k),
-                 stats_cols=["audit_pk"])
-        pushdown_on = str(spark.conf.get(
-            "spark.sql.python.filterPushdown.enabled", "false")).lower()
-        if pushdown_on == "true":
-            src = (spark.read.format("manifest_table")
-                   .option("path", root).load())
-        else:  # conf locked down in this session: same rows, native read
-            src = t.read()
-        out = (src.filter(F.col("audit_pk") <= F.lit(int(k)))
+        if t.current_version() != 2:
+            raise AssertionError(
+                "format writer did not land 2 append commits")
+        # pruning proof on the SOURCE's own partition planner: the pushed
+        # audit_pk <= k bound must drop the second commit's dir
+        rd_all = ManifestTableReader({"path": root}, t.schema())
+        rd_f = ManifestTableReader({"path": root}, t.schema())
+        rd_f.pushFilters([LessThanOrEqual(("audit_pk",), k)])
+        n_all, n_pruned = len(rd_all.partitions()), len(rd_f.partitions())
+        if not n_pruned < n_all:
+            raise AssertionError(
+                f"stats pruning did not skip the second commit "
+                f"({n_pruned} of {n_all} partitions survived)")
+        # the read MUST go through the DataSource path — force the conf
+        # that gates pushFilters rather than silently falling back to a
+        # native read (a verification row that can quietly verify
+        # something else is not evidence)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        if str(spark.conf.get(
+                "spark.sql.python.filterPushdown.enabled")).lower() != "true":
+            raise RuntimeError(
+                "spark.sql.python.filterPushdown.enabled could not be "
+                "enabled in this session; refusing the silent native "
+                "fallback")
+        src = (spark.read.format("manifest_table")
+               .option("path", root).load())
+        out = (src.filter(F.col("audit_pk") <= F.lit(k))
                .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
                        "c_mktsegment", "audit_event", "audit_timestamp",
                        "audit_pk"))
         return out.localCheckpoint(eager=True)
     finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "cdc_manifest_sink_drain",
+    f"WITH {_AUDIT_CTE} SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+    "c_mktsegment, audit_event, audit_timestamp, audit_pk FROM audit",
+    "Manifest table as a Structured-Streaming SINK "
+    "(sources.manifest_table.ManifestTableStreamWriter): the audit log — "
+    "itself served by the manifest STREAMING SOURCE over two exactly-once "
+    "syncs with an interleaved compaction — drains through "
+    "writeStream.format('manifest_table') into a second manifest table, "
+    "one epoch-tagged atomic append commit per micro-batch (replayed "
+    "epochs detected and skipped). The sink table's read-back must equal "
+    "the full audit CTE exactly: every row exactly once through the "
+    "whole source->sink protocol loop",
+)
+def cdc_manifest_sink_drain(spark, sf_dir):
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.sources.manifest_stream import read_manifest_stream
+    from cdc_audit_spark.sources.manifest_table import register_manifest_table
+
+    register_manifest_table(spark)
+    audit = customer_audit_log(spark, sf_dir).localCheckpoint(eager=True)
+    k = audit.agg(F.expr("max(audit_pk) div 2")).first()[0]
+    root = tempfile.mkdtemp(prefix="cdc_sink_drain_")
+    q = None
+    try:
+        src = ManifestTable(spark, root + "/src")
+        src.sync_audit(audit.filter(F.col("audit_pk") <= k))
+        src.compact()                     # rewrite: invisible to consumers
+        src.sync_audit(audit)
+        q = (read_manifest_stream(spark, src.path)
+             .writeStream.format("manifest_table")
+             .option("path", root + "/dst")
+             .option("streamId", f"sink_drain_{_uuid.uuid4().hex[:12]}")
+             .option("checkpointLocation", root + "/ck").start())
+        q.processAllAvailable()
+        out = ManifestTable(spark, root + "/dst").read().select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment", "audit_event", "audit_timestamp", "audit_pk",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        import contextlib
+
+        if q is not None:
+            with contextlib.suppress(Exception):
+                q.stop()
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -4436,33 +4518,35 @@ _REGISTRY["sample_source_quota"].oracle = _source_quota_oracle()
 # behind the window; next round rotates the remaining unchecked ones in.
 
 _DRIVER_WINDOW = [
-    # r06 rotation (VERDICT r05 item 5): keep every green driver row <= 3
-    # rounds old. The 33 queries whose ONLY green row is r01 (5 rounds
-    # stale by now — exact set via CORRECTNESS_r0*.json set-difference):
-    "agg_global_minmax", "anti_join_customers_without_orders",
-    "asof_join_error_purchase", "cdc_diff_event_counts", "cdc_keep_last",
-    "cdc_replay_state", "dedup_survivors", "events_json_extract",
-    "events_sessionize", "events_sliding_window", "events_type_pivot",
-    "filter_conj_eq", "filter_contains", "filter_isin",
-    "filter_range_closed", "knn_cosine_topk", "multimodal_payload_stats",
-    "q12_priority_linestatus", "q14_promo_revenue",
-    "q17_small_quantity_revenue", "q19_disjunctive_pred",
-    "q22_idle_rich_customers", "q2_min_balance_supplier", "q3_top_orders",
-    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
-    "range_join_click_windows", "semi_join_urgent_customers",
-    "text_fingerprint", "text_language_id", "text_token_stats",
-    "topk_orders_per_customer",
-    # the round-6 surface (no green rows yet): storage-level pruned MERGE,
-    # the manifest streaming source, and the batch manifest_table format
-    "cdc_merge_replica_pruned", "cdc_manifest_stream_drain",
-    "cdc_manifest_format_rw",
-    # 14 slots freshen the oldest r04 rows (2 rounds stale): TPC-H stars,
-    # CDC incremental/SCD2, and the heaviest LLM-pipeline anchors
-    "cdc_incremental_agg", "cdc_scd2_history", "q1_pricing_summary",
-    "q7_nation_volume", "q8_market_share", "q9_profit_by_nation_year",
-    "q10_returned_items", "q18_large_orders", "q21_sole_late_supplier",
-    "clean_pii_redact", "dedup_embedding_cosine", "embedding_quantize_int8",
-    "events_funnel", "text_bpe_token_counts",
+    # r07 rotation (VERDICT r06 item 1): keep every green driver row <= 3
+    # rounds old. The 36 queries whose newest green row is r04 (they hit
+    # the staleness bound this round — exact set via the
+    # CORRECTNESS_r0*.json set-difference the verdict published):
+    "ann_embedding_pairs", "ann_ivf_topk", "ann_pq_topk",
+    "clean_boilerplate_tokens", "dedup_cluster_assign",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_rate_by_source",
+    "dedup_simhash", "embedding_l2_normalize", "events_approx_stats",
+    "events_daily_active", "events_hourly_stats", "events_type_day_cube",
+    "events_user_activity", "events_value_histogram", "lang_distribution",
+    "median_price_by_flag", "multimodal_chunk_sample",
+    "multimodal_features", "nation_top_customer_list",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q19_disjunctive_revenue",
+    "q20_bulk_part_suppliers", "revenue_rollup", "sample_source_quota",
+    "scalar_function_sampler", "text_compression_ratio", "text_quality",
+    "text_top_bigrams", "text_top_terms", "tfidf_top_terms",
+    "window_percent_rank", "window_running_total",
+    # the round-7 surface: the format WRITE path now runs through
+    # df.write.format('manifest_table') with an asserted pruning proof
+    # (its r06 row used the native append), and the streaming SINK gets
+    # its first driver row (the source->sink exactly-once loop)
+    "cdc_manifest_format_rw", "cdc_manifest_sink_drain",
+    # 12 CDC-core anchors freshen the oldest r05 rows (2 rounds stale)
+    "cdc_audit_stats", "cdc_column_change_stats", "cdc_dedup_index_sync",
+    "cdc_diff_customer", "cdc_fk_orphans", "cdc_incremental_scan",
+    "cdc_keep_last_per_key", "cdc_manifest_roundtrip", "cdc_state_asof",
+    "cdc_watermark_recovery", "scan_filter_project",
+    "set_except_unordered_parts",
 ]
 
 
