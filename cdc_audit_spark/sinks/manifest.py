@@ -651,7 +651,25 @@ class ManifestTable:
         ``max_dirs`` — the small-files policy for long-lived tables where
         every sync/micro-batch appends a dir. Returns the new version, or
         None when no compaction was needed. Accepts compact()'s layout
-        options (range_by/zorder_by/n_files)."""
+        options (range_by/zorder_by/n_files).
+
+        This is also the knob that bounds the ``manifest_table`` FORMAT
+        reader's planning cost: its partition count tracks live
+        dirs x files-per-dir, so a drain loop that only ever appends
+        (``sync_audit`` / the format/stream writers, one dir per
+        commit/epoch) grows the read fan-in without bound. Wire this into
+        the loop's cadence — the cron-parity pattern::
+
+            t = ManifestTable(spark, path)
+            while polling:                     # cron tick / micro-batch
+                t.sync_audit(next_batch)       # or a format append
+                t.maybe_compact(max_dirs=64)   # no-op until fan-in grows
+                t.vacuum()                     # reclaim superseded dirs
+
+        ``maybe_compact`` is a cheap manifest peek when under the bound,
+        and one rewrite commit (readable fan-in back to ~n_files) when
+        over it; a concurrent writer landing mid-rewrite surfaces as
+        CommitConflict, which a cron loop simply retries next tick."""
         cur = self.current_version()
         if cur is None or len(self.manifest(cur)["dirs"]) <= max_dirs:
             return None

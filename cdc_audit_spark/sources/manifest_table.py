@@ -151,6 +151,15 @@ def _dir_files(table_path: str, rel_dir: str, dir_meta: dict) -> list[str]:
 
 
 class ManifestTableReader(DataSourceReader):
+    """Batch reader. ``partitions()`` plans one input partition per
+    committed parquet FILE, so planning cost and read fan-in track live
+    dirs x files-per-dir. Append-only producers grow that without bound
+    — the producing loop owns the mitigation: wire
+    ``ManifestTable.maybe_compact(max_dirs=...)`` into its cadence (see
+    that docstring for the cron-parity pattern); a compaction commit
+    folds the fan-in back to ~n_files and this reader's partition count
+    drops with it on the next load."""
+
     def __init__(self, options: dict, schema: StructType):
         path = options.get("path")
         if not path:
