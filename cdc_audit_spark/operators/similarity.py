@@ -224,19 +224,29 @@ def ivf_assign(
     expression; no shuffle. On a real deployment, write the result
     partitioned by cell so probes read only their cells' files.
     """
-    norm = F.sqrt(_self_dot(F.col(vec_col)))
+    return df.select(
+        F.col(id_col),
+        nearest_cell(F.col(vec_col), centroids).alias("cell"),
+        F.col(vec_col),
+    )
+
+
+def nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """The ``ivf_assign`` cell expression as a reusable Column: highest
+    cosine similarity, lowest index on ties — broadcast-literal codegen,
+    no shuffle. Shared with the CDC index maintenance
+    (``streaming.stream_ann``), which assigns audit-delta images in
+    place without re-projecting the batch."""
+    norm = F.sqrt(_self_dot(vec_col))
     scored = [
         F.struct(
-            (_dot_lit(F.col(vec_col), c) / (norm * F.lit(_l2(c)))).alias("sim"),
+            (_dot_lit(vec_col, c) / (norm * F.lit(_l2(c)))).alias("sim"),
             F.lit(len(centroids) - 1 - i).alias("inv"),
             F.lit(i).alias("cell"),
         )
         for i, c in enumerate(centroids)
     ]
-    best = F.sort_array(F.array(*scored), asc=False)[0]
-    return df.select(
-        F.col(id_col), best["cell"].alias("cell"), F.col(vec_col)
-    )
+    return F.sort_array(F.array(*scored), asc=False)[0]["cell"]
 
 
 def _l2(v: list[float]) -> float:
@@ -346,6 +356,41 @@ def ivf_topk(
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     return cosine_topk(
         assigned.filter(F.col("cell").isin(*probe)), query_vec, k, id_col, vec_col
+    )
+
+
+def ivf_topk_indexed(
+    assignments: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """``ivf_topk`` over PRE-COMPUTED assignments — the query path of a
+    maintained IVF index (``streaming.stream_ann``): the per-query assign
+    pass over the whole corpus disappears, only the probed cells' rows
+    are scored. ``nprobe == len(centroids)`` degenerates to exact
+    brute-force cosine top-k (the oracle-checkable setting); smaller
+    nprobe trades recall for a ~nprobe/len(centroids) scan fraction.
+    With the index table range-laid-out on the id, cell filtering is a
+    map-side codegen'd predicate; at scale, write the assignments
+    partitioned by cell so probes read only their cells' files."""
+    qn = _l2(query_vec)
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -sum(a * b for a, b in zip(centroids[i], query_vec))
+            / (_l2(centroids[i]) * qn),
+            i,
+        ),
+    )
+    probe = ranked[:nprobe]
+    return cosine_topk(
+        assignments.filter(F.col(cell_col).isin(*probe)),
+        query_vec, k, id_col, vec_col,
     )
 
 

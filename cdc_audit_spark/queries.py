@@ -505,6 +505,77 @@ def cdc_manifest_format_rw(spark, sf_dir):
 
 
 @register(
+    "cdc_ann_index_topk",
+    """
+    WITH v1 AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 5 = 0 AND vec_id % 7 <> 0
+                  THEN list_reverse(embedding::DOUBLE[])
+                  ELSE embedding::DOUBLE[] END AS emb
+        FROM embeddings WHERE vec_id % 7 <> 0),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1)
+    SELECT vec_id,
+           CAST(list_dot_product(emb, qv)
+                / (sqrt(list_dot_product(emb, emb))
+                   * sqrt(list_dot_product(qv, qv))) AS DOUBLE) AS cos_sim
+      FROM v1, q
+     WHERE vec_id <> 1
+     ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "CDC-maintained IVF index (streaming.stream_ann): the embeddings "
+    "corpus evolves through an audit log (full insert batch, then "
+    "reversed-embedding updates for vec_id%5 rows and deletes for "
+    "vec_id%7 rows); two incremental cdc_ann_index_sync passes maintain "
+    "the (id, cell, embedding) assignment replica exactly-once via "
+    "merge_audit's watermark (pruned storage-level MERGE — O(touched "
+    "id-range dirs) per pass), and the top-k query runs over the INDEX "
+    "via ivf_topk_indexed with nprobe=all cells — exact, so the oracle "
+    "is brute-force cosine top-k over the final corpus state: proves the "
+    "maintained index IS the current corpus",
+)
+def cdc_ann_index_topk(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.operators.similarity import (
+        ivf_topk_indexed,
+        sample_centroids,
+    )
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_ann import cdc_ann_index_sync
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = sample_centroids(emb, 8)
+
+    def audit(df, event, pk_base):
+        return df.select(
+            "vec_id", "embedding",
+            F.lit(event).alias("audit_event"),
+            (F.col("vec_id") + pk_base).alias("audit_pk"))
+
+    log1 = audit(emb, "insert", 1)
+    upd = audit(emb.filter("vec_id % 5 = 0 and vec_id % 7 != 0")
+                .withColumn("embedding", F.reverse("embedding")),
+                "update", 100000)
+    dele = audit(emb.filter("vec_id % 7 = 0"), "delete", 100000)
+    full_log = log1.unionByName(upd).unionByName(dele)
+
+    root = tempfile.mkdtemp(prefix="cdc_ann_idx_")
+    try:
+        idx = ManifestTable(spark, root)
+        cdc_ann_index_sync(idx, log1, cents, range_buckets=8)
+        cdc_ann_index_sync(idx, full_log, cents)   # incremental delta only
+        qv = [float(x) for x in
+              emb.filter("vec_id = 1").first()["embedding"]]
+        out = ivf_topk_indexed(
+            idx.read().filter("vec_id != 1"), cents, qv, k=10,
+            nprobe=len(cents))                     # exact: all cells probed
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "cdc_manifest_sink_drain",
     f"WITH {_AUDIT_CTE} SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
     "c_mktsegment, audit_event, audit_timestamp, audit_pk FROM audit",
@@ -4546,7 +4617,8 @@ _DRIVER_WINDOW = [
     "cdc_diff_customer", "cdc_fk_orphans", "cdc_incremental_scan",
     "cdc_keep_last_per_key", "cdc_manifest_roundtrip", "cdc_state_asof",
     "cdc_watermark_recovery", "scan_filter_project",
-    "set_except_unordered_parts",
+    # the round's new operator: the CDC-maintained IVF index
+    "cdc_ann_index_topk",
 ]
 
 
