@@ -394,6 +394,76 @@ def ivf_topk_indexed(
     )
 
 
+def ivf_knn_join(
+    queries: DataFrame,
+    assignments: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    nprobe: int = 2,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Batch k-NN JOIN: every query row gets its top-k corpus neighbours
+    in ONE pass — the many-queries form of ``ivf_topk_indexed`` (which
+    burns a job per query vector).
+
+    Shape: each query is assigned its ``nprobe`` nearest cells with the
+    same broadcast-literal codegen expression as ``ivf_assign`` (one
+    sorted struct-array literal, sliced — no shuffle), exploded to
+    (cell, query) rows, then joined to the pre-computed assignments on
+    the cell id. With queries ≪ corpus the join broadcasts the exploded
+    query side, so the corpus is scanned ONCE with a map-side cell
+    filter and never shuffled; only the surviving candidate pairs
+    (~nprobe/len(centroids) of the corpus × queries) shuffle for the
+    per-query top-k window. ``nprobe == len(centroids)`` degenerates to
+    the exact brute-force k-NN join (the oracle-checkable setting).
+
+    The pair score is the same left-fold double dot product as
+    ``cosine_pairs`` — bit-identical to DuckDB's list_dot_product."""
+    from pyspark.sql import Window
+
+    qn = F.sqrt(_self_dot(F.col(q_vec_col)))
+    scored = [
+        F.struct(
+            (_dot_lit(F.col(q_vec_col), c) / (qn * F.lit(_l2(c)))).alias("sim"),
+            F.lit(len(centroids) - 1 - i).alias("inv"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    probes = F.transform(
+        F.slice(F.sort_array(F.array(*scored), asc=False), 1, nprobe),
+        lambda s: s["cell"],
+    )
+    q = (queries.select(
+            F.col(q_id_col), F.col(q_vec_col),
+            F.explode(probes).alias("__probe"))
+         .withColumn("__qnorm", F.sqrt(_self_dot(F.col(q_vec_col)))))
+
+    cand = assignments.join(
+        F.broadcast(q), assignments[cell_col] == q["__probe"])
+    a, b = F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast(
+        "array<double>")
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    sim = (dot / (F.sqrt(_self_dot(F.col(vec_col))) * F.col("__qnorm"))
+           ).cast("double")
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("cos_sim"), F.col(id_col))
+    return (
+        cand.select(F.col(q_id_col), F.col(id_col), sim.alias("cos_sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def l2_normalize(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> DataFrame:
     """Unit-normalize an embedding column (prerequisite for cosine via plain
     dot products and for quantization). Pure map-side array math, JVM-side,

@@ -1149,6 +1149,46 @@ def knn_cosine_topk(spark, sf_dir):
                        id_col="vec_id", vec_col="embedding")
 
 
+@register(
+    "knn_join_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+            FROM embeddings WHERE vec_id >= 5),
+    s AS (SELECT q_id, vec_id,
+                 CAST(list_dot_product(emb, qv)
+                      / (sqrt(list_dot_product(emb, emb))
+                         * sqrt(list_dot_product(qv, qv))) AS DOUBLE)
+                 AS cos_sim
+            FROM q, c),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+    SELECT q_id, vec_id, cos_sim FROM r WHERE rn <= 3
+    """,
+    "Batch k-NN JOIN (similarity.ivf_knn_join): every query row gets its "
+    "top-k neighbours in ONE pass — queries assigned to probe cells "
+    "map-side and exploded, broadcast-joined to the cell-keyed corpus "
+    "assignments (corpus scanned once, never shuffled; only candidate "
+    "pairs shuffle for the per-query top-k window). nprobe=all cells "
+    "here, so the oracle is the exact per-query brute-force top-3",
+)
+def knn_join_topk(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import (
+        ivf_assign,
+        ivf_knn_join,
+        sample_centroids,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    corpus = emb.filter("vec_id >= 5")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cents = sample_centroids(corpus, 8)
+    return ivf_knn_join(queries, ivf_assign(corpus, cents), cents,
+                        k=3, nprobe=len(cents))
+
+
 # --------------------------------------------------------------------------
 # Extension operators: event-stream analytics (batch shape of the streaming
 # queries; the streaming module runs the same plan via readStream)
@@ -4614,11 +4654,12 @@ _DRIVER_WINDOW = [
     "cdc_manifest_format_rw", "cdc_manifest_sink_drain",
     # 12 CDC-core anchors freshen the oldest r05 rows (2 rounds stale)
     "cdc_audit_stats", "cdc_column_change_stats", "cdc_dedup_index_sync",
-    "cdc_diff_customer", "cdc_fk_orphans", "cdc_incremental_scan",
+    "cdc_diff_customer", "cdc_incremental_scan",
     "cdc_keep_last_per_key", "cdc_manifest_roundtrip", "cdc_state_asof",
     "cdc_watermark_recovery", "scan_filter_project",
-    # the round's new operator: the CDC-maintained IVF index
-    "cdc_ann_index_topk",
+    # the round's new operators: the CDC-maintained IVF index and the
+    # batch k-NN join
+    "cdc_ann_index_topk", "knn_join_topk",
 ]
 
 

@@ -281,3 +281,50 @@ def test_cosine_pairs_quadratic_gate(spark, monkeypatch):
     # explicit opt-in bypasses the count entirely
     assert len(cosine_pairs(_vecs(spark), threshold=-1.5,
                             allow_quadratic=True).collect()) == 10
+
+
+def test_ivf_knn_join_exact_and_approx(spark, sf_dir):
+    """Batch k-NN join: nprobe=all equals per-query brute force exactly;
+    small nprobe keeps majority recall per query; and the plan has the
+    scale shape — corpus scanned once into a BroadcastHashJoin (queries
+    broadcast), ONE candidate-pair exchange for the per-query top-k."""
+    from cdc_audit_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_knn_join,
+        sample_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter("vec_id >= 5")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cents = sample_centroids(corpus, 8)
+    assigned = ivf_assign(corpus, cents)
+
+    out = ivf_knn_join(queries, assigned, cents, k=10, nprobe=len(cents))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["q_id"], []).append((r["vec_id"], r["cos_sim"]))
+    assert set(got) == {0, 1, 2, 3, 4}
+    for q_id in got:
+        qv = [float(x) for x in
+              emb.filter(f"vec_id = {q_id}").first()["embedding"]]
+        exact = [(r["vec_id"], r["cos_sim"])
+                 for r in cosine_topk(corpus, qv, k=10).collect()]
+        assert sorted(got[q_id], key=lambda t: (-t[1], t[0])) == exact
+
+    # approximate: half the cells recover most of each query's top-10
+    approx = {}
+    for r in ivf_knn_join(queries, assigned, cents, k=10,
+                          nprobe=4).collect():
+        approx.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for q_id, ids in approx.items():
+        exact_ids = {t[0] for t in got[q_id]}
+        assert len(ids & exact_ids) >= 5
+
+    # AQE's toString prints Final + Initial sections; audit the final one
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("Initial Plan")[0])
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
