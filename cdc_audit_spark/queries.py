@@ -505,6 +505,58 @@ def cdc_manifest_format_rw(spark, sf_dir):
 
 
 @register(
+    "cdc_replica_change_feed",
+    f"WITH {_AUDIT_CTE} SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+    "c_mktsegment, audit_event, audit_timestamp, audit_pk FROM audit",
+    "CHANGE FEED of a merge-maintained replica "
+    "(merge_audit(change_feed=True) + manifest_stream changeFeed mode): "
+    "each pruned merge records its APPLIED delta in the same atomic "
+    "commit (cdc_dirs — the Delta-CDF analog), and streaming the feed "
+    "over two incremental merges must emit exactly the full audit log "
+    "(events included, bootstrap excluded) — the replica's changes are "
+    "streamable without tailing the source audit table",
+)
+def cdc_replica_change_feed(spark, sf_dir):
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.sources.manifest_stream import read_manifest_stream
+
+    v0, _ = customer_snapshots(spark, sf_dir)
+    audit = customer_audit_log(spark, sf_dir).localCheckpoint(eager=True)
+    k = audit.agg(F.expr("max(audit_pk) div 2")).first()[0]
+    root = tempfile.mkdtemp(prefix="cdc_feed_")
+    name = f"feed_{_uuid.uuid4().hex[:12]}"
+    q = None
+    try:
+        t = ManifestTable(spark, root + "/t")
+        t.merge_audit(audit.filter(F.col("audit_pk") <= k), ["c_custkey"],
+                      bootstrap=v0, pruned=True, range_buckets=8,
+                      change_feed=True)
+        t.merge_audit(audit, ["c_custkey"], pruned=True, change_feed=True)
+        q = (read_manifest_stream(spark, t.path, change_feed=True)
+             .writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", root + "/ck").start())
+        q.processAllAvailable()
+        out = spark.table(name).select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment", "audit_event", "audit_timestamp", "audit_pk",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        import contextlib
+
+        if q is not None:
+            with contextlib.suppress(Exception):
+                q.stop()
+        with contextlib.suppress(Exception):
+            spark.catalog.dropTempView(name)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "cdc_ann_index_topk",
     """
     WITH v1 AS (
@@ -4653,13 +4705,13 @@ _DRIVER_WINDOW = [
     # its first driver row (the source->sink exactly-once loop)
     "cdc_manifest_format_rw", "cdc_manifest_sink_drain",
     # 12 CDC-core anchors freshen the oldest r05 rows (2 rounds stale)
-    "cdc_audit_stats", "cdc_column_change_stats", "cdc_dedup_index_sync",
+    "cdc_audit_stats", "cdc_dedup_index_sync",
     "cdc_diff_customer", "cdc_incremental_scan",
     "cdc_keep_last_per_key", "cdc_manifest_roundtrip", "cdc_state_asof",
     "cdc_watermark_recovery", "scan_filter_project",
-    # the round's new operators: the CDC-maintained IVF index and the
-    # batch k-NN join
-    "cdc_ann_index_topk", "knn_join_topk",
+    # the round's new operators: the CDC-maintained IVF index, the
+    # batch k-NN join, and the merge-replica change feed
+    "cdc_ann_index_topk", "knn_join_topk", "cdc_replica_change_feed",
 ]
 
 

@@ -870,10 +870,26 @@ class ManifestTable:
                 df = df.filter(F.col(c) <= F.lit(hi))
         return df
 
+    def _write_change_feed(self, delta: DataFrame):
+        """Materialize the merge's APPLIED delta as a change-feed dir.
+        The dir rides in the SAME commit under ``cdc_dirs`` (not table
+        content — readers never see it; the streaming source's changeFeed
+        mode does), so feed and state version atomically together.
+        Returns (extra_payload, delta_reread): the caller continues the
+        merge FROM THE WRITTEN PARQUET, so the feed is byte-identical to
+        the rows actually applied and the delta lineage is evaluated
+        once. A failed commit strands the dir unreferenced (vacuum)."""
+        rel, files = self._write_data_dir(delta)
+        extra = {"cdc_dirs": [rel],
+                 "cdc_schema": delta.schema.json(),
+                 "cdc_meta": {rel: {"files": files}}}
+        return extra, self.spark.read.parquet(os.path.join(self.path, rel))
+
     def merge_audit(self, audit_df: DataFrame, pk_cols: list[str],
                     audit_pk: str = "audit_pk",
                     bootstrap: DataFrame | None = None,
-                    pruned: bool = False, range_buckets: int = 32):
+                    pruned: bool = False, range_buckets: int = 32,
+                    change_feed: bool = False):
         """Maintain a CURRENT-STATE replica from the audit log — the
         consumer-side MERGE. The unseen delta (``audit_pk`` past the
         table's watermark) is replayed onto the current state with
@@ -896,7 +912,19 @@ class ManifestTable:
         Requires a single integer merge key (``pk_cols == [key]``). Dirs
         written by a pruned merge cover only touched ranges, so the
         layout stays disjoint; a periodic ``compact(range_by=[key])``
-        re-tightens it if many merges fragment the dir list.
+        re-tightens it if many merges fragment the dir list. A plain
+        append landing between pruned merges (a "bare" dir without
+        merge-key ranges) forces a one-time full rewrite on the next
+        merge so the layout is globally disjoint again.
+
+        ``change_feed=True`` additionally records each merge's APPLIED
+        delta (the audit rows past the watermark, events included) as a
+        ``cdc_dirs`` entry in the SAME commit — the replica's change
+        feed, streamable via ``manifest_stream``'s
+        ``.option("changeFeed", "true")``; without it merge commits are
+        opaque to streaming consumers (their dirs mix new and rewritten
+        rows) and the source refuses them. The bootstrap snapshot is
+        NOT emitted (the feed is deltas only, the public CDF contract).
         """
         from pyspark.sql import functions as F
 
@@ -911,7 +939,8 @@ class ManifestTable:
         wm = self.watermark(at_version=base)
         delta = audit_df.filter(F.col(audit_pk) > F.lit(wm))
         if pruned and base is not None:
-            return self._merge_pruned(delta, pk_cols[0], base, wm, audit_pk)
+            return self._merge_pruned(delta, pk_cols[0], base, wm, audit_pk,
+                                      change_feed=change_feed)
         stats = delta.agg(F.count("*").alias("n"),
                           F.max(audit_pk).alias("mx")).first()
         n, mx = int(stats["n"]), stats["mx"]
@@ -921,6 +950,9 @@ class ManifestTable:
             raise ValueError(
                 "first merge_audit needs a bootstrap state snapshot")
         new_wm = max(wm, int(mx)) if mx is not None else wm
+        cdc_extra: dict = {}
+        if change_feed and n > 0:
+            cdc_extra, delta = self._write_change_feed(delta)
 
         if pruned:  # first commit: lay the replica out for future pruning
             from cdc_audit_spark.capture import apply_changes
@@ -928,7 +960,7 @@ class ManifestTable:
             state = apply_changes(bootstrap, delta, pk_cols)
             self.write_range_layout(state, pk_cols[0],
                                     n_buckets=range_buckets,
-                                    extra={"watermark": new_wm},
+                                    extra={"watermark": new_wm, **cdc_extra},
                                     base_version=base)
             return SyncResult(n, new_wm, self.path)
 
@@ -938,12 +970,12 @@ class ManifestTable:
         new_state = apply_changes(current, delta, pk_cols)
         # pinned to base: an interleaved commit (another merge, a
         # sync) raises CommitConflict instead of being silently lost
-        self.overwrite(new_state, extra={"watermark": new_wm},
+        self.overwrite(new_state, extra={"watermark": new_wm, **cdc_extra},
                        base_version=base)
         return SyncResult(n, new_wm, self.path)
 
     def _merge_pruned(self, delta: DataFrame, key: str, base: int,
-                      wm: int, audit_pk: str):
+                      wm: int, audit_pk: str, change_feed: bool = False):
         """Incremental storage-level MERGE: ONE aggregation over the delta
         yields its count, watermark, key bounds AND the per-dir touched
         flags; the rewrite reuses the committed boundaries for bucket
@@ -1020,6 +1052,12 @@ class ManifestTable:
             return SyncResult(0, wm, self.path)
         new_wm = max(wm, int(r["__mx"]))
         klo, khi = int(r["__klo"]), int(r["__khi"])
+        cdc_extra: dict = {}
+        if change_feed:
+            # the rewrite below re-reads the delta from the written feed
+            # parquet: one evaluation of the input lineage, and the feed
+            # is byte-identical to what the merge applied
+            cdc_extra, delta = self._write_change_feed(delta)
 
         if full_rewrite:
             touched_idx = list(range(len(ranged)))
@@ -1059,7 +1097,7 @@ class ManifestTable:
         dirs_all = untouched + new_dirs
         self._commit(
             "merge", lambda parent: dirs_all, max_retries=1,
-            extra={"watermark": new_wm, "dir_meta": new_meta},
+            extra={"watermark": new_wm, "dir_meta": new_meta, **cdc_extra},
             expected_parent=base)
         return SyncResult(n, new_wm, self.path)
 
@@ -1241,7 +1279,11 @@ class ManifestTable:
 
         vs = self.versions()
         drop, keep = vs[:-keep_versions], vs[-keep_versions:]
-        referenced = {d for v in keep for d in self.manifest(v)["dirs"]}
+        # change-feed dirs (cdc_dirs) are commit payload too: a retained
+        # version's feed must stay streamable until its manifest drops
+        referenced = {d for v in keep
+                      for m in [self.manifest(v)]
+                      for d in m["dirs"] + m.get("cdc_dirs", [])}
         for v in drop:
             os.unlink(_manifest_path(self.path, v))
         # checkpoints older than the newest are fully superseded for state
@@ -1259,7 +1301,8 @@ class ManifestTable:
         # must survive the sweep; the space is reclaimed once a newer
         # checkpoint supersedes them on a later vacuum
         for v in self.checkpoints():
-            referenced |= set(self.manifest(v)["dirs"])
+            ckm = self.manifest(v)
+            referenced |= set(ckm["dirs"]) | set(ckm.get("cdc_dirs", []))
         n_dirs = n_young = 0
         cutoff = time.time() - retain_seconds
 

@@ -22,11 +22,15 @@ in public table formats' change feeds. Merge-action commits
 (``merge_audit`` pruned=True) are DIFFERENT: their rewritten dirs mix
 genuinely new delta rows with carried-over old rows, so neither
 emitting them (old-row duplicates) nor skipping them (silent change
-loss) is change-feed-correct — the source FAILS LOUDLY when it
-encounters one. A consumer that knowingly wants append-only semantics
-over a merge-maintained table can opt into skipping with
-``.option("skipMerges", "true")``; to stream a replica's changes, tail
-the AUDIT table feeding the merge instead (it IS the change feed).
+loss) is change-feed-correct. A replica written with
+``merge_audit(change_feed=True)`` records each merge's APPLIED delta in
+the same commit (``cdc_dirs``) — ``.option("changeFeed", "true")``
+streams exactly those rows (events included; plain appends read as
+``audit_event='insert'`` rows, the Delta-CDF ``_change_type`` analog).
+Without a recorded feed the source FAILS LOUDLY on a merge commit; a
+consumer that knowingly wants append-only semantics can opt into
+skipping with ``.option("skipMerges", "true")``, or tail the AUDIT
+table feeding the merge instead (it IS the change feed).
 
 Executors read the parquet files with pyarrow and yield Arrow record
 batches (the vectorized path of the Python DataSource API) — no
@@ -89,10 +93,13 @@ def _manifest(table_path: str, version: int) -> dict:
 
 
 class ManifestFilesPartition(InputPartition):
-    """One committed data dir's parquet files (absolute paths)."""
+    """One committed data dir's parquet files (absolute paths).
+    ``fill`` optionally maps declared-schema columns MISSING from the
+    files to a constant (change-feed tagging of plain appends)."""
 
-    def __init__(self, files: list[str]):
+    def __init__(self, files: list[str], fill: dict | None = None):
         self.files = files
+        self.fill = fill
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -107,6 +114,10 @@ class ManifestStreamReader(DataSourceStreamReader):
         if sm not in ("true", "false"):
             raise ValueError(f"skipMerges must be true/false, got {sm!r}")
         self.skip_merges = sm == "true"
+        cf = options.get("changefeed", "false").lower()
+        if cf not in ("true", "false"):
+            raise ValueError(f"changeFeed must be true/false, got {cf!r}")
+        self.change_feed = cf == "true"
         self.spark_schema = schema
 
     def initialOffset(self) -> dict:
@@ -122,35 +133,54 @@ class ManifestStreamReader(DataSourceStreamReader):
         return {"version": v if v is not None else self.start_version}
 
     def partitions(self, start: dict, end: dict):
+        from cdc_audit_spark.sources.manifest_table import _dir_files
+
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             m = _manifest(self.path, v)
             if m["action"] != "append":
                 # overwrite rewrites (compact/repair) are not new rows —
                 # invisible, like any change feed. A MERGE commit's dirs
-                # mix new delta rows with carried old rows: emitting
-                # duplicates, skipping loses changes — refuse unless the
-                # consumer opted into append-only semantics explicitly
+                # mix new delta rows with carried old rows: its APPLIED
+                # delta is only streamable when the writer recorded it
+                # (merge_audit(change_feed=True) -> cdc_dirs); otherwise
+                # neither emitting (duplicates) nor silently skipping
+                # (lost changes) is correct — refuse unless the consumer
+                # opted into append-only semantics explicitly
+                # a recorded feed (pruned merges commit action 'merge',
+                # non-pruned ones 'overwrite' — both may carry cdc_dirs)
+                if self.change_feed and "cdc_dirs" in m:
+                    cdc_meta = m.get("cdc_meta", {})
+                    for d in m["cdc_dirs"]:
+                        parts.extend(
+                            ManifestFilesPartition([f])
+                            for f in _dir_files(self.path, d, cdc_meta))
+                    continue
                 if m["action"] == "merge" and not self.skip_merges:
                     raise ValueError(
-                        f"version {v} at {self.path} is a merge commit: "
-                        "its dirs mix new delta rows with rewritten old "
-                        "rows, so a change feed can neither emit nor "
-                        "silently skip it. Stream the AUDIT table feeding "
-                        "the merge instead (it is the change feed), or "
-                        "pass .option('skipMerges', 'true') to knowingly "
-                        "receive only plain appends.")
+                        f"version {v} at {self.path} is a merge commit "
+                        "with no recorded change feed: its dirs mix new "
+                        "delta rows with rewritten old rows, so a change "
+                        "feed can neither emit nor silently skip it. "
+                        "Write the replica with merge_audit("
+                        "change_feed=True) and read with .option("
+                        "'changeFeed', 'true'), stream the AUDIT table "
+                        "feeding the merge instead, or pass .option("
+                        "'skipMerges', 'true') to knowingly receive only "
+                        "plain appends.")
                 continue
-            from cdc_audit_spark.sources.manifest_table import _dir_files
-
             dir_meta = m.get("dir_meta", {})
+            # plain appends in changeFeed mode read as inserts: files
+            # lacking the audit columns get audit_event='insert' filled,
+            # audit_pk/timestamp NULL (Delta-CDF's _change_type=insert)
+            fill = {"audit_event": "insert"} if self.change_feed else None
             for d in self._added_dirs(m):
                 # one partition per FILE (matching the batch reader): a
                 # commit dir holds one file per writing task, so the
                 # consumer's read parallelism tracks the producer's.
                 # File names come from the manifest when recorded (no
                 # LIST on the data path), else one legacy listdir.
-                parts.extend(ManifestFilesPartition([f])
+                parts.extend(ManifestFilesPartition([f], fill)
                              for f in _dir_files(self.path, d, dir_meta))
         return parts
 
@@ -183,10 +213,37 @@ class ManifestStreamReader(DataSourceStreamReader):
         # pre-evolution files surface NULLs for later-added columns
         from cdc_audit_spark.sources.manifest_table import _arrow_batches
 
-        yield from _arrow_batches(partition.files, self.spark_schema)
+        yield from _arrow_batches(partition.files, self.spark_schema,
+                                  getattr(partition, "fill", None))
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the consumer's checkpoint
+
+
+def _change_feed_schema(path: str, base: StructType) -> StructType:
+    """The changeFeed-mode declared schema: the newest recorded
+    ``cdc_schema`` (the applied delta's exact shape — state columns plus
+    audit columns) when any merge has written one; otherwise the table
+    schema widened with ``audit_event``/``audit_pk`` so plain appends
+    still read as tagged inserts."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    from cdc_audit_spark.sources.manifest_table import _all_nullable
+
+    for v in reversed(_versions(path)):
+        m = _manifest(path, v)
+        if "cdc_schema" in m:
+            return _all_nullable(
+                StructType.fromJson(json.loads(m["cdc_schema"])))
+    fields = list(base.fields)
+    names = {f.name for f in fields}
+    if "audit_event" not in names:
+        fields.append(StructField("audit_event", StringType(), True))
+    if "audit_pk" not in names:
+        fields.append(StructField("audit_pk", LongType(), True))
+    return StructType(fields)
 
 
 class ManifestStreamDataSource(DataSource):
@@ -210,6 +267,8 @@ class ManifestStreamDataSource(DataSource):
                 f"no committed schema at {path}: the table has no commits "
                 "yet (start the stream after the first commit, or pass "
                 ".schema())")
+        if self.options.get("changefeed", "false").lower() == "true":
+            return _change_feed_schema(path, sch)
         return sch
 
     def streamReader(self, schema: StructType) -> ManifestStreamReader:
@@ -222,10 +281,16 @@ def register_manifest_stream(spark) -> None:
 
 
 def read_manifest_stream(spark, table_path: str,
-                         starting_version: int = 0):
-    """Convenience: a streaming DataFrame over the table's commits."""
+                         starting_version: int = 0,
+                         change_feed: bool = False):
+    """Convenience: a streaming DataFrame over the table's commits.
+    ``change_feed=True`` streams the CDC feed instead of raw appends:
+    merge commits written with ``merge_audit(change_feed=True)`` emit
+    their applied delta (events included), plain appends read as
+    ``audit_event='insert'`` rows."""
     register_manifest_stream(spark)
     return (spark.readStream.format("manifest_stream")
             .option("path", table_path)
             .option("startingVersion", starting_version)
+            .option("changeFeed", str(change_feed).lower())
             .load())

@@ -67,12 +67,16 @@ __all__ = ["ManifestTableDataSource", "register_manifest_table"]
 _DATA_DIR = "data"
 
 
-def _arrow_batches(files: list[str], spark_schema: StructType):
+def _arrow_batches(files: list[str], spark_schema: StructType,
+                   fill: dict | None = None):
     """Read parquet files as record batches cast to the declared schema's
     arrow form (shared with the streaming reader — see its rationale).
     A column the file predates (additive schema evolution via
     ``on_drift='evolve'``) surfaces as NULLs, matching the native
-    mergeSchema read."""
+    mergeSchema read. ``fill`` overrides that default for specific
+    MISSING columns with a constant (the change-feed reader tags plain
+    append commits' rows ``audit_event='insert'``); a column present in
+    the file always wins over its fill."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -85,6 +89,9 @@ def _arrow_batches(files: list[str], spark_schema: StructType):
             for field in target:
                 if field.name in tbl.column_names:
                     cols.append(tbl.column(field.name).cast(field.type))
+                elif fill and field.name in fill:
+                    cols.append(pa.array([fill[field.name]] * len(tbl),
+                                         type=field.type))
                 else:
                     cols.append(pa.nulls(len(tbl), field.type))
             out = pa.Table.from_arrays(cols, schema=target)

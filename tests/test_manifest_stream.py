@@ -8,6 +8,7 @@ exactly-once offsets and no re-reads of seen data.
 """
 
 import datetime as dt
+import os
 
 from pyspark.sql import functions as F
 
@@ -206,3 +207,92 @@ def test_stream_refuses_merge_commits_by_default(spark, tmp_path):
     q3.stop()
     got = spark.read.parquet(str(tmp_path / "sink3"))
     assert [r["k"] for r in got.collect()] == [100]
+
+
+def test_change_feed_streams_merge_deltas(spark, tmp_path):
+    """merge_audit(change_feed=True) records each merge's APPLIED delta
+    in the same commit; .option('changeFeed','true') streams exactly
+    those rows — events included, bootstrap excluded — and a plain
+    append interleaved in the history reads as tagged inserts."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    boot = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    empty = spark.createDataFrame(
+        [], "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(empty, ["k"], bootstrap=boot, pruned=True,
+                  range_buckets=4, change_feed=True)      # v1: bootstrap
+
+    log1 = spark.createDataFrame(
+        [(5, 500, "update", 1), (7, 0, "delete", 2), (100, 100, "insert", 3)],
+        "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(log1, ["k"], pruned=True, change_feed=True)   # v2
+    # plain append lands between merges (bare dir: next merge rewrites)
+    t.append(spark.createDataFrame([(200, 200)], "k long, v long"))  # v3
+    log2 = log1.unionByName(spark.createDataFrame(
+        [(5, 501, "update", 4), (200, 201, "update", 5)],
+        "k long, v long, audit_event string, audit_pk long"))
+    t.merge_audit(log2, ["k"], pruned=True, change_feed=True)   # v4
+
+    q = (read_manifest_stream(spark, t.path, change_feed=True)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "feed"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    feed = spark.read.parquet(str(tmp_path / "feed"))
+    got = {(r["k"], r["v"], r["audit_event"], r["audit_pk"])
+           for r in feed.collect()}
+    want = {(5, 500, "update", 1), (7, 0, "delete", 2),
+            (100, 100, "insert", 3),                 # v2 delta
+            (200, 200, "insert", None),              # v3 append, tagged
+            (5, 501, "update", 4), (200, 201, "update", 5)}  # v4 delta
+    assert got == want                               # bootstrap NOT in feed
+    # the feed replayed onto the bootstrap reconstructs the table
+    from cdc_audit_spark.capture import apply_changes
+
+    replayed = apply_changes(
+        boot,
+        feed.filter("audit_pk is not null"), ["k"])
+    # tagged appends (no audit identity) applied as plain upserts
+    appends = feed.filter("audit_pk is null").select("k", "v")
+    merged = {r["k"]: r["v"] for r in replayed.collect()}
+    for r in appends.collect():
+        merged.setdefault(r["k"], r["v"])
+    # append row was later updated (k=200 -> 201) — state wins
+    state = {r["k"]: r["v"] for r in t.read().collect()}
+    assert {k: v for k, v in merged.items() if k != 200} == \
+        {k: v for k, v in state.items() if k != 200}
+
+    # vacuum keeps the retained version's feed streamable
+    t.vacuum(keep_versions=1, retain_seconds=0)
+    m = t.manifest(t.current_version())
+    assert "cdc_dirs" in m
+    for d in m["cdc_dirs"]:
+        assert os.path.isdir(os.path.join(t.path, d))
+
+
+def test_change_feed_requires_recorded_feed(spark, tmp_path):
+    """changeFeed mode still fails loudly on a merge commit that never
+    recorded its delta — a feed with silent holes is not a feed."""
+    import pytest
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    boot = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    empty = spark.createDataFrame(
+        [], "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(empty, ["k"], bootstrap=boot, pruned=True,
+                  range_buckets=2)
+    log = spark.createDataFrame(
+        [(1, 11, "update", 1)],
+        "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(log, ["k"], pruned=True)   # no change_feed recorded
+
+    q = (read_manifest_stream(spark, t.path, change_feed=True)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "feed"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    with pytest.raises(Exception, match="no recorded change feed"):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    q.stop()
