@@ -296,3 +296,67 @@ def test_change_feed_requires_recorded_feed(spark, tmp_path):
         q.processAllAvailable()
         q.awaitTermination(60)
     q.stop()
+
+
+def test_change_feed_survives_failed_commit(spark, tmp_path):
+    """Crash window: the feed dir is written BEFORE the merge commit. If
+    the commit loses its base-version pin (interleaved writer), the feed
+    dir must stay unreferenced (never streamed), and the re-run must
+    produce one clean feed entry — no duplicate events."""
+    import pytest
+
+    from cdc_audit_spark.sinks.manifest import CommitConflict
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    boot = spark.range(0, 20).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    empty = spark.createDataFrame(
+        [], "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(empty, ["k"], bootstrap=boot, pruned=True,
+                  range_buckets=2, change_feed=True)
+
+    log = spark.createDataFrame(
+        [(3, 33, "update", 1)],
+        "k long, v long, audit_event string, audit_pk long")
+
+    # interleave a racer between the merge's read and its claim, via the
+    # feed-write hook (it runs inside the merge, before the commit)
+    orig = ManifestTable._write_change_feed
+    racer = ManifestTable(spark, t.path)
+
+    def racing(self, delta):
+        extra, reread = orig(self, delta)
+        racer.append(spark.createDataFrame([(500, 500)], "k long, v long"))
+        return extra, reread
+
+    ManifestTable._write_change_feed = racing
+    try:
+        with pytest.raises(CommitConflict):
+            t.merge_audit(log, ["k"], pruned=True, change_feed=True)
+    finally:
+        ManifestTable._write_change_feed = orig
+
+    # re-run converges (the racer's append forces a full rewrite)
+    t.merge_audit(log, ["k"], pruned=True, change_feed=True)
+    assert {r["k"]: r["v"] for r in t.read().collect()}[3] == 33
+
+    q = (read_manifest_stream(spark, t.path, change_feed=True)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "feed"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    feed = spark.read.parquet(str(tmp_path / "feed"))
+    # exactly ONE update event for k=3 (the failed attempt's feed dir is
+    # orphaned, invisible) plus the racer's tagged insert
+    assert feed.filter("k = 3").count() == 1
+    assert feed.filter("k = 500 and audit_event = 'insert'").count() == 1
+    # and vacuum reclaims the orphaned feed dir without touching live ones
+    import os as _os
+
+    n_before = len(_os.listdir(_os.path.join(t.path, "data")))
+    t.vacuum(keep_versions=10, retain_seconds=0, force=True)
+    m = t.manifest(t.current_version())
+    for d in m.get("cdc_dirs", []):
+        assert _os.path.isdir(_os.path.join(t.path, d))
+    assert len(_os.listdir(_os.path.join(t.path, "data"))) <= n_before
