@@ -76,9 +76,12 @@ def _plain(v):
     return None
 
 # Payload keys that describe the TABLE (not one commit's delta) and are
-# inherited by every later commit — see _commit.
+# inherited by every later commit — see _commit. cdc_schema (the change
+# feed's row shape as of the last feed-recording merge) inherits so feed
+# consumers resolve it from the newest manifest in O(1); cdc_dirs does
+# NOT (each commit's feed dirs are that commit's delta alone).
 _STATE_KEYS = ("watermark", "epoch", "run_id", "wipe_through",
-               "wipe_pk_cols", "schema")
+               "wipe_pk_cols", "schema", "cdc_schema")
 
 
 class CommitConflict(RuntimeError):

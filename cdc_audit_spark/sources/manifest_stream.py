@@ -230,8 +230,16 @@ def _change_feed_schema(path: str, base: StructType) -> StructType:
 
     from pyspark.sql.types import LongType, StringType, StructField
 
+    from cdc_audit_spark.sinks.manifest import current_committed_version
     from cdc_audit_spark.sources.manifest_table import _all_nullable
 
+    # cdc_schema inherits through every commit (_STATE_KEYS), so the
+    # newest manifest resolves it in O(1); the full walk only covers
+    # legacy tables whose feed predates the inheritance
+    cur = current_committed_version(path)
+    if cur is not None and "cdc_schema" in (m := _manifest(path, cur)):
+        return _all_nullable(
+            StructType.fromJson(json.loads(m["cdc_schema"])))
     for v in reversed(_versions(path)):
         m = _manifest(path, v)
         if "cdc_schema" in m:
