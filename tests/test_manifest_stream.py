@@ -360,3 +360,43 @@ def test_change_feed_survives_failed_commit(spark, tmp_path):
     for d in m.get("cdc_dirs", []):
         assert _os.path.isdir(_os.path.join(t.path, d))
     assert len(_os.listdir(_os.path.join(t.path, "data"))) <= n_before
+
+
+def test_change_feed_drives_downstream_replica(spark, tmp_path):
+    """Full composition: audit log -> replica A (merge_audit with
+    change_feed) -> A's feed streamed -> replica B maintained by
+    merge_audit from the FEED. B must equal A — the feed is a complete
+    CDC source, not just an observability tap."""
+    a = ManifestTable(spark, str(tmp_path / "a"))
+    b = ManifestTable(spark, str(tmp_path / "b"))
+    boot = spark.range(0, 40).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    empty = spark.createDataFrame(
+        [], "k long, v long, audit_event string, audit_pk long")
+    a.merge_audit(empty, ["k"], bootstrap=boot, pruned=True,
+                  range_buckets=4, change_feed=True)
+    log1 = spark.createDataFrame(
+        [(2, 22, "update", 1), (5, 0, "delete", 2)],
+        "k long, v long, audit_event string, audit_pk long")
+    a.merge_audit(log1, ["k"], pruned=True, change_feed=True)
+    log2 = log1.unionByName(spark.createDataFrame(
+        [(100, 100, "insert", 3), (2, 23, "update", 4)],
+        "k long, v long, audit_event string, audit_pk long"))
+    a.merge_audit(log2, ["k"], pruned=True, change_feed=True)
+
+    def apply(batch_df, epoch_id):
+        b.merge_audit(
+            batch_df.select("k", "v", "audit_event", "audit_pk"), ["k"],
+            bootstrap=boot if b.current_version() is None else None,
+            pruned=True, range_buckets=4)
+
+    q = (read_manifest_stream(spark, a.path, change_feed=True)
+         .writeStream.foreachBatch(apply)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+
+    got_a = {r["k"]: r["v"] for r in a.read().collect()}
+    got_b = {r["k"]: r["v"] for r in b.read().collect()}
+    assert got_a == got_b
+    assert got_b[2] == 23 and 5 not in got_b and got_b[100] == 100
