@@ -231,12 +231,14 @@ def ivf_assign(
     )
 
 
-def nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
-    """The ``ivf_assign`` cell expression as a reusable Column: highest
-    cosine similarity, lowest index on ties — broadcast-literal codegen,
-    no shuffle. Shared with the CDC index maintenance
-    (``streaming.stream_ann``), which assigns audit-delta images in
-    place without re-projecting the batch."""
+def _scored_cells(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """All centroids scored against ``vec_col``, sorted best-first:
+    an ``array<struct{sim, inv, cell}>`` literal expression (broadcast
+    centroids, whole-stage codegen, no shuffle) with the tie-break
+    contract — highest cosine wins, lowest index on ties (``inv``
+    inverts the index so the descending sort realizes it). The ONE place
+    that contract lives; ``nearest_cell`` takes element 0, the k-NN join
+    slices the top nprobe."""
     norm = F.sqrt(_self_dot(vec_col))
     scored = [
         F.struct(
@@ -246,7 +248,33 @@ def nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
         )
         for i, c in enumerate(centroids)
     ]
-    return F.sort_array(F.array(*scored), asc=False)[0]["cell"]
+    return F.sort_array(F.array(*scored), asc=False)
+
+
+def nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """The ``ivf_assign`` cell expression as a reusable Column: highest
+    cosine similarity, lowest index on ties — broadcast-literal codegen,
+    no shuffle. Shared with the CDC index maintenance
+    (``streaming.stream_ann``), which assigns audit-delta images in
+    place without re-projecting the batch."""
+    return _scored_cells(vec_col, centroids)[0]["cell"]
+
+
+def _ranked_cells(query_vec: list[float],
+                  centroids: list[list[float]]) -> list[int]:
+    """Driver-side probe ranking for a single query vector: cell indices
+    by descending cosine similarity, lowest index on ties — the Python
+    twin of :func:`_scored_cells`, shared by ``ivf_topk`` and
+    ``ivf_topk_indexed``."""
+    qn = _l2(query_vec)
+    return sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -sum(a * b for a, b in zip(centroids[i], query_vec))
+            / (_l2(centroids[i]) * qn),
+            i,
+        ),
+    )
 
 
 def _l2(v: list[float]) -> float:
@@ -344,18 +372,9 @@ def ivf_topk(
     before any per-vector scoring; recall rises monotonically with
     ``nprobe`` (== len(centroids) degenerates to exact brute force).
     """
-    qn = _l2(query_vec)
-    ranked = sorted(
-        range(len(centroids)),
-        key=lambda i: (
-            -sum(a * b for a, b in zip(centroids[i], query_vec)) / (_l2(centroids[i]) * qn),
-            i,
-        ),
-    )
-    probe = ranked[:nprobe]
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
-    return cosine_topk(
-        assigned.filter(F.col("cell").isin(*probe)), query_vec, k, id_col, vec_col
+    return ivf_topk_indexed(
+        ivf_assign(df, centroids, id_col, vec_col), centroids, query_vec,
+        k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
     )
 
 
@@ -378,16 +397,7 @@ def ivf_topk_indexed(
     With the index table range-laid-out on the id, cell filtering is a
     map-side codegen'd predicate; at scale, write the assignments
     partitioned by cell so probes read only their cells' files."""
-    qn = _l2(query_vec)
-    ranked = sorted(
-        range(len(centroids)),
-        key=lambda i: (
-            -sum(a * b for a, b in zip(centroids[i], query_vec))
-            / (_l2(centroids[i]) * qn),
-            i,
-        ),
-    )
-    probe = ranked[:nprobe]
+    probe = _ranked_cells(query_vec, centroids)[:nprobe]
     return cosine_topk(
         assignments.filter(F.col(cell_col).isin(*probe)),
         query_vec, k, id_col, vec_col,
@@ -425,23 +435,16 @@ def ivf_knn_join(
     ``cosine_pairs`` — bit-identical to DuckDB's list_dot_product."""
     from pyspark.sql import Window
 
-    qn = F.sqrt(_self_dot(F.col(q_vec_col)))
-    scored = [
-        F.struct(
-            (_dot_lit(F.col(q_vec_col), c) / (qn * F.lit(_l2(c)))).alias("sim"),
-            F.lit(len(centroids) - 1 - i).alias("inv"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(centroids)
-    ]
     probes = F.transform(
-        F.slice(F.sort_array(F.array(*scored), asc=False), 1, nprobe),
+        F.slice(_scored_cells(F.col(q_vec_col), centroids), 1, nprobe),
         lambda s: s["cell"],
     )
+    # norm computed BEFORE the probe explode: once per query, not once
+    # per (query, probe) row
     q = (queries.select(
             F.col(q_id_col), F.col(q_vec_col),
-            F.explode(probes).alias("__probe"))
-         .withColumn("__qnorm", F.sqrt(_self_dot(F.col(q_vec_col)))))
+            F.sqrt(_self_dot(F.col(q_vec_col))).alias("__qnorm"))
+         .withColumn("__probe", F.explode(probes)))
 
     cand = assignments.join(
         F.broadcast(q), assignments[cell_col] == q["__probe"])

@@ -463,6 +463,8 @@ def cdc_manifest_format_rw(spark, sf_dir):
     audit = customer_audit_log(spark, sf_dir).localCheckpoint(eager=True)
     k = int(audit.agg(F.expr("max(audit_pk) div 2")).first()[0])
     root = tempfile.mkdtemp(prefix="cdc_format_rw_")
+    prev_pushdown = spark.conf.get(
+        "spark.sql.python.filterPushdown.enabled", None)
     try:
         for cond in (F.col("audit_pk") <= k, F.col("audit_pk") > k):
             (audit.filter(cond)
@@ -501,6 +503,13 @@ def cdc_manifest_format_rw(spark, sf_dir):
                        "audit_pk"))
         return out.localCheckpoint(eager=True)
     finally:
+        # restore the session conf this query forced on: a verification
+        # row must not leak a plan-changing setting into later queries
+        if prev_pushdown is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                           prev_pushdown)
         shutil.rmtree(root, ignore_errors=True)
 
 

@@ -120,6 +120,20 @@ def _claim_manifest(table_path: str, version: int, payload: dict) -> bool:
         os.unlink(tmp)
 
 
+def _list_versions(table_path: str) -> list[int]:
+    """Committed versions by directory listing, ascending ([] before the
+    first commit). The ONE place the ``m-<version>.json`` name convention
+    is parsed — ManifestTable.versions(), the pointer fallback, and the
+    streaming source all delegate here."""
+    mdir = os.path.join(table_path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(n[2:-5]) for n in os.listdir(mdir)
+        if n.startswith("m-") and n.endswith(".json")
+    )
+
+
 def _parquet_files(table_path: str, rel_dir: str) -> list[str]:
     """Parquet file names inside a freshly-written commit dir (driver
     side, write time — recorded in dir_meta so reads never LIST)."""
@@ -179,12 +193,8 @@ def current_committed_version(table_path: str) -> int | None:
         while os.path.exists(_manifest_path(table_path, v + 1)):
             v += 1
         return v
-    mdir = os.path.join(table_path, _MANIFEST_DIR)
-    if not os.path.isdir(mdir):
-        return None
-    vs = [int(n[2:-5]) for n in os.listdir(mdir)
-          if n.startswith("m-") and n.endswith(".json")]
-    return max(vs) if vs else None
+    vs = _list_versions(table_path)
+    return vs[-1] if vs else None
 
 
 class ClaimBackend:
@@ -239,13 +249,7 @@ class ManifestTable:
 
     def versions(self) -> list[int]:
         """Committed versions, ascending ([] before the first commit)."""
-        mdir = os.path.join(self.path, _MANIFEST_DIR)
-        if not os.path.isdir(mdir):
-            return []
-        return sorted(
-            int(n[2:-5]) for n in os.listdir(mdir)
-            if n.startswith("m-") and n.endswith(".json")
-        )
+        return _list_versions(self.path)
 
     def current_version(self) -> int | None:
         # pointer + forward probe: O(1 + lag) stats, no directory listing
@@ -567,7 +571,8 @@ class ManifestTable:
         return None
 
     def overwrite(self, df: DataFrame, extra: dict | None = None,
-                  base_version: int | None = _ANY) -> int:
+                  base_version: int | None = _ANY,
+                  action: str = "overwrite") -> int:
         """Commit ``df`` as the table's entire new content. Raises
         :class:`CommitConflict` if any other writer commits concurrently —
         last-writer-wins must be an explicit caller decision, not a silent
@@ -579,11 +584,17 @@ class ManifestTable:
         read→rewrite→claim window, not just the final claim race. By
         default the current version at call entry is captured, which
         still covers the (long) data-write phase.
+
+        ``action`` is what the manifest records; merge_audit passes
+        "merge" so streaming consumers can distinguish a replica merge
+        (whose rewritten content hides genuinely new rows) from a pure
+        rewrite like compaction — actions must reflect SEMANTICS, not
+        the write strategy, or the stream source mis-skips.
         """
         if base_version is _ANY:
             base_version = self.current_version()
         rel, files = self._write_data_dir(df)
-        return self._commit("overwrite", lambda parent: [rel], max_retries=1,
+        return self._commit(action, lambda parent: [rel], max_retries=1,
                             extra={**(extra or {}),
                                    "schema": df.schema.json(),
                                    "dir_meta": {rel: {"files": files}}},
@@ -957,6 +968,14 @@ class ManifestTable:
         if change_feed and n > 0:
             cdc_extra, delta = self._write_change_feed(delta)
 
+        # action reflects SEMANTICS, not write strategy: a commit whose
+        # rewrite HIDES genuinely new rows (n > 0) is a "merge" — the
+        # stream source must refuse it rather than skip it like a
+        # compaction, unless it carries its change feed. A bootstrap-only
+        # first commit (n == 0) stays "overwrite": feeds exclude the
+        # snapshot by contract, so skipping it is correct.
+        act = "merge" if n > 0 else "overwrite"
+
         if pruned:  # first commit: lay the replica out for future pruning
             from cdc_audit_spark.capture import apply_changes
 
@@ -964,7 +983,7 @@ class ManifestTable:
             self.write_range_layout(state, pk_cols[0],
                                     n_buckets=range_buckets,
                                     extra={"watermark": new_wm, **cdc_extra},
-                                    base_version=base)
+                                    base_version=base, action=act)
             return SyncResult(n, new_wm, self.path)
 
         from cdc_audit_spark.capture import apply_changes
@@ -974,7 +993,7 @@ class ManifestTable:
         # pinned to base: an interleaved commit (another merge, a
         # sync) raises CommitConflict instead of being silently lost
         self.overwrite(new_state, extra={"watermark": new_wm, **cdc_extra},
-                       base_version=base)
+                       base_version=base, action=act)
         return SyncResult(n, new_wm, self.path)
 
     def _merge_pruned(self, delta: DataFrame, key: str, base: int,
@@ -1137,7 +1156,8 @@ class ManifestTable:
     def write_range_layout(self, df: DataFrame, key: str,
                            n_buckets: int = 32,
                            extra: dict | None = None,
-                           base_version: int | None = _ANY) -> int:
+                           base_version: int | None = _ANY,
+                           action: str = "overwrite") -> int:
         """Commit ``df`` as the table's content laid out as up to
         ``n_buckets`` DISJOINT key-range dirs, each a separate manifest
         dir with recorded ``pk_min``/``pk_max`` — the layout
@@ -1154,7 +1174,7 @@ class ManifestTable:
             base_version = self.current_version()
         dirs, meta = self._write_range_dirs(df, key, n_buckets)
         return self._commit(
-            "overwrite", lambda parent: dirs, max_retries=1,
+            action, lambda parent: dirs, max_retries=1,
             extra={**(extra or {}), "schema": df.schema.json(),
                    "dir_meta": meta},
             expected_parent=base_version)

@@ -69,13 +69,9 @@ _MANIFEST_DIR = "_manifests"
 
 
 def _versions(table_path: str) -> list[int]:
-    mdir = os.path.join(table_path, _MANIFEST_DIR)
-    if not os.path.isdir(mdir):
-        return []
-    return sorted(
-        int(n[2:-5]) for n in os.listdir(mdir)
-        if n.startswith("m-") and n.endswith(".json")
-    )
+    from cdc_audit_spark.sinks.manifest import _list_versions
+
+    return _list_versions(table_path)
 
 
 def _manifest(table_path: str, version: int) -> dict:
@@ -157,6 +153,14 @@ class ManifestStreamReader(DataSourceStreamReader):
                             for f in _dir_files(self.path, d, cdc_meta))
                     continue
                 if m["action"] == "merge" and not self.skip_merges:
+                    if "cdc_dirs" in m:
+                        raise ValueError(
+                            f"version {v} at {self.path} is a merge "
+                            "commit WITH a recorded change feed, but "
+                            "this stream was opened without it — pass "
+                            ".option('changeFeed', 'true') to consume "
+                            "the feed, or .option('skipMerges', 'true') "
+                            "to knowingly receive only plain appends.")
                     raise ValueError(
                         f"version {v} at {self.path} is a merge commit "
                         "with no recorded change feed: its dirs mix new "

@@ -400,3 +400,86 @@ def test_change_feed_drives_downstream_replica(spark, tmp_path):
     got_b = {r["k"]: r["v"] for r in b.read().collect()}
     assert got_a == got_b
     assert got_b[2] == 23 and 5 not in got_b and got_b[100] == 100
+
+
+def test_non_pruned_merge_commits_as_merge_action(spark, tmp_path):
+    """Review fix: non-pruned merge_audit used to commit action
+    'overwrite', indistinguishable from a compaction — so a change-feed
+    consumer silently skipped its genuinely new rows. Both merge modes
+    now commit action 'merge' whenever the commit hides a nonempty
+    delta; a bootstrap-only first commit stays 'overwrite' (feeds
+    exclude the snapshot by contract)."""
+    import pytest
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    boot = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    empty = spark.createDataFrame(
+        [], "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(empty, ["k"], bootstrap=boot)            # non-pruned
+    assert t.manifest(t.current_version())["action"] == "overwrite"
+
+    log = spark.createDataFrame(
+        [(1, 11, "update", 1)],
+        "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(log, ["k"])                              # hides new rows
+    assert t.manifest(t.current_version())["action"] == "merge"
+
+    # a changeFeed consumer now fails loudly instead of losing the update
+    q = (read_manifest_stream(spark, t.path, change_feed=True)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "feed"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    with pytest.raises(Exception, match="no recorded change feed"):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    q.stop()
+
+    # non-pruned WITH change_feed: the feed streams the delta
+    t2 = ManifestTable(spark, str(tmp_path / "t2"))
+    t2.merge_audit(empty, ["k"], bootstrap=boot, change_feed=True)
+    t2.merge_audit(log, ["k"], change_feed=True)
+    q2 = (read_manifest_stream(spark, t2.path, change_feed=True)
+          .writeStream.format("parquet")
+          .option("path", str(tmp_path / "feed2"))
+          .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    q2.processAllAvailable()
+    q2.stop()
+    feed = spark.read.parquet(str(tmp_path / "feed2"))
+    assert [(r["k"], r["v"], r["audit_event"], r["audit_pk"])
+            for r in feed.collect()] == [(1, 11, "update", 1)]
+
+    # bootstrap+delta in ONE first commit is also a 'merge' (its rows
+    # are hidden inside the snapshot rewrite)
+    t3 = ManifestTable(spark, str(tmp_path / "t3"))
+    t3.merge_audit(log, ["k"], bootstrap=boot)
+    assert t3.manifest(t3.current_version())["action"] == "merge"
+
+
+def test_feed_present_but_option_missing_diagnoses_correctly(spark,
+                                                            tmp_path):
+    """Review fix: a merge commit WITH a recorded feed, streamed without
+    the changeFeed option, must point the user at the option — not claim
+    the writer never recorded a feed."""
+    import pytest
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    boot = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    empty = spark.createDataFrame(
+        [], "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(empty, ["k"], bootstrap=boot, pruned=True,
+                  range_buckets=2, change_feed=True)
+    log = spark.createDataFrame(
+        [(1, 11, "update", 1)],
+        "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(log, ["k"], pruned=True, change_feed=True)
+
+    q = (read_manifest_stream(spark, t.path)          # no changeFeed
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "sink"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    with pytest.raises(Exception, match="WITH a recorded change feed"):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    q.stop()
