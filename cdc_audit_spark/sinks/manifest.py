@@ -977,16 +977,12 @@ class ManifestTable:
         act = "merge" if n > 0 else "overwrite"
 
         if pruned:  # first commit: lay the replica out for future pruning
-            from cdc_audit_spark.capture import apply_changes
-
             state = apply_changes(bootstrap, delta, pk_cols)
             self.write_range_layout(state, pk_cols[0],
                                     n_buckets=range_buckets,
                                     extra={"watermark": new_wm, **cdc_extra},
                                     base_version=base, action=act)
             return SyncResult(n, new_wm, self.path)
-
-        from cdc_audit_spark.capture import apply_changes
 
         current = bootstrap if base is None else self.read(base)
         new_state = apply_changes(current, delta, pk_cols)

@@ -143,8 +143,11 @@ class ManifestStreamReader(DataSourceStreamReader):
                 # neither emitting (duplicates) nor silently skipping
                 # (lost changes) is correct — refuse unless the consumer
                 # opted into append-only semantics explicitly
-                # a recorded feed (pruned merges commit action 'merge',
-                # non-pruned ones 'overwrite' — both may carry cdc_dirs)
+                # a recorded feed. Both merge modes now commit action
+                # 'merge' when they hide a nonempty delta; LEGACY tables
+                # may hold non-pruned feed merges as action 'overwrite',
+                # so feed handling keys on cdc_dirs (only merges write
+                # it), never on the action string
                 if self.change_feed and "cdc_dirs" in m:
                     cdc_meta = m.get("cdc_meta", {})
                     for d in m["cdc_dirs"]:
@@ -152,15 +155,15 @@ class ManifestStreamReader(DataSourceStreamReader):
                             ManifestFilesPartition([f])
                             for f in _dir_files(self.path, d, cdc_meta))
                     continue
+                if "cdc_dirs" in m and not self.skip_merges:
+                    raise ValueError(
+                        f"version {v} at {self.path} is a merge "
+                        "commit WITH a recorded change feed, but "
+                        "this stream was opened without it — pass "
+                        ".option('changeFeed', 'true') to consume "
+                        "the feed, or .option('skipMerges', 'true') "
+                        "to knowingly receive only plain appends.")
                 if m["action"] == "merge" and not self.skip_merges:
-                    if "cdc_dirs" in m:
-                        raise ValueError(
-                            f"version {v} at {self.path} is a merge "
-                            "commit WITH a recorded change feed, but "
-                            "this stream was opened without it — pass "
-                            ".option('changeFeed', 'true') to consume "
-                            "the feed, or .option('skipMerges', 'true') "
-                            "to knowingly receive only plain appends.")
                     raise ValueError(
                         f"version {v} at {self.path} is a merge commit "
                         "with no recorded change feed: its dirs mix new "
@@ -238,13 +241,18 @@ def _change_feed_schema(path: str, base: StructType) -> StructType:
     from cdc_audit_spark.sources.manifest_table import _all_nullable
 
     # cdc_schema inherits through every commit (_STATE_KEYS), so the
-    # newest manifest resolves it in O(1); the full walk only covers
-    # legacy tables whose feed predates the inheritance
+    # newest manifest resolves it in O(1); the remaining walk only
+    # covers legacy tables whose feed predates the inheritance
     cur = current_committed_version(path)
-    if cur is not None and "cdc_schema" in (m := _manifest(path, cur)):
-        return _all_nullable(
-            StructType.fromJson(json.loads(m["cdc_schema"])))
-    for v in reversed(_versions(path)):
+
+    def walk():  # lazy: the fast path must not pay the full listing
+        if cur is not None:
+            yield cur
+        for v in reversed(_versions(path)):
+            if v != cur:
+                yield v
+
+    for v in walk():
         m = _manifest(path, v)
         if "cdc_schema" in m:
             return _all_nullable(

@@ -483,3 +483,53 @@ def test_feed_present_but_option_missing_diagnoses_correctly(spark,
         q.processAllAvailable()
         q.awaitTermination(60)
     q.stop()
+
+
+def test_legacy_overwrite_feed_merge_still_loud(spark, tmp_path):
+    """Review fix 2: tables written by the pre-fix code hold non-pruned
+    feed merges as action 'overwrite' WITH cdc_dirs. Feed handling keys
+    on cdc_dirs, not the action string — so without changeFeed such a
+    commit is refused (not silently skipped like a compaction), and with
+    changeFeed its feed streams."""
+    import json
+    import pytest
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    boot = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    empty = spark.createDataFrame(
+        [], "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(empty, ["k"], bootstrap=boot, change_feed=True)
+    log = spark.createDataFrame(
+        [(1, 11, "update", 1)],
+        "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(log, ["k"], change_feed=True)
+    v = t.current_version()
+    # rewrite the manifest as the PRE-FIX code committed it
+    mp = os.path.join(t.path, "_manifests", f"m-{v:012d}.json")
+    with open(mp) as f:
+        payload = json.load(f)
+    assert payload["action"] == "merge" and "cdc_dirs" in payload
+    payload["action"] = "overwrite"
+    os.remove(mp)
+    with open(mp, "w") as f:
+        json.dump(payload, f)
+
+    q = (read_manifest_stream(spark, t.path)           # no changeFeed
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "sink"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    with pytest.raises(Exception, match="WITH a recorded change feed"):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    q.stop()
+
+    q2 = (read_manifest_stream(spark, t.path, change_feed=True)
+          .writeStream.format("parquet")
+          .option("path", str(tmp_path / "feed"))
+          .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    q2.processAllAvailable()
+    q2.stop()
+    feed = spark.read.parquet(str(tmp_path / "feed"))
+    assert [(r["k"], r["v"], r["audit_event"], r["audit_pk"])
+            for r in feed.collect()] == [(1, 11, "update", 1)]
