@@ -163,3 +163,44 @@ def test_delta_shapes_and_delete_cells(spark):
     rows = {r["vec_id"]: r for r in d.collect()}
     assert all(rows[i]["cell"] is not None for i in range(5))
     assert all(rows[i]["cell"] is None for i in range(5, 10))
+
+
+def test_streaming_queries_against_maintained_index(spark, tmp_path):
+    """Serving composition: a STREAM of query batches answered against
+    the CDC-maintained index via foreachBatch + ivf_knn_join (the batch
+    df inside the hook is static, so the broadcast join applies).
+    Results must equal the batch k-NN join over the same queries."""
+    from cdc_audit_spark.operators.similarity import ivf_knn_join
+
+    base = _corpus(spark, 0, 120)
+    cents = sample_centroids(base, 4)
+    idx = ManifestTable(spark, str(tmp_path / "idx"))
+    bootstrap_ann_index(idx, base, cents, range_buckets=4)
+    assignments = idx.read().localCheckpoint(eager=True)
+
+    queries = _corpus(spark, 200, 205).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    src = str(tmp_path / "qsrc")
+    queries.write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "answers")
+
+    def answer(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        (ivf_knn_join(batch_df, assignments, cents, k=3,
+                      nprobe=len(cents))
+         .write.mode("append").parquet(out_dir))
+
+    q = (spark.readStream.schema(queries.schema).parquet(src)
+         .writeStream.foreachBatch(answer)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["q_id"], r["vec_id"], r["cos_sim"])
+           for r in spark.read.parquet(out_dir).collect()}
+    want = {(r["q_id"], r["vec_id"], r["cos_sim"])
+            for r in ivf_knn_join(queries, assignments, cents, k=3,
+                                  nprobe=len(cents)).collect()}
+    assert got == want and len(got) == 15
