@@ -1319,12 +1319,22 @@ def test_pruned_merge_random_walk_matches_model(spark, tmp_path):
                 model[k] = v
         delta = spark.createDataFrame(
             rows, "k long, v long, audit_event string, audit_pk long")
+        # occasionally interleave a BARE append (no merge-key range
+        # metadata) — the r06-advice duplicate-key bug lived exactly in
+        # this mix: the next merge must full-rewrite and stay exact
+        bare_append = rng.random() < 0.34
+        if bare_append:
+            bk = rng.randint(700, 800)
+            t.append(spark.createDataFrame([(bk, bk)], "k long, v long"))
+            model.setdefault(bk, bk)
         before = set(t.manifest(t.current_version())["dirs"])
         t.merge_audit(delta, ["k"], pruned=True)
         after = set(t.manifest(t.current_version())["dirs"])
         got = {r["k"]: r["v"] for r in t.read().collect()}
         assert got == model, f"step {step}"
-        assert before & after or len(before) <= 1, f"step {step}: no reuse"
+        assert len(got) == t.read().count(), f"step {step}: dup keys"
+        assert (before & after or len(before) <= 1
+                or bare_append), f"step {step}: no reuse"
         if step == 4:   # re-tighten the fragmented layout mid-walk
             t.compact(range_by=["k"])
             got = {r["k"]: r["v"] for r in t.read().collect()}
