@@ -404,6 +404,14 @@ def ivf_topk_indexed(
     )
 
 
+#: Exploded-row ceiling for ivf_knn_join's query-side broadcast:
+#: 2^18 rows × ~0.5 KiB/row (a 64-dim double vector + id + norm + probe)
+#: ≈ 128 MiB on the driver and per executor — comfortably inside default
+#: memory, far under Spark's 8 GB broadcast hard limit. Above it the
+#: join falls back to a salted shuffle (see ivf_knn_join).
+KNN_JOIN_BROADCAST_MAX_ROWS = 1 << 18
+
+
 def ivf_knn_join(
     queries: DataFrame,
     assignments: DataFrame,
@@ -415,6 +423,8 @@ def ivf_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    broadcast_queries: bool | None = None,
+    fallback_salts: int = 16,
 ) -> DataFrame:
     """Batch k-NN JOIN: every query row gets its top-k corpus neighbours
     in ONE pass — the many-queries form of ``ivf_topk_indexed`` (which
@@ -431,6 +441,19 @@ def ivf_knn_join(
     per-query top-k window. ``nprobe == len(centroids)`` degenerates to
     the exact brute-force k-NN join (the oracle-checkable setting).
 
+    The query-side broadcast is SIZE-GATED (``broadcast_queries=None``):
+    one cheap count of the queries side decides, and a batch whose
+    exploded size (queries × nprobe) exceeds
+    ``KNN_JOIN_BROADCAST_MAX_ROWS`` falls back to a salted shuffle join
+    on the cell id instead of force-broadcasting past executor memory.
+    The salt matters because the join key alone has only
+    ``len(centroids)`` distinct values — an unsalted shuffle would cap
+    parallelism at the cell count and collapse hot cells onto single
+    tasks; salting the corpus side and replicating the (already large,
+    so proportionally cheap) query side ``fallback_salts``× restores
+    cells × salts reduce keys. Pass ``broadcast_queries=True/False`` to
+    skip the count and force a side.
+
     The pair score is the same left-fold double dot product as
     ``cosine_pairs`` — bit-identical to DuckDB's list_dot_product."""
     from pyspark.sql import Window
@@ -446,8 +469,18 @@ def ivf_knn_join(
             F.sqrt(_self_dot(F.col(q_vec_col))).alias("__qnorm"))
          .withColumn("__probe", F.explode(probes)))
 
-    cand = assignments.join(
-        F.broadcast(q), assignments[cell_col] == q["__probe"])
+    if broadcast_queries is None:
+        broadcast_queries = (
+            queries.count() * nprobe <= KNN_JOIN_BROADCAST_MAX_ROWS)
+    if broadcast_queries:
+        cand = assignments.join(
+            F.broadcast(q), assignments[cell_col] == q["__probe"])
+    else:
+        from cdc_audit_spark.operators.skew import salted_join
+
+        cand = salted_join(
+            assignments, q.withColumnRenamed("__probe", cell_col),
+            cell_col, salts=fallback_salts)
     a, b = F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast(
         "array<double>")
     dot = F.aggregate(
@@ -465,6 +498,50 @@ def ivf_knn_join(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ann_recall_estimate(
+    assignments: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    sample_n: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> float:
+    """Sampled ground-truth recall@k of an IVF index at ``nprobe`` — the
+    operational drift monitor for a CDC-maintained index whose centroids
+    are frozen at bootstrap (streaming.stream_ann): as the corpus
+    distribution moves away from the training distribution, cell
+    assignment degrades and this number falls; retrain + rebuild
+    (``bootstrap_ann_index``) when it crosses the serving SLO.
+
+    Cost is bounded and batch-shaped: a deterministic hash-ordered
+    ``sample_n``-row query draw (the sample_centroids draw), then TWO
+    ``ivf_knn_join`` passes — the probed setting vs nprobe=all (exact)
+    — so the corpus is scanned twice regardless of sample size, never
+    per-query. Self-queries are included in both sides, so they cancel
+    out of the ratio. Deterministic end to end."""
+    qs = (
+        assignments.select(F.col(id_col).alias("q_id"),
+                           F.col(vec_col).alias("q_vec"))
+        .withColumn("__h", F.xxhash64(F.col("q_id")))
+        .orderBy("__h", "q_id")
+        .limit(sample_n)
+        .drop("__h")
+        .localCheckpoint(eager=True)   # two consumers, tiny frame
+    )
+    approx = ivf_knn_join(qs, assignments, centroids, k, nprobe=nprobe,
+                          id_col=id_col, vec_col=vec_col,
+                          cell_col=cell_col)
+    exact = ivf_knn_join(qs, assignments, centroids, k,
+                         nprobe=len(centroids), id_col=id_col,
+                         vec_col=vec_col, cell_col=cell_col)
+    hits = approx.select("q_id", id_col).join(
+        exact.select("q_id", id_col), ["q_id", id_col]).count()
+    total = exact.count()
+    return hits / total if total else 1.0
 
 
 def l2_normalize(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> DataFrame:
@@ -599,6 +676,94 @@ def pq_encode(
     if narrow.rdd.getNumPartitions() < par:
         narrow = narrow.repartition(par)
     return narrow.mapInPandas(gen, schema="id long, codes array<int>")
+
+
+def with_pq_codes(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """``pq_encode`` as a column-appending pass: every OTHER column
+    passes through untouched, so CDC delta rows keep their audit
+    identity (event/pk) while their images gain codes — the encode
+    stage of the maintained compressed index (streaming.stream_ann).
+    NULL vectors (delete events) get NULL codes. Same argmin kernel as
+    ``pq_encode`` — bit-identical codes, Arrow-batched, map-side."""
+    import numpy as np
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+    in_schema = df.schema
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_out = [None] * len(pdf)
+            mask = pdf[vec_col].notna()
+            if mask.any():
+                x = np.array(pdf.loc[mask, vec_col].to_list(),
+                             dtype=np.float64)
+                codes = np.empty((len(x), m), dtype=np.int32)
+                for s in range(m):
+                    xs = x[:, s * sub:(s + 1) * sub]
+                    cb = books[s]
+                    scores = xs @ cb.T - 0.5 * (cb * cb).sum(axis=1)
+                    codes[:, s] = scores.argmax(axis=1)
+                for pos, i in enumerate(np.flatnonzero(mask.to_numpy())):
+                    codes_out[i] = codes[pos].tolist()
+            pdf = pdf.copy()
+            pdf[codes_col] = codes_out
+            yield pdf
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    # a FRESH StructType: StructType.add mutates in place, and df.schema
+    # is cached on the input DataFrame — mutating it corrupts df itself
+    out_schema = StructType(
+        list(in_schema.fields)
+        + [StructField(codes_col, ArrayType(IntegerType()), True)])
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def ivf_pq_topk_indexed(
+    assignments: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list,
+    query_vec: list[float],
+    k: int,
+    nprobe: int = 2,
+    expand: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """IVFADC over a MAINTAINED index (cells AND codes pre-computed by
+    the CDC sync — ``streaming.stream_ann`` with codebooks): per query,
+    only the probed cells' rows are touched, their codes score in the
+    compressed domain (m table lookups per row), and the exact kernel
+    reranks the expand·k survivors from the float column in the same
+    rows. Neither the per-call assign pass nor the per-call encode pass
+    of ``ivf_pq_topk`` survives — the two full-corpus passes become
+    reads of pre-computed columns. ``nprobe == len(centroids)`` with
+    ``expand·k >= |corpus|`` degenerates to exact brute force (the
+    oracle-checkable setting)."""
+    probe = _ranked_cells(query_vec, centroids)[:nprobe]
+    cells = assignments.filter(F.col(cell_col).isin(*probe))
+    encoded = cells.select(F.col(id_col).alias("id"),
+                           F.col(codes_col).alias("codes"))
+    return pq_rerank_topk(cells, encoded, codebooks, query_vec, k,
+                          expand, id_col, vec_col)
 
 
 def pq_topk(

@@ -605,21 +605,8 @@ def cdc_ann_index_topk(spark, sf_dir):
     from cdc_audit_spark.sinks.manifest import ManifestTable
     from cdc_audit_spark.streaming.stream_ann import cdc_ann_index_sync
 
-    emb = load_tables(spark, sf_dir)["embeddings"]
+    emb, log1, full_log = _ann_audit_log(spark, sf_dir)
     cents = sample_centroids(emb, 8)
-
-    def audit(df, event, pk_base):
-        return df.select(
-            "vec_id", "embedding",
-            F.lit(event).alias("audit_event"),
-            (F.col("vec_id") + pk_base).alias("audit_pk"))
-
-    log1 = audit(emb, "insert", 1)
-    upd = audit(emb.filter("vec_id % 5 = 0 and vec_id % 7 != 0")
-                .withColumn("embedding", F.reverse("embedding")),
-                "update", 100000)
-    dele = audit(emb.filter("vec_id % 7 = 0"), "delete", 100000)
-    full_log = log1.unionByName(upd).unionByName(dele)
 
     root = tempfile.mkdtemp(prefix="cdc_ann_idx_")
     try:
@@ -631,6 +618,143 @@ def cdc_ann_index_topk(spark, sf_dir):
         out = ivf_topk_indexed(
             idx.read().filter("vec_id != 1"), cents, qv, k=10,
             nprobe=len(cents))                     # exact: all cells probed
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_ANN_BRUTE_FORCE_ORACLE = """
+    WITH v1 AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 5 = 0 AND vec_id % 7 <> 0
+                  THEN list_reverse(embedding::DOUBLE[])
+                  ELSE embedding::DOUBLE[] END AS emb
+        FROM embeddings WHERE vec_id % 7 <> 0),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1)
+    SELECT vec_id,
+           CAST(list_dot_product(emb, qv)
+                / (sqrt(list_dot_product(emb, emb))
+                   * sqrt(list_dot_product(qv, qv))) AS DOUBLE) AS cos_sim
+      FROM v1, q
+     WHERE vec_id <> 1
+     ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
+def _ann_audit_log(spark, sf_dir):
+    """The shared CDC script of the maintained-ANN queries: full insert
+    batch, reversed-embedding updates for vec_id%5 rows, deletes for
+    vec_id%7 rows — final corpus state == the v1 CTE of
+    ``_ANN_BRUTE_FORCE_ORACLE``. Returns (embeddings, first-batch log,
+    full log)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+
+    def audit(df, event, pk_base):
+        return df.select(
+            "vec_id", "embedding",
+            F.lit(event).alias("audit_event"),
+            (F.col("vec_id") + pk_base).alias("audit_pk"))
+
+    log1 = audit(emb, "insert", 1)
+    # update/delete pks must sit strictly ABOVE every insert pk (max
+    # vec_id + 1) or the second sync's watermark filter silently drops
+    # them — derive the base from the data (ADVICE r07)
+    pk2 = int(emb.agg(F.max("vec_id")).first()[0]) + 2
+    upd = audit(emb.filter("vec_id % 5 = 0 and vec_id % 7 != 0")
+                .withColumn("embedding", F.reverse("embedding")),
+                "update", pk2)
+    dele = audit(emb.filter("vec_id % 7 = 0"), "delete", pk2)
+    return emb, log1, log1.unionByName(upd).unionByName(dele)
+
+
+@register(
+    "cdc_ann_serving_topk",
+    _ANN_BRUTE_FORCE_ORACLE,
+    "Cell-clustered ANN SERVING projection (streaming.stream_ann LSM "
+    "path): the same audit script as cdc_ann_index_topk maintained as "
+    "cell-range segment appends — O(delta) per sync, probe-side data "
+    "skipping via per-segment cell ranges (a low-nprobe query lists "
+    "only its cells' segments, proven in test_stream_ann) — with a "
+    "compaction folded between the syncs; the top-k probes ALL cells "
+    "(exact), so the oracle is brute-force cosine top-k over the final "
+    "corpus state: proves the LSM reconcile (tombstones, cell-moving "
+    "updates, image-over-tombstone ties) serves exactly the current "
+    "corpus",
+)
+def cdc_ann_serving_topk(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.operators.similarity import sample_centroids
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_ann import (
+        ann_serving_topk,
+        cdc_ann_serving_sync,
+        compact_ann_serving,
+        serving_live_state,
+    )
+    from cdc_audit_spark.operators.similarity import cosine_topk
+
+    emb, log1, full_log = _ann_audit_log(spark, sf_dir)
+    cents = sample_centroids(emb, 8)
+
+    root = tempfile.mkdtemp(prefix="cdc_ann_srv_")
+    try:
+        srv = ManifestTable(spark, root)
+        cdc_ann_serving_sync(srv, log1, cents, cell_buckets=8)
+        compact_ann_serving(srv, cell_buckets=8)   # fold the insert tail
+        cdc_ann_serving_sync(srv, full_log, cents)  # incremental delta
+        qv = [float(x) for x in
+              emb.filter("vec_id = 1").first()["embedding"]]
+        state = serving_live_state(srv, list(range(len(cents))))
+        out = cosine_topk(state.filter("vec_id != 1"), qv, 10)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "cdc_ann_pq_topk",
+    _ANN_BRUTE_FORCE_ORACLE,
+    "CDC-maintained IVFADC (VERDICT r07 item 4): the index replica "
+    "carries PQ codes alongside cells — the bootstrap encodes the "
+    "corpus ONCE, each incremental sync encodes only its delta's "
+    "images against the frozen codebooks (Arrow pass below the "
+    "watermark filter), deletes drop their key via the same pruned "
+    "merge. Serving runs ivf_pq_topk_indexed: compressed-domain "
+    "candidate scan over the maintained codes + exact rerank from the "
+    "same rows' float column. nprobe=all with expand*k >= corpus "
+    "degenerates to exact brute force — the oracle-checkable setting "
+    "(realistic expand/recall is pinned recall-bounded in pytest)",
+)
+def cdc_ann_pq_topk(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.operators.similarity import (
+        ivf_pq_topk_indexed,
+        sample_centroids,
+        train_pq_codebooks,
+    )
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_ann import cdc_ann_index_sync
+
+    emb, log1, full_log = _ann_audit_log(spark, sf_dir)
+    cents = sample_centroids(emb, 8)
+    books = train_pq_codebooks(emb, m=8, k=16, sample_n=256)
+
+    root = tempfile.mkdtemp(prefix="cdc_ann_pq_")
+    try:
+        idx = ManifestTable(spark, root)
+        cdc_ann_index_sync(idx, log1, cents, range_buckets=8,
+                           codebooks=books)
+        cdc_ann_index_sync(idx, full_log, cents, codebooks=books)
+        qv = [float(x) for x in
+              emb.filter("vec_id = 1").first()["embedding"]]
+        cand = idx.read().filter("vec_id != 1")
+        expand = (cand.count() // 10) + 1      # expand*k >= corpus: exact
+        out = ivf_pq_topk_indexed(cand, cents, books, qv, k=10,
+                                  nprobe=len(cents), expand=expand)
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -4690,37 +4814,40 @@ _REGISTRY["sample_source_quota"].oracle = _source_quota_oracle()
 # behind the window; next round rotates the remaining unchecked ones in.
 
 _DRIVER_WINDOW = [
-    # r07 rotation (VERDICT r06 item 1): keep every green driver row <= 3
-    # rounds old. The 36 queries whose newest green row is r04 (they hit
-    # the staleness bound this round — exact set via the
-    # CORRECTNESS_r0*.json set-difference the verdict published):
-    "ann_embedding_pairs", "ann_ivf_topk", "ann_pq_topk",
-    "clean_boilerplate_tokens", "dedup_cluster_assign",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_rate_by_source",
-    "dedup_simhash", "embedding_l2_normalize", "events_approx_stats",
-    "events_daily_active", "events_hourly_stats", "events_type_day_cube",
-    "events_user_activity", "events_value_histogram", "lang_distribution",
-    "median_price_by_flag", "multimodal_chunk_sample",
-    "multimodal_features", "nation_top_customer_list",
-    "q13_order_count_distribution", "q15_top_supplier",
-    "q16_supplier_part_counts", "q19_disjunctive_revenue",
-    "q20_bulk_part_suppliers", "revenue_rollup", "sample_source_quota",
-    "scalar_function_sampler", "text_compression_ratio", "text_quality",
-    "text_top_bigrams", "text_top_terms", "tfidf_top_terms",
-    "window_percent_rank", "window_running_total",
-    # the round-7 surface: the format WRITE path now runs through
-    # df.write.format('manifest_table') with an asserted pruning proof
-    # (its r06 row used the native append), and the streaming SINK gets
-    # its first driver row (the source->sink exactly-once loop)
-    "cdc_manifest_format_rw", "cdc_manifest_sink_drain",
-    # 12 CDC-core anchors freshen the oldest r05 rows (2 rounds stale)
-    "cdc_audit_stats", "cdc_dedup_index_sync",
-    "cdc_diff_customer", "cdc_incremental_scan",
-    "cdc_keep_last_per_key", "cdc_manifest_roundtrip", "cdc_state_asof",
-    "cdc_watermark_recovery", "scan_filter_project",
-    # the round's new operators: the CDC-maintained IVF index, the
-    # batch k-NN join, and the merge-replica change feed
+    # r08 rotation (VERDICT r07 item 1): keep every green driver row <= 3
+    # rounds old. The 41 queries whose newest green row is r05 (they hit
+    # the staleness bound this round — the CORRECTNESS_r05..r07 set
+    # difference the verdict prescribed):
+    "asof_forward_next_purchase", "cdc_column_change_stats",
+    "cdc_fk_orphans", "corpus_curation_report",
+    "corpus_source_accounting", "datetime_function_sampler",
+    "decontam_benchmark_overlap", "dedup_exact",
+    "dedup_levenshtein_pairs", "dedup_ngram_jaccard_exact",
+    "dedup_prefix_digest", "embedding_label_centroids",
+    "events_cohort_retention", "events_hourly_anomalies",
+    "events_transition_matrix", "full_outer_customer_supplier_nations",
+    "lineitem_stats_profile", "mix_weighted_sources",
+    "ntile_price_quartiles", "pack_token_chunks", "profile_orders",
+    "quality_filter_per_lang", "quartiles_by_segment",
+    "regression_price_on_quantity", "revenue_grouping_sets",
+    "sample_hash_fraction", "sample_split_train_valid",
+    "sample_stratified_lang", "set_except_unordered_parts",
+    "set_intersect_users", "set_union_segments", "shard_global_shuffle",
+    "skew_salted_user_rollup", "table_checksum_orders",
+    "text_repetition_stats", "window_dense_rank_brand_price",
+    "window_first_last_value", "window_lag_delta", "window_moving_avg",
+    "window_nth_value_second_order", "window_time_range_sum",
+    # paths this round's diff touched, re-proven fresh: the maintained
+    # IVF index (pk-base fix + PQ-code plumbing underneath), the batch
+    # k-NN join (size-gated broadcast), the change feed (audit-col
+    # recording), and the pruned merge it rides on
     "cdc_ann_index_topk", "knn_join_topk", "cdc_replica_change_feed",
+    "cdc_merge_replica_pruned",
+    # the round's NEW operators: the cell-clustered ANN serving
+    # projection and the CDC-maintained IVFADC (PQ codes)
+    "cdc_ann_serving_topk", "cdc_ann_pq_topk",
+    # similarity-stack neighbors of the diff, freshened from r06
+    "knn_cosine_topk", "dedup_embedding_cosine", "embedding_quantize_int8",
 ]
 
 

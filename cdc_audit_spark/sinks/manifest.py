@@ -77,11 +77,14 @@ def _plain(v):
 
 # Payload keys that describe the TABLE (not one commit's delta) and are
 # inherited by every later commit — see _commit. cdc_schema (the change
-# feed's row shape as of the last feed-recording merge) inherits so feed
-# consumers resolve it from the newest manifest in O(1); cdc_dirs does
-# NOT (each commit's feed dirs are that commit's delta alone).
+# feed's row shape as of the last feed-recording merge) and
+# cdc_audit_cols (the audit column NAMES that shape uses — feed readers
+# must not hardcode 'audit_event'/'audit_pk' for tables templated with
+# custom names) inherit so feed consumers resolve both from the newest
+# manifest in O(1); cdc_dirs does NOT (each commit's feed dirs are that
+# commit's delta alone).
 _STATE_KEYS = ("watermark", "epoch", "run_id", "wipe_through",
-               "wipe_pk_cols", "schema", "cdc_schema")
+               "wipe_pk_cols", "schema", "cdc_schema", "cdc_audit_cols")
 
 
 class CommitConflict(RuntimeError):
@@ -884,18 +887,27 @@ class ManifestTable:
                 df = df.filter(F.col(c) <= F.lit(hi))
         return df
 
-    def _write_change_feed(self, delta: DataFrame):
+    def _write_change_feed(self, delta: DataFrame, audit_pk: str):
         """Materialize the merge's APPLIED delta as a change-feed dir.
         The dir rides in the SAME commit under ``cdc_dirs`` (not table
         content — readers never see it; the streaming source's changeFeed
         mode does), so feed and state version atomically together.
+        The audit column NAMES the feed rows use ride along as
+        ``cdc_audit_cols`` so readers resolve them from the manifest
+        instead of hardcoding the default templating.
         Returns (extra_payload, delta_reread): the caller continues the
         merge FROM THE WRITTEN PARQUET, so the feed is byte-identical to
         the rows actually applied and the delta lineage is evaluated
         once. A failed commit strands the dir unreferenced (vacuum)."""
+        from cdc_audit_spark.schema import AUDIT_EVENT, AUDIT_TIMESTAMP
+
+        audit_cols = {"event": AUDIT_EVENT, "pk": audit_pk}
+        if AUDIT_TIMESTAMP in delta.columns:
+            audit_cols["ts"] = AUDIT_TIMESTAMP
         rel, files = self._write_data_dir(delta)
         extra = {"cdc_dirs": [rel],
                  "cdc_schema": delta.schema.json(),
+                 "cdc_audit_cols": audit_cols,
                  "cdc_meta": {rel: {"files": files}}}
         return extra, self.spark.read.parquet(os.path.join(self.path, rel))
 
@@ -966,7 +978,7 @@ class ManifestTable:
         new_wm = max(wm, int(mx)) if mx is not None else wm
         cdc_extra: dict = {}
         if change_feed and n > 0:
-            cdc_extra, delta = self._write_change_feed(delta)
+            cdc_extra, delta = self._write_change_feed(delta, audit_pk)
 
         # action reflects SEMANTICS, not write strategy: a commit whose
         # rewrite HIDES genuinely new rows (n > 0) is a "merge" — the
@@ -1075,7 +1087,7 @@ class ManifestTable:
             # the rewrite below re-reads the delta from the written feed
             # parquet: one evaluation of the input lineage, and the feed
             # is byte-identical to what the merge applied
-            cdc_extra, delta = self._write_change_feed(delta)
+            cdc_extra, delta = self._write_change_feed(delta, audit_pk)
 
         if full_rewrite:
             touched_idx = list(range(len(ranged)))
@@ -1146,6 +1158,36 @@ class ManifestTable:
                     "pk_col": key, "files": _parquet_files(self.path, d)}
                 for d, b in zip(dirs, present)}
         return dirs, meta
+
+    def append_range_dirs(self, df: DataFrame, key: str,
+                          n_buckets: int = 32,
+                          extra: dict | None = None,
+                          base_version: int | None = _ANY,
+                          on_drift: str = "fail") -> int:
+        """Append ``df`` laid out as up to ``n_buckets`` DISJOINT
+        key-range dirs — :meth:`write_range_layout`'s append-action
+        sibling, in ONE commit. Each dir records its ``key`` range, so
+        :meth:`read_pruned` / :meth:`dirs_pruned` skip the commit's dirs
+        individually: the LSM segment-append pattern (a delta lands as
+        range-clustered segments; point/range reads touch only the
+        segments whose range matches; a periodic range-clustered
+        compaction folds the tail). ``key`` must be integer-valued.
+
+        Pinned to ``base_version`` (default: the current version at call
+        entry) — callers that derive ``extra`` state (e.g. a watermark)
+        from table state need an interleaved writer to surface as
+        :class:`CommitConflict`, not to be silently rebased over."""
+        if base_version is _ANY:
+            base_version = self.current_version()
+        self._check_drift(df, on_drift)
+        dirs, meta = self._write_range_dirs(df, key, n_buckets)
+        return self._commit(
+            "append",
+            lambda parent: (parent["dirs"] if parent else []) + dirs,
+            max_retries=1,
+            extra={**(extra or {}), "schema": df.schema.json(),
+                   "dir_meta": meta},
+            expected_parent=base_version)
 
     # ------------------------------------------- partition-pruned MERGE
 

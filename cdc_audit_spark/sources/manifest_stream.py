@@ -114,6 +114,12 @@ class ManifestStreamReader(DataSourceStreamReader):
         if cf not in ("true", "false"):
             raise ValueError(f"changeFeed must be true/false, got {cf!r}")
         self.change_feed = cf == "true"
+        # audit column names resolved ONCE, consistent with the stream's
+        # fixed declared schema (also resolved at start): tables whose
+        # merges recorded custom templating via cdc_audit_cols tag their
+        # plain-append fill rows with the right event column name
+        self.audit_cols = (_audit_col_names(self.path)
+                           if self.change_feed else None)
         self.spark_schema = schema
 
     def initialOffset(self) -> dict:
@@ -142,12 +148,12 @@ class ManifestStreamReader(DataSourceStreamReader):
                 # (merge_audit(change_feed=True) -> cdc_dirs); otherwise
                 # neither emitting (duplicates) nor silently skipping
                 # (lost changes) is correct — refuse unless the consumer
-                # opted into append-only semantics explicitly
-                # a recorded feed. Both merge modes now commit action
-                # 'merge' when they hide a nonempty delta; LEGACY tables
-                # may hold non-pruned feed merges as action 'overwrite',
-                # so feed handling keys on cdc_dirs (only merges write
-                # it), never on the action string
+                # opted into append-only semantics explicitly. Both merge
+                # modes commit action 'merge' when they hide a nonempty
+                # delta, but LEGACY tables may hold non-pruned feed
+                # merges as action 'overwrite', so feed handling keys on
+                # cdc_dirs (only merges write it), never on the action
+                # string
                 if self.change_feed and "cdc_dirs" in m:
                     cdc_meta = m.get("cdc_meta", {})
                     for d in m["cdc_dirs"]:
@@ -178,9 +184,11 @@ class ManifestStreamReader(DataSourceStreamReader):
                 continue
             dir_meta = m.get("dir_meta", {})
             # plain appends in changeFeed mode read as inserts: files
-            # lacking the audit columns get audit_event='insert' filled,
-            # audit_pk/timestamp NULL (Delta-CDF's _change_type=insert)
-            fill = {"audit_event": "insert"} if self.change_feed else None
+            # lacking the audit columns get the EVENT column (by its
+            # recorded name, not a hardcoded default) filled with
+            # 'insert', pk/timestamp NULL (Delta-CDF's _change_type)
+            fill = ({self.audit_cols["event"]: "insert"}
+                    if self.change_feed else None)
             for d in self._added_dirs(m):
                 # one partition per FILE (matching the batch reader): a
                 # commit dir holds one file per writing task, so the
@@ -227,22 +235,13 @@ class ManifestStreamReader(DataSourceStreamReader):
         pass  # offsets live in the consumer's checkpoint
 
 
-def _change_feed_schema(path: str, base: StructType) -> StructType:
-    """The changeFeed-mode declared schema: the newest recorded
-    ``cdc_schema`` (the applied delta's exact shape — state columns plus
-    audit columns) when any merge has written one; otherwise the table
-    schema widened with ``audit_event``/``audit_pk`` so plain appends
-    still read as tagged inserts."""
-    import json
-
-    from pyspark.sql.types import LongType, StringType, StructField
-
+def _newest_payload(path: str, key: str):
+    """The newest manifest's value for ``key``, or None. Inherited state
+    keys (cdc_schema / cdc_audit_cols — manifest._STATE_KEYS) resolve
+    from the current committed version in O(1); the remaining walk only
+    covers legacy tables whose feed predates the inheritance."""
     from cdc_audit_spark.sinks.manifest import current_committed_version
-    from cdc_audit_spark.sources.manifest_table import _all_nullable
 
-    # cdc_schema inherits through every commit (_STATE_KEYS), so the
-    # newest manifest resolves it in O(1); the remaining walk only
-    # covers legacy tables whose feed predates the inheritance
     cur = current_committed_version(path)
 
     def walk():  # lazy: the fast path must not pay the full listing
@@ -254,15 +253,51 @@ def _change_feed_schema(path: str, base: StructType) -> StructType:
 
     for v in walk():
         m = _manifest(path, v)
-        if "cdc_schema" in m:
-            return _all_nullable(
-                StructType.fromJson(json.loads(m["cdc_schema"])))
+        if key in m:
+            return m[key]
+    return None
+
+
+def _audit_col_names(path: str) -> dict:
+    """The audit column names the table's change feed uses — recorded by
+    merge_audit as ``cdc_audit_cols``; the reference's default templating
+    (schema.AUDIT_COLUMN_NAMES) for tables that never recorded them."""
+    from cdc_audit_spark.schema import AUDIT_EVENT, AUDIT_PK, AUDIT_TIMESTAMP
+
+    default = {"event": AUDIT_EVENT, "pk": AUDIT_PK, "ts": AUDIT_TIMESTAMP}
+    recorded = _newest_payload(path, "cdc_audit_cols")
+    return {**default, **recorded} if recorded else default
+
+
+def _change_feed_schema(path: str, base: StructType) -> StructType:
+    """The changeFeed-mode declared schema: the newest recorded
+    ``cdc_schema`` (the applied delta's exact shape — state columns plus
+    audit columns) when any merge has written one; otherwise the table
+    schema widened with the three audit columns (by their recorded
+    names) so plain appends still read as tagged inserts."""
+    import json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        TimestampType,
+    )
+
+    from cdc_audit_spark.sources.manifest_table import _all_nullable
+
+    recorded = _newest_payload(path, "cdc_schema")
+    if recorded is not None:
+        return _all_nullable(StructType.fromJson(json.loads(recorded)))
+    cols = _audit_col_names(path)
     fields = list(base.fields)
     names = {f.name for f in fields}
-    if "audit_event" not in names:
-        fields.append(StructField("audit_event", StringType(), True))
-    if "audit_pk" not in names:
-        fields.append(StructField("audit_pk", LongType(), True))
+    # reference order: event, timestamp, pk (schema.AUDIT_COLUMNS)
+    for name, typ in ((cols["event"], StringType()),
+                      (cols["ts"], TimestampType()),
+                      (cols["pk"], LongType())):
+        if name not in names:
+            fields.append(StructField(name, typ, True))
     return StructType(fields)
 
 

@@ -324,8 +324,8 @@ def test_change_feed_survives_failed_commit(spark, tmp_path):
     orig = ManifestTable._write_change_feed
     racer = ManifestTable(spark, t.path)
 
-    def racing(self, delta):
-        extra, reread = orig(self, delta)
+    def racing(self, delta, audit_pk="audit_pk"):
+        extra, reread = orig(self, delta, audit_pk)
         racer.append(spark.createDataFrame([(500, 500)], "k long, v long"))
         return extra, reread
 
@@ -533,3 +533,56 @@ def test_legacy_overwrite_feed_merge_still_loud(spark, tmp_path):
     feed = spark.read.parquet(str(tmp_path / "feed"))
     assert [(r["k"], r["v"], r["audit_event"], r["audit_pk"])
             for r in feed.collect()] == [(1, 11, "update", 1)]
+
+
+def test_feed_records_audit_col_names(spark, tmp_path):
+    """merge_audit records the audit column NAMES alongside cdc_schema
+    (cdc_audit_cols, an inherited state key), and the reader resolves
+    the fill/widened columns from the record instead of hardcoding the
+    default templating (ADVICE r07)."""
+    from cdc_audit_spark.sources.manifest_stream import (
+        _audit_col_names,
+        _change_feed_schema,
+    )
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    boot = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    empty = spark.createDataFrame(
+        [], "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(empty, ["k"], bootstrap=boot, change_feed=True)
+    log = spark.createDataFrame(
+        [(1, 11, "update", 1)],
+        "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(log, ["k"], change_feed=True)
+
+    assert _audit_col_names(t.path) == {
+        "event": "audit_event", "pk": "audit_pk", "ts": "audit_timestamp"}
+    m = t.manifest(t.current_version())
+    assert m["cdc_audit_cols"] == {"event": "audit_event",
+                                   "pk": "audit_pk"}
+    # inherited through later commits like cdc_schema
+    t.append(spark.createDataFrame([(50, 50)], "k long, v long"))
+    assert "cdc_audit_cols" in t.manifest(t.current_version())
+
+
+def test_change_feed_fallback_widens_all_audit_cols(spark, tmp_path):
+    """A plain-append-only table read in changeFeed mode (no merge ever
+    recorded cdc_schema) widens the declared schema with ALL THREE audit
+    columns in reference order — event, timestamp, pk — not just
+    event/pk (VERDICT r07 item 7)."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long"))
+
+    df = read_manifest_stream(spark, t.path, change_feed=True)
+    assert [f.name for f in df.schema.fields] == [
+        "k", "v", "audit_event", "audit_timestamp", "audit_pk"]
+    q = (df.writeStream.format("parquet")
+         .option("path", str(tmp_path / "feed"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    feed = spark.read.parquet(str(tmp_path / "feed"))
+    rows = [(r["k"], r["v"], r["audit_event"], r["audit_timestamp"],
+             r["audit_pk"]) for r in feed.collect()]
+    assert rows == [(1, 10, "insert", None, None)]

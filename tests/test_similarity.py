@@ -328,3 +328,59 @@ def test_ivf_knn_join_exact_and_approx(spark, sf_dir):
             .split("Initial Plan")[0])
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivf_knn_join_broadcast_gate(spark, sf_dir):
+    """The query-side broadcast is size-gated: above
+    KNN_JOIN_BROADCAST_MAX_ROWS (queries x nprobe) the join falls back
+    to the salted shuffle — NO forced broadcast in the plan — and the
+    results are identical to the broadcast shape."""
+    from cdc_audit_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter("vec_id >= 5")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cents = S.sample_centroids(corpus, 8)
+    assigned = S.ivf_assign(corpus, cents)
+
+    def rows(df):
+        return sorted((r["q_id"], r["vec_id"], round(r["cos_sim"], 9))
+                      for r in df.collect())
+
+    bcast = S.ivf_knn_join(queries, assigned, cents, k=10, nprobe=4,
+                           broadcast_queries=True)
+
+    # the test query side is tiny, so the PLANNER would broadcast it on
+    # its own — disable auto-broadcast to distinguish "forced by hint"
+    # (what the gate must prevent) from "chosen by the optimizer"
+    confs = ("spark.sql.autoBroadcastJoinThreshold",
+             "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {c: spark.conf.get(c, None) for c in confs}
+    for c in confs:
+        spark.conf.set(c, "-1")
+    try:
+        shuffled = S.ivf_knn_join(queries, assigned, cents, k=10, nprobe=4,
+                                  broadcast_queries=False)
+        assert rows(bcast) == rows(shuffled)
+        shuf_plan = (shuffled._jdf.queryExecution().executedPlan()
+                     .toString().split("Initial Plan")[0])
+        assert "BroadcastHashJoin" not in shuf_plan
+
+        # auto mode honors the gate: a tiny ceiling routes to the shuffle
+        orig = S.KNN_JOIN_BROADCAST_MAX_ROWS
+        S.KNN_JOIN_BROADCAST_MAX_ROWS = 1
+        try:
+            auto = S.ivf_knn_join(queries, assigned, cents, k=10, nprobe=4)
+            auto_plan = (auto._jdf.queryExecution().executedPlan()
+                         .toString().split("Initial Plan")[0])
+            assert "BroadcastHashJoin" not in auto_plan
+            assert rows(auto) == rows(bcast)
+        finally:
+            S.KNN_JOIN_BROADCAST_MAX_ROWS = orig
+    finally:
+        for c, v in saved.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
