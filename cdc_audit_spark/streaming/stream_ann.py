@@ -49,8 +49,16 @@ CELL-CLUSTERED serving projection of the same audit log, LSM-style:
   tombstone at equal audit_pk — an update's own tombstone must not
   shadow its image), tombstones drop out;
 * ``compact_ann_serving`` folds the segment tail: keep-newest, drop
-  tombstones, rewrite cell-range-clustered — O(state), amortized, same
-  cadence as any compaction.
+  tombstones, rewrite cell-range-clustered — O(state), amortized;
+  ``maybe_compact_ann_serving`` is the fan-in policy and
+  ``stream_ann_serving_sync`` the always-on drain that wires both;
+* batch queries go through ``ann_serving_knn_join`` (the batch's
+  probe-cell union — computed from the query side alone — drives the
+  same segment skipping, then the size-gated ``ivf_knn_join`` runs
+  over the reconciled survivors);
+* synced with ``codebooks``, the segments also carry maintained PQ
+  codes and ``ann_serving_pq_topk`` serves the full production stack:
+  segment skipping × compressed-domain scan × exact rerank.
 
 The LSM trade-off, stated honestly: between an update that MOVES a
 vector across cells and the next compaction, a probe of only the OLD
@@ -72,14 +80,18 @@ from cdc_audit_spark.operators.similarity import ivf_assign, nearest_cell
 __all__ = [
     "ann_index_delta",
     "ann_serving_delta",
+    "ann_serving_knn_join",
+    "ann_serving_pq_topk",
     "ann_serving_topk",
     "bootstrap_ann_index",
     "cdc_ann_index_sync",
     "cdc_ann_serving_sync",
     "compact_ann_serving",
+    "maybe_compact_ann_serving",
     "serving_live_state",
     "serving_probe_dirs",
     "stream_ann_index_sync",
+    "stream_ann_serving_sync",
     "TOMBSTONE_CELL",
 ]
 
@@ -211,6 +223,7 @@ def ann_serving_delta(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     audit_pk: str = "audit_pk",
+    codebooks: list | None = None,
 ) -> DataFrame:
     """Audit rows reshaped into LSM serving-segment rows — per event:
 
@@ -223,8 +236,9 @@ def ann_serving_delta(
 
     Tombstones carry ``cell=TOMBSTONE_CELL`` so they cluster into
     dedicated, always-probed segments. One narrow map (conditional
-    struct array + explode) — no shuffle, no Python. Output:
-    (id, cell, vec, audit_pk, live)."""
+    struct array + explode) — no shuffle, no Python unless
+    ``codebooks`` adds the Arrow PQ-encode pass. Output:
+    (id, cell, vec, audit_pk, live[, codes])."""
     vec_type = audit_df.schema[vec_col].dataType
     image = F.struct(
         nearest_cell(F.col(vec_col), centroids).cast("int").alias("cell"),
@@ -242,13 +256,21 @@ def ann_serving_delta(
         .when(ev == "update", F.array(tomb, image))
         .otherwise(F.array(tomb))
     )
-    return (
+    rows = (
         audit_df.select(F.col(id_col), F.col(audit_pk).alias("audit_pk"),
                         F.explode(entries).alias("__e"))
         .select(F.col(id_col), F.col("__e.cell").alias("cell"),
                 F.col("__e.__v").alias(vec_col), F.col("audit_pk"),
                 F.col("__e.live").alias("live"))
     )
+    if codebooks is None:
+        return rows
+    from cdc_audit_spark.operators.similarity import with_pq_codes
+
+    # images gain codes (frozen codebooks, delta-only — the caller
+    # filters by watermark BEFORE reshaping); tombstones' NULL vec
+    # yields NULL codes
+    return with_pq_codes(rows, codebooks, vec_col)
 
 
 def cdc_ann_serving_sync(
@@ -259,6 +281,7 @@ def cdc_ann_serving_sync(
     vec_col: str = "embedding",
     audit_pk: str = "audit_pk",
     cell_buckets: int = 8,
+    codebooks: list | None = None,
 ):
     """One maintenance pass of the cell-clustered serving projection:
     the unseen audit delta (past the projection's committed watermark)
@@ -272,7 +295,8 @@ def cdc_ann_serving_sync(
     base = serving.current_version()
     wm = serving.watermark(at_version=base)
     delta = audit_df.filter(F.col(audit_pk) > F.lit(wm))
-    rows = ann_serving_delta(delta, centroids, id_col, vec_col, audit_pk)
+    rows = ann_serving_delta(delta, centroids, id_col, vec_col, audit_pk,
+                             codebooks=codebooks)
     # the segment write evaluates rows 3x (quantiles/write/ranges) plus
     # this stats pass: persist for the duration (append_range_dirs'
     # internal persist sees the cache and leaves ownership here)
@@ -374,6 +398,156 @@ def ann_serving_topk(
     # more cells than probed)
     return cosine_topk(state.filter(F.col("cell").isin(*probe)),
                        query_vec, k, id_col, vec_col)
+
+
+def ann_serving_pq_topk(
+    serving,
+    centroids: list[list[float]],
+    codebooks: list,
+    query_vec: list[float],
+    k: int,
+    nprobe: int = 2,
+    expand: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full production serving stack over the maintained projection:
+    segment SKIPPING (only the probed cells' dirs are listed) feeding a
+    COMPRESSED-domain candidate scan (the maintained PQ codes — the
+    projection must be synced with ``codebooks``) and an exact rerank
+    from the same rows' float column. Per query: ~nprobe/cells of the
+    index is listed, m bytes per surviving row scanned, expand·k floats
+    reranked. ``nprobe == len(centroids)`` with ``expand·k >= |corpus|``
+    degenerates to exact brute force."""
+    from cdc_audit_spark.operators.similarity import (
+        _ranked_cells,
+        pq_rerank_topk,
+    )
+
+    probe = _ranked_cells(query_vec, centroids)[:nprobe]
+    state = serving_live_state(serving, probe, id_col, vec_col).filter(
+        F.col("cell").isin(*probe))
+    encoded = state.select(F.col(id_col).alias("id"),
+                           F.col("codes").alias("codes"))
+    return pq_rerank_topk(state, encoded, codebooks, query_vec, k,
+                          expand, id_col, vec_col)
+
+
+def ann_serving_knn_join(
+    serving,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    nprobe: int = 2,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool | None = None,
+) -> DataFrame:
+    """Batch k-NN join served FROM the cell-clustered projection.
+
+    One narrow job over the QUERY side (never the corpus) collects the
+    distinct union of every query's nprobe cells — the same
+    ``_scored_cells`` ranking the join itself applies, so the union is
+    exact, and it is small by construction (≤ len(centroids) ints).
+    Only those cells' segments plus the tombstone tail are listed
+    (``serving_probe_dirs`` skipping), the survivors reconcile
+    LSM-style ONCE for the whole batch, and ``ivf_knn_join`` runs its
+    per-query probes against the reconciled state. A batch whose
+    queries collectively probe 2 of 64 cells reads ~2/64 of the index
+    regardless of batch size; results equal ``ivf_knn_join`` over the
+    full live state (the union is a superset of every per-query probe
+    set)."""
+    from cdc_audit_spark.operators.similarity import (
+        _scored_cells,
+        ivf_knn_join,
+    )
+
+    probes_arr = F.transform(
+        F.slice(_scored_cells(F.col(q_vec_col), centroids), 1, nprobe),
+        lambda s: s["cell"],
+    )
+    cells = sorted(
+        r["c"] for r in queries
+        .select(F.explode(probes_arr).alias("c")).distinct().collect())
+    state = serving_live_state(serving, cells, id_col, vec_col)
+    return ivf_knn_join(queries, state, centroids, k, nprobe=nprobe,
+                        q_id_col=q_id_col, q_vec_col=q_vec_col,
+                        id_col=id_col, vec_col=vec_col,
+                        broadcast_queries=broadcast_queries)
+
+
+def stream_ann_serving_sync(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    serving_path: str,
+    checkpoint_path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_buckets: int = 8,
+    compact_max_dirs: int | None = 64,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Always-on form of the serving-projection maintenance: stream CDC
+    audit batches from a parquet directory, land each batch's delta as
+    cell-range segments, and fold the tail whenever the segment fan-in
+    crosses ``compact_max_dirs`` (None disables — run compaction on
+    your own cadence). Exactly-once for the same reason as the index
+    stream: the watermark rides in the append commit, so a replayed
+    micro-batch is an empty delta and commits nothing. Returns the
+    started StreamingQuery."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    serving = ManifestTable(spark, serving_path)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        r = cdc_ann_serving_sync(serving, batch_df, centroids,
+                                 id_col=id_col, vec_col=vec_col,
+                                 cell_buckets=cell_buckets)
+        # replayed/empty batches commit nothing — don't let the policy
+        # peek turn an idle restart into rewrite churn
+        if r.rows_synced and compact_max_dirs is not None:
+            maybe_compact_ann_serving(serving, max_dirs=compact_max_dirs,
+                                      cell_buckets=cell_buckets,
+                                      id_col=id_col)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maybe_compact_ann_serving(serving, max_dirs: int = 64,
+                              cell_buckets: int = 8,
+                              id_col: str = "vec_id") -> int | None:
+    """Compact the serving projection only when its segment fan-in
+    exceeds ``max_dirs`` — the LSM compaction policy (the serving
+    sibling of ``ManifestTable.maybe_compact``): every sync appends up
+    to ``cell_buckets`` segment dirs and every update/delete leaves
+    tombstones that each probe must read, so an unattended drain loop
+    grows both read fan-in and reconcile width without bound. A cheap
+    manifest peek under the bound; one cell-clustered rewrite over it.
+    Returns the new version, or None when under the bound. The
+    effective bound is ``max(max_dirs, cell_buckets)`` — compaction
+    itself produces up to ``cell_buckets`` dirs, so a smaller bound
+    would rewrite the table on every call."""
+    cur = serving.current_version()
+    bound = max(max_dirs, cell_buckets)
+    if cur is None or len(serving.manifest(cur)["dirs"]) <= bound:
+        return None
+    return compact_ann_serving(serving, cell_buckets=cell_buckets,
+                               id_col=id_col)
 
 
 def compact_ann_serving(serving, cell_buckets: int = 8,

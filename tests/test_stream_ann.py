@@ -495,3 +495,122 @@ def test_recall_monitor_detects_drift_and_rebuild_restores(spark, tmp_path):
     r2 = ann_recall_estimate(idx2.read(), new_cents, k=5, nprobe=1,
                              sample_n=12)
     assert r2 >= 0.9
+
+
+def test_serving_knn_join_skips_and_matches(spark, tmp_path):
+    """Batch k-NN over the serving projection: the batch's probe-cell
+    union drives segment skipping (2 clusters probed → 2 segment dirs
+    listed), and results equal ivf_knn_join over the full live state."""
+    from cdc_audit_spark.operators.similarity import ivf_knn_join
+    from cdc_audit_spark.streaming.stream_ann import ann_serving_knn_join
+
+    cents = _axes()
+    base = _clustered(spark, 0, 320)
+    srv = ManifestTable(spark, str(tmp_path / "srv"))
+    cdc_ann_serving_sync(srv, _audit(base, "insert", 1), cents,
+                         cell_buckets=8)
+    compact_ann_serving(srv, cell_buckets=8)
+
+    # queries sit squarely in clusters 1 and 4 → nprobe=1 union = {1, 4}
+    queries = _clustered(spark, 0, 40).filter(
+        "vec_id % 8 in (1, 4)").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    assert len(serving_probe_dirs(srv, [1, 4])) == 2
+
+    got = ann_serving_knn_join(srv, queries, cents, k=5, nprobe=1)
+    full = serving_live_state(srv, None)
+    want = ivf_knn_join(queries, full, cents, k=5, nprobe=1)
+    assert sorted((r["q_id"], r["vec_id"], round(r["cos_sim"], 9))
+                  for r in got.collect()) == \
+        sorted((r["q_id"], r["vec_id"], round(r["cos_sim"], 9))
+               for r in want.collect())
+
+
+def test_stream_serving_maintenance_and_compaction_policy(spark, tmp_path):
+    """Always-on serving maintenance: audit batches drain into segment
+    appends, the fan-in policy folds the tail mid-stream, the final
+    state is exact, and an idle restart commits nothing (no compaction
+    churn on replayed/empty batches)."""
+    from cdc_audit_spark.streaming.stream_ann import (
+        stream_ann_serving_sync,
+    )
+
+    cents = _axes()
+    base = _clustered(spark, 0, 80)
+    src = str(tmp_path / "src")
+    # one FILE per audit batch: the watermark contract needs batches to
+    # arrive in pk order, and maxFilesPerTrigger=1 feeds files as
+    # batches in mtime order — a multi-file write could interleave
+    _audit(base, "insert", 1).repartition(1).write.mode(
+        "append").parquet(src)
+    _audit(base.filter("vec_id % 8 = 3"), "delete", 1001).repartition(
+        1).write.mode("append").parquet(src)
+
+    schema = _audit(base, "insert", 1).schema
+    q = stream_ann_serving_sync(
+        spark, src, schema, str(tmp_path / "srv"), str(tmp_path / "ck"),
+        cents, cell_buckets=2, compact_max_dirs=2,
+        max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    srv = ManifestTable(spark, str(tmp_path / "srv"))
+    live = serving_live_state(srv, None)
+    assert {r["vec_id"] for r in live.collect()} == \
+        {i for i in range(80) if i % 8 != 3}
+    # the policy folded the tail at least once during the drain
+    assert any(h["action"] == "overwrite" for h in srv.history())
+    assert len(srv.manifest(srv.current_version())["dirs"]) <= 4
+
+    # idle restart: same files, no new commits (sync no-op suppresses
+    # the compaction peek too)
+    v = srv.current_version()
+    q2 = stream_ann_serving_sync(
+        spark, src, schema, str(tmp_path / "srv"), str(tmp_path / "ck"),
+        cents, cell_buckets=2, compact_max_dirs=2)
+    q2.awaitTermination(120)
+    assert srv.current_version() == v
+
+
+def test_serving_projection_with_pq_codes(spark, tmp_path):
+    """The serving projection synced with codebooks carries maintained
+    PQ codes through appends, cell-moving updates, deletes AND
+    compaction; ann_serving_pq_topk at the exact setting equals brute
+    force, and its codes equal a from-scratch encode of the live
+    state."""
+    from cdc_audit_spark.operators.similarity import (
+        cosine_topk,
+        train_pq_codebooks,
+        with_pq_codes,
+    )
+    from cdc_audit_spark.streaming.stream_ann import ann_serving_pq_topk
+
+    cents = _axes()
+    base = _clustered(spark, 0, 160)
+    books = train_pq_codebooks(base, m=2, k=8, sample_n=64)
+    srv = ManifestTable(spark, str(tmp_path / "srv"))
+    cdc_ann_serving_sync(srv, _audit(base, "insert", 1), cents,
+                         codebooks=books)
+    moved = _clustered(spark, 0, 160, shift=1).filter("vec_id % 8 = 2")
+    log = _audit(base, "insert", 1).unionByName(
+        _audit(moved, "update", 1001)).unionByName(
+        _audit(base.filter("vec_id % 8 = 7"), "delete", 1001))
+    cdc_ann_serving_sync(srv, log, cents, codebooks=books)
+    compact_ann_serving(srv, cell_buckets=8)
+
+    final = base.filter("vec_id % 8 not in (2, 7)").unionByName(moved)
+    live = serving_live_state(srv, None)
+    want = {(r["vec_id"], tuple(r["codes"]))
+            for r in with_pq_codes(final, books).select(
+                "vec_id", "codes").collect()}
+    got = {(r["vec_id"], tuple(r["codes"])) for r in live.collect()}
+    assert got == want
+
+    qv = [0.3] * 8
+    qv[5] = 9.0
+    n = final.count()
+    exact = cosine_topk(final, qv, 10).collect()
+    served = ann_serving_pq_topk(srv, cents, books, qv, k=10,
+                                 nprobe=len(cents),
+                                 expand=(n // 10) + 1).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in served] == \
+        [(r["vec_id"], r["cos_sim"]) for r in exact]
