@@ -614,3 +614,32 @@ def test_serving_projection_with_pq_codes(spark, tmp_path):
                                  expand=(n // 10) + 1).collect()
     assert [(r["vec_id"], r["cos_sim"]) for r in served] == \
         [(r["vec_id"], r["cos_sim"]) for r in exact]
+
+
+def test_serving_vacuum_reclaims_superseded_segments(spark, tmp_path):
+    """Vacuum after a serving compaction: superseded segment dirs are
+    reclaimed (aged, keep_versions=1), probes keep working off the
+    compacted layout, and maintenance continues — the full LSM
+    lifecycle (append → compact → vacuum → append) on one table."""
+    import os
+
+    cents = _axes()
+    base = _clustered(spark, 0, 160)
+    srv = ManifestTable(spark, str(tmp_path / "srv"))
+    cdc_ann_serving_sync(srv, _audit(base, "insert", 1), cents,
+                         cell_buckets=4)
+    pre_dirs = set(srv.manifest(srv.current_version())["dirs"])
+    compact_ann_serving(srv, cell_buckets=8)
+
+    swept = srv.vacuum(keep_versions=1, retain_seconds=0)
+    assert swept["data_dirs"] >= 1
+    for d in pre_dirs:   # pre-compaction segments physically gone
+        assert not os.path.isdir(os.path.join(srv.path, d))
+
+    probe = serving_live_state(srv, [2])
+    assert {r["vec_id"] % 8 for r in probe.collect()} == {2}
+    # maintenance continues on the vacuumed table
+    log2 = _audit(base, "insert", 1).unionByName(
+        _audit(base.filter("vec_id % 8 = 5"), "delete", 1001))
+    assert cdc_ann_serving_sync(srv, log2, cents).rows_synced == 20
+    assert serving_live_state(srv, None).count() == 140
