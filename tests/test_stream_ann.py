@@ -643,3 +643,83 @@ def test_serving_vacuum_reclaims_superseded_segments(spark, tmp_path):
         _audit(base.filter("vec_id % 8 = 5"), "delete", 1001))
     assert cdc_ann_serving_sync(srv, log2, cents).rows_synced == 20
     assert serving_live_state(srv, None).count() == 140
+
+
+def test_serving_random_walk_matches_model(spark, tmp_path):
+    """Model-based: a seeded walk of random insert/update/delete batches
+    (updates freely MOVE vectors across cells) with occasional
+    compactions and vacuums must keep the serving projection's full
+    live state equal to a dict model at every step, and every
+    single-cell probe equal to the model members currently assigned to
+    that cell (tombstones suppressing stale copies wherever they
+    live)."""
+    import math
+    import os
+    import random
+
+    rng = random.Random(11)
+    dim = 4
+    cents = [[8.0, 0.0, 0.0, 0.0], [0.0, 8.0, 0.0, 0.0],
+             [0.0, 0.0, 8.0, 0.0], [0.0, 0.0, 0.0, 8.0]]
+
+    def py_cell(vec):
+        # the Python twin of similarity._scored_cells' contract: highest
+        # cosine, lowest index on ties — integer-valued vectors make the
+        # double arithmetic bit-identical across engines
+        best, best_sim = 0, None
+        vn = math.sqrt(sum(x * x for x in vec))
+        for i, c in enumerate(cents):
+            cn = math.sqrt(sum(x * x for x in c))
+            sim = sum(a * b for a, b in zip(vec, c)) / (vn * cn)
+            if best_sim is None or sim > best_sim:
+                best, best_sim = i, sim
+        return best
+
+    def rand_vec():
+        while True:
+            v = [float(rng.randint(-8, 8)) for _ in range(dim)]
+            if any(v):
+                return v
+
+    model: dict[int, tuple] = {}
+    srv = ManifestTable(spark, str(tmp_path / "srv"))
+    schema = ("vec_id long, embedding array<float>, "
+              "audit_event string, audit_pk long")
+    log_rows: list = []
+    pk = 0
+    next_id = 0
+
+    for step in range(8):
+        for _ in range(rng.randint(2, 8)):
+            op = rng.choice(["insert", "insert", "update", "delete"])
+            if op == "insert" or not model:
+                k, v = next_id, rand_vec()
+                next_id += 1
+                model[k] = tuple(v)
+            elif op == "update":
+                k, v = rng.choice(sorted(model)), rand_vec()
+                model[k] = tuple(v)
+            else:
+                k = rng.choice(sorted(model))
+                v = [0.0] * dim          # image unused on delete
+                model.pop(k)
+            pk += 1
+            log_rows.append((k, v, op if op in ("update", "delete")
+                             else "insert", pk))
+        log = spark.createDataFrame(log_rows, schema)
+        cdc_ann_serving_sync(srv, log, cents, cell_buckets=3)
+        if rng.random() < 0.4:
+            compact_ann_serving(srv, cell_buckets=3)
+        if rng.random() < 0.3:
+            srv.vacuum(keep_versions=1, retain_seconds=0)
+
+        live = {(r["vec_id"], tuple(r["embedding"]))
+                for r in serving_live_state(srv, None).collect()}
+        assert live == set(model.items()), f"step {step}"
+
+        probe_cell = rng.randrange(len(cents))
+        probed = {(r["vec_id"], tuple(r["embedding"]))
+                  for r in serving_live_state(srv, [probe_cell]).collect()}
+        want = {(k, v) for k, v in model.items()
+                if py_cell(v) == probe_cell}
+        assert probed == want, f"step {step} cell {probe_cell}"
