@@ -866,6 +866,37 @@ class ManifestTable:
 
         return [d for d in m["dirs"] if keep(d)]
 
+    def dirs_pruned_any(self, col: str, points: list,
+                        version: int | None = None) -> list[str]:
+        """Dirs that may hold rows where ``col`` equals ANY of
+        ``points`` — the multi-point form of :meth:`dirs_pruned`, with
+        ONE manifest read for the whole set (per-point dirs_pruned
+        calls would re-read the manifest each time; on a serving hot
+        path that is nprobe JSON reads per query). Dirs without
+        recorded stats for ``col`` are kept conservatively; manifest
+        order is preserved."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return []
+        m = self.manifest(version)
+        meta = m.get("dir_meta", {})
+
+        def keep(d: str) -> bool:
+            dm = meta.get(d, {})
+            st = dict(dm.get("stats", {}))
+            if "pk_min" in dm and dm.get("pk_col"):
+                st.setdefault(dm["pk_col"], [dm["pk_min"], dm["pk_max"]])
+            if col not in st:
+                return True
+            lo, hi = st[col]
+            try:
+                return any(lo <= p <= hi for p in points)
+            except TypeError:  # incomparable bound/stat types: keep
+                return True
+
+        return [d for d in m["dirs"] if keep(d)]
+
     def read_pruned(self, filters: dict[str, tuple]) -> DataFrame:
         """Range-filtered read with manifest-level data skipping: whole
         dirs whose recorded stats exclude the filters are never listed,

@@ -323,14 +323,10 @@ def serving_probe_dirs(serving, probes: list[int]) -> list[str]:
     whose recorded cell range intersects a probed cell, plus the
     tombstone segments. This IS the data-skipping decision — the
     pruning tests assert its size directly (≈ nprobe/cells of the
-    compacted layout + the tombstone tail)."""
+    compacted layout + the tombstone tail). One manifest read for the
+    whole probe set (dirs_pruned_any), not one per cell."""
     cells = sorted(set(probes)) + [TOMBSTONE_CELL]
-    dirs: list[str] = []
-    for c in cells:
-        for d in serving.dirs_pruned({"cell": (c, c)}):
-            if d not in dirs:
-                dirs.append(d)
-    return dirs
+    return serving.dirs_pruned_any("cell", cells)
 
 
 def serving_live_state(

@@ -1554,3 +1554,25 @@ def test_pruned_merge_ignores_foreign_pk_ranges(spark, tmp_path):
                 t.read(version=1), log, ["k"]).collect()}
     assert got == want
     assert t.read().count() == 10          # no duplicate keys
+
+
+def test_dirs_pruned_any_multi_point(spark, tmp_path):
+    """dirs_pruned_any: the multi-point skipping decision equals the
+    union of per-point dirs_pruned calls (one manifest read instead of
+    one per point); statless dirs are kept conservatively."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("c"))
+    t.write_range_layout(df, "c", n_buckets=3)
+    t.append(spark.createDataFrame([(1000, 100)], "k long, c long"))
+
+    for points in ([0], [0, 8], [4], [100], [0, 4, 8]):
+        want = []
+        for p in points:
+            for d in t.dirs_pruned({"c": (p, p)}):
+                if d not in want:
+                    want.append(d)
+        got = t.dirs_pruned_any("c", points)
+        assert set(got) == set(want), points
+    # the statless append dir is kept for any point set
+    assert any("c-" in d for d in t.dirs_pruned_any("c", [999]))
