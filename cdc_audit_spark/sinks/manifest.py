@@ -137,11 +137,57 @@ def _list_versions(table_path: str) -> list[int]:
     )
 
 
-def _parquet_files(table_path: str, rel_dir: str) -> list[str]:
-    """Parquet file names inside a freshly-written commit dir (driver
-    side, write time — recorded in dir_meta so reads never LIST)."""
+def _dir_file_stats(table_path: str, rel_dir: str) -> dict:
+    """``{"files": [...], "rows": n, "bytes": n}`` for a freshly-written
+    commit dir — row counts come from the parquet FOOTERS (one tail read
+    per file, driver side, at write time when the dir is known-complete),
+    so recording them costs no Spark job. Recorded in dir_meta, they make
+    ``COUNT(*)`` / ``describe_detail`` pure manifest reads — the
+    Delta/Iceberg numRecords-per-file pattern at dir granularity."""
+    import pyarrow.parquet as pq
+
     full = os.path.join(table_path, rel_dir)
-    return sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    files = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    rows = nbytes = 0
+    for f in files:
+        p = os.path.join(full, f)
+        rows += pq.ParquetFile(p).metadata.num_rows
+        nbytes += os.path.getsize(p)
+    return {"files": files, "rows": rows, "bytes": nbytes}
+
+
+#: Equality-skipping stats (``append(set_stats_cols=)`` / ``analyze``):
+#: a dir with <= _SET_STAT_MAX distinct values records them exactly;
+#: above it a Bloom bitmap of _BLOOM_M bits / _BLOOM_K probes (~0.2%
+#: false-keep at 500 distinct values — a false positive only costs a
+#: wasted dir read, never wrong results). Hashing is md5 over the
+#: value's STRING form on both sides — Spark's ``md5(cast(c as
+#: string))`` at write time and hashlib.md5 at prune time agree
+#: byte-for-byte for string and integer columns (the supported types).
+_SET_STAT_MAX = 64
+_BLOOM_M = 4096
+_BLOOM_K = 4
+
+
+def _bloom_positions(value: str) -> list[int]:
+    """Bit positions for ``value`` — _BLOOM_K independent 32-bit words
+    of one md5 digest, mod the bitmap size. Must mirror the Spark-side
+    expression in ``ManifestTable._set_stat`` exactly."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    return [int(h[8 * i:8 * i + 8], 16) % _BLOOM_M for i in range(_BLOOM_K)]
+
+
+def _set_may_contain(stat: dict, value) -> bool:
+    """May a dir with equality stat ``stat`` contain ``value``? Exact
+    for a recorded distinct set; one-sided (false keeps only) for a
+    Bloom bitmap."""
+    s = str(value)
+    if "set" in stat:
+        return s in stat["set"]
+    b = bytes.fromhex(stat["bloom"]["hex"])
+    return all((b[p // 8] >> (p % 8)) & 1 for p in _bloom_positions(s))
 
 
 def _last_pointer_path(table_path: str) -> str:
@@ -360,19 +406,194 @@ class ManifestTable:
             for v in self.versions()
         ]
 
+    # ------------------------------------------- metadata-only aggregates
+
+    def row_count(self, version: int | None = None) -> int:
+        """Exact ``COUNT(*)`` at ``version`` — a pure manifest read (zero
+        Spark jobs, zero data-file I/O) when every dir records its footer
+        row count and every deletion vector records its key count; falls
+        back to a real count otherwise (legacy dirs written before row
+        recording). The count stays exact under DVs because delete_where
+        enforces one live row per deleted key at delete time."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return 0
+        m = self.manifest(version)
+        meta = m.get("dir_meta", {})
+        dvm = m.get("dv_meta", {})
+        if (all("rows" in meta.get(d, {}) for d in m["dirs"])
+                and all("rows" in dvm.get(d, {})
+                        for d in m.get("dv_dirs", []))):
+            return (sum(meta[d]["rows"] for d in m["dirs"])
+                    - sum(dvm[d]["rows"] for d in m.get("dv_dirs", [])))
+        return self.read(version).count()
+
+    def stats_minmax(self, col: str,
+                     version: int | None = None) -> tuple | None:
+        """(min, max) of ``col`` at ``version`` from recorded per-dir
+        stats alone, or None when not derivable from metadata — a dir
+        without stats for the column, an empty table, or any deletion
+        vector (a deleted row may have held the extremum, so the
+        recorded bounds are only conservative). Callers fall back to a
+        scan on None; a non-None answer is EXACT (per-dir bounds are
+        true min/max of that dir's rows, and their fold covers every
+        row)."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return None
+        m = self.manifest(version)
+        if m.get("dv_dirs"):
+            return None
+        meta = m.get("dir_meta", {})
+        lo = hi = None
+        for d in m["dirs"]:
+            dm = meta.get(d, {})
+            st = dict(dm.get("stats", {}))
+            if "pk_min" in dm and dm.get("pk_col"):
+                st.setdefault(dm["pk_col"], [dm["pk_min"], dm["pk_max"]])
+            if col not in st:
+                return None
+            dlo, dhi = st[col]
+            try:
+                lo = dlo if lo is None or dlo < lo else lo
+                hi = dhi if hi is None or dhi > hi else hi
+            except TypeError:
+                return None
+        return None if lo is None else (lo, hi)
+
+    def describe_detail(self, version: int | None = None) -> dict:
+        """One metadata-only summary row (the Delta ``DESCRIBE DETAIL``
+        analog): version, action, dir/file counts, exact row count when
+        recorded (None otherwise — this method never scans), total bytes
+        when recorded, and live DV count."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return {"version": None, "action": None, "n_dirs": 0,
+                    "n_files": 0, "rows": 0, "bytes": 0, "n_dvs": 0}
+        m = self.manifest(version)
+        meta = m.get("dir_meta", {})
+        dvm = m.get("dv_meta", {})
+        have_rows = (all("rows" in meta.get(d, {}) for d in m["dirs"])
+                     and all("rows" in dvm.get(d, {})
+                             for d in m.get("dv_dirs", [])))
+        return {
+            "version": version,
+            "action": m["action"],
+            "n_dirs": len(m["dirs"]),
+            "n_files": sum(len(meta.get(d, {}).get("files", []))
+                           for d in m["dirs"]) or None,
+            "rows": self.row_count(version) if have_rows else None,
+            "bytes": (sum(meta[d]["bytes"] for d in m["dirs"])
+                      if all("bytes" in meta.get(d, {}) for d in m["dirs"])
+                      else None),
+            "n_dvs": len(m.get("dv_dirs", [])),
+        }
+
+    def analyze(self, stats_cols: list[str],
+                set_stats_cols: list[str] | None = None) -> int | None:
+        """Backfill per-dir skipping stats for dirs that lack them — the
+        ``ANALYZE TABLE`` analog for tables written before stats were
+        recorded (or with columns nobody listed at write time).
+
+        Computes min/max (+ physical row count) for every dir missing
+        any requested column in ONE Spark job (a union of per-dir
+        aggregates — fan-in is bounded by the compaction policy), plus
+        equality stats per (dir, set column) as separate small jobs,
+        then commits the merged ``dir_meta`` as a METADATA-ONLY commit:
+        action ``analyze``, dirs identical to the parent, pinned to the
+        version the stats were computed from. Content is unchanged, so
+        streaming consumers skip it like a compaction. Returns the new
+        version, or None when every dir already records everything.
+
+        Stats are computed over the dirs' PHYSICAL rows (deletion
+        vectors not applied) — exactly what pruning judges and what
+        ``row_count`` subtracts DV counts from."""
+        import functools
+
+        from pyspark.sql import functions as F
+
+        base = self.current_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits yet at {self.path}")
+        m = self.manifest(base)
+        meta = m.get("dir_meta", {})
+
+        def missing(d: str) -> bool:
+            dm = meta.get(d, {})
+            st = dict(dm.get("stats", {}))
+            if "pk_min" in dm and dm.get("pk_col"):
+                st.setdefault(dm["pk_col"], [dm["pk_min"], dm["pk_max"]])
+            return ("rows" not in dm
+                    or any(c not in st for c in stats_cols)
+                    or any(c not in dm.get("sets", {})
+                           for c in set_stats_cols or []))
+
+        need = [d for d in m["dirs"] if missing(d)]
+        if not need:
+            return None
+
+        def dir_df(d: str):
+            return self.spark.read.parquet(os.path.join(self.path, d))
+
+        parts = []
+        for d in need:
+            aggs = [F.count(F.lit(1)).alias("__rows")]
+            for c in stats_cols:
+                aggs += [F.min(c).alias(f"__lo_{c}"),
+                         F.max(c).alias(f"__hi_{c}")]
+            parts.append(dir_df(d).agg(*aggs)
+                         .select(F.lit(d).alias("__dir"), "*"))
+        collected = functools.reduce(
+            lambda a, b: a.unionByName(b), parts).collect()
+        new_meta: dict = {}
+        for r in collected:
+            d = r["__dir"]
+            dm = dict(meta.get(d, {}))
+            st = dict(dm.get("stats", {}))
+            for c in stats_cols:
+                lo, hi = _plain(r[f"__lo_{c}"]), _plain(r[f"__hi_{c}"])
+                if lo is not None:
+                    st[c] = [lo, hi]
+            if st:
+                dm["stats"] = st
+            dm["rows"] = int(r["__rows"])
+            if "files" not in dm:
+                dm["files"] = [
+                    f for f in sorted(
+                        os.listdir(os.path.join(self.path, d)))
+                    if f.endswith(".parquet")]
+            if "bytes" not in dm:
+                dm["bytes"] = sum(
+                    os.path.getsize(os.path.join(self.path, d, f))
+                    for f in dm["files"])
+            new_meta[d] = dm
+        for d in need:
+            for c in set_stats_cols or []:
+                if c in new_meta[d].get("sets", {}):
+                    continue
+                s = self._set_stat(dir_df(d), c)
+                if s is not None:
+                    new_meta[d].setdefault("sets", {})[c] = s
+        return self._commit("analyze", lambda parent: list(m["dirs"]),
+                            max_retries=1, extra={"dir_meta": new_meta},
+                            expected_parent=base)
+
     # --------------------------------------------------------------- writes
 
-    def _write_data_dir(self, df: DataFrame) -> tuple[str, list[str]]:
-        """Write one commit dir; returns (rel_dir, parquet file names).
-        The file list is recorded in the commit's ``dir_meta`` so readers
-        discover files from the MANIFEST alone — no LIST call on the data
-        path at read time (object-store-friendly); one driver listdir
-        here, at write time, when the dir is known-complete."""
+    def _write_data_dir(self, df: DataFrame) -> tuple[str, dict]:
+        """Write one commit dir; returns (rel_dir, file stats dict:
+        files/rows/bytes). The file list is recorded in the commit's
+        ``dir_meta`` so readers discover files from the MANIFEST alone —
+        no LIST call on the data path at read time
+        (object-store-friendly); one driver listdir + footer pass here,
+        at write time, when the dir is known-complete."""
         rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
         out = os.path.join(self.path, rel)
         df.write.parquet(out)
-        files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
-        return rel, files
+        return rel, _dir_file_stats(self.path, rel)
 
     def _commit(self, action: str, dirs_fn, max_retries: int = 20,
                 extra: dict | None = None, expected_parent=_ANY) -> int:
@@ -477,9 +698,42 @@ class ManifestTable:
             except OSError:
                 os.unlink(tmp)
 
+    def _set_stat(self, df: DataFrame, col: str) -> dict | None:
+        """Equality-skipping stat for one column over one commit dir's
+        rows: the exact distinct-value list when small (<= _SET_STAT_MAX
+        — one LIMITed distinct job), else a Bloom bitmap whose bit
+        positions are computed DISTRIBUTED (md5 of the string form,
+        _BLOOM_K 32-bit words mod _BLOOM_M) and collected as at most
+        _BLOOM_M distinct positions — the driver never sees values, only
+        a bounded bitmap. Supported for string/integer columns (both
+        engines' string canon agrees there); None for an all-NULL dir."""
+        from pyspark.sql import functions as F
+
+        vals = (df.select(F.col(col).cast("string").alias("v"))
+                .where(F.col("v").isNotNull())
+                .distinct().limit(_SET_STAT_MAX + 1).collect())
+        if not vals:
+            return None
+        if len(vals) <= _SET_STAT_MAX:
+            return {"set": sorted(r["v"] for r in vals)}
+        h = F.md5(F.col(col).cast("string"))
+        poss = F.array(*[
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+            % F.lit(_BLOOM_M)
+            for i in range(_BLOOM_K)])
+        pos_rows = (df.select(F.explode(poss).alias("p"))
+                    .where(F.col("p").isNotNull())
+                    .distinct().collect())
+        bits = bytearray(_BLOOM_M // 8)
+        for r in pos_rows:
+            p = int(r["p"])
+            bits[p // 8] |= 1 << (p % 8)
+        return {"bloom": {"m": _BLOOM_M, "k": _BLOOM_K, "hex": bits.hex()}}
+
     def append(self, df: DataFrame, extra: dict | None = None,
                pk_range_col: str | None = None,
                stats_cols: list[str] | None = None,
+               set_stats_cols: list[str] | None = None,
                on_drift: str = "fail") -> int:
         """Commit ``df``'s rows as a new version on top of the current one.
         Returns the committed version. Safe under concurrent appends: data
@@ -491,7 +745,12 @@ class ManifestTable:
         ``stats_cols`` additionally records per-dir min/max for those
         columns (one combined aggregate), enabling :meth:`read_pruned`'s
         manifest-level data skipping on ANY recorded column — the
-        Delta/Iceberg per-file-stats pattern at dir granularity."""
+        Delta/Iceberg per-file-stats pattern at dir granularity.
+        ``set_stats_cols`` records equality-skipping stats (exact
+        distinct set or Bloom bitmap, see :meth:`_set_stat`) for
+        string/integer columns whose min/max range is too loose to
+        prune on — at the cost of 1-2 extra small jobs per listed
+        column."""
         from pyspark.sql import functions as F
 
         from pyspark.storagelevel import StorageLevel
@@ -509,7 +768,8 @@ class ManifestTable:
         # rationale/guard as _write_range_dirs) so an expensive input
         # lineage (join+window) isn't recomputed per pass
         lvl = df.storageLevel
-        owns_cache = bool(agg_cols) and not (lvl.useMemory or lvl.useDisk)
+        owns_cache = (bool(agg_cols) or bool(set_stats_cols)) and not (
+            lvl.useMemory or lvl.useDisk)
         if owns_cache:  # never clobber a cache the caller owns
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
@@ -524,11 +784,15 @@ class ManifestTable:
                          if _plain(r[f"__lo_{c}"]) is not None}
                 if stats:
                     meta["stats"] = stats
-            rel, files = self._write_data_dir(df)
+            sets = {c: s for c in set_stats_cols or []
+                    if (s := self._set_stat(df, c)) is not None}
+            if sets:
+                meta["sets"] = sets
+            rel, fstats = self._write_data_dir(df)
         finally:
             if owns_cache:
                 df.unpersist()
-        meta["files"] = files
+        meta.update(fstats)
         extra = {**(extra or {}), "schema": df.schema.json(),
                  "dir_meta": {rel: meta}}
         return self._commit(
@@ -596,11 +860,11 @@ class ManifestTable:
         """
         if base_version is _ANY:
             base_version = self.current_version()
-        rel, files = self._write_data_dir(df)
+        rel, fstats = self._write_data_dir(df)
         return self._commit(action, lambda parent: [rel], max_retries=1,
                             extra={**(extra or {}),
                                    "schema": df.schema.json(),
-                                   "dir_meta": {rel: {"files": files}}},
+                                   "dir_meta": {rel: fstats}},
                             expected_parent=base_version)
 
     def compact(self, pk_cols: list[str] | None = None,
@@ -662,6 +926,104 @@ class ManifestTable:
                   .sortWithinPartitions("__z")
                   .drop("__z"))
         return self.overwrite(df, extra=extra, base_version=base)
+
+    def optimize(self, cluster_by: list[str], n_dirs: int = 32,
+                 bits: int = 8, extra: dict | None = None) -> int:
+        """Transactional clustered rewrite WITH manifest-level skipping —
+        what ``compact(range_by=/zorder_by=)`` buys at the parquet-footer
+        level, lifted to the manifest: the rewrite lands as up to
+        ``n_dirs`` separate dirs, clustered on ``cluster_by`` (range
+        order for one column, Morton/Z-order for several), each dir
+        recording tight min/max stats for EVERY cluster column — so
+        :meth:`read_pruned` / :meth:`dirs_pruned` skip whole dirs for a
+        filter on ANY subset of the cluster columns without opening a
+        single parquet footer. Deletion vectors are materialized by the
+        rewrite (the content is the DV-applied read), so the commit also
+        clears them.
+
+        A single INTEGER cluster column additionally records the dirs'
+        ``pk_col`` ranges, keeping the layout compatible with
+        ``merge_audit(pruned=True)``'s dir-granular MERGE — optimize on
+        the merge key re-tightens a fragmented replica without costing
+        the next merge a full rewrite.
+
+        One quantile pass + one write job + one per-dir stats aggregate;
+        pinned to the version it read (concurrent writer →
+        :class:`CommitConflict`)."""
+        from pyspark.sql import functions as F
+        from pyspark.storagelevel import StorageLevel
+
+        if not cluster_by:
+            raise ValueError("cluster_by must name at least one column")
+        base = self.current_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits yet at {self.path}")
+        df = self.read(base)
+        numeric = ("byte", "short", "int", "bigint", "long", "float",
+                   "double", "date", "timestamp", "timestamp_ntz")
+        bad = [c for c, t in df.dtypes if c in cluster_by
+               and t not in numeric and not t.startswith("decimal")]
+        if bad:
+            raise ValueError(
+                f"optimize cluster_by columns must be numeric or "
+                f"date/timestamp (range/Morton clustering), got {bad}")
+        if len(cluster_by) == 1:
+            ck = F.col(cluster_by[0]).cast("double")
+        else:
+            from cdc_audit_spark.operators.bucketing import zorder_value
+
+            g = df.agg(*[F.min(c).cast("long").alias(f"lo_{c}")
+                         for c in cluster_by],
+                       *[F.max(c).cast("long").alias(f"hi_{c}")
+                         for c in cluster_by]).first()
+            ck = zorder_value([F.col(c) for c in cluster_by],
+                              [g[f"lo_{c}"] for c in cluster_by],
+                              [g[f"hi_{c}"] for c in cluster_by],
+                              bits).cast("double")
+        df = df.withColumn("__ck", ck).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            bounds = [] if n_dirs <= 1 else sorted(set(
+                df.approxQuantile("__ck",
+                                  [i / n_dirs for i in range(1, n_dirs)],
+                                  0.001)))
+            bucket = F.lit(0)
+            for b in bounds:
+                bucket = bucket + (F.col("__ck") >= F.lit(b)).cast("int")
+            rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
+            (df.withColumn("__bucket", bucket)
+               .repartition("__bucket")
+               .sortWithinPartitions("__ck")
+               .drop("__ck")
+               .write.partitionBy("__bucket")
+               .parquet(os.path.join(self.path, rel)))
+            stats_rows = (df.withColumn("__bucket", bucket)
+                          .groupBy("__bucket")
+                          .agg(F.count(F.lit(1)).alias("__rows"),
+                               *[a for c in cluster_by
+                                 for a in (F.min(c).alias(f"__lo_{c}"),
+                                           F.max(c).alias(f"__hi_{c}"))])
+                          .collect())
+        finally:
+            df.unpersist()
+        dirs, meta = [], {}
+        int_key = len(cluster_by) == 1
+        for r in sorted(stats_rows, key=lambda r: int(r["__bucket"])):
+            d = f"{rel}/__bucket={int(r['__bucket'])}"
+            dirs.append(d)
+            st = {c: [_plain(r[f"__lo_{c}"]), _plain(r[f"__hi_{c}"])]
+                  for c in cluster_by
+                  if _plain(r[f"__lo_{c}"]) is not None}
+            dm = {"stats": st, **_dir_file_stats(self.path, d)}
+            lo, hi = (r[f"__lo_{cluster_by[0]}"],
+                      r[f"__hi_{cluster_by[0]}"])
+            if int_key and isinstance(lo, int) and not isinstance(lo, bool):
+                dm.update(pk_min=int(lo), pk_max=int(hi),
+                          pk_col=cluster_by[0])
+            meta[d] = dm
+        return self._commit(
+            "optimize", lambda parent: dirs, max_retries=1,
+            extra={**(extra or {}), "dir_meta": meta},  # schema inherits
+            expected_parent=base)
 
     def maybe_compact(self, max_dirs: int = 16, **compact_kw) -> int | None:
         """Compact only when the current version's dir fan-in exceeds
@@ -731,7 +1093,7 @@ class ManifestTable:
         if n == 0:
             return SyncResult(0, wm, self.path)
         new_wm = max(wm, int(mx))
-        rel, files = self._write_data_dir(delta)
+        rel, fstats = self._write_data_dir(delta)
 
         def dirs(parent):
             # the delta was computed against wm; if another sync advanced
@@ -751,7 +1113,7 @@ class ManifestTable:
             "watermark": new_wm,
             "schema": audit_df.schema.json(),
             "dir_meta": {rel: {"pk_min": wm + 1, "pk_max": new_wm,
-                               "pk_col": audit_pk, "files": files}},
+                               "pk_col": audit_pk, **fstats}},
         })
         return SyncResult(n, new_wm, self.path)
 
@@ -859,7 +1221,15 @@ class ManifestTable:
             st = dict(dm.get("stats", {}))
             if "pk_min" in dm and dm.get("pk_col"):
                 st.setdefault(dm["pk_col"], [dm["pk_min"], dm["pk_max"]])
+            sets = dm.get("sets", {})
             for c, (lo, hi) in filters.items():
+                # a point filter (lo == hi) consults the equality stat
+                # too — min/max can't prune a scattered high-cardinality
+                # column, the distinct-set/Bloom stat can
+                if (c in sets and lo is not None and hi is not None
+                        and _plain(lo) == _plain(hi)
+                        and not _set_may_contain(sets[c], _plain(lo))):
+                    return False
                 if c in st and excluded(st[c][0], st[c][1], lo, hi):
                     return False
             return True
@@ -884,6 +1254,10 @@ class ManifestTable:
 
         def keep(d: str) -> bool:
             dm = meta.get(d, {})
+            sets = dm.get("sets", {})
+            if col in sets and not any(
+                    _set_may_contain(sets[col], _plain(p)) for p in points):
+                return False
             st = dict(dm.get("stats", {}))
             if "pk_min" in dm and dm.get("pk_col"):
                 st.setdefault(dm["pk_col"], [dm["pk_min"], dm["pk_max"]])
@@ -918,6 +1292,22 @@ class ManifestTable:
                 df = df.filter(F.col(c) <= F.lit(hi))
         return df
 
+    def read_pruned_eq(self, col: str, points: list) -> DataFrame:
+        """``col IN (points)`` read with manifest-level data skipping:
+        dirs whose recorded equality stats (distinct set / Bloom) or
+        min/max range exclude EVERY point are never listed; the residual
+        IN-filter applies to the survivors (and pushes into their
+        parquet scans). The point-lookup sibling of :meth:`read_pruned`
+        for high-cardinality columns where ranges can't prune."""
+        from pyspark.sql import functions as F
+
+        dirs = self.dirs_pruned_any(col, points)
+        if not dirs:
+            return self.read().filter(F.lit(False))  # stable empty schema
+        df = (self.spark.read.option("mergeSchema", True)
+              .parquet(*[os.path.join(self.path, d) for d in dirs]))
+        return df.filter(F.col(col).isin(*points))
+
     def _write_change_feed(self, delta: DataFrame, audit_pk: str):
         """Materialize the merge's APPLIED delta as a change-feed dir.
         The dir rides in the SAME commit under ``cdc_dirs`` (not table
@@ -935,11 +1325,11 @@ class ManifestTable:
         audit_cols = {"event": AUDIT_EVENT, "pk": audit_pk}
         if AUDIT_TIMESTAMP in delta.columns:
             audit_cols["ts"] = AUDIT_TIMESTAMP
-        rel, files = self._write_data_dir(delta)
+        rel, fstats = self._write_data_dir(delta)
         extra = {"cdc_dirs": [rel],
                  "cdc_schema": delta.schema.json(),
                  "cdc_audit_cols": audit_cols,
-                 "cdc_meta": {rel: {"files": files}}}
+                 "cdc_meta": {rel: fstats}}
         return extra, self.spark.read.parquet(os.path.join(self.path, rel))
 
     def merge_audit(self, audit_df: DataFrame, pk_cols: list[str],
@@ -1186,7 +1576,7 @@ class ManifestTable:
             if nm.startswith("__bucket="))
         dirs = [f"{rel}/__bucket={b}" for b in present]
         meta = {d: {"pk_min": int(spans[b][0]), "pk_max": int(spans[b][1]),
-                    "pk_col": key, "files": _parquet_files(self.path, d)}
+                    "pk_col": key, **_dir_file_stats(self.path, d)}
                 for d, b in zip(dirs, present)}
         return dirs, meta
 
@@ -1287,7 +1677,7 @@ class ManifestTable:
                 df.unpersist()
         dirs = [f"{rel}/__bucket={int(r['__bucket'])}" for r in ranges]
         meta = {d: {"pk_min": int(r["lo"]), "pk_max": int(r["hi"]),
-                    "pk_col": key, "files": _parquet_files(self.path, d)}
+                    "pk_col": key, **_dir_file_stats(self.path, d)}
                 for d, r in zip(dirs, ranges)}
         return dirs, meta
 

@@ -1,0 +1,234 @@
+"""Manifest-level statistics: metadata-only aggregates, equality
+skipping (distinct-set / Bloom), stats backfill (analyze), and the
+clustered OPTIMIZE rewrite.
+
+The 100 TB rationale: at scale, ``COUNT(*)`` / min / max answered from
+a handful of JSON manifests beats any scan by orders of magnitude, and
+a probe that opens 4 of 16 dirs instead of all 16 is the difference
+between a dashboard query and a cluster job. These are the public
+Delta/Iceberg metadata patterns (numRecords per file, column stats,
+OPTIMIZE ZORDER) re-expressed at manifest-dir granularity.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_audit_spark.sinks.manifest import (
+    ManifestTable,
+    _bloom_positions,
+    _set_may_contain,
+)
+
+
+def _chunk(spark, lo, hi, step=1):
+    return spark.range(lo, hi, step).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 1000).alias("v"),
+        F.concat(F.lit("src"), (F.col("id") % 5).cast("string"))
+        .alias("src"),
+    )
+
+
+# ------------------------------------------------ metadata-only reads
+
+
+def test_row_count_is_metadata_only(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_chunk(spark, 0, 100))
+    t.append(_chunk(spark, 100, 250))
+    assert t.row_count() == 250
+    assert t.row_count(version=1) == 100
+
+    # the proof it never touches data: hide the data dir entirely —
+    # a metadata-only answer still works, a scan would explode
+    data = str(tmp_path / "t" / "data")
+    os.rename(data, data + ".hidden")
+    try:
+        assert t.row_count() == 250
+    finally:
+        os.rename(data + ".hidden", data)
+
+
+def test_stats_minmax_metadata_only_and_conservative(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_chunk(spark, 0, 100), pk_range_col="k", stats_cols=["v"])
+    t.append(_chunk(spark, 100, 250), pk_range_col="k", stats_cols=["v"])
+    # pk ranges answer the key column; stats answer v; src unrecorded
+    assert t.stats_minmax("k") == (0, 249)
+    lo, hi = t.stats_minmax("v")
+    assert lo == 0 and hi <= 999
+    assert t.stats_minmax("src") is None  # not derivable -> caller scans
+
+    # one stats-less dir poisons the whole answer (must stay exact)
+    t.append(_chunk(spark, 250, 300))
+    assert t.stats_minmax("k") is None
+    # row counts are still recorded unconditionally (footer read)
+    assert t.row_count() == 300
+
+
+def test_describe_detail(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    assert t.describe_detail()["rows"] == 0
+    t.append(_chunk(spark, 0, 100))
+    d = t.describe_detail()
+    assert d["rows"] == 100 and d["n_dirs"] == 1 and d["bytes"] > 0
+    assert d["action"] == "append" and d["n_dvs"] == 0
+
+
+# --------------------------------------------------- equality skipping
+
+
+def test_set_stats_exact_set_skips_dirs(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    # each append carries a DIFFERENT low-cardinality source tag: range
+    # stats on the id can never separate them, the distinct set can
+    for tag in ("alpha", "beta", "gamma"):
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), F.lit(tag).alias("src"))
+        t.append(df, set_stats_cols=["src"])
+    assert len(t.dirs_pruned_any("src", ["beta"])) == 1
+    assert len(t.dirs_pruned_any("src", ["beta", "gamma"])) == 2
+    assert t.dirs_pruned_any("src", ["nope"]) == []
+    # point filter through dirs_pruned consults the same stat
+    assert len(t.dirs_pruned({"src": ("beta", "beta")})) == 1
+    # and the read agrees with a full scan
+    assert t.read_pruned_eq("src", ["beta"]).count() == 200
+    assert t.read_pruned_eq("src", ["nope"]).count() == 0
+    got = t.read_pruned_eq("src", ["alpha", "gamma"]).count()
+    assert got == t.read().filter(F.col("src").isin("alpha", "gamma")
+                                  ).count() == 400
+
+
+def test_set_stats_bloom_high_cardinality(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 1000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key")),
+        set_stats_cols=["key"])
+    t.append(spark.range(1000, 2000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key")),
+        set_stats_cols=["key"])
+    m = t.manifest(t.current_version())
+    for d in m["dirs"]:
+        assert "bloom" in m["dir_meta"][d]["sets"]["key"]
+    # a present key keeps exactly its dir (Bloom false-positive rate at
+    # 1000 values / 4096 bits is ~10% per absent probe; a single probe
+    # landing in both dirs would be a broken hash, not bad luck)
+    assert len(t.dirs_pruned_any("key", ["k1500"])) >= 1
+    assert t.read_pruned_eq("key", ["k1500"]).count() == 1
+    assert t.read_pruned_eq("key", ["absent-zzz"]).count() == 0
+    # integer columns hash identically on both sides
+    t2 = ManifestTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.range(0, 500).select(F.col("id").alias("n")),
+              set_stats_cols=["n"])
+    assert len(t2.dirs_pruned_any("n", [250])) == 1
+    assert t2.read_pruned_eq("n", [250]).count() == 1
+
+
+def test_bloom_python_spark_hash_parity(spark, tmp_path):
+    """The write side hashes with Spark md5(cast(c as string)); the
+    prune side with hashlib. A recorded value must ALWAYS pass its own
+    dir's bloom — one-sided error only."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    vals = [f"v{i}" for i in range(200)]
+    t.append(spark.createDataFrame([(v,) for v in vals], "key string"),
+             set_stats_cols=["key"])
+    m = t.manifest(1)
+    stat = m["dir_meta"][m["dirs"][0]]["sets"]["key"]
+    assert "bloom" in stat
+    assert all(_set_may_contain(stat, v) for v in vals)
+    # positions are stable and within the bitmap
+    assert all(0 <= p < stat["bloom"]["m"] for p in _bloom_positions("x"))
+
+
+# --------------------------------------------------------------- analyze
+
+
+def test_analyze_backfills_stats_metadata_only_commit(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_chunk(spark, 0, 100))
+    t.append(_chunk(spark, 100, 250))
+    assert t.stats_minmax("v") is None
+    base_dirs = t.manifest(t.current_version())["dirs"]
+
+    v = t.analyze(["k", "v"], set_stats_cols=["src"])
+    m = t.manifest(v)
+    assert m["action"] == "analyze"
+    # dirs byte-identical: nothing was rewritten, only metadata landed
+    assert m["dirs"] == base_dirs
+    assert t.stats_minmax("k") == (0, 249)
+    assert t.stats_minmax("v") is not None
+    assert t.dirs_pruned_any("src", ["nope"]) == []
+    # second analyze is a no-op (no empty commits)
+    assert t.analyze(["k", "v"], set_stats_cols=["src"]) is None
+    # a later append without stats makes analyze incremental: only the
+    # new dir is scanned and patched
+    t.append(_chunk(spark, 250, 300))
+    v2 = t.analyze(["k", "v"])
+    assert v2 is not None and t.stats_minmax("k") == (0, 299)
+
+
+def test_analyze_enables_pruned_merge_free_reads(spark, tmp_path):
+    """read_pruned on a legacy stats-less table goes from scan-all to
+    skip after one analyze."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_chunk(spark, 0, 100))       # k in [0, 100)
+    t.append(_chunk(spark, 1000, 1100))   # k in [1000, 1100)
+    assert len(t.dirs_pruned({"k": (0, 50)})) == 2  # conservative
+    t.analyze(["k"])
+    assert len(t.dirs_pruned({"k": (0, 50)})) == 1
+    assert (t.read_pruned({"k": (0, 50)}).count()
+            == t.read().filter("k between 0 and 50").count() == 51)
+
+
+# -------------------------------------------------------------- optimize
+
+
+def test_optimize_zorder_dirs_prune_on_any_dimension(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    # 4 appends, each scattered across the full range of BOTH columns:
+    # zero skipping possible before the rewrite
+    for k in range(4):
+        t.append(spark.range(k, 10000, 4).select(
+            F.col("id").alias("a"),
+            (F.col("id") * 37 % 1000).alias("b")))
+    assert len(t.dirs_pruned({"b": (0, 50)})) == 4
+
+    v = t.optimize(["a", "b"], n_dirs=16)
+    m = t.manifest(v)
+    assert m["action"] == "optimize" and len(m["dirs"]) == 16
+    # Z-order: a filter on EITHER column alone prunes ~sqrt(16) dirs
+    assert len(t.dirs_pruned({"a": (0, 500)})) <= 6
+    assert len(t.dirs_pruned({"b": (0, 50)})) <= 6
+    # values unchanged, counts exact, metadata still answers
+    assert t.row_count() == 10000
+    assert (t.read_pruned({"b": (0, 50)}).count()
+            == t.read().filter("b between 0 and 50").count())
+    assert t.stats_minmax("a") == (0, 9999)
+    # pre-optimize version still time-travelable
+    assert t.read(version=4).count() == 10000
+
+
+def test_optimize_single_int_key_keeps_pruned_merge_layout(spark,
+                                                           tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    for k in range(3):
+        t.append(spark.range(k, 3000, 3).select(F.col("id").alias("k"),
+                                                F.col("id").alias("x")))
+    v = t.optimize(["k"], n_dirs=8)
+    m = t.manifest(v)
+    metas = [m["dir_meta"][d] for d in m["dirs"]]
+    # pk ranges recorded -> compatible with merge_audit(pruned=True),
+    # and DISJOINT (range clustering)
+    assert all(dm.get("pk_col") == "k" for dm in metas)
+    spans = sorted((dm["pk_min"], dm["pk_max"]) for dm in metas)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+    assert len(t.dirs_pruned({"k": (0, 100)})) == 1
+
+
+def test_optimize_refuses_non_numeric_cluster_col(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([("a", 1)], "s string, n long"))
+    with pytest.raises(ValueError, match="numeric"):
+        t.optimize(["s"])
