@@ -86,6 +86,16 @@ def _plain(v):
 _STATE_KEYS = ("watermark", "epoch", "run_id", "wipe_through",
                "wipe_pk_cols", "schema", "cdc_schema", "cdc_audit_cols")
 
+# Deletion-vector payload keys (dv_dirs: live DV key files; dv_meta:
+# per-DV {key, rows, files, covers}) survive only through commits that
+# PRESERVE the parent's data dirs. A full rewrite (overwrite / compact /
+# optimize / merge / repair) derives its content from the DV-APPLIED
+# read, so carrying the vectors forward would delete the rows twice —
+# or worse, delete fresh rows that reuse a key. Dropping them there IS
+# the materialization step.
+_DV_KEYS = ("dv_dirs", "dv_meta")
+_DV_CARRY_ACTIONS = ("append", "analyze", "delete")
+
 
 class CommitConflict(RuntimeError):
     """Another writer committed the version this commit was based on.
@@ -387,16 +397,56 @@ class ManifestTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """The table at ``version`` (default: latest). Time travel is just
-        reading an older manifest — no data was ever rewritten."""
+        reading an older manifest — no data was ever rewritten. Live
+        deletion vectors (``delete_where``) are applied as an anti-join
+        on the recorded key, scoped to the dirs each vector covers."""
         if version is None:
             version = self.current_version()
         if version is None:
             raise FileNotFoundError(f"no commits yet at {self.path}")
-        dirs = self.manifest(version)["dirs"]
-        # mergeSchema: after an on_drift='evolve' append, older dirs lack
-        # the new columns — pre-drift rows surface NULL for them
-        return (self.spark.read.option("mergeSchema", True)
-                .parquet(*[os.path.join(self.path, d) for d in dirs]))
+        m = self.manifest(version)
+        return self._read_dirs_dv(m, m["dirs"])
+
+    def _read_dirs_dv(self, m: dict, dirs: list[str]) -> DataFrame:
+        """Read ``dirs`` of manifest ``m`` with its deletion vectors
+        applied. Each DV records the dirs it COVERS (the table's dirs at
+        delete time), so a key deleted once never suppresses a LATER
+        append that legitimately reuses it: dirs are grouped by their
+        applicable-DV set (at most n_dvs + 1 groups — compaction
+        materializes and resets), each group anti-joined against the
+        union of its DVs' key files. The DV side is a handful of small
+        parquet files — AQE plans the anti-join as a broadcast."""
+        from pyspark.sql import functions as F
+
+        def plain(ds):
+            # mergeSchema: after an on_drift='evolve' append, older dirs
+            # lack the new columns — pre-drift rows surface NULL for them
+            return (self.spark.read.option("mergeSchema", True)
+                    .parquet(*[os.path.join(self.path, d) for d in ds]))
+
+        dv = m.get("dv_dirs", [])
+        if not dv or not dirs:
+            return plain(dirs)
+        dvm = m["dv_meta"]
+        key = dvm[dv[0]]["key"]  # delete_where enforces one key per table
+        covers = {v: set(dvm[v]["covers"]) for v in dv}
+        groups: dict[tuple, list[str]] = {}
+        for d in dirs:
+            appl = tuple(v for v in dv if d in covers[v])
+            groups.setdefault(appl, []).append(d)
+        parts = []
+        for appl, ds in groups.items():
+            df = plain(ds)
+            if appl:
+                keys = (self.spark.read.parquet(
+                    *[os.path.join(self.path, v) for v in appl])
+                    .select(key).distinct())
+                df = df.join(keys, key, "left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def history(self) -> list[dict]:
         """One {version, action, n_dirs} row per commit, ascending."""
@@ -638,6 +688,10 @@ class ManifestTable:
             # manifests would reset the watermark/epoch and make the next
             # sync/replay DUPLICATE rows.
             inherited = {k: pm[k] for k in _STATE_KEYS if pm and k in pm}
+            if action in _DV_CARRY_ACTIONS and pm:
+                # deletion vectors follow the data dirs they cover (see
+                # _DV_KEYS note); content-rewriting actions drop them
+                inherited.update({k: pm[k] for k in _DV_KEYS if k in pm})
             # dirs_fn FIRST: it carries the guards that turn a racer into
             # a graceful outcome (sync_audit's watermark conflict, the
             # stream writer's already-applied-epoch skip) — a callable
@@ -1025,7 +1079,9 @@ class ManifestTable:
             extra={**(extra or {}), "dir_meta": meta},  # schema inherits
             expected_parent=base)
 
-    def maybe_compact(self, max_dirs: int = 16, **compact_kw) -> int | None:
+    def maybe_compact(self, max_dirs: int = 16,
+                      max_dvs: int | None = None,
+                      **compact_kw) -> int | None:
         """Compact only when the current version's dir fan-in exceeds
         ``max_dirs`` — the small-files policy for long-lived tables where
         every sync/micro-batch appends a dir. Returns the new version, or
@@ -1050,7 +1106,12 @@ class ManifestTable:
         over it; a concurrent writer landing mid-rewrite surfaces as
         CommitConflict, which a cron loop simply retries next tick."""
         cur = self.current_version()
-        if cur is None or len(self.manifest(cur)["dirs"]) <= max_dirs:
+        if cur is None:
+            return None
+        m = self.manifest(cur)
+        over_dvs = (max_dvs is not None
+                    and len(m.get("dv_dirs", [])) > max_dvs)
+        if len(m["dirs"]) <= max_dirs and not over_dvs:
             return None
         return self.compact(**compact_kw)
 
@@ -1177,11 +1238,11 @@ class ManifestTable:
         """
         from pyspark.sql import functions as F
 
-        dirs = self.dirs_since(pk)
+        version = self.current_version()
+        dirs = self.dirs_since(pk, version=version)
         if not dirs:
             return self.read().filter(F.lit(False))  # stable empty schema
-        df = (self.spark.read.option("mergeSchema", True)
-              .parquet(*[os.path.join(self.path, d) for d in dirs]))
+        df = self._read_dirs_dv(self.manifest(version), dirs)
         return df.filter(F.col(audit_pk) > F.lit(pk))
 
     def dirs_pruned(self, filters: dict[str, tuple],
@@ -1279,12 +1340,12 @@ class ManifestTable:
         carry stats."""
         from pyspark.sql import functions as F
 
-        dirs = self.dirs_pruned(filters)
+        version = self.current_version()
+        dirs = self.dirs_pruned(filters, version=version)
         if not dirs:
             df = self.read().filter(F.lit(False))  # stable empty schema
         else:
-            df = (self.spark.read.option("mergeSchema", True)
-                  .parquet(*[os.path.join(self.path, d) for d in dirs]))
+            df = self._read_dirs_dv(self.manifest(version), dirs)
         for c, (lo, hi) in filters.items():
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(lo))
@@ -1301,12 +1362,103 @@ class ManifestTable:
         for high-cardinality columns where ranges can't prune."""
         from pyspark.sql import functions as F
 
-        dirs = self.dirs_pruned_any(col, points)
+        version = self.current_version()
+        dirs = self.dirs_pruned_any(col, points, version=version)
         if not dirs:
             return self.read().filter(F.lit(False))  # stable empty schema
-        df = (self.spark.read.option("mergeSchema", True)
-              .parquet(*[os.path.join(self.path, d) for d in dirs]))
+        df = self._read_dirs_dv(self.manifest(version), dirs)
         return df.filter(F.col(col).isin(*points))
+
+    # ------------------------------------------------- deletion vectors
+
+    def delete_where(self, condition, key_col: str,
+                     change_feed: bool = False) -> int | None:
+        """Delete matching rows WITHOUT rewriting a single data file —
+        the Delta deletion-vector pattern, keyed on ``key_col`` instead
+        of file/row positions (a key set survives compaction-free at dir
+        granularity and stays engine-portable). The matching rows' keys
+        land as one small parquet dir; the commit (action ``delete``)
+        keeps every data dir byte-identical and records the vector in
+        ``dv_dirs``/``dv_meta``. Reads anti-join it away; appends carry
+        it forward; any full rewrite (compact / optimize / merge /
+        repair) materializes and clears it. At 100 TB this turns a
+        GDPR-style purge from an O(table) rewrite into an O(matches)
+        job plus metadata.
+
+        Each vector records the dirs it COVERS (the table's dirs at
+        delete time), so re-appending a deleted key later is safe — the
+        old vector never applies to new dirs. ``key_col`` must identify
+        rows uniquely among live rows (and match the key of any earlier
+        live vectors); both are ENFORCED here, because the row_count
+        arithmetic and the anti-join's blast radius depend on them.
+
+        ``change_feed=True`` records the deleted rows (tagged with a
+        ``delete`` event) as this commit's ``cdc_dirs`` entry, so
+        streaming feed consumers see the deletes; without it the stream
+        source refuses the commit rather than silently dropping it.
+
+        Returns the new version, or None when nothing matched.
+        Cost: one filter+aggregate, one uniqueness probe, one small
+        write — the table's data files are never opened for writing."""
+        from pyspark.sql import functions as F
+        from pyspark.storagelevel import StorageLevel
+
+        base = self.current_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits yet at {self.path}")
+        m = self.manifest(base)
+        dvm = m.get("dv_meta", {})
+        for v in m.get("dv_dirs", []):
+            if dvm[v]["key"] != key_col:
+                raise ValueError(
+                    f"table {self.path} already carries deletion vectors "
+                    f"keyed on {dvm[v]['key']!r}; a second key "
+                    f"({key_col!r}) would make reads ambiguous — "
+                    "materialize first (compact/optimize)")
+        live = self.read(base)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        matched = live.filter(cond).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            st = matched.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col(key_col)).alias("nk")).first()
+            n, nk = int(st["n"]), int(st["nk"])
+            if n == 0:
+                return None
+            if n != nk:
+                raise ValueError(
+                    f"delete_where: {key_col!r} is not unique among the "
+                    f"{n} matching rows ({nk} distinct keys) — the "
+                    "key-addressed vector cannot express this delete")
+            keys = matched.select(key_col).distinct()
+            n_hit = int(live.join(keys, key_col, "inner").count())
+            if n_hit != n:
+                raise ValueError(
+                    f"delete_where: {n_hit - n} live non-matching row(s) "
+                    f"share a {key_col!r} key with the matched set — "
+                    "deleting by key would remove them too; pick a "
+                    "unique key column")
+            rel = os.path.join(_DATA_DIR, f"dv-{uuid.uuid4().hex}")
+            keys.write.parquet(os.path.join(self.path, rel))
+            fstats = _dir_file_stats(self.path, rel)
+            cdc_extra: dict = {}
+            if change_feed:
+                from cdc_audit_spark.schema import AUDIT_EVENT
+
+                feed = matched.withColumn(AUDIT_EVENT, F.lit("delete"))
+                cdc_extra, _ = self._write_change_feed(feed, key_col)
+        finally:
+            matched.unpersist()
+        extra = {
+            **cdc_extra,
+            "dv_dirs": m.get("dv_dirs", []) + [rel],
+            "dv_meta": {**dvm, rel: {"key": key_col,
+                                     "covers": list(m["dirs"]),
+                                     **fstats}},
+        }
+        return self._commit("delete", lambda parent: list(m["dirs"]),
+                            max_retries=1, extra=extra,
+                            expected_parent=base)
 
     def _write_change_feed(self, delta: DataFrame, audit_pk: str):
         """Materialize the merge's APPLIED delta as a change-feed dir.
@@ -1451,6 +1603,15 @@ class ManifestTable:
         from cdc_audit_spark.sync import SyncResult
 
         m = self.manifest(base)
+        if m.get("dv_dirs"):
+            # the pruned path reads touched dirs RAW (dir-granular
+            # rewrite); applying vectors per-dir here would silently
+            # resurrect deleted rows in carried dirs — refuse loudly
+            raise ValueError(
+                f"merge_audit(pruned=True) at {self.path}: the table "
+                "carries live deletion vectors; materialize them first "
+                "(compact() or optimize()) so the dir-granular merge "
+                "sees physical truth")
         meta = m.get("dir_meta", {})
 
         def range_of(d):
@@ -1765,7 +1926,8 @@ class ManifestTable:
         # version's feed must stay streamable until its manifest drops
         referenced = {d for v in keep
                       for m in [self.manifest(v)]
-                      for d in m["dirs"] + m.get("cdc_dirs", [])}
+                      for d in (m["dirs"] + m.get("cdc_dirs", [])
+                                + m.get("dv_dirs", []))}
         for v in drop:
             os.unlink(_manifest_path(self.path, v))
         # checkpoints older than the newest are fully superseded for state
@@ -1784,7 +1946,8 @@ class ManifestTable:
         # checkpoint supersedes them on a later vacuum
         for v in self.checkpoints():
             ckm = self.manifest(v)
-            referenced |= set(ckm["dirs"]) | set(ckm.get("cdc_dirs", []))
+            referenced |= (set(ckm["dirs"]) | set(ckm.get("cdc_dirs", []))
+                           | set(ckm.get("dv_dirs", [])))
         n_dirs = n_young = 0
         cutoff = time.time() - retain_seconds
 

@@ -181,6 +181,18 @@ class ManifestStreamReader(DataSourceStreamReader):
                         "feeding the merge instead, or pass .option("
                         "'skipMerges', 'true') to knowingly receive only "
                         "plain appends.")
+                if m["action"] == "delete" and not self.skip_merges:
+                    # a deletion-vector commit changes content without
+                    # touching dirs — invisible to an append stream, but
+                    # NOT a no-op like compaction; silently skipping it
+                    # would hide the deletes from feed consumers
+                    raise ValueError(
+                        f"version {v} at {self.path} is a deletion-"
+                        "vector commit with no recorded change feed. "
+                        "Write it with delete_where(change_feed=True) "
+                        "and read with .option('changeFeed', 'true'), "
+                        "or pass .option('skipMerges', 'true') to "
+                        "knowingly receive only plain appends.")
                 continue
             dir_meta = m.get("dir_meta", {})
             # plain appends in changeFeed mode read as inserts: files

@@ -215,6 +215,15 @@ class ManifestTableReader(DataSourceReader):
             if version is None:
                 raise FileNotFoundError(f"no commits yet at {self.path}")
         m = _manifest(self.path, version)
+        if m.get("dv_dirs"):
+            # this reader yields raw parquet batches per file — it has no
+            # join stage to apply deletion vectors in, and ignoring them
+            # would resurrect deleted rows
+            raise ValueError(
+                f"table {self.path} carries live deletion vectors; the "
+                "manifest_table format reader cannot apply them — read "
+                "via ManifestTable.read(), or materialize them first "
+                "(compact()/optimize())")
         dirs = t.dirs_pruned(filters, version=version) if filters else m["dirs"]
         dir_meta = m.get("dir_meta", {})
         parts = []
