@@ -514,6 +514,176 @@ def cdc_manifest_format_rw(spark, sf_dir):
 
 
 @register(
+    "cdc_delete_vectors",
+    "WITH live1 AS ("
+    "  SELECT * FROM orders"
+    "  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)"
+    "     OR (o_orderstatus = 'F' AND o_orderkey % 10 = 0))"
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+    "o_orderpriority FROM live1 "
+    "WHERE NOT (o_orderkey % 7 = 0 AND o_totalprice < 150000)",
+    "DELETION VECTORS (sinks.manifest.delete_where): two targeted "
+    "deletes land as key files — zero data files rewritten — with a "
+    "covered re-append in between proving a re-used key is NOT "
+    "suppressed by the earlier vector; the final read must equal the "
+    "set algebra the oracle recomputes from the raw table. The "
+    "100 TB story: a GDPR-style purge as O(matches) + metadata instead "
+    "of an O(table) rewrite",
+)
+def cdc_delete_vectors(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(*cols).localCheckpoint(eager=True))
+    k = int(orders.agg(F.expr("max(o_orderkey) div 2")).first()[0])
+    root = tempfile.mkdtemp(prefix="cdc_dv_")
+    try:
+        t = ManifestTable(spark, root)
+        t.append(orders.filter(F.col("o_orderkey") <= k),
+                 pk_range_col="o_orderkey")
+        t.append(orders.filter(F.col("o_orderkey") > k),
+                 pk_range_col="o_orderkey")
+        t.delete_where("o_orderstatus = 'F' AND o_orderkey % 5 = 0",
+                       key_col="o_orderkey")
+        # re-append half the deleted keys: the first vector covers only
+        # the original dirs, so these rows must survive the read
+        t.append(orders.filter(
+            "o_orderstatus = 'F' AND o_orderkey % 10 = 0"))
+        t.delete_where("o_orderkey % 7 = 0 AND o_totalprice < 150000",
+                       key_col="o_orderkey")
+        return t.read().select(*cols).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "cdc_metadata_count",
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(min(o_orderkey) AS BIGINT) AS min_key, "
+    "CAST(max(o_orderkey) AS BIGINT) AS max_key FROM orders",
+    "METADATA-ONLY aggregates (sinks.manifest.row_count/stats_minmax): "
+    "COUNT(*)/min/max of a two-commit manifest table answered purely "
+    "from recorded footer row counts and per-dir stat folds — zero "
+    "Spark jobs, zero data-file reads (the query asserts the manifest "
+    "derivation agrees before returning it) — vs the oracle's full "
+    "scan. At 100 TB this is the difference between a JSON read and a "
+    "cluster job",
+)
+def cdc_metadata_count(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = int(orders.agg(F.expr("max(o_orderkey) div 2")).first()[0])
+    root = tempfile.mkdtemp(prefix="cdc_meta_count_")
+    try:
+        t = ManifestTable(spark, root)
+        t.append(orders.filter(F.col("o_orderkey") <= k),
+                 pk_range_col="o_orderkey")
+        t.append(orders.filter(F.col("o_orderkey") > k),
+                 pk_range_col="o_orderkey")
+        rc = t.row_count()
+        mm = t.stats_minmax("o_orderkey")
+        if mm is None:
+            raise AssertionError("stats_minmax fell back on a fully "
+                                 "stats-covered table")
+        return spark.createDataFrame(
+            [(rc, int(mm[0]), int(mm[1]))],
+            "n_rows bigint, min_key bigint, max_key bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "cdc_optimize_zorder_read",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "WHERE o_custkey <= (SELECT max(o_custkey) // 8 FROM orders) "
+    "AND o_totalprice <= (SELECT max(o_totalprice) / 2 FROM orders)",
+    "OPTIMIZE + manifest skipping (sinks.manifest.optimize): four "
+    "interleaved appends (no skipping possible) are rewritten into "
+    "Z-order-clustered dirs recording min/max on BOTH cluster columns; "
+    "a two-column read_pruned must skip dirs (asserted) yet return "
+    "exactly the oracle's filtered rows",
+)
+def cdc_optimize_zorder_read(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_custkey", "o_totalprice")
+              .localCheckpoint(eager=True))
+    g = orders.agg(F.expr("max(o_custkey) div 8").alias("ck"),
+                   (F.max("o_totalprice") / 2).alias("tp")).first()
+    ck, tp = int(g["ck"]), float(g["tp"])
+    root = tempfile.mkdtemp(prefix="cdc_optimize_")
+    try:
+        t = ManifestTable(spark, root)
+        for i in range(4):  # round-robin: every dir spans both domains
+            t.append(orders.filter(F.col("o_orderkey") % 4 == i))
+        t.optimize(["o_custkey", "o_totalprice"], n_dirs=16)
+        survivors = t.dirs_pruned({"o_custkey": (None, ck),
+                                   "o_totalprice": (None, tp)})
+        total = len(t.manifest(t.current_version())["dirs"])
+        if not len(survivors) < total:
+            raise AssertionError(
+                f"optimize produced no skipping ({len(survivors)} of "
+                f"{total} dirs survive a 1/16-selectivity filter)")
+        out = t.read_pruned({"o_custkey": (None, ck),
+                             "o_totalprice": (None, tp)})
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "cdc_eq_skip_read",
+    "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders "
+    "WHERE o_orderpriority IN ('1-URGENT', '5-LOW')",
+    "EQUALITY SKIPPING (append(set_stats_cols=) + read_pruned_eq): "
+    "appends partitioned by priority record per-dir distinct sets; an "
+    "IN-read must skip every non-matching dir (asserted) and still "
+    "return exactly the oracle's rows — the point-lookup stat min/max "
+    "ranges cannot express",
+)
+def cdc_eq_skip_read(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_custkey", "o_orderpriority")
+              .localCheckpoint(eager=True))
+    prios = sorted(r["o_orderpriority"] for r in
+                   orders.select("o_orderpriority").distinct().collect())
+    root = tempfile.mkdtemp(prefix="cdc_eq_skip_")
+    try:
+        t = ManifestTable(spark, root)
+        for p in prios:  # one dir per priority — the skippable layout
+            t.append(orders.filter(F.col("o_orderpriority") == p),
+                     set_stats_cols=["o_orderpriority"])
+        want = ["1-URGENT", "5-LOW"]
+        kept = t.dirs_pruned_any("o_orderpriority", want)
+        if len(kept) != sum(p in want for p in prios):
+            raise AssertionError(
+                f"equality stats kept {len(kept)} dirs for {want} "
+                f"across {len(prios)} single-priority dirs")
+        return (t.read_pruned_eq("o_orderpriority", want)
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "cdc_replica_change_feed",
     f"WITH {_AUDIT_CTE} SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
     "c_mktsegment, audit_event, audit_timestamp, audit_pk FROM audit",
@@ -4839,15 +5009,20 @@ _DRIVER_WINDOW = [
     "window_nth_value_second_order", "window_time_range_sum",
     # paths this round's diff touched, re-proven fresh: the maintained
     # IVF index (pk-base fix + PQ-code plumbing underneath), the batch
-    # k-NN join (size-gated broadcast), the change feed (audit-col
-    # recording), and the pruned merge it rides on
+    # k-NN join (size-gated broadcast), and the change feed (audit-col
+    # recording)
     "cdc_ann_index_topk", "knn_join_topk", "cdc_replica_change_feed",
-    "cdc_merge_replica_pruned",
     # the round's NEW operators: the cell-clustered ANN serving
-    # projection and the CDC-maintained IVFADC (PQ codes)
+    # projection, the CDC-maintained IVFADC (PQ codes), deletion
+    # vectors, metadata-only aggregates, the OPTIMIZE clustered
+    # rewrite, and equality (set/Bloom) skipping — each needs its
+    # first green driver row
     "cdc_ann_serving_topk", "cdc_ann_pq_topk",
-    # similarity-stack neighbors of the diff, freshened from r06
-    "knn_cosine_topk", "dedup_embedding_cosine", "embedding_quantize_int8",
+    "cdc_delete_vectors", "cdc_metadata_count",
+    "cdc_optimize_zorder_read", "cdc_eq_skip_read",
+    # (knn_cosine_topk / dedup_embedding_cosine / embedding_quantize_int8 /
+    # cdc_merge_replica_pruned are r06/r07-green — safely behind the
+    # window until r09's rotation)
 ]
 
 
