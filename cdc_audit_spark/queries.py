@@ -684,6 +684,50 @@ def cdc_eq_skip_read(spark, sf_dir):
 
 
 @register(
+    "cdc_binpack_read",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "WHERE o_orderkey <= (SELECT max(o_orderkey) // 3 FROM orders)",
+    "Small-file BIN-PACKING (sinks.manifest.compact_small): six "
+    "micro-batch dirs fold into ~one without touching right-sized "
+    "dirs, min/max + equality stats FOLDING from the recorded metadata "
+    "(no recompute); the post-pack pruned read must still skip "
+    "(asserted) and equal the oracle's filtered scan — the "
+    "auto-compaction answer to streaming's small-files problem",
+)
+def cdc_binpack_read(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_custkey", "o_totalprice")
+              .localCheckpoint(eager=True))
+    mx = int(orders.agg(F.max("o_orderkey")).first()[0])
+    k = mx // 3
+    root = tempfile.mkdtemp(prefix="cdc_binpack_")
+    try:
+        t = ManifestTable(spark, root)
+        for i in range(6):  # key-ranged micro-batches
+            hi = F.col("o_orderkey") <= (i + 1) * mx // 6
+            cond = (hi if i == 0  # first chunk owns everything below
+                    else hi & (F.col("o_orderkey") > i * mx // 6))
+            t.append(orders.filter(cond), stats_cols=["o_orderkey"])
+        pre = len(t.manifest(t.current_version())["dirs"])
+        v = t.compact_small(target_bytes=1 << 30)
+        post = len(t.manifest(v)["dirs"])
+        if not post < pre:
+            raise AssertionError(
+                f"compact_small folded nothing ({pre} -> {post} dirs)")
+        # folded stats must still prune: the filter covers ~2 of the 6
+        # original ranges, and the packed dir's folded hull answers it
+        out = t.read_pruned({"o_orderkey": (None, k)})
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "cdc_replica_change_feed",
     f"WITH {_AUDIT_CTE} SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
     "c_mktsegment, audit_event, audit_timestamp, audit_pk FROM audit",
@@ -5011,18 +5055,18 @@ _DRIVER_WINDOW = [
     # IVF index (pk-base fix + PQ-code plumbing underneath), the batch
     # k-NN join (size-gated broadcast), and the change feed (audit-col
     # recording)
-    "cdc_ann_index_topk", "knn_join_topk", "cdc_replica_change_feed",
+    "cdc_ann_index_topk", "knn_join_topk",
     # the round's NEW operators: the cell-clustered ANN serving
     # projection, the CDC-maintained IVFADC (PQ codes), deletion
     # vectors, metadata-only aggregates, the OPTIMIZE clustered
-    # rewrite, and equality (set/Bloom) skipping — each needs its
-    # first green driver row
+    # rewrite, equality (set/Bloom) skipping, and small-file
+    # bin-packing — each needs its first green driver row
     "cdc_ann_serving_topk", "cdc_ann_pq_topk",
     "cdc_delete_vectors", "cdc_metadata_count",
-    "cdc_optimize_zorder_read", "cdc_eq_skip_read",
+    "cdc_optimize_zorder_read", "cdc_eq_skip_read", "cdc_binpack_read",
     # (knn_cosine_topk / dedup_embedding_cosine / embedding_quantize_int8 /
-    # cdc_merge_replica_pruned are r06/r07-green — safely behind the
-    # window until r09's rotation)
+    # cdc_merge_replica_pruned / cdc_replica_change_feed are r06/r07-green
+    # — safely behind the window until r09's rotation)
 ]
 
 

@@ -45,6 +45,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -200,6 +201,65 @@ def _set_may_contain(stat: dict, value) -> bool:
     return all((b[p // 8] >> (p % 8)) & 1 for p in _bloom_positions(s))
 
 
+def _fold_dir_meta(metas: list[dict]) -> dict:
+    """Fold several dirs' recorded skipping stats into one dir's — used
+    when bin-packing merges their files. Conservative by construction:
+    a column surfaces in the fold only when EVERY member recorded it
+    (min/max: interval hull; equality stats: set union, degrading to a
+    Bloom OR past the exact-set bound); anything else is dropped and a
+    later ``analyze`` can recompute it. pk ranges fold into plain stats
+    (never pk_min/pk_max — the merged interval may overlap other dirs,
+    and the pruned MERGE's disjointness contract must see these dirs as
+    rangeless). NDV sketches are dropped (an HLL union needs a job, not
+    a fold — analyze backfills)."""
+    def ranges(dm: dict) -> dict:
+        st = dict(dm.get("stats", {}))
+        if "pk_min" in dm and dm.get("pk_col"):
+            st.setdefault(dm["pk_col"], [dm["pk_min"], dm["pk_max"]])
+        return st
+
+    out: dict = {}
+    all_ranges = [ranges(dm) for dm in metas]
+    stats = {}
+    for c in set.intersection(*[set(r) for r in all_ranges]):
+        try:
+            stats[c] = [min(r[c][0] for r in all_ranges),
+                        max(r[c][1] for r in all_ranges)]
+        except TypeError:
+            continue
+    if stats:
+        out["stats"] = stats
+    all_sets = [dm.get("sets", {}) for dm in metas]
+    sets = {}
+    for c in set.intersection(*[set(s) for s in all_sets]):
+        members = [s[c] for s in all_sets]
+        if any("bloom" in sc and sc["bloom"]["m"] != _BLOOM_M
+               for sc in members):
+            continue  # parameter drift across versions: drop, re-analyze
+        vals: set[str] = set()
+        bits = bytearray(_BLOOM_M // 8)
+        exact = True
+        for sc in members:
+            if "set" in sc:
+                vals.update(sc["set"])
+            else:
+                exact = False
+                b = bytes.fromhex(sc["bloom"]["hex"])
+                for i, byte in enumerate(b):
+                    bits[i] |= byte
+        if exact and len(vals) <= _SET_STAT_MAX:
+            sets[c] = {"set": sorted(vals)}
+            continue
+        for v in vals:
+            for p in _bloom_positions(v):
+                bits[p // 8] |= 1 << (p % 8)
+        sets[c] = {"bloom": {"m": _BLOOM_M, "k": _BLOOM_K,
+                             "hex": bits.hex()}}
+    if sets:
+        out["sets"] = sets
+    return out
+
+
 def _last_pointer_path(table_path: str) -> str:
     return os.path.join(table_path, _MANIFEST_DIR, "_last.json")
 
@@ -315,6 +375,28 @@ class ManifestTable:
         # on the happy path — this runs on EVERY claim attempt
         return current_committed_version(self.path)
 
+    def version_at(self, timestamp: float) -> int | None:
+        """Newest version committed at or before ``timestamp`` (epoch
+        seconds, or a datetime) — the TIMESTAMP AS OF resolver. Commit
+        times are read as a MONOTONE sequence (claim order is version
+        order; a lagging writer clock is clamped by its predecessor) so
+        the answer is unambiguous even if wall clocks jittered across
+        writers. None when the first commit is later than ``timestamp``.
+        Walks the (vacuum-bounded) manifest list; a legacy manifest
+        without a recorded ``ts`` counts as 'at the epoch' — always
+        eligible, never hiding a newer eligible version."""
+        if hasattr(timestamp, "timestamp"):  # datetime -> epoch seconds
+            timestamp = timestamp.timestamp()
+        best, floor = None, float("-inf")
+        for v in self.versions():
+            ts = max(floor, self.manifest(v).get("ts", float("-inf")))
+            floor = ts
+            if ts <= timestamp:
+                best = v
+            else:
+                break  # monotone: later versions are later still
+        return best
+
     def manifest(self, version: int) -> dict:
         try:
             with open(_manifest_path(self.path, version)) as f:
@@ -395,11 +477,22 @@ class ManifestTable:
         if ck is not None:
             yield ck
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """The table at ``version`` (default: latest). Time travel is just
-        reading an older manifest — no data was ever rewritten. Live
-        deletion vectors (``delete_where``) are applied as an anti-join
-        on the recorded key, scoped to the dirs each vector covers."""
+    def read(self, version: int | None = None,
+             timestamp: float | None = None) -> DataFrame:
+        """The table at ``version`` (default: latest), or as of
+        ``timestamp`` (epoch seconds or datetime — resolved through
+        :meth:`version_at`). Time travel is just reading an older
+        manifest — no data was ever rewritten. Live deletion vectors
+        (``delete_where``) are applied as an anti-join on the recorded
+        key, scoped to the dirs each vector covers."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version or timestamp, not both")
+            version = self.version_at(timestamp)
+            if version is None:
+                raise FileNotFoundError(
+                    f"no commit at or before the requested timestamp "
+                    f"at {self.path}")
         if version is None:
             version = self.current_version()
         if version is None:
@@ -449,10 +542,11 @@ class ManifestTable:
         return out
 
     def history(self) -> list[dict]:
-        """One {version, action, n_dirs} row per commit, ascending."""
+        """One {version, action, n_dirs, ts} row per commit, ascending
+        (``ts`` is the claim time; None on legacy manifests)."""
         return [
             {"version": v, "action": (m := self.manifest(v))["action"],
-             "n_dirs": len(m["dirs"])}
+             "n_dirs": len(m["dirs"]), "ts": m.get("ts")}
             for v in self.versions()
         ]
 
@@ -513,6 +607,43 @@ class ManifestTable:
                 return None
         return None if lo is None else (lo, hi)
 
+    def approx_ndv(self, col: str, version: int | None = None) -> int | None:
+        """Approximate COUNT(DISTINCT col) at ``version`` from recorded
+        per-dir HLL sketches alone — no data-file reads. Sketches are
+        MERGEABLE (the point of HLL): the per-dir states recorded by
+        ``append(ndv_stats_cols=)`` / ``analyze(ndv_stats_cols=)`` union
+        into the table-wide estimate in one tiny Spark job over n_dirs
+        rows. None when any dir lacks a sketch for the column (caller
+        falls back to a scan). With live deletion vectors the estimate
+        covers PHYSICAL rows — an upper bound on the live NDV.
+
+        ~2% standard error (Spark's default lgConfigK=12 datasketches
+        HLL) — the planning-grade answer; at 100 TB the exact question
+        is a full shuffle, this is n_dirs × ~2 KB of manifest bytes."""
+        import base64
+
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return None
+        m = self.manifest(version)
+        meta = m.get("dir_meta", {})
+        sketches = []
+        for d in m["dirs"]:
+            b64 = meta.get(d, {}).get("ndv", {}).get(col)
+            if b64 is None:
+                return None
+            sketches.append(base64.b64decode(b64))
+        if not sketches:
+            return 0
+        df = self.spark.createDataFrame([(s,) for s in sketches],
+                                        "s binary")
+        est = df.agg(F.hll_sketch_estimate(
+            F.hll_union_agg("s")).alias("e")).first()["e"]
+        return int(est)
+
     def describe_detail(self, version: int | None = None) -> dict:
         """One metadata-only summary row (the Delta ``DESCRIBE DETAIL``
         analog): version, action, dir/file counts, exact row count when
@@ -543,7 +674,8 @@ class ManifestTable:
         }
 
     def analyze(self, stats_cols: list[str],
-                set_stats_cols: list[str] | None = None) -> int | None:
+                set_stats_cols: list[str] | None = None,
+                ndv_stats_cols: list[str] | None = None) -> int | None:
         """Backfill per-dir skipping stats for dirs that lack them — the
         ``ANALYZE TABLE`` analog for tables written before stats were
         recorded (or with columns nobody listed at write time).
@@ -579,7 +711,9 @@ class ManifestTable:
             return ("rows" not in dm
                     or any(c not in st for c in stats_cols)
                     or any(c not in dm.get("sets", {})
-                           for c in set_stats_cols or []))
+                           for c in set_stats_cols or [])
+                    or any(c not in dm.get("ndv", {})
+                           for c in ndv_stats_cols or []))
 
         need = [d for d in m["dirs"] if missing(d)]
         if not need:
@@ -594,6 +728,8 @@ class ManifestTable:
             for c in stats_cols:
                 aggs += [F.min(c).alias(f"__lo_{c}"),
                          F.max(c).alias(f"__hi_{c}")]
+            for c in ndv_stats_cols or []:
+                aggs += [F.hll_sketch_agg(c).alias(f"__hll_{c}")]
             parts.append(dir_df(d).agg(*aggs)
                          .select(F.lit(d).alias("__dir"), "*"))
         collected = functools.reduce(
@@ -609,6 +745,14 @@ class ManifestTable:
                     st[c] = [lo, hi]
             if st:
                 dm["stats"] = st
+            import base64 as _b64
+
+            ndv = dict(dm.get("ndv", {}))
+            for c in ndv_stats_cols or []:
+                if r[f"__hll_{c}"] is not None:
+                    ndv[c] = _b64.b64encode(r[f"__hll_{c}"]).decode()
+            if ndv:
+                dm["ndv"] = ndv
             dm["rows"] = int(r["__rows"])
             if "files" not in dm:
                 dm["files"] = [
@@ -705,6 +849,11 @@ class ManifestTable:
                 "version": parent + 1 if parent is not None else 1,
                 "parent": parent,
                 "action": action,
+                # claim time (epoch seconds) — the commit's public
+                # timestamp, enabling TIMESTAMP AS OF time travel. Claim
+                # order == version order, but wall clocks may jitter
+                # across writers; version_at() resolves monotonically
+                "ts": time.time(),
                 "dirs": dirs,
             }
             # record the dirs THIS commit introduced (the commit's delta at
@@ -788,6 +937,7 @@ class ManifestTable:
                pk_range_col: str | None = None,
                stats_cols: list[str] | None = None,
                set_stats_cols: list[str] | None = None,
+               ndv_stats_cols: list[str] | None = None,
                on_drift: str = "fail") -> int:
         """Commit ``df``'s rows as a new version on top of the current one.
         Returns the committed version. Safe under concurrent appends: data
@@ -804,7 +954,9 @@ class ManifestTable:
         distinct set or Bloom bitmap, see :meth:`_set_stat`) for
         string/integer columns whose min/max range is too loose to
         prune on — at the cost of 1-2 extra small jobs per listed
-        column."""
+        column. ``ndv_stats_cols`` records a mergeable HLL sketch per
+        column (rides in the same aggregate — no extra job), enabling
+        :meth:`approx_ndv`'s metadata-only distinct counts."""
         from pyspark.sql import functions as F
 
         from pyspark.storagelevel import StorageLevel
@@ -818,6 +970,8 @@ class ManifestTable:
         for c in stats_cols or []:
             agg_cols += [F.min(c).alias(f"__lo_{c}"),
                          F.max(c).alias(f"__hi_{c}")]
+        for c in ndv_stats_cols or []:
+            agg_cols += [F.hll_sketch_agg(c).alias(f"__hll_{c}")]
         # stats + write evaluate df twice: persist for the duration (same
         # rationale/guard as _write_range_dirs) so an expensive input
         # lineage (join+window) isn't recomputed per pass
@@ -838,6 +992,13 @@ class ManifestTable:
                          if _plain(r[f"__lo_{c}"]) is not None}
                 if stats:
                     meta["stats"] = stats
+                import base64 as _b64
+
+                ndv = {c: _b64.b64encode(r[f"__hll_{c}"]).decode()
+                       for c in ndv_stats_cols or []
+                       if r[f"__hll_{c}"] is not None}
+                if ndv:
+                    meta["ndv"] = ndv
             sets = {c: s for c in set_stats_cols or []
                     if (s := self._set_stat(df, c)) is not None}
             if sets:
@@ -1078,6 +1239,79 @@ class ManifestTable:
             "optimize", lambda parent: dirs, max_retries=1,
             extra={**(extra or {}), "dir_meta": meta},  # schema inherits
             expected_parent=base)
+
+    def compact_small(self, target_bytes: int = 128 << 20,
+                      min_group: int = 2) -> int | None:
+        """Bin-pack SMALL dirs into ~``target_bytes`` dirs, leaving
+        right-sized dirs untouched — the auto-compaction pattern. A
+        micro-batch producer lands one small dir per tick; a full
+        ``compact()`` pays an O(table) rewrite to fix that, this pays
+        O(small dirs) only: each greedy group (manifest order) is read
+        once and rewritten as one dir, every other dir is carried into
+        the child manifest verbatim. Min/max and equality stats FOLD
+        from the group's recorded stats (no recompute; Bloom bitmaps
+        OR together), so data skipping survives the pack. Folded dirs
+        drop any pk-range identity on purpose: a folded range could
+        overlap other dirs' ranges, and ``merge_audit(pruned=True)``'s
+        disjointness contract treats rangeless dirs conservatively
+        (one-time full rewrite) instead of mis-owning keys.
+
+        Returns the new version (action ``binpack`` — content-identical,
+        invisible to streams like a compaction), or None when fewer than
+        ``min_group`` small dirs exist. Refuses under live deletion
+        vectors: the partial rewrite reads dirs raw, and writing some
+        dirs DV-applied while the vector still covers others would break
+        the row-count arithmetic."""
+        base = self.current_version()
+        if base is None:
+            return None
+        m = self.manifest(base)
+        if m.get("dv_dirs"):
+            raise ValueError(
+                f"compact_small at {self.path}: live deletion vectors "
+                "present — materialize first (compact()/optimize())")
+        meta = m.get("dir_meta", {})
+        smalls = [(d, meta.get(d, {}).get("bytes", 0)) for d in m["dirs"]
+                  if meta.get(d, {}).get("bytes", 0) < target_bytes]
+        if len(smalls) < min_group:
+            return None
+        groups, cur, cur_b = [], [], 0
+        for d, b in smalls:
+            if cur and cur_b + b > target_bytes:
+                groups.append(cur)
+                cur, cur_b = [], 0
+            cur.append(d)
+            cur_b += b
+        if cur:
+            groups.append(cur)
+        groups = [g for g in groups if len(g) >= min_group]
+        if not groups:
+            return None
+        replaced: dict[str, str | None] = {}
+        new_meta: dict = {}
+        for g in groups:
+            df = (self.spark.read.option("mergeSchema", True)
+                  .parquet(*[os.path.join(self.path, d) for d in g]))
+            rel, fstats = self._write_data_dir(df)
+            folded = _fold_dir_meta([meta.get(d, {}) for d in g])
+            new_meta[rel] = {**folded, **fstats}
+            replaced[g[0]] = rel
+            for d in g[1:]:
+                replaced[d] = None
+
+        def dirs_fn(parent):
+            out = []
+            for d in m["dirs"]:
+                if d in replaced:
+                    if replaced[d] is not None:
+                        out.append(replaced[d])
+                else:
+                    out.append(d)
+            return out
+
+        return self._commit("binpack", dirs_fn, max_retries=1,
+                            extra={"dir_meta": new_meta},
+                            expected_parent=base)
 
     def maybe_compact(self, max_dirs: int = 16,
                       max_dvs: int | None = None,

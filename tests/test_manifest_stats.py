@@ -232,3 +232,138 @@ def test_optimize_refuses_non_numeric_cluster_col(spark, tmp_path):
     t.append(spark.createDataFrame([("a", 1)], "s string, n long"))
     with pytest.raises(ValueError, match="numeric"):
         t.optimize(["s"])
+
+
+# ----------------------------------------------- timestamp time travel
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    import datetime as dt
+    import time
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_chunk(spark, 0, 100))
+    t1 = time.time()
+    time.sleep(0.05)
+    t.append(_chunk(spark, 100, 200))
+    assert t.version_at(t1) == 1
+    assert t.version_at(time.time()) == 2
+    assert t.version_at(0) is None  # before the first commit
+    assert t.read(timestamp=t1).count() == 100
+    assert t.read(timestamp=dt.datetime.now()).count() == 200
+    with pytest.raises(FileNotFoundError):
+        t.read(timestamp=0)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, timestamp=t1)
+    # every history row carries its claim time, ascending
+    ts = [h["ts"] for h in t.history()]
+    assert all(a <= b for a, b in zip(ts, ts[1:]))
+
+
+def test_version_at_monotone_under_clock_jitter(spark, tmp_path):
+    """A lagging writer clock must not create an ambiguous window:
+    version_at clamps each commit's time by its predecessor's."""
+    import json
+    import os as _os
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_chunk(spark, 0, 10))
+    t.append(_chunk(spark, 10, 20))
+    t.append(_chunk(spark, 20, 30))
+    # simulate a writer whose clock ran 1h behind on version 2
+    p = _os.path.join(t.path, "_manifests", "m-000000000002.json")
+    m = json.load(open(p))
+    real_t2 = m["ts"]
+    m["ts"] = m["ts"] - 3600
+    json.dump(m, open(p, "w"))
+    # v2's effective time is clamped to v1's -> asking for a moment
+    # just after the REAL v1 claim resolves to v2, never back to v1
+    t1 = t.manifest(1)["ts"]
+    assert t.version_at(t1 + 1e-6) == 2
+    assert t.version_at(real_t2 + 10) == 3
+
+
+# -------------------------------------------------- mergeable NDV stats
+
+
+def test_approx_ndv_from_sketches(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    # overlapping value ranges across dirs: summing per-dir exact
+    # counts would double-count, the HLL union must not
+    t.append(spark.range(0, 5000).selectExpr("id % 1000 as g"),
+             ndv_stats_cols=["g"])
+    t.append(spark.range(0, 5000).selectExpr("(id % 500) + 750 as g"),
+             ndv_stats_cols=["g"])
+    est = t.approx_ndv("g")     # true: union of [0,1000) and [750,1250)
+    assert est is not None and abs(est - 1250) / 1250 < 0.05
+    # any dir without a sketch -> None (caller falls back to a scan)
+    t.append(spark.range(0, 10).selectExpr("id as g"))
+    assert t.approx_ndv("g") is None
+    # analyze backfills just the sketchless dir
+    t.analyze([], ndv_stats_cols=["g"])
+    assert t.approx_ndv("g") is not None
+    assert t.approx_ndv("nope") is None
+
+
+# ------------------------------------------------- small-dir bin-packing
+
+
+def test_compact_small_packs_only_small_dirs(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    for i in range(6):  # six tiny micro-batch dirs
+        t.append(_chunk(spark, i * 100, (i + 1) * 100),
+                 stats_cols=["k"], set_stats_cols=["src"])
+    t.append(_chunk(spark, 10000, 50000),
+             stats_cols=["k"], set_stats_cols=["src"])  # one big dir
+    m = t.manifest(t.current_version())
+    big = max(m["dir_meta"][d]["bytes"] for d in m["dirs"])
+    big_dir = next(d for d in m["dirs"]
+                   if m["dir_meta"][d]["bytes"] == big)
+
+    v = t.compact_small(target_bytes=big)
+    m2 = t.manifest(v)
+    assert m2["action"] == "binpack"
+    # the big dir is carried VERBATIM; the six smalls packed into one
+    assert big_dir in m2["dirs"] and len(m2["dirs"]) == 2
+    assert t.read().count() == 600 + 40000 == t.row_count()
+    # folded stats keep skipping alive without any recompute
+    packed = next(d for d in m2["dirs"] if d != big_dir)
+    dm = m2["dir_meta"][packed]
+    assert dm["stats"]["k"] == [0, 599]
+    assert "sets" in dm and "rows" in dm
+    assert t.read_pruned({"k": (0, 50)}).count() == 51
+    assert (t.read_pruned_eq("src", ["src1"]).count()
+            == t.read().filter("src = 'src1'").count())
+    # nothing left to pack at the same threshold
+    assert t.compact_small(target_bytes=big) is None
+    # pre-pack version still time travels
+    assert t.read(version=7).count() == 40600
+
+
+def test_compact_small_refuses_live_dvs_and_streams_skip_it(spark,
+                                                            tmp_path):
+    from cdc_audit_spark.sources.manifest_stream import (
+        read_manifest_stream,
+    )
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.append(_chunk(spark, i * 100, (i + 1) * 100))
+    t.delete_where("k = 5", key_col="k")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.compact_small(target_bytes=1 << 30)
+    t.compact()                      # materialize
+    v = t.compact_small(target_bytes=1 << 30)
+    assert v is None or t.manifest(v)["action"] == "binpack"
+    # a binpack commit re-emits nothing to a stream consumer
+    t2 = ManifestTable(spark, str(tmp_path / "t2"))
+    for i in range(3):
+        t2.append(_chunk(spark, i * 10, (i + 1) * 10))
+    t2.compact_small(target_bytes=1 << 30)
+    q = (read_manifest_stream(spark, t2.path)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "sink"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == 30
