@@ -465,14 +465,24 @@ class ManifestTable:
         v = top if top is not None else 0
         while v >= 1 and (ck_v is None or v > ck_v):
             try:
-                yield self.manifest(v)
+                m = self.manifest(v)
             except FileNotFoundError:
                 # vacuumed gap below the frontier: the listing knows
                 # exactly which versions survive — walk those instead
                 for lv in reversed(self.versions()):
                     if lv < v and (ck_v is None or lv > ck_v):
-                        yield self.manifest(lv)
+                        lm = self.manifest(lv)
+                        yield lm
+                        if lm["action"] == "restore":
+                            return
                 break
+            yield m
+            if m["action"] == "restore":
+                # a restore commit carries the restored version's FULL
+                # state (like a checkpoint): a key absent there was
+                # absent in that state — walking past it would resurrect
+                # a newer watermark/epoch the rollback discarded
+                return
             v -= 1
         if ck is not None:
             yield ck
@@ -831,11 +841,20 @@ class ManifestTable:
             # repair) must not orphan it, or a later vacuum of the older
             # manifests would reset the watermark/epoch and make the next
             # sync/replay DUPLICATE rows.
-            inherited = {k: pm[k] for k in _STATE_KEYS if pm and k in pm}
-            if action in _DV_CARRY_ACTIONS and pm:
-                # deletion vectors follow the data dirs they cover (see
-                # _DV_KEYS note); content-rewriting actions drop them
-                inherited.update({k: pm[k] for k in _DV_KEYS if k in pm})
+            if action == "restore":
+                # restore's extra IS the restored version's full state —
+                # inheriting the parent's would resurrect keys (a newer
+                # watermark, live DVs) the target version never carried
+                inherited = {}
+            else:
+                inherited = {k: pm[k] for k in _STATE_KEYS
+                             if pm and k in pm}
+                if action in _DV_CARRY_ACTIONS and pm:
+                    # deletion vectors follow the data dirs they cover
+                    # (see _DV_KEYS note); content-rewriting actions
+                    # drop them
+                    inherited.update(
+                        {k: pm[k] for k in _DV_KEYS if k in pm})
             # dirs_fn FIRST: it carries the guards that turn a racer into
             # a graceful outcome (sync_audit's watermark conflict, the
             # stream writer's already-applied-epoch skip) — a callable
@@ -2077,6 +2096,45 @@ class ManifestTable:
         return dirs, meta
 
     # ------------------------------------------------------- verify/repair
+
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` as a NEW commit — the
+        RESTORE pattern: pure metadata (the old dirs are re-referenced,
+        nothing is copied or rewritten), the bad history stays readable
+        for forensics, and time travel still reaches every version in
+        between. The restored commit reinstates the target version's
+        whole content state: dirs + their stats, deletion vectors, AND
+        the sync watermark / wipe record it carried — restoring data but
+        keeping a newer watermark would silently drop the re-synced
+        delta, so state and content travel together.
+
+        Requires the target's dirs (and DV files) to still exist —
+        vacuum may have reclaimed them; that raises here rather than
+        committing a manifest that points at nothing. Stream consumers
+        refuse a restore commit like a merge (content changed with no
+        emittable delta) unless they opted into skipMerges."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"no commits yet at {self.path}")
+        if version == cur:
+            return cur
+        tm = self.manifest(version)
+        missing = [d for d in tm["dirs"] + tm.get("dv_dirs", [])
+                   if not os.path.isdir(os.path.join(self.path, d))]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {self.path} to version {version}: "
+                f"{len(missing)} referenced dir(s) were vacuumed "
+                f"(e.g. {missing[0]}) — that version is gone")
+        # content + content-state keys travel verbatim from the target;
+        # commit-identity keys (version/parent/action/ts/added) are
+        # recomputed by _commit for the NEW commit
+        carry = {k: tm[k] for k in (*_STATE_KEYS, *_DV_KEYS) if k in tm}
+        if "dir_meta" in tm:
+            carry["dir_meta"] = tm["dir_meta"]
+        return self._commit(
+            "restore", lambda parent: list(tm["dirs"]), max_retries=1,
+            extra=carry, expected_parent=cur)
 
     def wipe_record(self, at_version: int | None = None) -> dict | None:
         """The newest commit's recorded wipe (``wipe_through`` +

@@ -181,6 +181,18 @@ class ManifestStreamReader(DataSourceStreamReader):
                         "feeding the merge instead, or pass .option("
                         "'skipMerges', 'true') to knowingly receive only "
                         "plain appends.")
+                if m["action"] == "restore" and not self.skip_merges:
+                    # a rollback rewrites content to an old version with
+                    # no expressible delta — neither emit nor skip is
+                    # correct for a feed consumer
+                    raise ValueError(
+                        f"version {v} at {self.path} is a RESTORE "
+                        "commit: the table rolled back and this stream's "
+                        "already-emitted rows cannot be retracted. "
+                        "Restart the consumer from a startingVersion at "
+                        "or after the restore, or pass .option("
+                        "'skipMerges', 'true') to knowingly receive "
+                        "only plain appends.")
                 if m["action"] == "delete" and not self.skip_merges:
                     # a deletion-vector commit changes content without
                     # touching dirs — invisible to an append stream, but

@@ -1576,3 +1576,77 @@ def test_dirs_pruned_any_multi_point(spark, tmp_path):
         assert set(got) == set(want), points
     # the statless append dir is kept for any point set
     assert any("c-" in d for d in t.dirs_pruned_any("c", [999]))
+
+
+def test_restore_rolls_back_content_and_state(spark, tmp_path):
+    """RESTORE: a metadata-only rollback commit. Content, deletion
+    vectors AND sync state travel back together — restoring data while
+    keeping a newer watermark would silently drop the re-synced delta."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 100).selectExpr(
+        "id as k", "cast(id as long) as audit_pk"))            # v1
+    t.sync_audit(spark.range(0, 50).selectExpr(
+        "id as k", "id + 1000 as audit_pk"))                   # v2
+    t.delete_where("k < 5 and audit_pk < 1000",
+                   key_col="audit_pk")                         # v3
+    wm3 = t.watermark()
+
+    v4 = t.restore(1)
+    m = t.manifest(v4)
+    assert m["action"] == "restore"
+    # dirs re-referenced verbatim — nothing copied
+    assert m["dirs"] == t.manifest(1)["dirs"]
+    assert t.read().count() == 100 == t.row_count()
+    # v1 carried no watermark and no DVs: both reset, not inherited
+    assert t.watermark() == 0
+    assert not m.get("dv_dirs")
+    # the rolled-back history is still fully time-travelable
+    assert t.read(version=3).count() == 145
+    # restore FORWARD to v3 brings content, DV and watermark back
+    t.restore(3)
+    assert t.read().count() == 145 == t.row_count()
+    assert t.watermark() == wm3
+    # and the sync protocol resumes exactly where v3 left off
+    r = t.sync_audit(spark.range(0, 60).selectExpr(
+        "id as k", "id + 1000 as audit_pk"))
+    assert r.rows_synced == 10
+    # restore to the current version is a no-op commit-wise
+    cur = t.current_version()
+    assert t.restore(cur) == cur
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 10))
+    t.overwrite(_rows(spark, 100, 110))
+    t.vacuum(keep_versions=1, retain_seconds=0, force=True)
+    with pytest.raises(FileNotFoundError):
+        t.restore(1)
+
+
+def test_stream_refuses_restore_commit(spark, tmp_path):
+    from cdc_audit_spark.sources.manifest_stream import (
+        read_manifest_stream,
+    )
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 0, 10))
+    t.append(_rows(spark, 10, 20))
+    t.restore(1)
+    q = (read_manifest_stream(spark, t.path)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "sink"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    with pytest.raises(Exception, match="RESTORE"):
+        q.processAllAvailable()
+        q.stop()
+        raise RuntimeError("stream should have refused the restore")
+    # explicit appends-only consumers skip it and see both appends
+    q2 = (spark.readStream.format("manifest_stream")
+          .option("path", t.path).option("skipMerges", "true").load()
+          .writeStream.format("parquet")
+          .option("path", str(tmp_path / "sink2"))
+          .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(str(tmp_path / "sink2")).count() == 20
