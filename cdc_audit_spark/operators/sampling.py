@@ -225,3 +225,144 @@ def pack_chunks(
     return df.withColumn(
         pack_col, F.floor((cum - size_col) / F.lit(budget)).cast("long")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed n-gram features)
+# --------------------------------------------------------------------------
+# Public method: "Data Selection for Language Models via Importance
+# Resampling" (Xie et al., NeurIPS 2023). Select raw-corpus documents
+# whose hashed n-gram distribution looks like a TARGET corpus: fit bucket
+# unigram+bigram count distributions for both, score each raw doc by the
+# summed log-likelihood ratio of its grams, keep the top-scoring docs.
+# Everything is Spark-built-ins: a map-side gram explode, two bounded
+# n_buckets aggregations, one broadcast join against the ratio table, one
+# per-doc re-aggregation, one TakeOrdered. The bucket hash reuses this
+# module's portable md5 idiom, so the integer feature layer is
+# oracle-checkable in DuckDB verbatim.
+
+#: Default hashed-feature space (the DSIR paper uses 10k buckets).
+DSIR_BUCKETS = 8192
+
+
+def ngram_hash_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """One row per (doc, gram-occurrence) with the gram's hash bucket —
+    the DSIR feature extractor. Grams are lowercased whitespace unigrams
+    plus adjacent bigrams; the bucket is the portable md5 hash
+    (:func:`hash_bucket`), so DuckDB reproduces it exactly. Map-side
+    only (explode of JVM expressions): at 100 TB this pipelines with the
+    scan and never shuffles."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # zip_with pads the shorter side with NULL, which concat_ws would
+    # silently turn into a duplicate last unigram — slice to the true
+    # n-1 bigrams so DuckDB's list_transform(range(...)) agrees exactly
+    zipped = F.zip_with(
+        toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    bigrams = F.slice(zipped, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    grams = F.concat(toks, F.when(F.size(toks) > 1, bigrams)
+                     .otherwise(F.array()))
+    return (df.select(F.col(id_col), F.explode(grams).alias("gram"))
+            .where(F.col("gram") != "")
+            .select(id_col,
+                    hash_bucket(F.col("gram"), n_buckets).alias("bucket")))
+
+
+def dsir_log_ratios(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = DSIR_BUCKETS,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-bucket log(p_target / p_corpus) with add-``smoothing``
+    Laplace counts — the DSIR importance model. Two aggregations, each
+    collapsing to at most ``n_buckets`` rows regardless of corpus size
+    (partial map-side combine does the heavy lifting); the full outer
+    join runs on those bounded tables. Returns (bucket, log_ratio)."""
+    def bucket_counts(df, alias):
+        return (ngram_hash_features(df, text_col, id_col, n_buckets)
+                .groupBy("bucket").agg(F.count("*").alias(alias)))
+
+    c = bucket_counts(corpus, "c_n")
+    t = bucket_counts(target, "t_n")
+    joined = (c.join(t, "bucket", "full_outer")
+              .select("bucket",
+                      F.coalesce("c_n", F.lit(0)).alias("c_n"),
+                      F.coalesce("t_n", F.lit(0)).alias("t_n")))
+    tot = joined.agg(F.sum("c_n").alias("C"), F.sum("t_n").alias("T")).first()
+    big_c = float(tot["C"]) + smoothing * n_buckets
+    big_t = float(tot["T"]) + smoothing * n_buckets
+    return joined.select(
+        "bucket",
+        (F.log((F.col("t_n") + F.lit(smoothing)) / F.lit(big_t))
+         - F.log((F.col("c_n") + F.lit(smoothing)) / F.lit(big_c))
+         ).alias("log_ratio"))
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = DSIR_BUCKETS,
+    smoothing: float = 1.0,
+    length_normalize: bool = True,
+) -> DataFrame:
+    """Per-document DSIR importance weight: the mean (or sum, with
+    ``length_normalize=False``) of its grams' log ratios. The ratio
+    table is at most ``n_buckets`` rows — broadcast — so the only
+    corpus-sized shuffle is the per-doc re-aggregation on ``id_col``.
+    Returns (id_col, n_grams, dsir_weight); docs with no grams are
+    dropped (no evidence either way)."""
+    ratios = dsir_log_ratios(corpus, target, text_col, id_col,
+                             n_buckets, smoothing)
+    feats = ngram_hash_features(corpus, text_col, id_col, n_buckets)
+    per_doc = (feats.join(F.broadcast(ratios), "bucket")
+               .groupBy(id_col)
+               .agg(F.count("*").alias("n_grams"),
+                    F.sum("log_ratio").alias("__sum")))
+    w = (F.col("__sum") / F.col("n_grams") if length_normalize
+         else F.col("__sum"))
+    return per_doc.select(id_col, "n_grams",
+                          w.alias("dsir_weight"))
+
+
+def dsir_sample(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    n_buckets: int = DSIR_BUCKETS,
+    smoothing: float = 1.0,
+    gumbel_seed: int | None = None,
+) -> DataFrame:
+    """Select the ``n`` corpus docs most target-like under the DSIR
+    weight. Deterministic: ties (and the whole ordering) break on the
+    doc id, and with ``gumbel_seed`` set the selection becomes the
+    paper's Gumbel-top-k resample — still reproducible, because the
+    noise is a pure hash of (seed, id), not an RNG. The global top-n is
+    a TakeOrdered (no full sort materialization). Returns the selected
+    docs with their weights."""
+    w = dsir_weights(corpus, target, text_col, id_col, n_buckets,
+                     smoothing)
+    score = F.col("dsir_weight")
+    if gumbel_seed is not None:
+        # inverse-CDF Gumbel from a uniform derived of the portable
+        # hash: u in (0,1), g = -log(-log(u)) — deterministic per id
+        u = ((hash_bucket(F.concat_ws("\x1f", F.lit(str(gumbel_seed)),
+                                      F.col(id_col).cast("string")))
+              + F.lit(0.5)) / F.lit(float(HASH_SPACE)))
+        score = score + (-F.log(-F.log(u)))
+    ranked = w.withColumn("__score", score)
+    out = (ranked.orderBy(F.col("__score").desc(), F.col(id_col))
+           .limit(n))
+    return corpus.join(
+        F.broadcast(out.select(id_col, "dsir_weight")), id_col)

@@ -3901,6 +3901,65 @@ def sample_stratified_lang(spark, sf_dir):
     return stratified_sample(docs, "lang", "doc_id", 40).select("doc_id", "lang")
 
 
+@register(
+    "dsir_bucket_counts",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents WHERE lang = 'de'),
+    grams AS (
+      SELECT doc_id, unnest(t) AS gram FROM tok
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM tok WHERE len(t) > 1)
+    SELECT ('0x' || substr(md5(gram), 1, 6))::INT % 8192 AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+      FROM grams WHERE gram <> ''
+     GROUP BY 1
+    """,
+    "DSIR feature layer (operators.sampling.ngram_hash_features): hashed "
+    "unigram+bigram bucket counts of the target slice — the integer "
+    "sufficient statistics the importance model is fit from, "
+    "hash-checked against DuckDB gram-for-gram (the md5 bucket idiom is "
+    "engine-portable by construction). Map-side explode + one bounded "
+    "8192-row aggregation; at 100 TB the partial combine collapses the "
+    "gram stream before it ever shuffles",
+)
+def dsir_bucket_counts(spark, sf_dir):
+    from cdc_audit_spark.operators.sampling import ngram_hash_features
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (ngram_hash_features(docs.filter(F.col("lang") == "de"),
+                                "text", "doc_id")
+            .groupBy("bucket").agg(F.count("*").alias("n")))
+
+
+@register(
+    "dsir_importance_sample",
+    None,  # float log-ratio sums are not stringify-stable across engines;
+    # the integer feature layer is hash-checked by dsir_bucket_counts and
+    # the weights are verified against an independent pure-Python
+    # reference in tests/test_sampling.py
+    "DSIR importance resampling (Xie et al. 2023, "
+    "operators.sampling.dsir_sample): score every corpus doc by the "
+    "summed log-likelihood ratio of its hashed grams under "
+    "target-vs-corpus bucket distributions, keep the top-n. The ratio "
+    "table is <= 8192 rows (broadcast); the only corpus-sized shuffle "
+    "is the per-doc weight aggregation; the top-n is a TakeOrdered. "
+    "Deterministic: hash features + id tie-breaks, no RNG",
+)
+def dsir_importance_sample(spark, sf_dir):
+    from cdc_audit_spark.operators.sampling import dsir_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    target = docs.filter(F.col("lang") == "de")
+    out = dsir_sample(docs, target, "text", "doc_id", 100)
+    return out.select("doc_id", "lang", "source",
+                      F.round("dsir_weight", 6).alias("dsir_weight"))
+
+
 _MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 

@@ -142,3 +142,90 @@ def test_hash_bucket_matches_duckdb(spark, docs):
         ).fetchone()[0]
         assert got[i] == want, i
     assert max(got.values()) < HASH_SPACE
+
+
+# ----------------------------------------------------- DSIR resampling
+
+
+def _py_grams(text: str) -> list[str]:
+    toks = [t for t in text.strip().lower().split() if t]
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _py_bucket(gram: str, n: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(gram.encode()).hexdigest()[:6], 16) % n
+
+
+def test_dsir_weights_match_pure_python_reference(spark, docs):
+    """The operator's whole pipeline (tokenize → hash-bucket → fit two
+    smoothed distributions → per-doc mean log ratio) must equal an
+    independent pure-Python reimplementation to float precision."""
+    import math
+
+    from cdc_audit_spark.operators.sampling import dsir_weights
+
+    B, S = 512, 1.0
+    corpus = docs.limit(60).cache()
+    rows = corpus.select("doc_id", "text", "lang").collect()
+    target_rows = [r for r in rows if r["lang"] == "de"]
+
+    def counts(rws):
+        c: dict[int, int] = {}
+        for r in rws:
+            for g in _py_grams(r["text"]):
+                b = _py_bucket(g, B)
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    cc, tc = counts(rows), counts(target_rows)
+    big_c = sum(cc.values()) + S * B
+    big_t = sum(tc.values()) + S * B
+    want = {}
+    for r in rows:
+        grams = _py_grams(r["text"])
+        if not grams:
+            continue
+        s = sum(math.log((tc.get(_py_bucket(g, B), 0) + S) / big_t)
+                - math.log((cc.get(_py_bucket(g, B), 0) + S) / big_c)
+                for g in grams)
+        want[r["doc_id"]] = s / len(grams)
+
+    got = {r["doc_id"]: r["dsir_weight"]
+           for r in dsir_weights(
+               corpus, corpus.filter(F.col("lang") == "de"),
+               "text", "doc_id", n_buckets=B, smoothing=S).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_dsir_sample_prefers_target_distribution(spark, docs):
+    """Selecting with a German target must enrich German docs far above
+    their base rate — the operator's reason to exist."""
+    from cdc_audit_spark.operators.sampling import dsir_sample
+
+    target = docs.filter(F.col("lang") == "de")
+    n = 50
+    sel = dsir_sample(docs, target, "text", "doc_id", n).cache()
+    assert sel.count() == n
+    de = sel.filter(F.col("lang") == "de").count()
+    base = docs.filter(F.col("lang") == "de").count() / docs.count()
+    assert de / n > min(2.5 * base, 0.5)
+    # deterministic: a second run selects the identical set
+    again = dsir_sample(docs, target, "text", "doc_id", n)
+    assert sel.select("doc_id").exceptAll(
+        again.select("doc_id")).count() == 0
+
+
+def test_dsir_gumbel_variant_deterministic_and_distinct(spark, docs):
+    from cdc_audit_spark.operators.sampling import dsir_sample
+
+    target = docs.filter(F.col("lang") == "de")
+    a = dsir_sample(docs, target, "text", "doc_id", 30, gumbel_seed=7)
+    b = dsir_sample(docs, target, "text", "doc_id", 30, gumbel_seed=7)
+    c = dsir_sample(docs, target, "text", "doc_id", 30, gumbel_seed=8)
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}
+    assert ids(a) == ids(b)          # same seed -> same resample
+    assert ids(a) != ids(c)          # different seed -> different draw
