@@ -1181,9 +1181,11 @@ class ManifestTable:
         the merge key re-tightens a fragmented replica without costing
         the next merge a full rewrite.
 
-        One quantile pass + one write job + one per-dir stats aggregate;
-        pinned to the version it read (concurrent writer →
-        :class:`CommitConflict`)."""
+        One quantile pass + one write job + one per-dir stats aggregate.
+        Concurrency: a chain of plain APPENDS landing during the rewrite
+        is rebased over (their added dirs ride along un-clustered — the
+        next optimize folds them in); any other interleaved commit
+        raises :class:`CommitConflict`."""
         from pyspark.sql import functions as F
         from pyspark.storagelevel import StorageLevel
 
@@ -1254,10 +1256,31 @@ class ManifestTable:
                 dm.update(pk_min=int(lo), pk_max=int(hi),
                           pk_col=cluster_by[0])
             meta[d] = dm
+        def dirs_fn(parent):
+            # Content-preserving rewrites need not lose the race to
+            # plain appends: a commit chain of pure appends past ``base``
+            # only ADDED dirs, so the optimized dirs plus those deltas
+            # is still the exact current content (appends carry no DVs
+            # of their own, and any vector live at ``base`` covered only
+            # the dirs this rewrite replaced). Anything else interleaved
+            # (delete/merge/overwrite/another optimize) changed rows
+            # this rewrite doesn't reflect — surface CommitConflict.
+            added: list[str] = []
+            v = parent["version"] if parent else None
+            while v is not None and v != base:
+                m_i = self.manifest(v)
+                if m_i["action"] not in ("append", "analyze"):
+                    raise CommitConflict(
+                        f"optimize at {self.path}: a non-append commit "
+                        f"(version {v}, {m_i['action']}) landed after "
+                        f"the rewrite's base {base}; re-run optimize")
+                added = m_i.get("added", []) + added
+                v = m_i.get("parent")
+            return dirs + added
+
         return self._commit(
-            "optimize", lambda parent: dirs, max_retries=1,
-            extra={**(extra or {}), "dir_meta": meta},  # schema inherits
-            expected_parent=base)
+            "optimize", dirs_fn, max_retries=5,
+            extra={**(extra or {}), "dir_meta": meta})  # schema inherits
 
     def compact_small(self, target_bytes: int = 128 << 20,
                       min_group: int = 2) -> int | None:

@@ -367,3 +367,57 @@ def test_compact_small_refuses_live_dvs_and_streams_skip_it(spark,
     q.processAllAvailable()
     q.stop()
     assert spark.read.parquet(str(tmp_path / "sink")).count() == 30
+
+
+def test_optimize_rebases_over_concurrent_appends(spark, tmp_path):
+    """A content-preserving rewrite must not lose the race to plain
+    appends: the optimized dirs plus the appended deltas are still the
+    exact current content. Anything else interleaved conflicts."""
+    from cdc_audit_spark.sinks.manifest import CommitConflict
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 1000).selectExpr("id as k"))
+    base = t.current_version()
+    t2 = ManifestTable(spark, str(tmp_path / "t"))
+
+    def race_with(fn):
+        # make optimize's FIRST current_version() call (its base
+        # capture) see the pre-racer version; every later call —
+        # _commit's claim loop — sees the truth. fn() is the racer
+        # committing "between" capture and claim.
+        real = ManifestTable.current_version
+        state = {"first": True}
+
+        def fake(self):
+            if state["first"]:
+                state["first"] = False
+                out = real(self)
+                fn()
+                return out
+            return real(self)
+
+        return real, fake
+
+    real, fake = race_with(
+        lambda: t2.append(spark.range(1000, 1100).selectExpr("id as k")))
+    try:
+        ManifestTable.current_version = fake  # type: ignore[assignment]
+        v = t.optimize(["k"], n_dirs=4)
+    finally:
+        ManifestTable.current_version = real  # type: ignore[assignment]
+    m = t.manifest(v)
+    assert m["action"] == "optimize"
+    # all 1100 rows present: 1000 clustered + 100 rebased-in
+    assert t.read().count() == 1100 == t.row_count()
+    racer_added = t.manifest(base + 1)["added"]
+    assert all(d in m["dirs"] for d in racer_added)
+
+    # a DELETE interleaved instead -> refuse (content changed)
+    real, fake = race_with(
+        lambda: t2.delete_where("k = 5", key_col="k"))
+    try:
+        ManifestTable.current_version = fake  # type: ignore[assignment]
+        with pytest.raises(CommitConflict, match="non-append"):
+            t.optimize(["k"], n_dirs=4)
+    finally:
+        ManifestTable.current_version = real  # type: ignore[assignment]
