@@ -421,3 +421,79 @@ def test_optimize_rebases_over_concurrent_appends(spark, tmp_path):
             t.optimize(["k"], n_dirs=4)
     finally:
         ManifestTable.current_version = real  # type: ignore[assignment]
+
+
+def test_random_walk_with_dv_binpack_optimize_restore(spark, tmp_path):
+    """Model-based fuzz of the round's new surface: a seeded walk of
+    append / delete_where / compact_small / optimize / analyze /
+    restore / vacuum must keep (a) visible content equal to a trivial
+    key-set model, (b) the METADATA row_count equal to the model size
+    at every step (the DV arithmetic's real invariant), and (c) every
+    surviving historical version byte-stable."""
+    import random
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    rng = random.Random(1234)
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    model: set[int] = set()
+    snapshots: dict[int, set[int]] = {}
+    next_k = 0
+
+    def df_of(lo, hi):
+        return spark.range(lo, hi).selectExpr("id as k", "id % 5 as g")
+
+    def keys_of(df):
+        return {r["k"] for r in df.select("k").collect()}
+
+    for step in range(16):
+        op = rng.choice(["append", "append", "delete", "binpack",
+                         "optimize", "analyze", "restore", "vacuum"])
+        if op == "append":
+            n = rng.randint(1, 30)
+            t.append(df_of(next_k, next_k + n), stats_cols=["k"])
+            model |= set(range(next_k, next_k + n))
+            next_k += n
+        elif op == "delete":
+            if not model:
+                continue
+            r = rng.randint(0, 6)
+            v = t.delete_where(f"k % 7 = {r}", key_col="k")
+            doomed = {k for k in model if k % 7 == r}
+            assert (v is None) == (not doomed), f"step {step}"
+            model -= doomed
+        elif op == "binpack":
+            try:
+                t.compact_small(target_bytes=1 << 30)
+            except ValueError as e:      # live DVs: refusal is the spec
+                assert "deletion vectors" in str(e)
+        elif op == "optimize":
+            if t.current_version() is None or not model:
+                continue
+            t.optimize(["k"], n_dirs=rng.randint(2, 4))
+        elif op == "analyze":
+            if t.current_version() is None:
+                continue
+            t.analyze(["k"])
+        elif op == "restore":
+            cands = [v for v in t.versions() if v in snapshots]
+            if not cands:
+                continue
+            target = rng.choice(cands)
+            t.restore(target)
+            model = set(snapshots[target])
+        else:  # vacuum (young-dir retain guard keeps all data live)
+            if not t.versions():
+                continue
+            t.vacuum(keep_versions=rng.randint(2, 4))
+            snapshots = {v: s for v, s in snapshots.items()
+                         if v in t.versions()}
+        cur = t.current_version()
+        if cur is not None:
+            snapshots[cur] = set(model)
+            assert keys_of(t.read()) == model, f"step {step} ({op})"
+            assert t.row_count() == len(model), f"step {step} ({op})"
+
+    for ver, expected in snapshots.items():
+        if ver in t.versions():
+            assert keys_of(t.read(version=ver)) == expected, ver
