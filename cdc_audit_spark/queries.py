@@ -728,6 +728,42 @@ def cdc_binpack_read(spark, sf_dir):
 
 
 @register(
+    "cdc_table_changes",
+    f"WITH {_AUDIT_CTE} SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+    "c_mktsegment, audit_event, audit_timestamp, audit_pk FROM audit",
+    "BATCH change-feed read (ManifestTable.read_change_feed — the "
+    "table_changes(from, to) analog): the recorded deltas of two "
+    "incremental pruned merges, read back as one batch DataFrame over "
+    "the version window, must equal the full audit log — the backfill/"
+    "ad-hoc form of the streaming changeFeed source, reading only "
+    "manifests + feed dirs (cost scales with the window, not the "
+    "table)",
+)
+def cdc_table_changes(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    v0, _ = customer_snapshots(spark, sf_dir)
+    audit = customer_audit_log(spark, sf_dir).localCheckpoint(eager=True)
+    k = audit.agg(F.expr("max(audit_pk) div 2")).first()[0]
+    root = tempfile.mkdtemp(prefix="cdc_tc_")
+    try:
+        t = ManifestTable(spark, root + "/t")
+        t.merge_audit(audit.filter(F.col("audit_pk") <= k), ["c_custkey"],
+                      bootstrap=v0, pruned=True, range_buckets=8,
+                      change_feed=True)
+        t.merge_audit(audit, ["c_custkey"], pruned=True, change_feed=True)
+        out = t.read_change_feed().select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment", "audit_event", "audit_timestamp", "audit_pk")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "cdc_replica_change_feed",
     f"WITH {_AUDIT_CTE} SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
     "c_mktsegment, audit_event, audit_timestamp, audit_pk FROM audit",

@@ -1645,6 +1645,79 @@ class ManifestTable:
         df = self._read_dirs_dv(self.manifest(version), dirs)
         return df.filter(F.col(col).isin(*points))
 
+    def read_change_feed(self, from_version: int = 1,
+                         to_version: int | None = None) -> DataFrame:
+        """BATCH read of the change feed between two committed versions
+        (inclusive) — the ``table_changes(from, to)`` analog of the
+        streaming ``changeFeed`` source, for backfills and ad-hoc audits
+        of what changed. Per commit: a recorded feed (``cdc_dirs`` from
+        ``merge_audit(change_feed=True)`` / ``delete_where(
+        change_feed=True)``) yields its applied delta verbatim; a plain
+        append yields its added dirs tagged ``insert`` (the Delta-CDF
+        convention); compaction-class rewrites (compact / optimize /
+        binpack / analyze / repair) yield nothing; a merge / delete /
+        restore WITHOUT a recorded feed raises — same refusal contract
+        as the stream, because silently skipping hidden changes would
+        corrupt the consumer. Every row carries ``_commit_version``.
+        Reads only manifests plus the touched dirs — cost scales with
+        the asked-for version window, not table size."""
+        from pyspark.sql import functions as F
+
+        if to_version is None:
+            to_version = self.current_version()
+        if to_version is None:
+            raise FileNotFoundError(f"no commits yet at {self.path}")
+        # audit column names: the newest recorded templating, else the
+        # engine defaults (same resolution as the stream source)
+        from cdc_audit_spark.schema import AUDIT_EVENT
+
+        event_col = AUDIT_EVENT
+        for m in self._state_manifests(to_version):
+            if "cdc_audit_cols" in m:
+                event_col = m["cdc_audit_cols"].get("event", AUDIT_EVENT)
+                break
+        parts = []
+        for v in range(from_version, to_version + 1):
+            m = self.manifest(v)
+            if "cdc_dirs" in m:
+                df = (self.spark.read.option("mergeSchema", True)
+                      .parquet(*[os.path.join(self.path, d)
+                                 for d in m["cdc_dirs"]]))
+            elif m["action"] == "append":
+                added = m.get("added", m["dirs"]
+                              if m.get("parent") is None else None)
+                if added is None:
+                    parent_dirs = set(
+                        self.manifest(m["parent"])["dirs"])
+                    added = [d for d in m["dirs"]
+                             if d not in parent_dirs]
+                if not added:
+                    continue
+                df = (self.spark.read.option("mergeSchema", True)
+                      .parquet(*[os.path.join(self.path, d)
+                                 for d in added]))
+                if event_col not in df.columns:
+                    df = df.withColumn(event_col, F.lit("insert"))
+            elif m["action"] in ("merge", "delete", "restore"):
+                raise ValueError(
+                    f"version {v} at {self.path} is a {m['action']} "
+                    "commit with no recorded change feed: its changes "
+                    "are not expressible as a delta. Write it with "
+                    "change_feed=True (merge_audit/delete_where), or "
+                    "narrow the version window past it.")
+            else:  # overwrite/compact/optimize/binpack/analyze: no rows
+                continue
+            parts.append(df.withColumn("_commit_version", F.lit(v)))
+        if not parts:
+            return (self.read(to_version).limit(0)
+                    .withColumn(event_col, F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(0))
+                    .filter(F.lit(False)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     # ------------------------------------------------- deletion vectors
 
     def delete_where(self, condition, key_col: str,

@@ -10,6 +10,8 @@ exactly-once offsets and no re-reads of seen data.
 import datetime as dt
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cdc_audit_spark.sinks.manifest import ManifestTable
@@ -586,3 +588,41 @@ def test_change_feed_fallback_widens_all_audit_cols(spark, tmp_path):
     rows = [(r["k"], r["v"], r["audit_event"], r["audit_timestamp"],
              r["audit_pk"]) for r in feed.collect()]
     assert rows == [(1, 10, "insert", None, None)]
+
+
+def test_batch_change_feed_equals_streamed_feed(spark, tmp_path):
+    """read_change_feed (the table_changes analog) must return exactly
+    the rows the streaming changeFeed source emits for the same version
+    window — merges' recorded deltas, deletes' recorded rows, appends
+    tagged as inserts — each stamped with its commit version."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    boot = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    empty = spark.createDataFrame(
+        [], "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(empty, ["k"], bootstrap=boot, pruned=True,
+                  range_buckets=4, change_feed=True)            # v1
+    log1 = spark.createDataFrame(
+        [(5, 500, "update", 1), (7, 0, "delete", 2)],
+        "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(log1, ["k"], pruned=True, change_feed=True)   # v2
+    t.append(spark.createDataFrame([(200, 200)], "k long, v long"))  # v3
+    t.delete_where("k = 11", key_col="k", change_feed=True)     # v4
+
+    batch = t.read_change_feed()
+    rows = {(r["k"], r["v"], r["audit_event"], r["_commit_version"])
+            for r in batch.collect()}
+    assert rows == {
+        (5, 500, "update", 2), (7, 0, "delete", 2),   # merge delta
+        (200, 200, "insert", 3),                      # append, tagged
+        (11, 11, "delete", 4),                        # DV feed row
+    }
+    # bootstrap excluded (public CDF contract); window narrowing works
+    assert t.read_change_feed(from_version=3).count() == 2
+    assert t.read_change_feed(to_version=2).count() == 2
+
+    # an unfed delete poisons only windows that include it
+    t.delete_where("k = 12", key_col="k")                       # v5
+    with pytest.raises(ValueError, match="delete"):
+        t.read_change_feed()
+    assert t.read_change_feed(to_version=4).count() == 4
