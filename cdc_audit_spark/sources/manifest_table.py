@@ -177,16 +177,29 @@ class ManifestTableReader(DataSourceReader):
                         if "version" in options else None)
         self.spark_schema = schema
         self._bounds: dict[str, list] = {}
+        self._in_sets: dict[str, list] = {}
 
     def pushFilters(self, filters):
         """Collect range/equality bounds per top-level column for dir
-        pruning; every filter is returned (Spark re-applies them), so the
-        stats-based skip is pure optimization."""
+        pruning — and IN-lists, which prune through the per-dir equality
+        stats (distinct sets / Bloom bitmaps) min/max ranges can't
+        express; every filter is returned (Spark re-applies them), so
+        the stats-based skip is pure optimization."""
+        from pyspark.sql.datasource import In
+
         for f in filters:
             attr = getattr(f, "attribute", None)
             if not attr or len(attr) != 1:
                 continue
             col, v = attr[0], getattr(f, "value", None)
+            if isinstance(f, In):
+                pts = [p for p in (v or ())
+                       if p is not None and not isinstance(p, bool)
+                       and isinstance(p, (int, float, str))]
+                if pts and len(pts) == len(v):
+                    # an unsupported element would make the skip unsound
+                    self._in_sets[col] = pts
+                continue
             if v is None or isinstance(v, bool) or not isinstance(
                     v, (int, float, str)):
                 continue
@@ -225,6 +238,9 @@ class ManifestTableReader(DataSourceReader):
                 "via ManifestTable.read(), or materialize them first "
                 "(compact()/optimize())")
         dirs = t.dirs_pruned(filters, version=version) if filters else m["dirs"]
+        for col, pts in self._in_sets.items():
+            keep = set(t.dirs_pruned_any(col, pts, version=version))
+            dirs = [d for d in dirs if d in keep]
         dir_meta = m.get("dir_meta", {})
         parts = []
         for d in dirs:

@@ -722,3 +722,46 @@ def test_maybe_compact_shrinks_reader_partitions(spark, tmp_path):
     got = spark.read.format("manifest_table").option("path", p).load()
     assert got.count() == 100
     assert sorted(r["k"] for r in got.collect()) == list(range(100))
+
+
+def test_in_filter_prunes_dirs_via_equality_stats(spark, tmp_path):
+    """An IN-list pushed into the format reader prunes whole commit
+    dirs through the recorded distinct-set/Bloom stats — the skip
+    min/max ranges cannot express (every dir spans the same id range)."""
+    from pyspark.sql.datasource import In
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    for tag in ("alpha", "beta", "gamma"):
+        t.append(spark.range(0, 200).select(
+            F.col("id").alias("k"), F.lit(tag).alias("src")),
+            set_stats_cols=["src"])
+
+    rd_all = ManifestTableReader({"path": t.path}, t.schema())
+    rd_in = ManifestTableReader({"path": t.path}, t.schema())
+    rd_in.pushFilters([In(("src",), ("beta",))])
+    n_all, n_in = len(rd_all.partitions()), len(rd_in.partitions())
+    assert n_in < n_all  # 1 of 3 dirs survives
+    rd_two = ManifestTableReader({"path": t.path}, t.schema())
+    rd_two.pushFilters([In(("src",), ("beta", "gamma"))])
+    assert n_in < len(rd_two.partitions()) < n_all
+    # a NULL element makes the skip unsound -> no pruning, still correct
+    rd_null = ManifestTableReader({"path": t.path}, t.schema())
+    rd_null.pushFilters([In(("src",), ("beta", None))])
+    assert len(rd_null.partitions()) == n_all
+    # end-to-end through SQL: result identity with pruning active
+    register_manifest_table(spark)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (spark.read.format("manifest_table")
+              .option("path", t.path).load())
+        assert df.filter(F.col("src").isin("beta")).count() == 200
+        assert df.filter(F.col("src").isin("nope")).count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.python.filterPushdown.enabled", prev)
