@@ -198,3 +198,76 @@ def compression_ratio(
     if narrow.rdd.getNumPartitions() < par:
         narrow = narrow.repartition(par)
     return narrow.mapInPandas(gen, schema="id long, n_bytes long, zlib_ratio double")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS local fingerprinting algorithm): hash every token k-gram,
+    slide a window of ``w`` consecutive hashes, keep each window's
+    minimum. Guarantees: any shared token run of length >= k + w - 1
+    yields at least one shared fingerprint (detection), and no run
+    shorter than k can (noise floor) — the local-similarity complement
+    to MinHash's whole-document estimate.
+
+    Pure Catalyst expressions (transform/slice/array_min — no UDF, no
+    shuffle before the per-doc distinct-explode), so at 100 TB the
+    fingerprint stream pipelines with the scan exactly like
+    decontam's n-gram stage. The hash is the portable md5-prefix
+    integer, so DuckDB reproduces fingerprints bit-for-bit.
+
+    Returns (id, fp) — one row per distinct fingerprint per doc. Docs
+    with fewer than k tokens yield none; docs with fewer than w hashes
+    yield their global minimum (the standard boundary rule).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: F.length(t) > 0)
+    n_h = F.size(toks) - k + 1   # number of k-grams
+
+    def gram_hash(i):
+        g = F.array_join(F.slice(toks, i + 1, k), " ")
+        return F.conv(F.substring(F.md5(g), 1, 6), 16, 10).cast("int")
+
+    hashes = F.transform(F.sequence(F.lit(0), n_h - 1), gram_hash)
+    fps = (
+        F.when(n_h >= w, F.transform(
+            F.sequence(F.lit(0), n_h - w),
+            lambda j: F.array_min(F.slice(hashes, j + 1, w))))
+        .when(n_h >= 1, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<int>")))
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col))
+    if not df.isStreaming:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if narrow.rdd.getNumPartitions() < par:
+            narrow = narrow.repartition(par)
+    return narrow.select(
+        "id", F.explode(F.array_distinct(fps)).alias("fp"))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints —
+    local plagiarism/copy detection. One self-equi-join on the 4-byte
+    fingerprint (never all-pairs: candidate generation is bucketed by
+    fp, like LSH's band join), then a count filter. Returns
+    (id_a, id_b, shared_fps) with id_a < id_b."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("shared_fps"))
+            .filter(F.col("shared_fps") >= min_shared))

@@ -1538,6 +1538,44 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "text_winnow_fingerprints",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> len(t) > 0) AS t
+        FROM documents WHERE doc_id < 64),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 5 + 2),
+               i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),
+                                    1, 6))::INT) AS hs
+        FROM tok WHERE len(t) >= 5)
+    SELECT doc_id AS id, unnest(list_distinct(
+             CASE WHEN len(hs) >= 4
+                  THEN list_transform(range(1, len(hs) - 4 + 2),
+                                      j -> list_min(hs[j:j+3]))
+                  ELSE [list_min(hs)] END)) AS fp
+      FROM h
+    """,
+    "WINNOWING (Schleimer et al. 2003, operators.text."
+    "winnow_fingerprints): k-gram rolling hashes, per-window minima — "
+    "the MOSS local fingerprint with its detection guarantee (any "
+    "shared run >= k+w-1 tokens shares a fingerprint). Pure Catalyst "
+    "transform/slice/array_min — no UDF, no shuffle before the "
+    "distinct-explode; hash-checked against DuckDB fingerprint-for-"
+    "fingerprint via the portable md5 idiom (bounded id range like the "
+    "jaccard oracle)",
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    from cdc_audit_spark.operators.text import winnow_fingerprints
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return winnow_fingerprints(
+        docs.filter(F.col("doc_id") < 64), "text", "doc_id")
+
+
+@register(
     "lang_distribution",
     """
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

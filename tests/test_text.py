@@ -81,3 +81,50 @@ def test_compression_ratio_orders_repetition_below_prose(spark):
     again = {r["id"]: r["zlib_ratio"]
              for r in compression_ratio(df, "text", "doc_id").collect()}
     assert all(abs(out[i]["zlib_ratio"] - again[i]) < 1e-12 for i in out)
+
+
+# --------------------------------------------------------- winnowing
+
+
+def test_winnow_detection_guarantee_and_noise_floor(spark):
+    """Schleimer's two winnowing guarantees, on planted data: a shared
+    token run of >= k + w - 1 tokens MUST yield a shared fingerprint;
+    disjoint vocabularies share nothing."""
+    from cdc_audit_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    k, w = 5, 4
+    run = " ".join(f"tok{i}" for i in range(k + w - 1))  # 8 tokens
+    rows = [
+        (1, f"alpha beta {run} gamma delta"),
+        (2, f"zeta eta {run} theta iota"),       # shares the run with 1
+        (3, "completely different words here entirely novel text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_overlap_pairs(docs, "text", "doc_id", k=k, w=w,
+                                 min_shared=1).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+    # short docs: < k tokens -> no fingerprints; >= k but < k+w-1
+    # hashes -> exactly the global-min boundary rule
+    tiny = spark.createDataFrame(
+        [(10, "a b c"), (11, "one two three four five six")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(tiny, "text", "doc_id", k=k, w=w)
+    per = {r["id"]: r["fp"] for r in fps.collect()}
+    assert 10 not in per          # 3 tokens < k
+    assert 11 in per              # 6 tokens -> 2 hashes -> 1 global min
+
+
+def test_winnow_fingerprints_deterministic(spark, sf_dir):
+    from cdc_audit_spark.operators.text import winnow_fingerprints
+
+    sub = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .filter("doc_id < 32"))
+    a = winnow_fingerprints(sub, "text", "doc_id")
+    b = winnow_fingerprints(sub, "text", "doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
