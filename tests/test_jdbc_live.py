@@ -127,3 +127,69 @@ def test_jdbc_poll_sync_manifest_e2e(spark, derby_url, tmp_path):
     # a second loop run against the same table drains nothing new
     again = poll_sync_manifest(spark, read_fn, tbl, max_polls=2)
     assert [r.rows_synced for r in again] == [0]
+
+
+def test_jdbc_lakehouse_lifecycle_purge_and_feed(spark, derby_url,
+                                                 tmp_path):
+    """The whole lakehouse story against a LIVE database: Derby drains
+    into an audit manifest table (exactly-once polls), a merge-
+    maintained replica consumes it with a recorded change feed, a
+    GDPR-style delete_where purge lands as a deletion vector WITH its
+    feed, and a downstream replica built purely from the batch change
+    feed converges to the upstream state — deletes included."""
+    from cdc_audit_spark.capture import apply_changes
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.sources.jdbc_cdc import poll_sync_manifest
+    from pyspark.sql import functions as F
+
+    audit_tbl = str(tmp_path / "audit")
+
+    def read_fn(wm):
+        return (plan_incremental_batch(
+            derby_url, "CUSTOMER_AUDIT", watermark=wm, max_pk=N_ROWS,
+            num_partitions=3, pk_col="AUDIT_PK", quote='"',
+        ).load(spark)
+            .toDF(*[c.lower() for c in ("C_CUSTKEY", "C_NAME",
+                                        "C_ACCTBAL", "AUDIT_EVENT",
+                                        "AUDIT_TIMESTAMP", "AUDIT_PK")]))
+
+    poll_sync_manifest(spark, read_fn, audit_tbl, max_polls=2)
+    audit = ManifestTable(spark, audit_tbl)
+    assert audit.watermark() == N_ROWS
+
+    # replica maintained from the audit table, feed recorded
+    replica = ManifestTable(spark, str(tmp_path / "replica"))
+    boot = spark.createDataFrame(
+        [], "c_custkey long, c_name string, c_acctbal double")
+    replica.merge_audit(audit.read(), ["c_custkey"], bootstrap=boot,
+                        change_feed=True)
+    state0 = {r["c_custkey"] for r in replica.read().collect()}
+    assert state0  # inserts/updates survived the replay
+
+    # GDPR purge: a targeted delete as a deletion vector + feed row
+    victim = min(state0)
+    v = replica.delete_where(f"c_custkey = {victim}",
+                             key_col="c_custkey", change_feed=True)
+    assert replica.manifest(v)["action"] == "delete"
+    live = {r["c_custkey"] for r in replica.read().collect()}
+    assert live == state0 - {victim}
+    assert replica.row_count() == len(live)  # metadata stays exact
+
+    # downstream replica driven ONLY by the batch change feed
+    feed = replica.read_change_feed()
+    down = apply_changes(
+        boot,
+        feed.withColumn(
+            "audit_pk",
+            F.coalesce(F.col("audit_pk"),
+                       F.lit(10 ** 9) + F.col("_commit_version")))
+        .select("c_custkey", "c_name", "c_acctbal", "audit_event",
+                "audit_pk"),
+        ["c_custkey"])
+    assert ({r["c_custkey"] for r in down.collect()} == live)
+
+    # maintenance keeps working: optimize materializes the vector and
+    # the table still answers metadata-only
+    replica.optimize(["c_custkey"], n_dirs=4)
+    assert replica.row_count() == len(live)
+    assert not replica.manifest(replica.current_version()).get("dv_dirs")
