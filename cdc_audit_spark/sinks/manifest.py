@@ -229,6 +229,11 @@ def _fold_dir_meta(metas: list[dict]) -> dict:
             continue
     if stats:
         out["stats"] = stats
+    all_nulls = [dm.get("nulls", {}) for dm in metas]
+    nulls = {c: sum(int(n[c]) for n in all_nulls)
+             for c in set.intersection(*[set(n) for n in all_nulls])}
+    if nulls:
+        out["nulls"] = nulls
     all_sets = [dm.get("sets", {}) for dm in metas]
     sets = {}
     for c in set.intersection(*[set(s) for s in all_sets]):
@@ -617,6 +622,27 @@ class ManifestTable:
                 return None
         return None if lo is None else (lo, hi)
 
+    def null_count(self, col: str, version: int | None = None) -> int | None:
+        """Exact NULL count of ``col`` at ``version`` from the recorded
+        per-dir null stats alone (zero data I/O), or None when any dir
+        lacks them or deletion vectors are live (a deleted row may have
+        been one of the NULLs)."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return 0
+        m = self.manifest(version)
+        if m.get("dv_dirs"):
+            return None
+        meta = m.get("dir_meta", {})
+        total = 0
+        for d in m["dirs"]:
+            n = meta.get(d, {}).get("nulls", {}).get(col)
+            if n is None:
+                return None
+            total += int(n)
+        return total
+
     def approx_ndv(self, col: str, version: int | None = None) -> int | None:
         """Approximate COUNT(DISTINCT col) at ``version`` from recorded
         per-dir HLL sketches alone — no data-file reads. Sketches are
@@ -737,7 +763,9 @@ class ManifestTable:
             aggs = [F.count(F.lit(1)).alias("__rows")]
             for c in stats_cols:
                 aggs += [F.min(c).alias(f"__lo_{c}"),
-                         F.max(c).alias(f"__hi_{c}")]
+                         F.max(c).alias(f"__hi_{c}"),
+                         F.count(F.when(F.col(c).isNull(), 1))
+                         .alias(f"__nl_{c}")]
             for c in ndv_stats_cols or []:
                 aggs += [F.hll_sketch_agg(c).alias(f"__hll_{c}")]
             parts.append(dir_df(d).agg(*aggs)
@@ -755,6 +783,10 @@ class ManifestTable:
                     st[c] = [lo, hi]
             if st:
                 dm["stats"] = st
+            if stats_cols:
+                dm["nulls"] = {**dm.get("nulls", {}),
+                               **{c: int(r[f"__nl_{c}"])
+                                  for c in stats_cols}}
             import base64 as _b64
 
             ndv = dict(dm.get("ndv", {}))
@@ -988,7 +1020,9 @@ class ManifestTable:
                          F.max(pk_range_col).alias("__pk_hi")]
         for c in stats_cols or []:
             agg_cols += [F.min(c).alias(f"__lo_{c}"),
-                         F.max(c).alias(f"__hi_{c}")]
+                         F.max(c).alias(f"__hi_{c}"),
+                         F.count(F.when(F.col(c).isNull(), 1))
+                         .alias(f"__nl_{c}")]
         for c in ndv_stats_cols or []:
             agg_cols += [F.hll_sketch_agg(c).alias(f"__hll_{c}")]
         # stats + write evaluate df twice: persist for the duration (same
@@ -1011,6 +1045,11 @@ class ManifestTable:
                          if _plain(r[f"__lo_{c}"]) is not None}
                 if stats:
                     meta["stats"] = stats
+                if stats_cols:
+                    # per-dir null counts (the Delta nullCount stat):
+                    # IsNull/IsNotNull pruning + metadata null totals
+                    meta["nulls"] = {c: int(r[f"__nl_{c}"])
+                                     for c in stats_cols}
                 import base64 as _b64
 
                 ndv = {c: _b64.b64encode(r[f"__hll_{c}"]).decode()

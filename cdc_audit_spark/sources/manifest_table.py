@@ -178,20 +178,30 @@ class ManifestTableReader(DataSourceReader):
         self.spark_schema = schema
         self._bounds: dict[str, list] = {}
         self._in_sets: dict[str, list] = {}
+        self._null_filters: dict[str, bool] = {}
 
     def pushFilters(self, filters):
         """Collect range/equality bounds per top-level column for dir
-        pruning — and IN-lists, which prune through the per-dir equality
-        stats (distinct sets / Bloom bitmaps) min/max ranges can't
-        express; every filter is returned (Spark re-applies them), so
-        the stats-based skip is pure optimization."""
-        from pyspark.sql.datasource import In
+        pruning — plus IN-lists (pruned through the per-dir equality
+        stats min/max can't express), IsNull/IsNotNull (pruned through
+        the recorded per-dir null counts), and string prefixes (a
+        lexicographic range). Every filter is returned (Spark re-applies
+        them), so the stats-based skip is pure optimization."""
+        from pyspark.sql.datasource import (
+            In,
+            IsNotNull,
+            IsNull,
+            StringStartsWith,
+        )
 
         for f in filters:
             attr = getattr(f, "attribute", None)
             if not attr or len(attr) != 1:
                 continue
             col, v = attr[0], getattr(f, "value", None)
+            if isinstance(f, (IsNull, IsNotNull)):
+                self._null_filters[col] = isinstance(f, IsNull)
+                continue
             if isinstance(f, In):
                 pts = [p for p in (v or ())
                        if p is not None and not isinstance(p, bool)
@@ -210,6 +220,12 @@ class ManifestTableReader(DataSourceReader):
                 self._bounds[col][1] = v if hi is None else min(hi, v)
             elif isinstance(f, EqualTo):
                 self._bounds[col] = [v, v]
+            elif isinstance(f, StringStartsWith) and isinstance(v, str):
+                # startswith(p) == p <= col <= p + <max codepoint>:
+                # lexicographic interval over the recorded string stats
+                self._bounds[col][0] = v if lo is None else max(lo, v)
+                cap = v + "\U0010ffff"
+                self._bounds[col][1] = cap if hi is None else min(hi, cap)
         return filters
 
     def partitions(self):
@@ -241,6 +257,24 @@ class ManifestTableReader(DataSourceReader):
         for col, pts in self._in_sets.items():
             keep = set(t.dirs_pruned_any(col, pts, version=version))
             dirs = [d for d in dirs if d in keep]
+        if self._null_filters:
+            dm_all = m.get("dir_meta", {})
+
+            def null_keep(d: str) -> bool:
+                dm = dm_all.get(d, {})
+                for col, want_null in self._null_filters.items():
+                    n = dm.get("nulls", {}).get(col)
+                    if n is None:
+                        continue  # unrecorded: keep conservatively
+                    if want_null and int(n) == 0:
+                        return False
+                    rows = dm.get("rows")
+                    if (not want_null and rows is not None
+                            and int(n) == int(rows)):
+                        return False  # all-NULL dir vs IsNotNull
+                return True
+
+            dirs = [d for d in dirs if null_keep(d)]
         dir_meta = m.get("dir_meta", {})
         parts = []
         for d in dirs:

@@ -765,3 +765,60 @@ def test_in_filter_prunes_dirs_via_equality_stats(spark, tmp_path):
         else:
             spark.conf.set(
                 "spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_null_and_prefix_pushdown_prune_dirs(spark, tmp_path):
+    """IsNull/IsNotNull prune through the recorded per-dir null counts;
+    StringStartsWith prunes as a lexicographic range over string
+    min/max stats."""
+    from pyspark.sql.datasource import (
+        IsNotNull,
+        IsNull,
+        StringStartsWith,
+    )
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    # dir 1: no NULLs, names a*; dir 2: ALL NULL v, names b*
+    t.append(spark.range(0, 100).selectExpr(
+        "id as v", "concat('alpha', cast(id as string)) as name"),
+        stats_cols=["v", "name"])
+    t.append(spark.range(0, 100).selectExpr(
+        "cast(null as long) as v",
+        "concat('beta', cast(id as string)) as name"),
+        stats_cols=["v", "name"])
+
+    # metadata null count
+    assert t.null_count("v") == 100
+    assert t.null_count("name") == 0
+
+    def parts(*filters):
+        rd = ManifestTableReader({"path": t.path}, t.schema())
+        rd.pushFilters(list(filters))
+        return len(rd.partitions())
+
+    n_all = parts()
+    assert parts(IsNull(("v",))) < n_all        # no-NULL dir dropped
+    assert parts(IsNotNull(("v",))) < n_all     # all-NULL dir dropped
+    assert parts(StringStartsWith(("name",), "alpha")) < n_all
+    # everything pruned -> the single empty sentinel partition
+    assert parts(StringStartsWith(("name",), "zz")) == 1
+
+    # result identity through SQL with pushdown forced on
+    register_manifest_table(spark)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (spark.read.format("manifest_table")
+              .option("path", t.path).load())
+        assert df.filter("v is null").count() == 100
+        assert df.filter("v is not null").count() == 100
+        assert df.filter(F.col("name").startswith("beta")).count() == 100
+        assert df.filter(F.col("name").startswith("zz")).count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.python.filterPushdown.enabled", prev)
