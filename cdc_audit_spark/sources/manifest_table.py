@@ -344,6 +344,8 @@ class _WroteFiles(WriterCommitMessage):
     rows: int = 0
     # per-column [min, max] observed by this task (JSON-plain values)
     stats: dict = field(default_factory=dict)
+    # per-column NULL counts observed by this task (statsCols only)
+    nulls: dict = field(default_factory=dict)
 
 
 
@@ -364,6 +366,7 @@ def _write_task_file(iterator, out_dir: str,
     writer = None
     rows = 0
     stats: dict = {}
+    nulls: dict = {}
     try:
         for batch in iterator:
             if writer is None:
@@ -373,7 +376,9 @@ def _write_task_file(iterator, out_dir: str,
             writer.write_batch(batch)
             rows += len(batch)
             for c in stats_cols:
-                mm = pc.min_max(batch.column(c))
+                col = batch.column(c)
+                nulls[c] = nulls.get(c, 0) + col.null_count
+                mm = pc.min_max(col)
                 lo = _plain(mm["min"].as_py())
                 hi = _plain(mm["max"].as_py())
                 if lo is None:
@@ -384,7 +389,7 @@ def _write_task_file(iterator, out_dir: str,
     finally:
         if writer is not None:
             writer.close()
-    return writer is not None, name, rows, stats
+    return writer is not None, name, rows, stats, nulls
 
 
 def _parse_stats_cols(options: dict, schema: StructType) -> list[str]:
@@ -402,10 +407,10 @@ def _write_attempt(path: str, iterator, stats_cols: list[str]) -> _WroteFiles:
     returned (reported) file can ever reach a commit; a failed attempt's
     partial file stays stranded in its own dir, vacuum-reclaimable."""
     rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
-    wrote, name, rows, stats = _write_task_file(
+    wrote, name, rows, stats, nulls = _write_task_file(
         iterator, os.path.join(path, rel), stats_cols)
     return _WroteFiles(files=[os.path.join(rel, name)] if wrote else [],
-                       rows=rows, stats=stats)
+                       rows=rows, stats=stats, nulls=nulls)
 
 
 def _reclaim_attempts(path: str, messages) -> None:
@@ -420,22 +425,25 @@ def _reclaim_attempts(path: str, messages) -> None:
 
 
 def _coalesce_commit_dir(path: str, messages,
-                         schema: StructType) -> tuple[str, dict, list]:
+                         schema: StructType) -> tuple[str, dict, dict,
+                                                      list]:
     """Driver side, shared by both writers: move every REPORTED task file
     into one fresh commit dir (same-filesystem renames — the attempt
     dirs exist only to isolate failed attempts) and merge the tasks'
-    inline stats into that dir's stats, so the manifest's dirs list
-    grows by ONE per commit regardless of the job's task count. An
-    all-empty write materializes the schema as a single empty parquet
-    file so reads stay well-formed. Returns (rel_dir, merged_stats,
-    file_names) — the names are recorded in dir_meta so readers discover
-    files from the manifest alone, never LISTing the data path."""
+    inline stats (min/max hulls, null-count sums) into that dir's
+    stats, so the manifest's dirs list grows by ONE per commit
+    regardless of the job's task count. An all-empty write materializes
+    the schema as a single empty parquet file so reads stay well-formed.
+    Returns (rel_dir, merged_stats, merged_nulls, file_names) — the
+    names are recorded in dir_meta so readers discover files from the
+    manifest alone, never LISTing the data path."""
     import contextlib
 
     rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
     out_dir = os.path.join(path, rel)
     os.makedirs(out_dir, exist_ok=True)
     merged: dict = {}
+    nulls: dict = {}
     names: list = []
     for m in messages or []:
         if m is None:
@@ -450,6 +458,8 @@ def _coalesce_commit_dir(path: str, messages,
             prev = merged.get(c)
             merged[c] = ([lo, hi] if prev is None
                          else [min(prev[0], lo), max(prev[1], hi)])
+        for c, n in (getattr(m, "nulls", None) or {}).items():
+            nulls[c] = nulls.get(c, 0) + int(n)
     if not names:
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -460,7 +470,7 @@ def _coalesce_commit_dir(path: str, messages,
                      schema=to_arrow_schema(schema)),
             os.path.join(out_dir, "part-empty.parquet"))
         names.append("part-empty.parquet")
-    return rel, merged, sorted(names)
+    return rel, merged, nulls, sorted(names)
 
 
 
@@ -492,8 +502,11 @@ class ManifestTableWriter(DataSourceArrowWriter):
 
         from cdc_audit_spark.sinks.manifest import ManifestTable
 
-        rel, stats, names = _coalesce_commit_dir(
+        rel, stats, nulls, names = _coalesce_commit_dir(
             self.path, messages, self.schema)
+        from cdc_audit_spark.sinks.manifest import _dir_file_stats
+
+        fstats = _dir_file_stats(self.path, rel)
         t = ManifestTable(None, self.path)
 
         def extra_fn(pm):
@@ -504,9 +517,12 @@ class ManifestTableWriter(DataSourceArrowWriter):
                      else _govern_stamp(_parent_schema(pm, self.path),
                                         self.schema, self.on_drift,
                                         self.path))
-            dm = {"files": names}
+            dm = dict(fstats)  # files + footer rows/bytes: metadata
+            # row_count works for format-written tables too
             if stats:
                 dm["stats"] = stats
+            if nulls:
+                dm["nulls"] = nulls
             return {"schema": stamp.json(), "dir_meta": {rel: dm}}
 
         try:
@@ -593,8 +609,11 @@ class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
             return
         if not any(m is not None and m.files for m in messages):
             return  # empty epoch: nothing to make durable
-        rel, stats, names = _coalesce_commit_dir(
+        rel, stats, nulls, names = _coalesce_commit_dir(
             self.path, messages, self.schema)
+        from cdc_audit_spark.sinks.manifest import _dir_file_stats
+
+        fstats = _dir_file_stats(self.path, rel)
 
         class _AlreadyApplied(Exception):
             pass
@@ -615,9 +634,11 @@ class ManifestTableStreamWriter(DataSourceStreamArrowWriter):
             # regressed by this stream's stale schema copy on rebase
             stamp = _govern_stamp(_parent_schema(pm, self.path),
                                   self.schema, self.on_drift, self.path)
-            dm = {"files": names}
+            dm = dict(fstats)  # files + footer rows/bytes
             if stats:
                 dm["stats"] = stats
+            if nulls:
+                dm["nulls"] = nulls
             return {"schema": stamp.json(),
                     "epoch": int(batchId), "run_id": self.run_id,
                     "dir_meta": {rel: dm}}

@@ -822,3 +822,23 @@ def test_null_and_prefix_pushdown_prune_dirs(spark, tmp_path):
         else:
             spark.conf.set(
                 "spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_format_writer_records_rows_bytes_and_nulls(spark, tmp_path):
+    """Format-written commits carry the same metadata layer as
+    ManifestTable.append: footer rows/bytes (metadata-only row_count)
+    and per-statsCol null counts folded inline during the write."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    register_manifest_table(spark)
+    p = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr(
+        "id as k", "CASE WHEN id % 4 = 0 THEN NULL ELSE id END as v")
+    (df.write.format("manifest_table").option("path", p)
+     .option("statsCols", "k,v").mode("append").save())
+    t = ManifestTable(spark, p)
+    assert t.row_count() == 1000         # zero-scan answer
+    assert t.null_count("v") == 250 and t.null_count("k") == 0
+    m = t.manifest(1)
+    dm = m["dir_meta"][m["dirs"][0]]
+    assert dm["rows"] == 1000 and dm["bytes"] > 0
