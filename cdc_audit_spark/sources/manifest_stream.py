@@ -114,6 +114,16 @@ class ManifestStreamReader(DataSourceStreamReader):
         if cf not in ("true", "false"):
             raise ValueError(f"changeFeed must be true/false, got {cf!r}")
         self.change_feed = cf == "true"
+        mvpt = options.get("maxversionspertrigger")
+        self.max_versions = int(mvpt) if mvpt is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError(
+                f"maxVersionsPerTrigger must be >= 1, got {mvpt!r}")
+        # floor for the rate cap: the newest version this reader has
+        # already planned (advanced in partitions()). Best-effort: the
+        # first trigger after a clean restart has no floor yet and
+        # drains uncapped; every subsequent trigger is bounded.
+        self._planned_floor = self.start_version
         # audit column names resolved ONCE, consistent with the stream's
         # fixed declared schema (also resolved at start): tables whose
         # merges recorded custom templating via cdc_audit_cols tag their
@@ -132,11 +142,23 @@ class ManifestStreamReader(DataSourceStreamReader):
         from cdc_audit_spark.sinks.manifest import current_committed_version
 
         v = current_committed_version(self.path)
-        return {"version": v if v is not None else self.start_version}
+        if v is None:
+            return {"version": self.start_version}
+        if self.max_versions is not None:
+            # rate limit (the maxFilesPerTrigger analog): admit at most
+            # N commit versions per micro-batch so a consumer catching
+            # up on a long backlog processes it in bounded batches
+            # instead of one giant one. Capped against the newest
+            # version this reader has planned; a restart re-floors on
+            # its first (replayed or uncapped) batch.
+            v = min(v, self._planned_floor + self.max_versions)
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict):
         from cdc_audit_spark.sources.manifest_table import _dir_files
 
+        self._planned_floor = max(self._planned_floor,
+                                  int(end["version"]))
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             m = _manifest(self.path, v)

@@ -626,3 +626,44 @@ def test_batch_change_feed_equals_streamed_feed(spark, tmp_path):
     with pytest.raises(ValueError, match="delete"):
         t.read_change_feed()
     assert t.read_change_feed(to_version=4).count() == 4
+
+
+def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
+    """maxVersionsPerTrigger (the maxFilesPerTrigger analog): a consumer
+    catching up on a 6-commit backlog drains it in bounded micro-batches
+    of <= 2 versions each — exactly once overall — instead of one giant
+    batch."""
+    from cdc_audit_spark.sources.manifest_stream import (
+        register_manifest_stream,
+    )
+
+    register_manifest_stream(spark)
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    for i in range(6):
+        t.append(spark.createDataFrame([(i,)], "k long"))
+
+    batch_sizes = []
+
+    def sink(df, epoch_id):
+        batch_sizes.append(df.count())
+
+    q = (spark.readStream.format("manifest_stream")
+         .option("path", t.path)
+         .option("maxVersionsPerTrigger", "2").load()
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    nonempty = [b for b in batch_sizes if b]
+    assert sum(nonempty) == 6            # exactly once, nothing lost
+    assert len(nonempty) >= 3            # the backlog was split up
+    assert all(b <= 2 for b in nonempty)  # never more than the cap
+
+    # option validation (reader construction is lazy — test it directly)
+    from cdc_audit_spark.sources.manifest_stream import (
+        ManifestStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="maxVersionsPerTrigger"):
+        ManifestStreamReader(
+            {"path": t.path, "maxversionspertrigger": "0"}, t.schema())
