@@ -24,6 +24,9 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "semdedup",
+    "duplicate_spans",
+    "excise_spans",
 ]
 
 # Seeded universal-hash constants (odd multipliers, signed-64 range).
@@ -548,4 +551,180 @@ def dedup_cluster_survivors(
             F.coalesce("component", "id").alias("cluster"),
             (F.coalesce("component", "id") == F.col("id")).alias("is_survivor"),
         )
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.60,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv 2303.09540): semantic
+    deduplication over an embedding column — cluster, then prune rows
+    whose cosine similarity to a SMALLER-id row in the same cluster
+    exceeds ``threshold``. Returns (id, cell, kept): every input row
+    tagged, survivors ``kept=true`` (min-id representative per semantic
+    duplicate set — the same deterministic-survivor contract as
+    :func:`exact_dedup`).
+
+    Spark shape: cluster assignment is the ``ivf_assign``
+    broadcast-literal codegen expression (no shuffle); the within-cluster
+    pair check is ONE equi-join on the cell id (pairwise work never
+    crosses cluster boundaries — the whole point of the paper's design).
+    At 100 TB the cluster count k must scale with the corpus (the paper
+    uses 110k clusters for LAION-440M) so per-cell candidate sets stay
+    bounded and the cell-key shuffle stays skew-free; with k fixed and
+    rows growing, the per-cell quadratic join is the bottleneck — grow k,
+    not the cluster size. The pair cosine runs in the same JVM
+    zip_with/aggregate fold as :func:`~cdc_audit_spark.operators.\
+similarity.cosine_pairs` (sequential accumulation, bit-identical to
+    DuckDB's list_dot_product).
+    """
+    from cdc_audit_spark.operators.similarity import _self_dot, ivf_assign
+
+    assign = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    side = assign.select(
+        F.col(id_col).alias("id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.sqrt(_self_dot(F.col(vec_col))).alias("nrm"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    sim = (dot / (F.col("a.nrm") * F.col("b.nrm"))).cast("double")
+    pruned = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("b.id") < F.col("a.id")))
+        .filter(sim > F.lit(threshold))
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+        .withColumn("__pruned", F.lit(True))
+    )
+    return (
+        side.select("id", "cell")
+        .join(pruned, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.coalesce(~F.col("__pruned"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-span dedup detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv 2107.06499): every maximal token span whose every
+    ``min_tokens``-gram occurs at least ``min_count`` times ANYWHERE in
+    the corpus (other docs or elsewhere in the same doc). Returns
+    (id, span_start, span_end, n_grams) with token-index half-open
+    spans — the input to span excision (:func:`excise_spans`).
+
+    Spark shape, replacing the paper's single-node suffix array with
+    two bounded shuffles: (1) sliding grams via Catalyst
+    sequence/slice/concat_ws (no Python), md5-digested so the shuffle
+    carries 32-byte keys, never text; grams repeated >= min_count are
+    found with one digest groupBy and joined back (hash join — the dup
+    set scales with the corpus, so it is NOT broadcast); (2) positions
+    merge into maximal spans with the gaps-and-islands window per doc
+    (shuffle on doc id; per-doc work bounded by doc length). A 24-bit
+    digest would false-positive at corpus scale; full md5 keeps the
+    collision odds ~2^-64 per pair.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    L = int(min_tokens)
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("t")
+    ).filter(F.size("t") >= L)
+    grams = base.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.size("t") - L)).alias("pos"),
+        "t",
+    ).select(
+        "id", "pos",
+        F.md5(F.concat_ws("\x1f", F.slice("t", F.col("pos") + 1, L)))
+        .alias("g"),
+    )
+    dup = (
+        grams.groupBy("g").agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("id", "pos")
+    w = (
+        Window.partitionBy("id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + L).over(w)
+    brk = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    isl = F.sum(brk).over(Window.partitionBy("id").orderBy("pos"))
+    return (
+        hits.withColumn("__isl", isl)
+        .groupBy(F.col("id").alias(id_col), "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + L).cast("long").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .drop("__isl")
+    )
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cut :func:`duplicate_spans` spans out of each document: tokens
+    whose index falls inside any of the doc's spans are dropped, the
+    rest are rejoined with single spaces. Docs with no spans pass
+    through verbatim (token-normalized). Returns (id, clean_text,
+    n_dropped_tokens).
+
+    One aggregation collapses each doc's spans to an array (small — spans
+    per doc are bounded by len/min_tokens), one left join brings it to
+    the doc, and the cut is a map-side Catalyst filter over token
+    indices; the text itself never shuffles with the spans.
+    """
+    per_doc = spans.groupBy(F.col(id_col).alias("id")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.split(F.col(text_col), r"\s+")
+    joined = df.select(F.col(id_col).alias("id"), toks.alias("t")).join(
+        per_doc, "id", "left"
+    )
+    spans_arr = F.coalesce(
+        "__spans",
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    keep = F.filter(
+        F.zip_with(
+            F.col("t"),
+            F.sequence(F.lit(0), F.size("t") - 1),
+            lambda tok, i: F.struct(tok.alias("tok"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            spans_arr,
+            lambda sp: (s["i"] >= sp["span_start"])
+            & (s["i"] < sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(F.transform(keep, lambda s: s["tok"]), " ")
+        .alias("clean_text"),
+        (F.size("t") - F.size(keep)).cast("long").alias("n_dropped_tokens"),
     )

@@ -1965,6 +1965,153 @@ class ManifestTable:
                        base_version=base, action=act)
         return SyncResult(n, new_wm, self.path)
 
+    def merge_into(self, source: DataFrame, pk_cols: list[str],
+                   when_matched: str | None = "update",
+                   when_not_matched: str | None = "insert",
+                   matched_condition: str | None = None,
+                   pruned: bool = False, range_buckets: int = 32,
+                   change_feed: bool = False):
+        """Generic MERGE INTO (the Delta/Iceberg upsert statement): rows
+        of ``source`` whose key exists in the table take the
+        ``when_matched`` action (``'update'`` replaces the row,
+        ``'delete'`` removes it, ``None`` leaves it untouched); rows with
+        no match take ``when_not_matched`` (``'insert'`` or ``None``).
+        ``matched_condition`` optionally guards the matched action with a
+        SQL predicate over both sides (``s.<col>`` = source, ``t.<col>``
+        = target, e.g. ``"s.ts > t.ts"`` for out-of-order CDC feeds);
+        unmet matches are no-ops.
+
+        Compiles the statement into an audit delta (source rows tagged
+        insert/update/delete at the CURRENT watermark — the watermark is
+        the audit-sync protocol's cursor and a generic merge must not
+        advance it) and applies it through the SAME machinery as
+        :meth:`merge_audit`: full-state rewrite by default,
+        ``pruned=True`` for the storage-level dir-granular merge
+        (single integer key), ``change_feed=True`` to record the applied
+        delta for streaming consumers. Source keys must be unique
+        (checked — a key matched by two source rows has no deterministic
+        outcome; dedupe upstream, e.g. ``compact.keep_last``).
+
+        Scale shape: classification is one left join of the source
+        against the target's KEY COLUMNS only when no condition is given
+        (column-pruned scan; with ``matched_condition`` the referenced
+        target row must ride along, so the full width joins). The apply
+        step then touches only delta keys (pruned mode: only intersecting
+        dirs). Merging into an empty table degenerates to the bootstrap
+        snapshot (action 'overwrite' — change feeds exclude snapshots by
+        contract, exactly like merge_audit's bootstrap).
+        """
+        from pyspark.sql import functions as F
+
+        from cdc_audit_spark.capture import apply_changes
+        from cdc_audit_spark.schema import AUDIT_EVENT, AUDIT_PK
+        from cdc_audit_spark.sync import SyncResult
+
+        if when_matched not in ("update", "delete", None):
+            raise ValueError(f"when_matched: {when_matched!r}")
+        if when_not_matched not in ("insert", None):
+            raise ValueError(f"when_not_matched: {when_not_matched!r}")
+        if when_matched is None and when_not_matched is None:
+            raise ValueError("merge_into with no action is a no-op by "
+                             "construction; pass at least one clause")
+        bad = {AUDIT_EVENT, AUDIT_PK} & set(source.columns)
+        if bad:
+            raise ValueError(
+                f"source carries reserved audit columns {sorted(bad)}; "
+                "merge_into sources are state-shaped (use merge_audit "
+                "for audit-log inputs)")
+        if pruned and len(pk_cols) != 1:
+            raise ValueError(
+                "pruned merge_into needs a single integer merge key "
+                f"(got pk_cols={pk_cols!r}); use pruned=False")
+
+        nullkey = F.col(pk_cols[0]).isNull()
+        for c in pk_cols[1:]:
+            nullkey = nullkey | F.col(c).isNull()
+        dup = source.agg(
+            F.count("*").alias("n"),
+            F.count_distinct(*[F.col(c) for c in pk_cols]).alias("nd"),
+            F.sum(nullkey.cast("long")).alias("nk"),
+        ).first()
+        if int(dup["nk"] or 0) > 0:
+            raise ValueError(
+                f"{int(dup['nk'])} source rows carry NULL merge keys; "
+                "matched/unmatched is undefined for NULL keys")
+        if int(dup["n"]) != int(dup["nd"]):
+            raise ValueError(
+                f"source has {int(dup['n']) - int(dup['nd'])} duplicate "
+                f"merge keys over {pk_cols}; a key matched by two source "
+                "rows has no deterministic outcome — dedupe upstream")
+
+        base = self.current_version()
+        data_cols = list(source.columns)
+        if base is None:
+            if when_not_matched != "insert":
+                return SyncResult(0, 0, self.path)
+            n = int(dup["n"])
+            if pruned:
+                self.write_range_layout(source, pk_cols[0],
+                                        n_buckets=range_buckets,
+                                        base_version=None,
+                                        action="overwrite")
+            else:
+                self.overwrite(source, base_version=None,
+                               action="overwrite")
+            return SyncResult(n, 0, self.path)
+
+        committed = self.schema()
+        if committed is not None and set(committed.names) != set(data_cols):
+            raise ValueError(
+                f"source columns {sorted(data_cols)} != table columns "
+                f"{sorted(committed.names)}; merge_into sources are "
+                "full-width (key-only deletes: delete_where)")
+        wm = self.watermark(at_version=base)
+
+        s = source.alias("s")
+        if matched_condition is None:
+            t = self.read(base).select(*pk_cols).alias("t")
+            cond_ok = F.lit(True)
+        else:
+            t = self.read(base).alias("t")
+            cond_ok = F.expr(matched_condition)
+        joined = s.join(
+            t, [s[c].eqNullSafe(t[c]) for c in pk_cols], "left")
+        matched = F.col(f"t.{pk_cols[0]}").isNotNull()
+
+        ev = F.lit(None).cast("string")
+        if when_not_matched is not None:
+            ev = F.when(~matched, F.lit(when_not_matched)).otherwise(ev)
+        if when_matched is not None:
+            ev = F.when(matched & cond_ok, F.lit(when_matched)).otherwise(ev)
+        delta = (
+            joined.withColumn(AUDIT_EVENT, ev)
+            .filter(F.col(AUDIT_EVENT).isNotNull())
+            .select(*[F.col(f"s.{c}").alias(c) for c in data_cols],
+                    AUDIT_EVENT,
+                    F.lit(wm).cast("long").alias(AUDIT_PK))
+        )
+
+        if pruned:
+            return self._merge_pruned(delta, pk_cols[0], base, wm,
+                                      AUDIT_PK, change_feed=change_feed)
+        n = delta.count()
+        if n == 0:
+            return SyncResult(0, wm, self.path)
+        cdc_extra: dict = {}
+        if change_feed:
+            cdc_extra, delta = self._write_change_feed(delta, AUDIT_PK)
+        state = apply_changes(self.read(base), delta, pk_cols)
+        self.overwrite(state, extra=cdc_extra, base_version=base,
+                       action="merge")
+        return SyncResult(n, wm, self.path)
+
+    def upsert(self, source: DataFrame, pk_cols: list[str],
+               **kwargs):
+        """``merge_into`` with its defaults spelled as the common verb:
+        matched rows update, unmatched rows insert."""
+        return self.merge_into(source, pk_cols, when_matched="update",
+                               when_not_matched="insert", **kwargs)
+
     def _merge_pruned(self, delta: DataFrame, key: str, base: int,
                       wm: int, audit_pk: str, change_feed: bool = False):
         """Incremental storage-level MERGE: ONE aggregation over the delta
@@ -2270,6 +2417,81 @@ class ManifestTable:
         return self._commit(
             "restore", lambda parent: list(tm["dirs"]), max_retries=1,
             extra=carry, expected_parent=cur)
+
+    def clone(self, target_path: str, version: int | None = None,
+              shallow: bool = True) -> "ManifestTable":
+        """CLONE the table (at ``version``, default latest) into a NEW
+        table at ``target_path`` — the Delta CLONE statement.
+
+        ``shallow=True`` is metadata-only and O(dirs): the clone's first
+        commit re-references the source's data dirs (and live deletion
+        vectors) by ABSOLUTE path — every read path resolves foreign
+        dirs transparently, no byte is copied. The clone then evolves
+        independently: its own appends/merges/compactions land under its
+        own root, and any rewrite (compact/optimize) materializes it
+        fully local. The clone's vacuum can never reclaim source data
+        (it only sweeps the clone's own data root); the source's vacuum
+        CAN — like Delta shallow clones, vacuuming the source while
+        shallow clones reference it breaks them, so retain or deep-clone
+        first. Full table state (schema, sync watermark, wipe record,
+        DVs) travels with the snapshot, so a cloned replica keeps
+        merging its audit feed from where the source stood.
+
+        ``shallow=False`` deep-clones: one read (deletion vectors
+        applied — the copy is materialized truth) + one overwrite into
+        the target, state carried, fully self-contained.
+
+        The clone commit's action is "overwrite" (bootstrap-snapshot
+        semantics — streams and change feeds exclude snapshots by
+        contract) with a ``cloned_from`` provenance extra.
+        """
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"no commits yet at {self.path}")
+        tm = self.manifest(version)
+        target = ManifestTable(self.spark, target_path,
+                               checkpoint_interval=self.checkpoint_interval,
+                               claim_backend=self.claim_backend)
+        provenance = {"cloned_from": {
+            "path": os.path.abspath(self.path), "version": int(version),
+            "shallow": bool(shallow)}}
+        if not shallow:
+            carry = {k: tm[k] for k in _STATE_KEYS if k in tm}
+            target.overwrite(self.read(version),
+                             extra={**carry, **provenance},
+                             base_version=None)
+            return target
+
+        missing = [d for d in tm["dirs"] + tm.get("dv_dirs", [])
+                   if not os.path.isdir(os.path.join(self.path, d))]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot clone {self.path}@{version}: {len(missing)} "
+                f"referenced dir(s) were vacuumed (e.g. {missing[0]})")
+        src_root = os.path.abspath(self.path)
+
+        def ab(d: str) -> str:
+            # already-absolute entries (a clone of a clone) pass through
+            return os.path.normpath(os.path.join(src_root, d))
+
+        carry = {k: tm[k] for k in _STATE_KEYS if k in tm}
+        if "dir_meta" in tm:
+            carry["dir_meta"] = {ab(d): dm
+                                 for d, dm in tm["dir_meta"].items()
+                                 if d in tm["dirs"]}
+        if tm.get("dv_dirs"):
+            carry["dv_dirs"] = [ab(v) for v in tm["dv_dirs"]]
+            carry["dv_meta"] = {
+                ab(v): {**dm, "covers": [ab(c) for c in dm["covers"]]}
+                for v, dm in tm["dv_meta"].items()}
+        dirs_abs = [ab(d) for d in tm["dirs"]]
+        # expected_parent=None: the target must be EMPTY — cloning over
+        # an existing table would silently shadow its history
+        target._commit("overwrite", lambda parent: dirs_abs,
+                       max_retries=1, extra={**carry, **provenance},
+                       expected_parent=None)
+        return target
 
     def wipe_record(self, at_version: int | None = None) -> dict | None:
         """The newest commit's recorded wipe (``wipe_through`` +

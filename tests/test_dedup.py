@@ -556,3 +556,102 @@ def test_stream_exact_index_fresh_checkpoint_fails_loudly(spark, tmp_path):
         q2.awaitTermination(180)
         if q2.exception() is not None:
             raise Exception(str(q2.exception()))
+
+
+def test_semdedup_min_id_survivor_vs_numpy(spark):
+    """SemDeDup against a numpy ground truth on planted geometry: two
+    tight semantic clusters plus an isolated vector. Within each cell the
+    min-id member survives; near-identical larger-id members are pruned;
+    cross-cell near-dups are NOT compared (the paper's locality
+    trade-off, asserted explicitly)."""
+    import numpy as np
+
+    from cdc_audit_spark.operators.dedup import semdedup
+
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, base_a),                          # centroid 0 seed
+        (1, base_b),                          # centroid 1 seed
+        (2, [0.99, 0.01, 0.0, 0.0]),          # near-dup of 0 -> pruned
+        (3, [0.98, -0.02, 0.01, 0.0]),        # near-dup of 0 -> pruned
+        (4, [0.01, 0.97, 0.0, 0.02]),         # near-dup of 1 -> pruned
+        (5, [0.0, 0.0, 1.0, 0.0]),            # isolated: kept
+        (6, [0.0, 0.0, 0.99, 0.1]),           # near-dup of 5 (same cell as 5's
+                                              # nearest centroid) -> pruned iff
+                                              # co-assigned with 5
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [base_a, base_b]
+    out = {r["vec_id"]: r for r in semdedup(df, cents, threshold=0.90).collect()}
+
+    # numpy ground truth with the same frozen centroids
+    v = np.array([r[1] for r in rows])
+    c = np.array(cents)
+    sims = (v @ c.T) / (np.linalg.norm(v, axis=1)[:, None]
+                        * np.linalg.norm(c, axis=1)[None, :])
+    cell = sims.argmax(axis=1)  # argmax = lowest index on ties, same contract
+    vn = v / np.linalg.norm(v, axis=1)[:, None]
+    pair = vn @ vn.T
+    for i in range(len(rows)):
+        expect_pruned = any(
+            pair[i, j] > 0.90 and cell[i] == cell[j] for j in range(i))
+        assert out[i]["kept"] == (not expect_pruned), (i, out[i])
+        assert out[i]["cell"] == cell[i]
+
+    # the planted facts themselves, so the test can't silently go vacuous
+    kept = {i for i in out if out[i]["kept"]}
+    assert kept == {0, 1, 5}
+    # 5 and 6 share cell 0 with the base_a family, but 6 is pruned by its
+    # similarity to 5, not to 0 (cos(6, 0) ~ 0): locality respected
+    assert float(pair[6, 0]) < 0.1 and float(pair[6, 5]) > 0.9
+
+
+def test_duplicate_spans_and_excision_planted(spark):
+    """Planted geometry for the Lee-et-al span dedup: a 12-token run
+    shared by two docs (cross-doc), an internal repeat inside one doc,
+    and a shorter-than-L shared run that must NOT match. Span bounds are
+    checked exactly; excision must cut exactly those tokens."""
+    from cdc_audit_spark.operators.dedup import duplicate_spans, excise_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))       # 12-token dup run
+    short = "x1 x2 x3"                                   # < L: never a span
+    d1 = f"a0 a1 a2 {shared} a3 a4 {short} a5"
+    d2 = f"b0 {shared} b1 b2 b3 b4 b5 b6 {short}"
+    rep = " ".join(f"r{i}" for i in range(6))
+    d3 = f"{rep} mid1 mid2 mid3 mid4 mid5 mid6 {rep} tail1 tail2"
+    d4 = "lone doc with no duplicated content at all here"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string")
+
+    L = 6
+    spans = {
+        (r["doc_id"]): (r["span_start"], r["span_end"], r["n_grams"])
+        for r in duplicate_spans(df, "text", "doc_id", min_tokens=L)
+        .collect()
+    }
+    # d1: tokens 3..14 are the shared run -> grams at pos 3..9 (7 grams)
+    assert spans[1] == (3, 15, 7)
+    # d2: shared run at tokens 1..12 -> grams at pos 1..7
+    assert spans[2] == (1, 13, 7)
+    # d3: rep(6) at 0..5 and again at 12..17 -> exactly-one gram each,
+    # two DISJOINT islands would be (0,6) and (12,18) — but both are the
+    # same gram, one island each; the groupBy folds per (doc, island)
+    rows3 = [
+        (r["span_start"], r["span_end"], r["n_grams"])
+        for r in duplicate_spans(df, "text", "doc_id", min_tokens=L)
+        .filter("doc_id = 3").collect()
+    ]
+    assert sorted(rows3) == [(0, 6, 1), (12, 18, 1)]
+    assert 4 not in spans  # no dup content, no spans
+
+    clean = {
+        r["doc_id"]: (r["clean_text"], r["n_dropped_tokens"])
+        for r in excise_spans(
+            df, duplicate_spans(df, "text", "doc_id", min_tokens=L),
+            "text", "doc_id").collect()
+    }
+    assert clean[1] == (f"a0 a1 a2 a3 a4 {short} a5", 12)
+    assert clean[2] == (f"b0 b1 b2 b3 b4 b5 b6 {short}", 12)
+    assert clean[3] == ("mid1 mid2 mid3 mid4 mid5 mid6 tail1 tail2", 12)
+    assert clean[4] == (d4, 0)  # untouched, token-normalized identity

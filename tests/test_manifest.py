@@ -1650,3 +1650,199 @@ def test_stream_refuses_restore_commit(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(str(tmp_path / "sink2")).count() == 20
+
+
+def test_merge_into_upsert_semantics(spark, tmp_path):
+    """Generic MERGE INTO: bootstrap-by-merge, upsert, conditional
+    update, matched-delete — each against a dict-model recompute."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    sch = "k long, name string, val double"
+    t.merge_into(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], sch), ["k"])
+    assert t.manifest(t.current_version())["action"] == "overwrite"
+
+    r = t.upsert(spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], sch), ["k"])
+    assert r.rows_synced == 2
+    assert t.manifest(t.current_version())["action"] == "merge"
+    got = {x["k"]: (x["name"], x["val"]) for x in t.read().collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0),
+                   3: ("c", 30.0), 4: ("d", 40.0)}
+
+    # guarded update: only rows where the source value beats the target
+    r = t.merge_into(
+        spark.createDataFrame([(2, "low", 1.0), (3, "hi", 999.0)], sch),
+        ["k"], matched_condition="s.val > t.val", when_not_matched=None)
+    assert r.rows_synced == 1
+    got = {x["k"]: x["name"] for x in t.read().collect()}
+    assert got == {2: "B", 3: "hi", 4: "d", 1: "a"}
+
+    # matched-delete, unmatched ignored
+    r = t.merge_into(
+        spark.createDataFrame([(1, "x", 0.0), (9, "z", 0.0)], sch),
+        ["k"], when_matched="delete", when_not_matched=None)
+    assert r.rows_synced == 1
+    assert sorted(x["k"] for x in t.read().collect()) == [2, 3, 4]
+
+    # refusals: duplicate keys, NULL keys, reserved columns, no clauses
+    with pytest.raises(ValueError, match="duplicate"):
+        t.upsert(spark.createDataFrame(
+            [(5, "p", 0.0), (5, "q", 0.0)], sch), ["k"])
+    with pytest.raises(ValueError, match="NULL merge keys"):
+        t.upsert(spark.createDataFrame([(None, "p", 0.0)], sch), ["k"])
+    with pytest.raises(ValueError, match="reserved audit"):
+        t.merge_into(spark.createDataFrame(
+            [(5, "e", 1)], "k long, name string, audit_pk long"), ["k"])
+    with pytest.raises(ValueError, match="no action"):
+        t.merge_into(spark.createDataFrame([(5, "p", 0.0)], sch), ["k"],
+                     when_matched=None, when_not_matched=None)
+    # schema mismatch refused full-width
+    with pytest.raises(ValueError, match="table columns"):
+        t.merge_into(spark.createDataFrame([(5,)], "k long"), ["k"])
+
+    # all-no-op merge: no commit at all
+    v = t.current_version()
+    r = t.merge_into(spark.createDataFrame([(999, "w", 0.0)], sch),
+                     ["k"], when_not_matched=None)
+    assert r.rows_synced == 0 and t.current_version() == v
+
+
+def test_merge_into_preserves_sync_watermark(spark, tmp_path):
+    """merge_into must NOT advance the audit-sync watermark: a generic
+    merge between two sync_audit runs would otherwise make the second
+    sync silently drop its delta."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    sch = "k long, v long"
+    log1 = spark.createDataFrame(
+        [(1, 10, "insert", 5), (2, 20, "insert", 6)],
+        "k long, v long, audit_event string, audit_pk long")
+    t.merge_audit(log1, ["k"], bootstrap=spark.createDataFrame([], sch))
+    assert t.watermark() == 6
+
+    t.upsert(spark.createDataFrame([(2, 99), (3, 30)], sch), ["k"])
+    assert t.watermark() == 6  # untouched by the generic merge
+
+    # a later audit delta with pk 7 still applies (not dropped)
+    log2 = log1.unionByName(spark.createDataFrame(
+        [(4, 40, "insert", 7)], log1.schema))
+    r = t.merge_audit(log2, ["k"])
+    assert r.rows_synced == 1 and t.watermark() == 7
+    got = {x["k"]: x["v"] for x in t.read().collect()}
+    assert got == {1: 10, 2: 99, 3: 30, 4: 40}
+
+
+def test_merge_into_pruned_carries_untouched_dirs(spark, tmp_path):
+    """pruned merge_into rides the same storage-level machinery as
+    pruned merge_audit: a narrow-band upsert rewrites only intersecting
+    range dirs and carries the rest verbatim."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    boot = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    t.merge_into(boot, ["k"], pruned=True, range_buckets=8)
+    m1 = t.manifest(t.current_version())
+    assert len(m1["dirs"]) == 8
+
+    src = spark.createDataFrame(
+        [(k, k + 10000) for k in range(100, 120)] + [(5000, 42)],
+        "k long, v long")
+    r = t.merge_into(src, ["k"], pruned=True)
+    assert r.rows_synced == 21
+    m2 = t.manifest(t.current_version())
+    assert m2["action"] == "merge"
+    assert len(set(m1["dirs"]) & set(m2["dirs"])) >= 5  # carried verbatim
+
+    got = {x["k"]: x["v"] for x in t.read().collect()}
+    assert got[105] == 10105 and got[5000] == 42 and got[500] == 500
+    assert len(got) == 1001 and t.read().count() == 1001
+
+
+def test_merge_into_change_feed(spark, tmp_path):
+    """merge_into(change_feed=True) records the applied tagged delta:
+    read_change_feed returns exactly the update/insert/delete rows, and
+    a feed-less generic merge is refused by the batch feed reader (same
+    contract as merge_audit)."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    sch = "k long, v long"
+    t.merge_into(spark.createDataFrame([(1, 10), (2, 20)], sch), ["k"])
+
+    t.merge_into(spark.createDataFrame([(2, 99), (3, 30)], sch), ["k"],
+                 change_feed=True)
+    t.merge_into(spark.createDataFrame([(1, 0)], sch), ["k"],
+                 when_matched="delete", when_not_matched=None,
+                 change_feed=True)
+    feed = t.read_change_feed(from_version=2).collect()
+    tagged = {(x["k"], x["audit_event"]) for x in feed}
+    assert tagged == {(2, "update"), (3, "insert"), (1, "delete")}
+
+    # a feed-less merge poisons downstream feed reads past it
+    t.merge_into(spark.createDataFrame([(9, 9)], sch), ["k"])
+    with pytest.raises(ValueError, match="merge"):
+        t.read_change_feed(from_version=2)
+
+
+def test_clone_shallow_and_deep(spark, tmp_path):
+    """CLONE: shallow re-references source dirs by absolute path (zero
+    copy, live DVs travel), deep materializes; both carry table state;
+    the clone evolves independently, a compaction makes it fully local,
+    and the clone's vacuum can never reclaim source data."""
+    import os
+
+    src = ManifestTable(spark, str(tmp_path / "src"))
+    src.append(spark.range(0, 100).selectExpr("id as k", "id*2 as v"))
+    src.append(spark.range(100, 120).selectExpr("id as k", "id*2 as v"))
+    src.delete_where("k % 10 = 7", "k")  # live DV must ride along
+    v = src.current_version()
+    exp = sorted(r["k"] for r in src.read().collect())
+    assert len(exp) == 108
+
+    sh = src.clone(str(tmp_path / "sh"))
+    dp = src.clone(str(tmp_path / "dp"), shallow=False)
+    assert sorted(r["k"] for r in sh.read().collect()) == exp
+    assert sorted(r["k"] for r in dp.read().collect()) == exp
+    assert sh.watermark() == src.watermark()
+    m = sh.manifest(sh.current_version())
+    assert m["action"] == "overwrite"
+    assert m["cloned_from"]["version"] == v
+    assert all(os.path.isabs(d) for d in m["dirs"])  # zero-copy refs
+
+    # independent evolution: append lands on the clone only
+    sh.append(spark.createDataFrame([(999, 0)], "k long, v long"))
+    assert src.current_version() == v
+    assert sh.read().count() == len(exp) + 1
+
+    # compact materializes the clone locally; vacuum then cannot touch
+    # the source (it only sweeps the clone's own data root)
+    sh.compact()
+    assert all(not os.path.isabs(d)
+               for d in sh.manifest(sh.current_version())["dirs"])
+    sh.vacuum(keep_versions=1, retain_seconds=0, force=True)
+    assert sorted(r["k"] for r in src.read().collect()) == exp
+
+    # clone-of-a-clone passes absolute dirs through; cloning onto an
+    # existing table refuses; cloning a vacuumed-away version refuses
+    sh2 = sh.clone(str(tmp_path / "sh2"))
+    assert sh2.read().count() == sh.read().count()
+    with pytest.raises(CommitConflict):
+        src.clone(str(tmp_path / "sh"))
+    src2 = ManifestTable(spark, str(tmp_path / "src2"))
+    src2.append(spark.range(5).selectExpr("id as k"))
+    src2.overwrite(spark.range(3).selectExpr("id as k"))
+    import shutil
+
+    for d in src2.manifest(1)["dirs"]:  # simulate a reclaimed data dir
+        shutil.rmtree(str(tmp_path / "src2" / d))
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        src2.clone(str(tmp_path / "x"), version=1)
+
+
+def test_clone_time_travel_version(spark, tmp_path):
+    """Cloning an OLD version snapshots exactly that version's content
+    and state (the CREATE TABLE ... CLONE ... VERSION AS OF form)."""
+    src = ManifestTable(spark, str(tmp_path / "src"))
+    src.append(spark.range(0, 10).selectExpr("id as k"))
+    v1 = src.current_version()
+    src.append(spark.range(10, 20).selectExpr("id as k"))
+
+    old = src.clone(str(tmp_path / "old"), version=v1)
+    assert sorted(r["k"] for r in old.read().collect()) == list(range(10))
+    assert src.read().count() == 20
