@@ -378,6 +378,59 @@ def cdc_merge_replica_pruned(spark, sf_dir):
 
 
 @register(
+    "cdc_merge_upsert",
+    """
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+    upd AS (SELECT c_custkey, c_name, c_nationkey,
+                   CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment
+              FROM customer),
+    ins AS (SELECT c_custkey + (SELECT m FROM mx) + 1 AS c_custkey,
+                   'new:' || c_name AS c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+              FROM customer WHERE c_custkey % 97 = 0),
+    allr AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    SELECT * FROM allr
+     WHERE NOT (c_custkey <= (SELECT m FROM mx) AND c_custkey % 25 = 4)
+    """,
+    "Generic MERGE INTO (ManifestTable.merge_into — the Delta/Iceberg "
+    "upsert statement): bootstrap-by-merge of the customer table, an "
+    "upsert batch (acctbal bumps + brand-new shifted keys), then a "
+    "matched-delete batch — three commits whose final read-back must "
+    "equal the set-algebra recompute; the statement compiles to a "
+    "tagged audit delta and rides merge_audit's apply machinery, so "
+    "the sync watermark is untouched and pruned/change-feed modes "
+    "compose",
+)
+def cdc_merge_upsert(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    cust = load_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    m = int(cust.agg(F.max("c_custkey")).first()[0])
+    root = tempfile.mkdtemp(prefix="cdc_merge_upsert_")
+    try:
+        t = ManifestTable(spark, root)
+        t.merge_into(cust, ["c_custkey"])  # bootstrap via empty-table merge
+        upd = (cust.filter("c_custkey % 10 = 3")
+               .withColumn("c_acctbal", F.col("c_acctbal") + 100))
+        ins = cust.filter("c_custkey % 97 = 0").select(
+            (F.col("c_custkey") + m + 1).alias("c_custkey"),
+            F.concat(F.lit("new:"), F.col("c_name")).alias("c_name"),
+            "c_nationkey", "c_acctbal", "c_mktsegment")
+        t.upsert(upd.unionByName(ins), ["c_custkey"])
+        t.merge_into(cust.filter("c_custkey % 25 = 4"), ["c_custkey"],
+                     when_matched="delete", when_not_matched=None)
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "cdc_manifest_stream_drain",
     f"WITH {_AUDIT_CTE} SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
     "c_mktsegment, audit_event, audit_timestamp, audit_pk FROM audit",
@@ -2941,6 +2994,136 @@ def dedup_embedding_cosine(spark, sf_dir):
 
     emb = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 128)
     return cosine_pairs(emb, id_col="vec_id", vec_col="embedding", threshold=0.60)
+
+
+@register(
+    "semdedup_prune",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cell, embedding::DOUBLE[] AS cv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cnrm
+        FROM embeddings WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[])) AS nrm,
+               c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv)
+                          / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                   e.embedding::DOUBLE[]))
+                             * c.cnrm) DESC,
+                          c.cell ASC) AS rn
+          FROM embeddings e CROSS JOIN cent c)
+       WHERE rn = 1),
+    pruned AS (
+      SELECT DISTINCT a.vec_id
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id
+       WHERE CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DOUBLE)
+             > 0.60)
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           (p.vec_id IS NULL) AS kept
+      FROM assign a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+    """,
+    "SemDeDup (arXiv 2303.09540) semantic dedup: IVF cell assignment "
+    "(broadcast-literal codegen, centroids pinned to the first 8 vectors "
+    "for cross-engine determinism), then ONE equi-join on the cell id "
+    "prunes rows with a smaller-id same-cell neighbor above cosine 0.60 "
+    "— pairwise work never crosses cluster boundaries; at scale k grows "
+    "with the corpus so per-cell sets stay bounded",
+)
+def semdedup_prune(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import semdedup
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    return semdedup(emb, cents, id_col="vec_id", vec_col="embedding",
+                    threshold=0.60)
+
+
+_SPANS_CTE = """
+    toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+               FROM documents),
+    grams AS (SELECT doc_id, i AS pos,
+                     list_aggregate(list_slice(t, i + 1, i + 20),
+                                    'string_agg', chr(31)) AS g
+                FROM toks, unnest(range(0, array_length(t) - 20 + 1)) AS u(i)
+               WHERE array_length(t) >= 20),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    isl AS (SELECT doc_id, pos,
+                   sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM (SELECT doc_id, pos,
+                           max(pos + 20) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_end
+                      FROM hits)),
+    spans AS (SELECT doc_id, min(pos) AS span_start,
+                     max(pos) + 20 AS span_end,
+                     CAST(count(*) AS BIGINT) AS n_grams
+                FROM isl GROUP BY doc_id, island)
+"""
+
+
+@register(
+    "dedup_duplicate_spans",
+    f"WITH {_SPANS_CTE} SELECT doc_id, span_start, span_end, n_grams"
+    " FROM spans",
+    "Exact substring-span dedup detection (Lee et al., arXiv 2107.06499):"
+    " every maximal token span whose every 20-gram repeats anywhere in "
+    "the corpus — sliding grams via Catalyst sequence/slice (no Python), "
+    "md5-digested so the dup-gram shuffle carries 32-byte keys, "
+    "gaps-and-islands window merges positions into maximal spans; the "
+    "suffix-array replacement that actually distributes",
+)
+def dedup_duplicate_spans(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import duplicate_spans
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return duplicate_spans(docs, "text", "doc_id", min_tokens=20)
+
+
+@register(
+    "dedup_span_excision",
+    f"""
+    WITH {_SPANS_CTE},
+    tokpos AS (SELECT doc_id, i, t[i + 1] AS tok
+                 FROM toks, unnest(range(0, array_length(t))) AS u(i)),
+    tagged AS (SELECT p.doc_id, p.i, p.tok,
+                      NOT EXISTS (SELECT 1 FROM spans s
+                                   WHERE s.doc_id = p.doc_id
+                                     AND p.i >= s.span_start
+                                     AND p.i < s.span_end) AS keep
+                 FROM tokpos p)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN tok END, ' '
+                               ORDER BY i), '') AS clean_text,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped_tokens
+      FROM tagged GROUP BY doc_id
+    """,
+    "Span excision: cut the detected duplicate spans out of each doc "
+    "(tokens inside any span dropped, rest rejoined) — the Lee-et-al "
+    "cleanup applied corpus-wide; spans collapse to a per-doc array via "
+    "one small agg + left join, the cut is a map-side token filter, the "
+    "text never shuffles with the spans",
+)
+def dedup_span_excision(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import duplicate_spans, excise_spans
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    spans = duplicate_spans(docs, "text", "doc_id", min_tokens=20)
+    return excise_spans(docs, spans, "text", "doc_id")
 
 
 # --------------------------------------------------------------------------
