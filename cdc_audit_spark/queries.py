@@ -3048,6 +3048,55 @@ def semdedup_prune(spark, sf_dir):
                     threshold=0.60)
 
 
+@register(
+    "quality_classifier_scores",
+    None,  # iterative training — no single-SQL form; ground truth lives
+    # in test_classifier.py (Spark GD ≡ numpy reference at 1e-9, planted
+    # classes fully separated)
+    "Hashing-trick logistic-regression quality filter (the CCNet/GPT-3 "
+    "linear recipe) TRAINED in Spark: one bounded bucket-shuffle per GD "
+    "iteration, margins map-side via an array-literal fold, scoring is "
+    "zero-shuffle whole-stage codegen; weak labels = lang=='en'",
+)
+def quality_classifier_scores(spark, sf_dir):
+    from cdc_audit_spark.operators.classifier import (
+        score_quality,
+        train_quality_logreg,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    labeled = docs.withColumn(
+        "label", (F.col("lang") == "en").cast("int"))
+    model = train_quality_logreg(labeled, "text", "label",
+                                 n_buckets=512, iters=8, lr=4.0)
+    scored = score_quality(docs, "text", "doc_id", model)
+    return (
+        docs.select("doc_id", "lang").join(scored, "doc_id")
+        .select("doc_id", "lang",
+                (F.col("quality_prob") > 0.5).alias("pred_en"),
+                F.round("quality_prob", 6).alias("quality_prob"))
+    )
+
+
+@register(
+    "bpe_trained_token_counts",
+    None,  # iterative merge training — no SQL form; hand-computed-merge
+    # parity, lossless-segmentation and determinism live in test_bpe.py
+    "REAL BPE (Sennrich et al. 2016) trained ON the corpus: the only "
+    "corpus-scale pass is one word-count shuffle (map-side combine, "
+    "heavy-hitters capped with the truncated mass reported); the merge "
+    "loop runs on that bounded table driver-side like every published "
+    "trainer; encoding is Arrow mapInPandas memoized per unique word "
+    "(Zipf cache). Output: per-doc trained-subword counts",
+)
+def bpe_trained_token_counts(spark, sf_dir):
+    from cdc_audit_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    model = train_bpe(docs, "text", num_merges=100, max_words=4096)
+    return bpe_encode(docs, "text", "doc_id", model)
+
+
 _SPANS_CTE = """
     toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
                FROM documents),
@@ -5383,6 +5432,12 @@ _DRIVER_WINDOW = [
     # (knn_cosine_topk / dedup_embedding_cosine / embedding_quantize_int8 /
     # cdc_merge_replica_pruned / cdc_replica_change_feed are r06/r07-green
     # — safely behind the window until r09's rotation)
+    # r09 TODO — needing their FIRST driver row (registered after this
+    # window was frozen): cdc_merge_upsert, cdc_table_changes,
+    # text_winnow_fingerprints, semdedup_prune, dedup_duplicate_spans,
+    # dedup_span_excision, dsir_bucket_counts, dsir_importance_sample,
+    # quality_classifier_scores (◇), bpe_trained_token_counts (◇) —
+    # plus every query whose newest green row is r06 (3-round bound).
 ]
 
 

@@ -85,7 +85,8 @@ def _plain(v):
 # manifest in O(1); cdc_dirs does NOT (each commit's feed dirs are that
 # commit's delta alone).
 _STATE_KEYS = ("watermark", "epoch", "run_id", "wipe_through",
-               "wipe_pk_cols", "schema", "cdc_schema", "cdc_audit_cols")
+               "wipe_pk_cols", "schema", "cdc_schema", "cdc_audit_cols",
+               "txns", "constraints")
 
 # Deletion-vector payload keys (dv_dirs: live DV key files; dv_meta:
 # per-DV {key, rows, files, covers}) survive only through commits that
@@ -96,6 +97,15 @@ _STATE_KEYS = ("watermark", "epoch", "run_id", "wipe_through",
 # the materialization step.
 _DV_KEYS = ("dv_dirs", "dv_meta")
 _DV_CARRY_ACTIONS = ("append", "analyze", "delete")
+
+
+class ConstraintViolation(ValueError):
+    """A write's rows fail a table CHECK constraint (add_constraint)."""
+
+
+class _TxnApplied(Exception):
+    """Internal: a claim-loop rebase found the (app_id, version) pair
+    already durable — the append skips gracefully (see append(txn_*))."""
 
 
 class CommitConflict(RuntimeError):
@@ -984,12 +994,114 @@ class ManifestTable:
             bits[p // 8] |= 1 << (p % 8)
         return {"bloom": {"m": _BLOOM_M, "k": _BLOOM_K, "hex": bits.hex()}}
 
+    def constraints(self, at_version: int | None = None) -> dict:
+        """The table's live CHECK constraints {name: sql_expr} (state
+        key — one walk resolves the full map)."""
+        for m in self._state_manifests(at_version):
+            if "constraints" in m:
+                return dict(m["constraints"])
+        return {}
+
+    def add_constraint(self, name: str, expr: str,
+                       validate: bool = True) -> int:
+        """ALTER TABLE ADD CONSTRAINT (the Delta CHECK pattern): every
+        current and future row must satisfy SQL predicate ``expr``
+        (NULL passes, per SQL CHECK semantics — spell NOT NULL as
+        ``"col IS NOT NULL"``). Existing content is validated first
+        (one counting aggregate; ``validate=False`` skips for
+        known-clean bulk adoption). The commit is metadata-only
+        (action "alter", dirs carried verbatim — streams skip it like
+        a compaction) and the map is table state: it inherits through
+        every commit and rolls back with RESTORE.
+
+        Enforcement: every Python-API write path (append / overwrite /
+        range layouts / merge_into / merge_audit deltas) counts
+        violations in one extra aggregate per write and REFUSES with
+        :class:`ConstraintViolation` — rows never land. The registered
+        Spark-format write path does not enforce (its rows stream
+        through executors; validate after with ``verify_constraints``).
+        """
+        if name in self.constraints():
+            raise ValueError(f"constraint {name!r} already exists; "
+                             "drop_constraint first")
+        if validate and self.current_version() is not None:
+            self._enforce_constraints(self.read(), {name: expr})
+
+        def extra_fn(parent):
+            return {"constraints": {
+                **((parent or {}).get("constraints", {})), name: expr}}
+
+        return self._commit(
+            "alter", lambda parent: list(parent["dirs"]) if parent else [],
+            extra=extra_fn)
+
+    def drop_constraint(self, name: str) -> int:
+        if name not in self.constraints():
+            raise ValueError(f"no constraint {name!r} on {self.path}")
+
+        def extra_fn(parent):
+            cs = {**((parent or {}).get("constraints", {}))}
+            cs.pop(name, None)
+            return {"constraints": cs}
+
+        return self._commit(
+            "alter", lambda parent: list(parent["dirs"]) if parent else [],
+            extra=extra_fn)
+
+    def verify_constraints(self, version: int | None = None) -> dict:
+        """Violation count per live constraint over the table content —
+        the audit for writes that bypassed enforcement (format path,
+        adopted data). All constraints count in ONE aggregate."""
+        cs = self.constraints(at_version=version)
+        if not cs:
+            return {}
+        from pyspark.sql import functions as F
+
+        r = self.read(version).agg(*[
+            F.sum((~F.coalesce(F.expr(e), F.lit(True))).cast("long"))
+            .alias(n) for n, e in cs.items()]).first()
+        return {n: int(r[n] or 0) for n in cs}
+
+    def _enforce_constraints(self, df: DataFrame, cs: dict | None = None):
+        """Refuse ``df`` if any row violates a live constraint. One
+        counting aggregate for ALL constraints; zero cost when the
+        table has none (the common case — no job is launched)."""
+        from pyspark.sql import functions as F
+
+        if cs is None:
+            cs = self.constraints()
+        if not cs:
+            return
+        r = df.agg(*[
+            F.sum((~F.coalesce(F.expr(e), F.lit(True))).cast("long"))
+            .alias(n) for n, e in cs.items()]).first()
+        bad = {n: int(r[n] or 0) for n in cs if int(r[n] or 0) > 0}
+        if bad:
+            detail = ", ".join(
+                f"{n} ({cs[n]!r}): {c} row(s)" for n, c in bad.items())
+            raise ConstraintViolation(
+                f"write to {self.path} violates CHECK constraint(s) "
+                f"{detail} — no rows were committed")
+
+    def txn_version(self, app_id: str) -> int | None:
+        """Newest idempotent-transaction version recorded for ``app_id``
+        (``append(txn_app_id=, txn_version=)``), or None. The ``txns``
+        map is a state key — it inherits through every commit, so one
+        state walk resolves it."""
+        for m in self._state_manifests():
+            if "txns" in m:
+                v = m["txns"].get(app_id)
+                return int(v) if v is not None else None
+        return None
+
     def append(self, df: DataFrame, extra: dict | None = None,
                pk_range_col: str | None = None,
                stats_cols: list[str] | None = None,
                set_stats_cols: list[str] | None = None,
                ndv_stats_cols: list[str] | None = None,
-               on_drift: str = "fail") -> int:
+               on_drift: str = "fail",
+               txn_app_id: str | None = None,
+               txn_version: int | None = None) -> int | None:
         """Commit ``df``'s rows as a new version on top of the current one.
         Returns the committed version. Safe under concurrent appends: data
         is written once, and only the (cheap) manifest claim retries.
@@ -1007,12 +1119,30 @@ class ManifestTable:
         prune on — at the cost of 1-2 extra small jobs per listed
         column. ``ndv_stats_cols`` records a mergeable HLL sketch per
         column (rides in the same aggregate — no extra job), enabling
-        :meth:`approx_ndv`'s metadata-only distinct counts."""
+        :meth:`approx_ndv`'s metadata-only distinct counts.
+
+        ``txn_app_id``/``txn_version`` make the append IDEMPOTENT (the
+        Delta txn pattern for foreachBatch / retried batch jobs): a pair
+        already recorded at or above ``txn_version`` skips without
+        committing (returns None) — checked cheaply up front AND
+        re-checked inside the claim loop against the actual rebase
+        parent, so two racing writers replaying the same batch commit it
+        exactly once (the loser removes its orphan data dir). Versions
+        per app must be monotone, exactly like streaming epochs."""
         from pyspark.sql import functions as F
 
         from pyspark.storagelevel import StorageLevel
 
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError(
+                "txn_app_id and txn_version come as a pair")
+        if txn_app_id is not None:
+            txn_version = int(txn_version)
+            last = self.txn_version(txn_app_id)
+            if last is not None and last >= txn_version:
+                return None  # already durable — zero work, no commit
         self._check_drift(df, on_drift)
+        self._enforce_constraints(df)
         meta: dict = {}
         agg_cols = []
         if pk_range_col is not None:
@@ -1068,10 +1198,29 @@ class ManifestTable:
         meta.update(fstats)
         extra = {**(extra or {}), "schema": df.schema.json(),
                  "dir_meta": {rel: meta}}
-        return self._commit(
-            "append", lambda parent: (parent["dirs"] if parent else []) + [rel],
-            extra=extra,
-        )
+        if txn_app_id is None:
+            return self._commit(
+                "append",
+                lambda parent: (parent["dirs"] if parent else []) + [rel],
+                extra=extra,
+            )
+
+        def dirs_fn(parent):
+            pt = (parent or {}).get("txns", {})
+            if txn_app_id in pt and int(pt[txn_app_id]) >= txn_version:
+                raise _TxnApplied()  # racer replayed the same batch first
+            return (parent["dirs"] if parent else []) + [rel]
+
+        def extra_fn(parent):
+            return {**extra,
+                    "txns": {**((parent or {}).get("txns", {})),
+                             txn_app_id: txn_version}}
+
+        try:
+            return self._commit("append", dirs_fn, extra=extra_fn)
+        except _TxnApplied:
+            shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+            return None
 
     def _check_drift(self, df: DataFrame, on_drift: str) -> None:
         """Appended batches must match the table schema; ``on_drift=
@@ -1133,6 +1282,7 @@ class ManifestTable:
         """
         if base_version is _ANY:
             base_version = self.current_version()
+        self._enforce_constraints(df)
         rel, fstats = self._write_data_dir(df)
         return self._commit(action, lambda parent: [rel], max_retries=1,
                             extra={**(extra or {}),
@@ -1469,6 +1619,7 @@ class ManifestTable:
         if n == 0:
             return SyncResult(0, wm, self.path)
         new_wm = max(wm, int(mx))
+        self._enforce_constraints(delta)  # O(delta), only if any exist
         rel, fstats = self._write_data_dir(delta)
 
         def dirs(parent):
@@ -2137,6 +2288,14 @@ class ManifestTable:
         from cdc_audit_spark.capture import apply_changes
         from cdc_audit_spark.sync import SyncResult
 
+        cs = self.constraints(at_version=base)
+        if cs:
+            from cdc_audit_spark.schema import AUDIT_EVENT
+
+            # only the delta's surviving images can introduce violations
+            # — O(delta), preserving the pruned merge's O(touched) bound
+            self._enforce_constraints(
+                delta.filter(F.col(AUDIT_EVENT) != "delete"), cs)
         m = self.manifest(base)
         if m.get("dv_dirs"):
             # the pruned path reads touched dirs RAW (dir-granular
@@ -2297,6 +2456,7 @@ class ManifestTable:
         if base_version is _ANY:
             base_version = self.current_version()
         self._check_drift(df, on_drift)
+        self._enforce_constraints(df)
         dirs, meta = self._write_range_dirs(df, key, n_buckets)
         return self._commit(
             "append",
@@ -2327,6 +2487,7 @@ class ManifestTable:
 
         if base_version is _ANY:
             base_version = self.current_version()
+        self._enforce_constraints(df)
         dirs, meta = self._write_range_dirs(df, key, n_buckets)
         return self._commit(
             action, lambda parent: dirs, max_retries=1,

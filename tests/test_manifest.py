@@ -1846,3 +1846,138 @@ def test_clone_time_travel_version(spark, tmp_path):
     old = src.clone(str(tmp_path / "old"), version=v1)
     assert sorted(r["k"] for r in old.read().collect()) == list(range(10))
     assert src.read().count() == 20
+
+
+def test_append_txn_idempotent(spark, tmp_path):
+    """append(txn_app_id=, txn_version=): the Delta txn pattern — a
+    replayed (app, version) pair skips without committing; higher
+    versions commit; apps are independent; the map inherits through
+    unrelated commits; the claim-loop recheck turns a racing replay
+    into exactly-once."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    one = spark.createDataFrame([(1,)], "k long")
+
+    assert t.append(one, txn_app_id="job", txn_version=1) == 1
+    assert t.append(one, txn_app_id="job", txn_version=1) is None  # replay
+    assert t.read().count() == 1
+    assert t.txn_version("job") == 1
+
+    assert t.append(one, txn_app_id="job", txn_version=2) is not None
+    assert t.append(one, txn_app_id="other", txn_version=1) is not None
+    assert t.read().count() == 3
+    assert t.txn_version("job") == 2 and t.txn_version("other") == 1
+
+    # state-key inheritance: an unrelated commit keeps the map
+    t.compact()
+    assert t.txn_version("job") == 2
+    assert t.append(one, txn_app_id="job", txn_version=2) is None
+
+    # stale version below the recorded one also skips (monotone apps)
+    assert t.append(one, txn_app_id="job", txn_version=1) is None
+
+    # pair validation
+    with pytest.raises(ValueError, match="pair"):
+        t.append(one, txn_app_id="job")
+
+    # claim-loop recheck: simulate the race by pre-locking the fast path
+    # (a second writer with a SEPARATE handle whose state view is stale)
+    t2 = ManifestTable(spark, str(tmp_path / "t"))
+    import cdc_audit_spark.sinks.manifest as mm
+
+    orig = mm.ManifestTable.txn_version
+    try:
+        # blind the up-front check so only the in-loop guard can save us
+        mm.ManifestTable.txn_version = lambda self, app: None
+        assert t2.append(one, txn_app_id="job", txn_version=2) is None
+    finally:
+        mm.ManifestTable.txn_version = orig
+    assert t.read().count() == 3  # the raced replay added nothing
+
+
+def test_check_constraints_enforced_everywhere(spark, tmp_path):
+    """ADD CONSTRAINT: dirty existing content refuses adoption; every
+    Python write path (append, sync_audit, pruned merge delta,
+    merge_into/overwrite) refuses violating rows BEFORE committing; the
+    map inherits through commits, drops cleanly, and NULL passes (SQL
+    CHECK semantics)."""
+    from cdc_audit_spark.sinks.manifest import ConstraintViolation
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 10.0), (2, -5.0)],
+                                   "k long, bal double"))
+    with pytest.raises(ConstraintViolation, match="bal_nonneg"):
+        t.add_constraint("bal_nonneg", "bal >= 0")  # existing row dirty
+    assert t.constraints() == {}
+
+    t.overwrite(spark.createDataFrame([(1, 10.0), (2, 5.0)],
+                                      "k long, bal double"))
+    t.add_constraint("bal_nonneg", "bal >= 0")
+    assert t.constraints() == {"bal_nonneg": "bal >= 0"}
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("bal_nonneg", "bal >= 1")
+
+    v = t.current_version()
+    with pytest.raises(ConstraintViolation, match="no rows were"):
+        t.append(spark.createDataFrame([(3, -1.0)], "k long, bal double"))
+    assert t.current_version() == v  # nothing landed
+    t.append(spark.createDataFrame([(3, 0.0)], "k long, bal double"))
+
+    # NULL passes (SQL CHECK three-valued logic)
+    t.append(spark.createDataFrame([(4, None)], "k long, bal double"))
+
+    # the map is state: survives compaction; alter commits are invisible
+    # to streams (dirs carried verbatim)
+    t.compact()
+    assert t.constraints() == {"bal_nonneg": "bal >= 0"}
+    m = t.manifest(t.current_version())
+    assert m["action"] == "overwrite"
+
+    # upsert path (non-pruned merge -> overwrite) refuses too
+    with pytest.raises(ConstraintViolation):
+        t.upsert(spark.createDataFrame([(1, -9.0)], "k long, bal double"),
+                 ["k"])
+    # sync_audit delta refuses (on an audit-shaped table of its own)
+    ta = ManifestTable(spark, str(tmp_path / "ta"))
+    sch = "k long, bal double, audit_event string, audit_pk long"
+    ta.sync_audit(spark.createDataFrame([(1, 1.0, "insert", 1)], sch))
+    ta.add_constraint("bal_nonneg", "bal >= 0")
+    with pytest.raises(ConstraintViolation):
+        ta.sync_audit(spark.createDataFrame([(9, -2.0, "insert", 100)], sch))
+    assert ta.watermark() == 1  # the refused delta advanced nothing
+
+    # verify_constraints audits content (clean here)
+    assert t.verify_constraints() == {"bal_nonneg": 0}
+
+    t.drop_constraint("bal_nonneg")
+    assert t.constraints() == {}
+    t.append(spark.createDataFrame([(5, -7.0)], "k long, bal double"))
+    with pytest.raises(ValueError, match="no constraint"):
+        t.drop_constraint("bal_nonneg")
+
+
+def test_check_constraints_pruned_merge_delta(spark, tmp_path):
+    """The pruned merge enforces on the DELTA's surviving images only
+    (O(delta)): a violating update refuses, a delete of a key whose
+    image carries a violating value does NOT (deletes can't violate)."""
+    from cdc_audit_spark.sinks.manifest import ConstraintViolation
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    boot = spark.range(0, 100).selectExpr("id as k", "CAST(id AS DOUBLE) as bal")
+    empty = spark.createDataFrame(
+        [], "k long, bal double, audit_event string, audit_pk long")
+    t.merge_audit(empty, ["k"], bootstrap=boot, pruned=True, range_buckets=4)
+    t.add_constraint("bal_nonneg", "bal >= 0")
+
+    bad = spark.createDataFrame(
+        [(5, -1.0, "update", 1000)],
+        "k long, bal double, audit_event string, audit_pk long")
+    with pytest.raises(ConstraintViolation):
+        t.merge_audit(bad, ["k"], pruned=True)
+
+    ok = spark.createDataFrame(
+        [(5, -1.0, "delete", 1001), (6, 60.0, "update", 1002)],
+        "k long, bal double, audit_event string, audit_pk long")
+    r = t.merge_audit(ok, ["k"], pruned=True)
+    assert r.rows_synced == 2
+    got = {x["k"]: x["bal"] for x in t.read().collect()}
+    assert 5 not in got and got[6] == 60.0
