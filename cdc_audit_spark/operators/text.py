@@ -17,8 +17,10 @@ __all__ = [
     "quality_stats",
     "with_quality",
     "fingerprint",
+    "gopher_quality_flags",
     "language_id",
     "DEFAULT_STOPWORDS",
+    "GOPHER_REQUIRED_STOPWORDS",
 ]
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -156,6 +158,64 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
         best["score"].cast("long").alias("marker_hits"),
+    )
+
+
+#: The Gopher rule set's required "stop words" (Rae et al. 2021, arXiv
+#: 2112.11446 §A1.1): a document must contain at least 2 of these to pass.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_words: int = 15,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.80,
+    max_dup_word_frac: float = 0.60,
+    min_stopword_hits: int = 2,
+    required_stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
+) -> DataFrame:
+    """The Gopher quality-rule set (Rae et al. 2021, arXiv 2112.11446
+    §A1.1) as one map-side expression tree: word-count band, mean word
+    length band, fraction of words containing an alphabetic character,
+    duplicate-word fraction (the within-doc repetition signal), and the
+    required-stopword presence count. Returns the per-doc metrics plus
+    the conjunctive ``gopher_pass`` flag.
+
+    100 TB shape: narrow map over the corpus, zero shuffle, whole-stage
+    codegen throughout (split / higher-order filter / regexp — no Python).
+    Thresholds parameterized; defaults follow the paper (word band relaxed
+    — the paper's 50..100k assumes web pages, not snippets)."""
+    t = _tokens(text_col)
+    n_words = F.size(t)
+    mean_word_len = _ratio(
+        F.length(F.regexp_replace(F.col(text_col), r"\s+", "")), n_words)
+    alpha_word_frac = _ratio(
+        F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]"))), n_words)
+    dup_word_frac = F.lit(1.0) - _ratio(F.size(F.array_distinct(t)), n_words)
+    req = F.array(*[F.lit(s) for s in required_stopwords])
+    stopword_hits = F.size(F.filter(req, lambda s: F.array_contains(t, s)))
+    gopher_pass = (
+        n_words.between(min_words, max_words)
+        & (mean_word_len >= F.lit(float(min_mean_word_len)))
+        & (mean_word_len <= F.lit(float(max_mean_word_len)))
+        & (alpha_word_frac >= F.lit(float(min_alpha_word_frac)))
+        & (dup_word_frac <= F.lit(float(max_dup_word_frac)))
+        & (stopword_hits >= F.lit(int(min_stopword_hits)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        dup_word_frac.alias("dup_word_frac"),
+        stopword_hits.cast("long").alias("stopword_hits"),
+        gopher_pass.alias("gopher_pass"),
     )
 
 

@@ -128,3 +128,44 @@ def test_winnow_fingerprints_deterministic(spark, sf_dir):
     a = winnow_fingerprints(sub, "text", "doc_id")
     b = winnow_fingerprints(sub, "text", "doc_id")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_gopher_quality_rules_planted_docs(spark):
+    from cdc_audit_spark.operators.text import gopher_quality_flags
+
+    good = ("the quick brown fox jumps over that lazy dog and then runs "
+            "to have some water with the other animals near of a river")
+    rows = [
+        (1, good),                                   # passes every rule
+        (2, "too short to have words"),              # word-count band
+        (3, " ".join(["spam"] * 40)),                # dup frac 39/40, no stopwords
+        (4, " ".join(["12345 67890"] * 10) + " the of and extra"),  # alpha frac low
+        (5, " ".join(f"w{i}" for i in range(40))),   # mean len 2.x + 0 stopword hits
+        (6, good + " " + " ".join(
+            "antidisestablishmentarianism" for _ in range(200))),  # mean len > 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           gopher_quality_flags(df, "text", "doc_id").collect()}
+
+    assert out[1]["gopher_pass"]
+    assert out[1]["stopword_hits"] >= 5
+    assert out[1]["dup_word_frac"] < 0.2
+
+    assert not out[2]["gopher_pass"] and out[2]["n_words"] < 15
+    assert not out[3]["gopher_pass"]
+    assert out[3]["dup_word_frac"] > 0.9
+    assert not out[4]["gopher_pass"]
+    assert out[4]["alpha_word_frac"] < 0.8
+    assert not out[5]["gopher_pass"]
+    assert out[5]["stopword_hits"] == 0
+    assert not out[6]["gopher_pass"]
+    assert out[6]["mean_word_len"] > 10.0
+
+
+def test_gopher_quality_rules_zero_shuffle_plan(spark):
+    from cdc_audit_spark.operators.text import gopher_quality_flags
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = gopher_quality_flags(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

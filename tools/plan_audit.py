@@ -98,6 +98,20 @@ EXPLANATIONS["corpus_source_accounting"] = (
 )
 EXPLANATIONS["cdc_state_asof"] = _CDC_NOTE
 EXPLANATIONS["cdc_diff_event_counts"] = _CDC_NOTE
+EXPLANATIONS["q11_important_parts"] = (
+    "BroadcastNestedLoopJoin's build side is the 1-row global-total scalar "
+    "— the standard scalar-subquery plan (same shape as q22)"
+)
+EXPLANATIONS["bpe_trained_token_counts"] = (
+    "rank-greedy BPE merge application is inherently sequential per word "
+    "(no Catalyst form); the Arrow stage memoizes per unique word, so "
+    "Python cost tracks the vocabulary, not the corpus (see operators.bpe)"
+)
+EXPLANATIONS["quality_classifier_scores"] = (
+    "the python stage is the bounded per-iteration gradient aggregate "
+    "(n_buckets rows); scoring itself is zero-shuffle codegen — "
+    "plan-asserted in test_classifier"
+)
 EXPLANATIONS["ann_pq_topk"] = (
     "PQ encode + asymmetric-distance scan are Arrow-batched numpy stages "
     "(argmin/matmul kernels — the compressed-domain math has no Catalyst "
