@@ -46,7 +46,15 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["NgramLM", "train_ngram_lm", "score_perplexity", "backoff_tiers"]
+__all__ = [
+    "NgramLM",
+    "train_ngram_lm",
+    "score_perplexity",
+    "backoff_tiers",
+    "maintain_ngram_counts",
+    "incremental_ngram_counts",
+    "lm_from_counts",
+]
 
 #: Broadcast ceiling for the model-lookup joins: ~1M grams × ~40 bytes of
 #: strings ≈ 40 MB per executor — comfortable; above it the lookup joins
@@ -161,6 +169,93 @@ def train_ngram_lm(
         model = ranked.filter(F.col("__rn") <= max_grams).drop("__rn")
 
     return NgramLM(counts=model, total=total, n=n, truncated_mass=truncated)
+
+
+def _doc_grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Every order's grams of every row, exploded: (order, gram)."""
+    toks = df.select(_words(text_col).alias("__w"))
+    parts = [
+        toks.select(F.lit(k).alias("order"),
+                    F.explode(_grams(F.col("__w"), k)).alias("gram"))
+        for k in range(1, n + 1)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def maintain_ngram_counts(
+    counts: DataFrame,
+    base: DataFrame,
+    audit_batch: DataFrame,
+    text_col: str,
+    pk_cols: list[str],
+    *,
+    n: int = 2,
+) -> DataFrame:
+    """Apply one CDC audit batch to the LM's (order, gram, cnt) state —
+    the language model stays fresh as the corpus mutates, without ever
+    rescanning it (the ANN/dedup-index story applied to the LM tier; the
+    algebra is ``mview.maintain_group_sum`` post-explode).
+
+    Debit the touched docs' OLD texts' gram multisets, credit the
+    surviving final images' grams; a gram whose count reaches 0
+    disappears, exactly as a from-scratch ``train_ngram_lm`` over the
+    post-batch corpus would have it (equality is the oracle). ``base`` is
+    the pre-batch snapshot; only its touched keys are read (broadcast
+    semi-join — the batch is small against the corpus by assumption).
+    The merge shuffles the batch's grams plus the count table's keys,
+    never the corpus.
+    """
+    from cdc_audit_spark.compact import keep_last_per_key
+    from cdc_audit_spark.schema import AUDIT_EVENT
+
+    final = keep_last_per_key(audit_batch, pk_cols)
+    touched = final.select(*pk_cols)
+    debit = (
+        _doc_grams(base.join(F.broadcast(touched), pk_cols, "left_semi"),
+                   text_col, n)
+        .groupBy("order", "gram").agg((-F.count("*")).alias("cnt"))
+    )
+    credit = (
+        _doc_grams(final.filter(F.col(AUDIT_EVENT) != "delete"), text_col, n)
+        .groupBy("order", "gram").agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.select("order", "gram", "cnt")
+        .unionByName(debit)
+        .unionByName(credit)
+        .groupBy("order", "gram")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def incremental_ngram_counts(
+    base: DataFrame,
+    audit_batch: DataFrame,
+    text_col: str,
+    pk_cols: list[str],
+    *,
+    n: int = 2,
+) -> DataFrame:
+    """Bootstrap + one maintenance step — the self-contained form the
+    oracle-checked query uses (equality with training on the post-batch
+    corpus directly proves the maintenance algebra)."""
+    boot = _doc_grams(base, text_col, n).groupBy("order", "gram").agg(
+        F.count("*").alias("cnt"))
+    return maintain_ngram_counts(boot, base, audit_batch, text_col, pk_cols, n=n)
+
+
+def lm_from_counts(counts: DataFrame, n: int = 2) -> NgramLM:
+    """Rehydrate a scoreable model from a maintained (order, gram, cnt)
+    state table: N is one bounded aggregate over the unigram rows (the
+    state IS the model — nothing else persists)."""
+    total = counts.filter(F.col("order") == 1).agg(
+        F.sum("cnt").alias("s")).collect()[0]["s"]
+    return NgramLM(counts=counts, total=int(total or 0), n=n,
+                   truncated_mass={})
 
 
 def _maybe_broadcast(model_df: DataFrame, n_grams: int) -> DataFrame:

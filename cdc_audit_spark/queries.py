@@ -3457,6 +3457,69 @@ def cdc_dedup_index_sync(spark, sf_dir):
 
 
 @register(
+    "cdc_lm_index_sync",
+    """
+    WITH v0 AS (SELECT doc_id, text FROM documents),
+    survivors AS (SELECT doc_id,
+                         CASE WHEN doc_id % 13 = 0
+                              THEN 'TEMPLATE-' || CAST(doc_id % 5 AS VARCHAR)
+                              ELSE text END AS text
+                    FROM v0 WHERE doc_id % 17 <> 2),
+    ins AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM v0) AS doc_id, text
+              FROM v0 WHERE doc_id % 23 = 1),
+    final AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins),
+    toks AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> len(t) > 0) AS w
+               FROM final),
+    grams AS (
+      SELECT 1 AS ord, unnest(w) AS gram FROM toks
+      UNION ALL
+      SELECT 2 AS ord, unnest(list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i+1])) AS gram
+        FROM toks)
+    SELECT ord, gram, CAST(count(*) AS BIGINT) AS cnt
+      FROM grams GROUP BY ord, gram HAVING count(*) >= 5
+    """,
+    "CDC-maintained n-gram LM: the same scripted audit batch as the dedup "
+    "index query (deletes ≡2 mod 17, updates ≡0 mod 13 onto template texts, "
+    "inserts copies of ≡1 mod 23) maintains the LM's (order, gram, cnt) "
+    "state incrementally — debit old images' gram multisets, credit "
+    "surviving finals; the oracle trains on the post-change corpus "
+    "directly, so equality proves the maintenance algebra. Only the "
+    "batch's grams shuffle; the corpus is never rescanned.",
+)
+def cdc_lm_index_sync(spark, sf_dir):
+    from cdc_audit_spark.operators.ngram_lm import incremental_ngram_counts
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    maxid = docs.agg(F.max("doc_id")).first()[0]
+    deletes = (
+        docs.filter(F.col("doc_id") % 17 == 2)
+        .select("doc_id", "text",
+                F.lit("delete").alias("audit_event"),
+                (F.col("doc_id") * 2 + 1).alias("audit_pk"))
+    )
+    updates = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id",
+                F.concat(F.lit("TEMPLATE-"), (F.col("doc_id") % 5).cast("string"))
+                .alias("text"),
+                F.lit("update").alias("audit_event"),
+                (F.col("doc_id") * 2).alias("audit_pk"))
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") % 23 == 1)
+        .select((F.col("doc_id") + F.lit(maxid + 1)).alias("doc_id"), "text",
+                F.lit("insert").alias("audit_event"),
+                (F.col("doc_id") * 2).alias("audit_pk"))
+    )
+    batch = deletes.unionByName(updates).unionByName(inserts)
+    counts = incremental_ngram_counts(docs, batch, "text", ["doc_id"], n=2)
+    return counts.filter(F.col("cnt") >= 5).select(
+        F.col("order").cast("int").alias("ord"), "gram", "cnt")
+
+
+@register(
     "dedup_levenshtein_pairs",
     """
     WITH d AS (SELECT doc_id, substr(text, 1, 64) AS t
@@ -5599,7 +5662,8 @@ _DRIVER_WINDOW = [
     # dedup_span_excision, dsir_bucket_counts, dsir_importance_sample,
     # quality_classifier_scores (◇), bpe_trained_token_counts (◇),
     # gopher_quality_rules, q11_important_parts, ngram_lm_backoff_tiers,
-    # ngram_lm_perplexity (◇), kmeans_embedding_clusters (◇) —
+    # ngram_lm_perplexity (◇), kmeans_embedding_clusters (◇),
+    # cdc_lm_index_sync —
     # plus every query whose newest green row is r06 (3-round bound).
 ]
 

@@ -174,3 +174,62 @@ def test_scoring_plan_broadcasts_model_single_doc_exchange(spark):
     # other hash exchanges in the plan are the model's own bounded
     # (order, gram) count aggregates feeding the broadcasts)
     assert plan.count("Exchange hashpartitioning(__id") == 1
+
+
+def _audit(spark, rows, event, pk0):
+    return spark.createDataFrame(
+        [(i, t, event, pk0 + j) for j, (i, t) in enumerate(rows)],
+        "doc_id long, text string, audit_event string, audit_pk long")
+
+
+def test_maintained_counts_equal_retrain_across_batches(spark):
+    from cdc_audit_spark.operators.ngram_lm import (
+        incremental_ngram_counts,
+        lm_from_counts,
+        maintain_ngram_counts,
+    )
+
+    base = _df(spark)
+    # batch 1: update doc 2, delete doc 5
+    b1 = _audit(spark, [(2, "the dog sat on the log")], "update", 100).unionByName(
+        _audit(spark, [(5, "zyxxy unseen tokens only")], "delete", 110))
+    # batch 2: insert doc 6, update doc 2 again (migrating grams twice)
+    b2 = _audit(spark, [(6, "a cat and a dog")], "insert", 200).unionByName(
+        _audit(spark, [(2, "the fish ate the cat")], "update", 210))
+
+    c1 = incremental_ngram_counts(base, b1, "text", ["doc_id"], n=2)
+    mid_docs = [(1, DOCS[0][1]), (2, "the dog sat on the log"),
+                (3, DOCS[2][1]), (4, DOCS[3][1])]
+    mid = spark.createDataFrame(mid_docs, "doc_id long, text string")
+    c2 = maintain_ngram_counts(c1, mid, b2, "text", ["doc_id"], n=2)
+
+    final_docs = [(1, DOCS[0][1]), (2, "the fish ate the cat"),
+                  (3, DOCS[2][1]), (4, DOCS[3][1]), (6, "a cat and a dog")]
+    expect = train_ngram_lm(
+        spark.createDataFrame(final_docs, "doc_id long, text string"),
+        "text", n=2)
+    got = {(r["order"], r["gram"]): r["cnt"] for r in c2.collect()}
+    want = {(r["order"], r["gram"]): r["cnt"] for r in expect.counts.collect()}
+    assert got == want
+
+    # the rehydrated state scores EXACTLY like a from-scratch model
+    model = lm_from_counts(c2, n=2)
+    assert model.total == expect.total
+    probe = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "qqq www")],
+        "doc_id long, text string")
+    a = sorted(map(tuple, score_perplexity(probe, "text", "doc_id", model).collect()))
+    b = sorted(map(tuple, score_perplexity(probe, "text", "doc_id", expect).collect()))
+    assert a == b
+
+
+def test_maintained_counts_drop_vanished_grams(spark):
+    from cdc_audit_spark.operators.ngram_lm import incremental_ngram_counts
+
+    base = _df(spark)
+    batch = _audit(spark, [(5, "zyxxy unseen tokens only")], "delete", 100)
+    counts = incremental_ngram_counts(base, batch, "text", ["doc_id"], n=2)
+    grams = {r["gram"] for r in counts.collect()}
+    assert "zyxxy" not in grams          # unique to the deleted doc
+    assert "zyxxy unseen" not in grams
+    assert "the" in grams                # everything else intact
