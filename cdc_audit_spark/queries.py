@@ -4921,6 +4921,28 @@ def kmeans_embedding_clusters(spark, sf_dir):
 
 
 @register(
+    "kmeans_balanced_sample",
+    None,  # iterative k-means upstream — no SQL form; clustering ground
+    # truth in test_clustering.py, quota semantics hash-checked separately
+    # by sample_source_quota (the identical operator on a SQL-computable key)
+    "Cluster-balanced data selection (the topic-diversity counterweight to "
+    "uniform sampling): full-corpus k-means clusters become the quota key "
+    "for the per-source cap operator — at most N docs per semantic cluster, "
+    "hash-priority uniform within each, rerun-stable. One window partitioned "
+    "by cluster after the map-side assignment; no global sort.",
+)
+def kmeans_balanced_sample(spark, sf_dir):
+    from cdc_audit_spark.operators.clustering import assign_clusters, train_kmeans
+    from cdc_audit_spark.operators.sampling import source_quota
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    model = train_kmeans(emb, 4, iters=5)
+    assigned = emb.join(assign_clusters(emb, model), "vec_id")
+    picked = source_quota(assigned, "vec_id", "cluster", 25)
+    return picked.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
+@register(
     "q11_important_parts",
     """
     WITH pv AS (
@@ -5663,7 +5685,7 @@ _DRIVER_WINDOW = [
     # quality_classifier_scores (◇), bpe_trained_token_counts (◇),
     # gopher_quality_rules, q11_important_parts, ngram_lm_backoff_tiers,
     # ngram_lm_perplexity (◇), kmeans_embedding_clusters (◇),
-    # cdc_lm_index_sync —
+    # cdc_lm_index_sync, kmeans_balanced_sample (◇) —
     # plus every query whose newest green row is r06 (3-round bound).
 ]
 
