@@ -102,40 +102,75 @@ class SchemaDriftError(RuntimeError):
     pass
 
 
+#: Lossless type widenings (the Delta type-widening set restricted to
+#: conversions Spark 4's parquet reader and pyarrow both promote on read:
+#: integer up-casts, integer→double for types whose every value is exactly
+#: representable in a float64, and float→double).
+_WIDENINGS: dict[str, frozenset[str]] = {
+    "tinyint": frozenset({"smallint", "int", "bigint", "double"}),
+    "smallint": frozenset({"int", "bigint", "double"}),
+    "int": frozenset({"bigint", "double"}),
+    "float": frozenset({"double"}),
+}
+
+
+def is_widening(old_type: str, new_type: str) -> bool:
+    """True when ``old_type -> new_type`` (simpleString names) is a
+    lossless widening — old data re-reads exactly under the new type."""
+    return new_type in _WIDENINGS.get(old_type, frozenset())
+
+
 def classify_schema_drift(
     old: StructType, new: StructType
 ) -> dict[str, list[str]]:
     """Split a schema change into the cases that matter for a change log:
-    ``added`` (new columns — migratable), ``removed`` (columns gone), and
-    ``changed`` (same name, different type). The reference documents drift
-    as an unsolved breaking issue (README.md:210-212); classifying it is
-    what lets us auto-migrate the safe case and fail loudly on the rest."""
+    ``added`` (new columns — migratable), ``removed`` (columns gone),
+    ``widened`` (same name, losslessly wider type — migratable where the
+    reader re-reads old files under the wider type), and ``changed`` (any
+    other type change). The reference documents drift as an unsolved
+    breaking issue (README.md:210-212); classifying it is what lets us
+    auto-migrate the safe cases and fail loudly on the rest."""
     old_by = {f.name: f.dataType.simpleString() for f in old.fields}
     new_by = {f.name: f.dataType.simpleString() for f in new.fields}
+    diff = [n for n, t in new_by.items() if n in old_by and old_by[n] != t]
     return {
         "added": [n for n in new_by if n not in old_by],
         "removed": [n for n in old_by if n not in new_by],
-        "changed": [
-            n for n, t in new_by.items() if n in old_by and old_by[n] != t
-        ],
+        "widened": [n for n in diff if is_widening(old_by[n], new_by[n])],
+        "changed": [n for n in diff if not is_widening(old_by[n], new_by[n])],
     }
 
 
-def evolve_schema(old: StructType, new: StructType) -> StructType:
-    """Additive schema migration: the old schema plus columns that appeared
-    in the new one (forced nullable — historical rows have no value for
-    them). Removed or type-changed columns are NOT migratable for an
+def evolve_schema(
+    old: StructType, new: StructType, allow_widening: bool = False
+) -> StructType:
+    """Schema migration: the old schema plus columns that appeared in the
+    new one (forced nullable — historical rows have no value for them),
+    and — with ``allow_widening`` — type-widened columns adopting the new,
+    wider type (lossless; callers must re-read historical files under an
+    EXPLICIT schema, since parquet footer-merging refuses mixed widths —
+    the manifest table does, plain parquet sinks don't and keep this off).
+    Removed or otherwise type-changed columns are NOT migratable for an
     append-only audit log (history would reinterpret silently) → raise.
     This is the auto-migration left as a TODO in the reference
     (README.md:222-224)."""
     drift = classify_schema_drift(old, new)
-    if drift["removed"] or drift["changed"]:
+    blocked = drift["changed"] + ([] if allow_widening else drift["widened"])
+    if drift["removed"] or blocked:
         raise SchemaDriftError(
             "non-additive schema drift cannot be auto-migrated: "
-            f"removed={drift['removed']} changed={drift['changed']}"
+            f"removed={drift['removed']} changed={blocked}"
+            + ("" if allow_widening or not drift["widened"] else
+               " (type widenings are supported on manifest tables, "
+               "which re-read history under an explicit schema)")
         )
-    merged = StructType(list(old.fields))
     new_by = {f.name: f for f in new.fields}
+    merged = StructType([
+        StructField(f.name, new_by[f.name].dataType,
+                    f.nullable or new_by[f.name].nullable, f.metadata)
+        if f.name in drift["widened"] else f
+        for f in old.fields
+    ])
     for name in drift["added"]:
         f = new_by[name]
         merged = merged.add(f.name, f.dataType, True, f.metadata)

@@ -523,9 +523,37 @@ class ManifestTable:
         if version is None:
             raise FileNotFoundError(f"no commits yet at {self.path}")
         m = self.manifest(version)
-        return self._read_dirs_dv(m, m["dirs"])
+        return self._read_dirs_dv(m, m["dirs"], at_version=version)
 
-    def _read_dirs_dv(self, m: dict, dirs: list[str]) -> DataFrame:
+    def _governed_read(self, paths: list[str],
+                       at_version: int | None = None,
+                       schema_json: str | None = None) -> DataFrame:
+        """Read data paths under the schema RECORDED at ``at_version``
+        (default: latest) — the one read shape that survives both
+        additive evolution (old files fill the new columns with NULL)
+        and type widening (old files' narrower parquet types promote on
+        read; footer-merging would refuse the mixed widths). Callers
+        holding the version's manifest pass its ``schema`` payload
+        directly (an inherited state key — present on every post-stamp
+        commit, so the read stays one manifest file); tables predating
+        schema stamps fall back to mergeSchema."""
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            sch = StructType.fromJson(json.loads(schema_json))
+        else:
+            sch = self.schema(at_version)
+        if sch is not None:
+            from pyspark.sql.types import StructField, StructType
+
+            relaxed = StructType([
+                StructField(f.name, f.dataType, True, f.metadata)
+                for f in sch.fields])
+            return self.spark.read.schema(relaxed).parquet(*paths)
+        return self.spark.read.option("mergeSchema", True).parquet(*paths)
+
+    def _read_dirs_dv(self, m: dict, dirs: list[str],
+                      at_version: int | None = None) -> DataFrame:
         """Read ``dirs`` of manifest ``m`` with its deletion vectors
         applied. Each DV records the dirs it COVERS (the table's dirs at
         delete time), so a key deleted once never suppresses a LATER
@@ -537,10 +565,13 @@ class ManifestTable:
         from pyspark.sql import functions as F
 
         def plain(ds):
-            # mergeSchema: after an on_drift='evolve' append, older dirs
-            # lack the new columns — pre-drift rows surface NULL for them
-            return (self.spark.read.option("mergeSchema", True)
-                    .parquet(*[os.path.join(self.path, d) for d in ds]))
+            # the recorded schema (as of the version being read): after an
+            # on_drift='evolve' append, older dirs lack the new columns
+            # (NULL-filled) or hold narrower pre-widening types (promoted).
+            # m carries it inline (inherited state key) — no extra walk.
+            return self._governed_read(
+                [os.path.join(self.path, d) for d in ds], at_version,
+                schema_json=m.get("schema"))
 
         dv = m.get("dv_dirs", [])
         if not dv or not dirs:
@@ -1141,7 +1172,7 @@ class ManifestTable:
             last = self.txn_version(txn_app_id)
             if last is not None and last >= txn_version:
                 return None  # already durable — zero work, no commit
-        self._check_drift(df, on_drift)
+        df = self._check_drift(df, on_drift)
         self._enforce_constraints(df)
         meta: dict = {}
         agg_cols = []
@@ -1222,39 +1253,63 @@ class ManifestTable:
             shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
             return None
 
-    def _check_drift(self, df: DataFrame, on_drift: str) -> None:
+    def _check_drift(self, df: DataFrame, on_drift: str) -> DataFrame:
         """Appended batches must match the table schema; ``on_drift=
         'evolve'`` admits the additive case (historical rows read NULL for
-        the new columns under mergeSchema), removed/type-changed columns
-        always refuse — the same governance as sync_table(on_drift=)."""
+        the new columns) AND lossless type widenings (int→bigint,
+        float→double, … — historical dirs re-read exactly under the wider
+        type because every manifest read passes the recorded schema
+        explicitly); removed/other-type-changed columns always refuse.
+
+        Returns the batch to commit: when the TABLE is already wider than
+        the batch (an old writer still sending the narrow type after an
+        evolve), the batch is up-cast in place — lossless, and the commit
+        then restamps the same wide schema instead of narrowing it."""
         from cdc_audit_spark.schema import (
             SchemaDriftError,
             classify_schema_drift,
             evolve_schema,
+            is_widening,
         )
 
         existing = self.schema()
         if existing is None:
-            return  # first commit sets the schema
+            return df  # first commit sets the schema
         drift = classify_schema_drift(existing, df.schema)
-        if not (drift["added"] or drift["removed"] or drift["changed"]):
-            return
+        # batch narrower than table: reverse-widenings up-cast silently
+        # (they are not drift — the table schema doesn't move)
+        if drift["changed"]:
+            old_by = {f.name: f.dataType for f in existing.fields}
+            new_by = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            narrow = [n for n in drift["changed"]
+                      if is_widening(new_by[n], old_by[n].simpleString())]
+            if narrow:
+                from pyspark.sql import functions as F
+
+                df = df.withColumns(
+                    {n: F.col(n).cast(old_by[n]) for n in narrow})
+                drift = classify_schema_drift(existing, df.schema)
+        if not (drift["added"] or drift["removed"] or drift["changed"]
+                or drift["widened"]):
+            return df
         if on_drift == "fail":
             raise SchemaDriftError(
                 f"schema drift vs manifest table {self.path}: {drift} "
-                "(pass on_drift='evolve' to admit additive drift)"
+                "(pass on_drift='evolve' to admit additive/widening drift)"
             )
         if on_drift != "evolve":
             raise ValueError(
                 f"on_drift must be 'fail' or 'evolve', got {on_drift!r}")
-        evolve_schema(existing, df.schema)  # raises on removed/changed
+        evolve_schema(existing, df.schema, allow_widening=True)
+        return df
 
-    def schema(self):
-        """The table's committed schema (from the newest commit that
-        recorded one), or None before the first commit."""
+    def schema(self, at_version: int | None = None):
+        """The table's committed schema as of ``at_version`` (default:
+        latest; from the newest commit at or before it that recorded one),
+        or None before the first commit."""
         from pyspark.sql.types import StructType
 
-        for m in self._state_manifests():
+        for m in self._state_manifests(at_version):
             if "schema" in m:
                 return StructType.fromJson(json.loads(m["schema"]))
         return None
@@ -1521,8 +1576,8 @@ class ManifestTable:
         replaced: dict[str, str | None] = {}
         new_meta: dict = {}
         for g in groups:
-            df = (self.spark.read.option("mergeSchema", True)
-                  .parquet(*[os.path.join(self.path, d) for d in g]))
+            df = self._governed_read(
+                [os.path.join(self.path, d) for d in g])
             rel, fstats = self._write_data_dir(df)
             folded = _fold_dir_meta([meta.get(d, {}) for d in g])
             new_meta[rel] = {**folded, **fstats}
@@ -1610,7 +1665,7 @@ class ManifestTable:
 
         from cdc_audit_spark.sync import SyncResult
 
-        self._check_drift(audit_df, on_drift)
+        audit_df = self._check_drift(audit_df, on_drift)
         wm = self.watermark()
         delta = audit_df.filter(F.col(audit_pk) > F.lit(wm))
         stats = delta.agg(F.count("*").alias("n"),
@@ -1708,7 +1763,8 @@ class ManifestTable:
         dirs = self.dirs_since(pk, version=version)
         if not dirs:
             return self.read().filter(F.lit(False))  # stable empty schema
-        df = self._read_dirs_dv(self.manifest(version), dirs)
+        df = self._read_dirs_dv(self.manifest(version), dirs,
+                                 at_version=version)
         return df.filter(F.col(audit_pk) > F.lit(pk))
 
     def dirs_pruned(self, filters: dict[str, tuple],
@@ -1811,7 +1867,8 @@ class ManifestTable:
         if not dirs:
             df = self.read().filter(F.lit(False))  # stable empty schema
         else:
-            df = self._read_dirs_dv(self.manifest(version), dirs)
+            df = self._read_dirs_dv(self.manifest(version), dirs,
+                                 at_version=version)
         for c, (lo, hi) in filters.items():
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(lo))
@@ -1832,7 +1889,8 @@ class ManifestTable:
         dirs = self.dirs_pruned_any(col, points, version=version)
         if not dirs:
             return self.read().filter(F.lit(False))  # stable empty schema
-        df = self._read_dirs_dv(self.manifest(version), dirs)
+        df = self._read_dirs_dv(self.manifest(version), dirs,
+                                 at_version=version)
         return df.filter(F.col(col).isin(*points))
 
     def read_change_feed(self, from_version: int = 1,
@@ -2374,8 +2432,8 @@ class ManifestTable:
         untouched = [d for d in m["dirs"] if d not in set(touched)]
 
         if touched:
-            cur = (self.spark.read.option("mergeSchema", True)
-                   .parquet(*[os.path.join(self.path, d) for d in touched]))
+            cur = self._governed_read(
+                [os.path.join(self.path, d) for d in touched])
         else:  # empty table (a version with no dirs): delta is everything
             cur = self.spark.createDataFrame([], self.schema())
         new_rows = apply_changes(cur, delta, [key])
@@ -2455,7 +2513,7 @@ class ManifestTable:
         :class:`CommitConflict`, not to be silently rebased over."""
         if base_version is _ANY:
             base_version = self.current_version()
-        self._check_drift(df, on_drift)
+        df = self._check_drift(df, on_drift)
         self._enforce_constraints(df)
         dirs, meta = self._write_range_dirs(df, key, n_buckets)
         return self._commit(

@@ -54,7 +54,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     WriterCommitMessage,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from cdc_audit_spark.sources.manifest_stream import (
     ManifestFilesPartition,
@@ -302,18 +302,35 @@ def _govern_stamp(existing: StructType | None, schema: StructType,
         SchemaDriftError,
         classify_schema_drift,
         evolve_schema,
+        is_widening,
     )
 
     if existing is None:
         return schema
     drift = classify_schema_drift(existing, schema)
-    if not (drift["added"] or drift["removed"] or drift["changed"]):
+    if drift["changed"]:
+        # a batch NARROWER than the table (old writer after a type
+        # widening) is not drift: the stamp stays wide and the narrow
+        # parquet files promote under the governed read — substitute the
+        # wide type into the effective schema before evolving
+        old_f = {f.name: f for f in existing.fields}
+        new_by = {f.name: f.dataType.simpleString() for f in schema.fields}
+        narrow = {n for n in drift["changed"]
+                  if is_widening(new_by[n], old_f[n].dataType.simpleString())}
+        if narrow:
+            schema = StructType([
+                StructField(f.name, old_f[f.name].dataType, f.nullable,
+                            f.metadata) if f.name in narrow else f
+                for f in schema.fields])
+            drift = classify_schema_drift(existing, schema)
+    if not (drift["added"] or drift["removed"] or drift["changed"]
+            or drift["widened"]):
         return existing
     if on_drift == "fail":
         raise SchemaDriftError(
             f"schema drift vs manifest table {path}: {drift} "
-            "(.option('onDrift', 'evolve') admits additive drift)")
-    return evolve_schema(existing, schema)
+            "(.option('onDrift', 'evolve') admits additive/widening drift)")
+    return evolve_schema(existing, schema, allow_widening=True)
 
 
 def _check_write_drift(path: str, schema: StructType,

@@ -279,7 +279,9 @@ def _check_drift(
         # reference's own drift concern is column drift, README:222) —
         # compare names only.
         drift["changed"] = []
-    if not (drift["added"] or drift["removed"] or drift["changed"]):
+        drift["widened"] = []
+    if not (drift["added"] or drift["removed"] or drift["changed"]
+            or drift["widened"]):
         return
     if on_drift == "fail":
         raise SchemaDriftError(

@@ -1981,3 +1981,89 @@ def test_check_constraints_pruned_merge_delta(spark, tmp_path):
     assert r.rows_synced == 2
     got = {x["k"]: x["bal"] for x in t.read().collect()}
     assert 5 not in got and got[6] == 60.0
+
+
+def test_type_widening_evolution(spark, tmp_path):
+    """Lossless type widening (int->bigint, float->double) as schema
+    evolution: every read resolves the schema RECORDED at the version it
+    reads, so mixed-width dirs promote instead of crashing the footer
+    merge, time travel keeps the narrow type, narrow late writers up-cast
+    silently, and compaction materializes the wide type."""
+    from cdc_audit_spark.schema import SchemaDriftError
+
+    def rows(lo, hi, ktype, vtype):
+        return spark.range(lo, hi).select(
+            F.col("id").cast(ktype).alias("k"),
+            (F.col("id") / 2).cast(vtype).alias("v"),
+            F.lit(dt.datetime(2026, 1, 1)).alias("audit_timestamp"),
+            F.lit("insert").alias("audit_event"),
+            F.col("id").alias("audit_pk"),
+        )
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(rows(1, 6, "int", "float"))
+
+    wide = rows(6, 11, "bigint", "double")
+    with pytest.raises(SchemaDriftError, match="widened"):
+        t.append(wide)  # default refuses, names the widening
+    t.append(wide, on_drift="evolve")
+
+    sch = {f.name: f.dataType.simpleString() for f in t.schema().fields}
+    assert sch["k"] == "bigint" and sch["v"] == "double"
+    got = t.read()
+    got_types = {f.name: f.dataType.simpleString() for f in got.schema.fields}
+    assert got_types["k"] == "bigint" and got_types["v"] == "double"
+    assert sorted(r["k"] for r in got.collect()) == list(range(1, 11))
+
+    # time travel: version 1 still reads under its own narrow schema
+    v1 = t.read(version=1)
+    v1_types = {f.name: f.dataType.simpleString() for f in v1.schema.fields}
+    assert v1_types["k"] == "int" and v1_types["v"] == "float"
+    assert v1.count() == 5
+
+    # a late NARROW writer is not drift: up-cast silently, stamp stays wide
+    t.append(rows(11, 16, "int", "float"))  # on_drift default ('fail')
+    sch = {f.name: f.dataType.simpleString() for f in t.schema().fields}
+    assert sch["k"] == "bigint" and sch["v"] == "double"
+    assert t.read().count() == 15
+
+    # sync_audit path applies the same up-cast
+    r = t.sync_audit(rows(1, 21, "int", "float"))
+    assert r.rows_synced == 20  # raw appends never advanced the watermark
+    assert t.read().count() == 35
+
+    # compaction folds mixed-width dirs under the governed read
+    t.compact()
+    assert t.read().count() == 35
+    got_types = {f.name: f.dataType.simpleString()
+                 for f in t.read().schema.fields}
+    assert got_types["k"] == "bigint"
+
+    # other type changes still refuse, evolve or not
+    bad = rows(21, 22, "bigint", "double").withColumn(
+        "k", F.col("k").cast("string"))
+    with pytest.raises(SchemaDriftError):
+        t.append(bad, on_drift="evolve")
+
+
+def test_type_widening_with_stats_pruning(spark, tmp_path):
+    """Per-dir min/max stats recorded before a widening keep pruning
+    correctly after it (narrow-typed stats, wide-typed filters)."""
+
+    def rows(lo, hi, ktype):
+        return spark.range(lo, hi).select(
+            F.col("id").cast(ktype).alias("k"),
+            F.lit(dt.datetime(2026, 1, 1)).alias("audit_timestamp"),
+            F.lit("insert").alias("audit_event"),
+            F.col("id").alias("audit_pk"),
+        )
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(rows(1, 100, "int"), stats_cols=["k"])
+    t.append(rows(100, 200, "bigint"), stats_cols=["k"], on_drift="evolve")
+    kept = t.dirs_pruned({"k": (150, 199)})
+    assert len(kept) == 1  # the narrow dir pruned away
+    got = t.read_pruned({"k": (150, 199)})
+    assert got.count() == 50
+    assert {f.dataType.simpleString() for f in got.schema.fields
+            if f.name == "k"} == {"bigint"}

@@ -842,3 +842,42 @@ def test_format_writer_records_rows_bytes_and_nulls(spark, tmp_path):
     m = t.manifest(1)
     dm = m["dir_meta"][m["dirs"][0]]
     assert dm["rows"] == 1000 and dm["bytes"] > 0
+
+
+def test_format_type_widening(spark, tmp_path):
+    """The registered format under type widening: reads resolve the
+    recorded (wide) schema so mixed-width dirs promote; a widening write
+    needs onDrift=evolve; a late NARROW format write is not drift (the
+    stamp stays wide and its narrow files promote on read)."""
+    register_manifest_table(spark)
+    p = str(tmp_path / "t")
+
+    def df(lo, hi, ktype):
+        return spark.range(lo, hi).select(
+            F.col("id").cast(ktype).alias("k"),
+            (F.col("id") * 10).cast(ktype).alias("v"))
+
+    (df(0, 10, "int").write.format("manifest_table")
+     .option("path", p).mode("append").save())
+    with pytest.raises(Exception, match="widened"):
+        (df(10, 20, "bigint").write.format("manifest_table")
+         .option("path", p).mode("append").save())
+    (df(10, 20, "bigint").write.format("manifest_table")
+     .option("path", p).option("onDrift", "evolve").mode("append").save())
+
+    got = spark.read.format("manifest_table").option("path", p).load()
+    assert {f.dataType.simpleString() for f in got.schema.fields} == {"bigint"}
+    assert got.count() == 20 and got.filter("k >= 10").count() == 10
+
+    # late narrow writer: no drift, stamp stays wide
+    (df(20, 30, "int").write.format("manifest_table")
+     .option("path", p).mode("append").save())
+    t = ManifestTable(spark, p)
+    assert {f.dataType.simpleString()
+            for f in t.schema().fields} == {"bigint"}
+    assert t.read().count() == 30
+    # native read agrees with the format read
+    native = sorted(r["k"] for r in t.read().collect())
+    fmt = sorted(r["k"] for r in spark.read.format("manifest_table")
+                 .option("path", p).load().collect())
+    assert native == fmt == list(range(30))

@@ -83,7 +83,49 @@ def test_classify_schema_drift():
     old = StructType().add("a", LongType()).add("b", StringType())
     new = StructType().add("a", StringType()).add("c", LongType())
     d = classify_schema_drift(old, new)
-    assert d == {"added": ["c"], "removed": ["b"], "changed": ["a"]}
+    assert d == {"added": ["c"], "removed": ["b"], "widened": [],
+                 "changed": ["a"]}
+
+
+def test_classify_schema_drift_widened_vs_changed():
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructType,
+    )
+
+    from cdc_audit_spark.schema import classify_schema_drift, is_widening
+
+    old = (StructType().add("a", IntegerType()).add("b", FloatType())
+           .add("c", LongType()))
+    new = (StructType().add("a", LongType()).add("b", DoubleType())
+           .add("c", IntegerType()))  # c NARROWS -> changed
+    d = classify_schema_drift(old, new)
+    assert sorted(d["widened"]) == ["a", "b"]
+    assert d["changed"] == ["c"]
+    assert is_widening("int", "bigint") and is_widening("float", "double")
+    assert is_widening("int", "double")  # every int32 is float64-exact
+    assert not is_widening("bigint", "double")  # lossy above 2^53
+    assert not is_widening("bigint", "int")
+    assert not is_widening("double", "float")
+
+
+def test_evolve_schema_widening_gated():
+    import pytest
+    from pyspark.sql.types import IntegerType, LongType, StructType
+
+    from cdc_audit_spark.schema import SchemaDriftError, evolve_schema
+
+    old = StructType().add("a", IntegerType(), False)
+    wide = StructType().add("a", LongType(), False)
+    # off by default (plain parquet sinks can't re-read mixed widths)
+    with pytest.raises(SchemaDriftError, match="manifest tables"):
+        evolve_schema(old, wide)
+    merged = evolve_schema(old, wide, allow_widening=True)
+    assert merged["a"].dataType.simpleString() == "bigint"
+    assert not merged["a"].nullable  # both sides non-null: stays non-null
 
 
 def test_evolve_schema_appends_nullable_and_refuses_breaking():
