@@ -68,6 +68,11 @@ def _min_d2(vec_col: Column, centers: list[list[float]]) -> Column:
         else _d2_lit(vec_col, centers[0])
 
 
+def _unit(v: list[float]) -> list[float] | None:
+    n = math.sqrt(sum(x * x for x in v))
+    return None if n == 0.0 else [x / n for x in v]
+
+
 def _nearest_euclidean(vec_col: Column, centers: list[list[float]]) -> Column:
     """Index of the closest center, ties to the lowest index: ascending
     struct sort on (d2, idx) — broadcast-literal codegen, no shuffle."""
@@ -179,6 +184,22 @@ def kmeans_parallel_init(
     return [candidates[i] for i in chosen]
 
 
+def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Rows with ``vec_col`` L2-normalized map-side; zero vectors are
+    DROPPED (they have no direction — spherical k-means is undefined on
+    them; callers filter or impute upstream)."""
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        df.select(F.col(id_col), F.col(vec_col), norm.alias("__n"))
+        .filter(F.col("__n") > 0.0)
+        .select(F.col(id_col),
+                F.transform(F.col(vec_col),
+                            lambda x: x / F.col("__n")).alias(vec_col))
+    )
+
+
 def train_kmeans(
     df: DataFrame,
     k: int,
@@ -188,6 +209,7 @@ def train_kmeans(
     iters: int = 10,
     init_centers: list[list[float]] | None = None,
     init_rounds: int = 4,
+    spherical: bool = False,
 ) -> KMeansModel:
     """Full-corpus Lloyd with exact order-independent updates.
 
@@ -197,11 +219,23 @@ def train_kmeans(
     combine; the only shuffle, and it carries keys, not vectors). Empty
     clusters keep their previous center. Bit-reproducible under any
     partitioning; fixed ``iters`` keeps the job graph static.
+
+    ``spherical=True`` is spherical k-means (cosine semantics): vectors
+    L2-normalize map-side (zero vectors dropped — no direction), centers
+    re-normalize after each update, and on unit vectors min-L2² assignment
+    IS max-cosine with the same lowest-index tie-break as
+    ``similarity.nearest_cell`` — the resulting ``centers`` list feeds
+    ``ivf_assign``/``bootstrap_ann_index`` directly as a full-corpus
+    upgrade over ``sample_centroids``/``refine_centroids``.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if spherical:
+        df = _normalized(df, id_col, vec_col)
     centers = init_centers or kmeans_parallel_init(
         df, k, id_col=id_col, vec_col=vec_col, rounds=init_rounds)
+    if spherical:
+        centers = [_unit(c) for c in centers]
     if len(centers) < k:
         raise ValueError(
             f"only {len(centers)} distinct seed centers for k={k} "
@@ -234,6 +268,8 @@ def train_kmeans(
                 new_centers.append(centers[i])  # empty cluster: keep
                 continue
             c = [s / (QUANT * counts[i]) for s in sums[i]]
+            if spherical:
+                c = _unit(c) or centers[i]  # degenerate mean: keep
             acc = 0.0
             for a, b in zip(c, centers[i]):
                 acc += (a - b) * (a - b)

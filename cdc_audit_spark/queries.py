@@ -4943,6 +4943,27 @@ def kmeans_balanced_sample(spark, sf_dir):
 
 
 @register(
+    "pack_chunks_bestfit",
+    None,  # best-fit-decreasing is sequential per group — no SQL form;
+    # exact ≡ pure-Python BFD reference + no-overflow + fewer-packs-than-
+    # offset properties in test_sampling.py
+    "Best-fit-decreasing sequence packing (Ding et al. 2024 — 'Fewer "
+    "Truncations Improve Language Modeling'): per-language packs filled "
+    "best-fit under a hard token budget, zero overflow (offset packing "
+    "overflows by up to a doc). Arrow applyInPandas per group — groups "
+    "pack in parallel, assignment deterministic under any partitioning.",
+)
+def pack_chunks_bestfit(spark, sf_dir):
+    from cdc_audit_spark.operators.sampling import pack_chunks_bfd
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sized = docs.select(
+        "doc_id", "lang",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"))
+    return pack_chunks_bfd(sized, "lang", "doc_id", "n_tokens", budget=256)
+
+
+@register(
     "q11_important_parts",
     """
     WITH pv AS (
@@ -5685,7 +5706,8 @@ _DRIVER_WINDOW = [
     # quality_classifier_scores (◇), bpe_trained_token_counts (◇),
     # gopher_quality_rules, q11_important_parts, ngram_lm_backoff_tiers,
     # ngram_lm_perplexity (◇), kmeans_embedding_clusters (◇),
-    # cdc_lm_index_sync, kmeans_balanced_sample (◇) —
+    # cdc_lm_index_sync, kmeans_balanced_sample (◇),
+    # pack_chunks_bestfit (◇) —
     # plus every query whose newest green row is r06 (3-round bound).
 ]
 

@@ -150,3 +150,43 @@ def test_assign_clusters_zero_shuffle(spark):
     out = assign_clusters(df, [rows[0][1], rows[20][1]])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_spherical_kmeans_clusters_by_direction(spark):
+    """spherical=True clusters by DIRECTION: same-direction vectors at
+    wildly different magnitudes co-cluster (Euclidean would split them),
+    centers come out unit-norm, and they feed the cosine IVF contract."""
+    dirs = [(1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0), (0.0, 0.0, 1.0, 0.0)]
+    rows = []
+    vid = 0
+    for d, base in enumerate(dirs):
+        for i in range(10):
+            mag = 0.1 + 10.0 * i          # magnitudes span 100x
+            jitter = [(i % 3) * 0.02] * 4
+            v = [float(np.float32(base[j] * mag + jitter[j] * mag))
+                 for j in range(4)]
+            rows.append((vid, v, d))
+            vid += 1
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "vec_id long, embedding array<float>")
+
+    model = train_kmeans(df, 3, iters=8, spherical=True)
+    for c in model.centers:
+        assert math.sqrt(sum(x * x for x in c)) == pytest.approx(1.0, abs=1e-9)
+    got = {r["vec_id"]: r["cluster"] for r in assign_clusters(df, model).collect()}
+    for d in range(3):
+        members = {got[r[0]] for r in rows if r[2] == d}
+        assert len(members) == 1  # direction family co-clusters
+    assert sorted(model.sizes) == [10, 10, 10]
+
+    # determinism under partitioning, like the euclidean path
+    m2 = train_kmeans(df.repartition(5), 3, iters=8, spherical=True)
+    assert m2.centers == model.centers
+
+
+def test_spherical_kmeans_drops_zero_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    model = train_kmeans(df, 2, iters=3, spherical=True)
+    assert sum(model.sizes) == 2  # the zero vector never assigned

@@ -229,3 +229,73 @@ def test_dsir_gumbel_variant_deterministic_and_distinct(spark, docs):
     ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}
     assert ids(a) == ids(b)          # same seed -> same resample
     assert ids(a) != ids(c)          # different seed -> different draw
+
+
+def test_pack_chunks_bfd_matches_python_reference_and_never_overflows(spark):
+    import hashlib
+
+    from cdc_audit_spark.operators.sampling import pack_chunks_bfd
+
+    rows = [(f"g{i % 2}", f"doc{i:03d}", 10 + (i * 37) % 900)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "grp string, key string, sz long")
+    out = pack_chunks_bfd(df, "grp", "key", "sz", budget=1000)
+    got = {(r["grp"], r["key"]): r["pack_id"] for r in out.collect()}
+
+    def md5p(s):
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:6], 16)
+
+    for grp in ("g0", "g1"):
+        members = sorted(
+            [(k, s) for g, k, s in rows if g == grp],
+            key=lambda t: (-t[1], md5p(t[0]), t[0]))
+        remaining, expect = [], {}
+        for k, s in members:
+            best, best_room = -1, None
+            for i, room in enumerate(remaining):
+                if s <= room and (best_room is None or room < best_room):
+                    best, best_room = i, room
+            if best < 0:
+                remaining.append(max(1000 - s, 0))
+                expect[k] = len(remaining) - 1
+            else:
+                remaining[best] -= s
+                expect[k] = best
+        for k, s in members:
+            assert got[(grp, k)] == expect[k]
+
+    # packs never exceed the budget (the offset packer's overflow is gone)
+    sums = out.groupBy("grp", "pack_id").agg(F.sum("sz").alias("s")).collect()
+    assert all(r["s"] <= 1000 for r in sums)
+
+
+def test_pack_chunks_bfd_properties(spark):
+    from cdc_audit_spark.operators.sampling import pack_chunks, pack_chunks_bfd
+
+    rows = [("g", f"d{i:02d}", s) for i, s in enumerate(
+        [600, 500, 400, 400, 300, 300, 200, 150, 100, 50])]
+    df = spark.createDataFrame(rows, "grp string, key string, sz long")
+    bfd = pack_chunks_bfd(df, "grp", "key", "sz", budget=1000)
+    n_bfd = bfd.select("pack_id").distinct().count()
+    # total 3000 over budget 1000: BFD achieves the 3-pack optimum here
+    assert n_bfd == 3
+
+    # fewer-or-equal packs than the offset packer on the same input
+    off = pack_chunks(df, "grp", "key", F.col("sz"), budget=1000)
+    n_off = off.select("pack_id").distinct().count()
+    assert n_bfd <= n_off
+
+    # oversize doc: its own pack, nothing else joins it
+    rows2 = rows + [("g", "huge", 5000)]
+    df2 = spark.createDataFrame(rows2, "grp string, key string, sz long")
+    out2 = pack_chunks_bfd(df2, "grp", "key", "sz", budget=1000)
+    huge_pack = {r["pack_id"] for r in out2.filter("key = 'huge'").collect()}
+    mates = out2.filter(F.col("pack_id").isin(list(huge_pack))).count()
+    assert mates == 1
+
+    # partitioning invariance
+    a = sorted(map(tuple, pack_chunks_bfd(
+        df.repartition(7), "grp", "key", "sz", 1000).collect()))
+    b = sorted(map(tuple, pack_chunks_bfd(
+        df.repartition(2), "grp", "key", "sz", 1000).collect()))
+    assert a == b

@@ -112,6 +112,11 @@ EXPLANATIONS["quality_classifier_scores"] = (
     "(n_buckets rows); scoring itself is zero-shuffle codegen — "
     "plan-asserted in test_classifier"
 )
+EXPLANATIONS["pack_chunks_bestfit"] = (
+    "best-fit-decreasing packing is sequential per group (no Catalyst "
+    "form); the Arrow stage holds only (key, size) pairs per group and "
+    "groups pack in parallel — see sampling.pack_chunks_bfd"
+)
 EXPLANATIONS["ann_pq_topk"] = (
     "PQ encode + asymmetric-distance scan are Arrow-batched numpy stages "
     "(argmin/matmul kernels — the compressed-domain math has no Catalyst "
