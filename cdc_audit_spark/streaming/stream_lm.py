@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from cdc_audit_spark.capture import apply_changes
 from cdc_audit_spark.operators.ngram_lm import (
-    NgramLM,
     _doc_grams,
     lm_from_counts,
     maintain_ngram_counts,

@@ -413,7 +413,10 @@ def test_manifest_random_op_walk_matches_model(spark, tmp_path):
     at every step, and every retained historical version must stay
     byte-stable. sync_audit's delta is modeled off the table's own
     watermark, so interleaved raw appends exercise the re-sync-overlap
-    semantics the watermark contract implies."""
+    semantics the watermark contract implies. Appends randomly carry k
+    as int instead of bigint, so the walk also fuzzes type widening in
+    BOTH directions (narrow-first then wide = widened evolve; wide-first
+    then narrow = silent up-cast) interleaved with every other op."""
     import random
     from collections import Counter
 
@@ -431,7 +434,10 @@ def test_manifest_random_op_walk_matches_model(spark, tmp_path):
                          "vacuum", "sync"])
         if op == "append":
             lo, n = next_pk, rng.randint(1, 4)
-            v = t.append(_rows(spark, lo, lo + n))
+            df = _rows(spark, lo, lo + n)
+            if rng.random() < 0.4:  # fuzz type widening both directions
+                df = df.withColumn("k", F.col("k").cast("int"))
+            v = t.append(df, on_drift="evolve")
             model.update((k, k) for k in range(lo, lo + n))
             next_pk += n
         elif op == "overwrite":
