@@ -116,3 +116,96 @@ def test_lm_epoch_replay_both_crash_windows(spark, tmp_path):
             [(1, BASE[0][1]), (2, BASE[1][1]), (4, "a cat and a dog")],
             "doc_id long, text string"), "text", n=2)
     assert _counts_set(m2.counts) == _counts_set(expect.counts)
+
+
+def test_stream_lm_sync_manifest_matches_retrain(spark, tmp_path):
+    """Exactly-once manifest form: drained micro-batches leave a counts
+    TABLE equal to retraining on the final corpus; a restarted drain
+    applies only new audit files."""
+    from cdc_audit_spark.operators.ngram_lm import lm_from_counts
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_lm import stream_lm_sync_manifest
+
+    src = str(tmp_path / "audit_src")
+    batches = [
+        [(i, t, "insert", TS, i) for i, (_, t) in enumerate(BASE, 1)],
+        [(4, "a cat and a dog", "insert", TS, 10)],
+        [(2, "the dog and the cat", "update", TS, 11),
+         (3, "a dog sat on a log", "delete", TS, 12)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(r[0] if isinstance(r[0], int) else r[0],) + tuple(r[1:])
+             for r in rows], SCH).coalesce(1).write.mode("append").parquet(src)
+
+    base_p, counts_p = str(tmp_path / "base_t"), str(tmp_path / "counts_t")
+    ck = str(tmp_path / "ck")
+    schema = spark.read.parquet(src).schema
+    q = stream_lm_sync_manifest(spark, src, schema, base_p, counts_p, ck,
+                                "text", ["doc_id"], max_files_per_trigger=1)
+    q.awaitTermination(240)
+
+    final = [(1, BASE[0][1]), (2, "the dog and the cat"),
+             (4, "a cat and a dog")]
+    expect = train_ngram_lm(
+        spark.createDataFrame(final, "doc_id long, text string"), "text", n=2)
+    counts_t = ManifestTable(spark, counts_p)
+    model = lm_from_counts(counts_t.read(), n=2)
+    assert _counts_set(model.counts) == _counts_set(expect.counts)
+    assert model.total == expect.total
+    base_t = ManifestTable(spark, base_p)
+    assert {(r["doc_id"], r["text"])
+            for r in base_t.read().select("doc_id", "text").collect()} \
+        == set(final)
+
+    # restart with a new batch: only it applies
+    spark.createDataFrame([(1, BASE[0][1], "delete", TS, 13)], SCH
+                          ).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_lm_sync_manifest(spark, src, schema, base_p, counts_p, ck,
+                                 "text", ["doc_id"])
+    q2.awaitTermination(120)
+    expect2 = train_ngram_lm(
+        spark.createDataFrame(final[1:], "doc_id long, text string"),
+        "text", n=2)
+    model2 = lm_from_counts(counts_t.read(), n=2)
+    assert _counts_set(model2.counts) == _counts_set(expect2.counts)
+
+
+def test_lm_manifest_half_committed_replay_window(spark, tmp_path):
+    """Crash BETWEEN the two commits: one table holds the epoch, the other
+    doesn't. The replay recomputes from PINNED pre-epoch state, the lagging
+    table catches up, the leading one skips — zero double-application."""
+    from cdc_audit_spark.operators.ngram_lm import lm_from_counts
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_lm import apply_lm_manifest_epoch
+
+    base_t = ManifestTable(spark, str(tmp_path / "base_t"))
+    counts_t = ManifestTable(spark, str(tmp_path / "counts_t"))
+    b0 = spark.createDataFrame(
+        [(i, t, "insert", TS, i) for i, (_, t) in enumerate(BASE, 1)], SCH)
+    apply_lm_manifest_epoch(base_t, counts_t, b0, 0, "r1", "text", ["doc_id"])
+
+    b1 = spark.createDataFrame(
+        [(2, "the dog and the cat", "update", TS, 10)], SCH)
+    # simulate the crash: commit ONLY the counts half of epoch 1
+    from cdc_audit_spark.capture import apply_changes
+    from cdc_audit_spark.operators.ngram_lm import maintain_ngram_counts
+
+    pre_base, pre_counts = base_t.read(), counts_t.read()
+    half = maintain_ngram_counts(pre_counts, pre_base, b1, "text",
+                                 ["doc_id"], n=2)
+    counts_t.overwrite(half, extra={"epoch": 1, "run_id": "r1"})
+
+    # replay epoch 1 through the hook: base catches up, counts skip
+    apply_lm_manifest_epoch(base_t, counts_t, b1, 1, "r1", "text", ["doc_id"])
+    final = [(1, BASE[0][1]), (2, "the dog and the cat"), (3, BASE[2][1])]
+    expect = train_ngram_lm(
+        spark.createDataFrame(final, "doc_id long, text string"), "text", n=2)
+    got = lm_from_counts(counts_t.read(), n=2)
+    assert _counts_set(got.counts) == _counts_set(expect.counts)
+    assert {(r["doc_id"], r["text"]) for r in
+            base_t.read().select("doc_id", "text").collect()} == set(final)
+    # replaying the whole epoch again is a durable no-op
+    apply_lm_manifest_epoch(base_t, counts_t, b1, 1, "r1", "text", ["doc_id"])
+    assert _counts_set(lm_from_counts(counts_t.read(), 2).counts) \
+        == _counts_set(expect.counts)
