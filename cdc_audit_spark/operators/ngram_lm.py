@@ -54,6 +54,7 @@ __all__ = [
     "maintain_ngram_counts",
     "incremental_ngram_counts",
     "lm_from_counts",
+    "lm_oov_rate",
 ]
 
 #: Broadcast ceiling for the model-lookup joins: ~1M grams × ~40 bytes of
@@ -356,6 +357,33 @@ def backoff_tiers(
         .agg(F.count("*").alias("n_tokens"), *aggs,
              F.sum((F.col("__tier") == 0).cast("long")).alias("n_oov"))
     )
+
+
+def lm_oov_rate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    model: NgramLM,
+) -> dict:
+    """Corpus-level backoff health of ``model`` against ``df`` — the
+    operational drift signal for a maintained LM (the ANN recall monitor's
+    analog): {n_tokens, oov_rate, unigram_backoff_rate, top_tier_rate}.
+    A model maintained from the audit log should hold these flat; a rising
+    OOV rate on fresh data says the corpus distribution moved and
+    perplexity buckets are drifting — retrain/re-prune. One bounded
+    aggregate over the tier layer."""
+    tiers = backoff_tiers(df, text_col, id_col, model)
+    r = tiers.agg(F.sum("n_tokens").alias("nt"),
+                  F.sum("n_oov").alias("oov"),
+                  F.sum("n_tier1").alias("t1"),
+                  F.sum(f"n_tier{model.n}").alias("top")).first()
+    nt = int(r["nt"] or 0)
+    return {
+        "n_tokens": nt,
+        "oov_rate": (int(r["oov"] or 0) / nt) if nt else 0.0,
+        "unigram_backoff_rate": (int(r["t1"] or 0) / nt) if nt else 0.0,
+        "top_tier_rate": (int(r["top"] or 0) / nt) if nt else 0.0,
+    }
 
 
 def score_perplexity(

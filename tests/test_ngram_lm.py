@@ -233,3 +233,27 @@ def test_maintained_counts_drop_vanished_grams(spark):
     assert "zyxxy" not in grams          # unique to the deleted doc
     assert "zyxxy unseen" not in grams
     assert "the" in grams                # everything else intact
+
+
+def test_lm_oov_rate_detects_drift_and_retrain_restores(spark):
+    """The maintained-LM health monitor: in-distribution text holds a low
+    OOV rate, a shifted corpus spikes it, and retraining on the shifted
+    corpus restores it — the retrain trigger loop."""
+    from cdc_audit_spark.operators.ngram_lm import lm_oov_rate
+
+    model = train_ngram_lm(_df(spark), "text", n=2)
+    healthy = lm_oov_rate(_df(spark), "text", "doc_id", model)
+    assert healthy["oov_rate"] == 0.0  # self-scored: every gram known
+    assert healthy["n_tokens"] == sum(
+        len(t.split()) for _, t in DOCS)
+    assert healthy["top_tier_rate"] > 0.5
+
+    shifted_rows = [(100 + i, f"verschiebung korpus drift w{i} w{i+1} neu")
+                    for i in range(6)]
+    shifted = spark.createDataFrame(shifted_rows, "doc_id long, text string")
+    drifted = lm_oov_rate(shifted, "text", "doc_id", model)
+    assert drifted["oov_rate"] > 0.8
+
+    retrained = train_ngram_lm(_df(spark).unionByName(shifted), "text", n=2)
+    restored = lm_oov_rate(shifted, "text", "doc_id", retrained)
+    assert restored["oov_rate"] == 0.0
