@@ -190,25 +190,35 @@ _BLOOM_M = 4096
 _BLOOM_K = 4
 
 
-def _bloom_positions(value: str) -> list[int]:
-    """Bit positions for ``value`` — _BLOOM_K independent 32-bit words
-    of one md5 digest, mod the bitmap size. Must mirror the Spark-side
-    expression in ``ManifestTable._set_stat`` exactly."""
+def _bloom_positions(value: str, m: int = _BLOOM_M,
+                     k: int = _BLOOM_K) -> list[int]:
+    """Bit positions for ``value`` — ``k`` independent 32-bit words of
+    one md5 digest, mod the bitmap size ``m``. Must mirror the
+    Spark-side expression in ``ManifestTable._set_stat`` exactly; the
+    md5 digest yields at most 4 words, so k > 4 is unprobeable."""
     import hashlib
 
     h = hashlib.md5(str(value).encode()).hexdigest()
-    return [int(h[8 * i:8 * i + 8], 16) % _BLOOM_M for i in range(_BLOOM_K)]
+    return [int(h[8 * i:8 * i + 8], 16) % m for i in range(k)]
 
 
 def _set_may_contain(stat: dict, value) -> bool:
     """May a dir with equality stat ``stat`` contain ``value``? Exact
     for a recorded distinct set; one-sided (false keeps only) for a
-    Bloom bitmap."""
+    Bloom bitmap. Probes use the stat's RECORDED m/k — a stat written
+    under different module constants must be evaluated with its own
+    parameters or the prune is unsound (wrong results, not a wasted
+    read); unprobeable parameters keep the dir conservatively."""
     s = str(value)
     if "set" in stat:
         return s in stat["set"]
-    b = bytes.fromhex(stat["bloom"]["hex"])
-    return all((b[p // 8] >> (p % 8)) & 1 for p in _bloom_positions(s))
+    bloom = stat["bloom"]
+    m, k = int(bloom["m"]), int(bloom["k"])
+    b = bytes.fromhex(bloom["hex"])
+    if k < 1 or k > 4 or m < 8 or len(b) * 8 < m:
+        return True  # parameters this probe can't evaluate: never prune
+    return all((b[p // 8] >> (p % 8)) & 1
+               for p in _bloom_positions(s, m, k))
 
 
 def _fold_dir_meta(metas: list[dict]) -> dict:
@@ -248,9 +258,13 @@ def _fold_dir_meta(metas: list[dict]) -> dict:
     sets = {}
     for c in set.intersection(*[set(s) for s in all_sets]):
         members = [s[c] for s in all_sets]
-        if any("bloom" in sc and sc["bloom"]["m"] != _BLOOM_M
+        if any("bloom" in sc and (sc["bloom"]["m"] != _BLOOM_M
+                                  or sc["bloom"].get("k") != _BLOOM_K)
                for sc in members):
-            continue  # parameter drift across versions: drop, re-analyze
+            # m OR k drift across versions: a bitwise OR of bitmaps
+            # probed under different parameters is meaningless — drop
+            # the stat and let a later analyze recompute it
+            continue
         vals: set[str] = set()
         bits = bytearray(_BLOOM_M // 8)
         exact = True

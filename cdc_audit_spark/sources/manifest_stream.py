@@ -120,10 +120,19 @@ class ManifestStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"maxVersionsPerTrigger must be >= 1, got {mvpt!r}")
         # floor for the rate cap: the newest version this reader has
-        # already planned (advanced in partitions()). Best-effort: the
-        # first trigger after a clean restart has no floor yet and
-        # drains uncapped; every subsequent trigger is bounded.
-        self._planned_floor = self.start_version
+        # already planned. None until a real floor is known — set by
+        # initialOffset() (only called on a fresh start, and AFTER the
+        # first latestOffset) or partitions() (every planned batch
+        # end). The cap MUST NOT apply while None: the engine calls
+        # latestOffset() before the reader can see the batch start
+        # (the checkpointed offset on a restart reaches it only via
+        # partitions(start=..)), so a cap floored at start_version
+        # could return an offset BELOW a restart's checkpoint — Spark
+        # would plan a backward batch, commit the regressed offset,
+        # and replay already-emitted versions as duplicates. The first
+        # trigger of a run therefore drains uncapped BY DESIGN; every
+        # subsequent trigger is bounded.
+        self._planned_floor: int | None = None
         # audit column names resolved ONCE, consistent with the stream's
         # fixed declared schema (also resolved at start): tables whose
         # merges recorded custom templating via cdc_audit_cols tag their
@@ -133,6 +142,13 @@ class ManifestStreamReader(DataSourceStreamReader):
         self.spark_schema = schema
 
     def initialOffset(self) -> dict:
+        # only called on a FRESH start (no checkpointed offset): the
+        # rate cap may safely floor at start_version from here on —
+        # this covers the empty-first-trigger case where partitions()
+        # never runs. A restart skips this call, leaving the floor
+        # None until partitions() observes the checkpointed window.
+        if self._planned_floor is None:
+            self._planned_floor = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
@@ -144,20 +160,23 @@ class ManifestStreamReader(DataSourceStreamReader):
         v = current_committed_version(self.path)
         if v is None:
             return {"version": self.start_version}
-        if self.max_versions is not None:
+        if self.max_versions is not None and self._planned_floor is not None:
             # rate limit (the maxFilesPerTrigger analog): admit at most
             # N commit versions per micro-batch so a consumer catching
             # up on a long backlog processes it in bounded batches
             # instead of one giant one. Capped against the newest
-            # version this reader has planned; a restart re-floors on
-            # its first (replayed or uncapped) batch.
+            # version this reader has planned; until partitions() has
+            # observed a planned end (fresh start OR restart) the cap
+            # is skipped entirely — see __init__: capping against
+            # start_version on a restart can regress below the
+            # checkpointed offset and replay duplicates.
             v = min(v, self._planned_floor + self.max_versions)
         return {"version": v}
 
     def partitions(self, start: dict, end: dict):
         from cdc_audit_spark.sources.manifest_table import _dir_files
 
-        self._planned_floor = max(self._planned_floor,
+        self._planned_floor = max(self._planned_floor or 0,
                                   int(end["version"]))
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):

@@ -157,6 +157,21 @@ def _dir_files(table_path: str, rel_dir: str, dir_meta: dict) -> list[str]:
     return [os.path.join(full, f) for f in names]
 
 
+def _prefix_upper_bound(prefix: str) -> str | None:
+    """The smallest string lexicographically above EVERY string that
+    starts with ``prefix``: increment the last codepoint, carrying past
+    U+10FFFF (drop it and increment the previous one). A prefix made
+    entirely of U+10FFFF has no finite upper bound — return None and
+    prune on the lower bound only."""
+    s = prefix
+    while s:
+        last = ord(s[-1])
+        if last < 0x10FFFF:
+            return s[:-1] + chr(last + 1)
+        s = s[:-1]
+    return None
+
+
 class ManifestTableReader(DataSourceReader):
     """Batch reader. ``partitions()`` plans one input partition per
     committed parquet FILE, so planning cost and read fan-in track live
@@ -221,11 +236,18 @@ class ManifestTableReader(DataSourceReader):
             elif isinstance(f, EqualTo):
                 self._bounds[col] = [v, v]
             elif isinstance(f, StringStartsWith) and isinstance(v, str):
-                # startswith(p) == p <= col <= p + <max codepoint>:
-                # lexicographic interval over the recorded string stats
+                # startswith(p) == p <= col < next_prefix(p), where
+                # next_prefix increments p's last codepoint (carrying
+                # past U+10FFFF). Appending U+10FFFF instead would be
+                # UNSOUND: p+'\U0010ffff'+suffix sorts ABOVE that cap,
+                # so a dir holding only such rows would be pruned away
+                # (missing rows, not a wasted read). Using the exclusive
+                # bound as a closed interval is conservative — at worst
+                # one boundary dir is kept unnecessarily.
                 self._bounds[col][0] = v if lo is None else max(lo, v)
-                cap = v + "\U0010ffff"
-                self._bounds[col][1] = cap if hi is None else min(hi, cap)
+                cap = _prefix_upper_bound(v)
+                if cap is not None:
+                    self._bounds[col][1] = cap if hi is None else min(hi, cap)
         return filters
 
     def partitions(self):

@@ -497,3 +497,49 @@ def test_random_walk_with_dv_binpack_optimize_restore(spark, tmp_path):
     for ver, expected in snapshots.items():
         if ver in t.versions():
             assert keys_of(t.read(version=ver)) == expected, ver
+
+
+def test_bloom_probe_uses_recorded_params(spark, tmp_path):
+    """ADVICE r08: probes must evaluate a bitmap with the m/k RECORDED
+    in the stat, not the module constants — a stat written under other
+    parameters probed with today's constants can prune unsoundly (wrong
+    results). Unprobeable parameters must keep the dir conservatively."""
+    import hashlib
+
+    from cdc_audit_spark.sinks.manifest import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _fold_dir_meta,
+    )
+
+    # a bitmap written under m=64, k=2 (different from the constants):
+    # set exactly the positions of "hit" under THOSE parameters
+    m, k = 64, 2
+    bits = bytearray(m // 8)
+    h = hashlib.md5(b"hit").hexdigest()
+    for i in range(k):
+        p = int(h[8 * i:8 * i + 8], 16) % m
+        bits[p // 8] |= 1 << (p % 8)
+    stat = {"bloom": {"m": m, "k": k, "hex": bits.hex()}}
+    assert (m, k) != (_BLOOM_M, _BLOOM_K)
+    assert _set_may_contain(stat, "hit")  # must pass under recorded m/k
+
+    # unprobeable parameters (k beyond the md5 word budget, undersized
+    # bitmap) keep conservatively rather than pruning
+    assert _set_may_contain(
+        {"bloom": {"m": 4096, "k": 9, "hex": "00" * 512}}, "x")
+    assert _set_may_contain(
+        {"bloom": {"m": 4096, "k": 4, "hex": "00" * 16}}, "x")
+
+    # folding drops stats whose members disagree on k as well as m —
+    # OR-ing bitmaps probed under different parameters is meaningless
+    good = {"bloom": {"m": _BLOOM_M, "k": _BLOOM_K,
+                      "hex": "00" * (_BLOOM_M // 8)}}
+    k_drift = {"bloom": {"m": _BLOOM_M, "k": 2,
+                         "hex": "00" * (_BLOOM_M // 8)}}
+    folded = _fold_dir_meta([{"sets": {"c": good}},
+                             {"sets": {"c": k_drift}}])
+    assert "c" not in folded.get("sets", {})
+    folded_ok = _fold_dir_meta([{"sets": {"c": good}},
+                                {"sets": {"c": good}}])
+    assert "c" in folded_ok["sets"]

@@ -629,18 +629,22 @@ def test_batch_change_feed_equals_streamed_feed(spark, tmp_path):
 
 
 def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
-    """maxVersionsPerTrigger (the maxFilesPerTrigger analog): a consumer
-    catching up on a 6-commit backlog drains it in bounded micro-batches
+    """maxVersionsPerTrigger (the maxFilesPerTrigger analog): a RUNNING
+    consumer facing a 6-commit backlog drains it in bounded micro-batches
     of <= 2 versions each — exactly once overall — instead of one giant
-    batch."""
+    batch. The cap binds from the second trigger of a run onward: the
+    first trigger drains uncapped BY DESIGN, because latestOffset() runs
+    before the reader can see the batch start (initialOffset on a fresh
+    start, the checkpointed offset on a restart) and capping against
+    start_version there regresses offsets below a restart's checkpoint
+    (ADVICE r08, high — see test_max_versions_cap_restart_no_duplicates)."""
     from cdc_audit_spark.sources.manifest_stream import (
         register_manifest_stream,
     )
 
     register_manifest_stream(spark)
     t = ManifestTable(spark, str(tmp_path / "t"))
-    for i in range(6):
-        t.append(spark.createDataFrame([(i,)], "k long"))
+    t.append(spark.createDataFrame([(-1,)], "k long"))
 
     batch_sizes = []
 
@@ -652,9 +656,15 @@ def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
          .option("maxVersionsPerTrigger", "2").load()
          .writeStream.foreachBatch(sink)
          .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()  # trigger 1 (uncapped) plants the floor
+    assert sum(batch_sizes) == 1
+    # the backlog lands while the query keeps running — the real
+    # catch-up shape; every subsequent trigger is bounded by the cap
+    for i in range(6):
+        t.append(spark.createDataFrame([(i,)], "k long"))
     q.processAllAvailable()
     q.stop()
-    nonempty = [b for b in batch_sizes if b]
+    nonempty = [b for b in batch_sizes[1:] if b]
     assert sum(nonempty) == 6            # exactly once, nothing lost
     assert len(nonempty) >= 3            # the backlog was split up
     assert all(b <= 2 for b in nonempty)  # never more than the cap
@@ -667,3 +677,62 @@ def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
     with pytest.raises(ValueError, match="maxVersionsPerTrigger"):
         ManifestStreamReader(
             {"path": t.path, "maxversionspertrigger": "0"}, t.schema())
+
+
+def test_max_versions_cap_restart_no_duplicates(spark, tmp_path):
+    """Restart safety for the rate cap (ADVICE r08, high): after a
+    capped consumer drains versions past start_version + cap and stops,
+    a RESTART from its checkpoint must not let latestOffset() cap the
+    offset BELOW the checkpointed one (initialOffset is never called on
+    restart, so the floor must not default to start_version) — the old
+    behavior made Spark plan a backward batch, commit the regressed
+    offset, and replay already-emitted versions as duplicates."""
+    from cdc_audit_spark.sources.manifest_stream import (
+        register_manifest_stream,
+    )
+
+    register_manifest_stream(spark)
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    for i in range(6):
+        t.append(spark.createDataFrame([(i,)], "k long"))
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_drain():
+        q = (spark.readStream.format("manifest_stream")
+             .option("path", t.path)
+             .option("maxVersionsPerTrigger", "2").load()
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ck).start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_drain()  # checkpointed offset is now 6 (>> start_version + 2)
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(6))
+
+    # backlog lands while the consumer is down; the restart's first
+    # latestOffset() runs before any partitions() call
+    t.append(spark.createDataFrame([(6,)], "k long"))
+    t.append(spark.createDataFrame([(7,)], "k long"))
+    run_drain()
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(8))  # exactly once: no replay, no loss
+
+    # and the cap still binds on subsequent triggers of the same run
+    for i in range(8, 14):
+        t.append(spark.createDataFrame([(i,)], "k long"))
+    sizes = []
+    q = (spark.readStream.format("manifest_stream")
+         .option("path", t.path)
+         .option("maxVersionsPerTrigger", "2").load()
+         .writeStream.foreachBatch(lambda df, eid: sizes.append(df.count()))
+         .option("checkpointLocation", ck).start())
+    q.processAllAvailable()
+    q.stop()
+    nonempty = [b for b in sizes if b]
+    assert sum(nonempty) == 6
+    # first post-restart trigger drains uncapped by design; every
+    # later one is bounded by the cap
+    assert all(b <= 2 for b in nonempty[1:])

@@ -881,3 +881,50 @@ def test_format_type_widening(spark, tmp_path):
     fmt = sorted(r["k"] for r in spark.read.format("manifest_table")
                  .option("path", p).load().collect())
     assert native == fmt == list(range(30))
+
+
+def test_prefix_pruning_sound_at_max_codepoint(spark, tmp_path):
+    """ADVICE r08: the StartsWith upper bound must be next_prefix(p)
+    (last codepoint incremented), NOT p + U+10FFFF — a stored value
+    p + U+10FFFF + suffix sorts ABOVE that cap, so a dir holding only
+    such rows was unsoundly pruned (missing rows, not a wasted read)."""
+    from pyspark.sql.datasource import StringStartsWith
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.sources.manifest_table import (
+        _prefix_upper_bound,
+    )
+
+    assert _prefix_upper_bound("ab") == "ac"
+    assert _prefix_upper_bound("a\U0010ffff") == "b"
+    assert _prefix_upper_bound("\U0010ffff" * 3) is None
+    assert _prefix_upper_bound("") is None
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    hot = "pre\U0010ffffsuffix"  # starts with "pre", sorts above the cap
+    t.append(spark.createDataFrame([(hot,)], "name string"),
+             stats_cols=["name"])
+    t.append(spark.createDataFrame([("zzz",)], "name string"),
+             stats_cols=["name"])
+
+    rd = ManifestTableReader({"path": t.path}, t.schema())
+    rd.pushFilters([StringStartsWith(("name",), "pre")])
+    assert len(rd.partitions()) >= 1  # the U+10FFFF dir must survive
+
+    register_manifest_table(spark)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (spark.read.format("manifest_table")
+              .option("path", t.path).load())
+        assert df.filter(F.col("name").startswith("pre")).count() == 1
+        # the genuinely-unmatched dir is still pruned
+        rd2 = ManifestTableReader({"path": t.path}, t.schema())
+        rd2.pushFilters([StringStartsWith(("name",), "aaa")])
+        assert len(rd2.partitions()) == 1  # empty sentinel only
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.python.filterPushdown.enabled", prev)
