@@ -43,7 +43,13 @@ from pyspark.sql import functions as F
 from cdc_audit_spark.compact import keep_last_per_key
 from cdc_audit_spark.schema import AUDIT_EVENT
 
-__all__ = ["bootstrap_group_sum", "maintain_group_sum", "incremental_group_sum"]
+__all__ = [
+    "bootstrap_group_sum",
+    "maintain_group_sum",
+    "group_sum_delta",
+    "fold_group_sum_deltas",
+    "incremental_group_sum",
+]
 
 
 def _sum_cnt(value: Column):
@@ -75,9 +81,36 @@ def maintain_group_sum(
     n_rows reached 0 dropped — identical to a direct aggregate over the
     post-batch snapshot.
     """
+    return (
+        view.select(*group_cols, "total", "n_rows")
+        .unionByName(group_sum_delta(base, audit_batch, pk_cols,
+                                     group_cols, value))
+        .groupBy(*group_cols)
+        .agg(F.sum("total").alias("total"), F.sum("n_rows").alias("n_rows"))
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+def group_sum_delta(
+    base: DataFrame,
+    audit_batch: DataFrame,
+    pk_cols: list[str],
+    group_cols: list[str],
+    value: Column,
+) -> DataFrame:
+    """The SIGNED (group, total, n_rows) delta one audit batch applies to
+    the view — debits of the touched rows' old contributions in their OLD
+    groups (negative) plus credits of the surviving final images in their
+    NEW groups (positive), folded per group with exact cancellations
+    dropped.
+
+    The LSM write unit for O(delta) storage maintenance
+    (``streaming.stream_mview.apply_mview_manifest_epoch``): a micro-batch
+    commits ONLY this delta; readers fold the appended deltas with
+    :func:`fold_group_sum_deltas`. ``view + delta`` folded equals
+    :func:`maintain_group_sum` by construction."""
     final = keep_last_per_key(audit_batch, pk_cols)
     touched = final.select(*pk_cols)
-    # debit: the touched rows' old contributions, in their OLD groups
     debit = (
         base.join(F.broadcast(touched), pk_cols, "left_semi")
         .groupBy(*group_cols)
@@ -86,16 +119,29 @@ def maintain_group_sum(
             (-F.count("*")).alias("n_rows"),
         )
     )
-    # credit: the surviving final images, in their NEW groups
     credit = (
         final.filter(F.col(AUDIT_EVENT) != "delete")
         .groupBy(*group_cols)
         .agg(*_sum_cnt(value))
     )
     return (
-        view.select(*group_cols, "total", "n_rows")
-        .unionByName(debit)
-        .unionByName(credit)
+        debit.unionByName(credit)
+        .groupBy(*group_cols)
+        .agg(F.sum("total").alias("total"), F.sum("n_rows").alias("n_rows"))
+        # exact cancellations are no-ops in the fold: drop (0, 0) and
+        # (0, NULL) rows (sum() ignores both), keep any row that moves
+        # either the count or the total
+        .filter((F.col("n_rows") != 0) | (F.col("total") != 0))
+    )
+
+
+def fold_group_sum_deltas(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse appended signed view deltas (plus an optional absolute
+    snapshot at the bottom) into the current (group, total, n_rows) view:
+    sum per group, groups whose row count reached 0 disappear — exactly
+    the view ``maintain_group_sum`` would have produced step by step."""
+    return (
+        df.select(*group_cols, "total", "n_rows")
         .groupBy(*group_cols)
         .agg(F.sum("total").alias("total"), F.sum("n_rows").alias("n_rows"))
         .filter(F.col("n_rows") > 0)

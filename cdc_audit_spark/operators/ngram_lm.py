@@ -52,6 +52,8 @@ __all__ = [
     "score_perplexity",
     "backoff_tiers",
     "maintain_ngram_counts",
+    "ngram_count_delta",
+    "fold_ngram_count_deltas",
     "incremental_ngram_counts",
     "lm_from_counts",
     "lm_oov_rate",
@@ -209,6 +211,36 @@ def maintain_ngram_counts(
     The merge shuffles the batch's grams plus the count table's keys,
     never the corpus.
     """
+    return (
+        counts.select("order", "gram", "cnt")
+        .unionByName(ngram_count_delta(base, audit_batch, text_col,
+                                       pk_cols, n=n))
+        .groupBy("order", "gram")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def ngram_count_delta(
+    base: DataFrame,
+    audit_batch: DataFrame,
+    text_col: str,
+    pk_cols: list[str],
+    *,
+    n: int = 2,
+) -> DataFrame:
+    """The SIGNED (order, gram, cnt) delta one audit batch applies to the
+    LM state — debits of the touched docs' old gram multisets (negative)
+    plus credits of the surviving final images (positive), already folded
+    per gram with exact cancellations dropped.
+
+    This is the LSM write unit for O(delta) storage maintenance
+    (``streaming.stream_lm.apply_lm_manifest_epoch``): a micro-batch
+    commits ONLY this delta (size O(batch grams), never O(model) and
+    never O(corpus)); readers fold the appended deltas with
+    :func:`fold_ngram_count_deltas`, and a compaction cadence
+    materializes the fold. ``counts + delta`` folded equals
+    :func:`maintain_ngram_counts` by construction."""
     from cdc_audit_spark.compact import keep_last_per_key
     from cdc_audit_spark.schema import AUDIT_EVENT
 
@@ -224,9 +256,21 @@ def maintain_ngram_counts(
         .groupBy("order", "gram").agg(F.count("*").alias("cnt"))
     )
     return (
-        counts.select("order", "gram", "cnt")
-        .unionByName(debit)
-        .unionByName(credit)
+        debit.unionByName(credit)
+        .groupBy("order", "gram")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def fold_ngram_count_deltas(df: DataFrame) -> DataFrame:
+    """Collapse a stack of appended signed count deltas (plus an optional
+    absolute snapshot at the bottom) into the current (order, gram, cnt)
+    state: sum per gram, grams whose count reached 0 disappear — exactly
+    the state ``maintain_ngram_counts`` would have produced step by step.
+    One bounded model-keyed aggregate; never touches the corpus."""
+    return (
+        df.select("order", "gram", "cnt")
         .groupBy("order", "gram")
         .agg(F.sum("cnt").alias("cnt"))
         .filter(F.col("cnt") > 0)

@@ -2,15 +2,17 @@
 
 The batch operator (mview.maintain_group_sum) debits touched keys' old
 contributions and credits their final images — it needs the audit batch AND
-the pre-batch base snapshot. The streaming form carries both across
-micro-batches as generation directories with an atomically-flipped pointer
-(same recovery contract as stream_dedup.stream_exact_index_sync: a crash
-before the flip replays deterministically against the previous generation).
+the pre-batch base snapshot.
 
-Per micro-batch: one maintenance join over touched keys for the view and
-one apply_changes pass for the base. Rewriting the base snapshot per batch
-is the sandbox stand-in for a MERGE into a transactional table — the
-operators are storage-agnostic; only this hook's persistence changes.
+**Primary form: the manifest-backed stream** (``stream_mview_sync_manifest``
+/ ``apply_mview_manifest_epoch``) — exactly-once AND O(delta) at the
+storage layer: each micro-batch appends only its signed (group, total,
+n_rows) delta to the view LSM and dir-granularly merges only the touched
+key ranges of the base replica (``merge_audit(pruned=True)``); committed
+bytes per batch scale with the batch, never the corpus. The
+generation-snapshot form below (``stream_mview_sync`` / genstate pointers)
+predates it and rewrites full (base, view) snapshots per batch — kept for
+plain-directory deployments without a manifest table, not for scale.
 """
 
 from __future__ import annotations
@@ -21,7 +23,15 @@ from cdc_audit_spark.capture import apply_changes
 from cdc_audit_spark.mview import bootstrap_group_sum, maintain_group_sum
 from cdc_audit_spark.streaming import genstate
 
-__all__ = ["apply_mview_epoch", "current_mview", "stream_mview_sync"]
+__all__ = [
+    "apply_mview_epoch",
+    "apply_mview_manifest_epoch",
+    "current_mview",
+    "current_manifest_mview",
+    "maybe_fold_mview",
+    "stream_mview_sync",
+    "stream_mview_sync_manifest",
+]
 
 
 def current_mview(spark: SparkSession, state_path: str):
@@ -76,6 +86,144 @@ def apply_mview_epoch(
         genstate.prune_generations(state_path, keep=keep_generations)
 
 
+def apply_mview_manifest_epoch(
+    base_t,
+    view_t,
+    batch_df,
+    epoch_id: int,
+    run_id: str | None,
+    pk_cols: list[str],
+    group_cols: list[str],
+    value: Column,
+    range_buckets: int = 32,
+    fold_max_dirs: int = 16,
+) -> None:
+    """One micro-batch of the exactly-once manifest-backed mview drain —
+    O(delta) at the storage layer, the exact shape of
+    ``stream_lm.apply_lm_manifest_epoch`` with the LM's gram algebra
+    swapped for ``mview.group_sum_delta``:
+
+    * the view table is an LSM of signed (group, total, n_rows) deltas —
+      each epoch APPENDS one (epoch-guarded), readers fold via
+      :func:`current_manifest_mview`, :func:`maybe_fold_mview`
+      materializes the fold past ``fold_max_dirs``;
+    * the base replica lands via ``merge_audit(pruned=True)`` (watermark-
+      guarded, dir-granular — untouched dirs carry verbatim).
+
+    The view delta always reads the PRE-merge base because the append
+    commits strictly before the merge in every attempt. Requires a
+    single integer merge key and batch ``audit_pk`` monotone across
+    batches."""
+    from cdc_audit_spark.mview import group_sum_delta
+    from cdc_audit_spark.streaming.stream_lm import _empty_state
+
+    if len(pk_cols) != 1:
+        raise ValueError(
+            "the manifest-backed mview stream maintains its base replica "
+            "with merge_audit(pruned=True), which needs a single integer "
+            f"merge key; got pk_cols={pk_cols!r}")
+    if not view_t.epoch_applied(epoch_id, run_id):
+        base = (base_t.read() if base_t.current_version() is not None
+                else _empty_state(batch_df))
+        delta = group_sum_delta(base, batch_df, pk_cols, group_cols, value)
+        view_t.append(delta, extra={"epoch": int(epoch_id),
+                                    "run_id": run_id})
+    base_t.merge_audit(batch_df, pk_cols,
+                       bootstrap=_empty_state(batch_df),
+                       pruned=True, range_buckets=range_buckets)
+    maybe_fold_mview(view_t, group_cols, max_dirs=fold_max_dirs)
+
+
+def maybe_fold_mview(view_t, group_cols: list[str],
+                     max_dirs: int = 16) -> int | None:
+    """Materialize the view LSM's fold when dir fan-in exceeds
+    ``max_dirs`` — ``maybe_fold_lm_counts``'s policy for the mview tier.
+    O(view) when it fires, a manifest peek otherwise; epoch/run_id
+    inherit through the overwrite."""
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.mview import fold_group_sum_deltas
+
+    cur = view_t.current_version()
+    if cur is None:
+        return None
+    if len(view_t.manifest(cur)["dirs"]) <= max_dirs:
+        return None
+    folded = fold_group_sum_deltas(view_t.read(cur), group_cols)
+    # re-aggregating DECIMAL totals widens their precision (sum(dec(p,s))
+    # -> dec(p+10,s)); cast back to the table's recorded schema so the
+    # fold never drifts it and later delta appends still match
+    types = {f.name: f.dataType for f in view_t.schema().fields}
+    folded = folded.select(
+        *group_cols,
+        F.col("total").cast(types["total"]).alias("total"),
+        F.col("n_rows").cast(types["n_rows"]).alias("n_rows"))
+    return view_t.overwrite(folded, base_version=cur)
+
+
+def current_manifest_mview(spark: SparkSession, base_path: str,
+                           view_path: str, group_cols: list[str]):
+    """(base replica, current view) of a manifest-backed mview stream —
+    the view LSM folded to the absolute (group, total, n_rows) state.
+    Returns (None, None) before the first committed epoch."""
+    from cdc_audit_spark.mview import fold_group_sum_deltas
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    base_t = ManifestTable(spark, base_path)
+    view_t = ManifestTable(spark, view_path)
+    if view_t.current_version() is None:
+        return None, None
+    view = fold_group_sum_deltas(view_t.read(), group_cols)
+    base = (base_t.read() if base_t.current_version() is not None
+            else None)
+    return base, view
+
+
+def stream_mview_sync_manifest(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    base_path: str,
+    view_path: str,
+    checkpoint_path: str,
+    pk_cols: list[str],
+    group_cols: list[str],
+    value: Column,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    range_buckets: int = 32,
+    fold_max_dirs: int = 16,
+):
+    """The primary mview maintenance stream: base replica and view live
+    in MANIFEST tables — exactly-once and O(delta) at the storage layer
+    (see ``apply_mview_manifest_epoch``). The current view is
+    ``current_manifest_mview(spark, base_path, view_path, group_cols)``."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    base_t = ManifestTable(spark, base_path)
+    view_t = ManifestTable(spark, view_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        apply_mview_manifest_epoch(
+            base_t, view_t, batch_df, epoch_id,
+            genstate.checkpoint_run_id(checkpoint_path),
+            pk_cols, group_cols, value, range_buckets=range_buckets,
+            fold_max_dirs=fold_max_dirs,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_mview_sync(
     spark: SparkSession,
     source_path: str,
@@ -90,7 +238,11 @@ def stream_mview_sync(
     max_files_per_trigger: int | None = None,
     keep_generations: int | None = None,
 ):
-    """Stream audit batches and keep a (group, total, n_rows) view current.
+    """Generation-snapshot form: rewrites full (base, view) parquet
+    snapshots per micro-batch — O(state) storage writes. Prefer
+    :func:`stream_mview_sync_manifest` (exactly-once AND O(delta)
+    commits); this form remains for plain-directory deployments without
+    a manifest table.
 
     ``base_bootstrap`` is the snapshot the stream starts from (the view is
     bootstrapped from it on the first batch). Returns the StreamingQuery;

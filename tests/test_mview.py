@@ -226,3 +226,105 @@ def test_mview_epoch_replay_both_crash_windows(spark, tmp_path):
     apply_mview_epoch(spark, state, b1, 1, base, ["k"], ["seg"], val)
     assert genstate.current_generation(state) == 1
     assert snap() == want1
+
+
+def test_stream_mview_sync_manifest_o_delta(spark, tmp_path):
+    """The manifest-backed (primary) mview stream: drained micro-batches
+    leave a view LSM whose fold equals a direct aggregate over the final
+    base replica; every post-bootstrap commit is an append or a
+    dir-granular merge (O(delta) at the storage layer — VERDICT r08 #1),
+    and a restarted drain applies only new audit files."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_mview import (
+        current_manifest_mview,
+        stream_mview_sync_manifest,
+    )
+
+    sch = ("k long, seg string, val double, audit_event string, "
+           "audit_timestamp timestamp, audit_pk long")
+    ts = dt.datetime(2026, 1, 1)
+    batches = [
+        [(1, "A", 10.0, "insert", ts, 1), (2, "A", 20.0, "insert", ts, 2),
+         (3, "B", 30.0, "insert", ts, 3)],
+        [(4, "B", 40.0, "insert", ts, 4)],
+        [(1, "B", 10.0, "update", ts, 5),   # A → B migration
+         (2, "A", 25.0, "update", ts, 6)],
+        [(3, "B", 30.0, "delete", ts, 7),
+         (2, "A", 25.0, "delete", ts, 8)],  # empties group A
+    ]
+    src = str(tmp_path / "audit_src")
+    for rows in batches:
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    base_p, view_p = str(tmp_path / "base_t"), str(tmp_path / "view_t")
+    ck = str(tmp_path / "ck")
+    schema = spark.read.parquet(src).schema
+    q = stream_mview_sync_manifest(
+        spark, src, schema, base_p, view_p, ck, ["k"], ["seg"],
+        F.col("val").cast("decimal(12,2)"), max_files_per_trigger=1)
+    q.awaitTermination(240)
+
+    base, view = current_manifest_mview(spark, base_p, view_p, ["seg"])
+    direct = base.groupBy("seg").agg(
+        F.sum(F.col("val").cast("decimal(12,2)")).alias("total"),
+        F.count("*").alias("n_rows"))
+    vs = {(r["seg"], float(r["total"]), r["n_rows"]) for r in view.collect()}
+    ds = {(r["seg"], float(r["total"]), r["n_rows"]) for r in direct.collect()}
+    assert vs == ds == {("B", 50.0, 2)}
+
+    # O(delta) commit shapes
+    view_t, base_t = ManifestTable(spark, view_p), ManifestTable(spark, base_p)
+    assert all(view_t.manifest(v)["action"] == "append"
+               for v in view_t.versions())
+    acts = [base_t.manifest(v)["action"] for v in base_t.versions()]
+    assert all(a == "merge" for a in acts)
+
+    # restart applies only the new batch (exactly-once across restarts)
+    spark.createDataFrame([(4, "B", 40.0, "delete", ts, 9)], sch
+                          ).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_mview_sync_manifest(
+        spark, src, schema, base_p, view_p, ck, ["k"], ["seg"],
+        F.col("val").cast("decimal(12,2)"))
+    q2.awaitTermination(120)
+    _, view2 = current_manifest_mview(spark, base_p, view_p, ["seg"])
+    assert {(r["seg"], float(r["total"]), r["n_rows"])
+            for r in view2.collect()} == {("B", 10.0, 1)}
+
+
+def test_mview_fold_policy_bounds_fanin(spark, tmp_path):
+    """maybe_fold_mview: past max_dirs the LSM is rewritten as ONE
+    absolute snapshot whose fold is unchanged, and the epoch guard
+    survives the fold (epoch/run_id inherit through the overwrite)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_mview import (
+        apply_mview_manifest_epoch,
+        current_manifest_mview,
+    )
+
+    sch = ("k long, seg string, val double, audit_event string, "
+           "audit_timestamp timestamp, audit_pk long")
+    ts = dt.datetime(2026, 1, 1)
+    base_t = ManifestTable(spark, str(tmp_path / "base_t"))
+    view_t = ManifestTable(spark, str(tmp_path / "view_t"))
+    val = F.col("val").cast("decimal(12,2)")
+    for e in range(6):
+        b = spark.createDataFrame(
+            [(e, "S" + str(e % 2), float(e), "insert", ts, e + 1)], sch)
+        apply_mview_manifest_epoch(base_t, view_t, b, e, "r1",
+                                   ["k"], ["seg"], val, fold_max_dirs=3)
+    # the fold fired at least once: fan-in stayed bounded
+    assert len(view_t.manifest(view_t.current_version())["dirs"]) <= 4
+    assert view_t.epoch_applied(5, "r1")       # guard survived the fold
+    _, view = current_manifest_mview(
+        spark, base_t.path, view_t.path, ["seg"])
+    assert {(r["seg"], float(r["total"]), r["n_rows"])
+            for r in view.collect()} == {("S0", 6.0, 3), ("S1", 9.0, 3)}

@@ -120,11 +120,13 @@ def test_lm_epoch_replay_both_crash_windows(spark, tmp_path):
 
 def test_stream_lm_sync_manifest_matches_retrain(spark, tmp_path):
     """Exactly-once manifest form: drained micro-batches leave a counts
-    TABLE equal to retraining on the final corpus; a restarted drain
-    applies only new audit files."""
-    from cdc_audit_spark.operators.ngram_lm import lm_from_counts
+    LSM whose FOLD equals retraining on the final corpus; a restarted
+    drain applies only new audit files."""
     from cdc_audit_spark.sinks.manifest import ManifestTable
-    from cdc_audit_spark.streaming.stream_lm import stream_lm_sync_manifest
+    from cdc_audit_spark.streaming.stream_lm import (
+        current_manifest_lm,
+        stream_lm_sync_manifest,
+    )
 
     src = str(tmp_path / "audit_src")
     batches = [
@@ -149,14 +151,21 @@ def test_stream_lm_sync_manifest_matches_retrain(spark, tmp_path):
              (4, "a cat and a dog")]
     expect = train_ngram_lm(
         spark.createDataFrame(final, "doc_id long, text string"), "text", n=2)
-    counts_t = ManifestTable(spark, counts_p)
-    model = lm_from_counts(counts_t.read(), n=2)
+    got_base, model = current_manifest_lm(spark, base_p, counts_p, n=2)
     assert _counts_set(model.counts) == _counts_set(expect.counts)
     assert model.total == expect.total
-    base_t = ManifestTable(spark, base_p)
     assert {(r["doc_id"], r["text"])
-            for r in base_t.read().select("doc_id", "text").collect()} \
+            for r in got_base.select("doc_id", "text").collect()} \
         == set(final)
+    # O(delta) storage: every post-bootstrap commit on both tables is an
+    # append or a dir-granular merge, never a full-state overwrite
+    base_t = ManifestTable(spark, base_p)
+    counts_t = ManifestTable(spark, counts_p)
+    assert all(counts_t.manifest(v)["action"] == "append"
+               for v in counts_t.versions())
+    acts = [base_t.manifest(v)["action"] for v in base_t.versions()]
+    assert all(a in ("merge", "overwrite") for a in acts)
+    assert "overwrite" not in acts[1:]  # only the bootstrap snapshots
 
     # restart with a new batch: only it applies
     spark.createDataFrame([(1, BASE[0][1], "delete", TS, 13)], SCH
@@ -167,17 +176,24 @@ def test_stream_lm_sync_manifest_matches_retrain(spark, tmp_path):
     expect2 = train_ngram_lm(
         spark.createDataFrame(final[1:], "doc_id long, text string"),
         "text", n=2)
-    model2 = lm_from_counts(counts_t.read(), n=2)
+    _, model2 = current_manifest_lm(spark, base_p, counts_p, n=2)
     assert _counts_set(model2.counts) == _counts_set(expect2.counts)
 
 
 def test_lm_manifest_half_committed_replay_window(spark, tmp_path):
-    """Crash BETWEEN the two commits: one table holds the epoch, the other
-    doesn't. The replay recomputes from PINNED pre-epoch state, the lagging
-    table catches up, the leading one skips — zero double-application."""
-    from cdc_audit_spark.operators.ngram_lm import lm_from_counts
+    """Crash BETWEEN the two commits: the counts LSM holds the epoch's
+    delta append, the base merge never ran. The replay skips the counts
+    half (epoch guard) and catches the base up (watermark guard) — zero
+    double-application; replaying the whole epoch again is a no-op."""
+    from cdc_audit_spark.operators.ngram_lm import (
+        lm_from_counts,
+        ngram_count_delta,
+    )
     from cdc_audit_spark.sinks.manifest import ManifestTable
-    from cdc_audit_spark.streaming.stream_lm import apply_lm_manifest_epoch
+    from cdc_audit_spark.streaming.stream_lm import (
+        apply_lm_manifest_epoch,
+        current_manifest_lm,
+    )
 
     base_t = ManifestTable(spark, str(tmp_path / "base_t"))
     counts_t = ManifestTable(spark, str(tmp_path / "counts_t"))
@@ -187,25 +203,77 @@ def test_lm_manifest_half_committed_replay_window(spark, tmp_path):
 
     b1 = spark.createDataFrame(
         [(2, "the dog and the cat", "update", TS, 10)], SCH)
-    # simulate the crash: commit ONLY the counts half of epoch 1
-    from cdc_audit_spark.capture import apply_changes
-    from cdc_audit_spark.operators.ngram_lm import maintain_ngram_counts
-
-    pre_base, pre_counts = base_t.read(), counts_t.read()
-    half = maintain_ngram_counts(pre_counts, pre_base, b1, "text",
-                                 ["doc_id"], n=2)
-    counts_t.overwrite(half, extra={"epoch": 1, "run_id": "r1"})
+    # simulate the crash: commit ONLY the counts half of epoch 1 (the
+    # epoch-tagged LSM delta append — the hook's own write shape)
+    half = ngram_count_delta(base_t.read(), b1, "text", ["doc_id"], n=2)
+    counts_t.append(half, extra={"epoch": 1, "run_id": "r1"})
 
     # replay epoch 1 through the hook: base catches up, counts skip
     apply_lm_manifest_epoch(base_t, counts_t, b1, 1, "r1", "text", ["doc_id"])
     final = [(1, BASE[0][1]), (2, "the dog and the cat"), (3, BASE[2][1])]
     expect = train_ngram_lm(
         spark.createDataFrame(final, "doc_id long, text string"), "text", n=2)
-    got = lm_from_counts(counts_t.read(), n=2)
+    _, got = current_manifest_lm(spark, base_t.path, counts_t.path, n=2)
     assert _counts_set(got.counts) == _counts_set(expect.counts)
     assert {(r["doc_id"], r["text"]) for r in
             base_t.read().select("doc_id", "text").collect()} == set(final)
     # replaying the whole epoch again is a durable no-op
     apply_lm_manifest_epoch(base_t, counts_t, b1, 1, "r1", "text", ["doc_id"])
-    assert _counts_set(lm_from_counts(counts_t.read(), 2).counts) \
-        == _counts_set(expect.counts)
+    _, again = current_manifest_lm(spark, base_t.path, counts_t.path, n=2)
+    assert _counts_set(again.counts) == _counts_set(expect.counts)
+
+
+def test_lm_manifest_commits_scale_with_delta_not_corpus(spark, tmp_path):
+    """VERDICT r08 #1 'done' criterion: a micro-batch's committed
+    dirs/bytes scale with the DELTA, not the corpus. A 200-doc corpus is
+    bootstrapped across 8 key-range dirs; a 2-doc batch then commits (a)
+    a counts append whose bytes are a small fraction of the model, and
+    (b) a base merge that rewrites ONLY the touched range dirs, carrying
+    the rest verbatim."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_lm import apply_lm_manifest_epoch
+
+    base_t = ManifestTable(spark, str(tmp_path / "base_t"))
+    counts_t = ManifestTable(spark, str(tmp_path / "counts_t"))
+    from pyspark.sql import functions as F
+
+    boot = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document number "), F.col("id").cast("string"),
+                 F.lit(" talks about topic "),
+                 (F.col("id") % 17).cast("string")).alias("text"),
+        F.lit("insert").alias("audit_event"),
+        F.lit(TS).alias("audit_timestamp"),
+        (F.col("id") + 1).alias("audit_pk"))
+    apply_lm_manifest_epoch(base_t, counts_t, boot, 0, "r1", "text",
+                            ["doc_id"], range_buckets=8)
+    m0 = base_t.manifest(base_t.current_version())
+    n_dirs0 = len(m0["dirs"])
+    assert n_dirs0 >= 6  # the bootstrap laid out multiple range dirs
+
+    def commit_stats(t):
+        m = t.manifest(t.current_version())
+        added = m.get("added", m["dirs"])
+        meta = m.get("dir_meta", {})
+        b = sum(int(meta.get(d, {}).get("bytes", 0)) for d in added)
+        return added, b
+
+    _, counts_bytes0 = commit_stats(counts_t)
+
+    # tiny delta: two adjacent keys -> one touched range dir
+    delta = spark.createDataFrame(
+        [(3, "a fresh tiny document", "update", TS, 300),
+         (4, "another fresh tiny one", "update", TS, 301)], SCH)
+    apply_lm_manifest_epoch(base_t, counts_t, delta, 1, "r1", "text",
+                            ["doc_id"], range_buckets=8)
+
+    m1 = base_t.manifest(base_t.current_version())
+    assert m1["action"] == "merge"
+    rewritten = [d for d in m1["dirs"] if d not in set(m0["dirs"])]
+    carried = [d for d in m1["dirs"] if d in set(m0["dirs"])]
+    # only the touched range dir(s) were rewritten; the rest carried
+    assert len(rewritten) <= 2
+    assert len(carried) >= n_dirs0 - 2
+    # counts commit: the delta append is a fraction of the model
+    counts_added, counts_bytes1 = commit_stats(counts_t)
+    assert counts_bytes1 < counts_bytes0 / 3
