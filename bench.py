@@ -94,44 +94,79 @@ def main() -> None:
         except Exception:
             pass  # warm-up is best-effort; the timed run surfaces real errors
 
-    # Settle-wait (VERDICT r07 item 5): the r6/r7 artifacts were captured
-    # at ambient loadavg > 2 and their "regressions" were other tenants.
-    # Hold the timed pass until the 1-min loadavg drops below the target
-    # (bounded — a busy box eventually proceeds and the env block shows
-    # it). Spark itself is idle between warm-up and here.
     settle_target = float(os.environ.get("SPARK_GRAFT_SETTLE_LOAD", "1.0"))
     settle_max = float(os.environ.get("SPARK_GRAFT_SETTLE_MAX_SEC", "180"))
-    settle_waited = 0.0
-    try:
-        while (os.getloadavg()[0] > settle_target
-               and settle_waited < settle_max):
-            time.sleep(5)
-            settle_waited += 5
-        load_settled = [round(x, 2) for x in os.getloadavg()]
-    except OSError:
-        load_settled = None
-
-    # Two timed passes per query, keep the min: measures steady-state
-    # throughput rather than one-off scheduler/GC noise (run-to-run variance
-    # on local[32] is ±20% otherwise).
-    timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in HEADLINE:
-            fn = qs[name]
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            elapsed = round(time.perf_counter() - t0, 4)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
-
-    # Drift sentinel: re-time one cheap, map-only query after the full run.
-    # If the machine got contended mid-bench, this re-run diverges from the
-    # same query's timed value and the reader can see it in the artifact
-    # (VERDICT r04: the 43s-vs-22s ambiguity was unadjudicable from the JSON).
+    drift_max = float(os.environ.get("SPARK_GRAFT_SENTINEL_DRIFT_MAX", "0.10"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
     sentinel = "text_token_stats"
-    t0 = time.perf_counter()
-    qs[sentinel](spark, sf_dir).count()
-    sentinel_sec = round(time.perf_counter() - t0, 4)
+
+    def settle() -> tuple[list | None, float]:
+        # Settle-wait (VERDICT r07 item 5): the r6/r7 artifacts were
+        # captured at ambient loadavg > 2 and their "regressions" were
+        # other tenants. Hold the timed pass until the 1-min loadavg
+        # drops below the target (bounded — a busy box eventually
+        # proceeds and the env block shows it). Spark is idle here.
+        waited = 0.0
+        try:
+            while (os.getloadavg()[0] > settle_target
+                   and waited < settle_max):
+                time.sleep(5)
+                waited += 5
+            return [round(x, 2) for x in os.getloadavg()], waited
+        except OSError:
+            return None, waited
+
+    def timed_pass() -> dict[str, float]:
+        # Two timed passes per query, keep the min: steady-state
+        # throughput rather than one-off scheduler/GC noise (run-to-run
+        # variance on local[32] is ±20% otherwise).
+        t: dict[str, float] = {}
+        for _ in range(2):
+            for name in HEADLINE:
+                fn = qs[name]
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                elapsed = round(time.perf_counter() - t0, 4)
+                if name not in t or elapsed < t[name]:
+                    t[name] = elapsed
+        return t
+
+    # Self-adjudicating measurement (VERDICT r08 item 3): the sentinel —
+    # one cheap map-only query re-timed after the full pass — detects
+    # mid-bench contention; three rounds of committed artifacts were
+    # noise the sentinel had flagged but nothing acted on. Now a pass
+    # whose sentinel re-run drifts beyond the threshold is DISCARDED and
+    # re-run (bounded attempts); the artifact records every attempt so
+    # a still-dirty final accept is visible, not ambiguous.
+    attempts: list[dict] = []
+    per_attempt_timings: list[dict[str, float]] = []
+    for attempt in range(1, max_attempts + 1):
+        load_settled, settle_waited = settle()
+        timings = timed_pass()
+        t0 = time.perf_counter()
+        qs[sentinel](spark, sf_dir).count()
+        sentinel_sec = round(time.perf_counter() - t0, 4)
+        drift = (abs(sentinel_sec - timings[sentinel])
+                 / max(timings[sentinel], 1e-9))
+        per_attempt_timings.append(timings)
+        attempts.append({
+            "total_sec": round(sum(timings.values()), 4),
+            "sentinel_timed_sec": timings[sentinel],
+            "sentinel_rerun_sec": sentinel_sec,
+            "sentinel_drift": round(drift, 4),
+            "loadavg_settled_pretimed": load_settled,
+            "settle_waited_sec": settle_waited,
+        })
+        if drift <= drift_max:
+            break
+    # accept the lowest-drift attempt (normally the last — a clean one
+    # breaks the loop; when every attempt was contended the reader sees
+    # sentinel_drift > drift_max plus every attempt's numbers, so the
+    # artifact adjudicates itself)
+    best_i = min(range(len(attempts)),
+                 key=lambda i: attempts[i]["sentinel_drift"])
+    best = attempts[best_i]
+    timings = per_attempt_timings[best_i]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -140,7 +175,7 @@ def main() -> None:
         loadavg = None
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 4),
+        "value": best["total_sec"],
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -148,15 +183,19 @@ def main() -> None:
         # from "contended sandbox" without re-running the bench.
         "env": {
             "loadavg_ambient_prestart": load_ambient,
-            "loadavg_settled_pretimed": load_settled,
-            "settle_waited_sec": settle_waited,
+            "loadavg_settled_pretimed": best["loadavg_settled_pretimed"],
+            "settle_waited_sec": best["settle_waited_sec"],
             "loadavg_1_5_15": loadavg,
             "os_cpus": os.cpu_count(),
             "spark_cpus": cpus,
             "unix_ts": round(time.time(), 1),
             "sentinel": sentinel,
-            "sentinel_timed_sec": timings.get(sentinel),
-            "sentinel_rerun_sec": sentinel_sec,
+            "sentinel_timed_sec": best["sentinel_timed_sec"],
+            "sentinel_rerun_sec": best["sentinel_rerun_sec"],
+            "sentinel_drift": best["sentinel_drift"],
+            "sentinel_drift_max": drift_max,
+            "clean": best["sentinel_drift"] <= drift_max,
+            "attempts": attempts,
         },
     }))
     spark.stop()

@@ -145,7 +145,12 @@ def kmeans_parallel_init(
         new = (
             narrow.withColumn("d2", d2)
             .filter(u < F.lit(float(l)) * F.col("d2") / F.lit(phi))
-            .select("id", "v").orderBy("id").collect()
+            # structural driver bound (VERDICT r08 #7): expected
+            # admissions are ~l per round, but the bound must not rest
+            # on the φ estimate being well-behaved — cap the collect at
+            # 8l (deterministic: id order), making the driver's memory
+            # a constant instead of an expectation
+            .select("id", "v").orderBy("id").limit(8 * l).collect()
         )
         candidates.extend(list(map(float, row["v"])) for row in new)
 

@@ -436,18 +436,42 @@ def score_perplexity(
     id_col: str,
     model: NgramLM,
     alpha: float = DEFAULT_ALPHA,
+    micro: bool = False,
 ) -> DataFrame:
     """Per-doc (n_tokens, avg_log10_score, perplexity): perplexity =
     10^(-mean log10 S) — the CCNet document-quality signal (low = fluent
-    under the corpus LM, high = junk). Mean over a double sum (shuffle-
-    order-dependent in the last ulps — validated against a pure-Python
-    reference at 1e-9, no SQL-hash form by design)."""
+    under the corpus LM, high = junk). Default mode means over a double
+    sum (shuffle-order-dependent in the last ulps — validated against a
+    pure-Python reference at 1e-9).
+
+    ``micro=True`` is the engine-exact scoring path (the DSIR
+    ``dsir_weights(micro=True)`` idiom): each position's log10 score is
+    quantized to integer micro-units — floor(s*1e6 + 0.5) — summed
+    EXACTLY, and the mean emitted as the deterministic double
+    ``(micro_sum / n_tokens) / 1e6``; ``avg_log10_score`` is then
+    bit-identical across engines and shuffle orders (driver-hashable).
+    ``perplexity`` remains a pow() of it — deterministic per engine but
+    not cross-engine to the last ulp; hash on the avg, not on it."""
     s = _scored(df, text_col, id_col, model, alpha)
-    return (
-        s.groupBy(F.col("__id").alias(id_col))
-        .agg(
-            F.count("*").alias("n_tokens"),
-            (F.sum("__logs") / F.count("*")).alias("avg_log10_score"),
+    if micro:
+        mlogs = F.floor(F.col("__logs") * F.lit(1e6) + F.lit(0.5)) \
+            .cast("bigint")
+        out = (
+            s.withColumn("__m", mlogs)
+            .groupBy(F.col("__id").alias(id_col))
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("__m").alias("__msum"))
+            .select(id_col, "n_tokens",
+                    ((F.col("__msum").cast("double") / F.col("n_tokens"))
+                     / F.lit(1e6)).alias("avg_log10_score"))
         )
-        .withColumn("perplexity", F.pow(F.lit(10.0), -F.col("avg_log10_score")))
-    )
+    else:
+        out = (
+            s.groupBy(F.col("__id").alias(id_col))
+            .agg(
+                F.count("*").alias("n_tokens"),
+                (F.sum("__logs") / F.count("*")).alias("avg_log10_score"),
+            )
+        )
+    return out.withColumn(
+        "perplexity", F.pow(F.lit(10.0), -F.col("avg_log10_score")))

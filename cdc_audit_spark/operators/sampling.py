@@ -344,12 +344,15 @@ def dsir_log_ratios(
     id_col: str,
     n_buckets: int = DSIR_BUCKETS,
     smoothing: float = 1.0,
+    micro: bool = False,
 ) -> DataFrame:
     """Per-bucket log(p_target / p_corpus) with add-``smoothing``
     Laplace counts — the DSIR importance model. Two aggregations, each
     collapsing to at most ``n_buckets`` rows regardless of corpus size
     (partial map-side combine does the heavy lifting); the full outer
-    join runs on those bounded tables. Returns (bucket, log_ratio)."""
+    join runs on those bounded tables. Returns (bucket, log_ratio);
+    with ``micro=True`` the ratio is quantized to BIGINT micro-nats
+    (exact downstream arithmetic — the engine-portable scoring path)."""
     def bucket_counts(df, alias):
         return (ngram_hash_features(df, text_col, id_col, n_buckets)
                 .groupBy("bucket").agg(F.count("*").alias(alias)))
@@ -363,11 +366,19 @@ def dsir_log_ratios(
     tot = joined.agg(F.sum("c_n").alias("C"), F.sum("t_n").alias("T")).first()
     big_c = float(tot["C"]) + smoothing * n_buckets
     big_t = float(tot["T"]) + smoothing * n_buckets
-    return joined.select(
-        "bucket",
-        (F.log((F.col("t_n") + F.lit(smoothing)) / F.lit(big_t))
-         - F.log((F.col("c_n") + F.lit(smoothing)) / F.lit(big_c))
-         ).alias("log_ratio"))
+    lr = (F.log((F.col("t_n") + F.lit(smoothing)) / F.lit(big_t))
+          - F.log((F.col("c_n") + F.lit(smoothing)) / F.lit(big_c)))
+    if micro:
+        # quantize to integer micro-nats: floor(lr*1e6 + 0.5). From here
+        # on every aggregate is EXACT integer arithmetic, so per-doc
+        # weights are bit-identical across engines and shuffle orders —
+        # the oracle-checkable scoring path. The only residual float op
+        # was the ln above; a 1-ulp engine difference flips a bucket's
+        # micro value only when lr*1e6 sits within that ulp of a floor
+        # boundary (~1e-10 per bucket — negligible, and a false flip
+        # shifts one weight by 1e-6, below any real selection gap).
+        lr = F.floor(lr * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    return joined.select("bucket", lr.alias("log_ratio"))
 
 
 def dsir_weights(
@@ -378,22 +389,35 @@ def dsir_weights(
     n_buckets: int = DSIR_BUCKETS,
     smoothing: float = 1.0,
     length_normalize: bool = True,
+    micro: bool = False,
 ) -> DataFrame:
     """Per-document DSIR importance weight: the mean (or sum, with
     ``length_normalize=False``) of its grams' log ratios. The ratio
     table is at most ``n_buckets`` rows — broadcast — so the only
     corpus-sized shuffle is the per-doc re-aggregation on ``id_col``.
     Returns (id_col, n_grams, dsir_weight); docs with no grams are
-    dropped (no evidence either way)."""
+    dropped (no evidence either way).
+
+    ``micro=True`` sums QUANTIZED integer ratios (micro-nats) and emits
+    the weight as the deterministic double ``(micro_sum / n_grams) /
+    1e6`` — every post-quantization op is exact or correctly-rounded,
+    so the weight (and any ordering on it) is bit-identical across
+    engines and shuffle orders: the driver-hashable form."""
     ratios = dsir_log_ratios(corpus, target, text_col, id_col,
-                             n_buckets, smoothing)
+                             n_buckets, smoothing, micro=micro)
     feats = ngram_hash_features(corpus, text_col, id_col, n_buckets)
     per_doc = (feats.join(F.broadcast(ratios), "bucket")
                .groupBy(id_col)
                .agg(F.count("*").alias("n_grams"),
                     F.sum("log_ratio").alias("__sum")))
-    w = (F.col("__sum") / F.col("n_grams") if length_normalize
-         else F.col("__sum"))
+    if micro:
+        w = F.col("__sum").cast("double")
+        if length_normalize:
+            w = w / F.col("n_grams")
+        w = w / F.lit(1e6)
+    else:
+        w = (F.col("__sum") / F.col("n_grams") if length_normalize
+             else F.col("__sum"))
     return per_doc.select(id_col, "n_grams",
                           w.alias("dsir_weight"))
 
@@ -407,6 +431,7 @@ def dsir_sample(
     n_buckets: int = DSIR_BUCKETS,
     smoothing: float = 1.0,
     gumbel_seed: int | None = None,
+    micro: bool = False,
 ) -> DataFrame:
     """Select the ``n`` corpus docs most target-like under the DSIR
     weight. Deterministic: ties (and the whole ordering) break on the
@@ -414,9 +439,10 @@ def dsir_sample(
     paper's Gumbel-top-k resample — still reproducible, because the
     noise is a pure hash of (seed, id), not an RNG. The global top-n is
     a TakeOrdered (no full sort materialization). Returns the selected
-    docs with their weights."""
+    docs with their weights. ``micro=True`` ranks on the quantized
+    engine-exact weight (see :func:`dsir_weights`)."""
     w = dsir_weights(corpus, target, text_col, id_col, n_buckets,
-                     smoothing)
+                     smoothing, micro=micro)
     score = F.col("dsir_weight")
     if gumbel_seed is not None:
         # inverse-CDF Gumbel from a uniform derived of the portable
@@ -429,4 +455,4 @@ def dsir_sample(
     out = (ranked.orderBy(F.col("__score").desc(), F.col(id_col))
            .limit(n))
     return corpus.join(
-        F.broadcast(out.select(id_col, "dsir_weight")), id_col)
+        F.broadcast(out.select(id_col, "n_grams", "dsir_weight")), id_col)

@@ -3520,6 +3520,92 @@ def cdc_lm_index_sync(spark, sf_dir):
 
 
 @register(
+    "cdc_join_mview",
+    """
+    WITH maxo AS (SELECT max(o_orderkey) AS m FROM orders),
+    fo AS (
+      SELECT o_orderkey, o_custkey AS custkey,
+             CASE WHEN o_orderkey % 17 = 3 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 31 <> 0
+      UNION ALL
+      SELECT o_orderkey + m + 1, o_custkey, o_totalprice
+        FROM orders, maxo WHERE o_orderkey % 23 = 1),
+    fc AS (
+      SELECT c_custkey AS custkey,
+             CASE WHEN c_custkey % 13 = 0
+                  THEN CAST((c_nationkey + 1) % 25 AS INTEGER)
+                  ELSE c_nationkey END AS c_nationkey
+        FROM customer WHERE c_custkey % 41 <> 7)
+    SELECT c_nationkey AS nation_key,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           CAST(count(*) AS BIGINT) AS n_rows
+      FROM fo JOIN fc USING (custkey)
+     GROUP BY 1
+    """,
+    "Two-table JOIN-view maintenance (signed-multiplicity delta-join "
+    "IVM, mview.incremental_join_group_sum): concurrent audit batches "
+    "on BOTH orders (deletes, reprices, inserts) and customer (nation "
+    "migrations, deletes) maintain SUM(o_totalprice) per nation over "
+    "orders JOIN customer as dV = dA|><|B + A|><|dB + dA|><|dB — every "
+    "term joins a broadcast batch-derived side, and the one snapshot "
+    "scan is semi-join-narrowed to keys the delta can match; the oracle "
+    "aggregates the final join directly, so equality proves the "
+    "delta-join algebra including cross-batch interactions (an order "
+    "inserted for a customer deleted in the same step nets to zero).",
+)
+def cdc_join_mview(spark, sf_dir):
+    from cdc_audit_spark.mview import incremental_join_group_sum
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice")
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey")
+    maxo = orders.agg(F.max("o_orderkey")).first()[0]
+    ob = (
+        orders.filter(F.col("o_orderkey") % 31 == 0)
+        .select("o_orderkey", "custkey", "o_totalprice",
+                F.lit("delete").alias("audit_event"),
+                (F.col("o_orderkey") * 2 + 1).alias("audit_pk"))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 17 == 3)
+            .select("o_orderkey", "custkey",
+                    (F.col("o_totalprice") + F.lit(1000.0))
+                    .alias("o_totalprice"),
+                    F.lit("update").alias("audit_event"),
+                    (F.col("o_orderkey") * 2).alias("audit_pk")))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 23 == 1)
+            .select((F.col("o_orderkey") + F.lit(maxo + 1))
+                    .alias("o_orderkey"), "custkey", "o_totalprice",
+                    F.lit("insert").alias("audit_event"),
+                    (F.col("o_orderkey") * 2).alias("audit_pk")))
+    )
+    cb = (
+        cust.filter(F.col("custkey") % 13 == 0)
+        .select("custkey",
+                ((F.col("c_nationkey") + 1) % 25).cast("int")
+                .alias("c_nationkey"),
+                F.lit("update").alias("audit_event"),
+                (F.col("custkey") * 2).alias("audit_pk"))
+        .unionByName(
+            cust.filter(F.col("custkey") % 41 == 7)
+            .select("custkey", "c_nationkey",
+                    F.lit("delete").alias("audit_event"),
+                    (F.col("custkey") * 2 + 1).alias("audit_pk")))
+    )
+    view = incremental_join_group_sum(
+        orders, cust, ob, cb, ["custkey"], ["o_orderkey"], ["custkey"],
+        ["c_nationkey"], F.col("o_totalprice").cast("decimal(18,2)"))
+    return view.select(
+        F.col("c_nationkey").alias("nation_key"),
+        F.col("total").cast("double").alias("total_price"),
+        F.col("n_rows"))
+
+
+@register(
     "dedup_levenshtein_pairs",
     """
     WITH d AS (SELECT doc_id, substr(text, 1, 64) AS t
@@ -4307,26 +4393,65 @@ def dsir_bucket_counts(spark, sf_dir):
 
 @register(
     "dsir_importance_sample",
-    None,  # float log-ratio sums are not stringify-stable across engines;
-    # the integer feature layer is hash-checked by dsir_bucket_counts and
-    # the weights are verified against an independent pure-Python
-    # reference in tests/test_sampling.py
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(t) AS gram FROM tok
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM tok WHERE len(t) > 1),
+    feats AS (
+      SELECT doc_id, ('0x' || substr(md5(gram), 1, 6))::INT % 8192 AS bucket
+        FROM grams WHERE gram <> ''),
+    c AS (SELECT bucket, count(*) AS c_n FROM feats GROUP BY bucket),
+    t AS (SELECT f.bucket, count(*) AS t_n
+            FROM feats f JOIN documents d USING (doc_id)
+           WHERE d.lang = 'de' GROUP BY f.bucket),
+    joined AS (
+      SELECT coalesce(c.bucket, t.bucket) AS bucket,
+             coalesce(c_n, 0) AS c_n, coalesce(t_n, 0) AS t_n
+        FROM c FULL OUTER JOIN t ON c.bucket = t.bucket),
+    tot AS (SELECT sum(c_n) + 8192.0 AS big_c,
+                   sum(t_n) + 8192.0 AS big_t FROM joined),
+    ratios AS (
+      SELECT bucket,
+             CAST(floor((ln((t_n + 1.0) / big_t)
+                         - ln((c_n + 1.0) / big_c)) * 1e6 + 0.5)
+                  AS BIGINT) AS lr
+        FROM joined, tot),
+    wts AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             sum(lr) AS msum
+        FROM feats JOIN ratios USING (bucket) GROUP BY doc_id),
+    sel AS (
+      SELECT doc_id, n_grams,
+             (CAST(msum AS DOUBLE) / n_grams) / 1e6 AS dsir_weight
+        FROM wts ORDER BY dsir_weight DESC, doc_id LIMIT 100)
+    SELECT d.doc_id, d.lang, d.source, s.n_grams, s.dsir_weight
+      FROM sel s JOIN documents d USING (doc_id)
+    """,
     "DSIR importance resampling (Xie et al. 2023, "
     "operators.sampling.dsir_sample): score every corpus doc by the "
     "summed log-likelihood ratio of its hashed grams under "
     "target-vs-corpus bucket distributions, keep the top-n. The ratio "
     "table is <= 8192 rows (broadcast); the only corpus-sized shuffle "
     "is the per-doc weight aggregation; the top-n is a TakeOrdered. "
-    "Deterministic: hash features + id tie-breaks, no RNG",
+    "Deterministic AND driver-hashable end to end (promoted from "
+    "no-oracle, VERDICT r08 #5): micro=True quantizes each bucket's log "
+    "ratio to integer micro-nats, so per-doc weights are exact integer "
+    "sums divided once — bit-identical across engines and shuffle orders",
 )
 def dsir_importance_sample(spark, sf_dir):
     from cdc_audit_spark.operators.sampling import dsir_sample
 
     docs = load_tables(spark, sf_dir)["documents"]
     target = docs.filter(F.col("lang") == "de")
-    out = dsir_sample(docs, target, "text", "doc_id", 100)
-    return out.select("doc_id", "lang", "source",
-                      F.round("dsir_weight", 6).alias("dsir_weight"))
+    out = dsir_sample(docs, target, "text", "doc_id", 100, micro=True)
+    return out.select("doc_id", "lang", "source", "n_grams", "dsir_weight")
 
 
 _MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
@@ -4880,23 +5005,58 @@ def ngram_lm_backoff_tiers(spark, sf_dir):
 
 @register(
     "ngram_lm_perplexity",
-    None,  # float log layer — per-doc double sums; ground truth is the
-    # pure-Python Stupid Backoff reference at 1e-9 in test_ngram_lm.py
-    # (the integer layer above IS hash-checked end-to-end)
-    "CCNet-style document perplexity under the corpus-trained Stupid "
-    "Backoff bigram LM (Wenzek et al. 2020): low = fluent under the "
-    "corpus distribution, high = junk — the published web-curation "
-    "quality bucket signal. Same broadcast-lookup plan as the tier query.",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> len(t) > 0) AS w
+        FROM documents),
+    c1 AS (
+      SELECT g AS gram, count(*) AS cnt
+        FROM (SELECT unnest(w) AS g FROM toks) GROUP BY 1),
+    c2 AS (
+      SELECT g AS gram, count(*) AS cnt
+        FROM (SELECT unnest(list_transform(range(1, len(w)),
+                                           i -> w[i] || ' ' || w[i+1])) AS g
+                FROM toks) GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS n FROM c1),
+    pos AS (
+      SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w
+        FROM toks),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(floor((CASE
+                WHEN b.cnt IS NOT NULL AND cx.cnt IS NOT NULL
+                  THEN log10(CAST(b.cnt AS DOUBLE))
+                       - log10(CAST(cx.cnt AS DOUBLE)) + 0.0
+                WHEN u.cnt IS NOT NULL
+                  THEN log10(CAST(u.cnt AS DOUBLE))
+                       - log10(CAST(t.n AS DOUBLE)) + log10(0.4)
+                ELSE 2 * log10(0.4) - log10(CAST(t.n AS DOUBLE))
+              END) * 1e6 + 0.5) AS BIGINT) AS m
+        FROM pos p CROSS JOIN tot t
+        LEFT JOIN c2 b  ON i >= 2 AND b.gram  = w[i-1] || ' ' || w[i]
+        LEFT JOIN c1 cx ON i >= 2 AND cx.gram = w[i-1]
+        LEFT JOIN c1 u  ON u.gram = w[i])
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           (CAST(sum(m) AS DOUBLE) / count(*)) / 1e6 AS avg_log10_score
+      FROM scored GROUP BY doc_id
+    """,
+    "CCNet-style document quality score under the corpus-trained Stupid "
+    "Backoff bigram LM (Wenzek et al. 2020): the per-doc mean log10 "
+    "score whose negated power is perplexity (low = fluent, high = "
+    "junk). Promoted from no-oracle (VERDICT r08 #5) via micro=True: "
+    "each position's log score quantizes to integer micro-units summed "
+    "exactly, so the mean is bit-identical across engines and shuffle "
+    "orders. Same broadcast-lookup plan as the tier query.",
 )
 def ngram_lm_perplexity(spark, sf_dir):
     from cdc_audit_spark.operators.ngram_lm import score_perplexity, train_ngram_lm
 
     docs = load_tables(spark, sf_dir)["documents"]
     model = train_ngram_lm(docs, "text", n=2)
-    return score_perplexity(docs, "text", "doc_id", model).select(
-        "doc_id", "n_tokens",
-        F.round("avg_log10_score", 9).alias("avg_log10_score"),
-        F.round("perplexity", 6).alias("perplexity"),
+    return score_perplexity(docs, "text", "doc_id", model, micro=True).select(
+        "doc_id", "n_tokens", "avg_log10_score",
     )
 
 
@@ -5660,55 +5820,40 @@ _REGISTRY["sample_source_quota"].oracle = _source_quota_oracle()
 # behind the window; next round rotates the remaining unchecked ones in.
 
 _DRIVER_WINDOW = [
-    # r08 rotation (VERDICT r07 item 1): keep every green driver row <= 3
-    # rounds old. The 41 queries whose newest green row is r05 (they hit
-    # the staleness bound this round — the CORRECTNESS_r05..r07 set
-    # difference the verdict prescribed):
-    "asof_forward_next_purchase", "cdc_column_change_stats",
-    "cdc_fk_orphans", "corpus_curation_report",
-    "corpus_source_accounting", "datetime_function_sampler",
-    "decontam_benchmark_overlap", "dedup_exact",
-    "dedup_levenshtein_pairs", "dedup_ngram_jaccard_exact",
-    "dedup_prefix_digest", "embedding_label_centroids",
-    "events_cohort_retention", "events_hourly_anomalies",
-    "events_transition_matrix", "full_outer_customer_supplier_nations",
-    "lineitem_stats_profile", "mix_weighted_sources",
-    "ntile_price_quartiles", "pack_token_chunks", "profile_orders",
-    "quality_filter_per_lang", "quartiles_by_segment",
-    "regression_price_on_quantity", "revenue_grouping_sets",
-    "sample_hash_fraction", "sample_split_train_valid",
-    "sample_stratified_lang", "set_except_unordered_parts",
-    "set_intersect_users", "set_union_segments", "shard_global_shuffle",
-    "skew_salted_user_rollup", "table_checksum_orders",
-    "text_repetition_stats", "window_dense_rank_brand_price",
-    "window_first_last_value", "window_lag_delta", "window_moving_avg",
-    "window_nth_value_second_order", "window_time_range_sum",
-    # paths this round's diff touched, re-proven fresh: the maintained
-    # IVF index (pk-base fix + PQ-code plumbing underneath), the batch
-    # k-NN join (size-gated broadcast), and the change feed (audit-col
-    # recording)
-    "cdc_ann_index_topk", "knn_join_topk",
-    # the round's NEW operators: the cell-clustered ANN serving
-    # projection, the CDC-maintained IVFADC (PQ codes), deletion
-    # vectors, metadata-only aggregates, the OPTIMIZE clustered
-    # rewrite, equality (set/Bloom) skipping, and small-file
-    # bin-packing — each needs its first green driver row
-    "cdc_ann_serving_topk", "cdc_ann_pq_topk",
-    "cdc_delete_vectors", "cdc_metadata_count",
-    "cdc_optimize_zorder_read", "cdc_eq_skip_read", "cdc_binpack_read",
-    # (knn_cosine_topk / dedup_embedding_cosine / embedding_quantize_int8 /
-    # cdc_merge_replica_pruned / cdc_replica_change_feed are r06/r07-green
-    # — safely behind the window until r09's rotation)
-    # r09 TODO — needing their FIRST driver row (registered after this
-    # window was frozen): cdc_merge_upsert, cdc_table_changes,
-    # text_winnow_fingerprints, semdedup_prune, dedup_duplicate_spans,
-    # dedup_span_excision, dsir_bucket_counts, dsir_importance_sample,
-    # quality_classifier_scores (◇), bpe_trained_token_counts (◇),
-    # gopher_quality_rules, q11_important_parts, ngram_lm_backoff_tiers,
-    # ngram_lm_perplexity (◇), kmeans_embedding_clusters (◇),
-    # cdc_lm_index_sync, kmeans_balanced_sample (◇),
-    # pack_chunks_bestfit (◇) —
-    # plus every query whose newest green row is r06 (3-round bound).
+    # r09 rotation (VERDICT r08 item 2). First: the 11 oracle-backed r8
+    # queries that have never had a driver row (sweep-green, never
+    # hash-checked by the driver):
+    "cdc_lm_index_sync", "cdc_merge_upsert", "cdc_table_changes",
+    "dedup_duplicate_spans", "dedup_span_excision", "dsir_bucket_counts",
+    "gopher_quality_rules", "ngram_lm_backoff_tiers",
+    "q11_important_parts", "semdedup_prune", "text_winnow_fingerprints",
+    # the two queries promoted from no-oracle this round (VERDICT r08
+    # item 5) — micro-quantized engine-exact scoring paths — plus the
+    # round's NEW operator (signed-multiplicity delta-join IVM):
+    "dsir_importance_sample", "ngram_lm_perplexity", "cdc_join_mview",
+    # 36 of the 49 queries whose newest green row is r06 (the 3-round
+    # staleness bound fires this round) — prioritized by SURVEY §2
+    # mapping (filters, joins, CDC machinery, streaming analytics, the
+    # LLM-pipeline operators) over the TPC-H extension shapes:
+    "anti_join_customers_without_orders",
+    "asof_join_error_purchase", "cdc_diff_event_counts",
+    "cdc_incremental_agg", "cdc_keep_last", "cdc_manifest_stream_drain",
+    "cdc_merge_replica_pruned", "cdc_replay_state", "cdc_scd2_history",
+    "clean_pii_redact", "dedup_embedding_cosine", "dedup_survivors",
+    "embedding_quantize_int8", "events_funnel", "events_json_extract",
+    "events_sessionize", "events_sliding_window", "events_type_pivot",
+    "filter_conj_eq", "filter_contains", "filter_isin",
+    "filter_range_closed", "knn_cosine_topk", "multimodal_payload_stats",
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "q18_large_orders", "q21_sole_late_supplier",
+    "range_join_click_windows", "semi_join_urgent_customers",
+    "text_bpe_token_counts", "text_fingerprint", "text_language_id",
+    "text_token_stats", "topk_orders_per_customer",
+    # r10 TODO: the 13 r06-green queries that did not fit this window
+    # (agg_global_minmax and the TPC-H shapes
+    # q2/q4/q6/q7/q8/q9/q10/q12/q14/q17/q19/q22 — all sweep-green; they
+    # are 4 rounds stale at r10 and rotate in first), plus whatever r9
+    # registers new.
 ]
 
 

@@ -87,7 +87,9 @@ __all__ = [
     "cdc_ann_index_sync",
     "cdc_ann_serving_sync",
     "compact_ann_serving",
+    "current_ann_centroids",
     "maybe_compact_ann_serving",
+    "maybe_rebuild_ann",
     "serving_live_state",
     "serving_probe_dirs",
     "stream_ann_index_sync",
@@ -487,6 +489,10 @@ def stream_ann_serving_sync(
     compact_max_dirs: int | None = 64,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    recall_threshold: float | None = None,
+    recall_every_n_commits: int = 8,
+    recall_k: int = 10,
+    recall_nprobe: int = 2,
 ):
     """Always-on form of the serving-projection maintenance: stream CDC
     audit batches from a parquet directory, land each batch's delta as
@@ -495,7 +501,16 @@ def stream_ann_serving_sync(
     your own cadence). Exactly-once for the same reason as the index
     stream: the watermark rides in the append commit, so a replayed
     micro-batch is an empty delta and commits nothing. Returns the
-    started StreamingQuery."""
+    started StreamingQuery.
+
+    ``recall_threshold`` additionally arms the drift policy
+    (``maybe_rebuild_ann``): every ``recall_every_n_commits`` commits
+    the sampled recall at (recall_k, recall_nprobe) is measured, and a
+    dip below the threshold retrains + rebuilds in place — subsequent
+    batches assign under the new centroids automatically, and probes
+    discover them via ``current_ann_centroids``. A restarted drain
+    resumes from the manifest's recorded centroids, not the bootstrap
+    argument."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -504,9 +519,10 @@ def stream_ann_serving_sync(
     from cdc_audit_spark.sinks.manifest import ManifestTable
 
     serving = ManifestTable(spark, serving_path)
+    cents = {"c": current_ann_centroids(serving, centroids)}
 
     def handle(batch_df, epoch_id: int) -> None:
-        r = cdc_ann_serving_sync(serving, batch_df, centroids,
+        r = cdc_ann_serving_sync(serving, batch_df, cents["c"],
                                  id_col=id_col, vec_col=vec_col,
                                  cell_buckets=cell_buckets)
         # replayed/empty batches commit nothing — don't let the policy
@@ -515,6 +531,14 @@ def stream_ann_serving_sync(
             maybe_compact_ann_serving(serving, max_dirs=compact_max_dirs,
                                       cell_buckets=cell_buckets,
                                       id_col=id_col)
+        if r.rows_synced and recall_threshold is not None:
+            new = maybe_rebuild_ann(
+                serving, cents["c"], threshold=recall_threshold,
+                every_n_commits=recall_every_n_commits, k=recall_k,
+                nprobe=recall_nprobe, cell_buckets=cell_buckets,
+                id_col=id_col, vec_col=vec_col)
+            if new is not None:
+                cents["c"] = new
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_path
@@ -522,6 +546,101 @@ def stream_ann_serving_sync(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maybe_rebuild_ann(
+    serving,
+    centroids: list[list[float]],
+    threshold: float = 0.8,
+    every_n_commits: int = 8,
+    k: int = 10,
+    nprobe: int = 2,
+    sample_n: int = 16,
+    refine_iters: int = 2,
+    cell_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]] | None:
+    """The recall-monitor → rebuild policy (VERDICT r08 #4) — the drift
+    sibling of ``maybe_compact_ann_serving``'s fan-in policy: close the
+    operational loop so a maintained index whose FROZEN centroids have
+    drifted away from the corpus recovers without manual intervention.
+
+    Cadence: the recall estimate (two bounded k-NN joins — cheap, but
+    not a manifest peek) runs only when ``every_n_commits`` commits have
+    landed since the last recorded check; each check leaves an
+    ``ann_recall`` marker in the manifest (a metadata-only analyze-class
+    commit when recall is healthy — content unchanged, dir_meta/state
+    inherited, invisible to stream consumers like any compaction), so
+    the cadence survives restarts and other writers.
+
+    When recall at the serving SLO's (k, nprobe) drops below
+    ``threshold``: retrain centroids on the LIVE corpus
+    (``sample_centroids`` + ``refine_centroids`` — bounded, sample-capped
+    work), re-assign every live row map-side (the same broadcast-literal
+    codegen expression as the maintenance path; PQ codes are
+    cell-independent and survive re-assignment), and rewrite the
+    projection cell-range-clustered under the NEW centroids in one
+    rebuild commit carrying the measured recall. Returns the new
+    centroid list — the caller MUST probe and sync with it from now on
+    (frozen-centroid contract: assignments and probes must agree) — or
+    None when no rebuild happened."""
+    from cdc_audit_spark.operators.similarity import (
+        ann_recall_estimate,
+        refine_centroids,
+        sample_centroids,
+    )
+
+    cur = serving.current_version()
+    if cur is None:
+        return None
+    last = None
+    for v in reversed(serving.versions()):
+        if "ann_recall" in serving.manifest(v):
+            last = v
+            break
+    if last is not None and cur - last < every_n_commits:
+        return None
+    state = serving_live_state(serving, None, id_col, vec_col)
+    recall = ann_recall_estimate(state, centroids, k=k, nprobe=nprobe,
+                                 sample_n=sample_n, id_col=id_col,
+                                 vec_col=vec_col)
+    if recall >= threshold:
+        serving._commit(
+            "analyze", lambda pm: pm["dirs"],
+            extra={"ann_recall": recall, "ann_recall_nprobe": nprobe,
+                   "ann_recall_k": k},
+            expected_parent=cur)
+        return None
+    cents = refine_centroids(
+        state, sample_centroids(state, len(centroids), id_col, vec_col),
+        iters=refine_iters, id_col=id_col, vec_col=vec_col)
+    rebuilt = state.withColumn("cell", nearest_cell(F.col(vec_col), cents))
+    # the new centroids ride IN the rebuild commit: probes and restarted
+    # maintainers discover them from the manifest (current_ann_centroids)
+    # — the frozen-centroid contract stays table-local, no side channel
+    serving.write_range_layout(
+        rebuilt, "cell", n_buckets=cell_buckets,
+        extra={"ann_recall": recall, "ann_rebuild": True,
+               "ann_centroids": [list(map(float, c)) for c in cents]},
+        base_version=cur)
+    return cents
+
+
+def current_ann_centroids(serving, default=None):
+    """The centroids the serving projection's CURRENT cell assignment
+    was built under: the newest rebuild commit's recorded
+    ``ann_centroids``, or ``default`` (the bootstrap-time training
+    output) when no rebuild has happened. Probes and restarted
+    maintenance loops MUST use this — probing rebuilt cells with the
+    bootstrap centroids breaks the assignment/probe agreement."""
+    if serving.current_version() is None:
+        return default
+    for v in reversed(serving.versions()):
+        m = serving.manifest(v)
+        if "ann_centroids" in m:
+            return [list(map(float, c)) for c in m["ann_centroids"]]
+    return default
 
 
 def maybe_compact_ann_serving(serving, max_dirs: int = 64,

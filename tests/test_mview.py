@@ -328,3 +328,125 @@ def test_mview_fold_policy_bounds_fanin(spark, tmp_path):
         spark, base_t.path, view_t.path, ["seg"])
     assert {(r["seg"], float(r["total"]), r["n_rows"])
             for r in view.collect()} == {("S0", 6.0, 3), ("S1", 9.0, 3)}
+
+
+def _join_fixture(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    ts = dt.datetime(2026, 1, 1)
+    cust = spark.createDataFrame(
+        [(1, "DE"), (2, "DE"), (3, "FR"), (4, "US")],
+        "c_id long, nation string")
+    orders = spark.createDataFrame(
+        [(10, 1, 100.0), (11, 1, 50.0), (12, 2, 30.0),
+         (13, 3, 70.0), (14, 4, 10.0)],
+        "o_id long, c_id long, price double")
+    osch = ("o_id long, c_id long, price double, audit_event string, "
+            "audit_timestamp timestamp, audit_pk long")
+    csch = ("c_id long, nation string, audit_event string, "
+            "audit_timestamp timestamp, audit_pk long")
+    # orders: delete 11, reprice 12, insert 15 (for cust 3), insert 16
+    # for cust 9 (no such customer -> joins nothing)
+    obatch = spark.createDataFrame(
+        [(11, 1, 50.0, "delete", ts, 1), (12, 2, 99.0, "update", ts, 2),
+         (15, 3, 5.0, "insert", ts, 3), (16, 9, 1.0, "insert", ts, 4)],
+        osch)
+    # customers: migrate 2 DE->FR (group migration through the join),
+    # delete 4 (its orders drop out), insert 5 (no orders yet)
+    cbatch = spark.createDataFrame(
+        [(2, "FR", "update", ts, 1), (4, "US", "delete", ts, 2),
+         (5, "JP", "insert", ts, 3)],
+        csch)
+    final_cust = spark.createDataFrame(
+        [(1, "DE"), (2, "FR"), (3, "FR"), (5, "JP")],
+        "c_id long, nation string")
+    final_orders = spark.createDataFrame(
+        [(10, 1, 100.0), (12, 2, 99.0), (13, 3, 70.0), (15, 3, 5.0),
+         (16, 9, 1.0)],
+        "o_id long, c_id long, price double")
+    return orders, cust, obatch, cbatch, final_orders, final_cust
+
+
+def _direct_join_view(orders, cust):
+    from pyspark.sql import functions as F
+
+    return (orders.join(cust, "c_id").groupBy("nation")
+            .agg(F.sum("price").alias("total"),
+                 F.count("*").alias("n_rows")))
+
+
+def test_join_view_maintenance_equals_direct_aggregate(spark):
+    """Signed-multiplicity delta-join IVM: batches on BOTH tables —
+    deletes, value updates, group-migrating dimension updates, inserts
+    with no join partner — maintain γ(orders ⋈ customers) exactly as a
+    direct aggregate over the final join (empty groups drop)."""
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.mview import incremental_join_group_sum
+
+    orders, cust, ob, cb, fo, fc = _join_fixture(spark)
+    got = incremental_join_group_sum(
+        orders, cust, ob, cb, ["c_id"], ["o_id"], ["c_id"],
+        ["nation"], F.col("price"))
+    want = _direct_join_view(fo, fc)
+    g = {(r["nation"], float(r["total"]), r["n_rows"])
+         for r in got.collect()}
+    w = {(r["nation"], float(r["total"]), r["n_rows"])
+         for r in want.collect()}
+    assert g == w
+    # US emptied (its only customer deleted); JP never joined
+    assert {r[0] for r in g} == {"DE", "FR"}
+
+
+def test_join_view_one_sided_batches(spark):
+    """Either side's batch may be None: the delta reduces to the
+    matching single term(s) and still equals the direct aggregate."""
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.mview import incremental_join_group_sum
+
+    orders, cust, ob, cb, _, _ = _join_fixture(spark)
+    from cdc_audit_spark.capture import apply_changes
+
+    for lb, rb in ((ob, None), (None, cb)):
+        fo = apply_changes(orders, lb, ["o_id"]) if lb is not None else orders
+        fc = apply_changes(cust, rb, ["c_id"]) if rb is not None else cust
+        got = incremental_join_group_sum(
+            orders, cust, lb, rb, ["c_id"], ["o_id"], ["c_id"],
+            ["nation"], F.col("price"))
+        want = _direct_join_view(fo, fc)
+        assert {(r["nation"], float(r["total"]), r["n_rows"])
+                for r in got.collect()} == \
+            {(r["nation"], float(r["total"]), r["n_rows"])
+             for r in want.collect()}
+
+
+def test_join_view_two_step_composition(spark):
+    """Applying the order batch then the customer batch through
+    maintain_join_group_sum (snapshots advanced between steps) composes
+    to the same view as one combined step / the direct aggregate."""
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.capture import apply_changes
+    from cdc_audit_spark.mview import (
+        bootstrap_join_group_sum,
+        maintain_join_group_sum,
+    )
+
+    orders, cust, ob, cb, fo, fc = _join_fixture(spark)
+    v0 = bootstrap_join_group_sum(orders, cust, ["c_id"], ["nation"],
+                                  F.col("price"))
+    v1 = maintain_join_group_sum(v0, orders, cust, ob, None, ["c_id"],
+                                 ["o_id"], ["c_id"], ["nation"],
+                                 F.col("price"))
+    orders1 = apply_changes(orders, ob, ["o_id"])
+    v2 = maintain_join_group_sum(v1, orders1, cust, None, cb, ["c_id"],
+                                 ["o_id"], ["c_id"], ["nation"],
+                                 F.col("price"))
+    want = _direct_join_view(fo, fc)
+    assert {(r["nation"], float(r["total"]), r["n_rows"])
+            for r in v2.collect()} == \
+        {(r["nation"], float(r["total"]), r["n_rows"])
+         for r in want.collect()}

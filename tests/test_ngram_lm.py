@@ -257,3 +257,24 @@ def test_lm_oov_rate_detects_drift_and_retrain_restores(spark):
     retrained = train_ngram_lm(_df(spark).unionByName(shifted), "text", n=2)
     restored = lm_oov_rate(shifted, "text", "doc_id", retrained)
     assert restored["oov_rate"] == 0.0
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_perplexity_micro_tracks_python_reference(spark, n):
+    """micro=True (the driver-hashable path) quantizes each position's
+    log10 score to integer micro-units: the mean must track the exact
+    Python reference within the quantization bound (5e-7 per position,
+    averaged), and n_tokens/doc coverage must be identical."""
+    model = train_ngram_lm(_df(spark), "text", n=n)
+    py_counts, py_total = _py_model(DOCS, n)
+    out = {r["doc_id"]: r for r in
+           score_perplexity(_df(spark), "text", "doc_id", model,
+                            micro=True).collect()}
+    assert set(out) == {doc_id for doc_id, _ in DOCS}
+    for doc_id, text in DOCS:
+        logs = _py_score(_py_tokens(text), py_counts, py_total, n,
+                         DEFAULT_ALPHA)
+        avg = sum(logs) / len(logs)
+        assert out[doc_id]["n_tokens"] == len(logs)
+        assert out[doc_id]["avg_log10_score"] == pytest.approx(
+            avg, abs=5.1e-7)

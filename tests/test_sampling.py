@@ -299,3 +299,21 @@ def test_pack_chunks_bfd_properties(spark):
     b = sorted(map(tuple, pack_chunks_bfd(
         df.repartition(2), "grp", "key", "sz", 1000).collect()))
     assert a == b
+
+
+def test_dsir_micro_weights_track_float_weights(spark, docs):
+    """micro=True (the driver-hashable integer scoring path) quantizes
+    each bucket's log ratio to micro-nats: per-doc weights must track the
+    float path within the quantization error bound (1e-6 per gram,
+    averaged), and the selection must be engine-exact by construction
+    (integer sums + one correctly-rounded division)."""
+    from cdc_audit_spark.operators.sampling import dsir_weights
+
+    target = docs.filter("lang = 'de'")
+    f = {r["doc_id"]: r["dsir_weight"]
+         for r in dsir_weights(docs, target, "text", "doc_id").collect()}
+    m = {r["doc_id"]: r["dsir_weight"]
+         for r in dsir_weights(docs, target, "text", "doc_id",
+                               micro=True).collect()}
+    assert set(f) == set(m)
+    assert all(abs(f[k] - m[k]) <= 5e-7 + 1e-12 for k in f)

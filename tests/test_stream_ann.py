@@ -723,3 +723,76 @@ def test_serving_random_walk_matches_model(spark, tmp_path):
         want = {(k, v) for k, v in model.items()
                 if py_cell(v) == probe_cell}
         assert probed == want, f"step {step} cell {probe_cell}"
+
+
+def test_rebuild_policy_recovers_recall_without_intervention(spark, tmp_path):
+    """maybe_rebuild_ann wired into the serving drain (VERDICT r08 #4):
+    a distribution shift degrades recall at the serving setting, the
+    policy fires on its commit cadence — healthy checks leave
+    metadata-only ann_recall markers, the dip triggers an in-place
+    retrain+rebuild — and serving recovers with NO manual retrain. The
+    rebuilt centroids ride in the manifest: current_ann_centroids
+    discovers them and a probe against them is healthy again."""
+    from cdc_audit_spark.operators.similarity import ann_recall_estimate
+    from cdc_audit_spark.streaming.stream_ann import (
+        current_ann_centroids,
+        maybe_rebuild_ann,
+        stream_ann_serving_sync,
+    )
+
+    cents = _axes()
+    base = _clustered(spark, 0, 160)
+    drifted = _diag_clustered(spark, 1000, 1160)
+    src = str(tmp_path / "src")
+    _audit(base, "insert", 1).repartition(1).write.mode(
+        "append").parquet(src)
+    # the shift arrives as CDC: the axis population leaves, the diagonal
+    # population lands (one file per batch — watermark order)
+    _audit(base, "delete", 10001).repartition(1).write.mode(
+        "append").parquet(src)
+    _audit(drifted, "insert", 20001).repartition(1).write.mode(
+        "append").parquet(src)
+
+    schema = _audit(base, "insert", 1).schema
+    srv_p = str(tmp_path / "srv")
+    q = stream_ann_serving_sync(
+        spark, src, schema, srv_p, str(tmp_path / "ck"), cents,
+        cell_buckets=4, compact_max_dirs=None, max_files_per_trigger=1,
+        recall_threshold=0.85, recall_every_n_commits=1,
+        recall_k=5, recall_nprobe=1)
+    q.awaitTermination(240)
+
+    srv = ManifestTable(spark, srv_p)
+    hist = [srv.manifest(v) for v in srv.versions()]
+    # healthy checks left metadata-only markers; the dip left a rebuild
+    assert any("ann_recall" in m and not m.get("ann_rebuild")
+               for m in hist)
+    assert any(m.get("ann_rebuild") for m in hist)
+    new_cents = current_ann_centroids(srv, cents)
+    assert new_cents != cents
+    # serving recovered: recall at the same setting, measured over the
+    # live state under the DISCOVERED centroids, is healthy again
+    live = serving_live_state(srv, None)
+    assert {r["vec_id"] for r in live.select("vec_id").collect()} == \
+        set(range(1000, 1160))
+    r = ann_recall_estimate(live, new_cents, k=5, nprobe=1, sample_n=12)
+    dipped = min(m["ann_recall"] for m in hist if m.get("ann_rebuild"))
+    assert dipped < 0.85      # the trigger was a genuine SLO breach
+    assert r >= 0.85 and r > dipped   # recovered above the SLO
+
+    # cadence gate: fresh after the rebuild's own marker, a peek is a
+    # no-op (no measurement, no commit)
+    v0 = srv.current_version()
+    assert maybe_rebuild_ann(srv, new_cents, threshold=0.85,
+                             every_n_commits=8, k=5, nprobe=1,
+                             sample_n=12, cell_buckets=4) is None
+    assert srv.current_version() == v0
+    # forced check at healthy recall: marker-only commit, no second
+    # rebuild (every_n_commits=0 disables the cadence gate)
+    out = maybe_rebuild_ann(srv, new_cents, threshold=0.85,
+                            every_n_commits=0, k=5, nprobe=1,
+                            sample_n=12, cell_buckets=4)
+    assert out is None
+    m = srv.manifest(srv.current_version())
+    assert m["action"] == "analyze" and "ann_recall" in m
+    assert srv.current_version() == v0 + 1
