@@ -53,6 +53,9 @@ __all__ = [
     "join_group_sum_delta",
     "maintain_join_group_sum",
     "incremental_join_group_sum",
+    "group_stats_delta",
+    "incremental_group_stats",
+    "incremental_distinct_count",
 ]
 
 
@@ -309,3 +312,95 @@ def incremental_join_group_sum(
     return maintain_join_group_sum(view, left, right, left_batch,
                                    right_batch, join_keys, left_pk,
                                    right_pk, group_cols, value)
+
+
+# --------------------------------------------------------------------------
+# Derived maintainable aggregates: moments (variance) and exact distincts
+# --------------------------------------------------------------------------
+
+
+def group_stats_delta(
+    base: DataFrame,
+    audit_batch: DataFrame,
+    pk_cols: list[str],
+    group_cols: list[str],
+    value: Column,
+) -> DataFrame:
+    """Signed (group, total, total_sq, n_rows) delta — the second-moment
+    extension of :func:`group_sum_delta`: SUM(v), SUM(v²) and COUNT are
+    all self-maintainable under inserts/updates/deletes, and together
+    they derive mean and variance exactly (Var = (Σv² − (Σv)²/n)/n).
+    Same scale shape: one batch-keyed collapse, one broadcast semi-join
+    debit, one credit aggregate. Keep ``value`` DECIMAL for engine-exact
+    sums; the float division happens once, at read time."""
+    final = keep_last_per_key(audit_batch, pk_cols)
+    touched = final.select(*pk_cols)
+    debit = (
+        base.join(F.broadcast(touched), pk_cols, "left_semi")
+        .groupBy(*group_cols)
+        .agg((-F.sum(value)).alias("total"),
+             (-F.sum(value * value)).alias("total_sq"),
+             (-F.count("*")).alias("n_rows"))
+    )
+    credit = (
+        final.filter(F.col(AUDIT_EVENT) != "delete")
+        .groupBy(*group_cols)
+        .agg(F.sum(value).alias("total"),
+             F.sum(value * value).alias("total_sq"),
+             F.count("*").alias("n_rows"))
+    )
+    return (
+        debit.unionByName(credit)
+        .groupBy(*group_cols)
+        .agg(F.sum("total").alias("total"),
+             F.sum("total_sq").alias("total_sq"),
+             F.sum("n_rows").alias("n_rows"))
+        .filter((F.col("n_rows") != 0) | (F.col("total") != 0)
+                | (F.col("total_sq") != 0))
+    )
+
+
+def incremental_group_stats(
+    base: DataFrame,
+    audit_batch: DataFrame,
+    pk_cols: list[str],
+    group_cols: list[str],
+    value: Column,
+) -> DataFrame:
+    """Bootstrap + one maintenance step of the moments view; groups whose
+    row count reached 0 drop (a direct aggregate would have no row)."""
+    boot = base.groupBy(*group_cols).agg(
+        F.sum(value).alias("total"),
+        F.sum(value * value).alias("total_sq"),
+        F.count("*").alias("n_rows"))
+    delta = group_stats_delta(base, audit_batch, pk_cols, group_cols, value)
+    return (
+        boot.select(*group_cols, "total", "total_sq", "n_rows")
+        .unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(F.sum("total").alias("total"),
+             F.sum("total_sq").alias("total_sq"),
+             F.sum("n_rows").alias("n_rows"))
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+def incremental_distinct_count(
+    base: DataFrame,
+    audit_batch: DataFrame,
+    pk_cols: list[str],
+    group_cols: list[str],
+    key_cols: list[str],
+) -> DataFrame:
+    """Exact COUNT(DISTINCT key) per group, maintained from CDC — the
+    standard exact-distinct IVM result: the MAINTAINED state is the
+    (group, key) pair-count table (one signed-delta fold at key grain —
+    a pair whose supporting row count reaches 0 disappears), and the
+    distinct count is a cheap roll-up over surviving pairs. Sketches
+    (HLL) cannot subtract deletes; the pair table can, exactly, at the
+    cost of key-grain state — the honest trade. Returns
+    (group, n_distinct)."""
+    pairs = incremental_group_sum(
+        base, audit_batch, pk_cols, group_cols + key_cols, F.lit(1))
+    return (pairs.groupBy(*group_cols)
+            .agg(F.count("*").alias("n_distinct")))

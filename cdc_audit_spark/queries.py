@@ -3945,6 +3945,102 @@ def cdc_incremental_agg(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_incremental_variance",
+    f"""
+    WITH {_V1_CTE},
+    s AS (SELECT c_mktsegment,
+                 sum(CAST(c_acctbal AS DECIMAL(12,2))) AS t,
+                 sum(CAST(c_acctbal AS DECIMAL(12,2))
+                     * CAST(c_acctbal AS DECIMAL(12,2))) AS tsq,
+                 count(*) AS n
+            FROM v1 GROUP BY 1)
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n_rows,
+           CAST(t AS DOUBLE) / n AS mean_bal,
+           (CAST(tsq AS DOUBLE)
+            - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / n) / n AS var_bal
+      FROM s
+    """,
+    "Second-moment view maintenance (mview.incremental_group_stats): "
+    "SUM(v), SUM(v^2) and COUNT are each self-maintainable under "
+    "inserts/updates/deletes, and together derive mean and population "
+    "variance EXACTLY — the sums stay DECIMAL (engine-exact, "
+    "order-independent) and the float division happens once at read "
+    "time with an identical op order on both engines, so even the "
+    "variance hash-matches. The oracle aggregates the post-change "
+    "snapshot directly; sketches can't subtract deletes, moments can.",
+)
+def cdc_incremental_variance(spark, sf_dir):
+    from cdc_audit_spark.mview import incremental_group_stats
+
+    v0, _v1 = customer_snapshots(spark, sf_dir)
+    audit = customer_audit_log(spark, sf_dir).localCheckpoint(eager=True)
+    out = incremental_group_stats(
+        v0, audit, ["c_custkey"], ["c_mktsegment"],
+        F.col("c_acctbal").cast("decimal(12,2)"))
+    t, tsq = F.col("total").cast("double"), F.col("total_sq").cast("double")
+    n = F.col("n_rows")
+    return out.select(
+        "c_mktsegment", F.col("n_rows").cast("long").alias("n_rows"),
+        (t / n).alias("mean_bal"),
+        ((tsq - t * t / n) / n).alias("var_bal"))
+
+
+@register(
+    "cdc_distinct_mview",
+    """
+    WITH maxo AS (SELECT max(o_orderkey) AS m FROM orders),
+    fo AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 17 = 3 THEN (o_custkey + 13) % 1500
+                  ELSE o_custkey END AS o_custkey
+        FROM orders WHERE o_orderkey % 31 <> 0
+      UNION ALL
+      SELECT o_orderkey + m + 1, o_orderpriority, o_custkey
+        FROM orders, maxo WHERE o_orderkey % 23 = 1)
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+      FROM fo GROUP BY 1
+    """,
+    "Exact COUNT(DISTINCT) view maintenance "
+    "(mview.incremental_distinct_count): the maintained state is the "
+    "(group, key) pair-count table — a signed-delta fold at key grain, "
+    "pairs whose supporting row count reaches 0 vanish — and the "
+    "distinct count is a roll-up over surviving pairs. HLL sketches "
+    "cannot subtract deletes; the pair table can, exactly, at key-grain "
+    "state cost (the honest trade). The batch reassigns customers on "
+    "updated orders, deletes, and inserts; the oracle runs "
+    "COUNT(DISTINCT) over the final snapshot directly.",
+)
+def cdc_distinct_mview(spark, sf_dir):
+    from cdc_audit_spark.mview import incremental_distinct_count
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    maxo = orders.agg(F.max("o_orderkey")).first()[0]
+    batch = (
+        orders.filter(F.col("o_orderkey") % 31 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderpriority",
+                F.lit("delete").alias("audit_event"),
+                (F.col("o_orderkey") * 2 + 1).alias("audit_pk"))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 17 == 3)
+            .select("o_orderkey",
+                    ((F.col("o_custkey") + 13) % 1500).alias("o_custkey"),
+                    "o_orderpriority",
+                    F.lit("update").alias("audit_event"),
+                    (F.col("o_orderkey") * 2).alias("audit_pk")))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 23 == 1)
+            .select((F.col("o_orderkey") + F.lit(maxo + 1))
+                    .alias("o_orderkey"), "o_custkey", "o_orderpriority",
+                    F.lit("insert").alias("audit_event"),
+                    (F.col("o_orderkey") * 2).alias("audit_pk")))
+    ).localCheckpoint(eager=True)
+    return incremental_distinct_count(
+        orders, batch, ["o_orderkey"], ["o_orderpriority"], ["o_custkey"])
+
+
 # --------------------------------------------------------------------------
 # TPC-H join-shape completion: nation-pair joins, left-join distributions,
 # NOT IN, disjunctive pushdown, nested semi-joins, multi-EXISTS decorrelation
@@ -5829,9 +5925,11 @@ _DRIVER_WINDOW = [
     "q11_important_parts", "semdedup_prune", "text_winnow_fingerprints",
     # the two queries promoted from no-oracle this round (VERDICT r08
     # item 5) — micro-quantized engine-exact scoring paths — plus the
-    # round's NEW operator (signed-multiplicity delta-join IVM):
+    # round's NEW operators (signed-multiplicity delta-join IVM,
+    # moments/variance IVM, exact distinct-count IVM):
     "dsir_importance_sample", "ngram_lm_perplexity", "cdc_join_mview",
-    # 36 of the 49 queries whose newest green row is r06 (the 3-round
+    "cdc_incremental_variance", "cdc_distinct_mview",
+    # 34 of the 49 queries whose newest green row is r06 (the 3-round
     # staleness bound fires this round) — prioritized by SURVEY §2
     # mapping (filters, joins, CDC machinery, streaming analytics, the
     # LLM-pipeline operators) over the TPC-H extension shapes:
@@ -5841,19 +5939,19 @@ _DRIVER_WINDOW = [
     "cdc_merge_replica_pruned", "cdc_replay_state", "cdc_scd2_history",
     "clean_pii_redact", "dedup_embedding_cosine", "dedup_survivors",
     "embedding_quantize_int8", "events_funnel", "events_json_extract",
-    "events_sessionize", "events_sliding_window", "events_type_pivot",
+    "events_sessionize", "events_sliding_window",
     "filter_conj_eq", "filter_contains", "filter_isin",
     "filter_range_closed", "knn_cosine_topk", "multimodal_payload_stats",
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
     "q18_large_orders", "q21_sole_late_supplier",
     "range_join_click_windows", "semi_join_urgent_customers",
-    "text_bpe_token_counts", "text_fingerprint", "text_language_id",
+    "text_bpe_token_counts", "text_language_id",
     "text_token_stats", "topk_orders_per_customer",
-    # r10 TODO: the 13 r06-green queries that did not fit this window
-    # (agg_global_minmax and the TPC-H shapes
-    # q2/q4/q6/q7/q8/q9/q10/q12/q14/q17/q19/q22 — all sweep-green; they
-    # are 4 rounds stale at r10 and rotate in first), plus whatever r9
-    # registers new.
+    # r10 TODO: the 15 r06-green queries that did not fit this window
+    # (agg_global_minmax, events_type_pivot, text_fingerprint, and the
+    # TPC-H shapes q2/q4/q6/q7/q8/q9/q10/q12/q14/q17/q19/q22 — all
+    # sweep-green; they are 4 rounds stale at r10 and rotate in first),
+    # plus whatever r9 registers new.
 ]
 
 

@@ -450,3 +450,74 @@ def test_join_view_two_step_composition(spark):
             for r in v2.collect()} == \
         {(r["nation"], float(r["total"]), r["n_rows"])
          for r in want.collect()}
+
+
+def test_moments_view_equals_direct_aggregate(spark):
+    """SUM/SUM(v^2)/COUNT maintenance: variance derived from maintained
+    moments equals a direct aggregate over the final state — including a
+    group emptied by deletes (drops) and value updates."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.mview import incremental_group_stats
+
+    ts = dt.datetime(2026, 1, 1)
+    base = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0), (4, "B", 50.0)],
+        "k long, g string, v double")
+    sch = ("k long, g string, v double, audit_event string, "
+           "audit_timestamp timestamp, audit_pk long")
+    batch = spark.createDataFrame(
+        [(1, "A", 40.0, "update", ts, 1),     # changes A's variance
+         (3, "B", 30.0, "delete", ts, 2),
+         (4, "B", 50.0, "delete", ts, 3),     # empties B
+         (5, "C", 7.0, "insert", ts, 4)], sch)
+    got = incremental_group_stats(
+        base, batch, ["k"], ["g"], F.col("v").cast("decimal(12,2)"))
+    final = spark.createDataFrame(
+        [(1, "A", 40.0), (2, "A", 20.0), (5, "C", 7.0)],
+        "k long, g string, v double")
+    want = final.groupBy("g").agg(
+        F.sum(F.col("v").cast("decimal(12,2)")).alias("total"),
+        F.sum(F.col("v").cast("decimal(12,2)")
+              * F.col("v").cast("decimal(12,2)")).alias("total_sq"),
+        F.count("*").alias("n_rows"))
+    gset = {(r["g"], float(r["total"]), float(r["total_sq"]), r["n_rows"])
+            for r in got.collect()}
+    wset = {(r["g"], float(r["total"]), float(r["total_sq"]), r["n_rows"])
+            for r in want.collect()}
+    assert gset == wset
+    assert {r[0] for r in gset} == {"A", "C"}  # B emptied and dropped
+    # derived variance for A: values 40, 20 -> mean 30, var 100
+    a = next(r for r in gset if r[0] == "A")
+    t, tsq, n = a[1], a[2], a[3]
+    assert abs((tsq - t * t / n) / n - 100.0) < 1e-9
+
+
+def test_distinct_count_view_equals_direct(spark):
+    """Exact distinct-count maintenance at pair grain: a key vanishes
+    only when its LAST supporting row goes (two orders sharing a
+    customer - deleting one keeps the distinct), reassignments move
+    distincts between groups, inserts add them."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.mview import incremental_distinct_count
+
+    ts = dt.datetime(2026, 1, 1)
+    base = spark.createDataFrame(
+        [(1, 100, "HIGH"), (2, 100, "HIGH"), (3, 200, "HIGH"),
+         (4, 300, "LOW")],
+        "o long, c long, p string")
+    sch = ("o long, c long, p string, audit_event string, "
+           "audit_timestamp timestamp, audit_pk long")
+    batch = spark.createDataFrame(
+        [(1, 100, "HIGH", "delete", ts, 1),   # cust 100 still has order 2
+         (3, 300, "HIGH", "update", ts, 2),   # 200 -> 300 in HIGH
+         (5, 400, "LOW", "insert", ts, 3)], sch)
+    got = {(r["p"], r["n_distinct"]) for r in incremental_distinct_count(
+        base, batch, ["o"], ["p"], ["c"]).collect()}
+    # final: HIGH orders (2:100, 3:300) -> 2 distinct; LOW (4:300, 5:400)
+    assert got == {("HIGH", 2), ("LOW", 2)}
