@@ -3596,6 +3596,12 @@ def cdc_join_mview(spark, sf_dir):
                     F.lit("delete").alias("audit_event"),
                     (F.col("custkey") * 2 + 1).alias("audit_pk")))
     )
+    # the delta-join algebra reads each batch through three terms;
+    # materialize the synthetic logs once (same idiom as
+    # cdc_incremental_agg) so the plan scans the base tables, not the
+    # batch lineage, per term
+    ob = ob.localCheckpoint(eager=True)
+    cb = cb.localCheckpoint(eager=True)
     view = incremental_join_group_sum(
         orders, cust, ob, cb, ["custkey"], ["o_orderkey"], ["custkey"],
         ["c_nationkey"], F.col("o_totalprice").cast("decimal(18,2)"))

@@ -18,6 +18,7 @@ plain-directory deployments without a manifest table, not for scale.
 from __future__ import annotations
 
 from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
 
 from cdc_audit_spark.capture import apply_changes
 from cdc_audit_spark.mview import bootstrap_group_sum, maintain_group_sum
@@ -26,11 +27,13 @@ from cdc_audit_spark.streaming import genstate
 __all__ = [
     "apply_mview_epoch",
     "apply_mview_manifest_epoch",
+    "apply_join_mview_manifest_epoch",
     "current_mview",
     "current_manifest_mview",
     "maybe_fold_mview",
     "stream_mview_sync",
     "stream_mview_sync_manifest",
+    "stream_join_mview_sync_manifest",
 ]
 
 
@@ -214,6 +217,132 @@ def stream_mview_sync_manifest(
             genstate.checkpoint_run_id(checkpoint_path),
             pk_cols, group_cols, value, range_buckets=range_buckets,
             fold_max_dirs=fold_max_dirs,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def apply_join_mview_manifest_epoch(
+    left_t,
+    right_t,
+    view_t,
+    batch_df,
+    epoch_id: int,
+    run_id: str | None,
+    table_col: str,
+    left_name: str,
+    right_name: str,
+    join_keys: list[str],
+    left_pk: list[str],
+    right_pk: list[str],
+    group_cols: list[str],
+    value: Column,
+    left_cols: list[str],
+    right_cols: list[str],
+    range_buckets: int = 32,
+    fold_max_dirs: int = 16,
+) -> None:
+    """One micro-batch of the exactly-once manifest-backed JOIN-view
+    drain over a MULTIPLEXED audit source (one stream carrying both
+    tables' change events, routed by ``table_col`` — the one-topic CDC
+    routing pattern): the batch splits into per-table audit frames, the
+    view LSM appends the signed ``mview.join_group_sum_delta``
+    (epoch-guarded), and EACH base replica lands via its own
+    ``merge_audit(pruned=True)`` (watermark-guarded, per-table cursor).
+
+    Crash windows compose exactly like the single-table form: the view
+    append commits strictly first, so a missing epoch tag implies
+    neither base merged this batch; replays after any prefix of the
+    three commits skip the committed ones (epoch / watermark / watermark
+    respectively) and converge. Per-table ``audit_pk`` must be monotone
+    across batches (each table's own log cursor). ``left_cols`` /
+    ``right_cols`` name each table's state columns inside the
+    multiplexed union schema."""
+    from cdc_audit_spark.mview import join_group_sum_delta
+    from cdc_audit_spark.schema import AUDIT_EVENT, AUDIT_PK
+    from cdc_audit_spark.streaming.stream_lm import _empty_state
+
+    if len(left_pk) != 1 or len(right_pk) != 1:
+        raise ValueError(
+            "the manifest-backed join-mview stream maintains base "
+            "replicas with merge_audit(pruned=True), which needs single "
+            f"integer merge keys; got {left_pk!r} / {right_pk!r}")
+    audit_cols = [AUDIT_EVENT, "audit_timestamp", AUDIT_PK]
+    have = set(batch_df.columns)
+    acols = [c for c in audit_cols if c in have]
+    lbatch = (batch_df.filter(F.col(table_col) == left_name)
+              .select(*left_cols, *acols))
+    rbatch = (batch_df.filter(F.col(table_col) == right_name)
+              .select(*right_cols, *acols))
+    if not view_t.epoch_applied(epoch_id, run_id):
+        left = (left_t.read() if left_t.current_version() is not None
+                else _empty_state(lbatch))
+        right = (right_t.read() if right_t.current_version() is not None
+                 else _empty_state(rbatch))
+        delta = join_group_sum_delta(left, right, lbatch, rbatch,
+                                     join_keys, left_pk, right_pk,
+                                     group_cols, value)
+        view_t.append(delta, extra={"epoch": int(epoch_id),
+                                    "run_id": run_id})
+    left_t.merge_audit(lbatch, left_pk, bootstrap=_empty_state(lbatch),
+                       pruned=True, range_buckets=range_buckets)
+    right_t.merge_audit(rbatch, right_pk, bootstrap=_empty_state(rbatch),
+                        pruned=True, range_buckets=range_buckets)
+    maybe_fold_mview(view_t, group_cols, max_dirs=fold_max_dirs)
+
+
+def stream_join_mview_sync_manifest(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    left_path: str,
+    right_path: str,
+    view_path: str,
+    checkpoint_path: str,
+    table_col: str,
+    left_name: str,
+    right_name: str,
+    join_keys: list[str],
+    left_pk: list[str],
+    right_pk: list[str],
+    group_cols: list[str],
+    value: Column,
+    left_cols: list[str],
+    right_cols: list[str],
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    range_buckets: int = 32,
+    fold_max_dirs: int = 16,
+):
+    """Always-on JOIN-view maintenance from one multiplexed CDC stream:
+    both base replicas and the view live in manifest tables, exactly
+    once and O(delta) at the storage layer (see
+    ``apply_join_mview_manifest_epoch``). The current view is
+    ``current_manifest_mview(spark, <either base>, view_path,
+    group_cols)[1]``."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    left_t = ManifestTable(spark, left_path)
+    right_t = ManifestTable(spark, right_path)
+    view_t = ManifestTable(spark, view_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        apply_join_mview_manifest_epoch(
+            left_t, right_t, view_t, batch_df, epoch_id,
+            genstate.checkpoint_run_id(checkpoint_path),
+            table_col, left_name, right_name, join_keys, left_pk,
+            right_pk, group_cols, value, left_cols, right_cols,
+            range_buckets=range_buckets, fold_max_dirs=fold_max_dirs,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(

@@ -521,3 +521,99 @@ def test_distinct_count_view_equals_direct(spark):
         base, batch, ["o"], ["p"], ["c"]).collect()}
     # final: HIGH orders (2:100, 3:300) -> 2 distinct; LOW (4:300, 5:400)
     assert got == {("HIGH", 2), ("LOW", 2)}
+
+
+def test_stream_join_mview_multiplexed_o_delta(spark, tmp_path):
+    """JOIN-view maintenance from ONE multiplexed CDC stream (both
+    tables' events routed by a table tag): drained batches leave a view
+    LSM whose fold equals a direct aggregate over the final join; both
+    base replicas maintain via dir-granular merges; a half-committed
+    epoch (view appended, neither base merged) replays duplicate-free;
+    restart applies only new files."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_mview import (
+        apply_join_mview_manifest_epoch,
+        current_manifest_mview,
+        stream_join_mview_sync_manifest,
+    )
+
+    ts = dt.datetime(2026, 1, 1)
+    # multiplexed union schema: order cols + customer cols + tag
+    sch = ("tbl string, o_id long, c_id long, price double, "
+           "nation string, audit_event string, "
+           "audit_timestamp timestamp, audit_pk long")
+
+    def orow(o, c, p, ev, pk):
+        return ("orders", o, c, p, None, ev, ts, pk)
+
+    def crow(c, n, ev, pk):
+        return ("cust", None, c, None, n, ev, ts, pk)
+
+    batches = [
+        # bootstrap both tables through the stream itself
+        [crow(1, "DE", "insert", 1), crow(2, "FR", "insert", 2)],
+        [orow(10, 1, 100.0, "insert", 1), orow(11, 2, 50.0, "insert", 2)],
+        # concurrent changes on both: reprice order 10, migrate cust 2
+        [orow(10, 1, 70.0, "update", 3), crow(2, "DE", "update", 3)],
+        # delete order 11; insert cust 3 (no orders)
+        [orow(11, 2, 50.0, "delete", 4), crow(3, "JP", "insert", 4)],
+    ]
+    src = str(tmp_path / "src")
+    for rows in batches:
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    lp, rp, vp = (str(tmp_path / "orders_t"), str(tmp_path / "cust_t"),
+                  str(tmp_path / "view_t"))
+    ck = str(tmp_path / "ck")
+    schema = spark.read.parquet(src).schema
+    args = dict(table_col="tbl", left_name="orders", right_name="cust",
+                join_keys=["c_id"], left_pk=["o_id"], right_pk=["c_id"],
+                group_cols=["nation"],
+                value=F.col("price").cast("decimal(12,2)"),
+                left_cols=["o_id", "c_id", "price"],
+                right_cols=["c_id", "nation"])
+    q = stream_join_mview_sync_manifest(
+        spark, src, schema, lp, rp, vp, ck,
+        max_files_per_trigger=1, **args)
+    q.awaitTermination(240)
+
+    base, view = current_manifest_mview(spark, lp, vp, ["nation"])
+    got = {(r["nation"], float(r["total"]), r["n_rows"])
+           for r in view.collect()}
+    # final: order 10 (cust 1, DE, 70); order 11 deleted; cust 2 now DE
+    assert got == {("DE", 70.0, 1)}
+    lt, rt, vt = (ManifestTable(spark, p) for p in (lp, rp, vp))
+    # base replicas are CURRENT state (latest event per key wins)
+    assert {(r["o_id"], r["c_id"], r["price"])
+            for r in lt.read().collect()} == {(10, 1, 70.0)}
+    assert {(r["c_id"], r["nation"]) for r in rt.read().collect()} == \
+        {(1, "DE"), (2, "DE"), (3, "JP")}
+    assert all(vt.manifest(v)["action"] == "append" for v in vt.versions())
+
+    # half-committed replay: append ONLY the view half of the next epoch,
+    # then replay the whole epoch through the hook — bases catch up, the
+    # view skips, nothing double-applies
+    from cdc_audit_spark.mview import join_group_sum_delta
+
+    b5 = spark.createDataFrame([orow(12, 3, 5.0, "insert", 5)], sch)
+    lb = b5.filter("tbl = 'orders'").select(
+        "o_id", "c_id", "price", "audit_event", "audit_timestamp",
+        "audit_pk")
+    rb = b5.filter("tbl = 'cust'").select(
+        "c_id", "nation", "audit_event", "audit_timestamp", "audit_pk")
+    half = join_group_sum_delta(
+        lt.read(), rt.read(), lb, rb, ["c_id"], ["o_id"], ["c_id"],
+        ["nation"], F.col("price").cast("decimal(12,2)"))
+    vt.append(half, extra={"epoch": 99, "run_id": "r-manual"})
+    apply_join_mview_manifest_epoch(
+        lt, rt, vt, b5, 99, "r-manual", **args)
+    apply_join_mview_manifest_epoch(   # full replay: durable no-op
+        lt, rt, vt, b5, 99, "r-manual", **args)
+    _, view2 = current_manifest_mview(spark, lp, vp, ["nation"])
+    assert {(r["nation"], float(r["total"]), r["n_rows"])
+            for r in view2.collect()} == {("DE", 70.0, 1), ("JP", 5.0, 1)}
