@@ -56,6 +56,8 @@ __all__ = [
     "group_stats_delta",
     "incremental_group_stats",
     "incremental_distinct_count",
+    "incremental_group_median",
+    "incremental_group_topk",
 ]
 
 
@@ -404,3 +406,58 @@ def incremental_distinct_count(
         base, audit_batch, pk_cols, group_cols + key_cols, F.lit(1))
     return (pairs.groupBy(*group_cols)
             .agg(F.count("*").alias("n_distinct")))
+
+
+def incremental_group_median(
+    base: DataFrame,
+    audit_batch: DataFrame,
+    pk_cols: list[str],
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Exact per-group MEDIAN maintained from CDC — the order-statistic
+    extension of the pair-grain trick: the MAINTAINED state is the
+    (group, value) count table (a signed-delta fold, values whose
+    support reaches 0 vanish), and the median is a cumulative roll-up
+    over surviving values — smallest v with 2·cum(v) >= N, i.e.
+    percentile_disc(0.5)'s lower-middle, deterministic on both engines
+    in pure integer logic. Quantile sketches can't subtract deletes;
+    the count table can, exactly, at value-grain state cost. The
+    roll-up's windows shuffle only the (group, value) table, never the
+    corpus. Returns (group, median)."""
+    from pyspark.sql import Window
+
+    pairs = incremental_group_sum(
+        base, audit_batch, pk_cols, group_cols + [value_col], F.lit(1))
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    tot = Window.partitionBy(*group_cols)
+    cum = (pairs
+           .withColumn("__cum", F.sum("n_rows").over(w))
+           .withColumn("__N", F.sum("n_rows").over(tot)))
+    return (cum.filter(F.col("__cum") * 2 >= F.col("__N"))
+            .groupBy(*group_cols)
+            .agg(F.min(value_col).alias("median")))
+
+
+def incremental_group_topk(
+    base: DataFrame,
+    audit_batch: DataFrame,
+    pk_cols: list[str],
+    group_cols: list[str],
+    key_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Exact per-group TOP-K keys by supporting row count, maintained
+    from CDC — the heavy-hitter roll-up over the same (group, key)
+    pair-count state as :func:`incremental_distinct_count` (Misra-Gries
+    sketches can't subtract deletes; the pair table can). Deterministic:
+    count desc, then key asc. Returns (group, key..., n_rows, rank)."""
+    from pyspark.sql import Window
+
+    pairs = incremental_group_sum(
+        base, audit_batch, pk_cols, group_cols + key_cols, F.lit(1))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("n_rows").desc(), *[F.col(c).asc() for c in key_cols])
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(*group_cols, *key_cols, "n_rows", "rank"))

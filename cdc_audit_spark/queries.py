@@ -4047,6 +4047,117 @@ def cdc_distinct_mview(spark, sf_dir):
         orders, batch, ["o_orderkey"], ["o_orderpriority"], ["o_custkey"])
 
 
+_FO_CTE = """
+    maxo AS (SELECT max(o_orderkey) AS m FROM orders),
+    fo AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             CASE WHEN o_orderkey % 17 = 3 THEN (o_custkey + 13) % 1500
+                  ELSE o_custkey END AS o_custkey
+        FROM orders WHERE o_orderkey % 31 <> 0
+      UNION ALL
+      SELECT o_orderkey + m + 1, o_orderpriority, o_totalprice, o_custkey
+        FROM orders, maxo WHERE o_orderkey % 23 = 1)
+"""
+
+
+def _orders_audit_batch(spark, sf_dir):
+    """The scripted orders audit batch shared by the maintained-view
+    roll-up queries (same mod classes as cdc_distinct_mview: deletes
+    %31, custkey-reassigning updates %17=3, inserts %23=1)."""
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    maxo = orders.agg(F.max("o_orderkey")).first()[0]
+    batch = (
+        orders.filter(F.col("o_orderkey") % 31 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderpriority",
+                F.lit("delete").alias("audit_event"),
+                (F.col("o_orderkey") * 2 + 1).alias("audit_pk"))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 17 == 3)
+            .select("o_orderkey",
+                    ((F.col("o_custkey") + 13) % 1500).alias("o_custkey"),
+                    "o_totalprice", "o_orderpriority",
+                    F.lit("update").alias("audit_event"),
+                    (F.col("o_orderkey") * 2).alias("audit_pk")))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 23 == 1)
+            .select((F.col("o_orderkey") + F.lit(maxo + 1))
+                    .alias("o_orderkey"), "o_custkey", "o_totalprice",
+                    "o_orderpriority",
+                    F.lit("insert").alias("audit_event"),
+                    (F.col("o_orderkey") * 2).alias("audit_pk")))
+    ).localCheckpoint(eager=True)
+    return orders, batch
+
+
+@register(
+    "cdc_median_mview",
+    f"""
+    WITH {_FO_CTE},
+    pairs AS (SELECT o_orderpriority, o_totalprice AS v,
+                     count(*) AS n FROM fo GROUP BY 1, 2),
+    c AS (SELECT o_orderpriority, v,
+                 sum(n) OVER (PARTITION BY o_orderpriority
+                              ORDER BY v) AS cum,
+                 sum(n) OVER (PARTITION BY o_orderpriority) AS tot
+            FROM pairs)
+    SELECT o_orderpriority, min(v) AS median
+      FROM c WHERE cum * 2 >= tot GROUP BY 1
+    """,
+    "Exact per-group MEDIAN maintained from CDC "
+    "(mview.incremental_group_median): the maintained state is the "
+    "(group, value) count table — a signed-delta fold at value grain — "
+    "and the median is a cumulative roll-up over surviving values "
+    "(smallest v with 2*cum >= N: percentile_disc(0.5) lower-middle, "
+    "pure integer logic, engine-exact). Quantile sketches can't "
+    "subtract deletes; the count table can. The roll-up shuffles only "
+    "the pair table, never the corpus; the oracle computes the same "
+    "order statistic over the final snapshot directly.",
+)
+def cdc_median_mview(spark, sf_dir):
+    from cdc_audit_spark.mview import incremental_group_median
+
+    orders, batch = _orders_audit_batch(spark, sf_dir)
+    return incremental_group_median(
+        orders, batch, ["o_orderkey"], ["o_orderpriority"],
+        "o_totalprice")
+
+
+@register(
+    "cdc_topk_mview",
+    f"""
+    WITH {_FO_CTE},
+    pairs AS (SELECT o_orderpriority, o_custkey,
+                     count(*) AS n_rows FROM fo GROUP BY 1, 2),
+    r AS (SELECT o_orderpriority, o_custkey, n_rows,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY n_rows DESC, o_custkey)
+                     AS rank
+            FROM pairs)
+    SELECT o_orderpriority, o_custkey,
+           CAST(n_rows AS BIGINT) AS n_rows, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 3
+    """,
+    "Exact per-group TOP-K heavy hitters maintained from CDC "
+    "(mview.incremental_group_topk): top-3 customers by order count per "
+    "priority, ranked over the same maintained (group, key) pair-count "
+    "state as the distinct view (Misra-Gries sketches can't subtract "
+    "deletes; the pair table can) — count desc, key asc, deterministic "
+    "on both engines. One pair-table window, never a corpus sort.",
+)
+def cdc_topk_mview(spark, sf_dir):
+    from cdc_audit_spark.mview import incremental_group_topk
+
+    orders, batch = _orders_audit_batch(spark, sf_dir)
+    return incremental_group_topk(
+        orders, batch, ["o_orderkey"], ["o_orderpriority"],
+        ["o_custkey"], 3).select(
+        "o_orderpriority", "o_custkey",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("rank").cast("int").alias("rank"))
+
+
 # --------------------------------------------------------------------------
 # TPC-H join-shape completion: nation-pair joins, left-join distributions,
 # NOT IN, disjunctive pushdown, nested semi-joins, multi-EXISTS decorrelation
@@ -5935,29 +6046,30 @@ _DRIVER_WINDOW = [
     # moments/variance IVM, exact distinct-count IVM):
     "dsir_importance_sample", "ngram_lm_perplexity", "cdc_join_mview",
     "cdc_incremental_variance", "cdc_distinct_mview",
-    # 34 of the 49 queries whose newest green row is r06 (the 3-round
+    "cdc_median_mview", "cdc_topk_mview",
+    # 32 of the 49 queries whose newest green row is r06 (the 3-round
     # staleness bound fires this round) — prioritized by SURVEY §2
     # mapping (filters, joins, CDC machinery, streaming analytics, the
     # LLM-pipeline operators) over the TPC-H extension shapes:
     "anti_join_customers_without_orders",
-    "asof_join_error_purchase", "cdc_diff_event_counts",
+    "cdc_diff_event_counts",
     "cdc_incremental_agg", "cdc_keep_last", "cdc_manifest_stream_drain",
     "cdc_merge_replica_pruned", "cdc_replay_state", "cdc_scd2_history",
     "clean_pii_redact", "dedup_embedding_cosine", "dedup_survivors",
-    "embedding_quantize_int8", "events_funnel", "events_json_extract",
-    "events_sessionize", "events_sliding_window",
-    "filter_conj_eq", "filter_contains", "filter_isin",
+    "embedding_quantize_int8", "events_funnel",
+    "events_sessionize", "events_sliding_window", "filter_conj_eq", "filter_contains", "filter_isin",
     "filter_range_closed", "knn_cosine_topk", "multimodal_payload_stats",
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
     "q18_large_orders", "q21_sole_late_supplier",
     "range_join_click_windows", "semi_join_urgent_customers",
     "text_bpe_token_counts", "text_language_id",
     "text_token_stats", "topk_orders_per_customer",
-    # r10 TODO: the 15 r06-green queries that did not fit this window
-    # (agg_global_minmax, events_type_pivot, text_fingerprint, and the
-    # TPC-H shapes q2/q4/q6/q7/q8/q9/q10/q12/q14/q17/q19/q22 — all
-    # sweep-green; they are 4 rounds stale at r10 and rotate in first),
-    # plus whatever r9 registers new.
+    # r10 TODO: the 17 r06-green queries that did not fit this window
+    # (agg_global_minmax, asof_join_error_purchase, events_json_extract,
+    # events_type_pivot, text_fingerprint, and the TPC-H shapes
+    # q2/q4/q6/q7/q8/q9/q10/q12/q14/q17/q19/q22 — all sweep-green; they
+    # are 4 rounds stale at r10 and rotate in first), plus whatever r9
+    # registers new.
 ]
 
 

@@ -617,3 +617,39 @@ def test_stream_join_mview_multiplexed_o_delta(spark, tmp_path):
     _, view2 = current_manifest_mview(spark, lp, vp, ["nation"])
     assert {(r["nation"], float(r["total"]), r["n_rows"])
             for r in view2.collect()} == {("DE", 70.0, 1), ("JP", 5.0, 1)}
+
+
+def test_median_and_topk_views_track_deletes(spark):
+    """Order-statistic roll-ups over maintained pair state: a delete
+    shifts the median (sketches can't do this); a key whose last
+    supporting row goes drops out of the top-k and the ranks close up."""
+    import datetime as dt
+
+    from cdc_audit_spark.mview import (
+        incremental_group_median,
+        incremental_group_topk,
+    )
+
+    ts = dt.datetime(2026, 1, 1)
+    base = spark.createDataFrame(
+        [(1, "A", 10.0, 100), (2, "A", 20.0, 100), (3, "A", 30.0, 200),
+         (4, "A", 40.0, 200), (5, "A", 50.0, 300)],
+        "k long, g string, v double, cust long")
+    sch = ("k long, g string, v double, cust long, audit_event string, "
+           "audit_timestamp timestamp, audit_pk long")
+    # delete the two largest values: median of {10,20,30} -> 20; cust
+    # 300 loses its only row and cust 200 drops to one
+    batch = spark.createDataFrame(
+        [(4, "A", 40.0, 200, "delete", ts, 1),
+         (5, "A", 50.0, 300, "delete", ts, 2)], sch)
+    med = incremental_group_median(base, batch, ["k"], ["g"], "v")
+    assert [(r["g"], r["median"]) for r in med.collect()] == [("A", 20.0)]
+    # even-N lower-middle: {10,20,30,40} -> 20
+    b2 = spark.createDataFrame([(5, "A", 50.0, 300, "delete", ts, 1)], sch)
+    med2 = incremental_group_median(base, b2, ["k"], ["g"], "v")
+    assert [(r["g"], r["median"]) for r in med2.collect()] == [("A", 20.0)]
+
+    top = incremental_group_topk(base, batch, ["k"], ["g"], ["cust"], 2)
+    got = [(r["cust"], r["n_rows"], r["rank"]) for r in
+           top.orderBy("rank").collect()]
+    assert got == [(100, 2, 1), (200, 1, 2)]  # 300 vanished entirely
