@@ -92,12 +92,41 @@ def maintain_group_sum(
     """
     return (
         view.select(*group_cols, "total", "n_rows")
-        .unionByName(group_sum_delta(base, audit_batch, pk_cols,
-                                     group_cols, value))
+        .unionByName(_debit_credit(base, audit_batch, pk_cols,
+                                   group_cols, value))
         .groupBy(*group_cols)
         .agg(F.sum("total").alias("total"), F.sum("n_rows").alias("n_rows"))
         .filter(F.col("n_rows") > 0)
     )
+
+
+def _debit_credit(
+    base: DataFrame,
+    audit_batch: DataFrame,
+    pk_cols: list[str],
+    group_cols: list[str],
+    value: Column,
+) -> DataFrame:
+    """The un-folded debit ∪ credit contribution of one audit batch —
+    shared by :func:`maintain_group_sum` (which folds it together with
+    the view in ONE aggregation) and :func:`group_sum_delta` (which
+    folds it alone into the LSM write unit)."""
+    final = keep_last_per_key(audit_batch, pk_cols)
+    touched = final.select(*pk_cols)
+    debit = (
+        base.join(F.broadcast(touched), pk_cols, "left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            (-F.sum(value)).alias("total"),
+            (-F.count("*")).alias("n_rows"),
+        )
+    )
+    credit = (
+        final.filter(F.col(AUDIT_EVENT) != "delete")
+        .groupBy(*group_cols)
+        .agg(*_sum_cnt(value))
+    )
+    return debit.unionByName(credit)
 
 
 def group_sum_delta(
@@ -118,23 +147,8 @@ def group_sum_delta(
     commits ONLY this delta; readers fold the appended deltas with
     :func:`fold_group_sum_deltas`. ``view + delta`` folded equals
     :func:`maintain_group_sum` by construction."""
-    final = keep_last_per_key(audit_batch, pk_cols)
-    touched = final.select(*pk_cols)
-    debit = (
-        base.join(F.broadcast(touched), pk_cols, "left_semi")
-        .groupBy(*group_cols)
-        .agg(
-            (-F.sum(value)).alias("total"),
-            (-F.count("*")).alias("n_rows"),
-        )
-    )
-    credit = (
-        final.filter(F.col(AUDIT_EVENT) != "delete")
-        .groupBy(*group_cols)
-        .agg(*_sum_cnt(value))
-    )
     return (
-        debit.unionByName(credit)
+        _debit_credit(base, audit_batch, pk_cols, group_cols, value)
         .groupBy(*group_cols)
         .agg(F.sum("total").alias("total"), F.sum("n_rows").alias("n_rows"))
         # exact cancellations are no-ops in the fold: drop (0, 0) and

@@ -213,12 +213,40 @@ def maintain_ngram_counts(
     """
     return (
         counts.select("order", "gram", "cnt")
-        .unionByName(ngram_count_delta(base, audit_batch, text_col,
-                                       pk_cols, n=n))
+        .unionByName(_gram_debit_credit(base, audit_batch, text_col,
+                                        pk_cols, n))
         .groupBy("order", "gram")
         .agg(F.sum("cnt").alias("cnt"))
         .filter(F.col("cnt") > 0)
     )
+
+
+def _gram_debit_credit(
+    base: DataFrame,
+    audit_batch: DataFrame,
+    text_col: str,
+    pk_cols: list[str],
+    n: int,
+) -> DataFrame:
+    """The un-folded debit ∪ credit gram contribution of one audit
+    batch — shared by :func:`maintain_ngram_counts` (folded together
+    with the count table in ONE aggregation) and
+    :func:`ngram_count_delta` (folded alone into the LSM write unit)."""
+    from cdc_audit_spark.compact import keep_last_per_key
+    from cdc_audit_spark.schema import AUDIT_EVENT
+
+    final = keep_last_per_key(audit_batch, pk_cols)
+    touched = final.select(*pk_cols)
+    debit = (
+        _doc_grams(base.join(F.broadcast(touched), pk_cols, "left_semi"),
+                   text_col, n)
+        .groupBy("order", "gram").agg((-F.count("*")).alias("cnt"))
+    )
+    credit = (
+        _doc_grams(final.filter(F.col(AUDIT_EVENT) != "delete"), text_col, n)
+        .groupBy("order", "gram").agg(F.count("*").alias("cnt"))
+    )
+    return debit.unionByName(credit)
 
 
 def ngram_count_delta(
@@ -241,22 +269,8 @@ def ngram_count_delta(
     :func:`fold_ngram_count_deltas`, and a compaction cadence
     materializes the fold. ``counts + delta`` folded equals
     :func:`maintain_ngram_counts` by construction."""
-    from cdc_audit_spark.compact import keep_last_per_key
-    from cdc_audit_spark.schema import AUDIT_EVENT
-
-    final = keep_last_per_key(audit_batch, pk_cols)
-    touched = final.select(*pk_cols)
-    debit = (
-        _doc_grams(base.join(F.broadcast(touched), pk_cols, "left_semi"),
-                   text_col, n)
-        .groupBy("order", "gram").agg((-F.count("*")).alias("cnt"))
-    )
-    credit = (
-        _doc_grams(final.filter(F.col(AUDIT_EVENT) != "delete"), text_col, n)
-        .groupBy("order", "gram").agg(F.count("*").alias("cnt"))
-    )
     return (
-        debit.unionByName(credit)
+        _gram_debit_credit(base, audit_batch, text_col, pk_cols, n)
         .groupBy("order", "gram")
         .agg(F.sum("cnt").alias("cnt"))
         .filter(F.col("cnt") != 0)
