@@ -38,10 +38,12 @@ from cdc_audit_spark.streaming import genstate
 
 __all__ = [
     "apply_lm_epoch",
+    "apply_lm_gate_epoch",
     "apply_lm_manifest_epoch",
     "current_lm",
     "current_manifest_lm",
     "maybe_fold_lm_counts",
+    "stream_lm_quality_gate",
     "stream_lm_sync",
     "stream_lm_sync_manifest",
 ]
@@ -170,6 +172,122 @@ def _empty_state(batch_df):
 
     return batch_df.sparkSession.createDataFrame(
         [], batch_df.drop(AUDIT_EVENT, AUDIT_TIMESTAMP, AUDIT_PK).schema)
+
+
+def apply_lm_gate_epoch(
+    base_t,
+    counts_t,
+    accepted_t,
+    batch_df,
+    epoch_id: int,
+    run_id: str | None,
+    text_col: str,
+    pk_cols: list[str],
+    max_avg_neg_log10: float,
+    n: int = 2,
+    range_buckets: int = 32,
+    fold_max_dirs: int = 16,
+) -> None:
+    """One micro-batch of the CCNet-style streaming quality gate wired
+    to the MAINTAINED LM: the batch's surviving docs are scored under
+    the model AS OF the previous epoch (the freshest model that does
+    not include the batch itself — deterministic under replay), docs
+    whose mean negative log10 score stays at or below
+    ``max_avg_neg_log10`` land in the accepted table, and the SAME
+    batch then maintains the LM for the next epoch via
+    :func:`apply_lm_manifest_epoch`. Three commits per batch, each
+    O(delta), each independently guarded (accepted: epoch; counts:
+    epoch; base: watermark) — the accepted append runs strictly FIRST
+    so its pre-epoch model read can never see this batch's counts.
+
+    Before the model has any mass (first epoch) the gate passes docs
+    through unscored — no evidence either way; the alternative
+    (rejecting everything until the model warms) silently drops the
+    bootstrap corpus."""
+    from cdc_audit_spark.operators.ngram_lm import (
+        fold_ngram_count_deltas,
+        score_perplexity,
+    )
+    from cdc_audit_spark.schema import AUDIT_EVENT
+    from cdc_audit_spark.streaming.stream_dedup import _version_before_epoch
+
+    if not accepted_t.epoch_applied(epoch_id, run_id):
+        from cdc_audit_spark.compact import keep_last_per_key
+
+        survivors = keep_last_per_key(batch_df, pk_cols).filter(
+            F.col(AUDIT_EVENT) != "delete")
+        pre_c = _version_before_epoch(counts_t, epoch_id)
+        model = (lm_from_counts(
+            fold_ngram_count_deltas(counts_t.read(pre_c)), n=n)
+            if pre_c is not None else None)
+        if model is not None and model.total > 0:
+            scored = score_perplexity(survivors, text_col, pk_cols[0],
+                                      model, micro=True)
+            keep = scored.filter(
+                -F.col("avg_log10_score") <= F.lit(max_avg_neg_log10))
+            accepted = survivors.join(
+                keep.select(pk_cols[0]), pk_cols[0], "left_semi")
+        else:
+            accepted = survivors  # no model mass yet: pass through
+        accepted_t.append(accepted.drop(AUDIT_EVENT, "audit_timestamp",
+                                        "audit_pk"),
+                          extra={"epoch": int(epoch_id),
+                                 "run_id": run_id})
+    apply_lm_manifest_epoch(base_t, counts_t, batch_df, epoch_id, run_id,
+                            text_col, pk_cols, n=n,
+                            range_buckets=range_buckets,
+                            fold_max_dirs=fold_max_dirs)
+
+
+def stream_lm_quality_gate(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    base_path: str,
+    counts_path: str,
+    accepted_path: str,
+    checkpoint_path: str,
+    text_col: str,
+    pk_cols: list[str],
+    max_avg_neg_log10: float,
+    n: int = 2,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    range_buckets: int = 32,
+    fold_max_dirs: int = 16,
+):
+    """Always-on corpus curation with a model that never goes stale:
+    each audit micro-batch is quality-gated under the CURRENT maintained
+    Stupid-Backoff LM (CCNet's perplexity-bucket signal), accepted docs
+    append to ``accepted_path``, and the batch itself keeps the model
+    fresh — retraining is never needed and the gate's threshold applies
+    to an up-to-date corpus distribution. All three state tables are
+    manifest tables; exactly-once per ``apply_lm_gate_epoch``."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    base_t = ManifestTable(spark, base_path)
+    counts_t = ManifestTable(spark, counts_path)
+    accepted_t = ManifestTable(spark, accepted_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        apply_lm_gate_epoch(
+            base_t, counts_t, accepted_t, batch_df, epoch_id,
+            genstate.checkpoint_run_id(checkpoint_path),
+            text_col, pk_cols, max_avg_neg_log10, n=n,
+            range_buckets=range_buckets, fold_max_dirs=fold_max_dirs,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def maybe_fold_lm_counts(counts_t, max_dirs: int = 16) -> int | None:

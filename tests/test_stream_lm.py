@@ -277,3 +277,68 @@ def test_lm_manifest_commits_scale_with_delta_not_corpus(spark, tmp_path):
     # counts commit: the delta append is a fraction of the model
     counts_added, counts_bytes1 = commit_stats(counts_t)
     assert counts_bytes1 < counts_bytes0 / 3
+
+
+def test_stream_lm_quality_gate_accepts_fluent_rejects_junk(spark, tmp_path):
+    """The streaming quality gate scores each batch under the maintained
+    PRE-batch model: bootstrap passes through unscored (no model mass),
+    later batches keep fluent docs and reject junk; the accepted table
+    equals a manual recompute with the same pre-batch model, and a
+    restarted drain appends nothing (exactly-once)."""
+    from cdc_audit_spark.operators.ngram_lm import (
+        fold_ngram_count_deltas,
+        lm_from_counts,
+        score_perplexity,
+    )
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_lm import stream_lm_quality_gate
+
+    src = str(tmp_path / "src")
+    boot = [(i, t, "insert", TS, i) for i, (_, t) in enumerate(BASE, 1)]
+    b2 = [(10, "the cat sat on the mat again", "insert", TS, 10),
+          (11, "zxqv wrbl kpth znorg vlmx qwpt", "insert", TS, 11)]
+    for rows in (boot, b2):
+        spark.createDataFrame(rows, SCH).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    base_p, counts_p = str(tmp_path / "base_t"), str(tmp_path / "counts_t")
+    acc_p, ck = str(tmp_path / "acc_t"), str(tmp_path / "ck")
+    schema = spark.read.parquet(src).schema
+    q = stream_lm_quality_gate(
+        spark, src, schema, base_p, counts_p, acc_p, ck,
+        "text", ["doc_id"], max_avg_neg_log10=1.5,
+        max_files_per_trigger=1)
+    q.awaitTermination(240)
+
+    acc = ManifestTable(spark, acc_p)
+    got = {(r["doc_id"], r["text"]) for r in acc.read().collect()}
+    assert (10, b2[0][1]) in got        # fluent: bootstrap bigrams
+    assert (11, b2[1][1]) not in got    # junk: all-OOV, rejected
+    assert {d for d, _ in got} >= {1, 2, 3}  # bootstrap passed through
+
+    # the gate's decision equals a manual recompute under the pre-batch
+    # model (counts as of the bootstrap epoch)
+    counts_t = ManifestTable(spark, counts_p)
+    pre = counts_t.versions()[0]
+    model = lm_from_counts(
+        fold_ngram_count_deltas(counts_t.read(pre)), n=2)
+    b2df = spark.createDataFrame(b2, SCH).drop(
+        "audit_event", "audit_timestamp", "audit_pk")
+    scored = {r["doc_id"]: -r["avg_log10_score"] for r in score_perplexity(
+        b2df, "text", "doc_id", model, micro=True).collect()}
+    assert scored[10] <= 1.5 < scored[11]
+
+    # restarted drain: nothing new -> no duplicate appends
+    n0 = acc.read().count()
+    q2 = stream_lm_quality_gate(
+        spark, src, schema, base_p, counts_p, acc_p, ck,
+        "text", ["doc_id"], max_avg_neg_log10=1.5)
+    q2.awaitTermination(120)
+    assert acc.read().count() == n0
+    # and the LM kept maintaining through the gate: the model now holds
+    # batch-2 grams too
+    _, live = __import__("cdc_audit_spark.streaming.stream_lm",
+                         fromlist=["current_manifest_lm"]
+                         ).current_manifest_lm(spark, base_p, counts_p)
+    grams = {r["gram"] for r in live.counts.filter("order = 1").collect()}
+    assert "zxqv" in grams and "again" in grams
