@@ -237,6 +237,10 @@ def apply_lm_gate_epoch(
                             text_col, pk_cols, n=n,
                             range_buckets=range_buckets,
                             fold_max_dirs=fold_max_dirs)
+    # one accepted dir lands per batch: bound the read fan-in on the
+    # curated output like any drain loop (epoch inherits through the
+    # compaction commit, so the replay guard survives it)
+    accepted_t.maybe_compact(max_dirs=4 * fold_max_dirs)
 
 
 def stream_lm_quality_gate(

@@ -58,3 +58,104 @@ def test_replay_reconstructs_any_state_pair(spark, v0, v1):
     # audit_pk contiguous from 1
     pks = sorted(r["audit_pk"] for r in audit.collect())
     assert pks == list(range(1, len(pks) + 1))
+
+
+# ---------------------------------------------------------------- IVM algebra
+
+# group labels and values from tiny alphabets to force group migrations,
+# exact cancellations, and emptied groups
+_gstate = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=30),
+    values=st.tuples(
+        st.sampled_from(["g0", "g1", "g2"]),
+        st.sampled_from([0.0, 1.5, -2.25, 4.0]),
+    ),
+    max_size=20,
+)
+
+
+def _gdf(spark, state):
+    rows = [(k, v[0], v[1]) for k, v in sorted(state.items())]
+    return spark.createDataFrame(rows, "pk int, g string, v double") if rows \
+        else spark.createDataFrame([], "pk int, g string, v double")
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(v0=_gstate, v1=_gstate)
+def test_group_sum_maintenance_any_state_pair(spark, v0, v1):
+    """For ANY (v0, v1) pair, maintaining the SUM/COUNT view with the
+    snapshot diff equals the direct aggregate over v1 — migrations,
+    cancellations, emptied and newborn groups included."""
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.mview import incremental_group_sum
+
+    df0, df1 = _gdf(spark, v0), _gdf(spark, v1)
+    audit = snapshot_diff(df0, df1, ["pk"], ts=TS)
+    got = incremental_group_sum(
+        df0, audit, ["pk"], ["g"], F.col("v").cast("decimal(12,2)"))
+    want = df1.groupBy("g").agg(
+        F.sum(F.col("v").cast("decimal(12,2)")).alias("total"),
+        F.count("*").alias("n_rows"))
+    gs = sorted((r["g"], float(r["total"]), r["n_rows"])
+                for r in got.collect())
+    ws = sorted((r["g"], float(r["total"]), r["n_rows"])
+                for r in want.collect())
+    assert gs == ws
+
+
+_rstate = st.dictionaries(  # dimension side: pk -> group
+    keys=st.integers(min_value=0, max_value=8),
+    values=st.sampled_from(["g0", "g1"]),
+    max_size=6,
+)
+_lstate = st.dictionaries(  # fact side: pk -> (fk, value)
+    keys=st.integers(min_value=0, max_value=30),
+    values=st.tuples(st.integers(min_value=0, max_value=9),
+                     st.sampled_from([0.0, 1.5, 4.0])),
+    max_size=15,
+)
+
+
+def _ldf(spark, state):
+    rows = [(k, v[0], v[1]) for k, v in sorted(state.items())]
+    return spark.createDataFrame(rows, "o int, fk int, v double") if rows \
+        else spark.createDataFrame([], "o int, fk int, v double")
+
+
+def _rdf(spark, state):
+    rows = [(k, g) for k, g in sorted(state.items())]
+    return spark.createDataFrame(rows, "fk int, g string") if rows \
+        else spark.createDataFrame([], "fk int, g string")
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(l0=_lstate, l1=_lstate, r0=_rstate, r1=_rstate)
+def test_join_view_maintenance_any_state_pairs(spark, l0, l1, r0, r1):
+    """The delta-join rule holds for ANY concurrent (fact, dimension)
+    transition: maintaining γ(A ⋈ B) with both snapshot diffs equals the
+    direct aggregate over the final join — dangling fact keys, dimension
+    migrations, and cross-batch interactions included."""
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.mview import incremental_join_group_sum
+
+    ldf0, ldf1 = _ldf(spark, l0), _ldf(spark, l1)
+    rdf0, rdf1 = _rdf(spark, r0), _rdf(spark, r1)
+    lb = snapshot_diff(ldf0, ldf1, ["o"], ts=TS)
+    rb = snapshot_diff(rdf0, rdf1, ["fk"], ts=TS)
+    got = incremental_join_group_sum(
+        ldf0, rdf0, lb, rb, ["fk"], ["o"], ["fk"], ["g"],
+        F.col("v").cast("decimal(12,2)"))
+    want = ldf1.join(rdf1, "fk").groupBy("g").agg(
+        F.sum(F.col("v").cast("decimal(12,2)")).alias("total"),
+        F.count("*").alias("n_rows"))
+    gs = sorted((r["g"], float(r["total"]), r["n_rows"])
+                for r in got.collect())
+    ws = sorted((r["g"], float(r["total"]), r["n_rows"])
+                for r in want.collect())
+    assert gs == ws
