@@ -342,3 +342,47 @@ def test_stream_lm_quality_gate_accepts_fluent_rejects_junk(spark, tmp_path):
                          ).current_manifest_lm(spark, base_p, counts_p)
     grams = {r["gram"] for r in live.counts.filter("order = 1").collect()}
     assert "zxqv" in grams and "again" in grams
+
+
+def test_lm_counts_fold_then_vacuum_reclaims_delta_dirs(spark, tmp_path):
+    """LSM lifecycle close-out: after enough epochs the fold fires
+    (maybe_fold_lm_counts), and a vacuum then RECLAIMS the superseded
+    delta dirs — the counts table's disk footprint tracks the model,
+    not the history — while the fold's inherited epoch guard and the
+    live model survive."""
+    import os
+
+    from cdc_audit_spark.operators.ngram_lm import train_ngram_lm
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_lm import (
+        apply_lm_manifest_epoch,
+        current_manifest_lm,
+    )
+
+    base_t = ManifestTable(spark, str(tmp_path / "base_t"))
+    counts_t = ManifestTable(spark, str(tmp_path / "counts_t"))
+    docs = [(i, f"doc number {i} talks about topic {i % 3}") for i in range(8)]
+    for e, (i, t) in enumerate(docs):
+        b = spark.createDataFrame([(i, t, "insert", TS, e + 1)], SCH)
+        apply_lm_manifest_epoch(base_t, counts_t, b, e, "r1", "text",
+                                ["doc_id"], fold_max_dirs=3)
+
+    def live_dirs():
+        m = counts_t.manifest(counts_t.current_version())
+        return set(m["dirs"])
+
+    all_dirs = {d for v in counts_t.versions()
+                for d in counts_t.manifest(v)["dirs"]}
+    assert len(all_dirs) > len(live_dirs())  # history holds stale deltas
+
+    got = counts_t.vacuum(keep_versions=1, force=True)
+    assert got["data_dirs"] > 0            # superseded deltas reclaimed
+    for d in all_dirs - live_dirs():
+        assert not os.path.exists(os.path.join(counts_t.path, d))
+
+    # guard + model intact after the sweep
+    assert counts_t.epoch_applied(7, "r1")
+    _, model = current_manifest_lm(spark, base_t.path, counts_t.path)
+    expect = train_ngram_lm(
+        spark.createDataFrame(docs, "doc_id long, text string"), "text", n=2)
+    assert _counts_set(model.counts) == _counts_set(expect.counts)
