@@ -456,3 +456,40 @@ def dsir_sample(
            .limit(n))
     return corpus.join(
         F.broadcast(out.select(id_col, "n_grams", "dsir_weight")), id_col)
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Temperature-based group rebalancing (the T5/mC4 recipe, Raffel et
+    al. 2020 arXiv 1910.10683 §3.4.3 / Xue et al. 2021: sample groups
+    ∝ p^alpha to keep head languages from drowning the tail). Pure
+    DOWNSAMPLING form: each group's keep fraction is
+    ``(n_g / n_min) ** (alpha - 1)`` — the smallest group keeps
+    everything, larger groups shed mass until the kept distribution is
+    ∝ p^alpha (exact up to hash granularity; upsampling/duplication is
+    a training-loader concern, not a data-prep one).
+
+    Scale shape: one bounded group-count aggregate, the keep-fraction
+    table broadcast back (never collected — group cardinality may be
+    large), then the same map-side portable-hash threshold filter every
+    sampler here uses: deterministic, append-stable, engine-portable.
+    ``alpha=1`` keeps everything; ``alpha=0`` equalizes group masses
+    down to the smallest."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    n_min = counts.agg(F.min("__n")).first()[0]
+    if n_min is None:
+        return df
+    keeps = counts.select(
+        group_col,
+        F.pow(F.col("__n") / F.lit(float(n_min)),
+              F.lit(alpha - 1.0)).alias("__keep"))
+    h = hash_bucket(F.col(key_col))
+    return (df.join(F.broadcast(keeps), group_col)
+            .filter(h < F.col("__keep") * F.lit(float(HASH_SPACE)))
+            .drop("__keep"))

@@ -19,6 +19,7 @@ __all__ = [
     "fingerprint",
     "gopher_quality_flags",
     "language_id",
+    "chunk_text_windows",
     "DEFAULT_STOPWORDS",
     "GOPHER_REQUIRED_STOPWORDS",
 ]
@@ -331,3 +332,46 @@ def winnow_overlap_pairs(
                      F.col("b.id").alias("id_b"))
             .agg(F.count("*").alias("shared_fps"))
             .filter(F.col("shared_fps") >= min_shared))
+
+
+def chunk_text_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/context-window prep
+    step: each document becomes windows of ``size`` lowercase-alnum
+    tokens starting every ``size - overlap`` tokens (chunk 0 at token 0,
+    chunk 1 at the stride, ...; the final windows may be short tails).
+    Output: (id, chunk_id, start_tok, n_tokens, chunk_text).
+
+    Pure Catalyst array math — tokenize once, ``sequence`` of window
+    starts, ``slice`` + ``concat_ws`` per window, one ``explode``: zero
+    shuffles, whole-stage codegen, and engine-portable (the DuckDB
+    range/list-slice spelling reproduces it token for token). Documents
+    with no tokens produce no chunks."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(
+            f"overlap must be in [0, size), got {overlap} for size {size}")
+    stride = size - overlap
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: F.length(t) > 0)
+    starts = F.expr(
+        f"sequence(0, greatest(size(__w) - 1, 0), {stride})")
+    out = (df.select(F.col(id_col), toks.alias("__w"))
+           .filter(F.size("__w") > 0)
+           .select(id_col, "__w",
+                   F.posexplode(starts).alias("chunk_id", "start_tok")))
+    chunk = F.slice(F.col("__w"), F.col("start_tok") + 1, size)
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

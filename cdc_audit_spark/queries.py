@@ -4667,6 +4667,69 @@ def dsir_importance_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_grams", "dsir_weight")
 
 
+@register(
+    "text_chunk_windows",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> len(t) > 0) AS w
+        FROM documents WHERE doc_id < 40),
+    ch AS (
+      SELECT doc_id, unnest(range(0, len(w), 96)) AS s, w
+        FROM tok WHERE len(w) > 0)
+    SELECT doc_id,
+           CAST(s / 96 AS INT) AS chunk_id,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(least(128, len(w) - s) AS BIGINT) AS n_tokens,
+           array_to_string(w[s + 1 : s + 128], ' ') AS chunk_text
+      FROM ch
+    """,
+    "Overlapping token-window chunking (RAG/context-window prep, "
+    "operators.text.chunk_text_windows): 128-token windows every 96 "
+    "tokens (32-token overlap), re-joined as text with chunk index and "
+    "token span. Pure Catalyst array math — tokenize once, sequence of "
+    "starts, slice per window, one explode: zero shuffle, whole-stage "
+    "codegen, reproduced token for token by DuckDB's range/list-slice.",
+)
+def text_chunk_windows(spark, sf_dir):
+    from cdc_audit_spark.operators.text import chunk_text_windows
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 40)
+    return chunk_text_windows(docs, "text", "doc_id", size=128, overlap=32)
+
+
+@register(
+    "sample_temperature_lang",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    m AS (SELECT min(n) AS nmin FROM c),
+    k AS (SELECT lang, power(n / CAST(nmin AS DOUBLE), -0.5) AS keep
+            FROM c, m)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+      FROM documents d JOIN k USING (lang)
+     WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::INT
+           < keep * 16777216.0
+     GROUP BY 1
+    """,
+    "Temperature-based language rebalancing (the T5/mC4 alpha-sampling "
+    "recipe, operators.sampling.temperature_resample, alpha=0.5): each "
+    "language's keep fraction is (n_lang/n_min)^(alpha-1), so the "
+    "smallest language keeps everything and head languages shed mass "
+    "until the kept distribution is proportional to p^alpha. One "
+    "bounded group-count aggregate, the keep table broadcast back, then "
+    "the portable-hash threshold filter — map-side, deterministic, "
+    "append-stable; the corpus never shuffles.",
+)
+def sample_temperature_lang(spark, sf_dir):
+    from cdc_audit_spark.operators.sampling import temperature_resample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    kept = temperature_resample(docs, "lang", "doc_id", alpha=0.5)
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
 _MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 

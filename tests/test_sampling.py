@@ -317,3 +317,40 @@ def test_dsir_micro_weights_track_float_weights(spark, docs):
                                micro=True).collect()}
     assert set(f) == set(m)
     assert all(abs(f[k] - m[k]) <= 5e-7 + 1e-12 for k in f)
+
+
+def test_temperature_resample_flattens_head(spark, docs):
+    """alpha=1 keeps everything; smaller alpha sheds head-language mass
+    toward p^alpha (the smallest group keeps ~everything), and the
+    selection is deterministic and append-stable (a rerun picks the
+    same rows)."""
+    from cdc_audit_spark.operators.sampling import temperature_resample
+
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    all_kept = temperature_resample(docs, "lang", "doc_id", alpha=1.0)
+    assert all_kept.count() == docs.count()
+
+    kept = temperature_resample(docs, "lang", "doc_id", alpha=0.5)
+    k = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    n_min = min(base.values())
+    smallest = min(base, key=base.get)
+    biggest = max(base, key=base.get)
+    # the smallest group keeps ~everything; the biggest sheds toward
+    # sqrt(n_min * n_big) (keep fraction (n/n_min)^-0.5), hash jitter
+    # bounded
+    assert k[smallest] >= 0.9 * base[smallest]
+    import math
+
+    want_big = base[biggest] * (base[biggest] / n_min) ** -0.5
+    assert abs(k[biggest] - want_big) <= max(10, 0.25 * want_big)
+    assert want_big < base[biggest]
+    # deterministic: rerun keeps the identical id set
+    a = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    b = {r["doc_id"] for r in temperature_resample(
+        docs, "lang", "doc_id", alpha=0.5).select("doc_id").collect()}
+    assert a == b
+
+    with pytest.raises(ValueError):
+        temperature_resample(docs, "lang", "doc_id", alpha=1.5)

@@ -169,3 +169,37 @@ def test_gopher_quality_rules_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = gopher_quality_flags(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_text_windows_boundaries(spark):
+    """Window semantics: starts every stride, slices of exactly `size`
+    tokens (short tails at the end), 1 short doc -> 1 chunk, empty doc ->
+    no chunks, reassembling stride-aligned chunks recovers the doc."""
+    import pytest as _pytest
+
+    from cdc_audit_spark.operators.text import chunk_text_windows
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "only three tokens"), (3, "  ")],
+        "doc_id long, text string")
+    out = chunk_text_windows(df, "text", "doc_id", size=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]):
+            (r["start_tok"], r["n_tokens"], r["chunk_text"])
+            for r in out.collect()}
+    # doc 1: starts 0,2,4,6,8 -> 4-token windows, 2-token tail at 8
+    assert rows[(1, 0)] == (0, 4, "t0 t1 t2 t3")
+    assert rows[(1, 1)] == (2, 4, "t2 t3 t4 t5")
+    assert rows[(1, 4)] == (8, 2, "t8 t9")
+    assert len([k for k in rows if k[0] == 1]) == 5
+    # doc 2: one short chunk; doc 3: tokenless -> absent
+    assert rows[(2, 0)] == (0, 3, "only three tokens")
+    assert not [k for k in rows if k[0] == 3]
+    # overlap=0 stride-aligned chunks reassemble the doc exactly
+    flat = chunk_text_windows(df.filter("doc_id = 1"), "text", "doc_id",
+                              size=4, overlap=0)
+    joined = " ".join(r["chunk_text"] for r in
+                      flat.orderBy("chunk_id").collect())
+    assert joined == " ".join(toks)
+    with _pytest.raises(ValueError):
+        chunk_text_windows(df, "text", "doc_id", size=4, overlap=4)
