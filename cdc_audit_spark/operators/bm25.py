@@ -1,0 +1,378 @@
+"""Okapi BM25 full-text retrieval over the document corpus — the lexical
+half of a training-data search/curation stack (the other half is the
+embedding ANN tier in ``operators.similarity`` / ``streaming.stream_ann``;
+``rrf_fuse`` composes the two).
+
+BM25 (Robertson et al., TREC-3 1994) with Lucene's non-negative idf
+variant (idf = ln(1 + (N - df + 0.5)/(df + 0.5)), so a term in more than
+half the corpus never contributes a negative score)::
+
+    score(q, d) = sum_{t in q}  idf(t) * tf * (k1 + 1)
+                               ----------------------------------
+                               tf + k1 * (1 - b + b * dl / avgdl)
+
+Spark-first shapes, by deployment mode:
+
+* **Ad-hoc scan scoring** (:func:`bm25_topk`): ZERO corpus shuffles. One
+  bounded aggregate collects N, sum(dl) and per-query-term document
+  frequencies (|q| + 2 scalars — the query term list is bounded by
+  construction); the idf values are baked into a map-side whole-stage-
+  codegen scoring expression (per-term tf via ``size(filter(words, ...))``
+  on the token array); the top-k is a TakeOrdered, never a global sort.
+* **Index-backed scoring** (:func:`bm25_postings` + :func:`bm25_topk_postings`):
+  the inverted index is ONE corpus shuffle — explode(words) →
+  groupBy(term, doc_id) with map-side combine. Query time filters the
+  postings on ``term IN (query)`` — parquet-pushdown-eligible when the
+  index is stored term-partitioned/sorted — so only candidate rows move.
+* **CDC maintenance** (:func:`bm25_posting_delta` + the manifest stream in
+  ``streaming.stream_bm25``): the WHOLE index state is one signed
+  (term, doc_id, tf) table. Everything else derives from its fold by
+  bounded aggregates: dl(d) = sum_t tf (every occurrence is counted, so
+  the per-doc tf sum IS the token count), df(t) = count per term,
+  N = distinct docs, avgdl = sum(tf)/N. A micro-batch therefore commits
+  ONLY its signed posting delta — O(batch), never O(index) or O(corpus)
+  — the same LSM contract as the LM counts stream (VERDICT r08 #1).
+
+Cross-engine exactness: per-(term, doc) score contributions are quantized
+to integer micro-units (floor(x * 1e6 + 0.5), the established micro=True
+pattern of ``operators.ngram_lm``) and summed as BIGINTs, so per-doc
+scores — and crucially the top-k ORDER — are bit-identical across engines
+and shuffle orders; ties break on the id.
+
+No reference parity: the reference (dan-da/cdc_audit, PHP trigger
+generator) has no text retrieval; this extends the engine's LLM-pipeline
+surface (SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdc_audit_spark.operators.ngram_lm import _words
+
+__all__ = [
+    "bm25_postings",
+    "bm25_posting_delta",
+    "bm25_score_scan",
+    "bm25_topk",
+    "bm25_topk_postings",
+    "fold_bm25_postings",
+    "incremental_bm25_postings",
+    "postings_corpus_stats",
+    "rrf_fuse",
+]
+
+#: BM25 free parameters (the universal defaults; Robertson & Zaragoza 2009
+#: §3.3 report the k1 ∈ [1.2, 2], b = 0.75 plateau).
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+#: Micro-unit quantum for engine-exact score arithmetic.
+_MICRO = 1_000_000.0
+
+#: Reciprocal-rank-fusion dampening constant (Cormack et al., SIGIR 2009
+#: use 60; the method is famously insensitive to it).
+RRF_K = 60
+
+
+def _idf(n_docs: int, df: int) -> float:
+    """Lucene's non-negative BM25 idf. Plain Python ``math.log`` — the
+    same libm ``ln`` the DuckDB oracle calls, and the downstream
+    micro-quantization absorbs sub-micro disagreement anyway."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The inverted index: one (term, doc id, tf) row per distinct term
+    per document. ONE corpus shuffle — explode is map-side, the
+    groupBy's partial aggregation collapses each doc's repeats before
+    the exchange, and the shuffle key (term, id) is near-unique so no
+    skew salting is needed. At scale, write it term-sorted so query-time
+    ``term IN`` filters prune row groups."""
+    return (
+        df.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def postings_corpus_stats(postings: DataFrame, id_col: str):
+    """(N docs, total token count) from a postings table — one bounded
+    aggregate (two scalars). dl(d) = sum_t tf(t, d) because tf counts
+    every occurrence, so sum(tf) is the corpus token count exactly."""
+    row = postings.agg(
+        F.countDistinct(id_col).alias("n"),
+        F.sum("tf").alias("s"),
+    ).first()
+    return int(row["n"] or 0), int(row["s"] or 0)
+
+
+def _contribs(terms: list[str], idfs: list[float], tf_of, dl_col,
+              avgdl: float, k1: float, b: float):
+    """Per-term micro-quantized contribution columns. ``tf_of(i)`` maps a
+    term index to its tf Column; the expression tree (literal k1+1,
+    k1*(1-b), k1*b products precomputed as Python floats) is mirrored
+    verbatim by the SQL oracle so every IEEE op matches."""
+    k1p1, k1_1mb, k1b = k1 + 1.0, k1 * (1.0 - b), k1 * b
+    out = []
+    for i, _t in enumerate(terms):
+        tf = tf_of(i)
+        raw = (
+            F.lit(idfs[i]) * (tf * F.lit(k1p1))
+            / (tf + F.lit(k1_1mb) + F.lit(k1b) * dl_col / F.lit(avgdl))
+        )
+        out.append(
+            F.when(tf > 0, F.floor(raw * F.lit(_MICRO) + F.lit(0.5))
+                   .cast("long")).otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def bm25_score_scan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    *,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Score every document against a bounded query term list straight
+    off the corpus scan — no index, no shuffle. Two passes over the
+    corpus: a bounded stats aggregate (N, sum dl, df per query term —
+    |q| + 2 scalars collected), then a map-side scoring projection.
+    Returns (id, n_hit_terms, score_micro, score) for docs matching at
+    least one term; ``score_micro`` is the exact BIGINT sort key."""
+    if not terms:
+        raise ValueError("empty query term list")
+    toks = df.select(F.col(id_col), _words(text_col).alias("__w"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("__w")).alias("sum_dl"),
+        *[F.sum(F.array_contains("__w", F.lit(t)).cast("long")).alias(f"df{i}")
+          for i, t in enumerate(terms)],
+    ).first()
+    n_docs = int(stats["n_docs"] or 0)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = int(stats["sum_dl"] or 0) / n_docs
+    idfs = [_idf(n_docs, int(stats[f"df{i}"] or 0)) for i in range(len(terms))]
+
+    dl = F.size("__w").cast("long")
+
+    def _tf(term: str):
+        # NB: the HOF lambda must take exactly one parameter — a second
+        # one would be bound to the array INDEX by F.filter's protocol.
+        return F.size(F.filter("__w", lambda w: w == F.lit(term))).cast("long")
+
+    tf_cols = [_tf(t) for t in terms]
+    contribs = _contribs(terms, idfs, lambda i: tf_cols[i], dl, avgdl, k1, b)
+    hits = sum((c > 0).cast("long") for c in tf_cols)
+    m = sum(contribs[1:], contribs[0])
+    return (
+        toks.select(
+            F.col(id_col),
+            hits.alias("n_hit_terms"),
+            m.alias("score_micro"),
+            (m.cast("double") / F.lit(_MICRO)).alias("score"),
+        )
+        .filter(F.col("score_micro") > 0)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    k: int,
+    *,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Top-k BM25 retrieval off the corpus scan: TakeOrdered on the exact
+    micro-integer key (ties break on the id — deterministic under any
+    partitioning), never a global sort."""
+    scored = bm25_score_scan(df, text_col, id_col, terms, k1=k1, b=b)
+    return scored.orderBy(F.desc("score_micro"), F.col(id_col)).limit(k)
+
+
+def bm25_topk_postings(
+    postings: DataFrame,
+    id_col: str,
+    terms: list[str],
+    k: int,
+    *,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Top-k retrieval against a (term, id, tf) inverted index (built by
+    :func:`bm25_postings` or folded from the maintained LSM): candidates
+    are ``term IN (query)`` — pushdown-eligible, only matching rows move
+    — joined to the per-doc norms and aggregated per doc. The norms/df/N
+    aggregates here recompute from the postings table; a serving
+    deployment materializes them at fold/compaction time (they are one
+    bounded aggregate each), which turns this into candidate-only work.
+    Result ≡ :func:`bm25_topk` on the same corpus by construction."""
+    if not terms:
+        raise ValueError("empty query term list")
+    n_docs, total = postings_corpus_stats(postings, id_col)
+    if n_docs == 0:
+        raise ValueError("empty index")
+    avgdl = total / n_docs
+    dfs = {
+        r["term"]: int(r["n"])
+        for r in postings.filter(F.col("term").isin(terms))
+        .groupBy("term").agg(F.countDistinct(id_col).alias("n")).collect()
+    }
+    idfs = [_idf(n_docs, dfs.get(t, 0)) for t in terms]
+    norms = postings.groupBy(id_col).agg(F.sum("tf").alias("__dl"))
+
+    cand = (
+        postings.filter(F.col("term").isin(terms))
+        .join(norms, id_col)  # candidate-keyed; norms materialized at scale
+    )
+    idf_map = F.create_map(
+        *[x for t, v in zip(terms, idfs) for x in (F.lit(t), F.lit(v))])
+    k1p1, k1_1mb, k1b = k1 + 1.0, k1 * (1.0 - b), k1 * b
+    tf = F.col("tf")
+    raw = (
+        idf_map[F.col("term")] * (tf * F.lit(k1p1))
+        / (tf + F.lit(k1_1mb) + F.lit(k1b) * F.col("__dl") / F.lit(avgdl))
+    )
+    contrib = F.floor(raw * F.lit(_MICRO) + F.lit(0.5)).cast("long")
+    per_doc = (
+        cand.select(F.col(id_col), contrib.alias("__m"))
+        .groupBy(id_col)
+        .agg(F.sum("__m").alias("score_micro"),
+             F.count("*").alias("n_hit_terms"))
+        .filter(F.col("score_micro") > 0)
+    )
+    return (
+        per_doc.select(
+            id_col, "n_hit_terms", "score_micro",
+            (F.col("score_micro").cast("double") / F.lit(_MICRO)).alias("score"))
+        .orderBy(F.desc("score_micro"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC maintenance: the signed-postings LSM algebra
+# --------------------------------------------------------------------------
+
+def _posting_debit_credit(
+    base: DataFrame,
+    audit_batch: DataFrame,
+    text_col: str,
+    pk_cols: list[str],
+) -> DataFrame:
+    """Un-folded signed posting contribution of one audit batch: debit
+    the touched docs' OLD term frequencies (negative), credit the
+    surviving final images' (positive). Only the batch's tokens and the
+    semi-join-narrowed old images move — the corpus is never rescanned."""
+    from cdc_audit_spark.compact import keep_last_per_key
+    from cdc_audit_spark.schema import AUDIT_EVENT
+
+    final = keep_last_per_key(audit_batch, pk_cols)
+    touched = final.select(*pk_cols)
+    old = base.join(F.broadcast(touched), pk_cols, "left_semi")
+    debit = bm25_postings(old, text_col, pk_cols[0]).withColumn(
+        "tf", -F.col("tf"))
+    credit = bm25_postings(
+        final.filter(F.col(AUDIT_EVENT) != "delete"), text_col, pk_cols[0])
+    return debit.unionByName(credit)
+
+
+def bm25_posting_delta(
+    base: DataFrame,
+    audit_batch: DataFrame,
+    text_col: str,
+    pk_cols: list[str],
+) -> DataFrame:
+    """The SIGNED (term, id, tf) delta one audit batch applies to the
+    inverted index — the LSM write unit (O(batch tokens), never O(index)):
+    ``fold(index ∪ delta)`` equals rebuilding on the post-batch corpus.
+    Exact cancellations (an update that keeps a term's tf) are dropped,
+    so no-op churn commits nothing."""
+    return (
+        _posting_debit_credit(base, audit_batch, text_col, pk_cols)
+        .groupBy("term", pk_cols[0])
+        .agg(F.sum("tf").alias("tf"))
+        .filter(F.col("tf") != 0)
+    )
+
+
+def fold_bm25_postings(df: DataFrame, id_col: str) -> DataFrame:
+    """Collapse a stack of signed posting deltas (plus an optional
+    absolute snapshot at the bottom) into the current index: sum per
+    (term, id), zero rows disappear. One index-keyed aggregate; never
+    touches the corpus."""
+    return (
+        df.select("term", id_col, "tf")
+        .groupBy("term", id_col)
+        .agg(F.sum("tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+
+
+def incremental_bm25_postings(
+    base: DataFrame,
+    audit_batch: DataFrame,
+    text_col: str,
+    pk_cols: list[str],
+) -> DataFrame:
+    """Bootstrap + one maintenance step — the self-contained form the
+    oracle-checked query uses (equality with indexing the post-batch
+    corpus directly proves the maintenance algebra)."""
+    boot = bm25_postings(base, text_col, pk_cols[0])
+    delta = bm25_posting_delta(base, audit_batch, text_col, pk_cols)
+    return fold_bm25_postings(boot.unionByName(delta), pk_cols[0])
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion
+# --------------------------------------------------------------------------
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    k: int,
+    *,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al., SIGIR 2009) of two BOUNDED
+    candidate lists — each input is a retriever's top-N (id, rank) with
+    rank 1-based — fused as sum(1 / (rrf_k + rank)) over the union, a
+    missing list contributing 0. The inputs are bounded by construction
+    (each retriever's own top-N), so the outer join, the fusion sum and
+    the final sort are all candidate-sized — this is how hybrid
+    lexical+vector retrieval stays cheap at corpus scale: fuse the
+    heads, never the corpora. Exactly two IEEE divisions and one add per
+    row, no reduction-order dependence — engine-exact without
+    quantization; ties break on the id."""
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("__ra"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("__rb"))
+    fused = (
+        a.join(b, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            (F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("__ra")), F.lit(0.0))
+             + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("__rb")),
+                          F.lit(0.0))).alias("rrf_score"),
+            F.col("__ra").alias("rank_a"),
+            F.col("__rb").alias("rank_b"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.col(id_col)).limit(k)
+
+
+def with_rank(topk: DataFrame, order_cols: list, id_col: str) -> DataFrame:
+    """1-based rank over a BOUNDED top-N candidate list (a single-
+    partition window — fine here precisely because the input is a
+    retriever's own top-N, never the corpus)."""
+    w = Window.orderBy(*order_cols, F.col(id_col))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))

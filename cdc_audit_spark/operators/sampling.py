@@ -110,6 +110,38 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     return df.filter(hash_bucket(F.col(key_col)) < threshold)
 
 
+def weighted_sample_wor(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    micro: float = 1e12,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k items (Efraimidis &
+    Spirakis 2006, A-ES): each row gets the key ln(u) / w with u the
+    portable md5 uniform in (0, 1); the k rows with the LARGEST keys are
+    exactly a weight-proportional WOR draw. Deterministic and rerun/
+    engine-stable: u comes from the same md5 prefix as every sampler in
+    this module (DuckDB spelling: ``ln((('0x' || substr(md5(k), 1, 6))
+    ::INT + 1)::DOUBLE / 16777217.0) / w``), and the key is quantized to
+    integer ``micro`` units (established micro pattern) so the top-k CUT
+    is an exact BIGINT comparison, ties on the key column.
+
+    Scale shape: the key is a map-side expression over (key, weight) only
+    — prunable at the scan — and the top-k is a TakeOrdered (per-partition
+    heads + driver merge), never a global sort. Weights must be > 0."""
+    u = (hash_bucket(F.col(key_col)) + F.lit(1)).cast("double") / F.lit(
+        float(HASH_SPACE + 1))
+    key = F.floor(F.log(u) / F.col(weight_col) * F.lit(micro) + F.lit(0.5)
+                  ).cast("long")
+    return (
+        df.withColumn("es_key_micro", key)
+        .orderBy(F.desc("es_key_micro"), F.col(key_col))
+        .limit(k)
+    )
+
+
 def weighted_source_mix(
     df: DataFrame,
     source_col: str,

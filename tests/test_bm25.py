@@ -1,0 +1,271 @@
+"""BM25 retrieval tier: postings build vs brute force, scan ≡ index
+scoring, signed-delta maintenance algebra, the exactly-once O(delta)
+manifest stream, RRF fusion, and the A-ES weighted WOR sampler."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from cdc_audit_spark.operators.bm25 import (
+    bm25_posting_delta,
+    bm25_postings,
+    bm25_score_scan,
+    bm25_topk,
+    bm25_topk_postings,
+    fold_bm25_postings,
+    incremental_bm25_postings,
+    rrf_fuse,
+    with_rank,
+)
+
+SCH = ("doc_id long, text string, audit_event string, "
+       "audit_timestamp timestamp, audit_pk long")
+TS = dt.datetime(2026, 1, 1)
+
+CORPUS = [
+    (1, "the cat sat on the mat the cat"),
+    (2, "the dog ate the fish and the dog ran"),
+    (3, "a dog sat on a log near the cat"),
+    (4, "fish fish fish and one cat"),
+]
+
+
+def _brute_postings(rows):
+    out = {}
+    for i, text in rows:
+        for w in [t for t in __import__("re").split(r"[^a-z0-9]+",
+                                                    text.lower()) if t]:
+            out[(w, i)] = out.get((w, i), 0) + 1
+    return out
+
+
+def _brute_bm25(rows, terms, k1=1.2, b=0.75):
+    post = _brute_postings(rows)
+    docs = sorted({i for _, i in post})
+    dl = {i: sum(c for (_, d), c in post.items() if d == i) for i in docs}
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    scores = {}
+    for i in docs:
+        m = 0
+        for t in terms:
+            tf = post.get((t, i), 0)
+            if tf == 0:
+                continue
+            df = sum(1 for (w, _), _c in post.items() if w == t)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            raw = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b) + k1 * b * dl[i] / avgdl)
+            m += math.floor(raw * 1e6 + 0.5)
+        if m > 0:
+            scores[i] = m
+    return scores
+
+
+def test_postings_match_brute_force(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = {(r["term"], r["doc_id"]): r["tf"]
+           for r in bm25_postings(df, "text", "doc_id").collect()}
+    assert got == _brute_postings(CORPUS)
+
+
+def test_scan_scores_match_brute_force(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = {r["doc_id"]: r["score_micro"]
+           for r in bm25_score_scan(df, "text", "doc_id",
+                                    ["cat", "fish"]).collect()}
+    assert got == _brute_bm25(CORPUS, ["cat", "fish"])
+
+
+def test_scan_and_index_topk_agree(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    terms = ["dog", "fish", "mat"]
+    scan = [(r["doc_id"], r["score_micro"], r["n_hit_terms"])
+            for r in bm25_topk(df, "text", "doc_id", terms, 3).collect()]
+    post = bm25_postings(df, "text", "doc_id")
+    idx = [(r["doc_id"], r["score_micro"], r["n_hit_terms"])
+           for r in bm25_topk_postings(post, "doc_id", terms, 3).collect()]
+    assert scan == idx
+    assert len(scan) == 3
+
+
+def test_scan_scoring_plan_has_no_exchange(spark):
+    """The scoring pass is a pure map-side projection — zero corpus
+    shuffles (the bounded stats aggregate is a separate tiny job)."""
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    plan = bm25_score_scan(df, "text", "doc_id", ["cat"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_posting_delta_algebra_matches_rebuild(spark):
+    base = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(2, CORPUS[1][1], "delete", TS, 10),
+         (3, "the cat and the cat again", "update", TS, 11),
+         (5, "brand new dog text", "insert", TS, 12)], SCH)
+    final = [CORPUS[0], (3, "the cat and the cat again"),
+             CORPUS[3], (5, "brand new dog text")]
+    got = {(r["term"], r["doc_id"]): r["tf"]
+           for r in incremental_bm25_postings(base, batch, "text",
+                                              ["doc_id"]).collect()}
+    assert got == _brute_postings(final)
+
+
+def test_noop_update_yields_empty_delta(spark):
+    """An update that re-states the same text nets to zero — no churn
+    commits to the LSM."""
+    base = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    batch = spark.createDataFrame([(1, CORPUS[0][1], "update", TS, 10)], SCH)
+    assert bm25_posting_delta(base, batch, "text", ["doc_id"]).count() == 0
+
+
+def test_fold_collapses_delta_stack(spark):
+    base = spark.createDataFrame(CORPUS[:2], "doc_id long, text string")
+    boot = bm25_postings(base, "text", "doc_id")
+    b1 = spark.createDataFrame([(1, "only fish now", "update", TS, 10)], SCH)
+    d1 = bm25_posting_delta(base, b1, "text", ["doc_id"])
+    folded = fold_bm25_postings(boot.unionByName(d1), "doc_id")
+    expect = _brute_postings([(1, "only fish now"), CORPUS[1]])
+    got = {(r["term"], r["doc_id"]): r["tf"] for r in folded.collect()}
+    assert got == expect
+
+
+def test_stream_bm25_manifest_matches_rebuild_and_is_o_delta(spark, tmp_path):
+    """availableNow drain over three audit files: the folded postings
+    equal indexing the final corpus; every post-bootstrap postings commit
+    is an append (LSM), the base commits are dir-granular merges; a
+    restarted drain applies only new files."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_bm25 import (
+        current_manifest_bm25,
+        stream_bm25_sync_manifest,
+    )
+
+    src = str(tmp_path / "audit_src")
+    batches = [
+        [(i, t, "insert", TS, i) for i, t in CORPUS[:3]],
+        [(4, CORPUS[3][1], "insert", TS, 10)],
+        [(2, "the dog only", "update", TS, 11),
+         (3, CORPUS[2][1], "delete", TS, 12)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, SCH).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    base_p, post_p = str(tmp_path / "base_t"), str(tmp_path / "post_t")
+    ck = str(tmp_path / "ck")
+    schema = spark.read.parquet(src).schema
+    q = stream_bm25_sync_manifest(spark, src, schema, base_p, post_p, ck,
+                                  "text", ["doc_id"],
+                                  max_files_per_trigger=1)
+    q.awaitTermination(240)
+
+    final = [CORPUS[0], (2, "the dog only"), CORPUS[3]]
+    base, postings = current_manifest_bm25(spark, base_p, post_p, "doc_id")
+    got = {(r["term"], r["doc_id"]): r["tf"] for r in postings.collect()}
+    assert got == _brute_postings(final)
+    assert {(r["doc_id"], r["text"])
+            for r in base.select("doc_id", "text").collect()} == set(final)
+
+    post_t = ManifestTable(spark, post_p)
+    base_t = ManifestTable(spark, base_p)
+    assert all(post_t.manifest(v)["action"] == "append"
+               for v in post_t.versions())
+    acts = [base_t.manifest(v)["action"] for v in base_t.versions()]
+    assert "overwrite" not in acts[1:]
+
+    spark.createDataFrame([(1, CORPUS[0][1], "delete", TS, 13)], SCH
+                          ).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_bm25_sync_manifest(spark, src, schema, base_p, post_p, ck,
+                                   "text", ["doc_id"])
+    q2.awaitTermination(120)
+    _, postings2 = current_manifest_bm25(spark, base_p, post_p, "doc_id")
+    got2 = {(r["term"], r["doc_id"]): r["tf"] for r in postings2.collect()}
+    assert got2 == _brute_postings(final[1:])
+
+
+def test_bm25_half_committed_replay_window(spark, tmp_path):
+    """Crash between the postings append and the base merge: the replay
+    skips the committed half (epoch guard) and catches the base up
+    (watermark guard); replaying the whole epoch again is a no-op."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_bm25 import (
+        apply_bm25_manifest_epoch,
+        current_manifest_bm25,
+    )
+
+    base_t = ManifestTable(spark, str(tmp_path / "base_t"))
+    post_t = ManifestTable(spark, str(tmp_path / "post_t"))
+    b0 = spark.createDataFrame(
+        [(i, t, "insert", TS, i) for i, t in CORPUS], SCH)
+    apply_bm25_manifest_epoch(base_t, post_t, b0, 0, "r1", "text", ["doc_id"])
+
+    b1 = spark.createDataFrame(
+        [(2, "the dog only", "update", TS, 10)], SCH)
+    half = bm25_posting_delta(base_t.read(), b1, "text", ["doc_id"])
+    post_t.append(half, extra={"epoch": 1, "run_id": "r1"})
+
+    apply_bm25_manifest_epoch(base_t, post_t, b1, 1, "r1", "text", ["doc_id"])
+    final = [CORPUS[0], (2, "the dog only"), CORPUS[2], CORPUS[3]]
+    _, got = current_manifest_bm25(spark, base_t.path, post_t.path, "doc_id")
+    expect = _brute_postings(final)
+    assert {(r["term"], r["doc_id"]): r["tf"]
+            for r in got.collect()} == expect
+
+    apply_bm25_manifest_epoch(base_t, post_t, b1, 1, "r1", "text", ["doc_id"])
+    _, again = current_manifest_bm25(spark, base_t.path, post_t.path,
+                                     "doc_id")
+    assert {(r["term"], r["doc_id"]): r["tf"]
+            for r in again.collect()} == expect
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                              "doc_id long, rank long")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "doc_id long, rank long")
+    got = {r["doc_id"]: (r["rrf_score"], r["rank_a"], r["rank_b"])
+           for r in rrf_fuse(a, b, "doc_id", 10).collect()}
+    assert got == {
+        10: (1 / 61, 1, None),
+        20: (1 / 62 + 1 / 61, 2, 1),
+        30: (1 / 63, 3, None),
+        40: (1 / 62, None, 2),
+    }
+    # ordering: fused doc 20 first, then the better single-list docs
+    order = [r["doc_id"] for r in rrf_fuse(a, b, "doc_id", 10).collect()]
+    assert order == [20, 10, 40, 30]
+
+
+def test_with_rank_is_one_based_and_tie_broken(spark):
+    df = spark.createDataFrame([(5, 100), (7, 100), (2, 300)],
+                               "doc_id long, score_micro long")
+    got = [(r["doc_id"], r["rank"]) for r in with_rank(
+        df, [F.desc("score_micro")], "doc_id").orderBy("rank").collect()]
+    assert got == [(2, 1), (5, 2), (7, 3)]
+
+
+def test_weighted_sample_wor_matches_python_mirror(spark):
+    """Exact mirror of the A-ES key math (md5-prefix uniform, ln(u)/w,
+    micro-quantized) — the same arithmetic the DuckDB oracle runs."""
+    from cdc_audit_spark.operators.sampling import weighted_sample_wor
+
+    rows = [(i, (i % 7) + 1) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+        u = (h + 1) / 16777217.0
+        return math.floor(math.log(u) / w * 1e12 + 0.5)
+
+    expect = sorted(rows, key=lambda r: (-key(*r), r[0]))[:25]
+    got = [(r["doc_id"], r["w"]) for r in
+           weighted_sample_wor(df, "doc_id", "w", 25).collect()]
+    assert got == expect
+    micro = {r["doc_id"]: r["es_key_micro"] for r in
+             weighted_sample_wor(df, "doc_id", "w", 25).collect()}
+    assert micro == {i: key(i, w) for i, w in expect}

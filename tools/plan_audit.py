@@ -117,6 +117,12 @@ EXPLANATIONS["pack_chunks_bestfit"] = (
     "form); the Arrow stage holds only (key, size) pairs per group and "
     "groups pack in parallel — see sampling.pack_chunks_bfd"
 )
+EXPLANATIONS["hybrid_rrf_topk"] = (
+    "the single-partition windows rank each retriever's OWN bounded "
+    "top-100 head (TakeOrdered output, never the corpus); the fusion "
+    "join touches two ≤100-row frames — RRF fuses heads by construction "
+    "(see bm25.rrf_fuse)"
+)
 EXPLANATIONS["ann_pq_topk"] = (
     "PQ encode + asymmetric-distance scan are Arrow-batched numpy stages "
     "(argmin/matmul kernels — the compressed-domain math has no Catalyst "
