@@ -54,11 +54,16 @@ from pyspark.sql import functions as F
 from cdc_audit_spark.operators.ngram_lm import _words
 
 __all__ = [
+    "bm25_norms",
+    "bm25_norms_delta",
     "bm25_postings",
     "bm25_posting_delta",
     "bm25_score_scan",
+    "bm25_stats_delta",
     "bm25_topk",
     "bm25_topk_postings",
+    "bm25_topk_served",
+    "fold_bm25_norms",
     "fold_bm25_postings",
     "incremental_bm25_postings",
     "postings_corpus_stats",
@@ -216,24 +221,55 @@ def bm25_topk_postings(
     deployment materializes them at fold/compaction time (they are one
     bounded aggregate each), which turns this into candidate-only work.
     Result ≡ :func:`bm25_topk` on the same corpus by construction."""
+    n_docs, total = postings_corpus_stats(postings, id_col)
+    norms = bm25_norms(postings, id_col)
+    return bm25_topk_served(postings, norms, n_docs, total, id_col, terms, k,
+                            k1=k1, b=b)
+
+
+def bm25_topk_served(
+    postings: DataFrame,
+    norms: DataFrame,
+    n_docs: int,
+    total_tokens: int,
+    id_col: str,
+    terms: list[str],
+    k: int,
+    *,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """The serving-tier scorer: every input is MAINTAINED state
+    (``streaming.stream_bm25`` keeps postings, norms and the (N, total)
+    scalars each fresh in O(delta) per micro-batch), so query-time work
+    is candidate-bounded — no corpus- or index-scale aggregate runs per
+    query:
+
+    * candidates = ``term IN (query)`` over the postings (pushdown);
+    * per-term document frequencies come from the CANDIDATE SET ITSELF
+      (the candidates for term t are by definition every posting of t,
+      so count-distinct over them IS df(t) — one bounded aggregate over
+      candidate rows, |q| output rows);
+    * per-candidate lengths join against the norms table on the id key
+      (candidate-driven lookups; store norms id-bucketed so the join
+      co-locates);
+    * N and avgdl are the two maintained scalars.
+
+    Result ≡ :func:`bm25_topk` on the same corpus by construction."""
     if not terms:
         raise ValueError("empty query term list")
-    n_docs, total = postings_corpus_stats(postings, id_col)
     if n_docs == 0:
         raise ValueError("empty index")
-    avgdl = total / n_docs
+    avgdl = total_tokens / n_docs
+    cand = postings.filter(F.col("term").isin(terms))
     dfs = {
         r["term"]: int(r["n"])
-        for r in postings.filter(F.col("term").isin(terms))
-        .groupBy("term").agg(F.countDistinct(id_col).alias("n")).collect()
+        for r in cand.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("n")).collect()
     }
     idfs = [_idf(n_docs, dfs.get(t, 0)) for t in terms]
-    norms = postings.groupBy(id_col).agg(F.sum("tf").alias("__dl"))
-
-    cand = (
-        postings.filter(F.col("term").isin(terms))
-        .join(norms, id_col)  # candidate-keyed; norms materialized at scale
-    )
+    cand = cand.join(norms.select(F.col(id_col), F.col("dl").alias("__dl")),
+                     id_col)
     idf_map = F.create_map(
         *[x for t, v in zip(terms, idfs) for x in (F.lit(t), F.lit(v))])
     k1p1, k1_1mb, k1b = k1 + 1.0, k1 * (1.0 - b), k1 * b
@@ -257,6 +293,80 @@ def bm25_topk_postings(
         .orderBy(F.desc("score_micro"), F.col(id_col))
         .limit(k)
     )
+
+
+def bm25_norms(postings: DataFrame, id_col: str) -> DataFrame:
+    """(id, dl) document lengths from a postings table — dl(d) is the
+    per-doc tf sum because tf counts every occurrence. One index-keyed
+    aggregate; the serving tier never runs this per query (it maintains
+    the norms incrementally via :func:`bm25_norms_delta`)."""
+    return postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+
+
+def bm25_norms_delta(posting_delta: DataFrame, id_col: str) -> DataFrame:
+    """The SIGNED (id, dl) delta implied by a signed posting delta:
+    summing a doc's tf deltas is exactly new_dl − old_dl (updates),
+    +dl (inserts) or −dl (deletes) — so the norms table folds with the
+    same sum-and-drop-zeros algebra as the postings. O(batch docs)."""
+    return (
+        posting_delta.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        .filter(F.col("dl") != 0)
+    )
+
+
+def fold_bm25_norms(df: DataFrame, id_col: str) -> DataFrame:
+    """Collapse a stack of signed norms deltas (plus an optional absolute
+    snapshot) into the current (id, dl) state; docs whose length reached
+    0 disappear."""
+    return (
+        df.select(id_col, "dl")
+        .groupBy(id_col)
+        .agg(F.sum("dl").alias("dl"))
+        .filter(F.col("dl") > 0)
+    )
+
+
+def bm25_stats_delta(
+    pre_norms: DataFrame | None,
+    norms_delta: DataFrame,
+    id_col: str,
+) -> tuple[int, int]:
+    """The (Δn_docs, Δtotal_tokens) scalars one batch applies to the
+    corpus stats — the bounded arithmetic that keeps avgdl maintainable
+    without ever counting the norms table at query time:
+
+    * Δtotal = sum of the norms delta (one aggregate over O(batch docs));
+    * Δn = docs whose length crossed 0 → a doc counts as NEW when it has
+      no pre-state row (the pre-norms lookup is a broadcast semi/anti
+      join on the batch's bounded touched-id set), and as REMOVED when
+      pre_dl + Δdl == 0.
+
+    Returns plain ints (two scalars — the driver carries them into the
+    stats LSM append)."""
+    rows = norms_delta.select(F.col(id_col).alias("__id"),
+                              F.col("dl").alias("__d"))
+    if pre_norms is None:
+        agg = rows.agg(
+            F.sum("__d").alias("dt"),
+            F.count("*").alias("nn"),
+        ).first()
+        return int(agg["nn"] or 0), int(agg["dt"] or 0)
+    pre = pre_norms.select(F.col(id_col).alias("__id"),
+                           F.col("dl").alias("__pre"))
+    # pre-norms narrowed to the batch's bounded touched-id set first
+    # (broadcast semi-join → dir/bucket-prunable at scale), then the
+    # batch-sized left join decides new-vs-updated per doc.
+    touched_pre = pre.join(F.broadcast(rows.select("__id")), "__id",
+                           "left_semi")
+    joined = rows.join(touched_pre, "__id", "left")
+    agg = joined.agg(
+        F.sum("__d").alias("dt"),
+        F.sum(F.when(F.col("__pre").isNull(), 1).otherwise(0)).alias("nn"),
+        F.sum(F.when(F.col("__pre").isNotNull()
+                     & (F.col("__pre") + F.col("__d") == 0), 1)
+              .otherwise(0)).alias("nr"),
+    ).first()
+    return int((agg["nn"] or 0) - (agg["nr"] or 0)), int(agg["dt"] or 0)
 
 
 # --------------------------------------------------------------------------

@@ -1,36 +1,64 @@
-"""Always-on CDC maintenance of the BM25 inverted index.
+"""Always-on CDC maintenance of the BM25 inverted index — and of the
+serving-tier side states that make query time candidate-bounded.
 
-The WHOLE index state is one signed (term, id, tf) manifest table plus
-the base text replica: document frequencies, per-doc lengths, N and avgdl
-all derive from the fold by bounded aggregates (see ``operators.bm25``),
-so keeping search fresh costs exactly one O(batch) posting-delta append
-per micro-batch — the LSM contract the LM counts stream proved
-(``stream_lm.apply_lm_manifest_epoch``), applied to retrieval.
+The core index state is one signed (term, id, tf) manifest table plus the
+base text replica: document frequencies, per-doc lengths, N and avgdl all
+DERIVE from its fold (see ``operators.bm25``), so correctness needs only
+the one LSM. But deriving norms/N/avgdl per query is an index-scale
+aggregate — fine for ad-hoc use, wrong for a serving tier. So the drain
+optionally maintains two more states in the SAME epoch, each O(delta):
+
+* ``norms_t`` — signed (id, dl) LSM; the batch's norms delta is the
+  per-doc sum of its posting delta (exactly new_dl − old_dl), folding
+  with the same sum-and-drop-zeros algebra;
+* ``stats_t`` — the (Δn_docs, Δtotal_tokens) scalar ledger; one row per
+  epoch, computed against the PINNED pre-epoch norms (a broadcast
+  semi-join on the batch's touched ids decides which docs crossed zero).
+
+``bm25_topk_served`` then answers queries from maintained state only:
+candidates via ``term IN`` pushdown, df from the candidate set itself,
+dl by candidate-driven norms lookups, N/avgdl from the folded scalars.
 
 Exactly-once with no cross-table transaction, same guard ordering as the
-LM stream: the postings append is epoch-guarded, the base merge is
-watermark-guarded (``merge_audit(pruned=True)`` — dir-granular, O(touched
-dirs)), and the delta is always computed against the PRE-merge base
-because the append commits strictly before the merge in every attempt.
+LM stream: every append is epoch-guarded and runs strictly BEFORE the
+base merge (watermark-guarded, ``merge_audit(pruned=True)`` — dir-
+granular, O(touched dirs)), so in any crash prefix the pre-merge base is
+still present to recompute the identical deltas; the stats read is
+pinned at the pre-epoch norms version, so a replay after the norms
+append still sees the same pre-state.
 
 Why this matters at 100 TB: "find documents like X" / decontamination /
 targeted curation all need a current index; rebuilding one is a full
-corpus scan, while this keeps it current for the cost of each delta.
+corpus scan, while this keeps it — and its serving stats — current for
+the cost of each delta.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
-from cdc_audit_spark.operators.bm25 import bm25_posting_delta, fold_bm25_postings
+from cdc_audit_spark.operators.bm25 import (
+    bm25_norms_delta,
+    bm25_posting_delta,
+    bm25_stats_delta,
+    fold_bm25_norms,
+    fold_bm25_postings,
+)
 from cdc_audit_spark.streaming import genstate
 
 __all__ = [
     "apply_bm25_manifest_epoch",
     "current_manifest_bm25",
+    "current_serving_bm25",
+    "fold_bm25_stats",
+    "maybe_fold_bm25_norms",
     "maybe_fold_bm25_postings",
+    "maybe_fold_bm25_stats",
     "stream_bm25_sync_manifest",
 ]
+
+_STATS_SCHEMA = "n_docs_delta long, total_tokens_delta long"
 
 
 def apply_bm25_manifest_epoch(
@@ -43,12 +71,17 @@ def apply_bm25_manifest_epoch(
     pk_cols: list[str],
     range_buckets: int = 32,
     fold_max_dirs: int = 16,
+    norms_t=None,
+    stats_t=None,
 ) -> None:
     """One micro-batch of the exactly-once manifest-backed index drain —
     O(delta) at the storage layer: committed bytes scale with the batch,
     never the corpus or the index. Mirrors
     ``stream_lm.apply_lm_manifest_epoch`` (same crash-window proof);
-    requires a single integer merge key and monotone batch ``audit_pk``."""
+    requires a single integer merge key and monotone batch ``audit_pk``.
+    Pass ``norms_t``/``stats_t`` to additionally maintain the serving
+    side states (module docstring) in the same epoch."""
+    from cdc_audit_spark.streaming.stream_dedup import _version_before_epoch
     from cdc_audit_spark.streaming.stream_lm import _empty_state
 
     if len(pk_cols) != 1:
@@ -56,16 +89,42 @@ def apply_bm25_manifest_epoch(
             "the manifest-backed BM25 stream maintains its base replica "
             "with merge_audit(pruned=True), which needs a single integer "
             f"merge key; got pk_cols={pk_cols!r}")
-    if not postings_t.epoch_applied(epoch_id, run_id):
+    pk = pk_cols[0]
+    extra = {"epoch": int(epoch_id), "run_id": run_id}
+    need_post = not postings_t.epoch_applied(epoch_id, run_id)
+    need_norms = norms_t is not None and not norms_t.epoch_applied(
+        epoch_id, run_id)
+    need_stats = stats_t is not None and not stats_t.epoch_applied(
+        epoch_id, run_id)
+    if need_post or need_norms or need_stats:
+        # every append runs before the merge, so in ANY crash prefix the
+        # base is still pre-merge and the recomputed delta is identical
         base = (base_t.read() if base_t.current_version() is not None
                 else _empty_state(batch_df))
         delta = bm25_posting_delta(base, batch_df, text_col, pk_cols)
-        postings_t.append(delta, extra={"epoch": int(epoch_id),
-                                        "run_id": run_id})
+        if need_post:
+            postings_t.append(delta, extra=extra)
+        if need_norms or need_stats:
+            nd = bm25_norms_delta(delta, pk)
+            if need_norms:
+                norms_t.append(nd, extra=extra)
+            if need_stats:
+                pre_v = _version_before_epoch(norms_t, epoch_id)
+                pre_norms = (fold_bm25_norms(norms_t.read(pre_v), pk)
+                             if pre_v is not None else None)
+                dn, dt = bm25_stats_delta(pre_norms, nd, pk)
+                stats_t.append(
+                    batch_df.sparkSession.createDataFrame(
+                        [(dn, dt)], _STATS_SCHEMA),
+                    extra=extra)
     base_t.merge_audit(batch_df, pk_cols,
                        bootstrap=_empty_state(batch_df),
                        pruned=True, range_buckets=range_buckets)
-    maybe_fold_bm25_postings(postings_t, pk_cols[0], max_dirs=fold_max_dirs)
+    maybe_fold_bm25_postings(postings_t, pk, max_dirs=fold_max_dirs)
+    if norms_t is not None:
+        maybe_fold_bm25_norms(norms_t, pk, max_dirs=fold_max_dirs)
+    if stats_t is not None:
+        maybe_fold_bm25_stats(stats_t, max_dirs=4 * fold_max_dirs)
 
 
 def maybe_fold_bm25_postings(postings_t, id_col: str,
@@ -74,9 +133,8 @@ def maybe_fold_bm25_postings(postings_t, id_col: str,
     exceeds ``max_dirs`` — ``maybe_fold_lm_counts``'s policy applied to
     the index: the rewrite is the AGGREGATED fold (signed deltas summed,
     zero rows dropped), amortized O(index); epoch/run_id inherit through
-    the overwrite so the replay guard survives folding. A serving
-    deployment would also materialize the norms/df side tables here (one
-    bounded aggregate each). Returns the new version or None."""
+    the overwrite so the replay guard survives folding. Returns the new
+    version or None."""
     cur = postings_t.current_version()
     if cur is None:
         return None
@@ -86,11 +144,50 @@ def maybe_fold_bm25_postings(postings_t, id_col: str,
     return postings_t.overwrite(folded, base_version=cur)
 
 
+def maybe_fold_bm25_norms(norms_t, id_col: str,
+                          max_dirs: int = 16) -> int | None:
+    """The same fold policy for the norms LSM (amortized O(#docs))."""
+    cur = norms_t.current_version()
+    if cur is None:
+        return None
+    if len(norms_t.manifest(cur)["dirs"]) <= max_dirs:
+        return None
+    return norms_t.overwrite(fold_bm25_norms(norms_t.read(cur), id_col),
+                             base_version=cur)
+
+
+def maybe_fold_bm25_stats(stats_t, max_dirs: int = 64) -> int | None:
+    """Collapse the scalar ledger to one summed row when its fan-in
+    passes ``max_dirs`` (one row per epoch otherwise — the cheapest
+    possible state, folded lazily)."""
+    cur = stats_t.current_version()
+    if cur is None:
+        return None
+    if len(stats_t.manifest(cur)["dirs"]) <= max_dirs:
+        return None
+    return stats_t.overwrite(
+        stats_t.read(cur).agg(
+            F.sum("n_docs_delta").cast("long").alias("n_docs_delta"),
+            F.sum("total_tokens_delta").cast("long")
+            .alias("total_tokens_delta")),
+        base_version=cur)
+
+
+def fold_bm25_stats(stats_df) -> tuple[int, int]:
+    """(n_docs, total_tokens) from the scalar ledger — one bounded
+    aggregate over at most ``max_dirs`` single-row deltas."""
+    row = stats_df.agg(F.sum("n_docs_delta").alias("n"),
+                       F.sum("total_tokens_delta").alias("t")).first()
+    return int(row["n"] or 0), int(row["t"] or 0)
+
+
 def current_manifest_bm25(spark: SparkSession, base_path: str,
                           postings_path: str, id_col: str):
     """(base replica DataFrame, current folded postings) of a maintained
     index — (None, None) before the first committed epoch. Feed the
-    postings to ``bm25.bm25_topk_postings`` to serve queries."""
+    postings to ``bm25.bm25_topk_postings`` for ad-hoc queries (index-
+    scale stats aggregates per query); a serving deployment reads
+    :func:`current_serving_bm25` instead."""
     from cdc_audit_spark.sinks.manifest import ManifestTable
 
     base_t = ManifestTable(spark, base_path)
@@ -101,6 +198,24 @@ def current_manifest_bm25(spark: SparkSession, base_path: str,
     base = (base_t.read() if base_t.current_version() is not None
             else None)
     return base, postings
+
+
+def current_serving_bm25(spark: SparkSession, postings_path: str,
+                         norms_path: str, stats_path: str, id_col: str):
+    """(postings, norms, n_docs, total_tokens) — everything
+    ``bm25.bm25_topk_served`` needs, all from maintained state; (None,
+    None, 0, 0) before the first committed epoch."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    postings_t = ManifestTable(spark, postings_path)
+    norms_t = ManifestTable(spark, norms_path)
+    stats_t = ManifestTable(spark, stats_path)
+    if postings_t.current_version() is None:
+        return None, None, 0, 0
+    postings = fold_bm25_postings(postings_t.read(), id_col)
+    norms = fold_bm25_norms(norms_t.read(), id_col)
+    n_docs, total = fold_bm25_stats(stats_t.read())
+    return postings, norms, n_docs, total
 
 
 def stream_bm25_sync_manifest(
@@ -116,15 +231,21 @@ def stream_bm25_sync_manifest(
     max_files_per_trigger: int | None = None,
     range_buckets: int = 32,
     fold_max_dirs: int = 16,
+    norms_path: str | None = None,
+    stats_path: str | None = None,
 ):
     """The BM25 maintenance stream: base replica and signed postings live
     in MANIFEST tables — exactly-once and O(delta) committed bytes per
-    micro-batch. Versioned, time-travelable, vacuumable. The live index
-    is ``current_manifest_bm25(spark, base_path, postings_path, pk)``."""
+    micro-batch. Versioned, time-travelable, vacuumable. Pass
+    ``norms_path``/``stats_path`` to also maintain the serving side
+    states; the live index is then ``current_serving_bm25`` (else
+    ``current_manifest_bm25``)."""
     from cdc_audit_spark.sinks.manifest import ManifestTable
 
     base_t = ManifestTable(spark, base_path)
     postings_t = ManifestTable(spark, postings_path)
+    norms_t = ManifestTable(spark, norms_path) if norms_path else None
+    stats_t = ManifestTable(spark, stats_path) if stats_path else None
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -136,7 +257,7 @@ def stream_bm25_sync_manifest(
             base_t, postings_t, batch_df, epoch_id,
             genstate.checkpoint_run_id(checkpoint_path),
             text_col, pk_cols, range_buckets=range_buckets,
-            fold_max_dirs=fold_max_dirs,
+            fold_max_dirs=fold_max_dirs, norms_t=norms_t, stats_t=stats_t,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(

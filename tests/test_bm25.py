@@ -224,6 +224,114 @@ def test_bm25_half_committed_replay_window(spark, tmp_path):
             for r in again.collect()} == expect
 
 
+def test_serving_states_maintained_o_delta_and_exact(spark, tmp_path):
+    """The serving side states (norms LSM + scalar stats ledger) stay
+    exact under insert/update/delete epochs: folded norms ≡ brute-force
+    doc lengths, folded stats ≡ (N, total tokens), and the served top-k
+    ≡ the scan-form top-k on the final corpus. All side-state commits
+    are appends; replaying the last epoch is a durable no-op."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_bm25 import (
+        apply_bm25_manifest_epoch,
+        current_serving_bm25,
+        fold_bm25_stats,
+    )
+    from cdc_audit_spark.operators.bm25 import bm25_topk_served
+
+    base_t = ManifestTable(spark, str(tmp_path / "base_t"))
+    post_t = ManifestTable(spark, str(tmp_path / "post_t"))
+    norms_t = ManifestTable(spark, str(tmp_path / "norms_t"))
+    stats_t = ManifestTable(spark, str(tmp_path / "stats_t"))
+
+    epochs = [
+        [(i, t, "insert", TS, i) for i, t in CORPUS[:3]],
+        [(4, CORPUS[3][1], "insert", TS, 10)],
+        [(2, "the dog only", "update", TS, 11),
+         (3, CORPUS[2][1], "delete", TS, 12)],
+    ]
+    for e, rows in enumerate(epochs):
+        apply_bm25_manifest_epoch(
+            base_t, post_t, spark.createDataFrame(rows, SCH), e, "r1",
+            "text", ["doc_id"], norms_t=norms_t, stats_t=stats_t)
+
+    final = [CORPUS[0], (2, "the dog only"), CORPUS[3]]
+    brute = _brute_postings(final)
+    exp_norms = {}
+    for (_t, d), c in brute.items():
+        exp_norms[d] = exp_norms.get(d, 0) + c
+
+    postings, norms, n_docs, total = current_serving_bm25(
+        spark, post_t.path, norms_t.path, stats_t.path, "doc_id")
+    assert {r["doc_id"]: r["dl"] for r in norms.collect()} == exp_norms
+    assert n_docs == len(exp_norms)
+    assert total == sum(exp_norms.values())
+
+    terms = ["dog", "fish", "cat"]
+    served = [(r["doc_id"], r["score_micro"]) for r in bm25_topk_served(
+        postings, norms, n_docs, total, "doc_id", terms, 3).collect()]
+    scan = [(r["doc_id"], r["score_micro"]) for r in bm25_topk(
+        spark.createDataFrame(final, "doc_id long, text string"),
+        "text", "doc_id", terms, 3).collect()]
+    assert served == scan
+
+    for t in (post_t, norms_t, stats_t):
+        assert all(t.manifest(v)["action"] == "append"
+                   for v in t.versions())
+
+    # durable no-op on full-epoch replay (all guards skip)
+    apply_bm25_manifest_epoch(
+        base_t, post_t, spark.createDataFrame(epochs[-1], SCH), 2, "r1",
+        "text", ["doc_id"], norms_t=norms_t, stats_t=stats_t)
+    _, norms2, n2, t2 = current_serving_bm25(
+        spark, post_t.path, norms_t.path, stats_t.path, "doc_id")
+    assert {r["doc_id"]: r["dl"] for r in norms2.collect()} == exp_norms
+    assert (n2, t2) == (n_docs, total)
+    assert fold_bm25_stats(stats_t.read()) == (n_docs, total)
+
+
+def test_serving_half_committed_stats_replay(spark, tmp_path):
+    """Crash after the postings + norms appends but before the stats
+    append: the replay recomputes the identical delta from the still-
+    pre-merge base, reads the PINNED pre-epoch norms, and lands only the
+    missing stats row — the ledger never double-counts."""
+    from cdc_audit_spark.operators.bm25 import bm25_norms_delta
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_bm25 import (
+        apply_bm25_manifest_epoch,
+        current_serving_bm25,
+    )
+
+    base_t = ManifestTable(spark, str(tmp_path / "base_t"))
+    post_t = ManifestTable(spark, str(tmp_path / "post_t"))
+    norms_t = ManifestTable(spark, str(tmp_path / "norms_t"))
+    stats_t = ManifestTable(spark, str(tmp_path / "stats_t"))
+    b0 = spark.createDataFrame(
+        [(i, t, "insert", TS, i) for i, t in CORPUS], SCH)
+    apply_bm25_manifest_epoch(base_t, post_t, b0, 0, "r1", "text",
+                              ["doc_id"], norms_t=norms_t, stats_t=stats_t)
+
+    # simulate the crash: epoch 1's postings + norms halves commit, the
+    # stats append and the base merge never run
+    b1 = spark.createDataFrame(
+        [(2, "the dog only", "update", TS, 20),
+         (4, CORPUS[3][1], "delete", TS, 21)], SCH)
+    half = bm25_posting_delta(base_t.read(), b1, "text", ["doc_id"])
+    post_t.append(half, extra={"epoch": 1, "run_id": "r1"})
+    norms_t.append(bm25_norms_delta(half, "doc_id"),
+                   extra={"epoch": 1, "run_id": "r1"})
+
+    apply_bm25_manifest_epoch(base_t, post_t, b1, 1, "r1", "text",
+                              ["doc_id"], norms_t=norms_t, stats_t=stats_t)
+    final = [CORPUS[0], (2, "the dog only"), CORPUS[2]]
+    exp_norms = {}
+    for (_t, d), c in _brute_postings(final).items():
+        exp_norms[d] = exp_norms.get(d, 0) + c
+    _, norms, n_docs, total = current_serving_bm25(
+        spark, post_t.path, norms_t.path, stats_t.path, "doc_id")
+    assert {r["doc_id"]: r["dl"] for r in norms.collect()} == exp_norms
+    assert (n_docs, total) == (len(exp_norms), sum(exp_norms.values()))
+
+
 def test_rrf_fuse_matches_hand_computation(spark):
     a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
                               "doc_id long, rank long")
