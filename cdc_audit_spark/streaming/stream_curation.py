@@ -1,13 +1,21 @@
 """Always-on training-data curation: the firehose drain.
 
 The operators this engine grew for the LLM pipeline — near-dup rejection
-against a maintained LSH index, the CCNet-style quality gate under a
+against a maintained LSH index, benchmark decontamination against a
+static eval-set gram blocklist, the CCNet-style quality gate under a
 corpus-trained Stupid-Backoff LM — composed into ONE exactly-once ingest
 stream, the shape a real 100 TB curation deployment runs:
 
-    raw docs ──► near-dup filter ──► LM quality gate ──► curated corpus
-                  (vs maintained        (vs maintained       (manifest
-                   band/bucket index)    gram counts)         table)
+    raw docs ─► near-dup filter ─► decontam ─► LM quality gate ─► curated
+                 (vs maintained     (vs static    (vs maintained   corpus
+                  band/bucket        broadcast     gram counts)   (manifest
+                  index)             8-gram set)                   table)
+
+The decontamination stage is STATELESS (the benchmark gram set is a
+static broadcast table — the caller must keep it immutable across
+restarts, the same contract as the batch/streaming `operators.decontam`
+forms), so it adds no commit, no guard and no replay window: it is a
+deterministic function of the batch, evaluated map-side behind the scan.
 
 Per micro-batch, THREE manifest commits, each O(delta), each
 independently epoch-guarded with its state read PINNED at the newest
@@ -65,10 +73,18 @@ def apply_curation_epoch(
     bands: int = 16,
     shingle_size: int = 3,
     fold_max_dirs: int = 16,
+    benchmark_df=None,
+    decontam_n: int = 8,
 ) -> None:
     """One micro-batch of the composed curation drain (module docstring
     for the protocol). ``batch_df`` is PLAIN document rows (an ingest
-    firehose, not an audit log)."""
+    firehose, not an audit log). ``benchmark_df`` (optional) switches on
+    the decontamination stage: docs sharing a ``decontam_n``-gram with
+    it never reach the gate, the curated table or the model — but their
+    LSH entries still land in the dedup index (a future copy of a
+    contaminated doc is still a duplicate; its content was already
+    adjudicated, same rule as quality-rejected docs)."""
+    from cdc_audit_spark.operators.decontam import benchmark_overlap
     from cdc_audit_spark.operators.dedup import incremental_lsh_dedup
     from cdc_audit_spark.operators.ngram_lm import (
         _doc_grams,
@@ -94,6 +110,13 @@ def apply_curation_epoch(
         num_hashes=num_hashes, bands=bands, shingle_size=shingle_size)
     survivors = batch_df.join(
         accepted_ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+
+    # ---- stateless decontamination against the static benchmark set
+    if benchmark_df is not None:
+        dirty = (benchmark_overlap(survivors, benchmark_df, text_col,
+                                   id_col, n=decontam_n)
+                 .select(F.col("id").alias(id_col)).distinct())
+        survivors = survivors.join(dirty, id_col, "left_anti")
 
     # ---- quality gate under the PINNED pre-epoch model
     pre_c = _version_before_epoch(counts_t, epoch_id)
@@ -141,8 +164,11 @@ def stream_curation_sync(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     fold_max_dirs: int = 16,
+    benchmark_df=None,
+    decontam_n: int = 8,
 ):
-    """Drain a raw-document parquet firehose through near-dup rejection
+    """Drain a raw-document parquet firehose through near-dup rejection,
+    optional benchmark decontamination (pass ``benchmark_df``),
     and the self-training LM quality gate into a curated manifest table.
     Returns the StreamingQuery; the curated corpus is
     ``ManifestTable(spark, accepted_path).read()`` and the live model
@@ -166,6 +192,7 @@ def stream_curation_sync(
             text_col, id_col, max_avg_neg_log10, n=n,
             num_hashes=num_hashes, bands=bands,
             shingle_size=shingle_size, fold_max_dirs=fold_max_dirs,
+            benchmark_df=benchmark_df, decontam_n=decontam_n,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(

@@ -121,3 +121,44 @@ def test_curation_epoch_half_committed_replay(spark, tmp_path):
                          "text", "doc_id", 2.3)
     assert (idx_t.current_version(), acc_t.current_version(),
             counts_t.current_version()) == snap
+
+
+def test_curation_decontam_stage_blocks_benchmark_overlap(spark, tmp_path):
+    """With a benchmark set wired in, a doc sharing an 8-gram with it is
+    rejected between the dedup filter and the gate — it never reaches the
+    curated table or the model — while its LSH entries still land in the
+    index (same adjudicated-content rule as gate-rejected docs), so a
+    later copy of it is index-rejected, not re-litigated."""
+    idx_t = ManifestTable(spark, str(tmp_path / "idx"))
+    acc_t = ManifestTable(spark, str(tmp_path / "acc"))
+    counts_t = ManifestTable(spark, str(tmp_path / "counts"))
+    bench = spark.createDataFrame(
+        [(0, "the secret benchmark answer sequence nobody should train "
+             "on ever")], SCH)
+
+    contaminated = ("a web page quoting the secret benchmark answer "
+                    "sequence nobody should train on ever plus more text")
+    b0 = spark.createDataFrame([_seed(i) for i in range(6)], SCH)
+    apply_curation_epoch(idx_t, acc_t, counts_t, b0, 0, "r1",
+                         "text", "doc_id", 2.3, benchmark_df=bench)
+
+    b1 = spark.createDataFrame(
+        [(60, contaminated), (61, FLUENT)], SCH)
+    apply_curation_epoch(idx_t, acc_t, counts_t, b1, 1, "r1",
+                         "text", "doc_id", 2.3, benchmark_df=bench)
+
+    got = {r["doc_id"] for r in acc_t.read().select("doc_id").collect()}
+    assert 61 in got and 60 not in got
+    # model never saw the contaminated text
+    from cdc_audit_spark.operators.ngram_lm import fold_ngram_count_deltas
+
+    grams = {r["gram"] for r in fold_ngram_count_deltas(
+        counts_t.read()).filter("order = 1").collect()}
+    assert "benchmark" not in grams
+
+    # ...but the index adjudicated it: an exact copy is a dedup reject
+    b2 = spark.createDataFrame([(70, contaminated)], SCH)
+    from cdc_audit_spark.operators.dedup import incremental_lsh_dedup
+
+    ids, _ = incremental_lsh_dedup(b2, idx_t.read(), "text", "doc_id")
+    assert ids.count() == 0
