@@ -6371,6 +6371,65 @@ def pca_embedding_projection(spark, sf_dir):
     return pca_project(emb, "embedding", "vec_id", model)
 
 
+@register(
+    "cdc_pca_moments_sync",
+    """
+    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    survivors AS (SELECT vec_id,
+                         CASE WHEN vec_id % 13 = 0
+                              THEN list_transform(v, x -> -x)
+                              ELSE v END AS v
+                    FROM v0 WHERE vec_id % 17 <> 2),
+    ins AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM v0) AS vec_id, v
+              FROM v0 WHERE vec_id % 23 = 1),
+    final AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+    SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
+           CAST(sum(CAST(floor(v[a.i] * v[b.i] * 1000000000.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS s2_q
+      FROM final CROSS JOIN range(1, 65) a(i) CROSS JOIN range(1, 65) b(i)
+     WHERE b.i >= a.i
+     GROUP BY 1, 2
+    """,
+    "CDC-maintained PCA statistics: raw second-moment sums are signed-"
+    "mergeable (each row's quantized-product contribution references no "
+    "global state, unlike the centered covariance), so a scripted audit "
+    "batch on the embeddings (deletes ≡2 mod 17, sign-flip updates ≡0 "
+    "mod 13, inserts copies of ≡1 mod 23) maintains them by debiting old "
+    "images and crediting finals — the LM/BM25 index algebra applied to "
+    "the PCA layer. The oracle recomputes the moments on the post-change "
+    "corpus directly; INTEGER equality proves the maintenance. Only the "
+    "batch's rows are read; the corpus is never rescanned. Covariance "
+    "derives at read time as (S2/Q − n·µµᵀ)/(n−1).",
+)
+def cdc_pca_moments_sync(spark, sf_dir):
+    from cdc_audit_spark.operators.pca import incremental_moments
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    maxid = emb.agg(F.max("vec_id")).first()[0]
+    deletes = (
+        emb.filter(F.col("vec_id") % 17 == 2)
+        .select("vec_id", "embedding",
+                F.lit("delete").alias("audit_event"),
+                (F.col("vec_id") * 2 + 1).alias("audit_pk"))
+    )
+    updates = (
+        emb.filter(F.col("vec_id") % 13 == 0)
+        .select("vec_id",
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+                F.lit("update").alias("audit_event"),
+                (F.col("vec_id") * 2).alias("audit_pk"))
+    )
+    inserts = (
+        emb.filter(F.col("vec_id") % 23 == 1)
+        .select((F.col("vec_id") + F.lit(maxid + 1)).alias("vec_id"),
+                "embedding",
+                F.lit("insert").alias("audit_event"),
+                (F.col("vec_id") * 2).alias("audit_pk"))
+    )
+    batch = deletes.unionByName(updates).unionByName(inserts)
+    return incremental_moments(emb, batch, "embedding", ["vec_id"])
+
+
 # The external correctness gate hash-checks the FIRST 50 registered queries
 # each round. Registration order is therefore a verification schedule, not
 # an accident: front-load (a) the queries whose r01 failures were fixed this
@@ -6400,7 +6459,8 @@ _DRIVER_WINDOW = [
     # accrues:
     "bm25_topk", "bm25_index_topk", "hybrid_rrf_topk",
     "cdc_bm25_index_sync", "weighted_sample_wor", "pca_covariance_q",
-    # 26 of the 49 queries whose newest green row is r06 (the 3-round
+    "cdc_pca_moments_sync",
+    # 25 of the 49 queries whose newest green row is r06 (the 3-round
     # staleness bound fires this round) — prioritized by SURVEY §2
     # mapping (filters, joins, CDC machinery, streaming analytics, the
     # LLM-pipeline operators) over the TPC-H extension shapes:
@@ -6413,14 +6473,13 @@ _DRIVER_WINDOW = [
     "events_sessionize", "events_sliding_window", "filter_conj_eq", "filter_contains", "filter_isin",
     "filter_range_closed", "knn_cosine_topk", "multimodal_payload_stats",
     "q1_pricing_summary",
-    "range_join_click_windows",
     "text_bpe_token_counts", "text_language_id",
     "text_token_stats",
-    # r10 TODO: the 23 r06-green queries that did not fit this window
+    # r10 TODO: the 24 r06-green queries that did not fit this window
     # (agg_global_minmax, asof_join_error_purchase, events_json_extract,
     # events_type_pivot, text_fingerprint, q3_top_orders,
     # q5_region_revenue, q18_large_orders, q21_sole_late_supplier,
-    # topk_orders_per_customer,
+    # topk_orders_per_customer, range_join_click_windows,
     # semi_join_urgent_customers, and the TPC-H shapes
     # q2/q4/q6/q7/q8/q9/q10/q12/q14/q17/q19/q22 — all sweep-green; they
     # are 4+ rounds stale at r10 and rotate in first), plus whatever r9

@@ -121,3 +121,75 @@ def test_k_out_of_range_refused(spark):
         pca_train(df, "embedding", 0)
     with pytest.raises(ValueError):
         pca_train(df, "embedding", 5)
+
+
+def _audit(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, audit_event string, "
+              "audit_pk long")
+
+
+def test_maintained_moments_match_rebuild_exactly(spark):
+    """Signed moment maintenance ≡ recomputing the raw second-moment
+    sums on the post-batch corpus — integer equality, including an
+    update+delete interplay and a brand-new row."""
+    from cdc_audit_spark.operators.pca import incremental_moments
+
+    arr, _ = _vecs(seed=13, n=30, d=5)
+    base = _df(spark, arr)
+    batch = _audit(spark, [
+        (3, [float(-x) for x in arr[3]], "update", 1),
+        (7, [float(x) for x in arr[7]], "delete", 2),
+        (200, [float(x * 2) for x in arr[0]], "insert", 3),
+    ])
+    final = np.vstack([
+        np.delete(arr, [3, 7], axis=0),
+        (-arr[3])[None, :],
+        (arr[0] * np.float32(2))[None, :],
+    ])
+    got = {(r["i"], r["j"]): r["s2_q"] for r in incremental_moments(
+        base, batch, "embedding", ["vec_id"]).collect()}
+    expect = _mirror_cov_q(final, [0.0] * 5)  # mean 0 → raw moments
+    assert got == expect
+
+
+def test_moments_delta_of_noop_update_is_all_zero(spark):
+    """An update that re-states the same vector nets to exact zero in
+    every cell — integer cancellation, no quantization residue."""
+    from cdc_audit_spark.operators.pca import moments_delta
+
+    arr, _ = _vecs(seed=17, n=10, d=4)
+    base = _df(spark, arr)
+    batch = _audit(spark, [(2, [float(x) for x in arr[2]], "update", 1)])
+    rows = moments_delta(base, batch, "embedding", ["vec_id"]).collect()
+    assert all(r["s2_q"] == 0 for r in rows)
+
+
+def test_covariance_derived_from_maintained_moments_agrees(spark):
+    """cov = (S2/Q − n·µµᵀ)/(n−1) from MAINTAINED sums agrees with the
+    direct centered-product path within the mean quantum's floor-bias
+    bound (~|µ|·1e-6 per cell — measured ~1e-8 on real data), i.e. far
+    below eigendecomposition sensitivity."""
+    from cdc_audit_spark.operators.pca import incremental_moments
+
+    arr, _ = _vecs(seed=23, n=80, d=6)
+    base = _df(spark, arr)
+    batch = _audit(spark, [
+        (5, [float(-x) for x in arr[5]], "update", 1),
+        (9, [float(x) for x in arr[9]], "delete", 2),
+    ])
+    final = np.vstack([np.delete(arr, [5, 9], axis=0), (-arr[5])[None, :]])
+    fdf = _df(spark, final)
+
+    s2 = {(r["i"], r["j"]): r["s2_q"] for r in incremental_moments(
+        base, batch, "embedding", ["vec_id"]).collect()}
+    n = len(final)
+    mu = np.asarray(column_means(fdf, "embedding"))
+    direct = {(r["i"], r["j"]): r["cov_q"] for r in covariance_q(
+        fdf, "embedding", mu.tolist()).collect()}
+    for (i, j), q in s2.items():
+        d1 = (q / COV_QUANT - n * mu[i] * mu[j]) / (n - 1)
+        d2 = (direct[(i, j)] / COV_QUANT) / (n - 1)
+        # |µ| here is ~0.1 (synthetic, 10× the fixture), so the bias
+        # bound sits at ~1e-7; covariances are ~0.6 — six orders clear
+        assert abs(d1 - d2) < 1e-6
