@@ -159,3 +159,116 @@ def test_join_view_maintenance_any_state_pairs(spark, l0, l1, r0, r1):
     ws = sorted((r["g"], float(r["total"]), r["n_rows"])
                 for r in want.collect())
     assert gs == ws
+
+
+# ------------------------------------------------------- BM25 index algebra
+
+# doc states from a 4-word alphabet with lengths 0..4: forces shared terms,
+# exact tf cancellations, docs emptied to zero tokens, and full overlap
+_dstate = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=15),
+    values=st.lists(st.sampled_from(["cat", "dog", "fish", "owl"]),
+                    max_size=4).map(" ".join),
+    max_size=10,
+)
+
+
+def _ddf(spark, state):
+    rows = [(k, v) for k, v in sorted(state.items())]
+    return spark.createDataFrame(rows, "pk int, text string") if rows \
+        else spark.createDataFrame([], "pk int, text string")
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(v0=_dstate, v1=_dstate)
+def test_bm25_index_maintenance_any_state_pair(spark, v0, v1):
+    """For ANY state pair: fold(postings(v0) ∪ delta) == postings(v1),
+    the norms delta folds to v1's doc lengths, and the stats delta moves
+    (N, total) to v1's — the full serving-state algebra under arbitrary
+    insert/update/delete/no-op mixes."""
+    from cdc_audit_spark.operators.bm25 import (
+        bm25_norms,
+        bm25_norms_delta,
+        bm25_posting_delta,
+        bm25_postings,
+        bm25_stats_delta,
+        fold_bm25_norms,
+        fold_bm25_postings,
+    )
+
+    df0, df1 = _ddf(spark, v0), _ddf(spark, v1)
+    batch = snapshot_diff(df0, df1, ["pk"], ts=TS)
+
+    boot = bm25_postings(df0, "text", "pk")
+    delta = bm25_posting_delta(df0, batch, "text", ["pk"])
+    got = {(r["term"], r["pk"]): r["tf"] for r in fold_bm25_postings(
+        boot.unionByName(delta), "pk").collect()}
+    want = {(r["term"], r["pk"]): r["tf"]
+            for r in bm25_postings(df1, "text", "pk").collect()}
+    assert got == want
+
+    nd = bm25_norms_delta(delta, "pk")
+    norms = {r["pk"]: r["dl"] for r in fold_bm25_norms(
+        bm25_norms(boot, "pk").unionByName(nd), "pk").collect()}
+    want_norms = {r["pk"]: r["dl"]
+                  for r in bm25_norms(bm25_postings(df1, "text", "pk"),
+                                      "pk").collect()}
+    assert norms == want_norms
+
+    pre_norms = bm25_norms(boot, "pk")
+    dn, dt = bm25_stats_delta(pre_norms if v0 else None, nd, "pk")
+    n0, t0 = len(want_norms_pre := {
+        r["pk"]: r["dl"] for r in pre_norms.collect()}), \
+        sum(want_norms_pre.values())
+    assert (n0 + dn, t0 + dt) == (len(want_norms),
+                                  sum(want_norms.values()))
+
+
+# --------------------------------------------------------- PCA moment algebra
+
+_vstate = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=12),
+    values=st.lists(st.sampled_from([0.0, 0.25, -0.5, 1.0]),
+                    min_size=3, max_size=3),
+    max_size=8,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(v0=_vstate, v1=_vstate)
+def test_pca_moments_maintenance_any_state_pair(spark, v0, v1):
+    """For ANY vector-state pair: maintained raw second-moment sums are
+    integer-equal to recomputing on v1 — including the emptied-corpus
+    case, exact cancellations, and sign flips."""
+    from cdc_audit_spark.operators.pca import (
+        covariance_q,
+        fold_moments,
+        moments_delta,
+    )
+
+    def vdf(state):
+        rows = [(k, [float(x) for x in v]) for k, v in sorted(state.items())]
+        return spark.createDataFrame(rows, "pk int, v array<float>") if rows \
+            else spark.createDataFrame([], "pk int, v array<float>")
+
+    if not v0 and not v1:
+        return
+    df0, df1 = vdf(v0), vdf(v1)
+    batch = snapshot_diff(df0, df1, ["pk"], ts=TS)
+    zero = [0.0, 0.0, 0.0]
+    boot = covariance_q(df0, "v", zero).withColumnRenamed("cov_q", "s2_q") \
+        if v0 else None
+    delta = moments_delta(df0, batch, "v", ["pk"]) if (v0 or v1) else None
+    stacked = boot.unionByName(delta) if boot is not None else delta
+    got = {(r["i"], r["j"]): r["s2_q"]
+           for r in fold_moments(stacked).collect()}
+    want = {(r["i"], r["j"]): r["cov_q"]
+            for r in covariance_q(df1, "v", zero).collect()} if v1 else {}
+    # fold keeps explicit zeros; recompute-on-empty has no rows — compare
+    # only non-zero mass plus agreement on the zero cells
+    assert {k: v for k, v in got.items() if v != 0} == \
+        {k: v for k, v in want.items() if v != 0}
