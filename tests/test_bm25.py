@@ -377,3 +377,119 @@ def test_weighted_sample_wor_matches_python_mirror(spark):
     micro = {r["doc_id"]: r["es_key_micro"] for r in
              weighted_sample_wor(df, "doc_id", "w", 25).collect()}
     assert micro == {i: key(i, w) for i, w in expect}
+
+
+def test_postings_term_filter_pushes_to_parquet_scan(spark, tmp_path):
+    """The serving tier's candidate selection (term IN query) reaches the
+    parquet scan as a pushed filter — at scale, a term-sorted postings
+    layout then prunes row groups, so only candidate bytes are read."""
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    path = str(tmp_path / "postings")
+    bm25_postings(df, "text", "doc_id").write.parquet(path)
+    stored = spark.read.parquet(path)
+    cand = stored.filter(F.col("term").isin(["dog", "fish"]))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term, [dog,fish])" in plan
+
+
+def test_hybrid_retrieval_served_from_maintained_state_only(spark, tmp_path):
+    """The capstone composition: a corpus with text AND embeddings is
+    mutated through audit epochs; the BM25 serving states and the ANN
+    serving projection are each maintained O(delta); hybrid RRF served
+    from MAINTAINED STATE ONLY equals recomputing both retrievers from
+    scratch on the final corpus — no corpus rescan anywhere on the
+    serving path."""
+    from cdc_audit_spark.operators.bm25 import bm25_topk_served
+    from cdc_audit_spark.operators.similarity import (
+        cosine_topk,
+        sample_centroids,
+    )
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_ann import (
+        ann_serving_topk,
+        cdc_ann_serving_sync,
+    )
+    from cdc_audit_spark.streaming.stream_bm25 import (
+        apply_bm25_manifest_epoch,
+        current_serving_bm25,
+    )
+
+    words = ["cat", "dog", "fish", "owl", "ant", "bee"]
+
+    def text_of(i):
+        return " ".join(words[(i + j) % len(words)]
+                        for j in range((i % 4) + 2))
+
+    def emb_of(i):
+        return [float(((i * (j + 3)) % 17) - 8.0) for j in range(4)]
+
+    n0 = 40
+    docs = [(i, text_of(i)) for i in range(n0)]
+    vecs = [(i, emb_of(i)) for i in range(n0)]
+
+    base_t = ManifestTable(spark, str(tmp_path / "base_t"))
+    post_t = ManifestTable(spark, str(tmp_path / "post_t"))
+    norms_t = ManifestTable(spark, str(tmp_path / "norms_t"))
+    stats_t = ManifestTable(spark, str(tmp_path / "stats_t"))
+    srv = ManifestTable(spark, str(tmp_path / "srv"))
+    emb_df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = sample_centroids(emb_df, 3)
+
+    def tbatch(rows, pk0):
+        return spark.createDataFrame(
+            [(i, t, e, TS, pk0 + n) for n, (i, t, e) in enumerate(rows)], SCH)
+
+    def vbatch(rows, pk0):
+        return spark.createDataFrame(
+            [(i, v, e, pk0 + n) for n, (i, v, e) in enumerate(rows)],
+            "vec_id long, embedding array<float>, audit_event string, "
+            "audit_pk long")
+
+    # epoch 0: bootstrap inserts on both modalities
+    apply_bm25_manifest_epoch(
+        base_t, post_t, tbatch([(i, t, "insert") for i, t in docs], 1), 0,
+        "r1", "text", ["doc_id"], norms_t=norms_t, stats_t=stats_t)
+    cdc_ann_serving_sync(
+        srv, vbatch([(i, v, "insert") for i, v in vecs], 1), cents)
+
+    # epoch 1: coordinated update/delete/insert mix
+    t1 = [(3, "owl owl owl cat", "update"), (7, docs[7][1], "delete"),
+          (100, "bee ant bee ant fish", "insert")]
+    v1 = [(3, [9.0, -1.0, 0.5, 2.0], "update"), (7, vecs[7][1], "delete"),
+          (100, [1.0, 8.0, -3.0, 0.25], "insert")]
+    apply_bm25_manifest_epoch(
+        base_t, post_t, tbatch(t1, 100), 1, "r1", "text", ["doc_id"],
+        norms_t=norms_t, stats_t=stats_t)
+    cdc_ann_serving_sync(srv, vbatch(v1, 100), cents)
+
+    final_docs = [(i, t) for i, t in docs if i not in (3, 7)] + \
+        [(3, "owl owl owl cat"), (100, "bee ant bee ant fish")]
+    final_vecs = [(i, v) for i, v in vecs if i not in (3, 7)] + \
+        [(3, [9.0, -1.0, 0.5, 2.0]), (100, [1.0, 8.0, -3.0, 0.25])]
+
+    # --- serve from maintained state only
+    postings, norms, n_docs, total = current_serving_bm25(
+        spark, post_t.path, norms_t.path, stats_t.path, "doc_id")
+    terms, qv = ["owl", "cat"], [4.0, 2.0, -1.0, 0.5]
+    bm_served = with_rank(
+        bm25_topk_served(postings, norms, n_docs, total, "doc_id",
+                         terms, 10),
+        [F.desc("score_micro")], "doc_id")
+    cos_served = with_rank(
+        ann_serving_topk(srv, cents, qv, k=10, nprobe=len(cents)),
+        [F.desc("cos_sim")], "vec_id").withColumnRenamed("vec_id", "doc_id")
+    got = [(r["doc_id"], r["rrf_score"]) for r in
+           rrf_fuse(bm_served, cos_served, "doc_id", 8).collect()]
+
+    # --- recompute both retrievers from scratch on the final corpus
+    fdocs = spark.createDataFrame(final_docs, "doc_id long, text string")
+    fvecs = spark.createDataFrame(final_vecs,
+                                  "vec_id long, embedding array<float>")
+    bm_fresh = with_rank(bm25_topk(fdocs, "text", "doc_id", terms, 10),
+                         [F.desc("score_micro")], "doc_id")
+    cos_fresh = with_rank(cosine_topk(fvecs, qv, 10),
+                          [F.desc("cos_sim")], "vec_id"
+                          ).withColumnRenamed("vec_id", "doc_id")
+    want = [(r["doc_id"], r["rrf_score"]) for r in
+            rrf_fuse(bm_fresh, cos_fresh, "doc_id", 8).collect()]
+    assert got == want
