@@ -58,6 +58,11 @@ HEADLINE = [
     "events_transition_matrix",
     "q9_profit_by_nation_year",
     "events_hourly_anomalies",
+    # r9 retrieval tier (appended, so every prior round's per-query
+    # comparisons stay aligned; compare totals per-query, not headline
+    # sums, across rounds that changed this list)
+    "bm25_topk",
+    "hybrid_rrf_topk",
 ]
 
 

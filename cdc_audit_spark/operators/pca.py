@@ -49,9 +49,12 @@ __all__ = [
     "PCAModel",
     "column_means",
     "covariance_q",
+    "fold_moment_state",
     "fold_moments",
     "incremental_moments",
+    "moment_state_delta",
     "moments_delta",
+    "pca_model_from_state",
     "pca_project",
     "pca_train",
 ]
@@ -258,6 +261,130 @@ def incremental_moments(
         "cov_q", "s2_q")
     delta = moments_delta(base, audit_batch, vec_col, pk_cols)
     return fold_moments(boot.unionByName(delta))
+
+
+# --------------------------------------------------------------------------
+# The full maintained moment STATE: count + first + second moments in one
+# signed LSM table — everything pca_train needs, all integer-mergeable
+# --------------------------------------------------------------------------
+#
+# Row encoding (kind, i, j, q):
+#   kind 0: (−1, −1, Δrow-count)
+#   kind 1: (i, −1, Δ Σ floor(x_i · 1e6))      — the column_means sums
+#   kind 2: (i, j, Δ Σ floor(x_i·x_j · 1e9 + 0.5)), i ≤ j
+# Every entry is a per-row integer contribution, so an audit batch's
+# effect is debit(old images) + credit(final images) and the fold is a
+# plain keyed sum (zeros kept — they are legitimate values here).
+# ``pca_model_from_state`` rebuilds the model: the means are EXACTLY
+# ``column_means`` of the current corpus (identical integer sums); the
+# covariance derives as (S2/Q − n·µµᵀ)/(n−1) — within the documented
+# mean-quantum bound of the centered-product path.
+
+
+def _moment_state_rows(df: DataFrame, vec_col: str, d: int,
+                       sign: int) -> DataFrame:
+    """The (kind, i, j, q) contribution of one row set, signed."""
+    cnt = df.select(
+        F.lit(0).alias("kind"), F.lit(-1).cast("long").alias("i"),
+        F.lit(-1).cast("long").alias("j"),
+        F.lit(sign).cast("long").alias("q"),
+    ).groupBy("kind", "i", "j").agg(F.sum("q").alias("q"))
+    s1 = (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                  .alias("i", "x"))
+        .groupBy("i")
+        .agg((F.lit(sign) * F.sum(
+            F.floor(F.col("x") * F.lit(float(MEAN_QUANT))).cast("long")))
+            .alias("q"))
+        .select(F.lit(1).alias("kind"), F.col("i").cast("long").alias("i"),
+                F.lit(-1).cast("long").alias("j"), "q")
+    )
+    s2 = covariance_q(df, vec_col, [0.0] * d).select(
+        F.lit(2).alias("kind"), "i", "j",
+        (F.lit(sign) * F.col("cov_q")).alias("q"))
+    return cnt.unionByName(s1).unionByName(s2)
+
+
+def moment_state_delta(
+    base: DataFrame,
+    audit_batch: DataFrame,
+    vec_col: str,
+    pk_cols: list[str],
+) -> DataFrame:
+    """The SIGNED full-state delta one audit batch applies — the LSM
+    write unit for the always-on PCA maintenance stream
+    (``streaming.stream_pca``): O(batch) compute and O(d²) output,
+    the corpus never rescanned."""
+    from cdc_audit_spark.compact import keep_last_per_key
+    from cdc_audit_spark.schema import AUDIT_EVENT
+
+    row = (base.select(F.size(vec_col).alias("d")).first()
+           or audit_batch.select(F.size(vec_col).alias("d")).first())
+    if row is None:
+        raise ValueError("both base and batch are empty")
+    d = int(row["d"])
+    final = keep_last_per_key(audit_batch, pk_cols)
+    touched = final.select(*pk_cols)
+    old = base.join(F.broadcast(touched), pk_cols, "left_semi")
+    debit = _moment_state_rows(old, vec_col, d, -1)
+    credit = _moment_state_rows(
+        final.filter(F.col(AUDIT_EVENT) != "delete"), vec_col, d, 1)
+    return fold_moment_state(debit.unionByName(credit))
+
+
+def fold_moment_state(df: DataFrame) -> DataFrame:
+    """Collapse stacked signed state deltas into the current
+    (kind, i, j, q) state — one bounded keyed aggregate (1 + d + d²/2
+    keys); zeros kept."""
+    return (
+        df.select("kind", "i", "j", "q")
+        .groupBy("kind", "i", "j")
+        .agg(F.sum("q").alias("q"))
+    )
+
+
+def pca_model_from_state(state: DataFrame, k: int) -> PCAModel:
+    """Rehydrate a PCAModel from the maintained moment state — three
+    bounded reads (1 + d + d²/2 rows), one driver-side eigh; never
+    touches the corpus. Means are EXACTLY ``column_means`` of the
+    current corpus; covariance within the documented mean-quantum bound
+    of ``pca_train``'s centered path."""
+    import numpy as np
+
+    rows = state.collect()
+    n = 0
+    s1: dict[int, int] = {}
+    s2: dict[tuple[int, int], int] = {}
+    for r in rows:
+        if r["kind"] == 0:
+            n = int(r["q"])
+        elif r["kind"] == 1:
+            s1[int(r["i"])] = int(r["q"])
+        else:
+            s2[(int(r["i"]), int(r["j"]))] = int(r["q"])
+    if n < 2:
+        raise ValueError("need at least 2 maintained rows")
+    d = len(s1)
+    if not 0 < k <= d:
+        raise ValueError(f"k={k} out of range for dim {d}")
+    mean = [(s1[i] / MEAN_QUANT) / n for i in range(d)]
+    mu = np.asarray(mean)
+    cov = np.zeros((d, d), dtype=np.float64)
+    for (i, j), q in s2.items():
+        v = (q / COV_QUANT - n * mu[i] * mu[j]) / (n - 1)
+        cov[i, j] = v
+        cov[j, i] = v
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        w = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(w)))
+        if w[pivot] < 0:
+            w = -w
+        comps.append([float(x) for x in w])
+    return PCAModel(mean=mean, components=comps,
+                    explained_variance=[float(vals[i]) for i in order])
 
 
 def pca_project(df: DataFrame, vec_col: str, id_col: str,

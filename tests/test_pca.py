@@ -193,3 +193,102 @@ def test_covariance_derived_from_maintained_moments_agrees(spark):
         # |µ| here is ~0.1 (synthetic, 10× the fixture), so the bias
         # bound sits at ~1e-7; covariances are ~0.6 — six orders clear
         assert abs(d1 - d2) < 1e-6
+
+
+def test_stream_pca_manifest_matches_batch_train(spark, tmp_path):
+    """availableNow drain over three audit files: the rehydrated model's
+    MEANS equal batch column_means on the final corpus exactly, the
+    maintained S2 equals a recompute integer-exactly, components agree
+    with batch pca_train within the mean-quantum bound, every state
+    commit is an append, and a restarted drain applies only new files."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_pca import (
+        current_manifest_pca,
+        stream_pca_sync_manifest,
+    )
+    from cdc_audit_spark.operators.pca import pca_train
+
+    arr, _ = _vecs(seed=29, n=50, d=5)
+    SCH = ("vec_id long, embedding array<float>, audit_event string, "
+           "audit_pk long")
+    batches = [
+        [(i, [float(x) for x in arr[i]], "insert", i + 1)
+         for i in range(40)],
+        [(i, [float(x) for x in arr[i]], "insert", 100 + i)
+         for i in range(40, 50)],
+        [(3, [float(-x) for x in arr[3]], "update", 200),
+         (9, [float(x) for x in arr[9]], "delete", 201)],
+    ]
+    src = str(tmp_path / "audit_src")
+    for rows in batches:
+        spark.createDataFrame(rows, SCH).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    base_p, state_p = str(tmp_path / "base_t"), str(tmp_path / "state_t")
+    ck = str(tmp_path / "ck")
+    schema = spark.read.parquet(src).schema
+    q = stream_pca_sync_manifest(spark, src, schema, base_p, state_p, ck,
+                                 "embedding", ["vec_id"],
+                                 max_files_per_trigger=1)
+    q.awaitTermination(240)
+
+    final = np.vstack([np.delete(arr, [3, 9], axis=0), (-arr[3])[None, :]])
+    fdf = _df(spark, final)
+    base, model = current_manifest_pca(spark, base_p, state_p, 2)
+    assert base.count() == len(final)
+    assert model.mean == column_means(fdf, "embedding")  # exact
+    batch_model = pca_train(fdf, "embedding", 2)
+    for got_w, want_w in zip(model.components, batch_model.components):
+        assert np.allclose(got_w, want_w, atol=1e-5)
+
+    state_t = ManifestTable(spark, state_p)
+    assert all(state_t.manifest(v)["action"] == "append"
+               for v in state_t.versions())
+
+    # restart with one more batch: only it applies
+    spark.createDataFrame(
+        [(0, [float(x) for x in arr[0]], "delete", 300)], SCH
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_pca_sync_manifest(spark, src, schema, base_p, state_p, ck,
+                                  "embedding", ["vec_id"])
+    q2.awaitTermination(120)
+    _, model2 = current_manifest_pca(spark, base_p, state_p, 2)
+    assert model2.mean == column_means(_df(spark, final[1:]), "embedding")
+
+
+def test_pca_epoch_half_committed_replay(spark, tmp_path):
+    """Crash after the state append, before the base merge: the replay
+    skips the state half (epoch guard) and catches the base up; a full
+    replay is a durable no-op on both tables."""
+    from cdc_audit_spark.operators.pca import moment_state_delta
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_pca import (
+        apply_pca_manifest_epoch,
+        current_manifest_pca,
+    )
+
+    arr, _ = _vecs(seed=31, n=20, d=4)
+    SCH = ("vec_id long, embedding array<float>, audit_event string, "
+           "audit_pk long")
+    base_t = ManifestTable(spark, str(tmp_path / "base_t"))
+    state_t = ManifestTable(spark, str(tmp_path / "state_t"))
+    b0 = spark.createDataFrame(
+        [(i, [float(x) for x in arr[i]], "insert", i + 1)
+         for i in range(20)], SCH)
+    apply_pca_manifest_epoch(base_t, state_t, b0, 0, "r1",
+                             "embedding", ["vec_id"])
+
+    b1 = spark.createDataFrame(
+        [(5, [float(-x) for x in arr[5]], "update", 100)], SCH)
+    half = moment_state_delta(base_t.read(), b1, "embedding", ["vec_id"])
+    state_t.append(half, extra={"epoch": 1, "run_id": "r1"})
+
+    apply_pca_manifest_epoch(base_t, state_t, b1, 1, "r1",
+                             "embedding", ["vec_id"])
+    final = np.vstack([np.delete(arr, [5], axis=0), (-arr[5])[None, :]])
+    _, model = current_manifest_pca(spark, base_t.path, state_t.path, 2)
+    assert model.mean == column_means(_df(spark, final), "embedding")
+    snap = (base_t.current_version(), state_t.current_version())
+    apply_pca_manifest_epoch(base_t, state_t, b1, 1, "r1",
+                             "embedding", ["vec_id"])
+    assert (base_t.current_version(), state_t.current_version()) == snap

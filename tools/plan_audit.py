@@ -123,6 +123,22 @@ EXPLANATIONS["hybrid_rrf_topk"] = (
     "join touches two ≤100-row frames — RRF fuses heads by construction "
     "(see bm25.rrf_fuse)"
 )
+_PCA_NOTE = (
+    "the Arrow stage is the quantized-covariance partial pass — per-row "
+    "float work + int64 partial sums emitted once per batch (d(d+1)/2 "
+    "BIGINTs), the order-independent formulation that makes the matrix "
+    "bit-identical under any partitioning and oracle-checkable; no "
+    "Catalyst form computes 2080 per-row products without exploding rows "
+    "(see operators.pca)"
+)
+EXPLANATIONS["pca_covariance_q"] = _PCA_NOTE
+EXPLANATIONS["pca_embedding_projection"] = _PCA_NOTE
+EXPLANATIONS["cdc_pca_moments_sync"] = (
+    "python×3 = the same quantized-moment Arrow partial pass run on the "
+    "three bounded inputs (bootstrap corpus, debited old images, credited "
+    "finals) — each per-row + one partial row per batch; see "
+    "operators.pca moments_delta"
+)
 EXPLANATIONS["ann_pq_topk"] = (
     "PQ encode + asymmetric-distance scan are Arrow-batched numpy stages "
     "(argmin/matmul kernels — the compressed-domain math has no Catalyst "
