@@ -6287,6 +6287,83 @@ def cdc_bm25_index_sync(spark, sf_dir):
 
 
 @register(
+    "cdc_bm25_serving_topk",
+    _bm25_oracle_sql(
+        _BM25_TERMS, 20,
+        """corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN 'TEMPLATE-' || CAST(doc_id % 5 AS VARCHAR)
+                  ELSE text END AS text
+        FROM documents WHERE doc_id % 17 <> 2
+      UNION ALL
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+        FROM documents WHERE doc_id % 23 = 1)"""),
+    "The FULL BM25 serving path under CDC (streaming.stream_bm25): the "
+    "same scripted audit log as cdc_bm25_index_sync drains through two "
+    "exactly-once epochs maintaining postings + norms + the (N, total) "
+    "scalar ledger as O(delta) LSM appends, then bm25_topk_served "
+    "answers from MAINTAINED STATE ONLY (candidates via term IN "
+    "pushdown, df from the candidate set, dl by norms lookups, N/avgdl "
+    "from two folded scalars — no corpus- or index-scale aggregate at "
+    "query time). The oracle recomputes the full BM25 formula on the "
+    "post-change corpus, so equality proves maintenance AND serving "
+    "end to end.",
+)
+def cdc_bm25_serving_topk(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.operators.bm25 import bm25_topk_served
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_bm25 import (
+        apply_bm25_manifest_epoch,
+        current_serving_bm25,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    maxid = int(docs.agg(F.max("doc_id")).first()[0])
+
+    def audit(df, event, pk_base):
+        return df.select(
+            "doc_id", "text",
+            F.lit(event).alias("audit_event"),
+            (F.col("doc_id") + pk_base).alias("audit_pk"))
+
+    log1 = audit(docs, "insert", 1)
+    # mutation pks sit strictly above every insert pk (watermark contract)
+    pk2 = maxid + 2
+    deletes = audit(docs.filter(F.col("doc_id") % 17 == 2), "delete", pk2)
+    updates = audit(
+        docs.filter(F.col("doc_id") % 13 == 0).withColumn(
+            "text", F.concat(F.lit("TEMPLATE-"),
+                             (F.col("doc_id") % 5).cast("string"))),
+        "update", pk2)
+    inserts = audit(
+        docs.filter(F.col("doc_id") % 23 == 1).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(maxid + 1)),
+        "insert", pk2)
+    log2 = deletes.unionByName(updates).unionByName(inserts)
+
+    root = tempfile.mkdtemp(prefix="cdc_bm25_srv_")
+    try:
+        ts = {n: ManifestTable(spark, f"{root}/{n}")
+              for n in ("base", "post", "norms", "stats")}
+        for epoch, batch in enumerate((log1, log2)):
+            apply_bm25_manifest_epoch(
+                ts["base"], ts["post"], batch, epoch, "q", "text",
+                ["doc_id"], norms_t=ts["norms"], stats_t=ts["stats"])
+        postings, norms, n_docs, total = current_serving_bm25(
+            spark, ts["post"].path, ts["norms"].path, ts["stats"].path,
+            "doc_id")
+        out = bm25_topk_served(postings, norms, n_docs, total, "doc_id",
+                               _BM25_TERMS, 20)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "weighted_sample_wor",
     """
     SELECT doc_id, n_chars, es_key_micro FROM (
@@ -6459,8 +6536,8 @@ _DRIVER_WINDOW = [
     # accrues:
     "bm25_topk", "bm25_index_topk", "hybrid_rrf_topk",
     "cdc_bm25_index_sync", "weighted_sample_wor", "pca_covariance_q",
-    "cdc_pca_moments_sync",
-    # 25 of the 49 queries whose newest green row is r06 (the 3-round
+    "cdc_pca_moments_sync", "cdc_bm25_serving_topk",
+    # 24 of the 49 queries whose newest green row is r06 (the 3-round
     # staleness bound fires this round) — prioritized by SURVEY §2
     # mapping (filters, joins, CDC machinery, streaming analytics, the
     # LLM-pipeline operators) over the TPC-H extension shapes:
@@ -6469,15 +6546,16 @@ _DRIVER_WINDOW = [
     "cdc_incremental_agg", "cdc_keep_last", "cdc_manifest_stream_drain",
     "cdc_merge_replica_pruned", "cdc_replay_state", "cdc_scd2_history",
     "clean_pii_redact", "dedup_embedding_cosine", "dedup_survivors",
-    "embedding_quantize_int8", "events_funnel",
+    "events_funnel",
     "events_sessionize", "events_sliding_window", "filter_conj_eq", "filter_contains", "filter_isin",
     "filter_range_closed", "knn_cosine_topk", "multimodal_payload_stats",
     "q1_pricing_summary",
     "text_bpe_token_counts", "text_language_id",
     "text_token_stats",
-    # r10 TODO: the 24 r06-green queries that did not fit this window
+    # r10 TODO: the 25 r06-green queries that did not fit this window
     # (agg_global_minmax, asof_join_error_purchase, events_json_extract,
-    # events_type_pivot, text_fingerprint, q3_top_orders,
+    # events_type_pivot, text_fingerprint, embedding_quantize_int8,
+    # q3_top_orders,
     # q5_region_revenue, q18_large_orders, q21_sole_late_supplier,
     # topk_orders_per_customer, range_join_click_windows,
     # semi_join_urgent_customers, and the TPC-H shapes
