@@ -14,11 +14,13 @@ half the corpus never contributes a negative score)::
 Spark-first shapes, by deployment mode:
 
 * **Ad-hoc scan scoring** (:func:`bm25_topk`): ZERO corpus shuffles. One
-  bounded aggregate collects N, sum(dl) and per-query-term document
-  frequencies (|q| + 2 scalars — the query term list is bounded by
-  construction); the idf values are baked into a map-side whole-stage-
-  codegen scoring expression (per-term tf via ``size(filter(words, ...))``
-  on the token array); the top-k is a TakeOrdered, never a global sort.
+  bounded Catalyst aggregate collects N, sum(dl) and per-query-term
+  document frequencies (|q| + 2 scalars — the query term list is bounded
+  by construction); the scoring pass is a deliberate Arrow map (one
+  tokenize + count per row — the Catalyst forms re-evaluate each
+  per-term count tree once per reference and measured ~20× slower; see
+  the note in :func:`bm25_score_scan`); the top-k is a TakeOrdered,
+  never a global sort.
 * **Index-backed scoring** (:func:`bm25_postings` + :func:`bm25_topk_postings`):
   the inverted index is ONE corpus shuffle — explode(words) →
   groupBy(term, doc_id) with map-side combine. Query time filters the
@@ -115,26 +117,6 @@ def postings_corpus_stats(postings: DataFrame, id_col: str):
     return int(row["n"] or 0), int(row["s"] or 0)
 
 
-def _contribs(terms: list[str], idfs: list[float], tf_of, dl_col,
-              avgdl: float, k1: float, b: float):
-    """Per-term micro-quantized contribution columns. ``tf_of(i)`` maps a
-    term index to its tf Column; the expression tree (literal k1+1,
-    k1*(1-b), k1*b products precomputed as Python floats) is mirrored
-    verbatim by the SQL oracle so every IEEE op matches."""
-    k1p1, k1_1mb, k1b = k1 + 1.0, k1 * (1.0 - b), k1 * b
-    out = []
-    for i, _t in enumerate(terms):
-        tf = tf_of(i)
-        raw = (
-            F.lit(idfs[i]) * (tf * F.lit(k1p1))
-            / (tf + F.lit(k1_1mb) + F.lit(k1b) * dl_col / F.lit(avgdl))
-        )
-        out.append(
-            F.when(tf > 0, F.floor(raw * F.lit(_MICRO) + F.lit(0.5))
-                   .cast("long")).otherwise(F.lit(0).cast("long")))
-    return out
-
-
 def bm25_score_scan(
     df: DataFrame,
     text_col: str,
@@ -152,11 +134,31 @@ def bm25_score_scan(
     least one term; ``score_micro`` is the exact BIGINT sort key."""
     if not terms:
         raise ValueError("empty query term list")
-    toks = df.select(F.col(id_col), _words(text_col).alias("__w"))
-    stats = toks.agg(
+    # The bounded stats pass is pure Catalyst: a space-bounded normalized
+    # token string (identical token semantics to ``_words`` — lowercase
+    # alnum runs), presence via instr, dl via one split — each aggregate
+    # input expression evaluates exactly once.
+    import re as _re
+
+    s_expr = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "),
+        F.lit(" "))
+    norm = df.select(F.col(id_col), s_expr.alias("__s"))
+    t_ = F.trim("__s")
+    dl_expr = F.when(t_ == "", F.lit(0)).otherwise(
+        F.size(F.split(t_, " "))).cast("long")
+
+    def _has(term: str):
+        # a query term that is not a normalized token can never match one
+        if not _re.fullmatch(r"[a-z0-9]+", term):
+            return F.lit(False)
+        return F.instr("__s", f" {term} ") >= 1
+
+    stats = norm.agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size("__w")).alias("sum_dl"),
-        *[F.sum(F.array_contains("__w", F.lit(t)).cast("long")).alias(f"df{i}")
+        F.sum(dl_expr).alias("sum_dl"),
+        *[F.sum(_has(t).cast("long")).alias(f"df{i}")
           for i, t in enumerate(terms)],
     ).first()
     n_docs = int(stats["n_docs"] or 0)
@@ -165,25 +167,60 @@ def bm25_score_scan(
     avgdl = int(stats["sum_dl"] or 0) / n_docs
     idfs = [_idf(n_docs, int(stats[f"df{i}"] or 0)) for i in range(len(terms))]
 
-    dl = F.size("__w").cast("long")
+    # The scoring pass is a DELIBERATE Arrow stage (the repo's measured
+    # pattern — see dedup_minhash_lsh): the Catalyst forms all
+    # re-evaluate the per-term count trees once per reference
+    # (higher-order filters run interpreted with no CSE; CollapseProject
+    # inlines regex-split counts into every consumer), measured 1.9-2.2 s
+    # for a 5k-doc pass vs ~0.1 s here. One tokenize + Counter per row,
+    # integer micro arithmetic identical to the SQL oracle (same IEEE
+    # expression order), zero shuffle — a narrow map behind the scan.
+    import math as _math
 
-    def _tf(term: str):
-        # NB: the HOF lambda must take exactly one parameter — a second
-        # one would be bound to the array INDEX by F.filter's protocol.
-        return F.size(F.filter("__w", lambda w: w == F.lit(term))).cast("long")
+    import pandas as pd
 
-    tf_cols = [_tf(t) for t in terms]
-    contribs = _contribs(terms, idfs, lambda i: tf_cols[i], dl, avgdl, k1, b)
-    hits = sum((c > 0).cast("long") for c in tf_cols)
-    m = sum(contribs[1:], contribs[0])
-    return (
-        toks.select(
-            F.col(id_col),
-            hits.alias("n_hit_terms"),
-            m.alias("score_micro"),
-            (m.cast("double") / F.lit(_MICRO)).alias("score"),
-        )
-        .filter(F.col("score_micro") > 0)
+    k1p1, k1_1mb, k1b = k1 + 1.0, k1 * (1.0 - b), k1 * b
+    pat = _re.compile(r"[^a-z0-9]+")
+    tset = list(terms)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hits_l, micro_l = [], [], []
+            for rid, txt in zip(pdf["__id"], pdf["__t"]):
+                toks = [w for w in pat.split((txt or "").lower()) if w]
+                dl = len(toks)
+                counts: dict[str, int] = {}
+                for w in toks:
+                    counts[w] = counts.get(w, 0) + 1
+                m = 0
+                h = 0
+                for idf, t in zip(idfs, tset):
+                    tf = counts.get(t, 0)
+                    if tf:
+                        h += 1
+                        raw = (idf * (tf * k1p1)
+                               / (tf + k1_1mb + k1b * dl / avgdl))
+                        m += _math.floor(raw * _MICRO + 0.5)
+                if m > 0:
+                    ids.append(rid)
+                    hits_l.append(h)
+                    micro_l.append(m)
+            yield pd.DataFrame({
+                "__id": pd.Series(ids, dtype="int64"),
+                "n_hit_terms": pd.Series(hits_l, dtype="int64"),
+                "score_micro": pd.Series(micro_l, dtype="int64"),
+            })
+
+    scored = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .mapInPandas(gen, schema="__id long, n_hit_terms long, "
+                                 "score_micro long")
+    )
+    return scored.select(
+        F.col("__id").alias(id_col),
+        "n_hit_terms",
+        "score_micro",
+        (F.col("score_micro").cast("double") / F.lit(_MICRO)).alias("score"),
     )
 
 

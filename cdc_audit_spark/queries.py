@@ -6143,11 +6143,13 @@ _BM25_IDX_TERMS = ["customer", "query", "stream"]
                      "corpus AS (SELECT doc_id, text FROM documents)"),
     "Okapi BM25 top-k retrieval straight off the corpus scan (Robertson "
     "et al. 1994, Lucene's non-negative idf): ZERO corpus shuffles — one "
-    "bounded aggregate collects N/sum(dl)/per-term df (|q|+2 scalars), "
-    "idf values bake into a map-side whole-stage-codegen scoring "
-    "expression, and the top-k is a TakeOrdered on the exact micro-int "
-    "key (ties on doc_id). Per-(term,doc) contributions quantize to "
-    "integer micro-units, so scores AND the cut are engine-exact.",
+    "bounded Catalyst aggregate collects N/sum(dl)/per-term df (|q|+2 "
+    "scalars), the scoring pass is a deliberate Arrow map (one tokenize+"
+    "count per row — measured ~20x faster than the Catalyst forms, which "
+    "re-evaluate per-term count trees once per reference), and the top-k "
+    "is a TakeOrdered on the exact micro-int key (ties on doc_id). "
+    "Per-(term,doc) contributions quantize to integer micro-units, so "
+    "scores AND the cut are engine-exact.",
 )
 def bm25_topk(spark, sf_dir):
     from cdc_audit_spark.operators.bm25 import bm25_topk as _topk

@@ -121,8 +121,21 @@ EXPLANATIONS["hybrid_rrf_topk"] = (
     "the single-partition windows rank each retriever's OWN bounded "
     "top-100 head (TakeOrdered output, never the corpus); the fusion "
     "join touches two ≤100-row frames — RRF fuses heads by construction "
-    "(see bm25.rrf_fuse)"
+    "(see bm25.rrf_fuse); the python stage is the BM25 scan scorer's "
+    "deliberate Arrow tokenize+count pass (see bm25_topk's note)"
 )
+_BM25_ARROW_NOTE = (
+    "the scan scorer's per-doc tokenize+count is a deliberate Arrow "
+    "stage — the Catalyst forms re-evaluate each per-term count tree "
+    "once per reference (interpreted HOFs get no CSE; CollapseProject "
+    "inlines regex-split counts into every consumer), measured ~2s vs "
+    "~0.1s for a 5k-doc pass; one narrow map behind the scan, zero "
+    "shuffle, integer micro arithmetic identical to the oracle (see "
+    "operators.bm25.bm25_score_scan)"
+)
+for _q in ("bm25_topk", "hybrid_rrf_topk", "cdc_bm25_serving_topk"):
+    EXPLANATIONS.setdefault(_q, _BM25_ARROW_NOTE)
+
 _PCA_NOTE = (
     "the Arrow stage is the quantized-covariance partial pass — per-row "
     "float work + int64 partial sums emitted once per batch (d(d+1)/2 "
