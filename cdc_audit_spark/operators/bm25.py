@@ -63,6 +63,7 @@ __all__ = [
     "bm25_score_scan",
     "bm25_stats_delta",
     "bm25_topk",
+    "bm25_topk_join",
     "bm25_topk_postings",
     "bm25_topk_served",
     "fold_bm25_norms",
@@ -329,6 +330,75 @@ def bm25_topk_served(
             (F.col("score_micro").cast("double") / F.lit(_MICRO)).alias("score"))
         .orderBy(F.desc("score_micro"), F.col(id_col))
         .limit(k)
+    )
+
+
+def bm25_topk_join(
+    postings: DataFrame,
+    norms: DataFrame,
+    n_docs: int,
+    total_tokens: int,
+    id_col: str,
+    queries: dict[int, list[str]],
+    k: int,
+    *,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Batch retrieval — the lexical analog of ``similarity.ivf_knn_join``:
+    every query in a BOUNDED query set gets its BM25 top-k in ONE pass
+    over the index. The union of all query terms filters the postings
+    (pushdown — only candidate rows move), a broadcast (query, term, idf)
+    table fans each candidate out to the queries containing its term,
+    one (query, doc)-keyed aggregate folds the micro contributions, and
+    the per-query top-k is a rank window whose per-partition heads prune
+    map-side (WindowGroupLimit — the knn-join pattern; no global sort).
+    df/N/avgdl come from maintained state or one bounded recompute, as
+    in :func:`bm25_topk_served`. Returns (query_id, id, n_hit_terms,
+    score_micro, score), ranks exact on the BIGINT micro key."""
+    if not queries or any(not ts for ts in queries.values()):
+        raise ValueError("every query needs a non-empty term list")
+    if n_docs == 0:
+        raise ValueError("empty index")
+    avgdl = total_tokens / n_docs
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    cand = postings.filter(F.col("term").isin(all_terms))
+    dfs = {
+        r["term"]: int(r["n"])
+        for r in cand.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("n")).collect()
+    }
+    spark = postings.sparkSession
+    pairs = spark.createDataFrame(
+        [(int(qid), t, _idf(n_docs, dfs.get(t, 0)))
+         for qid, ts in queries.items() for t in ts],
+        "query_id long, term string, __idf double")
+
+    k1p1, k1_1mb, k1b = k1 + 1.0, k1 * (1.0 - b), k1 * b
+    tf = F.col("tf")
+    raw = (
+        F.col("__idf") * (tf * F.lit(k1p1))
+        / (tf + F.lit(k1_1mb) + F.lit(k1b) * F.col("__dl") / F.lit(avgdl))
+    )
+    contrib = F.floor(raw * F.lit(_MICRO) + F.lit(0.5)).cast("long")
+    scored = (
+        cand.join(norms.select(F.col(id_col), F.col("dl").alias("__dl")),
+                  id_col)
+        .join(F.broadcast(pairs), "term")
+        .select("query_id", F.col(id_col), contrib.alias("__m"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__m").alias("score_micro"),
+             F.count("*").alias("n_hit_terms"))
+        .filter(F.col("score_micro") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", id_col, "n_hit_terms", "score_micro",
+                (F.col("score_micro").cast("double") / F.lit(_MICRO))
+                .alias("score"))
     )
 
 

@@ -6365,6 +6365,75 @@ def cdc_bm25_serving_topk(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+_MQ_QUERIES = {0: ["spark", "merge"], 1: ["customer", "query", "stream"],
+               2: ["hash", "vector", "window"]}
+
+
+@register(
+    "bm25_multiquery_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> len(t) > 0) AS w
+        FROM documents),
+    st AS (SELECT count(*) AS n, sum(len(w)) AS sumdl FROM toks),
+    q(query_id, term) AS (VALUES
+      (0,'spark'),(0,'merge'),
+      (1,'customer'),(1,'query'),(1,'stream'),
+      (2,'hash'),(2,'vector'),(2,'window')),
+    dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+        SELECT DISTINCT x.term, t.doc_id
+          FROM (SELECT DISTINCT term FROM q) x
+          JOIN toks t ON list_contains(t.w, x.term)) GROUP BY term),
+    cand AS (
+      SELECT q.query_id, q.term, t.doc_id,
+             len(list_filter(t.w, x -> x = q.term)) AS tf,
+             len(t.w) AS dl
+        FROM q JOIN toks t ON list_contains(t.w, q.term)),
+    scored AS (
+      SELECT query_id, doc_id,
+             CAST(sum(CAST(floor(
+               ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+               * (tf * 2.2)
+               / (tf + 0.3 + 0.8999999999999999 * dl
+                  / (CAST(st.sumdl AS DOUBLE) / st.n))
+               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro,
+             CAST(count(*) AS BIGINT) AS n_hit_terms
+        FROM cand JOIN dfq d USING (term) CROSS JOIN st
+       GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_micro DESC, doc_id) AS rn
+            FROM scored WHERE score_micro > 0)
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_hit_terms,
+           score_micro, CAST(score_micro AS DOUBLE) / 1e6 AS score
+      FROM r WHERE rn <= 5
+    """,
+    "Batch BM25 retrieval — the lexical analog of knn_join_topk: a "
+    "bounded query SET scored in one pass over the index (union-of-terms "
+    "pushdown filter on the postings, broadcast (query, term, idf) "
+    "fan-out, one (query, doc)-keyed aggregate, per-query top-k via a "
+    "rank window whose per-partition heads prune map-side — the "
+    "WindowGroupLimit pattern, no global sort). Exact micro-int ranking; "
+    "the oracle recomputes the full formula per (query, doc).",
+)
+def bm25_multiquery_topk(spark, sf_dir):
+    from cdc_audit_spark.operators.bm25 import (
+        bm25_norms,
+        bm25_postings,
+        bm25_topk_join,
+        postings_corpus_stats,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    postings = bm25_postings(docs, "text", "doc_id")
+    norms = bm25_norms(postings, "doc_id")
+    n_docs, total = postings_corpus_stats(postings, "doc_id")
+    return bm25_topk_join(postings, norms, n_docs, total, "doc_id",
+                          _MQ_QUERIES, 5)
+
+
 @register(
     "weighted_sample_wor",
     """

@@ -493,3 +493,28 @@ def test_hybrid_retrieval_served_from_maintained_state_only(spark, tmp_path):
     want = [(r["doc_id"], r["rrf_score"]) for r in
             rrf_fuse(bm_fresh, cos_fresh, "doc_id", 8).collect()]
     assert got == want
+
+
+def test_multiquery_topk_matches_per_query_scan(spark):
+    """bm25_topk_join over a query set ≡ running the single-query scan
+    scorer per query — same micro scores, same per-query cut."""
+    from cdc_audit_spark.operators.bm25 import (
+        bm25_norms,
+        bm25_topk_join,
+        postings_corpus_stats,
+    )
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    queries = {7: ["cat", "mat"], 8: ["dog", "fish"], 9: ["log"]}
+    postings = bm25_postings(df, "text", "doc_id")
+    norms = bm25_norms(postings, "doc_id")
+    n, total = postings_corpus_stats(postings, "doc_id")
+    got = {}
+    for r in bm25_topk_join(postings, norms, n, total, "doc_id",
+                            queries, 2).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score_micro"]))
+    for qid, terms in queries.items():
+        want = [(r["doc_id"], r["score_micro"]) for r in
+                bm25_topk(df, "text", "doc_id", terms, 2).collect()]
+        assert sorted(got[qid], key=lambda x: (-x[1], x[0])) == want, qid
