@@ -5336,6 +5336,57 @@ def ngram_lm_perplexity(spark, sf_dir):
     )
 
 
+_CCNET_PERP_SQL = _REGISTRY["ngram_lm_perplexity"].oracle
+
+
+@register(
+    "ccnet_bucket_sample",
+    f"""
+    WITH scored AS ({_CCNET_PERP_SQL}),
+    b AS (SELECT doc_id, -avg_log10_score AS neg,
+                 CASE WHEN -avg_log10_score <= 1.48 THEN 'head'
+                      WHEN -avg_log10_score <= 1.495 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+            FROM scored)
+    SELECT doc_id, bucket, CAST(neg AS DOUBLE) AS neg_log10_score FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY bucket
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::INT,
+                        doc_id) AS rn
+        FROM b) WHERE rn <= 40
+    """,
+    "The CCNet selection recipe END TO END (Wenzek et al. 2020 §4.4): "
+    "train the corpus LM, score every doc's mean negative log10 Stupid-"
+    "Backoff score (engine-exact micro path), split into head/middle/"
+    "tail perplexity buckets at fixed thresholds, and draw a per-bucket "
+    "hash-priority quota (40 docs each — uniform within bucket, rerun-"
+    "stable). Composition of three oracle-proven layers: the LM scorer, "
+    "the CASE bucketing (identical doubles on both engines, so the same "
+    "side of every threshold), and the portable-hash quota window "
+    "(partitioned by bucket — three partitions, no global sort).",
+)
+def ccnet_bucket_sample(spark, sf_dir):
+    from cdc_audit_spark.operators.ngram_lm import (
+        score_perplexity,
+        train_ngram_lm,
+    )
+    from cdc_audit_spark.operators.sampling import source_quota
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    model = train_ngram_lm(docs, "text", n=2)
+    scored = score_perplexity(docs, "text", "doc_id", model, micro=True)
+    neg = -F.col("avg_log10_score")
+    b = scored.select(
+        "doc_id",
+        F.when(neg <= 1.48, "head")
+        .when(neg <= 1.495, "middle")
+        .otherwise("tail").alias("bucket"),
+        neg.alias("neg_log10_score"),
+    )
+    return source_quota(b, "doc_id", "bucket", 40).select(
+        "doc_id", "bucket", "neg_log10_score")
+
+
 @register(
     "kmeans_embedding_clusters",
     None,  # iterative training — no SQL form; ground truth is the exact
