@@ -130,7 +130,13 @@ def weighted_sample_wor(
 
     Scale shape: the key is a map-side expression over (key, weight) only
     — prunable at the scan — and the top-k is a TakeOrdered (per-partition
-    heads + driver merge), never a global sort. Weights must be > 0."""
+    heads + driver merge), never a global sort.
+
+    Rows with weight <= 0 are EXCLUDED up front (zero weight means zero
+    inclusion probability by definition; a negative weight would flip the
+    key's sign and silently always win) — the filter is map-side and
+    pushdown-eligible."""
+    df = df.filter(F.col(weight_col) > 0)
     u = (hash_bucket(F.col(key_col)) + F.lit(1)).cast("double") / F.lit(
         float(HASH_SPACE + 1))
     key = F.floor(F.log(u) / F.col(weight_col) * F.lit(micro) + F.lit(0.5)

@@ -518,3 +518,16 @@ def test_multiquery_topk_matches_per_query_scan(spark):
         want = [(r["doc_id"], r["score_micro"]) for r in
                 bm25_topk(df, "text", "doc_id", terms, 2).collect()]
         assert sorted(got[qid], key=lambda x: (-x[1], x[0])) == want, qid
+
+
+def test_weighted_sample_wor_excludes_nonpositive_weights(spark):
+    """Zero weight = zero inclusion probability by definition; a negative
+    weight would flip the key sign and always win — both are excluded up
+    front rather than silently mis-sampled."""
+    from cdc_audit_spark.operators.sampling import weighted_sample_wor
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, 2), (5, 1)], "doc_id long, w long")
+    got = {r["doc_id"] for r in
+           weighted_sample_wor(df, "doc_id", "w", 10).collect()}
+    assert got == {1, 4, 5}
