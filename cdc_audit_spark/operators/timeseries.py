@@ -1,0 +1,128 @@
+"""Time-series subsequence similarity search — UCR-suite-style
+z-normalized sliding-window matching (Rakthanmanon et al., KDD 2012)
+expressed entirely in window functions.
+
+The classic formulation slides a length-m query over every series and
+ranks windows by z-normalized Euclidean distance. The textbook identity
+removes the per-window re-normalization: with the query pre-z-normalized
+(Σq = 0, Σq² = m),
+
+    dist²(t) = 2m − 2 · (Σ_j x[t+j]·q_j − µ_t·Σq) / σ_t
+
+so each window needs only three running quantities — Σx and Σx² over the
+frame (two ordinary windowed sums) and the position-weighted dot product,
+which for fixed m is just m ``lead()`` taps with literal coefficients.
+Everything is whole-stage-codegen window evaluation over ONE
+(key)-partitioned sort: no self-join, no array explode, no Python — the
+shape that survives a 100× scale-up because the only exchange is the
+series repartition every per-key window op already pays.
+
+Degenerate (constant) windows have σ = 0 and no defined z-distance; they
+are excluded, as are ragged tail windows (frame count < m).
+
+Distances are micro-quantized (floor(d²·1e6 + 0.5) BIGINT — the repo's
+engine-exact idiom) so the top-k CUT is an exact integer comparison and
+the whole operator hash-checks against a DuckDB oracle running the
+identical expression tree.
+
+No reference parity: the reference (dan-da/cdc_audit, PHP trigger
+generator) has no time-series operators; this extends SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "subsequence_topk",
+    "znorm_distances",
+    "znormalize",
+]
+
+_MICRO = 1_000_000.0
+
+
+def znormalize(query: list[float]) -> tuple[list[float], float]:
+    """(z-normalized query, Σ of the z-values). The Σ is analytically 0
+    but carried EXPLICITLY as the float it actually is (~1e-16), so the
+    engine expression can use the identical literal the oracle uses —
+    no silent 'treat as zero' divergence."""
+    m = len(query)
+    if m < 2:
+        raise ValueError("query needs at least 2 points")
+    mu = sum(query) / m
+    var = sum((x - mu) ** 2 for x in query) / m
+    if var == 0:
+        raise ValueError("constant query has no z-normalized form")
+    sd = math.sqrt(var)
+    qz = [(x - mu) / sd for x in query]
+    return qz, sum(qz)
+
+
+def znorm_distances(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    val_col: str,
+    query: list[float],
+) -> DataFrame:
+    """Per (series key, window start): the micro-quantized squared
+    z-normalized distance of the length-m window starting there to the
+    query. One per-key sort; m lead taps + two frame sums; codegen
+    throughout. Output: (key, ts, tie, dist2_micro, dist2)."""
+    m = len(query)
+    qz, sqz = znormalize(query)
+    order = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    frame = order.rowsBetween(0, m - 1)
+
+    val = F.col(val_col)
+    sx = F.sum(val).over(frame)
+    sxx = F.sum(val * val).over(frame)
+    cnt = F.count(val).over(frame)
+    dot = F.lit(qz[0]) * val
+    for j in range(1, m):
+        dot = dot + F.lit(qz[j]) * F.lead(val, j).over(order)
+
+    per = df.select(
+        F.col(key_col), F.col(ts_col), F.col(tie_col),
+        sx.alias("__sx"), sxx.alias("__sxx"), cnt.alias("__c"),
+        dot.alias("__dot"),
+    ).filter(F.col("__c") == m)
+    mu = F.col("__sx") / F.lit(float(m))
+    sigma = F.sqrt(F.col("__sxx") / F.lit(float(m)) - mu * mu)
+    dist2 = (F.lit(2.0 * m)
+             - F.lit(2.0) * (F.col("__dot") - mu * F.lit(sqz)) / sigma)
+    out = per.select(
+        key_col, ts_col, tie_col,
+        sigma.alias("__sigma"),
+        F.floor(dist2 * F.lit(_MICRO) + F.lit(0.5)).cast("long")
+        .alias("dist2_micro"),
+    ).filter(F.col("__sigma") > 0)
+    return out.select(
+        key_col, ts_col, tie_col, "dist2_micro",
+        (F.col("dist2_micro").cast("double") / F.lit(_MICRO))
+        .alias("dist2"),
+    )
+
+
+def subsequence_topk(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    val_col: str,
+    query: list[float],
+    k: int,
+) -> DataFrame:
+    """The k nearest windows corpus-wide: TakeOrdered on the exact
+    integer key (ties on series key, then window start) — never a global
+    sort."""
+    return (
+        znorm_distances(df, key_col, ts_col, tie_col, val_col, query)
+        .orderBy(F.col("dist2_micro"), F.col(key_col), F.col(tie_col))
+        .limit(k)
+    )

@@ -5336,6 +5336,67 @@ def ngram_lm_perplexity(spark, sf_dir):
     )
 
 
+_TS_QUERY_PATTERN = [0.0, 0.0, 1.0, 3.0, 1.0, 0.0, 0.0, 0.0]  # a spike
+
+
+def _ts_subsequence_oracle() -> str:
+    from cdc_audit_spark.operators.timeseries import znormalize
+
+    qz, sqz = znormalize(_TS_QUERY_PATTERN)
+    m = len(qz)
+    taps = " + ".join(
+        f"({qz[j]!r}) * lead(value, {j}) OVER ord" for j in range(1, m))
+    dot = f"({qz[0]!r}) * value + {taps}"
+    mu = f"(sx / {float(m)!r})"
+    sigma = f"sqrt(sxx / {float(m)!r} - {mu} * {mu})"
+    return f"""
+    WITH w AS (
+      SELECT user_id, ts, event_id,
+             sum(value) OVER fr AS sx,
+             sum(value * value) OVER fr AS sxx,
+             count(value) OVER fr AS c,
+             {dot} AS dot
+        FROM events
+      WINDOW ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+             fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)),
+    d AS (
+      SELECT user_id, ts, event_id,
+             {float(2 * m)!r} - 2.0 * (dot - {mu} * ({sqz!r})) / {sigma}
+                 AS dist2
+        FROM w WHERE c = {m} AND {sigma} > 0)
+    SELECT user_id, ts, event_id,
+           CAST(floor(dist2 * 1e6 + 0.5) AS BIGINT) AS dist2_micro,
+           CAST(CAST(floor(dist2 * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6
+               AS dist2
+      FROM d ORDER BY dist2_micro, user_id, event_id LIMIT 25
+    """
+
+
+@register(
+    "ts_subsequence_match",
+    None,  # oracle attached below (embeds the shared z-normalized literals)
+    "UCR-style z-normalized subsequence search (Rakthanmanon et al. 2012) "
+    "over each user's event-value series: the length-8 spike query slides "
+    "over every series as PURE WINDOW FUNCTIONS — two frame sums + eight "
+    "lead() taps with literal coefficients replace the per-window "
+    "re-normalization (the 2m - 2(dot - mu*Sq)/sigma identity), so the "
+    "only exchange is the per-user repartition and there is no self-join, "
+    "no explode, no Python. Constant windows (sigma = 0) and ragged tails "
+    "are excluded; distances micro-quantize so the corpus-wide top-25 cut "
+    "is an exact BIGINT TakeOrdered.",
+)
+def ts_subsequence_match(spark, sf_dir):
+    from cdc_audit_spark.operators.timeseries import subsequence_topk
+
+    events = load_tables(spark, sf_dir)["events"]
+    return subsequence_topk(events, "user_id", "ts", "event_id", "value",
+                            _TS_QUERY_PATTERN, 25)
+
+
+_REGISTRY["ts_subsequence_match"].oracle = _ts_subsequence_oracle()
+
+
 _CCNET_PERP_SQL = _REGISTRY["ngram_lm_perplexity"].oracle
 
 

@@ -1,0 +1,98 @@
+"""Z-normalized subsequence search: exact Python-mirror equality, planted
+pattern recovery, degenerate-window exclusion, and the windows-only plan."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from cdc_audit_spark.operators.timeseries import (
+    subsequence_topk,
+    znorm_distances,
+    znormalize,
+)
+
+Q = [0.0, 0.0, 1.0, 3.0, 1.0, 0.0, 0.0, 0.0]
+
+
+def _mirror(series, query):
+    """dict window-start-index -> micro distance, same identity/formula."""
+    qz, sqz = znormalize(query)
+    m = len(query)
+    out = {}
+    for t in range(len(series) - m + 1):
+        w = series[t:t + m]
+        sx, sxx = sum(w), sum(x * x for x in w)
+        mu = sx / float(m)
+        var = sxx / float(m) - mu * mu
+        if var <= 0 or math.sqrt(var) <= 0:
+            continue
+        sigma = math.sqrt(var)
+        dot = sum(q * x for q, x in zip(qz, w))
+        d2 = 2.0 * m - 2.0 * (dot - mu * sqz) / sigma
+        out[t] = math.floor(d2 * 1e6 + 0.5)
+    return out
+
+
+def _df(spark, series_by_key):
+    rows = [(k, i, float(v))
+            for k, vals in series_by_key.items()
+            for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "user_id long, ts long, value double")
+
+
+def test_distances_match_python_mirror_exactly(spark):
+    import random
+
+    rng = random.Random(5)
+    series = {k: [rng.uniform(-2, 2) for _ in range(30)] for k in range(3)}
+    df = _df(spark, series)
+    got = {(r["user_id"], r["ts"]): r["dist2_micro"]
+           for r in znorm_distances(df, "user_id", "ts", "ts", "value",
+                                    Q).collect()}
+    want = {(k, t): d for k, s in series.items()
+            for t, d in _mirror(s, Q).items()}
+    assert got == want
+
+
+def test_planted_pattern_is_the_top_match(spark):
+    import random
+
+    rng = random.Random(11)
+    base = [rng.uniform(-0.2, 0.2) for _ in range(60)]
+    # plant an exact (scaled + shifted) copy of the query at t=20 in key 1:
+    # z-normalized distance to any affine image of the pattern is 0
+    planted = base[:]
+    for j, q in enumerate(Q):
+        planted[20 + j] = 5.0 + 2.5 * q
+    series = {0: base, 1: planted}
+    top = subsequence_topk(_df(spark, series), "user_id", "ts", "ts",
+                           "value", Q, 1).collect()
+    assert [(r["user_id"], r["ts"]) for r in top] == [(1, 20)]
+    assert top[0]["dist2_micro"] == 0
+
+
+def test_constant_windows_and_ragged_tails_excluded(spark):
+    series = {0: [3.0] * 12 + [1.0, 2.0, 5.0, 2.0, 1.0, 0.0, 0.0, 0.0]}
+    out = znorm_distances(_df(spark, series), "user_id", "ts", "ts",
+                          "value", Q).collect()
+    starts = {r["ts"] for r in out}
+    assert all(t <= len(series[0]) - len(Q) for t in starts)  # no ragged
+    assert 0 not in starts and 4 not in starts  # all-constant windows gone
+    assert len(out) > 0
+
+
+def test_plan_is_windows_only(spark):
+    df = _df(spark, {0: [float(i % 7) for i in range(30)]})
+    plan = znorm_distances(df, "user_id", "ts", "ts", "value", Q)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the per-key sort
+
+
+def test_degenerate_query_refused(spark):
+    with pytest.raises(ValueError):
+        znormalize([2.0, 2.0, 2.0])
+    with pytest.raises(ValueError):
+        znormalize([1.0])
