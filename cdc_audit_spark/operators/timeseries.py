@@ -44,6 +44,16 @@ __all__ = [
 
 _MICRO = 1_000_000.0
 
+# The m lead() taps compile an O(m)-wide projection per row; past a few
+# hundred points the generated code (and Catalyst tree) degrades, so
+# refuse loudly rather than blow up the compiler silently.
+_MAX_QUERY_LEN = 512
+
+# Degenerate-window guard: require var > (sxx/m) * eps. Cancellation
+# noise on a constant window is O(msq * 2^-52); real variation clears
+# msq * 1e-10 at any value magnitude.
+_VAR_REL_EPS = 1e-10
+
 
 def znormalize(query: list[float]) -> tuple[list[float], float]:
     """(z-normalized query, Σ of the z-values). The Σ is analytically 0
@@ -75,6 +85,15 @@ def znorm_distances(
     query. One per-key sort; m lead taps + two frame sums; codegen
     throughout. Output: (key, ts, tie, dist2_micro, dist2)."""
     m = len(query)
+    if m > _MAX_QUERY_LEN:
+        raise ValueError(
+            f"query length {m} exceeds {_MAX_QUERY_LEN}: the dot product "
+            "compiles to m lead() taps (an O(m)-wide expression tree), "
+            "which is fine for short patterns but would blow up codegen "
+            "for long ones. At scale, long queries should use a chunked "
+            "dot-product (explode into fixed-size segments and sum) or a "
+            "matrix-profile tier instead."
+        )
     qz, sqz = znormalize(query)
     order = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
     frame = order.rowsBetween(0, m - 1)
@@ -93,15 +112,28 @@ def znorm_distances(
         dot.alias("__dot"),
     ).filter(F.col("__c") == m)
     mu = F.col("__sx") / F.lit(float(m))
-    sigma = F.sqrt(F.col("__sxx") / F.lit(float(m)) - mu * mu)
+    # Guard on the VARIANCE relative to the mean square, not on sigma:
+    # constant windows compute sxx/m - mu*mu as float NOISE either side
+    # of zero. A tiny NEGATIVE makes sigma = sqrt(neg) = NaN, which Spark
+    # orders above every number (NaN > 0 is true) while the non-ANSI
+    # NaN->long cast yields 0 — degenerate windows would rank FIRST as
+    # perfect matches. A tiny POSITIVE gives sigma ~ 1e-9 and a 0/0-ish
+    # garbage distance. The relative threshold var > msq·1e-10 kills
+    # both: cancellation noise is O(msq·2⁻⁵²), genuine variation is far
+    # above msq·1e-10 at any magnitude, and the identical expression
+    # evaluates bit-identically in DuckDB for oracle parity.
+    msq = F.col("__sxx") / F.lit(float(m))
+    var = msq - mu * mu
+    sigma = F.sqrt(var)
     dist2 = (F.lit(2.0 * m)
              - F.lit(2.0) * (F.col("__dot") - mu * F.lit(sqz)) / sigma)
     out = per.select(
         key_col, ts_col, tie_col,
-        sigma.alias("__sigma"),
+        var.alias("__var"),
+        msq.alias("__msq"),
         F.floor(dist2 * F.lit(_MICRO) + F.lit(0.5)).cast("long")
         .alias("dist2_micro"),
-    ).filter(F.col("__sigma") > 0)
+    ).filter(F.col("__var") > F.col("__msq") * F.lit(_VAR_REL_EPS))
     return out.select(
         key_col, ts_col, tie_col, "dist2_micro",
         (F.col("dist2_micro").cast("double") / F.lit(_MICRO))

@@ -5348,7 +5348,14 @@ def _ts_subsequence_oracle() -> str:
         f"({qz[j]!r}) * lead(value, {j}) OVER ord" for j in range(1, m))
     dot = f"({qz[0]!r}) * value + {taps}"
     mu = f"(sx / {float(m)!r})"
-    sigma = f"sqrt(sxx / {float(m)!r} - {mu} * {mu})"
+    # Filter on the VARIANCE relative to the mean square, never on sigma:
+    # constant windows compute var as float noise either side of zero —
+    # a negative makes sigma NaN (Spark ranks NaN first, DuckDB diverges
+    # on the NaN cast), a tiny positive makes the distance garbage. Same
+    # threshold as operators/timeseries.py (_VAR_REL_EPS).
+    msq = f"(sxx / {float(m)!r})"
+    var = f"({msq} - {mu} * {mu})"
+    sigma = f"sqrt({var})"
     return f"""
     WITH w AS (
       SELECT user_id, ts, event_id,
@@ -5364,7 +5371,7 @@ def _ts_subsequence_oracle() -> str:
       SELECT user_id, ts, event_id,
              {float(2 * m)!r} - 2.0 * (dot - {mu} * ({sqz!r})) / {sigma}
                  AS dist2
-        FROM w WHERE c = {m} AND {sigma} > 0)
+        FROM w WHERE c = {m} AND {var} > {msq} * 1e-10)
     SELECT user_id, ts, event_id,
            CAST(floor(dist2 * 1e6 + 0.5) AS BIGINT) AS dist2_micro,
            CAST(CAST(floor(dist2 * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6

@@ -25,8 +25,9 @@ def _mirror(series, query):
         w = series[t:t + m]
         sx, sxx = sum(w), sum(x * x for x in w)
         mu = sx / float(m)
-        var = sxx / float(m) - mu * mu
-        if var <= 0 or math.sqrt(var) <= 0:
+        msq = sxx / float(m)
+        var = msq - mu * mu
+        if not var > msq * 1e-10:  # same guard as the engine
             continue
         sigma = math.sqrt(var)
         dot = sum(q * x for q, x in zip(qz, w))
@@ -96,3 +97,40 @@ def test_degenerate_query_refused(spark):
         znormalize([2.0, 2.0, 2.0])
     with pytest.raises(ValueError):
         znormalize([1.0])
+
+
+def test_negative_float_variance_constants_never_rank(spark):
+    """Constant windows whose float variance computes to a TINY NEGATIVE
+    number (sxx/m - mu*mu < 0 for non-representable constants like 0.1)
+    used to produce sigma = NaN; Spark orders NaN above every number, so
+    NaN > 0 passed the old sigma filter and the NaN->long cast made
+    dist2_micro = 0 — constant windows ranked FIRST as perfect matches.
+    The guard must filter on the variance itself."""
+    # many constant runs over values picked to trip the negative-variance
+    # float path, plus one genuine (affine) copy of the query
+    consts = [0.1, 1.0 / 3.0, 0.7, 2.3, 1e6 + 0.1]
+    series = {}
+    for k, c in enumerate(consts):
+        series[k] = [c] * 40
+    planted = [0.5] * 30
+    for j, q in enumerate(Q):
+        planted[10 + j] = 1.0 + 0.25 * q
+    series[len(consts)] = planted
+
+    dist = znorm_distances(_df(spark, series), "user_id", "ts", "ts",
+                           "value", Q).collect()
+    const_keys = set(range(len(consts)))
+    assert all(r["user_id"] not in const_keys for r in dist), \
+        "constant-series windows leaked through the variance guard"
+
+    top = subsequence_topk(_df(spark, series), "user_id", "ts", "ts",
+                           "value", Q, 1).collect()
+    assert [(top[0]["user_id"], top[0]["ts"])] == [(len(consts), 10)]
+    assert top[0]["dist2_micro"] == 0
+
+
+def test_wide_query_refused(spark):
+    df = _df(spark, {0: [float(i % 7) for i in range(30)]})
+    wide = [float(i % 13) for i in range(513)]
+    with pytest.raises(ValueError, match="512"):
+        znorm_distances(df, "user_id", "ts", "ts", "value", wide)
