@@ -132,9 +132,19 @@ def bm25_score_scan(
     corpus: a bounded stats aggregate (N, sum dl, df per query term —
     |q| + 2 scalars collected), then a map-side scoring projection.
     Returns (id, n_hit_terms, score_micro, score) for docs matching at
-    least one term; ``score_micro`` is the exact BIGINT sort key."""
+    least one term; ``score_micro`` is the exact BIGINT sort key.
+
+    N counts only docs with >= 1 token — the SAME convention the
+    postings paths use (a token-less doc never creates a posting, so
+    ``countDistinct(id)`` over postings can't see it); without this an
+    empty or punctuation-only document would make idf/avgdl diverge
+    between the scan and index/served paths. Duplicate query terms are
+    deduped order-preserving at entry (every path scores each DISTINCT
+    term once; the postings grain is (term, doc), so a duplicate could
+    never contribute twice there anyway)."""
     if not terms:
         raise ValueError("empty query term list")
+    terms = list(dict.fromkeys(terms))
     # The bounded stats pass is pure Catalyst: a space-bounded normalized
     # token string (identical token semantics to ``_words`` — lowercase
     # alnum runs), presence via instr, dl via one split — each aggregate
@@ -147,7 +157,9 @@ def bm25_score_scan(
         F.lit(" "))
     norm = df.select(F.col(id_col), s_expr.alias("__s"))
     t_ = F.trim("__s")
-    dl_expr = F.when(t_ == "", F.lit(0)).otherwise(
+    # NULL text must count as dl = 0, not size(NULL) = -1 (which would
+    # silently shrink sum_dl and skew avgdl vs the postings paths)
+    dl_expr = F.when(t_.isNull() | (t_ == ""), F.lit(0)).otherwise(
         F.size(F.split(t_, " "))).cast("long")
 
     def _has(term: str):
@@ -157,14 +169,14 @@ def bm25_score_scan(
         return F.instr("__s", f" {term} ") >= 1
 
     stats = norm.agg(
-        F.count("*").alias("n_docs"),
+        F.sum((dl_expr > 0).cast("long")).alias("n_docs"),
         F.sum(dl_expr).alias("sum_dl"),
         *[F.sum(_has(t).cast("long")).alias(f"df{i}")
           for i, t in enumerate(terms)],
     ).first()
     n_docs = int(stats["n_docs"] or 0)
     if n_docs == 0:
-        raise ValueError("empty corpus")
+        raise ValueError("empty corpus (no document has any token)")
     avgdl = int(stats["sum_dl"] or 0) / n_docs
     idfs = [_idf(n_docs, int(stats[f"df{i}"] or 0)) for i in range(len(terms))]
 
@@ -293,9 +305,11 @@ def bm25_topk_served(
       co-locates);
     * N and avgdl are the two maintained scalars.
 
-    Result ≡ :func:`bm25_topk` on the same corpus by construction."""
+    Result ≡ :func:`bm25_topk` on the same corpus by construction
+    (duplicate query terms deduped at entry, same as the scan path)."""
     if not terms:
         raise ValueError("empty query term list")
+    terms = list(dict.fromkeys(terms))
     if n_docs == 0:
         raise ValueError("empty index")
     avgdl = total_tokens / n_docs
@@ -358,6 +372,9 @@ def bm25_topk_join(
     score_micro, score), ranks exact on the BIGINT micro key."""
     if not queries or any(not ts for ts in queries.values()):
         raise ValueError("every query needs a non-empty term list")
+    # dedupe per query, order-preserving — same convention as the scan
+    # and served paths (duplicate terms must not double-count)
+    queries = {qid: list(dict.fromkeys(ts)) for qid, ts in queries.items()}
     if n_docs == 0:
         raise ValueError("empty index")
     avgdl = total_tokens / n_docs

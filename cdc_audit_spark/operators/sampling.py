@@ -24,6 +24,8 @@ with md5 for engine portability.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -135,12 +137,30 @@ def weighted_sample_wor(
     Rows with weight <= 0 are EXCLUDED up front (zero weight means zero
     inclusion probability by definition; a negative weight would flip the
     key's sign and silently always win) — the filter is map-side and
-    pushdown-eligible."""
+    pushdown-eligible.
+
+    Weight-scale precondition: the most extreme key is
+    ``ln(1/(2^24+1)) / w_min * micro`` (≈ -16.64/w_min · micro), which
+    must fit in int64 — with the default micro = 1e12 that means
+    ``w_min > ~1.9e-6``. The non-ANSI double→long cast would otherwise
+    CLAMP silently to Long.MIN, collapsing all tiny-weight keys to one
+    value and destroying weight-proportionality — so rows below the safe
+    minimum raise (map-side conditional, no extra pass) rather than
+    mis-sample. Rescale weights or lower ``micro`` for tiny-weight data."""
     df = df.filter(F.col(weight_col) > 0)
+    # |key| <= |ln(u_min)| / w * micro; keep a safety margin under 2^63
+    w_min_safe = -math.log(1.0 / (HASH_SPACE + 1)) * micro / 9.0e18
     u = (hash_bucket(F.col(key_col)) + F.lit(1)).cast("double") / F.lit(
         float(HASH_SPACE + 1))
-    key = F.floor(F.log(u) / F.col(weight_col) * F.lit(micro) + F.lit(0.5)
-                  ).cast("long")
+    key_raw = F.log(u) / F.col(weight_col) * F.lit(micro)
+    key = F.when(
+        F.col(weight_col) < F.lit(w_min_safe),
+        F.raise_error(F.concat(
+            F.lit(f"weighted_sample_wor: weight below safe minimum "
+                  f"{w_min_safe:.3g} for micro={micro:g} (key would "
+                  f"overflow int64 and clamp): "),
+            F.col(weight_col).cast("string"))),
+    ).otherwise(F.floor(key_raw + F.lit(0.5)).cast("long"))
     return (
         df.withColumn("es_key_micro", key)
         .orderBy(F.desc("es_key_micro"), F.col(key_col))

@@ -6239,7 +6239,8 @@ def _bm25_oracle_sql(terms: list[str], k: int, src_cte: str) -> str:
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                          t -> len(t) > 0) AS w
         FROM corpus),
-    st AS (SELECT count(*) AS n, sum(len(w)) AS sumdl, {df_cols} FROM toks),
+    st AS (SELECT sum(CASE WHEN len(w) > 0 THEN 1 ELSE 0 END) AS n,
+                  sum(len(w)) AS sumdl, {df_cols} FROM toks),
     tf AS (SELECT doc_id, len(w) AS dl, {tf_cols} FROM toks),
     scored AS (
       SELECT doc_id, CAST({hits} AS BIGINT) AS n_hit_terms,

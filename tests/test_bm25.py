@@ -520,6 +520,61 @@ def test_multiquery_topk_matches_per_query_scan(spark):
         assert sorted(got[qid], key=lambda x: (-x[1], x[0])) == want, qid
 
 
+def test_empty_docs_dont_skew_stats_across_paths(spark):
+    """N/avgdl convention: token-less docs (empty or punctuation-only)
+    never create a posting, so the index paths can't count them. The
+    scan path must use the SAME convention — before the fix it counted
+    them in count(*), making idf/avgdl (hence scores) diverge between
+    the scan and index/served paths on any corpus with an empty doc."""
+    rows = CORPUS + [(9, ""), (10, "!!! ???"), (11, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["cat", "fish", "dog"]
+    scan = [(r["doc_id"], r["score_micro"])
+            for r in bm25_topk(df, "text", "doc_id", terms, 4).collect()]
+    idx = [(r["doc_id"], r["score_micro"]) for r in bm25_topk_postings(
+        bm25_postings(df, "text", "doc_id"), "doc_id", terms, 4).collect()]
+    assert scan == idx
+    # and both equal the brute force over the token-bearing docs only
+    brute = _brute_bm25(CORPUS, terms)
+    assert dict(scan) == dict(
+        sorted(brute.items(), key=lambda x: (-x[1], x[0]))[:4])
+
+
+def test_duplicate_query_terms_deduped_on_every_path(spark):
+    """A duplicated query term must score once everywhere: the scan path
+    used to count it per occurrence, the served path once, and the batch
+    join twice — three behaviors. All entry points now dedupe."""
+    from cdc_audit_spark.operators.bm25 import (
+        bm25_norms,
+        bm25_topk_join,
+        bm25_topk_served,
+        postings_corpus_stats,
+    )
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    dup, uniq = ["cat", "fish", "cat", "cat"], ["cat", "fish"]
+    want = [(r["doc_id"], r["score_micro"], r["n_hit_terms"])
+            for r in bm25_topk(df, "text", "doc_id", uniq, 4).collect()]
+    scan = [(r["doc_id"], r["score_micro"], r["n_hit_terms"])
+            for r in bm25_topk(df, "text", "doc_id", dup, 4).collect()]
+    assert scan == want
+
+    postings = bm25_postings(df, "text", "doc_id")
+    norms = bm25_norms(postings, "doc_id")
+    n, total = postings_corpus_stats(postings, "doc_id")
+    served = [(r["doc_id"], r["score_micro"], r["n_hit_terms"])
+              for r in bm25_topk_served(postings, norms, n, total, "doc_id",
+                                        dup, 4).collect()]
+    assert served == want
+
+    joined = sorted(
+        ((r["doc_id"], r["score_micro"], r["n_hit_terms"])
+         for r in bm25_topk_join(postings, norms, n, total, "doc_id",
+                                 {1: dup}, 4).collect()),
+        key=lambda x: (-x[1], x[0]))
+    assert joined == want
+
+
 def test_weighted_sample_wor_excludes_nonpositive_weights(spark):
     """Zero weight = zero inclusion probability by definition; a negative
     weight would flip the key sign and always win — both are excluded up
@@ -531,3 +586,26 @@ def test_weighted_sample_wor_excludes_nonpositive_weights(spark):
     got = {r["doc_id"] for r in
            weighted_sample_wor(df, "doc_id", "w", 10).collect()}
     assert got == {1, 4, 5}
+
+
+def test_weighted_sample_wor_refuses_overflowing_weights(spark):
+    """A weight small enough that ln(u)/w * micro exceeds int64 would
+    silently CLAMP under the non-ANSI double->long cast, collapsing keys
+    to Long.MIN and destroying weight-proportionality — such rows raise
+    instead."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from cdc_audit_spark.operators.sampling import weighted_sample_wor
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 1e-9), (3, 3.0)], "doc_id long, w double")
+    with pytest.raises((Py4JJavaError, PySparkException),
+                       match="below safe minimum"):
+        weighted_sample_wor(df, "doc_id", "w", 3).collect()
+
+    # weights above the documented minimum are untouched by the guard
+    ok = spark.createDataFrame(
+        [(1, 2.0), (2, 0.001), (3, 3.0)], "doc_id long, w double")
+    assert weighted_sample_wor(ok, "doc_id", "w", 3).count() == 3
