@@ -159,22 +159,63 @@ def _list_versions(table_path: str) -> list[int]:
 
 
 def _dir_file_stats(table_path: str, rel_dir: str) -> dict:
-    """``{"files": [...], "rows": n, "bytes": n}`` for a freshly-written
-    commit dir — row counts come from the parquet FOOTERS (one tail read
-    per file, driver side, at write time when the dir is known-complete),
-    so recording them costs no Spark job. Recorded in dir_meta, they make
-    ``COUNT(*)`` / ``describe_detail`` pure manifest reads — the
-    Delta/Iceberg numRecords-per-file pattern at dir granularity."""
+    """``{"files": [...], "rows": n, "bytes": n, "stats": {col: [lo,
+    hi]}}`` for a freshly-written commit dir — row counts AND numeric
+    column min/max come from the parquet FOOTERS (one tail read per
+    file, driver side, at write time when the dir is known-complete),
+    so recording them costs no Spark job. Recorded in dir_meta, rows
+    make ``COUNT(*)`` / ``describe_detail`` pure manifest reads, and
+    the column stats make EVERY written dir skippable by
+    ``dirs_pruned`` / ``dirs_pruned_any`` on any numeric column — not
+    just the layout key (the Delta/Iceberg per-file-stats pattern at
+    dir granularity; this is what lets a join-IVM side read prune on
+    the JOIN key while the replica is laid out by its pk). A column is
+    recorded only when every row group carries trustworthy min/max
+    (NaN-bearing doubles don't; missing stats just mean the dir is
+    conservatively kept)."""
     import pyarrow.parquet as pq
 
     full = os.path.join(table_path, rel_dir)
     files = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
     rows = nbytes = 0
+    col_stats: dict[str, list] = {}
+    dropped: set[str] = set()
+
+    def _num(v):
+        # plain finite numbers only (bool is an int subtype — exclude)
+        return (isinstance(v, (int, float)) and not isinstance(v, bool)
+                and v == v)
+
     for f in files:
         p = os.path.join(full, f)
-        rows += pq.ParquetFile(p).metadata.num_rows
+        md = pq.ParquetFile(p).metadata
+        rows += md.num_rows
         nbytes += os.path.getsize(p)
-    return {"files": files, "rows": rows, "bytes": nbytes}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            if rg.num_rows == 0:
+                continue
+            for j in range(rg.num_columns):
+                col = rg.column(j)
+                name = col.path_in_schema
+                if "." in name or name in dropped:  # nested: skip
+                    continue
+                st = col.statistics
+                if (st is None or not st.has_min_max
+                        or not _num(st.min) or not _num(st.max)):
+                    dropped.add(name)
+                    col_stats.pop(name, None)
+                    continue
+                cur = col_stats.get(name)
+                if cur is None:
+                    col_stats[name] = [st.min, st.max]
+                else:
+                    cur[0] = min(cur[0], st.min)
+                    cur[1] = max(cur[1], st.max)
+    out: dict = {"files": files, "rows": rows, "bytes": nbytes}
+    if col_stats and rows > 0:
+        out["stats"] = col_stats
+    return out
 
 
 #: Equality-skipping stats (``append(set_stats_cols=)`` / ``analyze``):
@@ -1240,6 +1281,11 @@ class ManifestTable:
         finally:
             if owns_cache:
                 df.unpersist()
+        # footer-derived column stats underlay the aggregate-computed
+        # ones (both exact; explicit stats_cols win on overlap)
+        foot = fstats.pop("stats", {})
+        if foot or "stats" in meta:
+            meta["stats"] = {**foot, **meta.get("stats", {})}
         meta.update(fstats)
         extra = {**(extra or {}), "schema": df.schema.json(),
                  "dir_meta": {rel: meta}}
@@ -1507,7 +1553,9 @@ class ManifestTable:
             st = {c: [_plain(r[f"__lo_{c}"]), _plain(r[f"__hi_{c}"])]
                   for c in cluster_by
                   if _plain(r[f"__lo_{c}"]) is not None}
-            dm = {"stats": st, **_dir_file_stats(self.path, d)}
+            fs = _dir_file_stats(self.path, d)
+            # footer stats underlay the exact cluster-key aggregates
+            dm = {"stats": {**fs.pop("stats", {}), **st}, **fs}
             lo, hi = (r[f"__lo_{cluster_by[0]}"],
                       r[f"__hi_{cluster_by[0]}"])
             if int_key and isinstance(lo, int) and not isinstance(lo, bool):
@@ -1906,6 +1954,100 @@ class ManifestTable:
         df = self._read_dirs_dv(self.manifest(version), dirs,
                                  at_version=version)
         return df.filter(F.col(col).isin(*points))
+
+    def read_pruned_for_keys(self, keys_df: DataFrame, key: str,
+                             max_points: int = 4096,
+                             version: int | None = None) -> DataFrame:
+        """The table narrowed to dirs that may hold any of ``keys_df``'s
+        values of ``key`` — the debit-read primitive of the maintenance
+        epochs: a micro-batch needs only its touched keys' OLD images,
+        and the base replica is committed as a disjoint key-range layout
+        (``merge_audit(pruned=True)``), so the read must touch only the
+        intersecting dirs, never the corpus — the COMPUTE-side twin of
+        the O(delta) storage contract (an epoch that commits O(batch)
+        bytes but scans the full replica to compute them is still
+        O(corpus) per micro-batch).
+
+        One bounded aggregate over the (batch-sized) keys frame picks
+        the strategy: up to ``max_points`` distinct keys are collected
+        and pruned per point (equality stats + ranges, exact residual
+        IN-filter); a wider batch falls back to the [min, max] hull with
+        a range residual. Both return every row whose ``key`` the batch
+        touches (point mode: exactly those; range mode: a superset);
+        callers needing exactly the touched old images keep their
+        broadcast semi-join. Dirs without recorded stats for ``key`` are
+        kept conservatively, so the read is correct on ANY layout and
+        merely prunes less. ``version`` pins time travel (e.g. a
+        pre-epoch state read)."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"no commits yet at {self.path}")
+        r = keys_df.agg(
+            F.min(key).alias("__lo"), F.max(key).alias("__hi"),
+            F.count_distinct(F.col(key)).alias("__nd")).first()
+        if r["__lo"] is None:  # empty batch: stable empty schema
+            return self._empty_frame(version)
+        if int(r["__nd"]) <= max_points:
+            pts = [row[0] for row in keys_df.select(key).distinct()
+                   .collect()]
+            dirs = self.dirs_pruned_any(key, pts, version=version)
+            if not dirs:
+                return self._empty_frame(version)
+            df = self._read_dirs_dv(self.manifest(version), dirs,
+                                    at_version=version)
+            return df.filter(F.col(key).isin(*pts))
+        lo, hi = r["__lo"], r["__hi"]
+        dirs = self.dirs_pruned({key: (lo, hi)}, version=version)
+        if not dirs:
+            return self._empty_frame(version)
+        df = self._read_dirs_dv(self.manifest(version), dirs,
+                                at_version=version)
+        return df.filter((F.col(key) >= F.lit(lo))
+                         & (F.col(key) <= F.lit(hi)))
+
+    def _empty_frame(self, version: int) -> DataFrame:
+        """An empty frame in the schema recorded at ``version`` — no dir
+        listing, no scan (tables predating schema stamps fall back to a
+        WHERE-false read, which Catalyst folds to an empty relation)."""
+        from pyspark.sql import functions as F
+
+        sch = self.schema(version)
+        if sch is not None:
+            return self.spark.createDataFrame([], sch)
+        return self.read(version).filter(F.lit(False))
+
+    def read_pruned_any_of(self, filters: dict[str, list | None],
+                           version: int | None = None) -> DataFrame:
+        """Read the dirs that may hold rows satisfying ANY of the given
+        ``col IN points`` conditions — the multi-purpose narrowed scan
+        for reads that serve several downstream filters at once (e.g.
+        the join-IVM's left replica, read once for both the ΔA debit's
+        pk lookup and the A_pre ⋈ ΔB join-key match). NO residual filter
+        is applied (the union of per-column candidate sets has no single
+        residual); callers narrow exactly downstream, so the result is a
+        conservative superset. A ``None`` points list marks a filter the
+        caller could not bound — its dirs are all kept."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"no commits yet at {self.path}")
+        m = self.manifest(version)
+        if any(pts is None for pts in filters.values()):
+            keep = set(m["dirs"])
+        else:
+            keep = set()
+            for col, pts in filters.items():
+                keep.update(self.dirs_pruned_any(col, pts,
+                                                 version=version))
+        dirs = [d for d in m["dirs"] if d in keep]  # manifest order
+        if not dirs:
+            return self._empty_frame(version)
+        return self._read_dirs_dv(m, dirs, at_version=version)
 
     def read_change_feed(self, from_version: int = 1,
                          to_version: int | None = None) -> DataFrame:

@@ -98,8 +98,12 @@ def apply_bm25_manifest_epoch(
         epoch_id, run_id)
     if need_post or need_norms or need_stats:
         # every append runs before the merge, so in ANY crash prefix the
-        # base is still pre-merge and the recomputed delta is identical
-        base = (base_t.read() if base_t.current_version() is not None
+        # base is still pre-merge and the recomputed delta is identical.
+        # The debit needs only the touched keys' old images; the replica
+        # is a disjoint key-range layout, so read only the intersecting
+        # dirs (compute-side twin of the O(delta) storage contract).
+        base = (base_t.read_pruned_for_keys(batch_df.select(pk), pk)
+                if base_t.current_version() is not None
                 else _empty_state(batch_df))
         delta = bm25_posting_delta(base, batch_df, text_col, pk_cols)
         if need_post:
@@ -117,10 +121,15 @@ def apply_bm25_manifest_epoch(
                 # filter). Folding first would be an O(#docs) aggregate
                 # per micro-batch — the compute-side analog of the
                 # storage flaw VERDICT r08 #1 fixed.
+                # read_pruned_for_keys narrows the pinned pre-state to
+                # the delta's ids at the STORAGE layer too (dirs whose
+                # recorded id stats miss every touched id never list);
+                # every delta row of a touched id survives the filter,
+                # so the fold is exact for those ids.
                 pre_norms = (
                     fold_bm25_norms(
-                        norms_t.read(pre_v).join(
-                            F.broadcast(nd.select(pk)), pk, "left_semi"),
+                        norms_t.read_pruned_for_keys(
+                            nd.select(pk), pk, version=pre_v),
                         pk)
                     if pre_v is not None else None)
                 dn, dt = bm25_stats_delta(pre_norms, nd, pk)

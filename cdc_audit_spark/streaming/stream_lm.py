@@ -149,8 +149,16 @@ def apply_lm_manifest_epoch(
             "with merge_audit(pruned=True), which needs a single integer "
             f"merge key; got pk_cols={pk_cols!r}")
     if not counts_t.epoch_applied(epoch_id, run_id):
-        # pre-merge base by ordering: the merge below runs strictly after
-        base = (base_t.read() if base_t.current_version() is not None
+        # pre-merge base by ordering: the merge below runs strictly
+        # after. The debit needs only the TOUCHED keys' old images, and
+        # the replica is committed as a disjoint key-range layout — so
+        # read only the dirs the batch's keys intersect (the compute-
+        # side twin of the O(delta) storage contract; a full-replica
+        # scan per micro-batch would be O(corpus) I/O on a stream whose
+        # contract is O(delta)).
+        base = (base_t.read_pruned_for_keys(
+                    batch_df.select(pk_cols[0]), pk_cols[0])
+                if base_t.current_version() is not None
                 else _empty_state(batch_df))
         delta = ngram_count_delta(base, batch_df, text_col, pk_cols, n=n)
         counts_t.append(delta, extra={"epoch": int(epoch_id),

@@ -126,7 +126,13 @@ def apply_mview_manifest_epoch(
             "with merge_audit(pruned=True), which needs a single integer "
             f"merge key; got pk_cols={pk_cols!r}")
     if not view_t.epoch_applied(epoch_id, run_id):
-        base = (base_t.read() if base_t.current_version() is not None
+        # debit reads only the dirs the batch's keys intersect — the
+        # compute-side twin of the O(delta) storage contract (the
+        # replica is a disjoint key-range layout; a full scan per
+        # micro-batch would be O(corpus) I/O)
+        base = (base_t.read_pruned_for_keys(
+                    batch_df.select(pk_cols[0]), pk_cols[0])
+                if base_t.current_version() is not None
                 else _empty_state(batch_df))
         delta = group_sum_delta(base, batch_df, pk_cols, group_cols, value)
         view_t.append(delta, extra={"epoch": int(epoch_id),
@@ -280,10 +286,18 @@ def apply_join_mview_manifest_epoch(
     rbatch = (batch_df.filter(F.col(table_col) == right_name)
               .select(*right_cols, *acols))
     if not view_t.epoch_applied(epoch_id, run_id):
-        left = (left_t.read() if left_t.current_version() is not None
-                else _empty_state(lbatch))
-        right = (right_t.read() if right_t.current_version() is not None
-                 else _empty_state(rbatch))
+        # each replica read serves two batch-bounded lookups — its OWN
+        # delta's pk debit and the OTHER side's delta-join-key match
+        # (the A_pre ⋈ ΔB / ΔA ⋈ B_pre terms) — so read the union of
+        # the dirs either filter may touch, never the whole replica
+        # (the compute-side twin of the O(delta) storage contract);
+        # join_group_sum_delta's broadcast semi-joins narrow exactly.
+        jk_b = _delta_join_key_points(right_t, rbatch, right_pk, join_keys)
+        jk_a = _delta_join_key_points(left_t, lbatch, left_pk, join_keys)
+        left = _pruned_join_side(left_t, lbatch, left_pk[0],
+                                 join_keys[0], jk_b)
+        right = _pruned_join_side(right_t, rbatch, right_pk[0],
+                                  join_keys[0], jk_a)
         delta = join_group_sum_delta(left, right, lbatch, rbatch,
                                      join_keys, left_pk, right_pk,
                                      group_cols, value)
@@ -294,6 +308,68 @@ def apply_join_mview_manifest_epoch(
     right_t.merge_audit(rbatch, right_pk, bootstrap=_empty_state(rbatch),
                         pruned=True, range_buckets=range_buckets)
     maybe_fold_mview(view_t, group_cols, max_dirs=fold_max_dirs)
+
+
+#: cap on per-filter point collection for the join-IVM's pruned side
+#: reads — past it the filter degrades to keep-all-dirs (conservative,
+#: same cost as the pre-pruning full read), keeping driver memory bounded
+_JOIN_PRUNE_MAX_POINTS = 4096
+
+
+def _bounded_points(df, col: str) -> list | None:
+    """Distinct values of ``col``, or None when there are more than the
+    cap (the caller keeps all dirs for that filter — conservative)."""
+    rows = (df.select(col).distinct()
+            .limit(_JOIN_PRUNE_MAX_POINTS + 1).collect())
+    if len(rows) > _JOIN_PRUNE_MAX_POINTS:
+        return None
+    return [r[0] for r in rows]
+
+
+def _delta_join_key_points(other_t, other_batch, other_pk,
+                           join_keys: list[str]) -> list | None:
+    """The distinct values the OTHER side's signed delta can carry on
+    the FIRST join key — its touched old images (a pk-pruned replica
+    read, batch-bounded) plus its surviving final images. Used to prune
+    this side's replica read for the A_pre ⋈ ΔB / ΔA ⋈ B_pre terms; a
+    single join column bounds the dir set (a matching row must match
+    every join column, so one column's candidate dirs are a correct
+    superset). None = unbounded (keep all dirs)."""
+    from cdc_audit_spark.compact import keep_last_per_key
+    from cdc_audit_spark.schema import AUDIT_EVENT
+
+    final = keep_last_per_key(other_batch, other_pk)
+    news = final.filter(F.col(AUDIT_EVENT) != "delete")
+    jk = join_keys[0]
+    if other_t.current_version() is not None:
+        olds = other_t.read_pruned_for_keys(
+            other_batch.select(other_pk[0]), other_pk[0])
+        src = olds.select(jk).unionByName(news.select(jk))
+    else:
+        src = news.select(jk)
+    return _bounded_points(src, jk)
+
+
+def _pruned_join_side(side_t, own_batch, own_pk: str, jk: str,
+                      other_jk_points: list | None):
+    """One side's replica, read as the union of the dirs its own batch's
+    pk points touch and the dirs the other delta's join-key points may
+    match — a conservative superset of every row the delta terms
+    consult. Falls back to the full read only when the table predates
+    any commit (bootstrap) or a point set overflowed the cap."""
+    from cdc_audit_spark.streaming.stream_lm import _empty_state
+
+    if side_t.current_version() is None:
+        return _empty_state(own_batch)
+    own_points = _bounded_points(own_batch, own_pk)
+    if own_pk == jk:
+        # same physical column: the union of both point sets is one
+        # filter (None from either side means unbounded)
+        pts = (None if own_points is None or other_jk_points is None
+               else sorted(set(own_points) | set(other_jk_points)))
+        return side_t.read_pruned_any_of({own_pk: pts})
+    return side_t.read_pruned_any_of({own_pk: own_points,
+                                      jk: other_jk_points})
 
 
 def stream_join_mview_sync_manifest(

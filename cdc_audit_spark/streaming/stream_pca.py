@@ -61,7 +61,13 @@ def apply_pca_manifest_epoch(
             "with merge_audit(pruned=True), which needs a single integer "
             f"merge key; got pk_cols={pk_cols!r}")
     if not state_t.epoch_applied(epoch_id, run_id):
-        base = (base_t.read() if base_t.current_version() is not None
+        # debit reads only the dirs the batch's keys intersect — the
+        # compute-side twin of the O(delta) storage contract (the
+        # replica is a disjoint key-range layout; a full scan per
+        # micro-batch would be O(corpus) I/O)
+        base = (base_t.read_pruned_for_keys(
+                    batch_df.select(pk_cols[0]), pk_cols[0])
+                if base_t.current_version() is not None
                 else _empty_state(batch_df))
         delta = moment_state_delta(base, batch_df, vec_col, pk_cols)
         state_t.append(delta, extra={"epoch": int(epoch_id),

@@ -1252,30 +1252,36 @@ def test_column_stats_pruned_reads(spark, tmp_path):
     t.append(batch(0, 100, 1), stats_cols=["v", "ts"])      # v 0..990
     t.append(batch(100, 200, 2), stats_cols=["v", "ts"])    # v 1000..1990
     t.append(batch(200, 300, 3), stats_cols=["v", "ts"])    # v 2000..2990
-    t.append(batch(300, 310, 4))                             # NO stats
+    # no explicit stats_cols — numeric v still rides the footer pass;
+    # the TIMESTAMP ts does not (footer stats are numeric-only), so this
+    # dir is conservative for ts filters
+    t.append(batch(300, 310, 4))                             # v 3000..3090
 
     m = t.manifest(t.current_version())
     assert m["dir_meta"][m["dirs"][0]]["stats"]["v"] == [0, 990]
 
-    # numeric pruning: middle band → dir 2 + the stats-less dir
+    # numeric pruning: middle band → dir 2 only (footer stats exclude
+    # the explicit-stats-less dir too: v 3000..3090)
     dirs = t.dirs_pruned({"v": (1000, 1500)})
-    assert len(dirs) == 2
+    assert len(dirs) == 1
     got = t.read_pruned({"v": (1000, 1500)})
     want = t.read().filter("v between 1000 and 1500")
     assert got.count() == want.count() == 51
     assert got.exceptAll(want).count() == 0
 
-    # half-open bound: dir 3 (v 2500-2990) + the stats-less dir's rows
-    # (v 3000-3090) — 50 + 10
+    # half-open bound: dir 3 (v 2500-2990) + dir 4 (v 3000-3090) — 50+10
     assert len(t.dirs_pruned({"v": (2500, None)})) == 2
     assert t.read_pruned({"v": (2500, None)}).count() == 60
 
-    # conjunctive filters: v range matches dir 2 but ts excludes it
+    # conjunctive filters: v range matches only dir 2, ts excludes it
     dirs = t.dirs_pruned({"v": (1000, 1500),
                           "ts": (dt.datetime(2026, 1, 3), None)})
-    assert len(dirs) == 1  # only the stats-less dir survives both
+    assert len(dirs) == 0
     assert t.read_pruned({"v": (1000, 1500),
                           "ts": (dt.datetime(2026, 1, 3), None)}).count() == 0
+    # ts alone: dirs 1-2 excluded by their recorded ts stats; dir 4 has
+    # no ts stat (timestamp column, no footer range) → kept conservatively
+    assert len(t.dirs_pruned({"ts": (dt.datetime(2026, 1, 3), None)})) == 2
 
     # datetime pruning alone (ISO-string comparison under the hood)
     assert t.read_pruned(
@@ -1580,8 +1586,10 @@ def test_dirs_pruned_any_multi_point(spark, tmp_path):
                     want.append(d)
         got = t.dirs_pruned_any("c", points)
         assert set(got) == set(want), points
-    # the statless append dir is kept for any point set
-    assert any("c-" in d for d in t.dirs_pruned_any("c", [999]))
+    # the plain append dir carries footer stats (c = 100): pruned for a
+    # missing point, kept for its own value
+    assert t.dirs_pruned_any("c", [999]) == []
+    assert any("c-" in d for d in t.dirs_pruned_any("c", [100]))
 
 
 def test_restore_rolls_back_content_and_state(spark, tmp_path):

@@ -61,9 +61,13 @@ def test_stats_minmax_metadata_only_and_conservative(spark, tmp_path):
     assert lo == 0 and hi <= 999
     assert t.stats_minmax("src") is None  # not derivable -> caller scans
 
-    # one stats-less dir poisons the whole answer (must stay exact)
+    # a plain append still answers: numeric min/max now ride the footer
+    # pass unconditionally (write-time, no Spark job)
     t.append(_chunk(spark, 250, 300))
-    assert t.stats_minmax("k") is None
+    assert t.stats_minmax("k") == (0, 299)
+    # a string column records no footer range (strings are excluded from
+    # footer stats); one dir without it poisons the whole answer
+    assert t.stats_minmax("src") is None
     # row counts are still recorded unconditionally (footer read)
     assert t.row_count() == 300
 
@@ -149,32 +153,55 @@ def test_analyze_backfills_stats_metadata_only_commit(spark, tmp_path):
     t = ManifestTable(spark, str(tmp_path / "t"))
     t.append(_chunk(spark, 0, 100))
     t.append(_chunk(spark, 100, 250))
-    assert t.stats_minmax("v") is None
+    # numeric ranges ride the write-time footer pass: analyzing them
+    # alone has nothing to backfill (and commits nothing)
+    assert t.stats_minmax("v") is not None
+    assert t.analyze(["k", "v"]) is None
     base_dirs = t.manifest(t.current_version())["dirs"]
 
+    # string equality stats still need the backfill job
     v = t.analyze(["k", "v"], set_stats_cols=["src"])
     m = t.manifest(v)
     assert m["action"] == "analyze"
     # dirs byte-identical: nothing was rewritten, only metadata landed
     assert m["dirs"] == base_dirs
     assert t.stats_minmax("k") == (0, 249)
-    assert t.stats_minmax("v") is not None
     assert t.dirs_pruned_any("src", ["nope"]) == []
     # second analyze is a no-op (no empty commits)
     assert t.analyze(["k", "v"], set_stats_cols=["src"]) is None
-    # a later append without stats makes analyze incremental: only the
-    # new dir is scanned and patched
+    # a later append makes analyze incremental: only the new dir is
+    # scanned and patched (its set stat is the missing piece)
     t.append(_chunk(spark, 250, 300))
-    v2 = t.analyze(["k", "v"])
+    v2 = t.analyze(["k"], set_stats_cols=["src"])
     assert v2 is not None and t.stats_minmax("k") == (0, 299)
 
 
+def _strip_recorded_stats(t):
+    """Simulate a LEGACY table (written before footer stats landed) by
+    deleting the recorded per-dir column stats from the current
+    manifest."""
+    import json
+
+    from cdc_audit_spark.sinks.manifest import _manifest_path
+
+    p = _manifest_path(t.path, t.current_version())
+    with open(p) as fh:
+        m = json.load(fh)
+    for dm in m.get("dir_meta", {}).values():
+        dm.pop("stats", None)
+    with open(p, "w") as fh:
+        json.dump(m, fh)
+
+
 def test_analyze_enables_pruned_merge_free_reads(spark, tmp_path):
-    """read_pruned on a legacy stats-less table goes from scan-all to
-    skip after one analyze."""
+    """Fresh appends prune immediately (footer stats); a LEGACY
+    stats-less table stays conservative until one analyze backfills."""
     t = ManifestTable(spark, str(tmp_path / "t"))
     t.append(_chunk(spark, 0, 100))       # k in [0, 100)
     t.append(_chunk(spark, 1000, 1100))   # k in [1000, 1100)
+    # write-time footer stats: skippable with no analyze
+    assert len(t.dirs_pruned({"k": (0, 50)})) == 1
+    _strip_recorded_stats(t)              # legacy table simulation
     assert len(t.dirs_pruned({"k": (0, 50)})) == 2  # conservative
     t.analyze(["k"])
     assert len(t.dirs_pruned({"k": (0, 50)})) == 1
@@ -543,3 +570,76 @@ def test_bloom_probe_uses_recorded_params(spark, tmp_path):
     folded_ok = _fold_dir_meta([{"sets": {"c": good}},
                                 {"sets": {"c": good}}])
     assert "c" in folded_ok["sets"]
+
+
+# --------------------------------------- batch-key pruned reads (debit)
+
+
+def test_read_pruned_for_keys_point_mode(spark, tmp_path):
+    """The maintenance-epoch debit primitive: a keys frame touching two
+    of eight range dirs lists only those dirs and returns exactly the
+    touched keys' rows."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write_range_layout(_chunk(spark, 0, 800), "k", n_buckets=8)
+    all_dirs = t.manifest(t.current_version())["dirs"]
+    assert len(all_dirs) == 8
+
+    keys = spark.createDataFrame([(3,), (5,), (701,)], "k long")
+    reads = []
+    orig = t._read_dirs_dv
+
+    def spy(m, dirs, at_version=None):
+        reads.append(list(dirs))
+        return orig(m, dirs, at_version=at_version)
+
+    t._read_dirs_dv = spy
+    got = t.read_pruned_for_keys(keys, "k")
+    rows = {r["k"] for r in got.collect()}
+    assert rows == {3, 5, 701}
+    assert all(len(d) <= 2 for d in reads) and reads  # 2/8 dirs listed
+
+
+def test_read_pruned_for_keys_range_fallback(spark, tmp_path):
+    """Past max_points the read degrades to the [min, max] hull with a
+    range residual — a superset, still dir-pruned when keys cluster."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write_range_layout(_chunk(spark, 0, 800), "k", n_buckets=8)
+    keys = spark.range(10, 60).select(F.col("id").alias("k"))
+    reads = []
+    orig = t._read_dirs_dv
+
+    def spy(m, dirs, at_version=None):
+        reads.append(list(dirs))
+        return orig(m, dirs, at_version=at_version)
+
+    t._read_dirs_dv = spy
+    got = t.read_pruned_for_keys(keys, "k", max_points=8)
+    assert got.count() == 50  # [10, 59] residual over the pruned dirs
+    assert all(len(d) <= 1 for d in reads) and reads  # one range dir
+
+
+def test_read_pruned_for_keys_empty_and_version(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write_range_layout(_chunk(spark, 0, 100), "k", n_buckets=4)
+    v1 = t.current_version()
+    t.append(_chunk(spark, 100, 200))
+    empty = spark.createDataFrame([], "k long")
+    assert t.read_pruned_for_keys(empty, "k").count() == 0
+    # pinned pre-version read never sees the later append
+    keys = spark.createDataFrame([(150,)], "k long")
+    assert t.read_pruned_for_keys(keys, "k", version=v1).count() == 0
+    assert t.read_pruned_for_keys(keys, "k").count() == 1
+
+
+def test_read_pruned_any_of_unions_filters(spark, tmp_path):
+    """The multi-purpose superset read (join-IVM side reads): dirs kept
+    if ANY col-in-points filter may match; no residual filter applied;
+    a None points list keeps everything (unbounded filter)."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write_range_layout(_chunk(spark, 0, 800), "k", n_buckets=8)
+    df = t.read_pruned_any_of({"k": [3, 701]})
+    ks = {r["k"] for r in df.collect()}
+    assert {3, 701} <= ks
+    assert len(ks) <= 200  # two of eight 100-key dirs
+    assert t.read_pruned_any_of({"k": None}).count() == 800
+    assert t.read_pruned_any_of({"k": []}).count() == 0

@@ -653,3 +653,83 @@ def test_median_and_topk_views_track_deletes(spark):
     got = [(r["cust"], r["n_rows"], r["rank"]) for r in
            top.orderBy("rank").collect()]
     assert got == [(100, 2, 1), (200, 1, 2)]  # 300 vanished entirely
+
+
+def test_join_mview_side_reads_prune_to_touched_dirs(spark, tmp_path):
+    """VERDICT r09 #1, join-IVM form: with both replicas range-laid-out
+    and every written dir carrying footer column stats, an epoch's side
+    reads (the ΔA debit lookup and the A_pre ⋈ ΔB join-key match) LIST
+    only the dirs the batch's keys / the other delta's join keys can
+    touch — never a full replica — and the maintained view still equals
+    the direct aggregate. Join-key pruning on the non-layout column
+    works exactly when the key correlates with the layout (here
+    c_id = o_id // 25, so each o_id-range dir spans a narrow c_id
+    band); uncorrelated layouts degrade to conservative full reads,
+    never to wrong results."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_mview import (
+        apply_join_mview_manifest_epoch,
+        current_manifest_mview,
+    )
+
+    ts = dt.datetime(2026, 1, 1)
+    sch = ("tbl string, o_id long, c_id long, price double, "
+           "nation string, audit_event string, "
+           "audit_timestamp timestamp, audit_pk long")
+    args = dict(table_col="tbl", left_name="orders", right_name="cust",
+                join_keys=["c_id"], left_pk=["o_id"], right_pk=["c_id"],
+                group_cols=["nation"],
+                value=F.col("price").cast("decimal(12,2)"),
+                left_cols=["o_id", "c_id", "price"],
+                right_cols=["c_id", "nation"], range_buckets=8)
+
+    lt = ManifestTable(spark, str(tmp_path / "orders_t"))
+    rt = ManifestTable(spark, str(tmp_path / "cust_t"))
+    vt = ManifestTable(spark, str(tmp_path / "view_t"))
+
+    orders = [("orders", o, o // 25, float(o), None, "insert", ts, o + 1)
+              for o in range(200)]
+    custs = [("cust", None, c, None, f"N{c % 5}", "insert", ts, c + 1)
+             for c in range(8)]
+    b0 = spark.createDataFrame(orders + custs, sch)
+    apply_join_mview_manifest_epoch(lt, rt, vt, b0, 0, "r1", **args)
+    n_l = len(lt.manifest(lt.current_version())["dirs"])
+    n_r = len(rt.manifest(rt.current_version())["dirs"])
+    assert n_l >= 6 and n_r >= 4
+
+    reads = {"l": [], "r": []}
+    for tag, t in (("l", lt), ("r", rt)):
+        orig = t._read_dirs_dv
+
+        def spy(m, dirs, at_version=None, _o=orig, _tag=tag):
+            reads[_tag].append(list(dirs))
+            return _o(m, dirs, at_version=at_version)
+
+        t._read_dirs_dv = spy
+
+    # one customer changes nation: the left side must consult only the
+    # o_id dirs whose c_id band covers 2 (one dir), never all of them
+    b1 = spark.createDataFrame(
+        [("cust", None, 2, None, "ZZ", "update", ts, 100)], sch)
+    apply_join_mview_manifest_epoch(lt, rt, vt, b1, 1, "r1", **args)
+
+    assert reads["l"] and reads["r"]
+    assert max(len(d) for d in reads["l"]) <= 2 < n_l
+    assert max(len(d) for d in reads["r"]) <= 2 < n_r
+
+    _, view = current_manifest_mview(spark, str(tmp_path / "orders_t"),
+                                     str(tmp_path / "view_t"), ["nation"])
+    got = {(r["nation"], float(r["total"]), r["n_rows"])
+           for r in view.collect()}
+    fin_cust = {c: ("ZZ" if c == 2 else f"N{c % 5}") for c in range(8)}
+    want: dict = {}
+    for o in range(200):
+        c = o // 25
+        n = fin_cust[c]
+        tot, cnt = want.get(n, (0.0, 0))
+        want[n] = (tot + float(o), cnt + 1)
+    assert got == {(n, tot, cnt) for n, (tot, cnt) in want.items()}

@@ -386,3 +386,64 @@ def test_lm_counts_fold_then_vacuum_reclaims_delta_dirs(spark, tmp_path):
     expect = train_ngram_lm(
         spark.createDataFrame(docs, "doc_id long, text string"), "text", n=2)
     assert _counts_set(model.counts) == _counts_set(expect.counts)
+
+
+def test_lm_manifest_debit_reads_fraction_of_base_dirs(spark, tmp_path):
+    """VERDICT r09 #1 'done' criterion — the READ-side twin of the
+    O(delta) commit proof above: a 2-doc batch onto a 200-doc replica
+    laid out as 8 key-range dirs computes its debit by LISTING only the
+    touched dirs (never the full replica), and the maintained counts
+    still equal retraining on the final corpus."""
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.operators.ngram_lm import fold_ngram_count_deltas
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_lm import apply_lm_manifest_epoch
+
+    base_t = ManifestTable(spark, str(tmp_path / "base_t"))
+    counts_t = ManifestTable(spark, str(tmp_path / "counts_t"))
+    boot = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document number "), F.col("id").cast("string"),
+                 F.lit(" talks about topic "),
+                 (F.col("id") % 17).cast("string")).alias("text"),
+        F.lit("insert").alias("audit_event"),
+        F.lit(TS).alias("audit_timestamp"),
+        (F.col("id") + 1).alias("audit_pk"))
+    apply_lm_manifest_epoch(base_t, counts_t, boot, 0, "r1", "text",
+                            ["doc_id"], range_buckets=8)
+    n_dirs0 = len(base_t.manifest(base_t.current_version())["dirs"])
+    assert n_dirs0 >= 6
+
+    reads = []
+    orig = base_t._read_dirs_dv
+
+    def spy(m, dirs, at_version=None):
+        reads.append(list(dirs))
+        return orig(m, dirs, at_version=at_version)
+
+    base_t._read_dirs_dv = spy
+    delta = spark.createDataFrame(
+        [(3, "a fresh tiny document", "update", TS, 300),
+         (4, "another fresh tiny one", "update", TS, 301)], SCH)
+    apply_lm_manifest_epoch(base_t, counts_t, delta, 1, "r1", "text",
+                            ["doc_id"], range_buckets=8)
+    base_t._read_dirs_dv = orig
+
+    # every base listing during the epoch touched a fraction of the dirs
+    assert reads, "the debit read never went through the manifest reader"
+    assert max(len(d) for d in reads) <= 2 < n_dirs0
+
+    # and the maintained model is still exact: folded counts == retrain
+    final = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 3, F.lit("a fresh tiny document"))
+        .when(F.col("id") == 4, F.lit("another fresh tiny one"))
+        .otherwise(F.concat(F.lit("document number "),
+                            F.col("id").cast("string"),
+                            F.lit(" talks about topic "),
+                            (F.col("id") % 17).cast("string")))
+        .alias("text"))
+    want = train_ngram_lm(final, "text", n=2)
+    got = fold_ngram_count_deltas(counts_t.read())
+    assert _counts_set(got) == _counts_set(want.counts)
