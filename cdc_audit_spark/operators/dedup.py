@@ -404,20 +404,34 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document, JVM-side.
 
-    Per token: xxhash64 → 64 sign votes; aggregate votes with a zip_with
-    fold over the token array; sign → bits → one long. Near-dup detection is
-    then hamming-distance banding on the fingerprint. No Python, no shuffle.
+    Per token: two 32-bit words carved out of ``md5(token)`` (hex chars
+    1-8 and 9-16) supply 64 sign votes; votes aggregate with a zip_with
+    fold over the token array; sign → bits → one long. Near-dup
+    detection is then hamming-distance banding on the fingerprint. No
+    Python, no shuffle.
+
+    The md5-word hash (instead of xxhash64) is the repo's PORTABLE hash
+    idiom: DuckDB evaluates ``('0x' || substr(md5(t), 1, 8))::BIGINT``
+    to the identical 32-bit word, so the whole fingerprint — integer
+    vote sums, sign cuts, bit packing — is engine-exact and the query
+    form oracle-checks. Bit 63 would overflow a signed shiftleft's
+    value range only in SQL arithmetic; Spark's bitwiseOR of
+    non-overlapping bits is exact (the oracle adds -2^63 instead, the
+    two's-complement identity).
     """
     from functools import reduce
 
     tokens = F.split(F.col(text_col), r"\s+")
 
     def bit_votes(t):
-        # one ±1 vote per bit of the token hash; bit positions are Python
-        # ints (shiftright requires a literal shift amount)
+        # one ±1 vote per bit; two exact 32-bit md5 words per token
+        # (bit positions are Python ints — shiftright needs literals)
+        w1 = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        w2 = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
         return F.array(*[
             F.when(
-                F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                F.shiftright(w1 if j < 32 else w2, j % 32)
+                .bitwiseAND(F.lit(1)) == 1, F.lit(1)
             ).otherwise(F.lit(-1))
             for j in range(64)
         ])

@@ -3876,16 +3876,48 @@ def dedup_cluster_assign(spark, sf_dir):
     )
 
 
+def _simhash_oracle() -> str:
+    """The DuckDB mirror of operators.dedup.simhash: per-token md5
+    words → 64 integer vote sums per doc → sign cut → bit packing.
+    Integer-exact end to end; bit 63 lands via the two's-complement
+    identity (+(-2^63) instead of a shiftleft that would overflow)."""
+    w1 = "(('0x' || substr(md5(t), 1, 8))::BIGINT)"
+    w2 = "(('0x' || substr(md5(t), 9, 8))::BIGINT)"
+    vote_cols = ", ".join(
+        f"sum(CASE WHEN ({w1 if j < 32 else w2} >> {j % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64))
+    packed = " + ".join(
+        [f"(CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+         for j in range(63)]
+        + ["(CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) "
+           "ELSE 0 END)"])
+    return f"""
+    WITH {_DUPED_CTE},
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+        FROM duped),
+    v AS (SELECT doc_id, {vote_cols} FROM toks GROUP BY doc_id)
+    SELECT doc_id AS id, CAST({packed} AS BIGINT) AS simhash64 FROM v
+    """
+
+
 @register(
     "dedup_simhash",
-    None,
-    "SimHash 64-bit fingerprint buckets — xxhash64-based, not ANSI SQL; "
-    "validated by tests (identical texts → identical simhash)",
+    None,  # oracle attached below (the generated 64-vote mirror)
+    "SimHash 64-bit fingerprint per document (Charikar 2002): two exact "
+    "md5 32-bit words per token supply 64 sign votes, integer vote sums "
+    "fold per doc, the sign cut packs one BIGINT. Promoted from "
+    "no-oracle (VERDICT r09 #6): the md5-word hash is the repo's "
+    "portable idiom, so DuckDB reproduces the fingerprint bit for bit.",
 )
 def dedup_simhash(spark, sf_dir):
     from cdc_audit_spark.operators.dedup import simhash
 
     return simhash(_duped_docs(spark, sf_dir), "text", id_col="doc_id")
+
+
+_REGISTRY["dedup_simhash"].oracle = _simhash_oracle()
 
 
 @register(
@@ -6707,52 +6739,46 @@ def cdc_pca_moments_sync(spark, sf_dir):
 # behind the window; next round rotates the remaining unchecked ones in.
 
 _DRIVER_WINDOW = [
-    # r09 rotation (VERDICT r08 item 2). First: the 11 oracle-backed r8
-    # queries that have never had a driver row (sweep-green, never
-    # hash-checked by the driver):
-    "cdc_lm_index_sync", "cdc_merge_upsert", "cdc_table_changes",
-    "dedup_duplicate_spans", "dedup_span_excision", "dsir_bucket_counts",
-    "gopher_quality_rules", "ngram_lm_backoff_tiers",
-    "q11_important_parts", "semdedup_prune", "text_winnow_fingerprints",
-    # the two queries promoted from no-oracle this round (VERDICT r08
-    # item 5) — micro-quantized engine-exact scoring paths — plus the
-    # round's NEW operators (signed-multiplicity delta-join IVM,
-    # moments/variance IVM, exact distinct-count IVM):
-    "dsir_importance_sample", "ngram_lm_perplexity", "cdc_join_mview",
-    "cdc_incremental_variance", "cdc_distinct_mview",
-    "cdc_median_mview", "cdc_topk_mview",
-    # the r9 retrieval tier (BM25 scan + index forms, hybrid RRF fusion,
-    # CDC-maintained postings) and the A-ES weighted WOR sampler — new
-    # this round, driver-checked immediately so no never-checked backlog
-    # accrues:
-    "bm25_topk", "bm25_index_topk", "hybrid_rrf_topk",
-    "cdc_bm25_index_sync", "weighted_sample_wor", "pca_covariance_q",
-    "cdc_pca_moments_sync", "cdc_bm25_serving_topk",
-    # 24 of the 49 queries whose newest green row is r06 (the 3-round
-    # staleness bound fires this round) — prioritized by SURVEY §2
-    # mapping (filters, joins, CDC machinery, streaming analytics, the
-    # LLM-pipeline operators) over the TPC-H extension shapes:
-    "anti_join_customers_without_orders",
-    "cdc_diff_event_counts",
-    "cdc_incremental_agg", "cdc_keep_last", "cdc_manifest_stream_drain",
-    "cdc_merge_replica_pruned", "cdc_replay_state", "cdc_scd2_history",
-    "clean_pii_redact", "dedup_embedding_cosine", "dedup_survivors",
-    "events_funnel",
-    "events_sessionize", "events_sliding_window", "filter_conj_eq", "filter_contains", "filter_isin",
-    "filter_range_closed", "knn_cosine_topk", "multimodal_payload_stats",
-    "q1_pricing_summary",
-    "text_bpe_token_counts", "text_language_id",
-    "text_token_stats",
-    # r10 TODO: the 25 r06-green queries that did not fit this window
-    # (agg_global_minmax, asof_join_error_purchase, events_json_extract,
-    # events_type_pivot, text_fingerprint, embedding_quantize_int8,
-    # q3_top_orders,
-    # q5_region_revenue, q18_large_orders, q21_sole_late_supplier,
-    # topk_orders_per_customer, range_join_click_windows,
-    # semi_join_urgent_customers, and the TPC-H shapes
-    # q2/q4/q6/q7/q8/q9/q10/q12/q14/q17/q19/q22 — all sweep-green; they
-    # are 4+ rounds stale at r10 and rotate in first), plus whatever r9
-    # registers after this window was pinned.
+    # r10 rotation (VERDICT r09 item 2). First: the 5 oracle-backed r9
+    # queries registered after the r9 window was pinned (sweep-green,
+    # never driver-checked) plus the query promoted from no-oracle this
+    # round (dedup_simhash — md5-word portable hash, VERDICT r09 #6):
+    "bm25_multiquery_topk", "ccnet_bucket_sample",
+    "sample_temperature_lang", "text_chunk_windows",
+    "ts_subsequence_match", "dedup_simhash",
+    # all 25 queries whose newest green row is r06 (4 rounds stale at
+    # r10 — the staleness bound fires):
+    "agg_global_minmax", "asof_join_error_purchase",
+    "embedding_quantize_int8", "events_json_extract",
+    "events_type_pivot", "q10_returned_items", "q12_priority_linestatus",
+    "q14_promo_revenue", "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_pred", "q21_sole_late_supplier",
+    "q22_idle_rich_customers", "q2_min_balance_supplier", "q3_top_orders",
+    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_profit_by_nation_year",
+    "range_join_click_windows", "semi_join_urgent_customers",
+    "text_fingerprint", "topk_orders_per_customer",
+    # 19 of the 38 r07-green queries (3 rounds stale) — CDC machinery
+    # and pipeline operators first; the remaining 19 rotate in at r11:
+    "cdc_audit_stats", "cdc_dedup_index_sync", "cdc_diff_customer",
+    "cdc_incremental_scan", "cdc_keep_last_per_key",
+    "cdc_manifest_format_rw", "cdc_manifest_roundtrip",
+    "cdc_manifest_sink_drain", "cdc_replica_change_feed",
+    "cdc_state_asof", "cdc_watermark_recovery", "scan_filter_project",
+    "window_running_total", "events_hourly_stats", "text_top_bigrams",
+    "tfidf_top_terms", "multimodal_chunk_sample", "sample_source_quota",
+    "embedding_l2_normalize",
+    # r11 TODO: the 19 r07-green queries that did not fit this window
+    # (clean_boilerplate_tokens, dedup_rate_by_source,
+    # events_daily_active, events_type_day_cube, events_user_activity,
+    # events_value_histogram, lang_distribution, median_price_by_flag,
+    # nation_top_customer_list, q13_order_count_distribution,
+    # q15_top_supplier, q16_supplier_part_counts,
+    # q19_disjunctive_revenue, q20_bulk_part_suppliers, revenue_rollup,
+    # scalar_function_sampler, text_quality, text_top_terms,
+    # window_percent_rank — all sweep-green; they are the stalest set at
+    # r11 and rotate in first), plus whatever r10 registers after this
+    # window was pinned.
 ]
 
 
