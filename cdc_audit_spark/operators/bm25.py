@@ -56,12 +56,14 @@ from pyspark.sql import functions as F
 from cdc_audit_spark.operators.ngram_lm import _words
 
 __all__ = [
+    "bm25_df_delta",
     "bm25_norms",
     "bm25_norms_delta",
     "bm25_postings",
     "bm25_posting_delta",
     "bm25_score_scan",
     "bm25_stats_delta",
+    "fold_bm25_dfs",
     "bm25_topk",
     "bm25_topk_join",
     "bm25_topk_postings",
@@ -288,6 +290,7 @@ def bm25_topk_served(
     *,
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
+    term_dfs: DataFrame | None = None,
 ) -> DataFrame:
     """The serving-tier scorer: every input is MAINTAINED state
     (``streaming.stream_bm25`` keeps postings, norms and the (N, total)
@@ -296,10 +299,11 @@ def bm25_topk_served(
     query:
 
     * candidates = ``term IN (query)`` over the postings (pushdown);
-    * per-term document frequencies come from the CANDIDATE SET ITSELF
-      (the candidates for term t are by definition every posting of t,
-      so count-distinct over them IS df(t) — one bounded aggregate over
-      candidate rows, |q| output rows);
+    * per-term document frequencies come from the MAINTAINED (term, df)
+      ledger when ``term_dfs`` is given (|q| point lookups — bounded
+      regardless of how common a term is), else from the candidate set
+      itself (count-distinct over candidate rows — correct, but a
+      stopword-ish term makes that aggregate corpus-sized);
     * per-candidate lengths join against the norms table on the id key
       (candidate-driven lookups; store norms id-bucketed so the join
       co-locates);
@@ -314,11 +318,17 @@ def bm25_topk_served(
         raise ValueError("empty index")
     avgdl = total_tokens / n_docs
     cand = postings.filter(F.col("term").isin(terms))
-    dfs = {
-        r["term"]: int(r["n"])
-        for r in cand.groupBy("term")
-        .agg(F.countDistinct(id_col).alias("n")).collect()
-    }
+    if term_dfs is not None:
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in term_dfs.filter(F.col("term").isin(terms)).collect()
+        }
+    else:
+        dfs = {
+            r["term"]: int(r["n"])
+            for r in cand.groupBy("term")
+            .agg(F.countDistinct(id_col).alias("n")).collect()
+        }
     idfs = [_idf(n_docs, dfs.get(t, 0)) for t in terms]
     cand = cand.join(norms.select(F.col(id_col), F.col("dl").alias("__dl")),
                      id_col)
@@ -536,6 +546,60 @@ def bm25_posting_delta(
         .groupBy("term", pk_cols[0])
         .agg(F.sum("tf").alias("tf"))
         .filter(F.col("tf") != 0)
+    )
+
+
+def bm25_df_delta(
+    pre_postings: DataFrame | None,
+    posting_delta: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """The SIGNED (term, df) delta a posting delta implies — the
+    document-frequency ledger's write unit (VERDICT r09 #4): a doc
+    crosses INTO term t (+1) when its pre tf was 0 and the delta makes
+    it positive, OUT (-1) when a positive pre tf reaches 0; pure tf
+    changes cancel. Keeping df maintained means the serving scorer
+    never aggregates it from candidates per query — a stopword-ish term
+    would otherwise make that aggregate corpus-sized.
+
+    ``pre_postings`` is the PRE-epoch index state narrowed to the
+    delta's terms (a term-pruned read — candidate-bounded under the
+    term-clustered layout); ``None`` means no pre state (bootstrap:
+    every positive delta row is a crossing in). The join broadcasts the
+    batch-sized delta."""
+    if pre_postings is None:
+        return (
+            posting_delta.filter(F.col("tf") > 0)
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("df"))
+        )
+    d = posting_delta.select("term", F.col(id_col), F.col("tf").alias("__d"))
+    p = pre_postings.select("term", F.col(id_col),
+                            F.col("tf").alias("__pre"))
+    j = F.broadcast(d).join(p, ["term", id_col], "left")
+    pre = F.coalesce(F.col("__pre"), F.lit(0))
+    post = pre + F.col("__d")
+    sign = (
+        F.when((pre == 0) & (post > 0), 1)
+        .when((pre > 0) & (post <= 0), -1)
+        .otherwise(0)
+    )
+    return (
+        j.select("term", sign.alias("__s"))
+        .groupBy("term")
+        .agg(F.sum("__s").cast("long").alias("df"))
+        .filter(F.col("df") != 0)
+    )
+
+
+def fold_bm25_dfs(df: DataFrame) -> DataFrame:
+    """Collapse the signed (term, df) ledger to the current document
+    frequencies; terms whose df reached 0 disappear."""
+    return (
+        df.select("term", "df")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") > 0)
     )
 
 

@@ -6507,9 +6507,12 @@ def cdc_bm25_serving_topk(spark, sf_dir):
             apply_bm25_manifest_epoch(
                 ts["base"], ts["post"], batch, epoch, "q", "text",
                 ["doc_id"], norms_t=ts["norms"], stats_t=ts["stats"])
+        # terms= makes the postings read candidate-bounded at the
+        # STORAGE layer: the term-clustered fold + per-delta term stats
+        # let the manifest skip every dir whose range misses the query
         postings, norms, n_docs, total = current_serving_bm25(
             spark, ts["post"].path, ts["norms"].path, ts["stats"].path,
-            "doc_id")
+            "doc_id", terms=_BM25_TERMS)
         out = bm25_topk_served(postings, norms, n_docs, total, "doc_id",
                                _BM25_TERMS, 20)
         return out.localCheckpoint(eager=True)

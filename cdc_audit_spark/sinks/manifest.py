@@ -1405,6 +1405,67 @@ class ManifestTable:
                                    "dir_meta": {rel: fstats}},
                             expected_parent=base_version)
 
+    def overwrite_clustered(self, df: DataFrame, key: str,
+                            n_dirs: int = 16,
+                            extra: dict | None = None,
+                            base_version: int | None = _ANY,
+                            action: str = "overwrite") -> int:
+        """:meth:`overwrite`, but the new content lands as up to
+        ``n_dirs`` DISJOINT ``key``-range dirs with recorded per-dir
+        min/max — the fold/compaction write for LSM state tables whose
+        readers filter on ``key`` (a term-clustered postings index, an
+        id-clustered norms table): after the fold, ``read_pruned_eq(key,
+        points)`` lists only the dirs whose range covers a point, never
+        the whole state. Integer keys use the quantile range layout
+        (recorded ``pk_col`` ranges — also what ``read_pruned_for_keys``
+        prunes on); any ordered type (strings included) uses a
+        range-partitioned write whose bucket stats land as plain column
+        stats. Same conflict contract as :meth:`overwrite`."""
+        from pyspark.sql import functions as F
+
+        if base_version is _ANY:
+            base_version = self.current_version()
+        self._enforce_constraints(df)
+        if dict(df.dtypes).get(key) in ("int", "bigint", "long",
+                                        "short", "byte"):
+            dirs, meta = self._write_range_dirs(df, key, n_dirs)
+            return self._commit(action, lambda parent: dirs,
+                                max_retries=1,
+                                extra={**(extra or {}),
+                                       "schema": df.schema.json(),
+                                       "dir_meta": meta},
+                                expected_parent=base_version)
+        # range-partition on the (orderable) key; each task holds exactly
+        # one range, so its partition id IS the bucket. The per-bucket
+        # min/max is read back from the WRITTEN files (one small job) —
+        # never recomputed from the input lineage, whose range sampling
+        # need not reproduce across evaluations.
+        ranged = (df.repartitionByRange(max(1, n_dirs), F.col(key))
+                  .withColumn("__bucket", F.spark_partition_id()))
+        rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
+        (ranged.sortWithinPartitions(key)
+         .write.partitionBy("__bucket")
+         .parquet(os.path.join(self.path, rel)))
+        stats_rows = (self.spark.read.parquet(os.path.join(self.path, rel))
+                      .groupBy("__bucket")
+                      .agg(F.min(key).alias("__lo"),
+                           F.max(key).alias("__hi"))
+                      .collect())
+        dirs, meta = [], {}
+        for r in sorted(stats_rows, key=lambda r: int(r["__bucket"])):
+            d = f"{rel}/__bucket={int(r['__bucket'])}"
+            dirs.append(d)
+            fs = _dir_file_stats(self.path, d)
+            st = fs.pop("stats", {})
+            if _plain(r["__lo"]) is not None:
+                st[key] = [_plain(r["__lo"]), _plain(r["__hi"])]
+            meta[d] = {"stats": st, **fs} if st else fs
+        return self._commit(action, lambda parent: dirs, max_retries=1,
+                            extra={**(extra or {}),
+                                   "schema": df.schema.json(),
+                                   "dir_meta": meta},
+                            expected_parent=base_version)
+
     def compact(self, pk_cols: list[str] | None = None,
                 keep_last_only: bool = False,
                 extra: dict | None = None,

@@ -39,9 +39,11 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from cdc_audit_spark.operators.bm25 import (
+    bm25_df_delta,
     bm25_norms_delta,
     bm25_posting_delta,
     bm25_stats_delta,
+    fold_bm25_dfs,
     fold_bm25_norms,
     fold_bm25_postings,
 )
@@ -49,9 +51,11 @@ from cdc_audit_spark.streaming import genstate
 
 __all__ = [
     "apply_bm25_manifest_epoch",
+    "current_bm25_dfs",
     "current_manifest_bm25",
     "current_serving_bm25",
     "fold_bm25_stats",
+    "maybe_fold_bm25_dfs",
     "maybe_fold_bm25_norms",
     "maybe_fold_bm25_postings",
     "maybe_fold_bm25_stats",
@@ -73,6 +77,7 @@ def apply_bm25_manifest_epoch(
     fold_max_dirs: int = 16,
     norms_t=None,
     stats_t=None,
+    dfs_t=None,
 ) -> None:
     """One micro-batch of the exactly-once manifest-backed index drain —
     O(delta) at the storage layer: committed bytes scale with the batch,
@@ -80,7 +85,9 @@ def apply_bm25_manifest_epoch(
     ``stream_lm.apply_lm_manifest_epoch`` (same crash-window proof);
     requires a single integer merge key and monotone batch ``audit_pk``.
     Pass ``norms_t``/``stats_t`` to additionally maintain the serving
-    side states (module docstring) in the same epoch."""
+    side states (module docstring) in the same epoch, and ``dfs_t`` to
+    maintain the (term, df) ledger — the piece that keeps a
+    stopword-heavy query's idf lookup bounded at serve time."""
     from cdc_audit_spark.streaming.stream_dedup import _version_before_epoch
     from cdc_audit_spark.streaming.stream_lm import _empty_state
 
@@ -96,7 +103,9 @@ def apply_bm25_manifest_epoch(
         epoch_id, run_id)
     need_stats = stats_t is not None and not stats_t.epoch_applied(
         epoch_id, run_id)
-    if need_post or need_norms or need_stats:
+    need_dfs = dfs_t is not None and not dfs_t.epoch_applied(
+        epoch_id, run_id)
+    if need_post or need_norms or need_stats or need_dfs:
         # every append runs before the merge, so in ANY crash prefix the
         # base is still pre-merge and the recomputed delta is identical.
         # The debit needs only the touched keys' old images; the replica
@@ -106,8 +115,27 @@ def apply_bm25_manifest_epoch(
                 if base_t.current_version() is not None
                 else _empty_state(batch_df))
         delta = bm25_posting_delta(base, batch_df, text_col, pk_cols)
+        if need_dfs:
+            # against the PINNED pre-epoch postings, narrowed to the
+            # delta's terms at the storage layer (term-pruned read —
+            # candidate-bounded under the term-clustered fold); the
+            # term-filtered fold is exact for those terms. Runs BEFORE
+            # the postings append so a replay after it still sees the
+            # same pre state via the version pin.
+            pre_p = _version_before_epoch(postings_t, epoch_id)
+            pre_post = (
+                fold_bm25_postings(
+                    postings_t.read_pruned_for_keys(
+                        delta.select("term"), "term", version=pre_p),
+                    pk)
+                if pre_p is not None else None)
+            dfs_t.append(bm25_df_delta(pre_post, delta, pk), extra=extra,
+                         stats_cols=["term"])
         if need_post:
-            postings_t.append(delta, extra=extra)
+            # the delta dir records its term min/max (one tiny aggregate
+            # over the batch-sized delta), so even the un-folded LSM
+            # tail is skippable by a query's `term IN` candidate read
+            postings_t.append(delta, extra=extra, stats_cols=["term"])
         if need_norms or need_stats:
             nd = bm25_norms_delta(delta, pk)
             if need_norms:
@@ -145,35 +173,64 @@ def apply_bm25_manifest_epoch(
         maybe_fold_bm25_norms(norms_t, pk, max_dirs=fold_max_dirs)
     if stats_t is not None:
         maybe_fold_bm25_stats(stats_t, max_dirs=4 * fold_max_dirs)
+    if dfs_t is not None:
+        maybe_fold_bm25_dfs(dfs_t, max_dirs=fold_max_dirs)
 
 
 def maybe_fold_bm25_postings(postings_t, id_col: str,
-                             max_dirs: int = 16) -> int | None:
+                             max_dirs: int = 16,
+                             cluster_dirs: int = 8) -> int | None:
     """Materialize the LSM fold when the postings table's dir fan-in
     exceeds ``max_dirs`` — ``maybe_fold_lm_counts``'s policy applied to
     the index: the rewrite is the AGGREGATED fold (signed deltas summed,
-    zero rows dropped), amortized O(index); epoch/run_id inherit through
-    the overwrite so the replay guard survives folding. Returns the new
-    version or None."""
+    zero rows dropped), amortized O(index), and it lands TERM-CLUSTERED
+    (disjoint term-range dirs with recorded min/max), so a query's
+    ``term IN`` candidate read lists only the dirs whose range covers a
+    query term — the serving layout the scorer's pushdown assumes.
+    Epoch/run_id inherit through the overwrite so the replay guard
+    survives folding. Returns the new version or None."""
     cur = postings_t.current_version()
     if cur is None:
         return None
     if len(postings_t.manifest(cur)["dirs"]) <= max_dirs:
         return None
     folded = fold_bm25_postings(postings_t.read(cur), id_col)
-    return postings_t.overwrite(folded, base_version=cur)
+    return postings_t.overwrite_clustered(folded, "term",
+                                          n_dirs=cluster_dirs,
+                                          base_version=cur)
 
 
 def maybe_fold_bm25_norms(norms_t, id_col: str,
-                          max_dirs: int = 16) -> int | None:
-    """The same fold policy for the norms LSM (amortized O(#docs))."""
+                          max_dirs: int = 16,
+                          cluster_dirs: int = 8) -> int | None:
+    """The same fold policy for the norms LSM (amortized O(#docs)),
+    landing ID-CLUSTERED (disjoint id-range dirs): candidate-driven
+    norms lookups and the maintenance epochs' pinned pre-state reads
+    (``read_pruned_for_keys``) both skip dirs whose id range misses
+    the touched set."""
     cur = norms_t.current_version()
     if cur is None:
         return None
     if len(norms_t.manifest(cur)["dirs"]) <= max_dirs:
         return None
-    return norms_t.overwrite(fold_bm25_norms(norms_t.read(cur), id_col),
-                             base_version=cur)
+    return norms_t.overwrite_clustered(
+        fold_bm25_norms(norms_t.read(cur), id_col), id_col,
+        n_dirs=cluster_dirs, base_version=cur)
+
+
+def maybe_fold_bm25_dfs(dfs_t, max_dirs: int = 16,
+                        cluster_dirs: int = 8) -> int | None:
+    """The fold policy for the (term, df) ledger — amortized O(vocab),
+    landing term-clustered like the postings so serve-time idf lookups
+    skip dirs."""
+    cur = dfs_t.current_version()
+    if cur is None:
+        return None
+    if len(dfs_t.manifest(cur)["dirs"]) <= max_dirs:
+        return None
+    return dfs_t.overwrite_clustered(fold_bm25_dfs(dfs_t.read(cur)),
+                                     "term", n_dirs=cluster_dirs,
+                                     base_version=cur)
 
 
 def maybe_fold_bm25_stats(stats_t, max_dirs: int = 64) -> int | None:
@@ -221,10 +278,19 @@ def current_manifest_bm25(spark: SparkSession, base_path: str,
 
 
 def current_serving_bm25(spark: SparkSession, postings_path: str,
-                         norms_path: str, stats_path: str, id_col: str):
+                         norms_path: str, stats_path: str, id_col: str,
+                         terms: list[str] | None = None):
     """(postings, norms, n_docs, total_tokens) — everything
     ``bm25.bm25_topk_served`` needs, all from maintained state; (None,
-    None, 0, 0) before the first committed epoch."""
+    None, 0, 0) before the first committed epoch.
+
+    Pass the query's ``terms`` to make the postings read CANDIDATE-
+    BOUNDED at the storage layer: only the dirs whose recorded term
+    range covers a query term are listed (the term-clustered fold +
+    per-delta term stats make this a fraction of the layout), and the
+    fold runs over candidate rows only — exact for those terms, since
+    every signed delta row of a term survives the term filter. Without
+    ``terms`` the whole index folds (the ad-hoc/inspection read)."""
     from cdc_audit_spark.sinks.manifest import ManifestTable
 
     postings_t = ManifestTable(spark, postings_path)
@@ -232,10 +298,34 @@ def current_serving_bm25(spark: SparkSession, postings_path: str,
     stats_t = ManifestTable(spark, stats_path)
     if postings_t.current_version() is None:
         return None, None, 0, 0
-    postings = fold_bm25_postings(postings_t.read(), id_col)
+    if terms is None:
+        raw = postings_t.read()
+    else:
+        raw = postings_t.read_pruned_eq("term", list(dict.fromkeys(terms)))
+    postings = fold_bm25_postings(raw, id_col)
     norms = fold_bm25_norms(norms_t.read(), id_col)
     n_docs, total = fold_bm25_stats(stats_t.read())
     return postings, norms, n_docs, total
+
+
+def current_bm25_dfs(spark: SparkSession, dfs_path: str,
+                     terms: list[str] | None = None):
+    """The maintained (term, df) ledger folded to current document
+    frequencies — pass ``terms`` to bound the read to the query's terms
+    at the storage layer (term-clustered fold + per-delta term stats;
+    the term-filtered fold is exact for those terms). Feed the result to
+    ``bm25_topk_served(term_dfs=...)`` so idf lookups stay |q|-bounded
+    no matter how common a term is. None before the first epoch."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    dfs_t = ManifestTable(spark, dfs_path)
+    if dfs_t.current_version() is None:
+        return None
+    if terms is None:
+        raw = dfs_t.read()
+    else:
+        raw = dfs_t.read_pruned_eq("term", list(dict.fromkeys(terms)))
+    return fold_bm25_dfs(raw)
 
 
 def stream_bm25_sync_manifest(
@@ -253,19 +343,22 @@ def stream_bm25_sync_manifest(
     fold_max_dirs: int = 16,
     norms_path: str | None = None,
     stats_path: str | None = None,
+    dfs_path: str | None = None,
 ):
     """The BM25 maintenance stream: base replica and signed postings live
     in MANIFEST tables — exactly-once and O(delta) committed bytes per
     micro-batch. Versioned, time-travelable, vacuumable. Pass
     ``norms_path``/``stats_path`` to also maintain the serving side
     states; the live index is then ``current_serving_bm25`` (else
-    ``current_manifest_bm25``)."""
+    ``current_manifest_bm25``). ``dfs_path`` additionally maintains the
+    (term, df) ledger (``current_bm25_dfs``)."""
     from cdc_audit_spark.sinks.manifest import ManifestTable
 
     base_t = ManifestTable(spark, base_path)
     postings_t = ManifestTable(spark, postings_path)
     norms_t = ManifestTable(spark, norms_path) if norms_path else None
     stats_t = ManifestTable(spark, stats_path) if stats_path else None
+    dfs_t = ManifestTable(spark, dfs_path) if dfs_path else None
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -278,6 +371,7 @@ def stream_bm25_sync_manifest(
             genstate.checkpoint_run_id(checkpoint_path),
             text_col, pk_cols, range_buckets=range_buckets,
             fold_max_dirs=fold_max_dirs, norms_t=norms_t, stats_t=stats_t,
+            dfs_t=dfs_t,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(

@@ -609,3 +609,141 @@ def test_weighted_sample_wor_refuses_overflowing_weights(spark):
     ok = spark.createDataFrame(
         [(1, 2.0), (2, 0.001), (3, 3.0)], "doc_id long, w double")
     assert weighted_sample_wor(ok, "doc_id", "w", 3).count() == 3
+
+
+def test_bm25_serving_layout_skips_dirs(spark, tmp_path):
+    """VERDICT r09 #3 'done' criterion: the fold cadence lands the
+    postings TERM-CLUSTERED and the norms ID-CLUSTERED, so a 2-term
+    query's candidate read LISTS a fraction of the postings dirs (the
+    ANN serving-probe pattern at the manifest level) and the norms dirs
+    carry id ranges the maintenance epochs' pinned reads prune on; the
+    candidate-bounded served top-k still equals the scan scorer on the
+    final corpus."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_bm25 import (
+        apply_bm25_manifest_epoch,
+        current_serving_bm25,
+    )
+    from cdc_audit_spark.operators.bm25 import bm25_topk_served
+
+    def text_of(i):
+        return " ".join(f"w{(i * 7 + j) % 50:03d}" for j in range(6))
+
+    base_t = ManifestTable(spark, str(tmp_path / "base_t"))
+    post_t = ManifestTable(spark, str(tmp_path / "post_t"))
+    norms_t = ManifestTable(spark, str(tmp_path / "norms_t"))
+    stats_t = ManifestTable(spark, str(tmp_path / "stats_t"))
+
+    docs = {i: text_of(i) for i in range(200)}
+    epochs = [[(i, t, "insert", TS, i + 1) for i, t in docs.items()]]
+    pk = 1000
+    for e in range(1, 5):  # four tiny update epochs force the fold
+        i = e * 13
+        docs[i] = f"updated text number w{e:03d}"
+        epochs.append([(i, docs[i], "update", TS, pk + e)])
+    for e, rows in enumerate(epochs):
+        apply_bm25_manifest_epoch(
+            base_t, post_t, spark.createDataFrame(rows, SCH), e, "r1",
+            "text", ["doc_id"], norms_t=norms_t, stats_t=stats_t,
+            fold_max_dirs=3)
+
+    # postings: the fold left a term-clustered layout; a 2-term query
+    # lists a fraction of it
+    pm = post_t.manifest(post_t.current_version())
+    assert len(pm["dirs"]) >= 6
+    q = ["w001", "w048"]
+    cand = post_t.dirs_pruned_any("term", q)
+    assert len(cand) <= 2 < len(pm["dirs"])
+
+    # norms: id-clustered fold — dirs carry merge-key ranges, so
+    # read_pruned_for_keys skips them
+    nm = norms_t.manifest(norms_t.current_version())
+    assert len(nm["dirs"]) >= 6
+    assert all("pk_min" in nm["dir_meta"][d] for d in nm["dirs"])
+    touched = spark.createDataFrame([(13,)], "doc_id long")
+    reads = []
+    orig = norms_t._read_dirs_dv
+
+    def spy(m, dirs, at_version=None):
+        reads.append(list(dirs))
+        return orig(m, dirs, at_version=at_version)
+
+    norms_t._read_dirs_dv = spy
+    assert norms_t.read_pruned_for_keys(touched, "doc_id").count() == 1
+    norms_t._read_dirs_dv = orig
+    assert reads and max(len(d) for d in reads) <= 2 < len(nm["dirs"])
+
+    # serving from the candidate-bounded read equals the scan scorer
+    postings, norms, n_docs, total = current_serving_bm25(
+        spark, post_t.path, norms_t.path, stats_t.path, "doc_id",
+        terms=q)
+    served = [(r["doc_id"], r["score_micro"]) for r in bm25_topk_served(
+        postings, norms, n_docs, total, "doc_id", q, 10).collect()]
+    final = spark.createDataFrame(sorted(docs.items()),
+                                  "doc_id long, text string")
+    scan = [(r["doc_id"], r["score_micro"]) for r in bm25_topk(
+        final, "text", "doc_id", q, 10).collect()]
+    assert served == scan
+
+
+def test_df_ledger_maintained_and_served_exact(spark, tmp_path):
+    """VERDICT r09 #4: the (term, df) ledger folds to brute-force
+    document frequencies under insert/update/delete epochs, and
+    bm25_topk_served fed the MAINTAINED ledger equals the scan scorer
+    INCLUDING a high-df term ('the' — the per-query candidate aggregate
+    it replaces would be corpus-sized for such terms). Ledger commits
+    are appends; a full-epoch replay is a durable no-op."""
+    from cdc_audit_spark.operators.bm25 import bm25_topk_served
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_bm25 import (
+        apply_bm25_manifest_epoch,
+        current_bm25_dfs,
+        current_serving_bm25,
+    )
+
+    ts_ = {n: ManifestTable(spark, str(tmp_path / n))
+           for n in ("base", "post", "norms", "stats", "dfs")}
+    epochs = [
+        [(i, t, "insert", TS, i) for i, t in CORPUS[:3]],
+        [(4, CORPUS[3][1], "insert", TS, 10)],
+        [(2, "the dog only", "update", TS, 11),
+         (3, CORPUS[2][1], "delete", TS, 12)],
+    ]
+    for e, rows in enumerate(epochs):
+        apply_bm25_manifest_epoch(
+            ts_["base"], ts_["post"], spark.createDataFrame(rows, SCH),
+            e, "r1", "text", ["doc_id"], norms_t=ts_["norms"],
+            stats_t=ts_["stats"], dfs_t=ts_["dfs"])
+
+    final = [CORPUS[0], (2, "the dog only"), CORPUS[3]]
+    brute = _brute_postings(final)
+    exp_df: dict = {}
+    for (t, _d), _c in brute.items():
+        exp_df[t] = exp_df.get(t, 0) + 1
+    got_df = {r["term"]: r["df"]
+              for r in current_bm25_dfs(spark, ts_["dfs"].path).collect()}
+    assert got_df == exp_df
+
+    terms = ["the", "dog", "fish"]  # 'the' is in every surviving doc but 4
+    postings, norms, n_docs, total = current_serving_bm25(
+        spark, ts_["post"].path, ts_["norms"].path, ts_["stats"].path,
+        "doc_id", terms=terms)
+    dfs = current_bm25_dfs(spark, ts_["dfs"].path, terms=terms)
+    served = [(r["doc_id"], r["score_micro"]) for r in bm25_topk_served(
+        postings, norms, n_docs, total, "doc_id", terms, 3,
+        term_dfs=dfs).collect()]
+    scan = [(r["doc_id"], r["score_micro"]) for r in bm25_topk(
+        spark.createDataFrame(final, "doc_id long, text string"),
+        "text", "doc_id", terms, 3).collect()]
+    assert served == scan
+
+    assert all(ts_["dfs"].manifest(v)["action"] == "append"
+               for v in ts_["dfs"].versions())
+    # full-epoch replay: every guard skips, the ledger is unchanged
+    apply_bm25_manifest_epoch(
+        ts_["base"], ts_["post"], spark.createDataFrame(epochs[-1], SCH),
+        2, "r1", "text", ["doc_id"], norms_t=ts_["norms"],
+        stats_t=ts_["stats"], dfs_t=ts_["dfs"])
+    again = {r["term"]: r["df"]
+             for r in current_bm25_dfs(spark, ts_["dfs"].path).collect()}
+    assert again == exp_df
