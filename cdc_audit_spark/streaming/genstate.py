@@ -1,6 +1,7 @@
 """Generation-snapshot state shared by the streaming index/view hooks.
 
-stream_exact_index_sync and stream_mview_sync persist cross-batch state as
+Generation-snapshot streaming hooks (e.g. stream_exact_index_sync)
+persist cross-batch state as
 ``gen=<epoch>`` snapshot directories behind an atomically-flipped
 ``_current.json`` pointer. This module is the SINGLE owner of that
 protocol — pointer read (`read_pointer`), commit (`flip_pointer`), replay

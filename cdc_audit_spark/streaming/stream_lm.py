@@ -5,18 +5,19 @@ touched docs' old gram multisets and credits surviving final images — it
 needs the audit batch AND the pre-batch base snapshot, exactly like the
 materialized-view maintainer.
 
-**Primary form: the manifest-backed stream** (``stream_lm_sync_manifest``
-/ ``apply_lm_manifest_epoch``) — exactly-once AND O(delta) at the storage
+The stream is manifest-backed (``stream_lm_sync_manifest`` /
+``apply_lm_manifest_epoch``) — exactly-once AND O(delta) at the storage
 layer: each micro-batch appends only its signed gram delta to the counts
 LSM and dir-granularly merges only the touched key ranges of the base
 replica (``merge_audit(pruned=True)``), so committed bytes per batch scale
-with the batch, never the corpus. The generation-snapshot form below
-(``stream_lm_sync`` / genstate pointers) predates it and rewrites full
-(base, counts) snapshots per batch — kept for plain-directory deployments
-without a manifest table, not for scale.
+with the batch, never the corpus. (A generation-snapshot form predated it
+and rewrote full (base, counts) parquet snapshots per batch; it was
+removed once the manifest form had been primary for a round — one
+maintained code path per tier.)
 
-Per micro-batch the COMPUTE is O(batch) in both forms: one broadcast
-semi-join for the debits, the batch's own grams for the credits.
+Per micro-batch the COMPUTE is O(batch): one broadcast semi-join for the
+debits against a dir-pruned read of the touched key ranges, the batch's
+own grams for the credits.
 
 Why this matters at 100 TB: the LM quality gate (CCNet perplexity buckets)
 is only as good as its model's freshness — retraining is a full corpus
@@ -28,77 +29,17 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from cdc_audit_spark.capture import apply_changes
-from cdc_audit_spark.operators.ngram_lm import (
-    _doc_grams,
-    lm_from_counts,
-    maintain_ngram_counts,
-)
+from cdc_audit_spark.operators.ngram_lm import lm_from_counts
 from cdc_audit_spark.streaming import genstate
 
 __all__ = [
-    "apply_lm_epoch",
     "apply_lm_gate_epoch",
     "apply_lm_manifest_epoch",
-    "current_lm",
     "current_manifest_lm",
     "maybe_fold_lm_counts",
     "stream_lm_quality_gate",
-    "stream_lm_sync",
     "stream_lm_sync_manifest",
 ]
-
-
-def current_lm(spark: SparkSession, state_path: str, n: int = 2):
-    """(base, model) named by ``<state_path>/_current.json`` — the model
-    rehydrated via ``lm_from_counts`` — or (None, None) before the first
-    committed epoch."""
-    p = genstate.read_pointer(state_path)
-    if p is None:
-        return None, None
-    counts = spark.read.parquet(p["counts"])
-    return spark.read.parquet(p["base"]), lm_from_counts(counts, n=n)
-
-
-def apply_lm_epoch(
-    spark: SparkSession,
-    state_path: str,
-    batch_df,
-    epoch_id: int,
-    base_bootstrap,
-    text_col: str,
-    pk_cols: list[str],
-    n: int = 2,
-    keep_generations: int | None = None,
-    run_id: str | None = None,
-) -> None:
-    """Apply one audit micro-batch to the generation-snapshot
-    (base, counts) LM state. Same idempotence/replay contract as
-    ``stream_mview.apply_mview_epoch`` — a foreign run's pointer raises
-    ``genstate.GenerationRunMismatch`` (double-counting a replayed delta
-    would silently skew every downstream perplexity score)."""
-    if genstate.epoch_applied(state_path, epoch_id, run_id=run_id):
-        return
-    p = genstate.read_pointer(state_path)
-    if p is None:
-        base = base_bootstrap
-        counts = _doc_grams(base, text_col, n).groupBy("order", "gram").agg(
-            F.count("*").alias("cnt"))
-    else:
-        base = spark.read.parquet(p["base"])
-        counts = spark.read.parquet(p["counts"])
-    new_counts = maintain_ngram_counts(counts, base, batch_df, text_col,
-                                       pk_cols, n=n)
-    new_base = apply_changes(base, batch_df, pk_cols)
-    gen_base = genstate.generation_dir(state_path, epoch_id, "base")
-    gen_counts = genstate.generation_dir(state_path, epoch_id, "counts")
-    new_base.write.mode("overwrite").parquet(gen_base)
-    new_counts.write.mode("overwrite").parquet(gen_counts)
-    genstate.flip_pointer(state_path, epoch_id,
-                          {"base": gen_base, "counts": gen_counts},
-                          run_id=run_id)
-    if keep_generations is not None:
-        genstate.prune_generations(state_path, keep=keep_generations)
 
 
 def apply_lm_manifest_epoch(
@@ -387,42 +328,3 @@ def stream_lm_sync_manifest(
         writer = writer.trigger(availableNow=True)
     return writer.start()
 
-
-def stream_lm_sync(
-    spark: SparkSession,
-    source_path: str,
-    schema,
-    state_path: str,
-    checkpoint_path: str,
-    base_bootstrap,
-    text_col: str,
-    pk_cols: list[str],
-    n: int = 2,
-    available_now: bool = True,
-    max_files_per_trigger: int | None = None,
-    keep_generations: int | None = None,
-):
-    """Generation-snapshot form: rewrites full (base, counts) parquet
-    snapshots per micro-batch — O(state) storage writes. Prefer
-    :func:`stream_lm_sync_manifest` (exactly-once AND O(delta) commits);
-    this form remains for plain-directory deployments without a manifest
-    table. Returns the StreamingQuery; the live model is
-    ``current_lm(spark, state_path)``."""
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_path)
-
-    def handle(batch_df, epoch_id: int) -> None:
-        apply_lm_epoch(
-            spark, state_path, batch_df, epoch_id, base_bootstrap,
-            text_col, pk_cols, n=n, keep_generations=keep_generations,
-            run_id=genstate.checkpoint_run_id(checkpoint_path),
-        )
-
-    writer = stream.writeStream.foreachBatch(handle).option(
-        "checkpointLocation", checkpoint_path
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -4,15 +4,15 @@ The batch operator (mview.maintain_group_sum) debits touched keys' old
 contributions and credits their final images — it needs the audit batch AND
 the pre-batch base snapshot.
 
-**Primary form: the manifest-backed stream** (``stream_mview_sync_manifest``
-/ ``apply_mview_manifest_epoch``) — exactly-once AND O(delta) at the
+The stream is manifest-backed (``stream_mview_sync_manifest`` /
+``apply_mview_manifest_epoch``) — exactly-once AND O(delta) at the
 storage layer: each micro-batch appends only its signed (group, total,
 n_rows) delta to the view LSM and dir-granularly merges only the touched
 key ranges of the base replica (``merge_audit(pruned=True)``); committed
-bytes per batch scale with the batch, never the corpus. The
-generation-snapshot form below (``stream_mview_sync`` / genstate pointers)
-predates it and rewrites full (base, view) snapshots per batch — kept for
-plain-directory deployments without a manifest table, not for scale.
+bytes per batch scale with the batch, never the corpus. (A
+generation-snapshot form predated it and rewrote full (base, view)
+parquet snapshots per batch; it was removed once the manifest form had
+been primary for a round — one maintained code path per tier.)
 """
 
 from __future__ import annotations
@@ -20,73 +20,16 @@ from __future__ import annotations
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_audit_spark.capture import apply_changes
-from cdc_audit_spark.mview import bootstrap_group_sum, maintain_group_sum
 from cdc_audit_spark.streaming import genstate
 
 __all__ = [
-    "apply_mview_epoch",
     "apply_mview_manifest_epoch",
     "apply_join_mview_manifest_epoch",
-    "current_mview",
     "current_manifest_mview",
     "maybe_fold_mview",
-    "stream_mview_sync",
     "stream_mview_sync_manifest",
     "stream_join_mview_sync_manifest",
 ]
-
-
-def current_mview(spark: SparkSession, state_path: str):
-    """(base, view) snapshots named by ``<state_path>/_current.json``, or
-    (None, None) before the first committed epoch."""
-    p = genstate.read_pointer(state_path)
-    if p is None:
-        return None, None
-    return spark.read.parquet(p["base"]), spark.read.parquet(p["view"])
-
-
-def apply_mview_epoch(
-    spark: SparkSession,
-    state_path: str,
-    batch_df,
-    epoch_id: int,
-    base_bootstrap,
-    pk_cols: list[str],
-    group_cols: list[str],
-    value: Column,
-    keep_generations: int | None = None,
-    run_id: str | None = None,
-) -> None:
-    """Apply one audit micro-batch to the generation-snapshot (base, view)
-    state.
-
-    Idempotent under epoch replay: a pointer already naming this epoch
-    means the crash landed AFTER the flip (effects durable) — skip, since
-    recomputing would lazily read ``gen=<epoch>``'s base/view while
-    overwriting those same paths. A crash BEFORE the flip replays against
-    the previous generation deterministically (genstate docstring).
-
-    ``run_id`` is the owning checkpoint's streaming-query id; a pointer
-    written by a DIFFERENT run raises genstate.GenerationRunMismatch —
-    for a mview, misreading a foreign pointer would double-count deltas.
-    """
-    if genstate.epoch_applied(state_path, epoch_id, run_id=run_id):
-        return
-    base, view = current_mview(spark, state_path)
-    if base is None:
-        base = base_bootstrap
-        view = bootstrap_group_sum(base, group_cols, value)
-    new_view = maintain_group_sum(view, base, batch_df, pk_cols, group_cols, value)
-    new_base = apply_changes(base, batch_df, pk_cols)
-    gen_base = genstate.generation_dir(state_path, epoch_id, "base")
-    gen_view = genstate.generation_dir(state_path, epoch_id, "view")
-    new_base.write.mode("overwrite").parquet(gen_base)
-    new_view.write.mode("overwrite").parquet(gen_view)
-    genstate.flip_pointer(state_path, epoch_id,
-                          {"base": gen_base, "view": gen_view}, run_id=run_id)
-    if keep_generations is not None:
-        genstate.prune_generations(state_path, keep=keep_generations)
 
 
 def apply_mview_manifest_epoch(
@@ -428,47 +371,3 @@ def stream_join_mview_sync_manifest(
         writer = writer.trigger(availableNow=True)
     return writer.start()
 
-
-def stream_mview_sync(
-    spark: SparkSession,
-    source_path: str,
-    schema,
-    state_path: str,
-    checkpoint_path: str,
-    base_bootstrap,
-    pk_cols: list[str],
-    group_cols: list[str],
-    value: Column,
-    available_now: bool = True,
-    max_files_per_trigger: int | None = None,
-    keep_generations: int | None = None,
-):
-    """Generation-snapshot form: rewrites full (base, view) parquet
-    snapshots per micro-batch — O(state) storage writes. Prefer
-    :func:`stream_mview_sync_manifest` (exactly-once AND O(delta)
-    commits); this form remains for plain-directory deployments without
-    a manifest table.
-
-    ``base_bootstrap`` is the snapshot the stream starts from (the view is
-    bootstrapped from it on the first batch). Returns the StreamingQuery;
-    the current view is the ``view`` dataset of the generation named by
-    ``<state_path>/_current.json``.
-    """
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_path)
-
-    def handle(batch_df, epoch_id: int) -> None:
-        apply_mview_epoch(
-            spark, state_path, batch_df, epoch_id, base_bootstrap,
-            pk_cols, group_cols, value, keep_generations=keep_generations,
-            run_id=genstate.checkpoint_run_id(checkpoint_path),
-        )
-
-    writer = stream.writeStream.foreachBatch(handle).option(
-        "checkpointLocation", checkpoint_path
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -89,145 +89,6 @@ def test_empty_batch_is_identity(spark, snapshots):
     assert sorted(map(tuple, refreshed.collect())) == sorted(map(tuple, view.collect()))
 
 
-def test_stream_mview_sync_matches_direct_aggregate(spark, tmp_path):
-    """Streaming maintenance across forced micro-batches must equal a
-    direct aggregate over the final state — inserts, group-migrating
-    updates, and a group-emptying delete."""
-    import datetime as dt
-    import json
-    import os
-
-    from pyspark.sql import functions as F
-
-    from cdc_audit_spark.streaming.stream_mview import stream_mview_sync
-
-    sch = ("k long, seg string, val double, audit_event string, "
-           "audit_timestamp timestamp, audit_pk long")
-    ts = dt.datetime(2026, 1, 1)
-    base = spark.createDataFrame(
-        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0)],
-        "k long, seg string, val double")
-    batches = [
-        [(4, "B", 40.0, "insert", ts, 1)],
-        [(1, "B", 10.0, "update", ts, 2),   # A → B migration
-         (2, "A", 25.0, "update", ts, 3)],
-        [(3, "B", 30.0, "delete", ts, 4),
-         (2, "A", 25.0, "delete", ts, 5)],  # empties group A
-    ]
-    src = str(tmp_path / "audit_src")
-    for rows in batches:
-        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
-            "append").parquet(src)
-
-    state = str(tmp_path / "mv_state")
-    q = stream_mview_sync(
-        spark, src, spark.read.parquet(src).schema, state,
-        str(tmp_path / "ck"), base, ["k"], ["seg"],
-        F.col("val").cast("decimal(12,2)"), max_files_per_trigger=1)
-    q.awaitTermination(240)
-
-    with open(os.path.join(state, "_current.json")) as f:
-        gen = json.load(f)
-    view = spark.read.parquet(gen["view"])
-    final = spark.read.parquet(gen["base"])
-    direct = final.groupBy("seg").agg(
-        F.sum(F.col("val").cast("decimal(12,2)")).alias("total"),
-        F.count("*").alias("n_rows"))
-    vs = {(r["seg"], float(r["total"]), r["n_rows"]) for r in view.collect()}
-    ds = {(r["seg"], float(r["total"]), r["n_rows"]) for r in direct.collect()}
-    assert vs == ds
-    # final state: k1→B(10), k4→B(40); k3 deleted; group A gone
-    assert vs == {("B", 50.0, 2)}
-
-
-def test_stream_mview_sync_resumes_from_checkpoint(spark, tmp_path):
-    """Restarting the view-maintenance stream with the same checkpoint
-    applies only new audit files — no double debit/credit."""
-    import datetime as dt
-    import json
-    import os
-
-    from pyspark.sql import functions as F
-
-    from cdc_audit_spark.streaming.stream_mview import stream_mview_sync
-
-    sch = ("k long, seg string, val double, audit_event string, "
-           "audit_timestamp timestamp, audit_pk long")
-    ts = dt.datetime(2026, 1, 1)
-    base = spark.createDataFrame([(1, "A", 10.0)], "k long, seg string, val double")
-    src = str(tmp_path / "audit_src")
-    state = str(tmp_path / "mv_state")
-    ck = str(tmp_path / "ck")
-    spark.createDataFrame([(2, "A", 5.0, "insert", ts, 1)], sch
-                          ).coalesce(1).write.mode("append").parquet(src)
-    schema = spark.read.parquet(src).schema
-    val = F.col("val").cast("decimal(12,2)")
-    q = stream_mview_sync(spark, src, schema, state, ck, base,
-                          ["k"], ["seg"], val)
-    q.awaitTermination(120)
-
-    spark.createDataFrame([(1, "A", 10.0, "delete", ts, 2)], sch
-                          ).coalesce(1).write.mode("append").parquet(src)
-    q2 = stream_mview_sync(spark, src, schema, state, ck, base,
-                           ["k"], ["seg"], val)
-    q2.awaitTermination(120)
-
-    with open(os.path.join(state, "_current.json")) as f:
-        gen = json.load(f)
-    view = {(r["seg"], float(r["total"]), r["n_rows"])
-            for r in spark.read.parquet(gen["view"]).collect()}
-    assert view == {("A", 5.0, 1)}  # only k2 remains; no double-apply
-
-
-def test_mview_epoch_replay_both_crash_windows(spark, tmp_path):
-    """Same replay contract as the dedup index: a replay AFTER the pointer
-    flip is a durable no-op (no overwrite-while-reading of gen=N), a
-    replay BEFORE the flip re-derives the identical (base, view) pair."""
-    import datetime as dt
-
-    from pyspark.sql import functions as F
-
-    from cdc_audit_spark.streaming import genstate
-    from cdc_audit_spark.streaming.stream_mview import (
-        apply_mview_epoch,
-        current_mview,
-    )
-
-    sch = ("k long, seg string, val double, audit_event string, "
-           "audit_timestamp timestamp, audit_pk long")
-    ts = dt.datetime(2026, 1, 1)
-    base = spark.createDataFrame(
-        [(1, "A", 10.0), (2, "B", 20.0)], "k long, seg string, val double")
-    b0 = spark.createDataFrame([(3, "A", 5.0, "insert", ts, 1)], sch)
-    b1 = spark.createDataFrame([(1, "B", 10.0, "update", ts, 2)], sch)
-    state = str(tmp_path / "mv_state")
-    val = F.col("val").cast("decimal(12,2)")
-
-    def snap():
-        b, v = current_mview(spark, state)
-        return ({tuple(r) for r in b.collect()},
-                {tuple(r) for r in v.collect()})
-
-    apply_mview_epoch(spark, state, b0, 0, base, ["k"], ["seg"], val)
-    want0 = snap()
-
-    # replay AFTER the flip: pointer already at epoch 0 → no-op
-    apply_mview_epoch(spark, state, b0, 0, base, ["k"], ["seg"], val)
-    assert genstate.current_generation(state) == 0
-    assert snap() == want0
-
-    apply_mview_epoch(spark, state, b1, 1, base, ["k"], ["seg"], val)
-    want1 = snap()
-
-    # replay BEFORE the flip: gen=1 written, pointer rewound to epoch 0
-    genstate.flip_pointer(state, 0, {
-        "base": genstate.generation_dir(state, 0, "base"),
-        "view": genstate.generation_dir(state, 0, "view")})
-    apply_mview_epoch(spark, state, b1, 1, base, ["k"], ["seg"], val)
-    assert genstate.current_generation(state) == 1
-    assert snap() == want1
-
-
 def test_stream_mview_sync_manifest_o_delta(spark, tmp_path):
     """The manifest-backed (primary) mview stream: drained micro-batches
     leave a view LSM whose fold equals a direct aggregate over the final
