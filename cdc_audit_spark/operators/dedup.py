@@ -284,9 +284,15 @@ def incremental_lsh_dedup(
     bands: int = 16,
     shingle_size: int = 3,
     impl: str = "arrow",
+    entries: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW batch against everything accepted before it, without
     recomputing all-pairs — the growing-corpus form of near-dup dedup.
+
+    ``entries`` optionally supplies the batch's precomputed
+    ``lsh_band_entries`` (callers that also need the bucket keys — e.g.
+    to prune the persisted index read to the dirs those buckets can
+    touch — compute them once, ideally persisted, and pass them in).
 
     ``index`` is the persisted (band, bucket, id) table of previously
     accepted documents (None for the first batch). A new document is
@@ -305,9 +311,10 @@ def incremental_lsh_dedup(
     tiny entry rows + a broadcast-or-hash join against the index. The index
     grows with accepted docs only (bands rows each).
     """
-    entries = lsh_band_entries(
-        batch, text_col, id_col, num_hashes, bands, shingle_size, impl
-    )
+    if entries is None:
+        entries = lsh_band_entries(
+            batch, text_col, id_col, num_hashes, bands, shingle_size, impl
+        )
     ids = F.sort_array(F.collect_list("id"))
     # all ids in a bucket except the smallest — intra-batch rejects
     intra = (

@@ -92,7 +92,10 @@ def apply_curation_epoch(
         lm_from_counts,
         score_perplexity,
     )
-    from cdc_audit_spark.streaming.stream_dedup import _version_before_epoch
+    from cdc_audit_spark.streaming.stream_dedup import (
+        _version_before_epoch,
+        maybe_cluster_lsh_index,
+    )
     from cdc_audit_spark.streaming.stream_lm import maybe_fold_lm_counts
 
     idx_done = idx_t.epoch_applied(epoch_id, run_id)
@@ -102,12 +105,24 @@ def apply_curation_epoch(
         return
     extra = {"epoch": int(epoch_id), "run_id": run_id}
 
-    # ---- near-dup filter against the PINNED pre-epoch index
+    # ---- near-dup filter against the PINNED pre-epoch index, read
+    # pruned to the dirs the batch's bucket keys can touch (the
+    # bucket-clustered compaction below keeps the layout skippable)
+    from pyspark.storagelevel import StorageLevel
+
+    from cdc_audit_spark.operators.dedup import lsh_band_entries
+
     pre_i = _version_before_epoch(idx_t, epoch_id)
-    index = idx_t.read(pre_i) if pre_i is not None else None
+    batch_entries = lsh_band_entries(
+        batch_df, text_col, id_col, num_hashes, bands, shingle_size
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    index = (idx_t.read_pruned_for_keys(batch_entries.select("bucket"),
+                                        "bucket", version=pre_i)
+             if pre_i is not None else None)
     accepted_ids, entries = incremental_lsh_dedup(
         batch_df, index, text_col, id_col,
-        num_hashes=num_hashes, bands=bands, shingle_size=shingle_size)
+        num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
+        entries=batch_entries)
     survivors = batch_df.join(
         accepted_ids.withColumnRenamed("id", id_col), id_col, "left_semi")
 
@@ -132,17 +147,22 @@ def apply_curation_epoch(
     else:
         accepted = survivors  # no model mass yet: pass through
 
-    if not idx_done:
-        idx_t.append(entries, extra=extra)
-    if not acc_done:
-        acc_t.append(accepted, extra=extra)
-    if not counts_done:
-        credit = (_doc_grams(accepted, text_col, n)
-                  .groupBy("order", "gram")
-                  .agg(F.count("*").alias("cnt")))
-        counts_t.append(credit, extra=extra)
+    try:
+        if not idx_done:
+            idx_t.append(entries, extra=extra)
+        if not acc_done:
+            acc_t.append(accepted, extra=extra)
+        if not counts_done:
+            credit = (_doc_grams(accepted, text_col, n)
+                      .groupBy("order", "gram")
+                      .agg(F.count("*").alias("cnt")))
+            counts_t.append(credit, extra=extra)
+    finally:
+        batch_entries.unpersist()
     maybe_fold_lm_counts(counts_t, max_dirs=fold_max_dirs)
-    idx_t.maybe_compact(max_dirs=4 * fold_max_dirs)
+    # bucket-clustered compaction keeps the per-epoch pruned index read
+    # (above) skipping dirs; the replay guard survives the optimize
+    maybe_cluster_lsh_index(idx_t, max_dirs=4 * fold_max_dirs)
     acc_t.maybe_compact(max_dirs=4 * fold_max_dirs)
 
 

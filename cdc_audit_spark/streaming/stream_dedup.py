@@ -36,6 +36,7 @@ __all__ = [
     "apply_dedup_epoch",
     "apply_exact_index_epoch",
     "current_exact_index",
+    "maybe_cluster_lsh_index",
     "stream_dedup_sync",
     "stream_dedup_sync_manifest",
     "stream_exact_index_sync",
@@ -268,25 +269,63 @@ def apply_dedup_epoch(
     exactly-once guarantee must not depend on the statement order of the
     two commits below.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from cdc_audit_spark.operators.dedup import lsh_band_entries
+
     acc_done = acc.epoch_applied(epoch_id, run_id)
     idx_done = idx.epoch_applied(epoch_id, run_id)
     if acc_done and idx_done:
         return
     pre = _version_before_epoch(idx, epoch_id)
-    index_df = idx.read(pre) if pre is not None else None
-    accepted_ids, accepted_entries = incremental_lsh_dedup(
-        batch_df, index_df, text_col, id_col,
-        num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
-    )
-    extra = {"epoch": int(epoch_id), "run_id": run_id}
-    if not acc_done:
-        # (commit order: accepted first — but correctness no longer
-        # depends on it, see the pinned read above)
-        survivors = batch_df.join(
-            accepted_ids.withColumnRenamed("id", id_col), id_col, "left_semi")
-        acc.append(survivors, extra=extra)
-    if not idx_done:
-        idx.append(accepted_entries, extra=extra)
+    # the batch's bucket keys are computed ONCE (persisted — the operator
+    # references the entries several times) and bound the pinned index
+    # read to the dirs those buckets can touch: with the bucket-clustered
+    # compaction below, a batch reads a fraction of the index, never all
+    # of it — the same compute-side O(delta) contract as the LM/BM25
+    # maintenance debits
+    entries = lsh_band_entries(
+        batch_df, text_col, id_col, num_hashes, bands, shingle_size
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        index_df = (idx.read_pruned_for_keys(entries.select("bucket"),
+                                             "bucket", version=pre)
+                    if pre is not None else None)
+        accepted_ids, accepted_entries = incremental_lsh_dedup(
+            batch_df, index_df, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
+            entries=entries,
+        )
+        extra = {"epoch": int(epoch_id), "run_id": run_id}
+        if not acc_done:
+            # (commit order: accepted first — but correctness no longer
+            # depends on it, see the pinned read above)
+            survivors = batch_df.join(
+                accepted_ids.withColumnRenamed("id", id_col), id_col,
+                "left_semi")
+            acc.append(survivors, extra=extra)
+        if not idx_done:
+            idx.append(accepted_entries, extra=extra)
+    finally:
+        entries.unpersist()
+    maybe_cluster_lsh_index(idx)
+
+
+def maybe_cluster_lsh_index(idx, max_dirs: int = 64,
+                            n_dirs: int = 8) -> int | None:
+    """Bucket-cluster the LSH index when its dir fan-in passes
+    ``max_dirs`` — the amortized compaction that makes the per-epoch
+    pruned index read (and any point lookup) skip dirs: the rewrite
+    lands as disjoint bucket-range dirs with recorded ranges, and the
+    un-compacted append tail stays skippable via its footer stats.
+    Epoch/run_id inherit through the optimize commit, so the replay
+    guard survives."""
+    cur = idx.current_version()
+    if cur is None:
+        return None
+    if len(idx.manifest(cur)["dirs"]) <= max_dirs:
+        return None
+    return idx.optimize(cluster_by=["bucket"], n_dirs=n_dirs)
 
 
 def _version_before_epoch(idx, epoch_id: int) -> int | None:

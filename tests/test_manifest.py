@@ -2081,3 +2081,66 @@ def test_type_widening_with_stats_pruning(spark, tmp_path):
     assert got.count() == 50
     assert {f.dataType.simpleString() for f in got.schema.fields
             if f.name == "k"} == {"bigint"}
+
+
+def test_lsh_index_read_prunes_after_bucket_clustering(spark, tmp_path):
+    """The per-epoch LSH-index lookup is dir-pruned: after the
+    bucket-clustered compaction, a small batch's pinned index read LISTS
+    at most as many clustered dirs as it has bucket points (4 bands x 1
+    doc here) — never the whole index — and the accept/reject outcome is
+    identical to the full read."""
+    from cdc_audit_spark.streaming.stream_dedup import (
+        apply_dedup_epoch,
+        maybe_cluster_lsh_index,
+    )
+
+    acc = ManifestTable(spark, str(tmp_path / "acc"))
+    idx = ManifestTable(spark, str(tmp_path / "idx"))
+    texts = {i: (f"document number {i} about topic {i % 7} with words "
+                 f"{' '.join(f'tok{(i * 3 + j) % 40}' for j in range(8))}")
+             for i in range(120)}
+    items = sorted(texts.items())
+    for e, lo in enumerate(range(0, 120, 30)):
+        apply_dedup_epoch(acc, idx, _doc_rows(spark, items[lo:lo + 30]),
+                          e, "r1", "text", "doc_id",
+                          num_hashes=16, bands=4, shingle_size=2)
+    maybe_cluster_lsh_index(idx, max_dirs=2, n_dirs=8)
+    m = idx.manifest(idx.current_version())
+    assert m["action"] == "optimize" and len(m["dirs"]) >= 6
+    n_clustered = len(m["dirs"])
+
+    reads = []
+    orig = idx._read_dirs_dv
+
+    def spy(mf, dirs, at_version=None):
+        reads.append(list(dirs))
+        return orig(mf, dirs, at_version=at_version)
+
+    # epoch 4: a single near-dup doc — 4 bucket points pin <= 4 of the
+    # clustered dirs (pigeonhole), so the read provably skips
+    idx._read_dirs_dv = spy
+    apply_dedup_epoch(acc, idx, _doc_rows(spark, [(200, texts[5])]),
+                      4, "r1", "text", "doc_id",
+                      num_hashes=16, bands=4, shingle_size=2)
+    # epoch 5: a single fresh doc (epoch 4 appended an empty entries dir
+    # — kept conservatively, hence the +1)
+    apply_dedup_epoch(
+        acc, idx,
+        _doc_rows(spark, [(201, "entirely fresh content never seen")]),
+        5, "r1", "text", "doc_id",
+        num_hashes=16, bands=4, shingle_size=2)
+    idx._read_dirs_dv = orig
+    assert reads and max(len(d) for d in reads) <= 5 < n_clustered + 1
+
+    kept = {r["doc_id"] for r in acc.read().collect()}
+    assert 200 not in kept      # near-dup of an indexed doc rejected
+    assert 201 in kept          # fresh doc accepted
+
+    # the pruned-read epoch's guard still replays as a no-op
+    v_a, v_i = acc.current_version(), idx.current_version()
+    apply_dedup_epoch(
+        acc, idx,
+        _doc_rows(spark, [(201, "entirely fresh content never seen")]),
+        5, "r1", "text", "doc_id",
+        num_hashes=16, bands=4, shingle_size=2)
+    assert (acc.current_version(), idx.current_version()) == (v_a, v_i)
