@@ -1452,10 +1452,19 @@ class ManifestTable:
         ranged = (df.repartitionByRange(max(1, n_dirs), F.col(key))
                   .withColumn("__bucket", F.spark_partition_id()))
         rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
+        out = os.path.join(self.path, rel)
         (ranged.sortWithinPartitions(key)
          .write.partitionBy("__bucket")
-         .parquet(os.path.join(self.path, rel)))
-        stats_rows = (self.spark.read.parquet(os.path.join(self.path, rel))
+         .parquet(out))
+        if not any(nm.startswith("__bucket=") for nm in os.listdir(out)):
+            # an emptied state (e.g. the fold of an all-deleted LSM)
+            # commits as a zero-dir overwrite, not a schema-less read
+            return self._commit(action, lambda parent: [], max_retries=1,
+                                extra={**(extra or {}),
+                                       "schema": df.schema.json(),
+                                       "dir_meta": {}},
+                                expected_parent=base_version)
+        stats_rows = (self.spark.read.parquet(out)
                       .groupBy("__bucket")
                       .agg(F.min(key).alias("__lo"),
                            F.max(key).alias("__hi"))
