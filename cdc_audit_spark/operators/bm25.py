@@ -368,6 +368,7 @@ def bm25_topk_join(
     *,
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
+    term_dfs: DataFrame | None = None,
 ) -> DataFrame:
     """Batch retrieval — the lexical analog of ``similarity.ivf_knn_join``:
     every query in a BOUNDED query set gets its BM25 top-k in ONE pass
@@ -390,11 +391,20 @@ def bm25_topk_join(
     avgdl = total_tokens / n_docs
     all_terms = sorted({t for ts in queries.values() for t in ts})
     cand = postings.filter(F.col("term").isin(all_terms))
-    dfs = {
-        r["term"]: int(r["n"])
-        for r in cand.groupBy("term")
-        .agg(F.countDistinct(id_col).alias("n")).collect()
-    }
+    if term_dfs is not None:
+        # maintained (term, df) ledger: |union-of-terms| point lookups —
+        # bounded regardless of term frequency (same as the served path)
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in term_dfs.filter(F.col("term").isin(all_terms))
+            .collect()
+        }
+    else:
+        dfs = {
+            r["term"]: int(r["n"])
+            for r in cand.groupBy("term")
+            .agg(F.countDistinct(id_col).alias("n")).collect()
+        }
     spark = postings.sparkSession
     pairs = spark.createDataFrame(
         [(int(qid), t, _idf(n_docs, dfs.get(t, 0)))

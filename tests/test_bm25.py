@@ -747,3 +747,30 @@ def test_df_ledger_maintained_and_served_exact(spark, tmp_path):
     again = {r["term"]: r["df"]
              for r in current_bm25_dfs(spark, ts_["dfs"].path).collect()}
     assert again == exp_df
+
+
+def test_multiquery_topk_with_maintained_dfs_matches(spark):
+    """bm25_topk_join fed the maintained (term, df) ledger equals the
+    candidate-aggregated form — the batch analog of the served path's
+    bounded idf lookups."""
+    from cdc_audit_spark.operators.bm25 import (
+        bm25_norms,
+        bm25_topk_join,
+        postings_corpus_stats,
+    )
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    queries = {7: ["the", "cat"], 8: ["dog", "fish"]}
+    postings = bm25_postings(df, "text", "doc_id")
+    norms = bm25_norms(postings, "doc_id")
+    n, total = postings_corpus_stats(postings, "doc_id")
+    dfs = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"))
+
+    def run(**kw):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["score_micro"])
+            for r in bm25_topk_join(postings, norms, n, total, "doc_id",
+                                    queries, 3, **kw).collect())
+
+    assert run(term_dfs=dfs) == run()
