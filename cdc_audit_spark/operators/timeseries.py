@@ -38,7 +38,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "subsequence_topk",
+    "subsequence_topk_long",
     "znorm_distances",
+    "znorm_distances_long",
     "znormalize",
 ]
 
@@ -155,6 +157,116 @@ def subsequence_topk(
     sort."""
     return (
         znorm_distances(df, key_col, ts_col, tie_col, val_col, query)
+        .orderBy(F.col("dist2_micro"), F.col(key_col), F.col(tie_col))
+        .limit(k)
+    )
+
+
+#: Quantum for the long form's order-free dot product: each per-position
+#: term floor(x·q_j·1e9 + 0.5) is an exact BIGINT, so the sum is
+#: bit-identical under any partitioning (the PCA covariance idiom).
+_DOT_NANO = 1_000_000_000.0
+
+
+def znorm_distances_long(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    val_col: str,
+    query: list[float],
+) -> DataFrame:
+    """The LONG-QUERY form of :func:`znorm_distances` — the at-scale
+    alternative the short form's m <= 512 guard points at. The m lead()
+    taps (an O(m)-wide compiled projection) are replaced by a
+    CONSTANT-WIDTH plan: each point fans out to its m (window-start,
+    coefficient) contributions via a broadcast (j, q_j) join, and one
+    (key, start)-keyed aggregate folds the dot products — O(n·m) rows
+    move through a hash aggregate, but the expression tree no longer
+    grows with m, so a 4096-point query compiles exactly like an 8-point
+    one.
+
+    Order-free exactness: an aggregated float dot would differ in the
+    last ulp per shuffle order (the window form avoids this only because
+    its expression tree fixes the evaluation order), so each term is
+    micro-quantized to an exact BIGINT nano-grain FIRST and the sum is
+    integer — bit-identical under any partitioning and in DuckDB. The
+    quantized dot differs from the float form's by at most m·5e-10 per
+    window; the two forms agree on every non-borderline window and the
+    long form is self-consistent and oracle-checkable.
+
+    Output schema matches :func:`znorm_distances`; the same relative
+    variance guard excludes degenerate windows."""
+    m = len(query)
+    qz, sqz = znormalize(query)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(j, float(qz[j])) for j in range(m)], "j long, qj double")
+
+    order = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    frame = order.rowsBetween(0, m - 1)
+    val = F.col(val_col)
+    base = df.select(
+        F.col(key_col), F.col(ts_col), F.col(tie_col), val.alias("__v"),
+        F.row_number().over(order).alias("__pos"),
+        F.sum(val).over(frame).alias("__sx"),
+        F.sum(val * val).over(frame).alias("__sxx"),
+        F.count(val).over(frame).alias("__c"),
+    )
+    dots = (
+        base.select(F.col(key_col), "__pos", "__v")
+        # the m-way fan-out: a broadcast nested-loop against the m-row
+        # coefficient table — bounded by construction (m is the query)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            F.col(key_col),
+            (F.col("__pos") - F.col("j")).alias("__start"),
+            F.floor(F.col("__v") * F.col("qj") * F.lit(_DOT_NANO)
+                    + F.lit(0.5)).cast("long").alias("__dq"),
+        )
+        .filter(F.col("__start") >= 1)
+        .groupBy(key_col, "__start")
+        .agg(F.sum("__dq").alias("__dotq"))
+    )
+    per = (
+        base.filter(F.col("__c") == m).alias("L")
+        .join(dots.alias("D"),
+              (F.col("L.__pos") == F.col("D.__start"))
+              & (F.col(f"L.{key_col}") == F.col(f"D.{key_col}")))
+        .select("L.*", "D.__dotq")
+    )
+    mu = F.col("__sx") / F.lit(float(m))
+    msq = F.col("__sxx") / F.lit(float(m))
+    var = msq - mu * mu
+    sigma = F.sqrt(var)
+    dot = F.col("__dotq").cast("double") / F.lit(_DOT_NANO)
+    dist2 = (F.lit(2.0 * m)
+             - F.lit(2.0) * (dot - mu * F.lit(sqz)) / sigma)
+    out = per.select(
+        key_col, ts_col, tie_col,
+        var.alias("__var"), msq.alias("__msq"),
+        F.floor(dist2 * F.lit(_MICRO) + F.lit(0.5)).cast("long")
+        .alias("dist2_micro"),
+    ).filter(F.col("__var") > F.col("__msq") * F.lit(_VAR_REL_EPS))
+    return out.select(
+        key_col, ts_col, tie_col, "dist2_micro",
+        (F.col("dist2_micro").cast("double") / F.lit(_MICRO))
+        .alias("dist2"),
+    )
+
+
+def subsequence_topk_long(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    val_col: str,
+    query: list[float],
+    k: int,
+) -> DataFrame:
+    """:func:`subsequence_topk` through the long-query plan."""
+    return (
+        znorm_distances_long(df, key_col, ts_col, tie_col, val_col, query)
         .orderBy(F.col("dist2_micro"), F.col(key_col), F.col(tie_col))
         .limit(k)
     )

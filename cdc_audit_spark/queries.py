@@ -27,6 +27,7 @@ by tests/oracle_harness.py):
 from __future__ import annotations
 
 import datetime as dt
+import math
 import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -5436,6 +5437,80 @@ def ts_subsequence_match(spark, sf_dir):
 _REGISTRY["ts_subsequence_match"].oracle = _ts_subsequence_oracle()
 
 
+_TS_LONG_PATTERN = [
+    math.sin(i / 3.0) + 0.1 * ((i * 5) % 7) for i in range(24)
+]
+
+
+def _ts_subsequence_long_oracle() -> str:
+    from cdc_audit_spark.operators.timeseries import znormalize
+
+    qz, sqz = znormalize(_TS_LONG_PATTERN)
+    m = len(qz)
+    vals = ", ".join(f"({j}, {qz[j]!r})" for j in range(m))
+    mu = f"(sx / {float(m)!r})"
+    msq = f"(sxx / {float(m)!r})"
+    var = f"({msq} - {mu} * {mu})"
+    sigma = f"sqrt({var})"
+    return f"""
+    WITH base AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER ord AS pos,
+             sum(value) OVER fr AS sx,
+             sum(value * value) OVER fr AS sxx,
+             count(value) OVER fr AS c
+        FROM events
+      WINDOW ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+             fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)),
+    q(j, qj) AS (VALUES {vals}),
+    dots AS (
+      SELECT user_id, pos - j AS start,
+             sum(CAST(floor(value * qj * 1e9 + 0.5) AS BIGINT)) AS dotq
+        FROM base CROSS JOIN q
+       WHERE pos - j >= 1
+       GROUP BY user_id, pos - j),
+    d AS (
+      SELECT b.user_id, b.ts, b.event_id,
+             {float(2 * m)!r} - 2.0 *
+             (CAST(d.dotq AS DOUBLE) / 1e9 - {mu} * ({sqz!r})) / {sigma}
+                 AS dist2
+        FROM base b JOIN dots d
+          ON b.user_id = d.user_id AND b.pos = d.start
+       WHERE c = {m} AND {var} > {msq} * 1e-10)
+    SELECT user_id, ts, event_id,
+           CAST(floor(dist2 * 1e6 + 0.5) AS BIGINT) AS dist2_micro,
+           CAST(CAST(floor(dist2 * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6
+               AS dist2
+      FROM d ORDER BY dist2_micro, user_id, event_id LIMIT 25
+    """
+
+
+@register(
+    "ts_subsequence_long",
+    None,  # oracle attached below (embeds the shared z-normalized literals)
+    "The LONG-QUERY form of the z-normalized subsequence search — the "
+    "at-scale alternative the short form's 512-point guard points at: "
+    "instead of m lead() taps (an O(m)-wide compiled projection), each "
+    "point fans out to its m (window-start, coefficient) contributions "
+    "via a broadcast coefficient join and ONE (key, start)-keyed "
+    "aggregate folds the dot products — plan width constant in m. The "
+    "per-term contributions quantize to exact BIGINT nano-grains before "
+    "the sum (the PCA covariance idiom), so the aggregated dot — unlike "
+    "a float sum — is bit-identical under any partitioning and in "
+    "DuckDB.",
+)
+def ts_subsequence_long(spark, sf_dir):
+    from cdc_audit_spark.operators.timeseries import subsequence_topk_long
+
+    events = load_tables(spark, sf_dir)["events"]
+    return subsequence_topk_long(events, "user_id", "ts", "event_id",
+                                 "value", _TS_LONG_PATTERN, 25)
+
+
+_REGISTRY["ts_subsequence_long"].oracle = _ts_subsequence_long_oracle()
+
+
 _CCNET_PERP_SQL = _REGISTRY["ngram_lm_perplexity"].oracle
 
 
@@ -6770,9 +6845,11 @@ _DRIVER_WINDOW = [
     "cdc_state_asof", "cdc_watermark_recovery", "scan_filter_project",
     "window_running_total", "events_hourly_stats", "text_top_bigrams",
     "tfidf_top_terms", "multimodal_chunk_sample", "sample_source_quota",
-    "embedding_l2_normalize",
-    # r11 TODO: the 19 r07-green queries that did not fit this window
-    # (clean_boilerplate_tokens, dedup_rate_by_source,
+    # registered this round, after everything above: the long-query
+    # subsequence form (never driver-checked -> checked immediately)
+    "ts_subsequence_long",
+    # r11 TODO: the 20 r07-green queries that did not fit this window
+    # (embedding_l2_normalize, clean_boilerplate_tokens, dedup_rate_by_source,
     # events_daily_active, events_type_day_cube, events_user_activity,
     # events_value_histogram, lang_distribution, median_price_by_flag,
     # nation_top_customer_list, q13_order_count_distribution,

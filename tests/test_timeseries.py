@@ -134,3 +134,80 @@ def test_wide_query_refused(spark):
     wide = [float(i % 13) for i in range(513)]
     with pytest.raises(ValueError, match="512"):
         znorm_distances(df, "user_id", "ts", "ts", "value", wide)
+
+
+def _mirror_long(series, query):
+    """Python mirror of the LONG form: quantized integer dot."""
+    qz, sqz = znormalize(query)
+    m = len(query)
+    out = {}
+    for t in range(len(series) - m + 1):
+        w = series[t:t + m]
+        sx, sxx = sum(w), sum(x * x for x in w)
+        mu = sx / float(m)
+        msq = sxx / float(m)
+        var = msq - mu * mu
+        if not var > msq * 1e-10:
+            continue
+        sigma = math.sqrt(var)
+        dotq = sum(math.floor(x * q * 1e9 + 0.5) for q, x in zip(qz, w))
+        d2 = 2.0 * m - 2.0 * (dotq / 1e9 - mu * sqz) / sigma
+        out[t] = math.floor(d2 * 1e6 + 0.5)
+    return out
+
+
+def test_long_form_matches_python_mirror_exactly(spark):
+    import random
+
+    from cdc_audit_spark.operators.timeseries import znorm_distances_long
+
+    rng = random.Random(5)
+    series = {k: [rng.uniform(-2, 2) for _ in range(30)] for k in range(3)}
+    got = {(r["user_id"], r["ts"]): r["dist2_micro"]
+           for r in znorm_distances_long(_df(spark, series), "user_id",
+                                         "ts", "ts", "value", Q).collect()}
+    want = {(k, t): d for k, s in series.items()
+            for t, d in _mirror_long(s, Q).items()}
+    assert got == want
+
+
+def test_long_form_recovers_planted_pattern_past_the_guard(spark):
+    """A 600-point query — past the short form's 512 cap — still finds
+    its planted affine copy through the constant-width plan."""
+    import random
+
+    from cdc_audit_spark.operators.timeseries import subsequence_topk_long
+
+    rng = random.Random(3)
+    m = 600
+    q = [math.sin(i / 9.0) + 0.05 * ((i * 7) % 13) for i in range(m)]
+    base = [rng.uniform(-0.3, 0.3) for _ in range(2000)]
+    planted = base[:]
+    for j in range(m):
+        planted[700 + j] = 2.0 + 1.5 * q[j]
+    series = {0: base, 1: planted}
+    top = subsequence_topk_long(_df(spark, series), "user_id", "ts", "ts",
+                                "value", q, 1).collect()
+    assert [(top[0]["user_id"], top[0]["ts"])] == [(1, 700)]
+    # affine copy: z-distance 0 up to the nano-dot quantization
+    assert abs(top[0]["dist2"]) < 1e-3
+
+
+def test_long_and_window_forms_agree_on_short_queries(spark):
+    """For m within the short form's reach the two plans rank the same
+    windows; distances agree within the nano-dot quantization bound."""
+    import random
+
+    from cdc_audit_spark.operators.timeseries import znorm_distances_long
+
+    rng = random.Random(11)
+    series = {k: [rng.uniform(-2, 2) for _ in range(40)] for k in range(2)}
+    df = _df(spark, series)
+    short = {(r["user_id"], r["ts"]): r["dist2"]
+             for r in znorm_distances(df, "user_id", "ts", "ts",
+                                      "value", Q).collect()}
+    long_ = {(r["user_id"], r["ts"]): r["dist2"]
+             for r in znorm_distances_long(df, "user_id", "ts", "ts",
+                                           "value", Q).collect()}
+    assert set(short) == set(long_)
+    assert all(abs(short[k] - long_[k]) < 1e-4 for k in short)
