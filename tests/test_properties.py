@@ -272,3 +272,73 @@ def test_pca_moments_maintenance_any_state_pair(spark, v0, v1):
     # only non-zero mass plus agreement on the zero cells
     assert {k: v for k, v in got.items() if v != 0} == \
         {k: v for k, v in want.items() if v != 0}
+
+
+# layouts: how the table content lands before the pruned read exercises
+# the manifest's skipping decisions against it
+_layout = st.sampled_from(["range4", "range1", "appends", "mixed"])
+_keys = st.lists(st.integers(min_value=-50, max_value=450),
+                 min_size=0, max_size=12)
+_content = st.sets(st.integers(min_value=0, max_value=400),
+                   min_size=0, max_size=40)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(content=_content, keys=_keys, layout=_layout,
+       max_points=st.sampled_from([0, 3, 4096]))
+def test_read_pruned_for_keys_equals_filtered_scan(spark, tmp_path_factory,
+                                                   content, keys, layout,
+                                                   max_points):
+    """For ANY content, layout (clustered, single-dir, plain appends, or
+    a mix), batch key set, and point-vs-range strategy cutover, the
+    pruned read returns exactly the rows a full-scan key filter would —
+    manifest skipping must never change results, only I/O. (The range
+    fallback additionally admits hull rows; both modes are followed by
+    the exact residual, so equality is strict.)"""
+    from pyspark.sql import functions as F
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    tmp = tmp_path_factory.mktemp("prk")
+    t = ManifestTable(spark, str(tmp / "t"))
+    rows = spark.createDataFrame([(k, k * 3) for k in sorted(content)],
+                                 "k long, v long")
+    if layout == "range4":
+        t.write_range_layout(rows, "k", n_buckets=4)
+    elif layout == "range1":
+        t.write_range_layout(rows, "k", n_buckets=1)
+    elif layout == "appends":
+        half = len(content) // 2
+        items = sorted(content)
+        t.append(spark.createDataFrame(
+            [(k, k * 3) for k in items[:half]] or [(-999, 0)],
+            "k long, v long"))
+        t.append(spark.createDataFrame(
+            [(k, k * 3) for k in items[half:]] or [(-998, 0)],
+            "k long, v long"))
+    else:  # mixed: clustered base + an un-clustered append tail
+        t.write_range_layout(rows, "k", n_buckets=4)
+        t.append(spark.createDataFrame([(401, 7)], "k long, v long"))
+
+    keys_df = (spark.createDataFrame([(k,) for k in keys], "k long")
+               if keys else spark.createDataFrame([], "k long"))
+    got = {(r["k"], r["v"])
+           for r in t.read_pruned_for_keys(keys_df, "k",
+                                           max_points=max_points).collect()}
+    kset = set(keys)
+    if keys and len(kset) > max_points:
+        # range fallback (distinct keys past the cap): the hull residual
+        # admits between-keys rows BY DESIGN — callers semi-join exactly
+        lo, hi = min(keys), max(keys)
+        want = {(r["k"], r["v"]) for r in t.read().collect()
+                if lo <= r["k"] <= hi}
+    else:
+        want = {(r["k"], r["v"]) for r in t.read().collect()
+                if r["k"] in kset}
+    assert got == want
+    # in either mode the result covers every touched key's rows — the
+    # contract the maintenance debits rely on
+    assert {(r["k"], r["v"]) for r in t.read().collect()
+            if r["k"] in kset} <= got | set()
