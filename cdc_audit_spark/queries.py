@@ -6531,13 +6531,13 @@ def cdc_bm25_index_sync(spark, sf_dir):
     "The FULL BM25 serving path under CDC (streaming.stream_bm25): the "
     "same scripted audit log as cdc_bm25_index_sync drains through two "
     "exactly-once epochs maintaining postings + norms + the (N, total) "
-    "scalar ledger as O(delta) LSM appends, then bm25_topk_served "
-    "answers from MAINTAINED STATE ONLY (candidates via term IN "
-    "pushdown, df from the candidate set, dl by norms lookups, N/avgdl "
-    "from two folded scalars — no corpus- or index-scale aggregate at "
-    "query time). The oracle recomputes the full BM25 formula on the "
-    "post-change corpus, so equality proves maintenance AND serving "
-    "end to end.",
+    "scalar ledger + the (term, df) ledger as O(delta) LSM appends, "
+    "then bm25_topk_served answers from MAINTAINED STATE ONLY "
+    "(candidates via a dir-pruned term read, idf from |q| ledger "
+    "point lookups, dl by norms lookups, N/avgdl from two folded "
+    "scalars — no corpus- or index-scale aggregate at query time). "
+    "The oracle recomputes the full BM25 formula on the post-change "
+    "corpus, so equality proves maintenance AND serving end to end.",
 )
 def cdc_bm25_serving_topk(spark, sf_dir):
     import shutil
@@ -6576,20 +6576,26 @@ def cdc_bm25_serving_topk(spark, sf_dir):
 
     root = tempfile.mkdtemp(prefix="cdc_bm25_srv_")
     try:
+        from cdc_audit_spark.streaming.stream_bm25 import current_bm25_dfs
+
         ts = {n: ManifestTable(spark, f"{root}/{n}")
-              for n in ("base", "post", "norms", "stats")}
+              for n in ("base", "post", "norms", "stats", "dfs")}
         for epoch, batch in enumerate((log1, log2)):
             apply_bm25_manifest_epoch(
                 ts["base"], ts["post"], batch, epoch, "q", "text",
-                ["doc_id"], norms_t=ts["norms"], stats_t=ts["stats"])
+                ["doc_id"], norms_t=ts["norms"], stats_t=ts["stats"],
+                dfs_t=ts["dfs"])
         # terms= makes the postings read candidate-bounded at the
         # STORAGE layer: the term-clustered fold + per-delta term stats
-        # let the manifest skip every dir whose range misses the query
+        # let the manifest skip every dir whose range misses the query;
+        # term_dfs= takes idf from the maintained (term, df) ledger —
+        # |q| point lookups, never a candidate-sized aggregate
         postings, norms, n_docs, total = current_serving_bm25(
             spark, ts["post"].path, ts["norms"].path, ts["stats"].path,
             "doc_id", terms=_BM25_TERMS)
+        dfs = current_bm25_dfs(spark, ts["dfs"].path, terms=_BM25_TERMS)
         out = bm25_topk_served(postings, norms, n_docs, total, "doc_id",
-                               _BM25_TERMS, 20)
+                               _BM25_TERMS, 20, term_dfs=dfs)
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
