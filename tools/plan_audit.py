@@ -157,6 +157,14 @@ EXPLANATIONS["ann_pq_topk"] = (
     "(argmin/matmul kernels — the compressed-domain math has no Catalyst "
     "form); the rerank stage is JVM-side cosine over broadcast candidates"
 )
+EXPLANATIONS["ts_subsequence_long"] = (
+    "BroadcastNestedLoopJoin's build side is the m-row (j, q_j) "
+    "coefficient table — the deliberate bounded fan-out that keeps the "
+    "plan width CONSTANT in the query length (the short form compiles "
+    "one lead() tap per point and is capped at 512); each point emits m "
+    "exact BIGINT nano-grain contributions folded by one (key, start) "
+    "aggregate (see operators.timeseries.znorm_distances_long)"
+)
 
 
 def flags(a: dict, name: str, plan: str) -> str:
