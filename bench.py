@@ -63,6 +63,10 @@ HEADLINE = [
     # sums, across rounds that changed this list)
     "bm25_topk",
     "hybrid_rrf_topk",
+    # r10: the windows-only subsequence search and the portable SimHash
+    # fingerprint (both pure-Catalyst operators worth tracking per round)
+    "ts_subsequence_match",
+    "dedup_simhash",
 ]
 
 
