@@ -3877,6 +3877,70 @@ def dedup_cluster_assign(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_components_labels",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> len(t) > 0) AS t
+        FROM documents WHERE doc_id < 4096),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 5 + 2),
+               i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),
+                                    1, 6))::INT) AS hs
+        FROM tok WHERE len(t) >= 5),
+    fp AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               CASE WHEN len(hs) >= 4
+                    THEN list_transform(range(1, len(hs) - 4 + 2),
+                                        j -> list_min(hs[j:j+3]))
+                    ELSE [list_min(hs)] END)) AS f
+        FROM h),
+    edges AS (
+      SELECT DISTINCT a.id AS src, b.id AS dst
+        FROM fp a JOIN fp b ON a.f = b.f AND a.id <> b.id),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 4096
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+      FROM reach GROUP BY id
+    """,
+    "CONNECTED COMPONENTS with an EXACT ORACLE — the first iterative "
+    "operator checked value-for-value against SQL: winnowing fingerprints "
+    "(the oracle-shared md5 idiom) make the edge set engine-identical, the "
+    "Spark side runs min-label propagation (operators.dedup."
+    "connected_components — per-round two node-keyed aggregates + "
+    "localCheckpoint lineage truncation), and DuckDB closes the same graph "
+    "with WITH RECURSIVE reachability + min(label). Component label = min "
+    "reachable doc_id, singletons label themselves. At 100 TB the edge "
+    "join is fp-bucketed (never all-pairs) and rounds = near-dup family "
+    "diameter (≲3); the recursive oracle is the sf0.01 checker, not the "
+    "scale path",
+)
+def dedup_components_labels(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import connected_components
+    from cdc_audit_spark.operators.text import winnow_overlap_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 4096)
+    edges = winnow_overlap_pairs(
+        docs, "text", "doc_id", k=5, w=4, min_shared=1
+    ).select("id_a", "id_b")
+    comp = connected_components(edges)
+    return (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("component", "id").cast("long").alias("component"),
+        )
+    )
+
+
 def _simhash_oracle() -> str:
     """The DuckDB mirror of operators.dedup.simhash: per-token md5
     words → 64 integer vote sums per doc → sign cut → bit packing.

@@ -655,3 +655,39 @@ def test_duplicate_spans_and_excision_planted(spark):
     assert clean[2] == (f"b0 b1 b2 b3 b4 b5 b6 {short}", 12)
     assert clean[3] == ("mid1 mid2 mid3 mid4 mid5 mid6 tail1 tail2", 12)
     assert clean[4] == (d4, 0)  # untouched, token-normalized identity
+
+
+def test_dedup_components_labels_query(spark, sf_dir):
+    """End-to-end query shape: fingerprint-edge connected components over
+    the fixture must (a) cover every doc exactly once, (b) agree with a
+    driver-side union-find over the same (collected, bounded) edge set,
+    (c) label singletons with themselves."""
+    from cdc_audit_spark.operators.text import winnow_overlap_pairs
+    from cdc_audit_spark.queries import dedup_components_labels, load_tables
+
+    got = {r["doc_id"]: r["component"]
+           for r in dedup_components_labels(spark, sf_dir).collect()}
+    docs = load_tables(spark, sf_dir)["documents"].filter("doc_id < 4096")
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert set(got) == all_ids  # exactly one label per doc
+
+    edges = [(r["id_a"], r["id_b"]) for r in winnow_overlap_pairs(
+        docs, "text", "doc_id", k=5, w=4, min_shared=1
+    ).select("id_a", "id_b").collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = set(parent)
+    for i in all_ids:
+        want = find(i) if i in touched else i
+        assert got[i] == want, (i, got[i], want)
