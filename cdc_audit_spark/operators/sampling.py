@@ -551,3 +551,74 @@ def temperature_resample(
     return (df.join(F.broadcast(keeps), group_col)
             .filter(h < F.col("__keep") * F.lit(float(HASH_SPACE)))
             .drop("__keep"))
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight_col: Column,
+    budget: int,
+    max_epochs: int = 1,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023 "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split a token ``budget`` across groups (languages) so
+    every group is sampled as uniformly as possible without repeating any
+    group more than ``max_epochs`` times. Water-filling closed form:
+    processing groups by ascending capacity ``cap = max_epochs * n_tokens``,
+    a group is either capped (takes all of ``cap``) or — from the first
+    group whose even share of the remaining budget is below its capacity —
+    takes exactly that even share, which stays constant for every group
+    after it. Returns (group, n_tokens, alloc_tokens, epochs_used).
+
+    Engine-exact: capacities and prefix sums stay BIGINT; the even share
+    is ONE double division over exact integers and the cap comparison /
+    final min are over that single value, so DuckDB reproduces the doubles
+    bit-for-bit (the same exact-ints-then-one-IEEE-op discipline the
+    oracle-parity rules mandate).
+
+    Scale shape: one group-count aggregate (shuffle keyed on the group),
+    then windows over ONE partition of the per-group table — bounded by
+    group cardinality (languages: dozens), not rows; the allocation never
+    touches the corpus. Apply the result as a broadcast keep-fraction
+    join, as ``temperature_resample`` does."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    counts = df.groupBy(group_col).agg(
+        F.sum(weight_col).cast("long").alias("n_tokens"))
+    cap = (F.lit(int(max_epochs)) * F.col("n_tokens")).cast("long")
+    order = Window.orderBy("cap", group_col)
+    whole = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        counts.withColumn("cap", cap)
+        .withColumn("i", F.row_number().over(order))
+        .withColumn(
+            "c_prev",
+            (F.sum("cap").over(order.rowsBetween(
+                Window.unboundedPreceding, Window.currentRow))
+             - F.col("cap")).cast("long"))
+        .withColumn("n_groups", F.count("*").over(whole))
+    )
+    u_i = (
+        (F.lit(int(budget)) - F.col("c_prev"))
+        / (F.col("n_groups") - F.col("i") + F.lit(1)).cast("double")
+    ).alias("u_i")
+    flagged = ranked.withColumn("u_i", u_i).withColumn(
+        "thresh",
+        F.min(F.when(F.col("cap").cast("double") > F.col("u_i"),
+                     F.struct("i", "u_i"))).over(whole))
+    alloc = (
+        F.when(F.col("thresh").isNull()
+               | (F.col("i") < F.col("thresh.i")),
+               F.col("cap").cast("double"))
+        .otherwise(F.col("thresh.u_i"))
+    )
+    return flagged.select(
+        group_col,
+        "n_tokens",
+        alloc.alias("alloc_tokens"),
+        (alloc / F.col("n_tokens").cast("double")).alias("epochs_used"),
+    )

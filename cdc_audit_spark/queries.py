@@ -4827,6 +4827,55 @@ def sample_temperature_lang(spark, sf_dir):
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+@register(
+    "sample_unimax_budget",
+    """
+    WITH counts AS (
+      SELECT lang,
+             CAST(sum(array_length(regexp_split_to_array(text, '\\s+')))
+                  AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang),
+    ranked AS (
+      SELECT lang, n_tokens,
+             CAST(1 * n_tokens AS BIGINT) AS cap,
+             row_number() OVER (ORDER BY 1 * n_tokens, lang) AS i,
+             CAST(sum(1 * n_tokens) OVER (ORDER BY 1 * n_tokens, lang
+                                          ROWS UNBOUNDED PRECEDING)
+                  - 1 * n_tokens AS BIGINT) AS c_prev,
+             count(*) OVER () AS n_groups
+        FROM counts),
+    u AS (SELECT *, (20000 - c_prev) / CAST(n_groups - i + 1 AS DOUBLE) AS u_i
+            FROM ranked),
+    th AS (SELECT i AS k, u_i AS u_k FROM u
+            WHERE CAST(cap AS DOUBLE) > u_i ORDER BY i LIMIT 1)
+    SELECT u.lang, u.n_tokens,
+           CAST(CASE WHEN th.k IS NULL OR u.i < th.k
+                     THEN CAST(u.cap AS DOUBLE) ELSE th.u_k END
+                AS DOUBLE) AS alloc_tokens,
+           CAST(CASE WHEN th.k IS NULL OR u.i < th.k
+                     THEN CAST(u.cap AS DOUBLE) ELSE th.u_k END
+                / CAST(u.n_tokens AS DOUBLE) AS DOUBLE) AS epochs_used
+      FROM u LEFT JOIN th ON TRUE
+    """,
+    "UNIMAX language-budget allocation (Chung et al., ICLR 2023 — "
+    "operators.sampling.unimax_allocation): water-filling a 20k-token "
+    "budget across languages with a 1-epoch cap, so tail languages are "
+    "capped at their full capacity and the head shares the residual "
+    "evenly. Engine-exact: capacities and prefix sums stay BIGINT, the "
+    "even share is ONE double division, so Spark and DuckDB agree "
+    "bit-for-bit. The allocation windows run over ONE partition of the "
+    "per-language table — bounded by language cardinality, never rows; "
+    "the corpus sees only the group-count aggregate",
+)
+def sample_unimax_budget(spark, sf_dir):
+    from cdc_audit_spark.operators.sampling import unimax_allocation
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return unimax_allocation(
+        docs, "lang", F.size(F.split("text", r"\s+")),
+        budget=20000, max_epochs=1)
+
+
 _MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 

@@ -354,3 +354,42 @@ def test_temperature_resample_flattens_head(spark, docs):
 
     with pytest.raises(ValueError):
         temperature_resample(docs, "lang", "doc_id", alpha=1.5)
+
+
+def test_unimax_allocation_vs_sequential_mirror(spark):
+    """Closed-form water-filling must equal the paper's sequential
+    procedure: walk groups ascending by capacity, give each
+    min(capacity, remaining / remaining_groups)."""
+    from cdc_audit_spark.operators.sampling import unimax_allocation
+
+    rows = [("a", 10), ("b", 100), ("c", 40), ("d", 7), ("e", 100)]
+    df = spark.createDataFrame(
+        [(g, i) for g, n in rows for i in range(n)], "grp string, tok int")
+
+    def mirror(counts, budget, epochs):
+        caps = sorted((epochs * n, g) for g, n in counts)
+        out, rem = {}, float(budget)
+        for j, (cap, g) in enumerate(caps):
+            share = rem / (len(caps) - j)
+            out[g] = min(float(cap), share)
+            rem -= out[g]
+        return out
+
+    for budget, epochs in [(150, 1), (150, 2), (10_000, 3), (5, 1)]:
+        got = {r["grp"]: r["alloc_tokens"] for r in unimax_allocation(
+            df, "grp", F.lit(1), budget=budget, max_epochs=epochs).collect()}
+        want = mirror(rows, budget, epochs)
+        assert got.keys() == want.keys()
+        for g in want:
+            assert got[g] == pytest.approx(want[g], abs=1e-9), (
+                budget, epochs, g, got[g], want[g])
+        total_cap = sum(epochs * n for _, n in rows)
+        if budget <= total_cap:
+            assert sum(got.values()) == pytest.approx(budget)
+        else:
+            assert got == {g: float(epochs * n) for g, n in rows}
+
+    with pytest.raises(ValueError):
+        unimax_allocation(df, "grp", F.lit(1), budget=0)
+    with pytest.raises(ValueError):
+        unimax_allocation(df, "grp", F.lit(1), budget=10, max_epochs=0)

@@ -79,6 +79,11 @@ for _q in ("ann_embedding_pairs", "dedup_minhash_lsh", "dedup_ngram_jaccard",
            "multimodal_features"):
     EXPLANATIONS.setdefault(_q, _ARROW_NOTE)
 
+EXPLANATIONS["sample_unimax_budget"] = (
+    "the water-filling windows run over the per-LANGUAGE table (one row "
+    "per group, bounded by group cardinality); the corpus sees only the "
+    "group-count aggregate"
+)
 EXPLANATIONS["text_compression_ratio"] = (
     "zlib deflate has no Catalyst form; Arrow-batched C deflate, map-side "
     "(same cost model as the multimodal codec path)"
