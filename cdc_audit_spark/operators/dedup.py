@@ -750,3 +750,148 @@ def excise_spans(
         .alias("clean_text"),
         (F.size("t") - F.size(keep)).cast("long").alias("n_dropped_tokens"),
     )
+
+
+def resolve_union_closure(
+    labels: DataFrame,
+    unions: DataFrame | None,
+    label_col: str = "label",
+    max_iter: int = 32,
+) -> DataFrame:
+    """Resolve labels through a (child, parent) union ledger to their
+    current roots: (label, root). The ledger is the union-find overlay the
+    incremental components maintain — each record re-parents one FORMER
+    canonical label onto the canonical that absorbed it, with parents
+    fully resolved at write time, so chains only deepen when an absorbing
+    canonical is itself absorbed later. The closure is a handful of
+    broadcast hash joins (the ledger is merge-count-sized, orders of
+    magnitude under the membership), looped to fixpoint with
+    localCheckpoint lineage truncation like ``connected_components``."""
+    out = labels.select(F.col(label_col).alias("label")).distinct() \
+        .withColumn("root", F.col("label"))
+    if unions is None:
+        return out
+    u = unions.select(F.col("child").alias("__c"), F.col("parent").alias("__p"))
+    out = out.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        stepped = (
+            out.join(F.broadcast(u), out["root"] == u["__c"], "left")
+            .select("label",
+                    F.coalesce("__p", "root").alias("root"),
+                    F.col("__p").isNotNull().alias("moved"))
+        ).localCheckpoint(eager=True)
+        n_moved = stepped.filter("moved").count()
+        out = stepped.drop("moved")
+        if n_moved == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"union ledger did not resolve in {max_iter} steps — run the "
+            "resolve/compaction maintenance to flatten it")
+    return out
+
+
+def incremental_components(
+    batch_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    idx: DataFrame | None = None,
+    unions: DataFrame | None = None,
+    k: int = 5,
+    w: int = 4,
+    fps: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One insert batch of INCREMENTAL connected components over
+    winnowing-fingerprint edges. State in, deltas out (the CDC index
+    algebra shape, cf. ``cdc_exact_index_sync``):
+
+    * ``idx``    — (fp, id, label): fingerprint index of previously
+      inserted docs, labels as of their insert epoch (possibly stale);
+    * ``unions`` — (child, parent): the union-find overlay recording
+      every canonical label a later batch absorbed.
+
+    Returns ``(members_delta, idx_delta, unions_delta)``:
+    membership rows (id, label) for every batch doc, index rows for every
+    batch fingerprint, and re-parenting records for every existing
+    canonical the batch merged. Current labels for ANY doc = membership
+    label resolved through the unions closure; min-union keeps the
+    canonical equal to the component's minimum member id, so the resolved
+    labeling is IDENTICAL to a one-shot ``connected_components`` run over
+    the full corpus (the oracle-checked equivalence).
+
+    Scale shape: the batch's fingerprints bound everything — the index
+    contributes only fp-matched rows (manifest callers prune that read to
+    the batch's fp dirs), the label-propagation kernel runs on the DELTA
+    subgraph (batch ids + matched roots, never the corpus), and the
+    ledger join is broadcast-sized. Deletes are out of scope by design:
+    removing a member never splits the equivalence classes it witnessed
+    (labels are names, not members); decremental connectivity needs a
+    rebuild, the ANN recall→rebuild policy's analog.
+
+    ``fps`` lets a caller hand in the batch's (id, fp) rows precomputed —
+    the manifest epoch computes them ONCE, uses them to prune the index
+    read to the batch's fp dirs, then passes them here (the
+    ``lsh_band_entries`` pattern in ``apply_dedup_epoch``).
+    """
+    from cdc_audit_spark.operators.text import winnow_fingerprints
+
+    fps_b = fps if fps is not None else winnow_fingerprints(
+        batch_df, text_col, id_col, k, w)
+    a, b = fps_b.alias("a"), fps_b.alias("b")
+    edges_int = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    edges = edges_int
+    if idx is not None:
+        matched = (
+            idx.withColumnsRenamed({"id": "__old_id", "label": "label"})
+            .join(fps_b.withColumnRenamed("id", "__bid"), "fp")
+            .select("__bid", "label")
+            .distinct()
+        )
+        roots = resolve_union_closure(
+            matched.select("label").distinct(), unions)
+        edges_ext = (
+            matched.join(roots, "label")
+            .select(F.col("__bid").alias("id_a"), F.col("root").alias("id_b"))
+            .distinct()
+        )
+        edges = edges_int.unionByName(edges_ext)
+    comp = connected_components(edges)
+    batch_ids = batch_df.select(F.col(id_col).alias("id")).distinct()
+    members_delta = (
+        batch_ids.join(comp, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("label"))
+    )
+    idx_delta = fps_b.join(members_delta, "id").select("fp", "id", "label")
+    if idx is not None:
+        unions_delta = (
+            edges.select(F.col("id_b").alias("id"))
+            .join(batch_ids, "id", "left_anti")  # existing roots only
+            .distinct()
+            .join(comp, "id")
+            .filter(F.col("component") < F.col("id"))
+            .select(F.col("id").alias("child"),
+                    F.col("component").alias("parent"))
+        )
+    else:
+        unions_delta = members_delta.sparkSession.createDataFrame(
+            [], "child long, parent long")
+    return members_delta, idx_delta, unions_delta
+
+
+def resolve_component_labels(
+    members: DataFrame,
+    unions: DataFrame | None,
+) -> DataFrame:
+    """Current (id, component) view of incrementally-maintained
+    components: membership labels resolved through the unions closure.
+    One broadcast join against the resolved ledger — the membership
+    itself never re-shuffles."""
+    resolved = resolve_union_closure(
+        members.select("label").distinct(), unions)
+    return members.join(F.broadcast(resolved), "label") \
+        .select("id", F.col("root").alias("component"))

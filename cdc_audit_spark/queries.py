@@ -3941,6 +3941,75 @@ def dedup_components_labels(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_components_sync",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> len(t) > 0) AS t
+        FROM documents WHERE doc_id < 4096),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 5 + 2),
+               i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),
+                                    1, 6))::INT) AS hs
+        FROM tok WHERE len(t) >= 5),
+    fp AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               CASE WHEN len(hs) >= 4
+                    THEN list_transform(range(1, len(hs) - 4 + 2),
+                                        j -> list_min(hs[j:j+3]))
+                    ELSE [list_min(hs)] END)) AS f
+        FROM h),
+    edges AS (
+      SELECT DISTINCT a.id AS src, b.id AS dst
+        FROM fp a JOIN fp b ON a.f = b.f AND a.id <> b.id),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 4096
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+      FROM reach GROUP BY id
+    """,
+    "CDC-MAINTAINED connected components (operators.dedup."
+    "incremental_components): the corpus arrives as THREE insert epochs "
+    "(doc_id ≡2, ≡1, ≡0 mod 3 — the global minimum arrives LAST, forcing "
+    "canonical-label re-parenting), each maintaining a fingerprint index "
+    "(fp, id, label), a membership ledger (id, label), and a union-find "
+    "overlay (child, parent). Per epoch the label-propagation kernel runs "
+    "on the DELTA subgraph only (batch ids + fp-matched roots — the "
+    "corpus is never re-scanned); reads of stale index labels resolve "
+    "through the broadcast-sized unions closure. The oracle closes the "
+    "full final graph one-shot with WITH RECURSIVE — equality proves the "
+    "maintenance algebra, epoch by epoch. Insert-only by design: deletes "
+    "can't split witnessed equivalence classes (labels are names); "
+    "decremental connectivity is a rebuild, as with the ANN policy",
+)
+def cdc_components_sync(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import (
+        incremental_components,
+        resolve_component_labels,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 4096).select("doc_id", "text")
+    idx = unions = members = None
+    for residue in (2, 1, 0):
+        batch = docs.filter(F.col("doc_id") % 3 == residue)
+        m, i, u = incremental_components(
+            batch, "text", "doc_id", idx=idx, unions=unions)
+        m = m.localCheckpoint(eager=True)
+        i = i.localCheckpoint(eager=True)
+        u = u.localCheckpoint(eager=True)
+        members = m if members is None else members.unionByName(m)
+        idx = i if idx is None else idx.unionByName(i)
+        unions = u if unions is None else unions.unionByName(u)
+    return resolve_component_labels(members, unions).select(
+        F.col("id").alias("doc_id"), "component")
+
+
 def _simhash_oracle() -> str:
     """The DuckDB mirror of operators.dedup.simhash: per-token md5
     words → 64 integer vote sums per doc → sign cut → bit packing.

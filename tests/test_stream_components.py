@@ -1,0 +1,191 @@
+"""Incremental connected components: the maintained labels must equal a
+one-shot run at every point, survive crash-replay in both half-committed
+windows, stay prunable at the index layer, and flatten under the resolve
+maintenance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_audit_spark.operators.dedup import connected_components
+from cdc_audit_spark.operators.text import winnow_overlap_pairs
+from cdc_audit_spark.sinks.manifest import ManifestTable
+from cdc_audit_spark.streaming.stream_components import (
+    apply_components_epoch,
+    current_components,
+    maybe_cluster_components_index,
+    resolve_components_state,
+    stream_components_sync,
+)
+
+SCH = "doc_id long, text string"
+
+# duplicate families with >= k+w-1 = 8 shared tokens; chain A connects
+# 10-20-30 through two different runs; B is an identical pair; 7 is a
+# token-starved doc (< 5 tokens -> no fingerprints, singleton by
+# construction)
+RUN_X = "alpha beta gamma delta epsilon zeta eta theta"
+RUN_Y = "one two three four five six seven eight"
+DOCS = [
+    (10, f"{RUN_X} tail10 filler10a filler10b"),
+    (20, f"head20 {RUN_X} mid20 {RUN_Y}"),
+    (30, f"{RUN_Y} tail30 filler30a filler30b"),
+    (5, "same exact payload tokens here repeated verbatim always"),
+    (40, "same exact payload tokens here repeated verbatim always"),
+    (50, "unique fifty text with plenty of tokens to fingerprint fine"),
+    (7, "too short"),
+]
+
+
+def _one_shot(spark, docs_df):
+    edges = winnow_overlap_pairs(
+        docs_df, "text", "doc_id", k=5, w=4, min_shared=1
+    ).select("id_a", "id_b")
+    comp = connected_components(edges)
+    return {
+        r["id"]: r["c"]
+        for r in docs_df.select(F.col("doc_id").alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("c"))
+        .collect()
+    }
+
+
+def _tables(spark, tmp_path, tag=""):
+    return (ManifestTable(spark, str(tmp_path / f"members{tag}")),
+            ManifestTable(spark, str(tmp_path / f"idx{tag}")),
+            ManifestTable(spark, str(tmp_path / f"unions{tag}")))
+
+
+def _apply(tables, batch_df, epoch):
+    apply_components_epoch(*tables, batch_df, epoch, "run0",
+                           "text", "doc_id")
+
+
+def _got(tables):
+    members, _, unions = tables
+    return {r["id"]: r["component"]
+            for r in current_components(members, unions).collect()}
+
+
+def test_components_epochs_match_one_shot_fixture(spark, sf_dir, tmp_path):
+    """Three insert epochs over the fixture (global-min ids arrive LAST,
+    forcing canonical re-parenting) must resolve to exactly the one-shot
+    labeling after every epoch."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    tables = _tables(spark, tmp_path)
+    seen = None
+    for epoch, residue in enumerate((2, 1, 0)):
+        b = docs.filter(F.col("doc_id") % 3 == residue)
+        _apply(tables, b, epoch)
+        seen = b if seen is None else seen.unionByName(b)
+        assert _got(tables) == _one_shot(spark, seen)
+
+
+def test_components_epoch_replay_both_windows(spark, tmp_path):
+    """A replayed epoch is a no-op after full commit, and converges after
+    a crash that landed only the members half."""
+    docs = spark.createDataFrame(DOCS, SCH)
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    b0 = docs.filter(F.col("doc_id").isin(20, 30, 40, 50))
+    b1 = docs.filter(F.col("doc_id").isin(10, 5, 7))
+
+    _apply(tables, b0, 0)
+    want0 = _got(tables)
+    vers0 = (members.current_version(), idx.current_version(),
+             unions.current_version())
+    _apply(tables, b0, 0)  # replay after full commit: no-op
+    assert (members.current_version(), idx.current_version(),
+            unions.current_version()) == vers0
+    assert _got(tables) == want0
+
+    # crash between the members commit and the idx commit
+    orig = idx.append
+    idx.append = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        _apply(tables, b1, 1)
+    assert members.epoch_applied(1, "run0")
+    assert not idx.epoch_applied(1, "run0")
+    idx.append = orig
+    _apply(tables, b1, 1)  # replay commits the missing halves
+
+    want = _one_shot(spark, docs)
+    assert _got(tables) == want
+    # the merged family re-parented onto the late-arriving smaller ids
+    assert want[20] == 10 and want[30] == 10 and want[40] == 5
+    assert _got(tables)[7] == 7  # fingerprint-less doc labels itself
+
+
+def test_resolve_components_state_flattens(spark, tmp_path):
+    """The resolve maintenance empties the unions ledger without changing
+    the resolved labeling, and later epochs keep working on the flattened
+    state."""
+    docs = spark.createDataFrame(DOCS, SCH)
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    _apply(tables, docs.filter(F.col("doc_id").isin(20, 30, 40, 50)), 0)
+    _apply(tables, docs.filter(F.col("doc_id").isin(10, 5, 7)), 1)
+    before = _got(tables)
+    assert unions.read().count() > 0  # merges actually happened
+
+    resolve_components_state(members, idx, unions)
+    assert unions.read().count() == 0
+    assert _got(tables) == before
+    # membership labels are now root-grade (resolution is depth-zero)
+    assert {r["label"] for r in members.read().collect()} == set(
+        before.values())
+
+    extra = spark.createDataFrame(
+        [(3, f"{RUN_Y} three connects the chain again")], SCH)
+    _apply(tables, extra, 2)
+    assert _got(tables) == _one_shot(
+        spark, docs.unionByName(extra))
+
+
+def test_components_index_read_prunes_dirs(spark, tmp_path):
+    """After fp-clustering, a batch's fingerprint lookup must list a
+    fraction of the index dirs — the O(delta) read contract."""
+    rows = [(i, " ".join(f"tok{i}w{j}" for j in range(10)))
+            for i in range(64)]
+    docs = spark.createDataFrame(rows, SCH)
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    for epoch in range(8):
+        _apply(tables, docs.filter(F.col("doc_id") % 8 == epoch), epoch)
+    assert maybe_cluster_components_index(idx, max_dirs=4, n_dirs=8)
+    n_dirs = len(idx.manifest(idx.current_version())["dirs"])
+    assert n_dirs >= 8
+    from cdc_audit_spark.operators.text import winnow_fingerprints
+
+    one = winnow_fingerprints(
+        docs.filter(F.col("doc_id") == 3), "text", "doc_id", 5, 4)
+    pts = [r["fp"] for r in one.select("fp").distinct().collect()]
+    pruned = idx.dirs_pruned_any("fp", pts)
+    assert 0 < len(pruned) < n_dirs
+    got = idx.read_pruned_for_keys(one.select("fp"), "fp")
+    assert {r["id"] for r in got.collect()} == {3}
+
+
+def test_stream_components_sync_end_to_end(spark, tmp_path):
+    """The foreachBatch drain over a parquet source (one file per
+    trigger) must land the one-shot labeling exactly once."""
+    docs = spark.createDataFrame(DOCS, SCH)
+    src = str(tmp_path / "src")
+    for part, ids in enumerate([(20, 30), (40, 50), (10, 5, 7)]):
+        docs.filter(F.col("doc_id").isin(*ids)).coalesce(1).write.mode(
+            "append").parquet(src)
+    q = stream_components_sync(
+        spark, src, SCH,
+        str(tmp_path / "members"), str(tmp_path / "idx"),
+        str(tmp_path / "unions"), str(tmp_path / "ckpt"),
+        "text", "doc_id", max_files_per_trigger=1)
+    q.awaitTermination(120)
+    members = ManifestTable(spark, str(tmp_path / "members"))
+    unions = ManifestTable(spark, str(tmp_path / "unions"))
+    got = {r["id"]: r["component"]
+           for r in current_components(members, unions).collect()}
+    assert got == _one_shot(spark, docs)
