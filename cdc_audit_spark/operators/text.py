@@ -286,22 +286,42 @@ def winnow_fingerprints(
     with fewer than k tokens yield none; docs with fewer than w hashes
     yield their global minimum (the standard boundary rule).
     """
-    toks = F.filter(
+    # Let-binding discipline: tokens and gram hashes are bound as lambda
+    # variables (transform over a single-element array), NOT inlined
+    # expression trees — an inlined array subtree inside a higher-order
+    # lambda re-evaluates on EVERY iteration, turning the per-doc cost
+    # into O(n^2) md5 calls (measured 10x+ on sf0.1 docs); a bound lambda
+    # variable is a slot read, evaluated once per row. Same output, same
+    # zero-shuffle map-side plan.
+    toks_expr = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
         lambda t: F.length(t) > 0)
-    n_h = F.size(toks) - k + 1   # number of k-grams
 
-    def gram_hash(i):
-        g = F.array_join(F.slice(toks, i + 1, k), " ")
-        return F.conv(F.substring(F.md5(g), 1, 6), 16, 10).cast("int")
+    def fps_from_tokens(t):
+        n_h = F.size(t) - k + 1   # number of k-grams
 
-    hashes = F.transform(F.sequence(F.lit(0), n_h - 1), gram_hash)
-    fps = (
-        F.when(n_h >= w, F.transform(
-            F.sequence(F.lit(0), n_h - w),
-            lambda j: F.array_min(F.slice(hashes, j + 1, w))))
-        .when(n_h >= 1, F.array(F.array_min(hashes)))
-        .otherwise(F.array().cast("array<int>")))
+        def gram_hash(i):
+            g = F.array_join(F.slice(t, i + 1, k), " ")
+            return F.conv(F.substring(F.md5(g), 1, 6), 16, 10).cast("int")
+
+        hashes = (
+            F.when(n_h >= 1,
+                   F.transform(F.sequence(F.lit(0), n_h - 1), gram_hash))
+            .otherwise(F.array().cast("array<int>")))
+
+        def fps_from_hashes(hs):
+            return (
+                F.when(n_h >= w, F.transform(
+                    F.sequence(F.lit(0), n_h - w),
+                    lambda j: F.array_min(F.slice(hs, j + 1, w))))
+                .when(n_h >= 1, F.array(F.array_min(hs)))
+                .otherwise(F.array().cast("array<int>")))
+
+        return F.element_at(
+            F.transform(F.array(hashes), fps_from_hashes), 1)
+
+    fps = F.element_at(
+        F.transform(F.array(toks_expr), fps_from_tokens), 1)
     narrow = df.select(F.col(id_col).alias("id"), F.col(text_col))
     if not df.isStreaming:
         par = df.sparkSession.sparkContext.defaultParallelism
