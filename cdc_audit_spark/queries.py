@@ -7031,23 +7031,26 @@ _DRIVER_WINDOW = [
     "cdc_manifest_format_rw", "cdc_manifest_roundtrip",
     "cdc_manifest_sink_drain", "cdc_replica_change_feed",
     "cdc_state_asof", "cdc_watermark_recovery",
-    "events_hourly_stats", "text_top_bigrams",
+    "text_top_bigrams",
     "tfidf_top_terms", "multimodal_chunk_sample", "sample_source_quota",
     # registered this round, after everything above: never driver-checked
     # -> checked immediately (the long-query subsequence form, the
-    # connected-components exact oracle, the UniMax allocation):
+    # connected-components exact oracle and its CDC-maintained form, the
+    # UniMax allocation):
     "ts_subsequence_long", "dedup_components_labels", "sample_unimax_budget",
-    # r11 TODO: the 22 r07-green queries that did not fit this window
+    "cdc_components_sync",
+    # r11 TODO: the 23 r07-green queries that did not fit this window
     # (embedding_l2_normalize, clean_boilerplate_tokens, dedup_rate_by_source,
-    # events_daily_active, events_type_day_cube, events_user_activity,
-    # events_value_histogram, lang_distribution, median_price_by_flag,
-    # nation_top_customer_list, q13_order_count_distribution,
-    # q15_top_supplier, q16_supplier_part_counts,
-    # q19_disjunctive_revenue, q20_bulk_part_suppliers, revenue_rollup,
-    # scalar_function_sampler, scan_filter_project, text_quality,
-    # text_top_terms, window_percent_rank, window_running_total — all
-    # sweep-green; they are the stalest set at r11 and rotate in first),
-    # plus whatever r10 registers after this window was pinned.
+    # events_daily_active, events_hourly_stats, events_type_day_cube,
+    # events_user_activity, events_value_histogram, lang_distribution,
+    # median_price_by_flag, nation_top_customer_list,
+    # q13_order_count_distribution, q15_top_supplier,
+    # q16_supplier_part_counts, q19_disjunctive_revenue,
+    # q20_bulk_part_suppliers, revenue_rollup, scalar_function_sampler,
+    # scan_filter_project, text_quality, text_top_terms,
+    # window_percent_rank, window_running_total — all sweep-green; they
+    # are the stalest set at r11 and rotate in first), plus whatever r10
+    # registers after this window was pinned.
 ]
 
 
