@@ -41,17 +41,26 @@ def ngram_exposure(
     """(id, *keep, gram): the distinct space-joined token n-grams per doc.
 
     The sliding window is a transform over sequence(0, size-n) with an
-    array slice — pure Catalyst expressions, evaluated once per row.
-    Documents shorter than n tokens contribute no grams.
+    array slice — pure Catalyst expressions. The token array is
+    let-bound (exprs.bind), NOT captured as an inline subtree: a
+    captured array expression inside a higher-order lambda re-evaluates
+    on every iteration (O(tokens^2) splitting per doc — the
+    winnow_fingerprints bug class); a bound variable is a slot read,
+    evaluated once per row. Documents shorter than n tokens contribute
+    no grams.
     """
-    w = _token_array(text_col)
-    grams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from cdc_audit_spark.operators.exprs import bind
+
+    def grams_of(w):
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = bind(_token_array(text_col), grams_of)
     narrow = df.select(F.col(id_col).alias("id"), *keep, F.col(text_col))
     # CPU-bound per-doc stage: make sure input splits use every core (a
     # single-file source otherwise runs the whole gram build on one task).

@@ -117,13 +117,18 @@ def _shingles(text_col: str, shingle_size: int):
     """Word n-gram shingles as an array column, built entirely from JVM
     expressions: split → sliding concat via transform over an index sequence.
     Used by the exact-Jaccard verify stage; the minhash path uses the cheaper
-    _shingle_hashes."""
-    tokens = F.split(F.col(text_col), r"\s+")
-    n = F.greatest(F.size(tokens) - F.lit(shingle_size - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), n - F.lit(1))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, shingle_size)))
-    )
+    _shingle_hashes. The token array is let-bound (exprs.bind) so the split
+    runs once per row, not once per shingle."""
+    from cdc_audit_spark.operators.exprs import bind
+
+    def shingles_of(tokens):
+        n = F.greatest(F.size(tokens) - F.lit(shingle_size - 1), F.lit(1))
+        idx = F.sequence(F.lit(0), n - F.lit(1))
+        return F.array_distinct(F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, shingle_size))))
+
+    return bind(F.split(F.col(text_col), r"\s+"), shingles_of)
 
 
 def _shingle_hashes(text_col: str, shingle_size: int):

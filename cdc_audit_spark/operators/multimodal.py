@@ -98,16 +98,24 @@ def chunk_payload(
     result partitioned by a hash of id so one giant file cannot skew a
     partition.
     """
-    payload = F.encode(F.col(text_col), "UTF-8")
-    nbytes = F.octet_length(payload)
-    n_chunks = ((nbytes + F.lit(chunk_bytes - 1)) / F.lit(chunk_bytes)).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - F.lit(1))
-    chunks = F.transform(
-        idx, lambda i: F.struct(
-            i.cast("long").alias("chunk_idx"),
-            F.substring(payload, i * chunk_bytes + 1, chunk_bytes).alias("chunk"),
+    from cdc_audit_spark.operators.exprs import bind
+
+    def chunks_of(payload):
+        # payload is let-bound: captured inline, the UTF-8 encode would
+        # re-run per chunk (O(bytes^2 / chunk) per doc)
+        nbytes = F.octet_length(payload)
+        n_chunks = ((nbytes + F.lit(chunk_bytes - 1))
+                    / F.lit(chunk_bytes)).cast("int")
+        idx = F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - F.lit(1))
+        return F.transform(
+            idx, lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.substring(payload, i * chunk_bytes + 1,
+                            chunk_bytes).alias("chunk"),
+            )
         )
-    )
+
+    chunks = bind(F.encode(F.col(text_col), "UTF-8"), chunks_of)
     return (
         df.select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(

@@ -550,13 +550,20 @@ def l2_normalize(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> Data
     double precision with a left-to-right fold so the oracle can reproduce
     it bit-for-bit. Zero vectors map to NULL (not NaN) so downstream joins
     drop them explicitly."""
+    from cdc_audit_spark.operators.exprs import bind
+
     v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(
-        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+
+    def normed(norm):
+        # norm is let-bound: captured inline it would re-run the O(d)
+        # fold on every element of the output transform (O(d^2)/vector)
+        return (F.when(norm > 0, F.transform(v, lambda x: x / norm))
+                .otherwise(F.lit(None)))
+
     return df.withColumn(
         out_col,
-        F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(F.lit(None)),
+        bind(F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)),
+             normed),
     )
 
 

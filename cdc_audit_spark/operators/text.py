@@ -286,13 +286,14 @@ def winnow_fingerprints(
     with fewer than k tokens yield none; docs with fewer than w hashes
     yield their global minimum (the standard boundary rule).
     """
-    # Let-binding discipline: tokens and gram hashes are bound as lambda
-    # variables (transform over a single-element array), NOT inlined
-    # expression trees — an inlined array subtree inside a higher-order
-    # lambda re-evaluates on EVERY iteration, turning the per-doc cost
-    # into O(n^2) md5 calls (measured 10x+ on sf0.1 docs); a bound lambda
-    # variable is a slot read, evaluated once per row. Same output, same
-    # zero-shuffle map-side plan.
+    # Let-binding discipline (exprs.bind): tokens and gram hashes are
+    # bound as lambda variables, NOT inlined expression trees — an
+    # inlined array subtree inside a higher-order lambda re-evaluates on
+    # EVERY iteration, turning the per-doc cost into O(n^2) md5 calls
+    # (measured 10x+ on sf0.1 docs); a bound lambda variable is a slot
+    # read, evaluated once per row. Same output, same zero-shuffle plan.
+    from cdc_audit_spark.operators.exprs import bind
+
     toks_expr = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
         lambda t: F.length(t) > 0)
@@ -317,11 +318,9 @@ def winnow_fingerprints(
                 .when(n_h >= 1, F.array(F.array_min(hs)))
                 .otherwise(F.array().cast("array<int>")))
 
-        return F.element_at(
-            F.transform(F.array(hashes), fps_from_hashes), 1)
+        return bind(hashes, fps_from_hashes)
 
-    fps = F.element_at(
-        F.transform(F.array(toks_expr), fps_from_tokens), 1)
+    fps = bind(toks_expr, fps_from_tokens)
     narrow = df.select(F.col(id_col).alias("id"), F.col(text_col))
     if not df.isStreaming:
         par = df.sparkSession.sparkContext.defaultParallelism
