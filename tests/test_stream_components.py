@@ -189,3 +189,49 @@ def test_stream_components_sync_end_to_end(spark, tmp_path):
     got = {r["id"]: r["component"]
            for r in current_components(members, unions).collect()}
     assert got == _one_shot(spark, docs)
+
+
+def test_incremental_components_random_batches(spark):
+    """Seeded random corpora arriving in random batch splits/orders: the
+    resolved incremental labeling must equal a driver-side union-find over
+    the full final edge set, after EVERY batch prefix."""
+    import random
+
+    from cdc_audit_spark.operators.dedup import (
+        incremental_components,
+        resolve_component_labels,
+    )
+
+    rng = random.Random(7)
+    # shared token runs drawn from a small pool of 8-token sentences →
+    # dense, multi-family overlap graphs with plenty of chain merges
+    runs = [" ".join(f"r{r}t{j}" for j in range(8)) for r in range(5)]
+    for trial in range(3):
+        docs = []
+        for i in range(24):
+            picks = rng.sample(runs, rng.randint(1, 2))
+            docs.append((i, " ".join(picks + [f"pad{i}a pad{i}b"])))
+        rng.shuffle(docs)
+        n_batches = rng.randint(2, 5)
+        batches = [docs[j::n_batches] for j in range(n_batches)]
+
+        df_all = spark.createDataFrame(docs, SCH)
+        idx = unions = members = None
+        seen = []
+        for b in batches:
+            bdf = spark.createDataFrame(b, SCH)
+            m, i_d, u = incremental_components(
+                bdf, "text", "doc_id", idx=idx, unions=unions)
+            m = m.localCheckpoint(eager=True)
+            i_d = i_d.localCheckpoint(eager=True)
+            u = u.localCheckpoint(eager=True)
+            members = m if members is None else members.unionByName(m)
+            idx = i_d if idx is None else idx.unionByName(i_d)
+            unions = u if unions is None else unions.unionByName(u)
+            seen += b
+            got = {r["id"]: r["component"] for r in
+                   resolve_component_labels(members, unions).collect()}
+            want = _one_shot(spark, spark.createDataFrame(seen, SCH))
+            assert got == want, (trial, len(seen))
+        # final state also checked against the full corpus directly
+        assert got == _one_shot(spark, df_all)
