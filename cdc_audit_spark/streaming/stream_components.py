@@ -46,7 +46,10 @@ from cdc_audit_spark.streaming.stream_dedup import _version_before_epoch
 __all__ = [
     "apply_components_epoch",
     "current_components",
+    "deleted_fraction",
     "maybe_cluster_components_index",
+    "maybe_rebuild_components",
+    "remove_components_members",
     "resolve_components_state",
     "stream_components_sync",
 ]
@@ -95,7 +98,12 @@ def apply_components_epoch(
         if not m_done:
             members.append(m_d, extra=extra)
         if not i_done:
-            idx.append(i_d, extra=extra, stats_cols=["fp"])
+            # rk = the per-row unique key deletion vectors address
+            # (delete_where needs one live row per key; (fp, id) is the
+            # index grain)
+            idx.append(
+                i_d.withColumn("rk", F.concat_ws(":", "fp", "id")),
+                extra=extra, stats_cols=["fp"])
         if not u_done:
             # committed even when empty: the epoch guard must record the
             # epoch or every restart would re-run the (cheap, deterministic)
@@ -148,9 +156,98 @@ def resolve_components_state(members, idx, unions) -> None:
     roots_i = resolve_union_closure(i_df.select("label").distinct(), u)
     idx.overwrite(
         i_df.join(F.broadcast(roots_i), "label")
-        .select("fp", "id", F.col("root").alias("label")))
+        .select("fp", "id", F.col("root").alias("label"), "rk"))
     if cur_u is not None:
         unions.overwrite(u.filter(F.lit(False)))
+
+
+def remove_components_members(members, idx, unions, ids: list) -> dict:
+    """Remove documents from the maintained state: membership and index
+    rows for ``ids`` are deletion-vector deleted — O(matches) plus
+    metadata, no data-file rewrite (the manifest ``delete_where``
+    pattern). Removal semantics, documented rather than pretended away:
+    labels of SURVIVING members are unchanged and remain a valid
+    partition (removal never splits the classes the removed doc
+    witnessed — at worst the partition is coarser than a fresh
+    clustering, when the removed doc was the only bridge), and a removed
+    id may live on as a component NAME. What removal does guarantee:
+    the doc disappears from ``current_components``, and its fingerprints
+    stop witnessing NEW merges (the index rows are gone, so future
+    batches cannot connect through removed content). When the deleted
+    fraction passes the policy bar, ``maybe_rebuild_components``
+    re-derives the exact fresh clustering from the live index.
+
+    ``ids`` is a driver-side list — bounded per call (the same contract
+    as every point-delete API); loop for larger purges."""
+    if not ids:
+        return {"members_deleted": 0, "index_deleted": 0}
+    cond = F.col("id").isin(*[int(i) for i in ids])
+    n_m = members.row_count()
+    v_m = members.delete_where(cond, "id")
+    n_i = idx.row_count()
+    v_i = idx.delete_where(cond, "rk")
+    return {
+        "members_deleted": (n_m - members.row_count()) if v_m else 0,
+        "index_deleted": (n_i - idx.row_count()) if v_i else 0,
+        "deleted_fraction": deleted_fraction(members),
+    }
+
+
+def deleted_fraction(table) -> float:
+    """Fraction of the table's all-time rows currently tombstoned by
+    deletion vectors — a pure manifest read (dv row counts from the
+    recorded footer stats, live count from ``row_count``), zero Spark
+    jobs. The rebuild policy's trigger metric."""
+    cur = table.current_version()
+    if cur is None:
+        return 0.0
+    m = table.manifest(cur)
+    dvm = m.get("dv_meta", {})
+    dead = sum(int(dvm[v].get("rows") or 0) for v in m.get("dv_dirs", []))
+    live = table.row_count(cur)
+    total = dead + live
+    return (dead / total) if total else 0.0
+
+
+def maybe_rebuild_components(members, idx, unions,
+                             max_deleted_frac: float = 0.25) -> int | None:
+    """Decremental-connectivity policy (the ANN recall→rebuild analog):
+    when removals have tombstoned more than ``max_deleted_frac`` of the
+    membership, re-derive the clustering FROM THE LIVE INDEX — edges are
+    the fp self-join over surviving rows, closed by the one-shot kernel —
+    and overwrite all three ledgers. This is the one operation that can
+    SPLIT components (bridges removed since insert) and it renames every
+    canonical to the current min live member. Amortized O(live state);
+    the trigger check itself is a metadata-only read, safe to call every
+    epoch. Returns the new members version, or None when under the bar."""
+    from cdc_audit_spark.operators.dedup import connected_components
+
+    if deleted_fraction(members) <= max_deleted_frac:
+        return None
+    live = idx.read().select("fp", "id")
+    a, b = live.alias("a"), live.alias("b")
+    edges = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    fresh = (
+        members.read().select("id")
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    ver = members.overwrite(fresh)
+    idx.overwrite(
+        idx.read().select("fp", "id", "rk")
+        .join(fresh, "id")
+        .select("fp", "id", "label", "rk"))
+    cur_u = unions.current_version()
+    if cur_u is not None:
+        unions.overwrite(unions.read().filter(F.lit(False)))
+    return ver
 
 
 def stream_components_sync(

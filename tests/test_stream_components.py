@@ -235,3 +235,61 @@ def test_incremental_components_random_batches(spark):
             assert got == want, (trial, len(seen))
         # final state also checked against the full corpus directly
         assert got == _one_shot(spark, df_all)
+
+
+def test_remove_members_and_rebuild(spark, tmp_path):
+    """Removal tombstones membership + index rows (labels of survivors
+    unchanged — a valid, possibly coarser partition), removed content
+    stops witnessing new merges, and the rebuild policy re-derives the
+    exact fresh clustering (including splits) from the live index."""
+    from cdc_audit_spark.streaming.stream_components import (
+        deleted_fraction,
+        maybe_rebuild_components,
+        remove_components_members,
+    )
+
+    docs = spark.createDataFrame(DOCS, SCH)
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    _apply(tables, docs, 0)
+    assert _got(tables) == _one_shot(spark, docs)
+
+    # remove the 10-20-30 bridge: survivors keep their (now coarser)
+    # labels; the removed doc disappears from the view
+    r = remove_components_members(members, idx, unions, [20])
+    assert r["members_deleted"] == 1 and r["index_deleted"] > 0
+    got = _got(tables)
+    assert 20 not in got
+    assert got[30] == 10 and got[10] == 10  # names unchanged, not split
+
+    # removed content cannot witness NEW merges: 50 is unique; a later
+    # doc with identical text must come up a singleton
+    remove_components_members(members, idx, unions, [50])
+    _apply(tables, spark.createDataFrame(
+        [(60, DOCS[5][1])], SCH), 1)
+    got = _got(tables)
+    assert 50 not in got and got[60] == 60
+
+    # under the bar: no rebuild
+    assert maybe_rebuild_components(members, idx, unions,
+                                    max_deleted_frac=0.9) is None
+    frac = deleted_fraction(members)
+    assert 0.2 < frac < 0.3  # 2 dead / 8 all-time
+
+    ver = maybe_rebuild_components(members, idx, unions,
+                                   max_deleted_frac=0.2)
+    assert ver is not None
+    got = _got(tables)
+    # the bridge removal now SPLITS 10/30, the intact pair keeps its
+    # min live label, and the tombstone accounting resets
+    assert got[10] == 10 and got[30] == 30
+    assert got[40] == 5 and got[5] == 5
+    assert deleted_fraction(members) == 0.0
+    assert unions.read().count() == 0
+
+    # epochs keep working on the rebuilt state: a smaller id joining the
+    # identical-pair family re-parents it
+    _apply(tables, spark.createDataFrame(
+        [(2, DOCS[3][1])], SCH), 2)
+    got = _got(tables)
+    assert got[2] == got[5] == got[40] == 2
