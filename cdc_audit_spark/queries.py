@@ -4010,6 +4010,89 @@ def cdc_components_sync(spark, sf_dir):
         F.col("id").alias("doc_id"), "component")
 
 
+@register(
+    "cdc_components_remove_rebuild",
+    r"""
+    WITH RECURSIVE live AS (
+      SELECT doc_id, text FROM documents
+       WHERE doc_id < 4096 AND doc_id % 5 <> 0),
+    tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> len(t) > 0) AS t
+        FROM live),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 5 + 2),
+               i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),
+                                    1, 6))::INT) AS hs
+        FROM tok WHERE len(t) >= 5),
+    fp AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               CASE WHEN len(hs) >= 4
+                    THEN list_transform(range(1, len(hs) - 4 + 2),
+                                        j -> list_min(hs[j:j+3]))
+                    ELSE [list_min(hs)] END)) AS f
+        FROM h),
+    edges AS (
+      SELECT DISTINCT a.id AS src, b.id AS dst
+        FROM fp a JOIN fp b ON a.f = b.f AND a.id <> b.id),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM live
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+      FROM reach GROUP BY id
+    """,
+    "Decremental connectivity end to end (streaming.stream_components): "
+    "the corpus lands as two insert epochs on real manifest ledgers, a "
+    "fifth of the docs are then REMOVED (deletion-vector deletes — "
+    "O(matches), no rewrite), and the tombstone-fraction policy fires a "
+    "rebuild from the live fingerprint index — the one operation allowed "
+    "to SPLIT components and rename canonicals to the current min live "
+    "member. The oracle clusters the surviving corpus from scratch with "
+    "the recursive closure; equality proves removal + rebuild converge "
+    "on exactly the fresh clustering",
+)
+def cdc_components_remove_rebuild(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_components import (
+        apply_components_epoch,
+        current_components,
+        maybe_rebuild_components,
+        remove_components_members,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 4096).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="cdc_components_rr_")
+    try:
+        members = ManifestTable(spark, f"{root}/members")
+        idx = ManifestTable(spark, f"{root}/idx")
+        unions = ManifestTable(spark, f"{root}/unions")
+        for epoch, residue in enumerate((1, 0)):
+            apply_components_epoch(
+                members, idx, unions,
+                docs.filter(F.col("doc_id") % 2 == residue),
+                epoch, "rr", "text", "doc_id")
+        removed = [r["doc_id"] for r in
+                   docs.filter(F.col("doc_id") % 5 == 0)
+                   .select("doc_id").collect()]
+        remove_components_members(members, idx, unions, removed)
+        ver = maybe_rebuild_components(members, idx, unions,
+                                       max_deleted_frac=0.1)
+        assert ver is not None, "rebuild policy must fire at 20% removed"
+        out = current_components(members, unions).select(
+            F.col("id").alias("doc_id"), "component")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _simhash_oracle() -> str:
     """The DuckDB mirror of operators.dedup.simhash: per-token md5
     words → 64 integer vote sums per doc → sign cut → bit packing.
@@ -7031,15 +7114,14 @@ _DRIVER_WINDOW = [
     "cdc_manifest_format_rw", "cdc_manifest_roundtrip",
     "cdc_manifest_sink_drain", "cdc_replica_change_feed",
     "cdc_state_asof", "cdc_watermark_recovery",
-    "text_top_bigrams",
     "tfidf_top_terms", "multimodal_chunk_sample", "sample_source_quota",
     # registered this round, after everything above: never driver-checked
     # -> checked immediately (the long-query subsequence form, the
-    # connected-components exact oracle and its CDC-maintained form, the
-    # UniMax allocation):
+    # connected-components exact oracle, its CDC-maintained form, the
+    # removal+rebuild form, the UniMax allocation):
     "ts_subsequence_long", "dedup_components_labels", "sample_unimax_budget",
-    "cdc_components_sync",
-    # r11 TODO: the 23 r07-green queries that did not fit this window
+    "cdc_components_sync", "cdc_components_remove_rebuild",
+    # r11 TODO: the 24 r07-green queries that did not fit this window
     # (embedding_l2_normalize, clean_boilerplate_tokens, dedup_rate_by_source,
     # events_daily_active, events_hourly_stats, events_type_day_cube,
     # events_user_activity, events_value_histogram, lang_distribution,
@@ -7047,7 +7129,7 @@ _DRIVER_WINDOW = [
     # q13_order_count_distribution, q15_top_supplier,
     # q16_supplier_part_counts, q19_disjunctive_revenue,
     # q20_bulk_part_suppliers, revenue_rollup, scalar_function_sampler,
-    # scan_filter_project, text_quality, text_top_terms,
+    # scan_filter_project, text_quality, text_top_bigrams, text_top_terms,
     # window_percent_rank, window_running_total — all sweep-green; they
     # are the stalest set at r11 and rotate in first), plus whatever r10
     # registers after this window was pinned.
