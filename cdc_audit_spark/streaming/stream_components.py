@@ -55,6 +55,32 @@ __all__ = [
 ]
 
 
+_CFG_KEY = "components_cfg"
+
+
+def _check_cfg(members, k: int, w: int) -> dict:
+    """Refuse fingerprint-config drift: an epoch applied with a different
+    (k, w) than the ledgers were built with would emit fingerprints the
+    existing index can never match — batches would silently stop finding
+    their duplicates. Every apply-epoch commit stamps its config; the
+    newest stamped manifest is the contract (the backward walk is the
+    ``_version_before_epoch`` pattern — maintenance overwrites between
+    apply commits don't carry the stamp and are skipped)."""
+    cfg = {"k": int(k), "w": int(w)}
+    for v in reversed(members.versions()):
+        prev = members.manifest(v).get(_CFG_KEY)
+        if prev is not None:
+            if prev != cfg:
+                raise ValueError(
+                    f"components ledgers at {members.path} were built "
+                    f"with fingerprint config {prev}; this epoch was "
+                    f"called with {cfg} — mixed configs silently break "
+                    "duplicate detection. Use the original config, or "
+                    "rebuild the state from scratch")
+            break
+    return cfg
+
+
 def apply_components_epoch(
     members,
     idx,
@@ -80,6 +106,7 @@ def apply_components_epoch(
     u_done = unions.epoch_applied(epoch_id, run_id)
     if m_done and i_done and u_done:
         return
+    cfg = _check_cfg(members, k, w)
     from cdc_audit_spark.operators.text import winnow_fingerprints
 
     fps = winnow_fingerprints(batch_df, text_col, id_col, k, w).persist(
@@ -94,7 +121,7 @@ def apply_components_epoch(
         m_d, i_d, u_d = incremental_components(
             batch_df, text_col, id_col,
             idx=idx_df, unions=unions_df, k=k, w=w, fps=fps)
-        extra = {"epoch": int(epoch_id), "run_id": run_id}
+        extra = {"epoch": int(epoch_id), "run_id": run_id, _CFG_KEY: cfg}
         if not m_done:
             members.append(m_d, extra=extra)
         if not i_done:

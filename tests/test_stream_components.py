@@ -293,3 +293,18 @@ def test_remove_members_and_rebuild(spark, tmp_path):
         [(2, DOCS[3][1])], SCH), 2)
     got = _got(tables)
     assert got[2] == got[5] == got[40] == 2
+
+
+def test_components_cfg_drift_refused(spark, tmp_path):
+    """An epoch applied with a different fingerprint (k, w) than the
+    ledgers were built with must fail loudly — mixed configs silently
+    stop finding duplicates."""
+    docs = spark.createDataFrame(DOCS, SCH)
+    tables = _tables(spark, tmp_path)
+    _apply(tables, docs.filter(F.col("doc_id").isin(20, 30)), 0)
+    with pytest.raises(ValueError, match="fingerprint config"):
+        apply_components_epoch(*tables, docs.filter(F.col("doc_id") == 10),
+                               1, "run0", "text", "doc_id", k=7, w=3)
+    # the original config keeps working
+    _apply(tables, docs.filter(F.col("doc_id") == 10), 1)
+    assert _got(tables)[20] == 10
