@@ -176,3 +176,30 @@ def test_cdc_replay_state_single_log_build(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "cdc_replay_state")
     assert plan.count("Scan parquet") <= 1
     assert plan.count("Exchange") <= 3
+
+
+def test_winnow_split_evaluated_once(spark, sf_dir):
+    # Let-binding regression guard (exprs.bind): the tokenizing split and
+    # the gram-hash md5 must appear as BOUND lambda variables, not as
+    # captured subtrees re-evaluated per window iteration (the O(n^2)
+    # shape fixed in r10 — 255 s -> 7 s at sf0.1). One split per scan
+    # branch in the optimized plan is the once-per-row contract.
+    from cdc_audit_spark.operators.text import winnow_fingerprints
+    from cdc_audit_spark.queries import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    df = winnow_fingerprints(docs, "text", "doc_id")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1
+    assert plan.count("md5(") == 1
+
+
+def test_decontam_grams_split_evaluated_once(spark, sf_dir):
+    # Same guard for the decontamination n-gram stage.
+    from cdc_audit_spark.operators.decontam import ngram_exposure
+    from cdc_audit_spark.queries import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    df = ngram_exposure(docs, "text", "doc_id", n=8)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1
