@@ -1,0 +1,202 @@
+"""Streaming time-series subsequence search: the UCR-style z-normalized
+matcher (operators.timeseries) run continuously over an append-only
+point stream, exactly-once.
+
+Design source: the streaming similarity-search literature (e.g.
+"Time Series Similarity Search for Streaming Data in Distributed
+Systems", EDBT 2019) — the standard decomposition keeps, per series, a
+TAIL of the last m-1 points (the only positions whose windows are still
+incomplete) and, on every new batch, scores exactly the windows the
+batch completes. This module expresses that on the manifest machinery:
+
+* ``tails`` — an LSM state table of (key, ts, tie, val, __epoch): each
+  epoch APPENDS the touched keys' new tails (O(touched keys x m) rows);
+  reads take the newest epoch per key, pruned to the batch's keys;
+  ``maybe_fold_tails`` is the amortized keep-newest compaction that
+  lands the state key-clustered so the pruned read skips dirs.
+* ``matches`` — the append-only result stream: every window the batch
+  completed, scored by the batch kernel (``znorm_distances`` — same
+  expression tree as the oracle-checked batch queries), optionally
+  filtered to an epsilon-match threshold.
+
+Emission is exactly-once WITHOUT dedup bookkeeping: a window is emitted
+in precisely the epoch that delivers its last point (the stored tail is
+m-1 points, so no window is ever complete within the tail alone), and
+both commits are epoch-guarded deterministic functions of (batch, state
+pinned before the epoch) — the ``stream_components`` replay argument.
+
+Contract: points arrive in nondecreasing (ts, tie) order PER KEY across
+batches (the usual ingest-time ordering). Out-of-order late points
+cannot be spliced into already-scored windows — the epoch REFUSES them
+loudly rather than silently mis-scoring (a watermarked reorder buffer
+upstream is the standard remedy; windows inside one batch need no
+order).
+
+Reference parity: none — the reference has no time-series surface; this
+extends the SURVEY §2.11 streaming tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from cdc_audit_spark.streaming import genstate
+from cdc_audit_spark.streaming.stream_dedup import _version_before_epoch
+
+__all__ = [
+    "apply_ts_epoch",
+    "maybe_fold_tails",
+    "stream_subsequence_sync",
+]
+
+
+def _newest_tail(tail_df, key_col: str):
+    """The newest epoch's rows per key from the (append-only) tails LSM."""
+    w = Window.partitionBy(key_col)
+    return (tail_df.withColumn("__mx", F.max("__epoch").over(w))
+            .filter(F.col("__epoch") == F.col("__mx"))
+            .drop("__mx", "__epoch"))
+
+
+def apply_ts_epoch(
+    tails,
+    matches,
+    batch_df,
+    epoch_id: int,
+    run_id: str | None,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    val_col: str,
+    query: list[float],
+    max_dist2_micro: int | None = None,
+) -> None:
+    """One micro-batch: score every window the batch completes, refresh
+    the touched keys' tails. All state reads are pinned before the epoch
+    and pruned to the batch's keys; both commits are epoch-guarded."""
+    from cdc_audit_spark.operators.timeseries import znorm_distances
+
+    m_done = matches.epoch_applied(epoch_id, run_id)
+    t_done = tails.epoch_applied(epoch_id, run_id)
+    if m_done and t_done:
+        return
+    m = len(query)
+    batch = batch_df.select(
+        F.col(key_col), F.col(ts_col), F.col(tie_col), F.col(val_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        pre = _version_before_epoch(tails, epoch_id)
+        if pre is not None:
+            tail = _newest_tail(
+                tails.read_pruned_for_keys(
+                    batch.select(key_col), key_col, version=pre),
+                key_col)
+        else:
+            tail = batch.filter(F.lit(False)).localCheckpoint(eager=True)
+
+        # order guard: the earliest batch point per key must come after
+        # the stored tail's latest point — late data cannot be spliced
+        # into windows that were already scored
+        pos = F.struct(F.col(ts_col), F.col(tie_col))
+        t_max = tail.groupBy(key_col).agg(F.max(pos).alias("__tmax"))
+        b_min = batch.groupBy(key_col).agg(F.min(pos).alias("__bmin"))
+        n_late = b_min.join(t_max, key_col).filter(
+            F.col("__bmin") <= F.col("__tmax")).count()
+        if n_late:
+            raise ValueError(
+                f"apply_ts_epoch: {n_late} series key(s) delivered points "
+                "at or before their already-scored tail — per-key arrival "
+                "must be (ts, tie)-nondecreasing across batches; reorder "
+                "late data upstream (watermarked buffer) instead of "
+                "splicing it into completed windows")
+
+        combined = tail.unionByName(batch)
+        dists = znorm_distances(
+            combined, key_col, ts_col, tie_col, val_col, query)
+        if max_dist2_micro is not None:
+            dists = dists.filter(
+                F.col("dist2_micro") <= int(max_dist2_micro))
+        order = Window.partitionBy(key_col).orderBy(
+            F.col(ts_col).desc(), F.col(tie_col).desc())
+        new_tail = (
+            combined.withColumn("__rn", F.row_number().over(order))
+            .filter(F.col("__rn") < m)
+            .drop("__rn")
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+        )
+        extra = {"epoch": int(epoch_id), "run_id": run_id}
+        if not m_done:
+            matches.append(dists, extra=extra)
+        if not t_done:
+            tails.append(new_tail, extra=extra, stats_cols=[key_col])
+    finally:
+        batch.unpersist()
+    maybe_fold_tails(tails, key_col)
+
+
+def maybe_fold_tails(tails, key_col: str, max_dirs: int = 64,
+                     n_dirs: int = 8) -> int | None:
+    """Keep-newest fold of the tails LSM when its dir fan-in passes
+    ``max_dirs``: the surviving (newest-epoch) rows land as disjoint
+    key-range dirs, so the per-epoch pruned read skips dirs — the
+    ``maybe_cluster_lsh_index`` pattern for keep-last state."""
+    cur = tails.current_version()
+    if cur is None:
+        return None
+    if len(tails.manifest(cur)["dirs"]) <= max_dirs:
+        return None
+    # sentinel epoch -1: keep-newest already collapsed duplicates, and
+    # every post-fold append stamps a real (>= 0) epoch that outranks it
+    kept = _newest_tail(tails.read(), key_col).withColumn(
+        "__epoch", F.lit(-1))
+    return tails.overwrite_clustered(kept, key_col, n_dirs=n_dirs)
+
+
+def stream_subsequence_sync(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    matches_path: str,
+    tails_path: str,
+    checkpoint_path: str,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    val_col: str,
+    query: list[float],
+    max_dist2_micro: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Always-on subsequence matcher over a parquet point stream: one
+    epoch-tagged commit per table per micro-batch (see
+    ``apply_ts_epoch``); the accumulated ``matches`` table equals the
+    batch kernel run over the full series."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    matches = ManifestTable(spark, matches_path)
+    tails = ManifestTable(spark, tails_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        apply_ts_epoch(
+            matches=matches, tails=tails, batch_df=batch_df,
+            epoch_id=epoch_id,
+            run_id=genstate.checkpoint_run_id(checkpoint_path),
+            key_col=key_col, ts_col=ts_col, tie_col=tie_col,
+            val_col=val_col, query=query,
+            max_dist2_micro=max_dist2_micro,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,178 @@
+"""Streaming subsequence search: the accumulated matches must equal the
+batch kernel over the full series, each window emitted exactly once, with
+loud refusal of out-of-order arrivals."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_audit_spark.operators.timeseries import znorm_distances
+from cdc_audit_spark.sinks.manifest import ManifestTable
+from cdc_audit_spark.streaming.stream_timeseries import (
+    apply_ts_epoch,
+    maybe_fold_tails,
+    stream_subsequence_sync,
+)
+
+QUERY = [math.sin(i / 2.0) for i in range(8)]
+SCH = "user_id long, ts timestamp, event_id long, value double"
+
+
+def _events(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id", "ts", "event_id", "value"))
+
+
+def _batch_truth(spark, df):
+    return {
+        (r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+        for r in znorm_distances(
+            df, "user_id", "ts", "event_id", "value", QUERY).collect()
+    }
+
+
+def _tables(spark, tmp_path):
+    return (ManifestTable(spark, str(tmp_path / "tails")),
+            ManifestTable(spark, str(tmp_path / "matches")))
+
+
+def _split_by_time(df, n):
+    """n contiguous per-key time slices via ntile over the event order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sliced = df.withColumn("__slice", F.ntile(n).over(w))
+    return [sliced.filter(F.col("__slice") == i + 1).drop("__slice")
+            for i in range(n)]
+
+
+def test_ts_epochs_match_batch_kernel(spark, sf_dir, tmp_path):
+    """Three ordered epochs over the fixture series: the matches table
+    accumulates exactly the batch kernel's windows, no dupes, none lost
+    at batch boundaries (the tail hand-off)."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 30)
+    tails, matches = _tables(spark, tmp_path)
+    for epoch, b in enumerate(_split_by_time(ev, 3)):
+        apply_ts_epoch(tails, matches, b, epoch, "run0",
+                       "user_id", "ts", "event_id", "value", QUERY)
+    got = {
+        (r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+        for r in matches.read().collect()
+    }
+    want = _batch_truth(spark, ev)
+    assert got == want
+    assert len(got) == len(matches.read().collect())  # no duplicate rows
+
+
+def test_ts_epoch_replay_and_crash_window(spark, sf_dir, tmp_path):
+    """Replays converge: full-commit replay is a no-op; a crash between
+    the matches commit and the tails commit replays to the same state."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 12)
+    b0, b1 = _split_by_time(ev, 2)
+    tails, matches = _tables(spark, tmp_path)
+    apply_ts_epoch(tails, matches, b0, 0, "run0",
+                   "user_id", "ts", "event_id", "value", QUERY)
+    vers = (tails.current_version(), matches.current_version())
+    apply_ts_epoch(tails, matches, b0, 0, "run0",
+                   "user_id", "ts", "event_id", "value", QUERY)
+    assert (tails.current_version(), matches.current_version()) == vers
+
+    orig = tails.append
+    tails.append = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_ts_epoch(tails, matches, b1, 1, "run0",
+                       "user_id", "ts", "event_id", "value", QUERY)
+    assert matches.epoch_applied(1, "run0")
+    assert not tails.epoch_applied(1, "run0")
+    tails.append = orig
+    apply_ts_epoch(tails, matches, b1, 1, "run0",
+                   "user_id", "ts", "event_id", "value", QUERY)
+    got = {
+        (r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+        for r in matches.read().collect()
+    }
+    assert got == _batch_truth(spark, ev)
+
+
+def test_ts_out_of_order_refused(spark, sf_dir, tmp_path):
+    """A batch delivering points at or before a key's scored tail must
+    fail loudly, and the guard names the remedy."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 12)
+    b0, b1 = _split_by_time(ev, 2)
+    tails, matches = _tables(spark, tmp_path)
+    apply_ts_epoch(tails, matches, b1, 0, "run0",
+                   "user_id", "ts", "event_id", "value", QUERY)
+    with pytest.raises(ValueError, match="nondecreasing across batches"):
+        apply_ts_epoch(tails, matches, b0, 1, "run0",
+                       "user_id", "ts", "event_id", "value", QUERY)
+
+
+def test_ts_fold_keeps_pruned_reads_correct(spark, sf_dir, tmp_path):
+    """After the keep-newest fold, epochs keep producing the batch truth
+    and the tails read prunes to the touched keys' dirs."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 40)
+    slices = _split_by_time(ev, 4)
+    tails, matches = _tables(spark, tmp_path)
+    for epoch, b in enumerate(slices[:3]):
+        apply_ts_epoch(tails, matches, b, epoch, "run0",
+                       "user_id", "ts", "event_id", "value", QUERY)
+    assert maybe_fold_tails(tails, "user_id", max_dirs=1, n_dirs=4)
+    n_dirs = len(tails.manifest(tails.current_version())["dirs"])
+    assert n_dirs >= 4
+    one_key = slices[3].filter(F.col("user_id") == 3)
+    if one_key.count():
+        pruned = tails.dirs_pruned({"user_id": (3, 3)})
+        assert 0 < len(pruned) < n_dirs
+    apply_ts_epoch(tails, matches, slices[3], 3, "run0",
+                   "user_id", "ts", "event_id", "value", QUERY)
+    got = {
+        (r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+        for r in matches.read().collect()
+    }
+    assert got == _batch_truth(spark, ev)
+
+
+def test_stream_subsequence_sync_end_to_end(spark, sf_dir, tmp_path):
+    """foreachBatch drain over time-sliced parquet files equals the batch
+    kernel, with the epsilon threshold applied."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 25)
+    src = str(tmp_path / "src")
+    for b in _split_by_time(ev, 3):
+        b.coalesce(1).write.mode("append").parquet(src)
+    # NOTE: file order != time order is exactly what the order guard
+    # refuses; write slices as one file each and feed them in sequence
+    # is not guaranteed by the source, so use a threshold-free run over
+    # per-slice dirs read in one availableNow pass (single batch) plus a
+    # second incremental file to exercise the hand-off.
+    import shutil
+
+    shutil.rmtree(src)
+    b01 = _split_by_time(ev, 3)
+    b01[0].unionByName(b01[1]).coalesce(1).write.mode("append").parquet(src)
+    q = stream_subsequence_sync(
+        spark, src, SCH,
+        str(tmp_path / "matches"), str(tmp_path / "tails"),
+        str(tmp_path / "ckpt"),
+        "user_id", "ts", "event_id", "value", QUERY,
+        max_dist2_micro=8_000_000)
+    q.awaitTermination(120)
+    b01[2].coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_subsequence_sync(
+        spark, src, SCH,
+        str(tmp_path / "matches"), str(tmp_path / "tails"),
+        str(tmp_path / "ckpt"),
+        "user_id", "ts", "event_id", "value", QUERY,
+        max_dist2_micro=8_000_000)
+    q2.awaitTermination(120)
+    matches = ManifestTable(spark, str(tmp_path / "matches"))
+    got = {
+        (r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+        for r in matches.read().collect()
+    }
+    want = {k: v for k, v in _batch_truth(spark, ev).items()
+            if v <= 8_000_000}
+    assert got == want
