@@ -4093,7 +4093,78 @@ def cdc_components_remove_rebuild(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "dedup_component_stats",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> len(t) > 0) AS t
+        FROM documents WHERE doc_id < 4096),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 5 + 2),
+               i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),
+                                    1, 6))::INT) AS hs
+        FROM tok WHERE len(t) >= 5),
+    fp AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               CASE WHEN len(hs) >= 4
+                    THEN list_transform(range(1, len(hs) - 4 + 2),
+                                        j -> list_min(hs[j:j+3]))
+                    ELSE [list_min(hs)] END)) AS f
+        FROM h),
+    edges AS (
+      SELECT DISTINCT a.id AS src, b.id AS dst
+        FROM fp a JOIN fp b ON a.f = b.f AND a.id <> b.id),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 4096
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+    sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+      FROM sizes GROUP BY sz
+    """,
+    "Duplication report over the near-dup cluster structure: the "
+    "component-size histogram plus the removable-copy count per size "
+    "(size-1 docs per family are deletable under min-id survivorship) — "
+    "the curation dashboard's headline numbers. Derived from the same "
+    "fingerprint-edge components as dedup_components_labels, so the "
+    "whole chain (edges → iterative closure → size rollup) is "
+    "value-checked against the recursive oracle. Two bounded aggregates "
+    "past the clustering; nothing new shuffles the corpus",
+)
+def dedup_component_stats(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import connected_components
+    from cdc_audit_spark.operators.text import winnow_overlap_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 4096)
+    edges = winnow_overlap_pairs(
+        docs, "text", "doc_id", k=5, w=4, min_shared=1
+    ).select("id_a", "id_b")
+    comp = connected_components(edges)
+    labels = (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(comp, "id", "left")
+        .select(F.coalesce("component", "id").alias("component"))
+    )
+    sizes = labels.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.col("sz").cast("long").alias("cluster_size"),
+        F.count("*").alias("n_clusters"),
+        (F.col("sz") * F.count("*")).cast("long").alias("n_docs"),
+        ((F.col("sz") - 1) * F.count("*")).cast("long").alias("n_removable"),
+    ).drop("sz")
+
+
 def _simhash_oracle() -> str:
+
     """The DuckDB mirror of operators.dedup.simhash: per-token md5
     words → 64 integer vote sums per doc → sign cut → bit packing.
     Integer-exact end to end; bit 63 lands via the two's-complement
@@ -7114,14 +7185,16 @@ _DRIVER_WINDOW = [
     "cdc_manifest_format_rw", "cdc_manifest_roundtrip",
     "cdc_manifest_sink_drain", "cdc_replica_change_feed",
     "cdc_state_asof", "cdc_watermark_recovery",
-    "tfidf_top_terms", "multimodal_chunk_sample", "sample_source_quota",
+    "multimodal_chunk_sample", "sample_source_quota",
     # registered this round, after everything above: never driver-checked
     # -> checked immediately (the long-query subsequence form, the
     # connected-components exact oracle, its CDC-maintained form, the
-    # removal+rebuild form, the UniMax allocation):
+    # removal+rebuild form, the duplication report, the UniMax
+    # allocation):
     "ts_subsequence_long", "dedup_components_labels", "sample_unimax_budget",
     "cdc_components_sync", "cdc_components_remove_rebuild",
-    # r11 TODO: the 24 r07-green queries that did not fit this window
+    "dedup_component_stats",
+    # r11 TODO: the 25 r07-green queries that did not fit this window
     # (embedding_l2_normalize, clean_boilerplate_tokens, dedup_rate_by_source,
     # events_daily_active, events_hourly_stats, events_type_day_cube,
     # events_user_activity, events_value_histogram, lang_distribution,
@@ -7130,9 +7203,9 @@ _DRIVER_WINDOW = [
     # q16_supplier_part_counts, q19_disjunctive_revenue,
     # q20_bulk_part_suppliers, revenue_rollup, scalar_function_sampler,
     # scan_filter_project, text_quality, text_top_bigrams, text_top_terms,
-    # window_percent_rank, window_running_total — all sweep-green; they
-    # are the stalest set at r11 and rotate in first), plus whatever r10
-    # registers after this window was pinned.
+    # tfidf_top_terms, window_percent_rank, window_running_total — all
+    # sweep-green; they are the stalest set at r11 and rotate in first),
+    # plus whatever r10 registers after this window was pinned.
 ]
 
 
