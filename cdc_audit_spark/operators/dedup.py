@@ -762,6 +762,62 @@ def excise_spans(
     )
 
 
+def fingerprint_star_edges(
+    fps: DataFrame,
+    id_col: str = "id",
+    fp_col: str = "fp",
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Connectivity edges over a (fp, id) fingerprint relation WITHOUT
+    the within-group all-pairs blow-up: per fingerprint, every member is
+    connected to the group's minimum id — the small-star seed of Kiveris
+    et al. ("Connected Components in MapReduce and Beyond"). O(g) edges
+    for a g-document fingerprint where the pair self-join emits
+    g(g-1)/2 rows ON ONE JOIN KEY (a boilerplate fingerprint — license
+    header, navigation chrome — shared by 1e5 docs of a web corpus is
+    5e9 rows in one task). The transitive closure is IDENTICAL: within a
+    group every member reaches every other through the minimum, and
+    cross-group connectivity runs through shared documents exactly as
+    with all-pairs edges.
+
+    ``max_fp_df`` drops fingerprints whose document frequency in ``fps``
+    exceeds the cap BEFORE edge generation (the MinHashLSH hot-band
+    discard): ultra-frequent grams connect everything to everything and
+    carry no duplicate evidence. Capping changes semantics (capped
+    groups witness no edges), so the default is off and the
+    oracle-checked forms stay uncapped.
+
+    Input contract: one row per (fp, id) — ``winnow_fingerprints``
+    explodes ``array_distinct`` output, so ``count(*)`` IS the document
+    frequency. Plan shape: one hash-aggregate on fp (map-side partials)
+    + one shuffle join back on fp; no self-join, no window.
+
+    Output: (id_a, id_b) with id_a = the group minimum < id_b.
+    """
+    g = fps.select(F.col(fp_col).alias("fp"), F.col(id_col).alias("id"))
+    stats = g.groupBy("fp").agg(
+        F.min("id").alias("__min"), F.count("*").alias("__df"))
+    if max_fp_df is not None:
+        stats = stats.filter(F.col("__df") <= int(max_fp_df))
+    return (g.join(stats.select("fp", "__min"), "fp")
+            .filter(F.col("id") != F.col("__min"))
+            .select(F.col("__min").alias("id_a"), F.col("id").alias("id_b"))
+            .distinct())
+
+
+def drop_hot_fingerprints(fps: DataFrame, max_fp_df: int,
+                          fp_col: str = "fp") -> DataFrame:
+    """Remove every row of fingerprints whose document frequency in
+    ``fps`` exceeds ``max_fp_df`` — the shared hot-key discard of
+    :func:`fingerprint_star_edges` for callers that need the SURVIVING
+    (fp, id) rows (pair counting, index matching) rather than star
+    edges. One aggregate + one left-anti join, both keyed on fp."""
+    hot = (fps.groupBy(fp_col).agg(F.count("*").alias("__df"))
+           .filter(F.col("__df") > int(max_fp_df))
+           .select(fp_col))
+    return fps.join(hot, fp_col, "left_anti")
+
+
 def resolve_union_closure(
     labels: DataFrame,
     unions: DataFrame | None,
@@ -810,6 +866,7 @@ def incremental_components(
     k: int = 5,
     w: int = 4,
     fps: DataFrame | None = None,
+    max_fp_df: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One insert batch of INCREMENTAL connected components over
     winnowing-fingerprint edges. State in, deltas out (the CDC index
@@ -842,18 +899,25 @@ def incremental_components(
     the manifest epoch computes them ONCE, uses them to prune the index
     read to the batch's fp dirs, then passes them here (the
     ``lsh_band_entries`` pattern in ``apply_dedup_epoch``).
+
+    ``max_fp_df`` (default off) discards fingerprints whose document
+    frequency WITHIN THIS BATCH exceeds the cap before edge generation,
+    index matching, and index writing — capped fingerprints witness no
+    merges now or later (see :func:`fingerprint_star_edges`). The cap is
+    batch-local by construction: a fingerprint under the cap in every
+    batch can still accumulate corpus-wide, which
+    ``maybe_rebuild_components``'s corpus-level cap handles on its
+    amortized cadence.
     """
     from cdc_audit_spark.operators.text import winnow_fingerprints
 
     fps_b = fps if fps is not None else winnow_fingerprints(
         batch_df, text_col, id_col, k, w)
-    a, b = fps_b.alias("a"), fps_b.alias("b")
-    edges_int = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    if max_fp_df is not None:
+        fps_b = drop_hot_fingerprints(fps_b, max_fp_df)
+    # star edges, not the within-fp all-pairs self-join: identical
+    # closure, O(g) rows per fingerprint group instead of O(g^2)
+    edges_int = fingerprint_star_edges(fps_b)
     edges = edges_int
     if idx is not None:
         matched = (

@@ -337,13 +337,29 @@ def winnow_overlap_pairs(
     k: int = 5,
     w: int = 4,
     min_shared: int = 2,
+    max_fp_df: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowed fingerprints —
     local plagiarism/copy detection. One self-equi-join on the 4-byte
     fingerprint (never all-pairs: candidate generation is bucketed by
     fp, like LSH's band join), then a count filter. Returns
-    (id_a, id_b, shared_fps) with id_a < id_b."""
+    (id_a, id_b, shared_fps) with id_a < id_b.
+
+    The self-join is within-fingerprint all-pairs BY NECESSITY — the
+    operator counts shared fingerprints per pair, which star edges
+    cannot express — so a fingerprint shared by g documents emits
+    g(g-1)/2 rows on one join key. ``max_fp_df`` (default off, keeping
+    the oracle-checked form exact) is the standard mitigation: drop
+    fingerprints whose document frequency exceeds the cap before the
+    join (the MinHashLSH hot-band discard — boilerplate grams carry no
+    copy evidence), bounding any group's contribution to
+    max_fp_df(max_fp_df-1)/2. Capped fingerprints also stop counting
+    toward ``shared_fps``."""
     fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    if max_fp_df is not None:
+        from cdc_audit_spark.operators.dedup import drop_hot_fingerprints
+
+        fps = drop_hot_fingerprints(fps, max_fp_df)
     a, b = fps.alias("a"), fps.alias("b")
     return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                    & (F.col("a.id") < F.col("b.id")))

@@ -691,3 +691,52 @@ def test_dedup_components_labels_query(spark, sf_dir):
     for i in all_ids:
         want = find(i) if i in touched else i
         assert got[i] == want, (i, got[i], want)
+
+
+def test_fingerprint_star_edges_linear_in_group_size(spark):
+    """The planted hot-fingerprint test: 200 docs sharing every
+    fingerprint must produce a LINEAR edge set (199 star rows onto the
+    group minimum), not the 19,900-row all-pairs blow-up — and the
+    incremental labeling over those edges still equals the one-shot
+    closure (everyone labeled with the minimum id)."""
+    from cdc_audit_spark.operators.dedup import (
+        fingerprint_star_edges,
+        incremental_components,
+        resolve_component_labels,
+    )
+    from cdc_audit_spark.operators.text import winnow_fingerprints
+
+    text = ("the exact same boilerplate license header repeated "
+            "verbatim in every single document of the corpus")
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(1, 201)], "doc_id long, text string")
+    fps = winnow_fingerprints(docs, "text", "doc_id")
+    assert fps.select("fp").distinct().count() >= 1
+    edges = fingerprint_star_edges(fps)
+    assert edges.count() == 199
+    assert edges.filter("id_a = 1").count() == 199
+
+    m, _i, u = incremental_components(docs, "text", "doc_id")
+    got = {r["id"]: r["component"]
+           for r in resolve_component_labels(m, u).collect()}
+    assert got == {i: 1 for i in range(1, 201)}
+
+
+def test_fingerprint_star_edges_max_fp_df(spark):
+    """The hot-fingerprint cap drops over-frequent fingerprints before
+    edge generation: groups above the cap witness no edges, groups under
+    it are untouched."""
+    from cdc_audit_spark.operators.dedup import (
+        drop_hot_fingerprints,
+        fingerprint_star_edges,
+    )
+
+    rows = ([("hot", i) for i in range(10)]
+            + [("cold", 100), ("cold", 101)])
+    fps = spark.createDataFrame(rows, "fp string, id long")
+    capped = fingerprint_star_edges(fps, max_fp_df=5)
+    assert [(r["id_a"], r["id_b"]) for r in capped.collect()] == [(100, 101)]
+    assert fingerprint_star_edges(fps).count() == 9 + 1
+    kept = drop_hot_fingerprints(fps, 5)
+    assert {r["fp"] for r in kept.select("fp").distinct().collect()} == {
+        "cold"}

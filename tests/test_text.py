@@ -203,3 +203,28 @@ def test_chunk_text_windows_boundaries(spark):
     assert joined == " ".join(toks)
     with _pytest.raises(ValueError):
         chunk_text_windows(df, "text", "doc_id", size=4, overlap=4)
+
+
+def test_winnow_overlap_pairs_max_fp_df(spark):
+    """The document-frequency cap drops boilerplate fingerprints before
+    the pair join: pairs witnessed only by a hot (over-cap) run vanish,
+    pairs witnessed by a rare run survive with their counts intact."""
+    from cdc_audit_spark.operators.text import winnow_overlap_pairs
+
+    k, w = 5, 4
+    rare = " ".join(f"rare{i}" for i in range(k + w - 1))
+    hot = " ".join(f"hot{i}" for i in range(k + w - 1))
+    rows = [(1, f"alpha beta {rare} gamma {hot} delta"),
+            (2, f"zeta {rare} eta {hot} theta"),
+            (3, f"{hot} filler3a filler3b filler3c filler3d"),
+            (4, f"{hot} filler4a filler4b filler4c filler4d"),
+            (5, f"{hot} filler5a filler5b filler5c filler5d"),
+            (6, f"{hot} filler6a filler6b filler6c filler6d")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r["id_a"], r["id_b"]) for r in winnow_overlap_pairs(
+        docs, "text", "doc_id", k=k, w=w, min_shared=1).collect()}
+    assert (3, 4) in uncapped and (1, 2) in uncapped
+    capped = {(r["id_a"], r["id_b"]) for r in winnow_overlap_pairs(
+        docs, "text", "doc_id", k=k, w=w, min_shared=1,
+        max_fp_df=3).collect()}
+    assert capped == {(1, 2)}
