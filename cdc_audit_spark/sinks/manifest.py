@@ -2233,6 +2233,41 @@ class ManifestTable:
         Cost: one filter+aggregate, one uniqueness probe, one small
         write — the table's data files are never opened for writing."""
         from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self._delete_matched(lambda live: live.filter(cond),
+                                    key_col, change_feed)
+
+    def delete_matching(self, keys_df: DataFrame, on: str | list[str],
+                        key_col: str | None = None,
+                        change_feed: bool = False) -> int | None:
+        """:meth:`delete_where` with a DataFrame-valued match set: delete
+        every live row whose ``on`` column(s) appear in ``keys_df`` —
+        one left-semi join instead of a driver-side key list, so a
+        large purge (the output of another query, a GDPR id feed) never
+        round-trips through the driver or blows up into an O(ids)
+        ``isin`` expression. ``key_col`` is the per-row unique key the
+        deletion vector is addressed by (defaults to ``on`` when that is
+        a single column); same uniqueness contract, cost model, and
+        change-feed semantics as :meth:`delete_where`."""
+        on_cols = [on] if isinstance(on, str) else list(on)
+        if key_col is None:
+            if len(on_cols) != 1:
+                raise ValueError(
+                    "key_col is required when matching on multiple columns")
+            key_col = on_cols[0]
+        keys = keys_df.select(*on_cols).distinct()
+        return self._delete_matched(
+            lambda live: live.join(keys, on_cols, "left_semi"),
+            key_col, change_feed)
+
+    def _delete_matched(self, select_matched, key_col: str,
+                        change_feed: bool = False) -> int | None:
+        """Shared deletion-vector machinery: ``select_matched`` maps the
+        live view to the rows to delete; everything else (uniqueness
+        probes, vector write, commit) is identical for predicate- and
+        join-valued deletes."""
+        from pyspark.sql import functions as F
         from pyspark.storagelevel import StorageLevel
 
         base = self.current_version()
@@ -2248,8 +2283,7 @@ class ManifestTable:
                     f"({key_col!r}) would make reads ambiguous — "
                     "materialize first (compact/optimize)")
         live = self.read(base)
-        cond = F.expr(condition) if isinstance(condition, str) else condition
-        matched = live.filter(cond).persist(StorageLevel.MEMORY_AND_DISK)
+        matched = select_matched(live).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             st = matched.agg(
                 F.count(F.lit(1)).alias("n"),

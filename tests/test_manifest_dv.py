@@ -214,3 +214,36 @@ def test_vacuum_protects_live_vectors_reclaims_dead_ones(spark,
     t.vacuum(keep_versions=1, retain_seconds=0, force=True)
     assert not os.path.isdir(os.path.join(t.path, dv_rel))
     assert t.read().count() == t.row_count()
+
+
+def test_delete_matching_dataframe_purge(spark, tmp_path):
+    """The join-valued delete: a DataFrame of match keys deletes by
+    left-semi join — no driver-side key list, no O(ids) isin expression
+    — with the same uniqueness contract, row_count arithmetic, and
+    empty-match no-op as delete_where."""
+    t = _t(spark, tmp_path)
+    purge = spark.range(0, 2000).filter("id % 7 = 3").selectExpr("id as k")
+    v = t.delete_matching(purge, "k")
+    assert t.manifest(v)["action"] == "delete"
+    expect = 2000 - purge.count()
+    assert t.read().count() == expect
+    assert t.row_count() == expect
+    assert t.read().filter("grp = 3").count() == 0
+    # empty match set commits nothing
+    assert t.delete_matching(purge.filter("k < 0"), "k") is None
+    assert t.current_version() == v
+    # key_col defaulting needs a single join column
+    with pytest.raises(ValueError, match="key_col is required"):
+        t.delete_matching(purge, ["k", "k"])
+
+
+def test_delete_matching_separate_key_col(spark, tmp_path):
+    """Matching on a non-unique column with a separate unique DV key —
+    the components-index shape (match on id, address rows by rk)."""
+    t = ManifestTable(spark, str(tmp_path / "kv"))
+    rows = [(i, f"fp{j}", f"fp{j}:{i}") for i in range(10) for j in range(3)]
+    t.append(spark.createDataFrame(rows, "id long, fp string, rk string"))
+    purge = spark.createDataFrame([(2,), (5,)], "id long")
+    assert t.delete_matching(purge, "id", key_col="rk")
+    assert t.read().count() == 24
+    assert t.read().filter("id in (2, 5)").count() == 0
