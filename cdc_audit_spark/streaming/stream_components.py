@@ -47,8 +47,10 @@ __all__ = [
     "apply_components_epoch",
     "current_components",
     "deleted_fraction",
+    "finish_pending_rebuild",
     "maybe_cluster_components_index",
     "maybe_rebuild_components",
+    "maybe_resolve_components",
     "remove_components_members",
     "resolve_components_state",
     "stream_components_sync",
@@ -56,6 +58,81 @@ __all__ = [
 
 
 _CFG_KEY = "components_cfg"
+_REBUILD_KEY = "components_rebuild"
+_IDX_CLUSTER_DIRS = 8
+
+
+def _newest_token(table) -> str | None:
+    """The rebuild token stamped on the table's NEWEST manifest, if any.
+    Only the newest matters: any later commit (an epoch append, another
+    maintenance op) supersedes the marker."""
+    cur = table.current_version()
+    if cur is None:
+        return None
+    return table.manifest(cur).get(_REBUILD_KEY)
+
+
+def _rebuild_pending(members, idx, unions) -> str | None:
+    """The token of a half-landed rebuild, or None. A rebuild lands as
+    three same-token commits (members, idx, unions — in that order); the
+    members commit carrying a token the OTHER two newest manifests don't
+    both carry means a crash struck between the overwrites. Three
+    metadata reads, zero Spark jobs."""
+    tok = _newest_token(members)
+    if tok is None:
+        return None
+    if _newest_token(idx) == tok and _newest_token(unions) == tok:
+        return None
+    return tok
+
+
+def _rewrite_idx_labels(idx, fresh, extra: dict | None) -> None:
+    """Rewrite the fingerprint index with ``fresh`` (id, label) —
+    fp-CLUSTERED (``overwrite_clustered``), never a plain overwrite: a
+    single unclustered dir would force ``read_pruned_for_keys`` to read
+    the WHOLE index every epoch until dir fan-in re-crosses the
+    ``maybe_cluster_components_index`` trigger, silently breaking the
+    O(delta) per-epoch read contract."""
+    idx.overwrite_clustered(
+        idx.read().select("fp", "id", "rk")
+        .join(fresh.select("id", "label"), "id")
+        .select("fp", "id", "label", "rk"),
+        "fp", n_dirs=_IDX_CLUSTER_DIRS, extra=extra)
+
+
+def _overwrite_unions_empty(unions, extra: dict | None) -> None:
+    unions.overwrite(
+        unions.spark.createDataFrame([], "child long, parent long"),
+        extra=extra)
+
+
+def finish_pending_rebuild(members, idx, unions) -> bool:
+    """Crash recovery for ``maybe_rebuild_components``: if the newest
+    members manifest carries a rebuild token the idx/unions newest
+    manifests don't both match, the rebuild crashed between its
+    overwrites — members already holds the fresh (split/renamed) labels,
+    but the index still carries stale labels and/or the unions ledger
+    still holds pre-rebuild re-parenting records. Resolving fresh labels
+    through that stale ledger can relabel components onto removed ids or
+    re-merge components the rebuild just split, and since the members
+    overwrite materialized the deletion vectors, ``deleted_fraction`` is
+    back at 0 and the rebuild policy would never re-fire to self-heal.
+
+    The redo is idempotent and derived ONLY from committed state: the
+    fresh labels are exactly what members now holds, so the missing
+    overwrites are replayed from ``members.read()`` — re-running after a
+    crash mid-redo lands the identical content. Called at the top of
+    every epoch and of the rebuild policy itself (three metadata reads
+    when nothing is pending). Returns True iff a repair ran."""
+    tok = _rebuild_pending(members, idx, unions)
+    if tok is None:
+        return False
+    fresh = members.read()
+    if _newest_token(idx) != tok:
+        _rewrite_idx_labels(idx, fresh, {_REBUILD_KEY: tok})
+    if _newest_token(unions) != tok:
+        _overwrite_unions_empty(unions, {_REBUILD_KEY: tok})
+    return True
 
 
 def _check_cfg(members, k: int, w: int) -> dict:
@@ -81,6 +158,34 @@ def _check_cfg(members, k: int, w: int) -> dict:
     return cfg
 
 
+def _check_unique_ids(batch_df, id_col: str, idx_df) -> None:
+    """The insert-only unique-id contract's cheap enforcement (see
+    ``apply_components_epoch``): refuse a batch carrying a duplicate id,
+    and refuse an id the (pruned, pinned) index already holds live — the
+    pruned read witnesses every re-delivered document, since identical
+    content lands identical fingerprints in the very dirs being read.
+    Two bounded jobs: one aggregate over the batch, one semi-join
+    against the already-persisted delta-sized index slice."""
+    ids = batch_df.select(F.col(id_col).alias("id"))
+    dup = (ids.groupBy("id").agg(F.count("*").alias("n"))
+           .filter("n > 1").limit(5).collect())
+    if dup:
+        raise ValueError(
+            f"duplicate document id(s) within the batch: "
+            f"{sorted(r['id'] for r in dup)}... — components state is "
+            "insert-only with globally unique ids")
+    if idx_df is None:
+        return
+    clash = (idx_df.select("id").join(ids, "id", "left_semi")
+             .limit(5).collect())
+    if clash:
+        raise ValueError(
+            f"document id(s) already live in the components state: "
+            f"{sorted(r['id'] for r in clash)}... — re-inserting an id "
+            "would corrupt the membership (insert-only unique-id "
+            "contract; remove the old document first, or use new ids)")
+
+
 def apply_components_epoch(
     members,
     idx,
@@ -92,6 +197,7 @@ def apply_components_epoch(
     id_col: str,
     k: int = 5,
     w: int = 4,
+    max_fp_df: int | None = None,
 ) -> None:
     """One insert micro-batch of the exactly-once components drain.
 
@@ -100,7 +206,24 @@ def apply_components_epoch(
     own first attempt), and the index read is pruned to the dirs the
     batch's fingerprints can touch. The deltas are then a deterministic
     function of (batch, pinned state), so per-table epoch guards give
-    exactly-once without a cross-table transaction."""
+    exactly-once without a cross-table transaction.
+
+    INSERT-ONLY UNIQUE-ID CONTRACT: document ids must be globally unique
+    among live documents across all insert epochs. Re-inserting an
+    existing id would append a second members row — duplicate rows from
+    ``current_components`` and a failed uniqueness probe on any later
+    point-delete. Enforced cheaply here: a duplicate id WITHIN the batch
+    always refuses, and an id colliding with an already-indexed document
+    refuses whenever the pruned index read witnesses it — which it does
+    for the common failure (re-delivering a document: same content, same
+    fingerprints, same pruned dirs). An id reused with entirely new
+    content shares no fingerprints and escapes the cheap check; catching
+    that too would need a full membership read per epoch, which the
+    O(delta) contract forbids. Removed ids may be re-inserted (their
+    members/index rows are tombstoned, so they are no longer live)."""
+    # heal a half-landed rebuild BEFORE reading any state: the pinned
+    # reads below must never resolve fresh labels through a stale ledger
+    finish_pending_rebuild(members, idx, unions)
     m_done = members.epoch_applied(epoch_id, run_id)
     i_done = idx.epoch_applied(epoch_id, run_id)
     u_done = unions.epoch_applied(epoch_id, run_id)
@@ -111,16 +234,24 @@ def apply_components_epoch(
 
     fps = winnow_fingerprints(batch_df, text_col, id_col, k, w).persist(
         StorageLevel.MEMORY_AND_DISK)
+    idx_df = None
     try:
         pre_i = _version_before_epoch(idx, epoch_id)
         pre_u = _version_before_epoch(unions, epoch_id)
         idx_df = (idx.read_pruned_for_keys(fps.select("fp"), "fp",
                                            version=pre_i)
                   if pre_i is not None else None)
+        if idx_df is not None:
+            # persisted: consumed once by the id-collision probe below
+            # and again by the kernel — without this the pruned dirs
+            # would be read twice
+            idx_df = idx_df.persist(StorageLevel.MEMORY_AND_DISK)
+        _check_unique_ids(batch_df, id_col, idx_df)
         unions_df = unions.read(version=pre_u) if pre_u is not None else None
         m_d, i_d, u_d = incremental_components(
             batch_df, text_col, id_col,
-            idx=idx_df, unions=unions_df, k=k, w=w, fps=fps)
+            idx=idx_df, unions=unions_df, k=k, w=w, fps=fps,
+            max_fp_df=max_fp_df)
         extra = {"epoch": int(epoch_id), "run_id": run_id, _CFG_KEY: cfg}
         if not m_done:
             members.append(m_d, extra=extra)
@@ -138,7 +269,63 @@ def apply_components_epoch(
             unions.append(u_d, extra=extra)
     finally:
         fps.unpersist()
+        if idx_df is not None:
+            idx_df.unpersist()
     maybe_cluster_components_index(idx)
+    maybe_resolve_components(members, idx, unions)
+
+
+def maybe_resolve_components(members, idx, unions,
+                             max_union_rows: int = 4096,
+                             max_depth: int = 16) -> bool:
+    """Auto-trigger for :func:`resolve_components_state` — the policy
+    every other LSM in the repo has (``maybe_fold_lm_counts``,
+    ``maybe_compact_ann_serving``, ``maybe_cluster_components_index``)
+    and the unions ledger was missing: without it, a long merge streak
+    deep-chains the ledger until ``resolve_union_closure`` hits its
+    32-step hard stop and the drain dies with an error instead of
+    self-healing.
+
+    Two-tier trigger, cheapest check first:
+
+    * ledger live rows > ``max_union_rows`` — a pure manifest-metadata
+      read (``row_count`` from recorded footer counts) — resolve
+      unconditionally: the ledger has outgrown its broadcast-sized
+      contract regardless of shape;
+    * otherwise, with <= ``max_union_rows`` rows, collect the ledger
+      (bounded by the row check just made — the same broadcast-size
+      assumption ``resolve_union_closure`` itself relies on) and measure
+      the longest child->parent chain with a memoized driver walk;
+      resolve when it exceeds ``max_depth``.
+
+    Since rows >= depth for any chain, every epoch ends with the ledger
+    either flattened or at depth <= ``max_depth`` < 32 — the closure's
+    hard stop is unreachable when this policy runs on the epoch cadence
+    (it is wired into ``apply_components_epoch``). Returns True iff a
+    resolve ran."""
+    cur = unions.current_version()
+    if cur is None:
+        return False
+    n = unions.row_count(cur)
+    if n == 0:
+        return False
+    if n <= max_union_rows:
+        parent = {r["child"]: r["parent"]
+                  for r in unions.read(cur).collect()}
+        depth: dict = {}
+        for start in parent:
+            chain = []
+            x = start
+            while x in parent and x not in depth:
+                chain.append(x)
+                x = parent[x]
+            base = depth.get(x, 0)
+            for i, node in enumerate(reversed(chain), start=1):
+                depth[node] = base + i
+        if not depth or max(depth.values()) <= max_depth:
+            return False
+    resolve_components_state(members, idx, unions)
+    return True
 
 
 def maybe_cluster_components_index(idx, max_dirs: int = 64,
@@ -158,10 +345,20 @@ def maybe_cluster_components_index(idx, max_dirs: int = 64,
 def current_components(members, unions):
     """The current (id, component) view: membership labels resolved
     through the unions closure (one broadcast join; the membership never
-    re-shuffles)."""
+    re-shuffles).
+
+    Read-side crash protection: if the newest members manifest carries a
+    rebuild token (see ``maybe_rebuild_components``) that the unions
+    newest manifest does not match, the membership labels are ALREADY
+    fresh roots and the ledger is pre-rebuild garbage — it is skipped,
+    so the view stays correct even before ``finish_pending_rebuild``
+    runs the repair."""
     m = members.read()
     cur_u = unions.current_version()
     u = unions.read() if cur_u is not None else None
+    tok = _newest_token(members)
+    if tok is not None and _newest_token(unions) != tok:
+        u = None
     return resolve_component_labels(m, u)
 
 
@@ -181,14 +378,18 @@ def resolve_components_state(members, idx, unions) -> None:
         .select("id", F.col("root").alias("label")))
     i_df = idx.read()
     roots_i = resolve_union_closure(i_df.select("label").distinct(), u)
-    idx.overwrite(
+    # fp-clustered rewrite, not a plain overwrite: one unclustered dir
+    # would defeat read_pruned_for_keys for the ~64 epochs it takes the
+    # dir fan-in to re-cross the clustering trigger
+    idx.overwrite_clustered(
         i_df.join(F.broadcast(roots_i), "label")
-        .select("fp", "id", F.col("root").alias("label"), "rk"))
+        .select("fp", "id", F.col("root").alias("label"), "rk"),
+        "fp", n_dirs=_IDX_CLUSTER_DIRS)
     if cur_u is not None:
         unions.overwrite(u.filter(F.lit(False)))
 
 
-def remove_components_members(members, idx, unions, ids: list) -> dict:
+def remove_components_members(members, idx, unions, ids) -> dict:
     """Remove documents from the maintained state: membership and index
     rows for ``ids`` are deletion-vector deleted — O(matches) plus
     metadata, no data-file rewrite (the manifest ``delete_where``
@@ -204,8 +405,25 @@ def remove_components_members(members, idx, unions, ids: list) -> dict:
     fraction passes the policy bar, ``maybe_rebuild_components``
     re-derives the exact fresh clustering from the live index.
 
-    ``ids`` is a driver-side list — bounded per call (the same contract
-    as every point-delete API); loop for larger purges."""
+    ``ids`` is either a driver-side list (bounded per call — the
+    point-delete contract) or a single-column DataFrame of doc ids: the
+    DataFrame form deletes by left-semi join (``delete_matching``), so a
+    large purge — the output of another query, a policy feed — never
+    round-trips through the driver or expands into an O(ids) ``isin``
+    expression."""
+    from pyspark.sql import DataFrame
+
+    if isinstance(ids, DataFrame):
+        keys = ids.select(F.col(ids.columns[0]).alias("id"))
+        n_m = members.row_count()
+        v_m = members.delete_matching(keys, "id")
+        n_i = idx.row_count()
+        v_i = idx.delete_matching(keys, "id", key_col="rk")
+        return {
+            "members_deleted": (n_m - members.row_count()) if v_m else 0,
+            "index_deleted": (n_i - idx.row_count()) if v_i else 0,
+            "deleted_fraction": deleted_fraction(members),
+        }
     if not ids:
         return {"members_deleted": 0, "index_deleted": 0}
     cond = F.col("id").isin(*[int(i) for i in ids])
@@ -237,28 +455,35 @@ def deleted_fraction(table) -> float:
 
 
 def maybe_rebuild_components(members, idx, unions,
-                             max_deleted_frac: float = 0.25) -> int | None:
+                             max_deleted_frac: float = 0.25,
+                             max_fp_df: int | None = None) -> int | None:
     """Decremental-connectivity policy (the ANN recall→rebuild analog):
     when removals have tombstoned more than ``max_deleted_frac`` of the
-    membership, re-derive the clustering FROM THE LIVE INDEX — edges are
-    the fp self-join over surviving rows, closed by the one-shot kernel —
-    and overwrite all three ledgers. This is the one operation that can
-    SPLIT components (bridges removed since insert) and it renames every
-    canonical to the current min live member. Amortized O(live state);
-    the trigger check itself is a metadata-only read, safe to call every
-    epoch. Returns the new members version, or None when under the bar."""
-    from cdc_audit_spark.operators.dedup import connected_components
+    membership, re-derive the clustering FROM THE LIVE INDEX — star
+    edges over the surviving (fp, id) rows (O(g) per fingerprint group,
+    identical closure — ``fingerprint_star_edges``, never the quadratic
+    all-pairs self-join: the rebuild sees CORPUS-WIDE group sizes),
+    closed by the one-shot kernel — and overwrite all three ledgers.
+    This is the one operation that can SPLIT components (bridges removed
+    since insert) and it renames every canonical to the current min live
+    member. Amortized O(live state); the trigger check itself is a
+    metadata-only read, safe to call every epoch. Returns the new
+    members version, or None when under the bar.
 
+    ``max_fp_df`` here is the CORPUS-level hot-fingerprint cap (document
+    frequency over the live index), complementing the batch-local cap of
+    ``incremental_components``: fingerprints that only accumulated past
+    the cap across many epochs get discarded on the rebuild cadence."""
+    from cdc_audit_spark.operators.dedup import (
+        connected_components,
+        fingerprint_star_edges,
+    )
+
+    finish_pending_rebuild(members, idx, unions)
     if deleted_fraction(members) <= max_deleted_frac:
         return None
     live = idx.read().select("fp", "id")
-    a, b = live.alias("a"), live.alias("b")
-    edges = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    edges = fingerprint_star_edges(live, max_fp_df=max_fp_df)
     comp = connected_components(edges)
     fresh = (
         members.read().select("id")
@@ -266,14 +491,19 @@ def maybe_rebuild_components(members, idx, unions,
         .select("id", F.coalesce("component", "id").alias("label"))
         .localCheckpoint(eager=True)
     )
-    ver = members.overwrite(fresh)
-    idx.overwrite(
-        idx.read().select("fp", "id", "rk")
-        .join(fresh, "id")
-        .select("fp", "id", "label", "rk"))
-    cur_u = unions.current_version()
-    if cur_u is not None:
-        unions.overwrite(unions.read().filter(F.lit(False)))
+    # three same-token commits, members first: a crash between them
+    # leaves the token on members unmatched by idx/unions, which
+    # finish_pending_rebuild (run at the top of every epoch and of this
+    # policy) detects and replays idempotently from the committed fresh
+    # labels. Readers self-protect too: current_components ignores the
+    # stale ledger while the token is unmatched.
+    import uuid
+
+    tok = uuid.uuid4().hex
+    extra = {_REBUILD_KEY: tok}
+    ver = members.overwrite(fresh, extra=extra)
+    _rewrite_idx_labels(idx, fresh, extra)
+    _overwrite_unions_empty(unions, extra)
     return ver
 
 
@@ -289,6 +519,7 @@ def stream_components_sync(
     id_col: str,
     k: int = 5,
     w: int = 4,
+    max_fp_df: int | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ):
@@ -312,7 +543,7 @@ def stream_components_sync(
         apply_components_epoch(
             members, idx, unions, batch_df, epoch_id,
             genstate.checkpoint_run_id(checkpoint_path),
-            text_col, id_col, k=k, w=w,
+            text_col, id_col, k=k, w=w, max_fp_df=max_fp_df,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(

@@ -308,3 +308,173 @@ def test_components_cfg_drift_refused(spark, tmp_path):
     # the original config keeps working
     _apply(tables, docs.filter(F.col("doc_id") == 10), 1)
     assert _got(tables)[20] == 10
+
+
+def test_components_rebuild_crash_windows(spark, tmp_path):
+    """A rebuild crash between its three overwrites must not corrupt the
+    state. The planted hazard is the ADVICE scenario: the fresh min-live
+    label (2) is a CHILD in the stale unions ledger (2 -> 1, with 1 since
+    removed), so resolving fresh labels through that ledger would relabel
+    a live component onto a removed doc id — and because the members
+    overwrite materialized the deletion vectors, the policy would never
+    re-fire to self-heal. Reads must self-protect immediately, and the
+    next epoch (or the policy itself) must replay the missing overwrites
+    idempotently."""
+    from cdc_audit_spark.streaming.stream_components import (
+        deleted_fraction,
+        finish_pending_rebuild,
+        maybe_rebuild_components,
+        remove_components_members,
+    )
+
+    pay = "same exact payload tokens here repeated verbatim always"
+    base = [(2, pay),
+            (50, "unique fifty text with plenty of tokens to fingerprint"),
+            (51, "another singleton document with its own novel words")]
+
+    def build(tag):
+        tables = _tables(spark, tmp_path, tag)
+        _apply(tables, spark.createDataFrame(base, SCH), 0)
+        _apply(tables, spark.createDataFrame([(1, pay)], SCH), 1)
+        members, idx, unions = tables
+        # the merge re-parented canonical 2 onto 1: the hazard ledger row
+        assert {(r["child"], r["parent"])
+                for r in unions.read().collect()} == {(2, 1)}
+        remove_components_members(members, idx, unions, [1])
+        assert deleted_fraction(members) == 0.25
+        return tables
+
+    want = {2: 2, 50: 50, 51: 51}  # fresh clustering of the survivors
+
+    # window 1: crash after the members overwrite, before the idx rewrite
+    members, idx, unions = t1 = build("w1")
+    orig = idx.overwrite_clustered
+    idx.overwrite_clustered = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        maybe_rebuild_components(members, idx, unions, max_deleted_frac=0.2)
+    idx.overwrite_clustered = orig
+    assert unions.read().count() == 1      # stale ledger still present
+    assert _got(t1) == want                # reads ignore it (2 != 1!)
+    # the next epoch heals before processing, then keeps working
+    _apply(t1, spark.createDataFrame(
+        [(60, "late arriving document with completely fresh words")], SCH), 2)
+    assert not finish_pending_rebuild(members, idx, unions)
+    assert unions.read().count() == 0
+    assert {r["label"] for r in
+            idx.read().filter("id = 2").collect()} == {2}
+    assert _got(t1) == {**want, 60: 60}
+    # healed state keeps merging correctly: a smaller twin re-parents 2
+    _apply(t1, spark.createDataFrame([(0, pay)], SCH), 3)
+    assert _got(t1)[2] == 0
+
+    # window 2: crash after the idx rewrite, before the unions overwrite
+    members, idx, unions = t2 = build("w2")
+    orig_u = unions.overwrite
+    unions.overwrite = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        maybe_rebuild_components(members, idx, unions, max_deleted_frac=0.2)
+    unions.overwrite = orig_u
+    assert _got(t2) == want
+    # the policy itself heals on its next (under-the-bar) invocation
+    assert maybe_rebuild_components(members, idx, unions,
+                                    max_deleted_frac=0.2) is None
+    assert unions.read().count() == 0
+    assert not finish_pending_rebuild(members, idx, unions)
+    assert _got(t2) == want
+
+
+def test_maybe_resolve_components_fires_mid_drain(spark, tmp_path):
+    """A long merge streak (identical docs arriving in DESCENDING id
+    order deepen the unions chain by one per epoch) must trip the
+    auto-resolve policy unattended mid-drain: the ledger never deepens
+    past the bound, resolve_union_closure never hits its 32-step hard
+    stop, and the final labeling is the one-shot answer."""
+    pay = "identical duplicate payload shared by every document here"
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    resolved_at = []
+    for e, doc_id in enumerate(range(100, 80, -1)):
+        _apply(tables, spark.createDataFrame([(doc_id, pay)], SCH), e)
+        n = unions.row_count()
+        # without the policy the ledger would hold e rows after epoch e;
+        # the policy caps chain depth at 16
+        assert n <= 16, (e, n)
+        if e >= 1 and n < e:
+            resolved_at.append(e)
+    assert resolved_at  # the resolve actually fired, unattended
+    assert _got(tables) == {i: 81 for i in range(81, 101)}
+
+
+def test_maybe_resolve_components_triggers(spark, tmp_path):
+    """Unit bounds of the policy: quiet under both bars, firing on the
+    row bound even when the shape is shallow."""
+    from cdc_audit_spark.streaming.stream_components import (
+        maybe_resolve_components,
+    )
+
+    docs = spark.createDataFrame(DOCS, SCH)
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    _apply(tables, docs.filter(F.col("doc_id").isin(20, 30, 40, 50)), 0)
+    _apply(tables, docs.filter(F.col("doc_id").isin(10, 5, 7)), 1)
+    n = unions.row_count()
+    assert n > 0
+    before = _got(tables)
+    # under both bars: no-op
+    assert not maybe_resolve_components(members, idx, unions)
+    assert unions.row_count() == n
+    # a wide-but-shallow ledger crosses the ROW bar
+    assert maybe_resolve_components(members, idx, unions,
+                                    max_union_rows=n - 1)
+    assert unions.row_count() == 0
+    assert _got(tables) == before
+
+
+def test_remove_members_dataframe_overload(spark, tmp_path):
+    """The DataFrame-valued removal matches the list form: left-semi
+    join pushdown, same tombstone accounting, same survivor semantics."""
+    from cdc_audit_spark.streaming.stream_components import (
+        remove_components_members,
+    )
+
+    docs = spark.createDataFrame(DOCS, SCH)
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    _apply(tables, docs, 0)
+    purge = spark.createDataFrame([(20,), (50,)], "doc_id long")
+    r = remove_components_members(members, idx, unions, purge)
+    assert r["members_deleted"] == 2 and r["index_deleted"] > 0
+    assert 0.2 < r["deleted_fraction"] < 0.35
+    got = _got(tables)
+    assert 20 not in got and 50 not in got
+    assert got[30] == 10 and got[10] == 10  # labels unchanged, not split
+
+
+def test_components_unique_id_contract(spark, tmp_path):
+    """Re-inserting a live id refuses loudly (the pruned index read
+    witnesses re-delivered content), in-batch duplicate ids refuse
+    loudly, and a REMOVED id may be re-inserted (tombstoned rows are no
+    longer live)."""
+    from cdc_audit_spark.streaming.stream_components import (
+        remove_components_members,
+    )
+
+    docs = spark.createDataFrame(DOCS, SCH)
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    _apply(tables, docs, 0)
+    before = _got(tables)
+    with pytest.raises(ValueError, match="already live"):
+        _apply(tables, docs.filter(F.col("doc_id") == 20), 1)
+    dup = spark.createDataFrame(
+        [(70, "fresh unique seventy text tokens aplenty right here"),
+         (70, "fresh unique seventy text tokens aplenty right here")], SCH)
+    with pytest.raises(ValueError, match="within the batch"):
+        _apply(tables, dup, 1)
+    assert _got(tables) == before  # refused epochs committed nothing
+
+    remove_components_members(members, idx, unions, [50])
+    _apply(tables, spark.createDataFrame([(50, DOCS[5][1])], SCH), 1)
+    assert _got(tables)[50] == 50
