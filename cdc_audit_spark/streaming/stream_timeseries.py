@@ -28,9 +28,20 @@ pinned before the epoch) — the ``stream_components`` replay argument.
 Contract: points arrive in nondecreasing (ts, tie) order PER KEY across
 batches (the usual ingest-time ordering). Out-of-order late points
 cannot be spliced into already-scored windows — the epoch REFUSES them
-loudly rather than silently mis-scoring (a watermarked reorder buffer
-upstream is the standard remedy; windows inside one batch need no
-order).
+loudly rather than silently mis-scoring (windows inside one batch need
+no order).
+
+``apply_ts_epoch_reordered`` is the watermarked reorder stage that
+turns the refusal contract into late-data tolerance: each batch lands
+in a small ``buffer`` LSM, a monotone event-time watermark (max ts seen
+minus ``delay``) advances per epoch, and only the rows the watermark
+releases — a strictly later (wm_prev, wm] band every epoch, hence
+in-order by construction — feed the matcher. A point later than
+``delay`` behind the stream's high-water mark still refuses loudly
+(Spark's own watermark would silently drop it; a scoring engine must
+not). The buffer is append-only with the watermark DEFINING liveness
+(live = ts > wm), so releases are metadata-free; ``maybe_fold_buffer``
+physically drops released rows on the usual dir-fan-in cadence.
 
 Reference parity: none — the reference has no time-series surface; this
 extends the SURVEY §2.11 streaming tier.
@@ -47,6 +58,8 @@ from cdc_audit_spark.streaming.stream_dedup import _version_before_epoch
 
 __all__ = [
     "apply_ts_epoch",
+    "apply_ts_epoch_reordered",
+    "maybe_fold_buffer",
     "maybe_fold_tails",
     "stream_subsequence_sync",
 ]
@@ -136,6 +149,144 @@ def apply_ts_epoch(
     maybe_fold_tails(tails, key_col)
 
 
+def _wm_extra(wm) -> dict:
+    """Serialize the watermark into commit-extra JSON. Timestamp
+    watermarks ride as ISO strings (the session pins UTC, so naive
+    datetimes round-trip exactly); numeric ones ride as-is."""
+    import datetime as dt
+
+    if isinstance(wm, dt.datetime):
+        return {"wm": wm.isoformat(), "wm_is_ts": True}
+    return {"wm": wm, "wm_is_ts": False}
+
+
+def _wm_at(buffer, version) -> object | None:
+    """The watermark recorded at or before ``version`` — the newest
+    manifest carrying a wm stamp (every buffer commit, fold included,
+    carries one; the walk covers legacy/foreign commits)."""
+    import datetime as dt
+
+    if version is None:
+        return None
+    for v in reversed(buffer.versions()):
+        if v > version:
+            continue
+        m = buffer.manifest(v)
+        if "wm" in m:
+            return (dt.datetime.fromisoformat(m["wm"])
+                    if m.get("wm_is_ts") else m["wm"])
+    return None
+
+
+def apply_ts_epoch_reordered(
+    tails,
+    matches,
+    buffer,
+    batch_df,
+    epoch_id: int,
+    run_id: str | None,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    val_col: str,
+    query: list[float],
+    delay,
+    max_dist2_micro: int | None = None,
+) -> None:
+    """One micro-batch of the LATE-DATA-TOLERANT matcher: buffer, then
+    release in watermark order, then score (see the module doc).
+
+    ``delay`` is the out-of-orderness bound in the ts column's own
+    units — a ``datetime.timedelta`` for timestamp columns, a number
+    for numeric columns. Points may arrive in any order as long as each
+    lands within ``delay`` of the maximum ts seen so far; a point later
+    than that refuses loudly (it can no longer be spliced into windows
+    the watermark already released).
+
+    Replay story: the released band is a deterministic function of
+    (batch, buffer state pinned before the epoch) — wm_prev comes from
+    the pinned buffer manifest, live buffered rows from the pinned
+    read — so the inner ``apply_ts_epoch`` guards and the buffer's own
+    epoch guard give exactly-once across all three tables without a
+    cross-table transaction. Per-epoch cost: one pinned buffer read
+    (delay-bounded rows, dir-pruned on the recorded ts stats after
+    folds) plus the inner epoch's O(touched keys) work."""
+    b_done = buffer.epoch_applied(epoch_id, run_id)
+    if (b_done and matches.epoch_applied(epoch_id, run_id)
+            and tails.epoch_applied(epoch_id, run_id)):
+        return
+    batch = batch_df.select(
+        F.col(key_col), F.col(ts_col), F.col(tie_col), F.col(val_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        pre = _version_before_epoch(buffer, epoch_id)
+        wm_prev = _wm_at(buffer, pre)
+        live_buf = (buffer.read(version=pre)
+                    .select(key_col, ts_col, tie_col, val_col)
+                    if pre is not None
+                    else batch.filter(F.lit(False)))
+        if wm_prev is not None:
+            live_buf = live_buf.filter(F.col(ts_col) > F.lit(wm_prev))
+            n_too_late = batch.filter(
+                F.col(ts_col) <= F.lit(wm_prev)).count()
+            if n_too_late:
+                raise ValueError(
+                    f"apply_ts_epoch_reordered: {n_too_late} point(s) "
+                    f"arrived at or before the watermark ({wm_prev}) — "
+                    "later than the configured reorder delay allows. "
+                    "Raise `delay` to cover the source's real "
+                    "out-of-orderness; silently dropping or mis-splicing "
+                    "them is not an option for a scoring engine")
+        max_ts = batch.agg(F.max(ts_col)).first()[0]
+        if max_ts is None:
+            new_wm = wm_prev
+        else:
+            cand = max_ts - delay
+            new_wm = cand if wm_prev is None else max(wm_prev, cand)
+        pending = live_buf.unionByName(batch)
+        if new_wm is None:
+            released = pending.filter(F.lit(False))
+        else:
+            released = pending.filter(F.col(ts_col) <= F.lit(new_wm))
+        apply_ts_epoch(
+            tails, matches, released, epoch_id, run_id,
+            key_col, ts_col, tie_col, val_col, query,
+            max_dist2_micro=max_dist2_micro)
+        if not b_done:
+            still = (batch if new_wm is None
+                     else batch.filter(F.col(ts_col) > F.lit(new_wm)))
+            buffer.append(
+                still,
+                extra={"epoch": int(epoch_id), "run_id": run_id,
+                       **_wm_extra(new_wm)},
+                stats_cols=[ts_col])
+    finally:
+        batch.unpersist()
+    maybe_fold_buffer(buffer, ts_col)
+
+
+def maybe_fold_buffer(buffer, ts_col: str, max_dirs: int = 64,
+                      n_dirs: int = 8) -> int | None:
+    """Physically drop watermark-released rows from the reorder buffer
+    when its dir fan-in passes ``max_dirs``: surviving (still-buffered)
+    rows land as disjoint ts-range dirs, so the per-epoch live read
+    prunes released history at the manifest level. The fold carries the
+    current watermark forward — every buffer commit must, or the wm walk
+    would skip it."""
+    cur = buffer.current_version()
+    if cur is None:
+        return None
+    if len(buffer.manifest(cur)["dirs"]) <= max_dirs:
+        return None
+    wm = _wm_at(buffer, cur)
+    live = buffer.read()
+    if wm is not None:
+        live = live.filter(F.col(ts_col) > F.lit(wm))
+    return buffer.overwrite_clustered(
+        live, ts_col, n_dirs=n_dirs,
+        extra=_wm_extra(wm) if wm is not None else None)
+
+
 def maybe_fold_tails(tails, key_col: str, max_dirs: int = 64,
                      n_dirs: int = 8) -> int | None:
     """Keep-newest fold of the tails LSM when its dir fan-in passes
@@ -167,17 +318,33 @@ def stream_subsequence_sync(
     val_col: str,
     query: list[float],
     max_dist2_micro: int | None = None,
+    reorder_delay=None,
+    buffer_path: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ):
     """Always-on subsequence matcher over a parquet point stream: one
     epoch-tagged commit per table per micro-batch (see
     ``apply_ts_epoch``); the accumulated ``matches`` table equals the
-    batch kernel run over the full series."""
+    batch kernel run over the full series.
+
+    Pass ``reorder_delay`` (+ ``buffer_path`` for the buffer LSM) to run
+    the watermarked reorder stage in front of the matcher
+    (``apply_ts_epoch_reordered``): points may then arrive out of order
+    within ``reorder_delay`` of the stream's event-time high-water mark;
+    matches trail ingestion by the watermark delay. Without it, per-key
+    arrival must be (ts, tie)-nondecreasing across batches."""
     from cdc_audit_spark.sinks.manifest import ManifestTable
 
+    if (reorder_delay is None) != (buffer_path is None):
+        raise ValueError(
+            "reorder_delay and buffer_path come together: the reorder "
+            "stage needs its buffer table, and a buffer without a delay "
+            "has no watermark to release on")
     matches = ManifestTable(spark, matches_path)
     tails = ManifestTable(spark, tails_path)
+    buffer = (ManifestTable(spark, buffer_path)
+              if buffer_path is not None else None)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -185,14 +352,20 @@ def stream_subsequence_sync(
     stream = reader.parquet(source_path)
 
     def handle(batch_df, epoch_id: int) -> None:
-        apply_ts_epoch(
-            matches=matches, tails=tails, batch_df=batch_df,
-            epoch_id=epoch_id,
-            run_id=genstate.checkpoint_run_id(checkpoint_path),
-            key_col=key_col, ts_col=ts_col, tie_col=tie_col,
-            val_col=val_col, query=query,
-            max_dist2_micro=max_dist2_micro,
-        )
+        run_id = genstate.checkpoint_run_id(checkpoint_path)
+        if buffer is not None:
+            apply_ts_epoch_reordered(
+                tails, matches, buffer, batch_df, epoch_id, run_id,
+                key_col, ts_col, tie_col, val_col, query,
+                delay=reorder_delay, max_dist2_micro=max_dist2_micro)
+        else:
+            apply_ts_epoch(
+                matches=matches, tails=tails, batch_df=batch_df,
+                epoch_id=epoch_id, run_id=run_id,
+                key_col=key_col, ts_col=ts_col, tie_col=tie_col,
+                val_col=val_col, query=query,
+                max_dist2_micro=max_dist2_micro,
+            )
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_path

@@ -176,3 +176,129 @@ def test_stream_subsequence_sync_end_to_end(spark, sf_dir, tmp_path):
     want = {k: v for k, v in _batch_truth(spark, ev).items()
             if v <= 8_000_000}
     assert got == want
+
+
+SCH_LONG = "user_id long, ts long, event_id long, value double"
+
+
+def _late_fixture(spark):
+    """Two 60-point series delivered out of order WITHIN a known delay
+    bound: late points {13,17} slip from delivery 0 to 1, {33} from 1 to
+    2, and a far-future sentinel (its single point completes no window)
+    advances the watermark so every real window releases."""
+    import math as _m
+
+    rows = [(k, t, t, _m.sin(t / 3.0) + k) for k in (1, 2)
+            for t in range(60)]
+    full = spark.createDataFrame(rows, SCH_LONG)
+    late0, late1 = {13, 17}, {33}
+    d0 = full.filter((F.col("ts") < 20) & ~F.col("ts").isin(*late0))
+    d1 = full.filter(
+        ((F.col("ts") >= 20) & (F.col("ts") < 40) & ~F.col("ts").isin(*late1))
+        | F.col("ts").isin(*late0))
+    d2 = full.filter((F.col("ts") >= 40) | F.col("ts").isin(*late1))
+    flush = spark.createDataFrame([(99, 200, 200, 0.0)], SCH_LONG)
+    return full, [d0, d1, d2, flush]
+
+
+def test_ts_reorder_buffer_tolerates_late_data(spark, tmp_path):
+    """The watermarked reorder stage: the very delivery order the plain
+    matcher refuses streams to exactly the sorted-replay (batch-kernel)
+    matches; a point later than the delay still refuses loudly; replays
+    are no-ops."""
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+    )
+
+    full, deliveries = _late_fixture(spark)
+    args = ("user_id", "ts", "event_id", "value", QUERY)
+
+    # the plain matcher refuses this delivery order
+    tails_p, matches_p = _tables(spark, tmp_path)
+    apply_ts_epoch(tails_p, matches_p, deliveries[0], 0, "plain", *args)
+    with pytest.raises(ValueError, match="nondecreasing across batches"):
+        apply_ts_epoch(tails_p, matches_p, deliveries[1], 1, "plain", *args)
+
+    tails = ManifestTable(spark, str(tmp_path / "r_tails"))
+    matches = ManifestTable(spark, str(tmp_path / "r_matches"))
+    buffer = ManifestTable(spark, str(tmp_path / "r_buffer"))
+    for epoch, d in enumerate(deliveries):
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, d, epoch, "run0", *args, delay=10)
+    got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+           for r in matches.read().collect()}
+    assert got == _batch_truth(spark, full)  # sentinel completes nothing
+
+    # replay of the last epoch is a no-op across all three tables
+    vers = (tails.current_version(), matches.current_version(),
+            buffer.current_version())
+    apply_ts_epoch_reordered(
+        tails, matches, buffer, deliveries[3], 3, "run0", *args, delay=10)
+    assert (tails.current_version(), matches.current_version(),
+            buffer.current_version()) == vers
+
+    # beyond-the-delay point: refused loudly, never spliced or dropped
+    too_late = spark.createDataFrame([(1, 60, 60, 0.5)], SCH_LONG)
+    with pytest.raises(ValueError, match="reorder delay"):
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, too_late, 4, "run0", *args, delay=10)
+
+
+def test_ts_reorder_stream_end_to_end(spark, tmp_path):
+    """The foreachBatch drain with reorder_delay set: a perturbed
+    parquet file sequence (one file per trigger) streams to the batch
+    truth."""
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        stream_subsequence_sync,
+    )
+
+    full, deliveries = _late_fixture(spark)
+    src = str(tmp_path / "src")
+    for d in deliveries:
+        d.coalesce(1).write.mode("append").parquet(src)
+    q = stream_subsequence_sync(
+        spark, src, SCH_LONG,
+        str(tmp_path / "matches"), str(tmp_path / "tails"),
+        str(tmp_path / "ckpt"),
+        "user_id", "ts", "event_id", "value", QUERY,
+        reorder_delay=10, buffer_path=str(tmp_path / "buffer"),
+        max_files_per_trigger=1)
+    q.awaitTermination(180)
+    matches = ManifestTable(spark, str(tmp_path / "matches"))
+    got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+           for r in matches.read().collect()}
+    assert got == _batch_truth(spark, full)
+
+
+def test_ts_reorder_buffer_fold_preserves_watermark(spark, tmp_path):
+    """The buffer fold physically drops released rows, carries the
+    watermark forward, and later epochs keep producing the truth."""
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+        maybe_fold_buffer,
+    )
+    import math as _m
+
+    rows = [(1, t, t, _m.sin(t / 3.0)) for t in range(40)]
+    full = spark.createDataFrame(rows, SCH_LONG)
+    tails = ManifestTable(spark, str(tmp_path / "tails"))
+    matches = ManifestTable(spark, str(tmp_path / "matches"))
+    buffer = ManifestTable(spark, str(tmp_path / "buffer"))
+    args = ("user_id", "ts", "event_id", "value", QUERY)
+    for epoch in range(4):
+        d = full.filter((F.col("ts") >= epoch * 10)
+                        & (F.col("ts") < (epoch + 1) * 10))
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, d, epoch, "run0", *args, delay=5)
+    assert maybe_fold_buffer(buffer, "ts", max_dirs=1, n_dirs=4)
+    # released rows are physically gone; the watermark survived the fold
+    assert buffer.read().filter("ts <= 34").count() == 0
+    from cdc_audit_spark.streaming.stream_timeseries import _wm_at
+
+    assert _wm_at(buffer, buffer.current_version()) == 34
+    flush = spark.createDataFrame([(99, 200, 200, 0.0)], SCH_LONG)
+    apply_ts_epoch_reordered(
+        tails, matches, buffer, flush, 4, "run0", *args, delay=5)
+    got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+           for r in matches.read().collect()}
+    assert got == _batch_truth(spark, full)
