@@ -67,6 +67,9 @@ HEADLINE = [
     # fingerprint (both pure-Catalyst operators worth tracking per round)
     "ts_subsequence_match",
     "dedup_simhash",
+    # r11: the one-shot fingerprint-edge clustering, now star-edge
+    # seeded (linear per fingerprint group — the r10 quadratic fix)
+    "dedup_components_labels",
 ]
 
 

@@ -369,6 +369,29 @@ def winnow_overlap_pairs(
             .filter(F.col("shared_fps") >= min_shared))
 
 
+def winnow_star_edges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Connectivity edges over winnowed fingerprints for CLOSURE-based
+    consumers (any shared fingerprint ⇒ same component, i.e. the
+    min_shared=1 semantics): star edges per fingerprint group —
+    identical transitive closure to the all-pairs join at O(g) instead
+    of O(g²) rows per group (see ``fingerprint_star_edges``). Use
+    ``winnow_overlap_pairs`` only when per-pair shared-fingerprint
+    COUNTS are needed (min_shared > 1). Output: (id_a, id_b) with
+    id_a = the group minimum."""
+    from cdc_audit_spark.operators.dedup import fingerprint_star_edges
+
+    return fingerprint_star_edges(
+        winnow_fingerprints(df, text_col, id_col, k, w),
+        max_fp_df=max_fp_df)
+
+
 def chunk_text_windows(
     df: DataFrame,
     text_col: str,

@@ -3923,13 +3923,14 @@ def dedup_cluster_assign(spark, sf_dir):
 )
 def dedup_components_labels(spark, sf_dir):
     from cdc_audit_spark.operators.dedup import connected_components
-    from cdc_audit_spark.operators.text import winnow_overlap_pairs
+    from cdc_audit_spark.operators.text import winnow_star_edges
 
     docs = load_tables(spark, sf_dir)["documents"].filter(
         F.col("doc_id") < 4096)
-    edges = winnow_overlap_pairs(
-        docs, "text", "doc_id", k=5, w=4, min_shared=1
-    ).select("id_a", "id_b")
+    # star edges, not the within-fp all-pairs join: min_shared=1
+    # semantics need only the closure, which the star seed preserves at
+    # O(g) rows per fingerprint group (the oracle closes the same graph)
+    edges = winnow_star_edges(docs, "text", "doc_id", k=5, w=4)
     comp = connected_components(edges)
     return (
         docs.select(F.col("doc_id").alias("id"))
@@ -4093,9 +4094,10 @@ def cdc_components_remove_rebuild(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register(
-    "dedup_component_stats",
-    r"""
+# the one-shot closure + size-rollup oracle, shared by the recompute
+# form (dedup_component_stats) and the maintained-state serving form
+# (cdc_component_stats_live) — the two must agree row for row
+_COMPONENT_STATS_ORACLE = r"""
     WITH RECURSIVE tok AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -4129,7 +4131,12 @@ def cdc_components_remove_rebuild(spark, sf_dir):
            CAST(sz * count(*) AS BIGINT) AS n_docs,
            CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
       FROM sizes GROUP BY sz
-    """,
+    """
+
+
+@register(
+    "dedup_component_stats",
+    _COMPONENT_STATS_ORACLE,
     "Duplication report over the near-dup cluster structure: the "
     "component-size histogram plus the removable-copy count per size "
     "(size-1 docs per family are deletable under min-id survivorship) — "
@@ -4141,13 +4148,11 @@ def cdc_components_remove_rebuild(spark, sf_dir):
 )
 def dedup_component_stats(spark, sf_dir):
     from cdc_audit_spark.operators.dedup import connected_components
-    from cdc_audit_spark.operators.text import winnow_overlap_pairs
+    from cdc_audit_spark.operators.text import winnow_star_edges
 
     docs = load_tables(spark, sf_dir)["documents"].filter(
         F.col("doc_id") < 4096)
-    edges = winnow_overlap_pairs(
-        docs, "text", "doc_id", k=5, w=4, min_shared=1
-    ).select("id_a", "id_b")
+    edges = winnow_star_edges(docs, "text", "doc_id", k=5, w=4)
     comp = connected_components(edges)
     labels = (
         docs.select(F.col("doc_id").alias("id"))
@@ -4161,6 +4166,46 @@ def dedup_component_stats(spark, sf_dir):
         (F.col("sz") * F.count("*")).cast("long").alias("n_docs"),
         ((F.col("sz") - 1) * F.count("*")).cast("long").alias("n_removable"),
     ).drop("sz")
+
+
+@register(
+    "cdc_component_stats_live",
+    _COMPONENT_STATS_ORACLE,
+    "The duplication report served FROM MAINTAINED STATE "
+    "(streaming.stream_components.component_stats) — the dashboard-poll "
+    "variant of dedup_component_stats: the corpus drains as three insert "
+    "epochs onto real manifest ledgers, then the report is two bounded "
+    "aggregates over the resolved membership labels — no "
+    "refingerprinting, no edge generation, no reclustering at query "
+    "time. The oracle recomputes the one-shot closure rollup from "
+    "scratch; equality proves serving from the incrementally-maintained "
+    "labels matches a full recompute",
+)
+def cdc_component_stats_live(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_components import (
+        apply_components_epoch,
+        component_stats,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 4096).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="cdc_component_stats_")
+    try:
+        members = ManifestTable(spark, f"{root}/members")
+        idx = ManifestTable(spark, f"{root}/idx")
+        unions = ManifestTable(spark, f"{root}/unions")
+        for epoch, residue in enumerate((2, 1, 0)):
+            apply_components_epoch(
+                members, idx, unions,
+                docs.filter(F.col("doc_id") % 3 == residue),
+                epoch, "stats", "text", "doc_id")
+        return component_stats(members, unions).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _simhash_oracle() -> str:
@@ -7159,53 +7204,47 @@ def cdc_pca_moments_sync(spark, sf_dir):
 # behind the window; next round rotates the remaining unchecked ones in.
 
 _DRIVER_WINDOW = [
-    # r10 rotation (VERDICT r09 item 2). First: the 5 oracle-backed r9
-    # queries registered after the r9 window was pinned (sweep-green,
-    # never driver-checked) plus the query promoted from no-oracle this
-    # round (dedup_simhash — md5-word portable hash, VERDICT r09 #6):
-    "bm25_multiquery_topk", "ccnet_bucket_sample",
-    "sample_temperature_lang", "text_chunk_windows",
-    "ts_subsequence_match", "dedup_simhash",
-    # all 25 queries whose newest green row is r06 (4 rounds stale at
-    # r10 — the staleness bound fires):
-    "agg_global_minmax", "asof_join_error_purchase",
-    "embedding_quantize_int8", "events_json_extract",
-    "events_type_pivot", "q10_returned_items", "q12_priority_linestatus",
-    "q14_promo_revenue", "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_pred", "q21_sole_late_supplier",
-    "q22_idle_rich_customers", "q2_min_balance_supplier", "q3_top_orders",
-    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_profit_by_nation_year",
-    "range_join_click_windows", "semi_join_urgent_customers",
-    "text_fingerprint", "topk_orders_per_customer",
-    # 19 of the 38 r07-green queries (3 rounds stale) — CDC machinery
-    # and pipeline operators first; the remaining 19 rotate in at r11:
-    "cdc_audit_stats", "cdc_dedup_index_sync", "cdc_diff_customer",
-    "cdc_incremental_scan", "cdc_keep_last_per_key",
-    "cdc_manifest_format_rw", "cdc_manifest_roundtrip",
-    "cdc_manifest_sink_drain", "cdc_replica_change_feed",
-    "cdc_state_asof", "cdc_watermark_recovery",
-    "multimodal_chunk_sample", "sample_source_quota",
-    # registered this round, after everything above: never driver-checked
-    # -> checked immediately (the long-query subsequence form, the
-    # connected-components exact oracle, its CDC-maintained form, the
-    # removal+rebuild form, the duplication report, the UniMax
-    # allocation):
-    "ts_subsequence_long", "dedup_components_labels", "sample_unimax_budget",
-    "cdc_components_sync", "cdc_components_remove_rebuild",
-    "dedup_component_stats",
-    # r11 TODO: the 25 r07-green queries that did not fit this window
-    # (embedding_l2_normalize, clean_boilerplate_tokens, dedup_rate_by_source,
-    # events_daily_active, events_hourly_stats, events_type_day_cube,
-    # events_user_activity, events_value_histogram, lang_distribution,
-    # median_price_by_flag, nation_top_customer_list,
-    # q13_order_count_distribution, q15_top_supplier,
-    # q16_supplier_part_counts, q19_disjunctive_revenue,
-    # q20_bulk_part_suppliers, revenue_rollup, scalar_function_sampler,
-    # scan_filter_project, text_quality, text_top_bigrams, text_top_terms,
-    # tfidf_top_terms, window_percent_rank, window_running_total — all
-    # sweep-green; they are the stalest set at r11 and rotate in first),
-    # plus whatever r10 registers after this window was pinned.
+    # r11 rotation (VERDICT r10 item 2). First: the full 25-query
+    # r07-green set (3 rounds stale at r10 — the stalest set, pre-listed
+    # in the r10 TODO):
+    "clean_boilerplate_tokens", "dedup_rate_by_source",
+    "embedding_l2_normalize", "events_daily_active", "events_hourly_stats",
+    "events_type_day_cube", "events_user_activity",
+    "events_value_histogram", "lang_distribution", "median_price_by_flag",
+    "nation_top_customer_list", "q13_order_count_distribution",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q19_disjunctive_revenue", "q20_bulk_part_suppliers", "revenue_rollup",
+    "scalar_function_sampler", "scan_filter_project", "text_quality",
+    "text_top_bigrams", "text_top_terms", "tfidf_top_terms",
+    "window_percent_rank", "window_running_total",
+    # registered this round, never driver-checked -> checked immediately
+    # (the maintained-state duplication report):
+    "cdc_component_stats_live",
+    # 24 of the 50 r08-green queries (2 rounds stale) — CDC machinery
+    # and the dedup/curation pipeline first; the remaining 26
+    # (asof_forward_next_purchase, datetime_function_sampler,
+    # embedding_label_centroids, events_cohort_retention,
+    # events_hourly_anomalies, events_transition_matrix,
+    # full_outer_customer_supplier_nations, lineitem_stats_profile,
+    # ntile_price_quartiles, profile_orders, quality_filter_per_lang,
+    # quartiles_by_segment, regression_price_on_quantity,
+    # revenue_grouping_sets, set_except_unordered_parts,
+    # set_intersect_users, set_union_segments, skew_salted_user_rollup,
+    # table_checksum_orders, text_repetition_stats,
+    # window_dense_rank_brand_price, window_first_last_value,
+    # window_lag_delta, window_moving_avg, window_nth_value_second_order,
+    # window_time_range_sum) are the stalest set at r12 and rotate in
+    # first, plus whatever r11 registers after this window was pinned:
+    "cdc_ann_index_topk", "cdc_ann_pq_topk", "cdc_ann_serving_topk",
+    "cdc_binpack_read", "cdc_column_change_stats", "cdc_delete_vectors",
+    "cdc_eq_skip_read", "cdc_fk_orphans", "cdc_metadata_count",
+    "cdc_optimize_zorder_read", "corpus_curation_report",
+    "corpus_source_accounting", "decontam_benchmark_overlap",
+    "dedup_exact", "dedup_levenshtein_pairs", "dedup_ngram_jaccard_exact",
+    "dedup_prefix_digest", "knn_join_topk", "mix_weighted_sources",
+    "pack_token_chunks", "sample_hash_fraction",
+    "sample_split_train_valid", "sample_stratified_lang",
+    "shard_global_shuffle",
 ]
 
 

@@ -45,6 +45,7 @@ from cdc_audit_spark.streaming.stream_dedup import _version_before_epoch
 
 __all__ = [
     "apply_components_epoch",
+    "component_stats",
     "current_components",
     "deleted_fraction",
     "finish_pending_rebuild",
@@ -360,6 +361,30 @@ def current_components(members, unions):
     if tok is not None and _newest_token(unions) != tok:
         u = None
     return resolve_component_labels(m, u)
+
+
+def component_stats(members, unions):
+    """The duplication report served FROM the maintained state — the
+    variant a dashboard polls: component-size histogram plus the
+    removable-copy count per size (size-1 docs per family are deletable
+    under min-id survivorship), computed as two bounded aggregates over
+    the RESOLVED labels of ``current_components``. No fingerprinting, no
+    edge generation, no reclustering — at 100 TB this reads the
+    membership ledger once and shuffles (component) then (size) keys,
+    nothing document-sized. Equal by construction to recomputing the
+    clustering from scratch (``dedup_component_stats``'s shape) as long
+    as the maintained labels equal the one-shot labels — the invariant
+    every epoch/rebuild test pins.
+
+    Output: (cluster_size, n_clusters, n_docs, n_removable)."""
+    labels = current_components(members, unions).select("component")
+    sizes = labels.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.col("sz").cast("long").alias("cluster_size"),
+        F.count("*").alias("n_clusters"),
+        (F.col("sz") * F.count("*")).cast("long").alias("n_docs"),
+        ((F.col("sz") - 1) * F.count("*")).cast("long").alias("n_removable"),
+    ).drop("sz")
 
 
 def resolve_components_state(members, idx, unions) -> None:

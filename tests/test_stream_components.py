@@ -478,3 +478,43 @@ def test_components_unique_id_contract(spark, tmp_path):
     remove_components_members(members, idx, unions, [50])
     _apply(tables, spark.createDataFrame([(50, DOCS[5][1])], SCH), 1)
     assert _got(tables)[50] == 50
+
+
+def test_component_stats_served_from_state(spark, sf_dir, tmp_path):
+    """After a multi-epoch drain, the maintained-state duplication
+    report (two aggregates over resolved labels, no reclustering) must
+    equal the recompute form — including after a removal + rebuild."""
+    from cdc_audit_spark.streaming.stream_components import (
+        component_stats,
+        maybe_rebuild_components,
+        remove_components_members,
+    )
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    for epoch, residue in enumerate((2, 1, 0)):
+        _apply(tables, docs.filter(F.col("doc_id") % 3 == residue), epoch)
+
+    def recompute(d):
+        labels = list(_one_shot(spark, d).values())
+        from collections import Counter
+
+        sizes = Counter(Counter(labels).values())
+        return {(sz, n, sz * n, (sz - 1) * n) for sz, n in sizes.items()}
+
+    served = {(r["cluster_size"], r["n_clusters"], r["n_docs"],
+               r["n_removable"]) for r in
+              component_stats(members, unions).collect()}
+    assert served == recompute(docs)
+
+    remove_components_members(
+        members, idx, unions, docs.filter("doc_id % 5 = 0").select("doc_id"))
+    assert maybe_rebuild_components(members, idx, unions,
+                                    max_deleted_frac=0.1)
+    live = docs.filter("doc_id % 5 != 0")
+    served2 = {(r["cluster_size"], r["n_clusters"], r["n_docs"],
+                r["n_removable"]) for r in
+               component_stats(members, unions).collect()}
+    assert served2 == recompute(live)
