@@ -5892,6 +5892,73 @@ def ts_subsequence_long(spark, sf_dir):
 _REGISTRY["ts_subsequence_long"].oracle = _ts_subsequence_long_oracle()
 
 
+@register(
+    "cdc_ts_reorder_sync",
+    None,  # oracle attached below — the SAME top-25 closure as the batch
+    "LATE-DATA streaming subsequence search "
+    "(streaming.stream_timeseries.apply_ts_epoch_reordered): the events "
+    "series drain as three ts-tercile epochs with a band of each "
+    "epoch's latest points DELAYED into the next epoch — a delivery "
+    "order the plain matcher refuses — through the watermarked reorder "
+    "buffer (release bands are monotone, so the matcher's in-order "
+    "contract holds by construction), then a far-future sentinel "
+    "advances the watermark so every real window releases. The "
+    "accumulated matches table, cut to the same exact-integer top-25, "
+    "must equal the one-shot batch kernel — the oracle IS "
+    "ts_subsequence_match's: late data tolerated, nothing dropped, "
+    "nothing mis-spliced, nothing double-scored.",
+)
+def cdc_ts_reorder_sync(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    t1, t2 = lo + span / 3, lo + 2 * span / 3
+    band = span / 10
+    # a point may trail the high-water mark by up to one tercile plus
+    # two band widths — exactly what the delayed bands need
+    delay = (t2 - t1) + 2 * band
+    late0 = (F.col("ts") >= F.lit(t1 - band)) & (F.col("ts") < F.lit(t1))
+    late1 = (F.col("ts") >= F.lit(t2 - band)) & (F.col("ts") < F.lit(t2))
+    e0 = ev.filter((F.col("ts") < F.lit(t1)) & ~late0)
+    e1 = ev.filter(
+        (late0 | ((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))))
+        & ~late1)
+    e2 = ev.filter(late1 | (F.col("ts") >= F.lit(t2)))
+    sentinel = spark.createDataFrame(
+        [(-1, hi + delay + (span / 100), -1, 0.0)],
+        ev.schema)
+    root = tempfile.mkdtemp(prefix="cdc_ts_reorder_")
+    try:
+        tails = ManifestTable(spark, f"{root}/tails")
+        matches = ManifestTable(spark, f"{root}/matches")
+        buffer = ManifestTable(spark, f"{root}/buffer")
+        for epoch, b in enumerate((e0, e1, e2, sentinel)):
+            apply_ts_epoch_reordered(
+                tails, matches, buffer, b, epoch, "reorder",
+                "user_id", "ts", "event_id", "value", _TS_QUERY_PATTERN,
+                delay=delay)
+        out = (matches.read()
+               .filter(F.col("user_id") >= 0)
+               .orderBy(F.col("dist2_micro"), F.col("user_id"),
+                        F.col("event_id"))
+               .limit(25))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_REGISTRY["cdc_ts_reorder_sync"].oracle = _ts_subsequence_oracle()
+
+
 _CCNET_PERP_SQL = _REGISTRY["ngram_lm_perplexity"].oracle
 
 
@@ -7218,11 +7285,13 @@ _DRIVER_WINDOW = [
     "text_top_bigrams", "text_top_terms", "tfidf_top_terms",
     "window_percent_rank", "window_running_total",
     # registered this round, never driver-checked -> checked immediately
-    # (the maintained-state duplication report):
-    "cdc_component_stats_live",
-    # 24 of the 50 r08-green queries (2 rounds stale) — CDC machinery
-    # and the dedup/curation pipeline first; the remaining 26
-    # (asof_forward_next_purchase, datetime_function_sampler,
+    # (the maintained-state duplication report; the late-data streaming
+    # subsequence drain):
+    "cdc_component_stats_live", "cdc_ts_reorder_sync",
+    # 23 of the 50 r08-green queries (2 rounds stale) — CDC machinery
+    # and the dedup/curation pipeline first; the remaining 27
+    # (shard_global_shuffle, asof_forward_next_purchase,
+    # datetime_function_sampler,
     # embedding_label_centroids, events_cohort_retention,
     # events_hourly_anomalies, events_transition_matrix,
     # full_outer_customer_supplier_nations, lineitem_stats_profile,
@@ -7244,7 +7313,6 @@ _DRIVER_WINDOW = [
     "dedup_prefix_digest", "knn_join_topk", "mix_weighted_sources",
     "pack_token_chunks", "sample_hash_fraction",
     "sample_split_train_valid", "sample_stratified_lang",
-    "shard_global_shuffle",
 ]
 
 

@@ -393,7 +393,13 @@ def resolve_components_state(members, idx, unions) -> None:
     ``unions`` empty. Amortized O(state) — run on the compaction cadence,
     not per epoch; afterwards query-time resolution is depth-zero until
     the next merge. Epoch/run state inherits through the overwrite
-    commits, so the replay guards survive the maintenance."""
+    commits, so the replay guards survive the maintenance.
+
+    Heals a half-landed rebuild FIRST: resolving fresh rebuild labels
+    through a stale pre-rebuild ledger would bake the corruption into
+    the base ledgers permanently (and this function's own members
+    overwrite would bury the pending-rebuild token)."""
+    finish_pending_rebuild(members, idx, unions)
     cur_u = unions.current_version()
     u = unions.read() if cur_u is not None else None
     m = members.read()
@@ -438,6 +444,9 @@ def remove_components_members(members, idx, unions, ids) -> dict:
     expression."""
     from pyspark.sql import DataFrame
 
+    # heal first: this function commits to members without the rebuild
+    # token, which would otherwise bury a half-landed rebuild's marker
+    finish_pending_rebuild(members, idx, unions)
     if isinstance(ids, DataFrame):
         keys = ids.select(F.col(ids.columns[0]).alias("id"))
         n_m = members.row_count()

@@ -201,7 +201,11 @@ def apply_ts_epoch_reordered(
     for numeric columns. Points may arrive in any order as long as each
     lands within ``delay`` of the maximum ts seen so far; a point later
     than that refuses loudly (it can no longer be spliced into windows
-    the watermark already released).
+    the watermark already released). The watermark is GLOBAL across
+    keys — Spark's own event-time semantics — so ``delay`` must also
+    cover cross-key event-time skew: a series lagging more than
+    ``delay`` behind the fastest series' clock refuses just like late
+    data would.
 
     Replay story: the released band is a deterministic function of
     (batch, buffer state pinned before the epoch) — wm_prev comes from

@@ -518,3 +518,49 @@ def test_component_stats_served_from_state(spark, sf_dir, tmp_path):
                 r["n_removable"]) for r in
                component_stats(members, unions).collect()}
     assert served2 == recompute(live)
+
+
+def test_components_rebuild_crash_then_direct_maintenance(spark, tmp_path):
+    """A crashed rebuild followed by a DIRECT maintenance call (resolve,
+    or a removal) — not an epoch — must still heal first: both commit to
+    members without the rebuild token and would otherwise bury the
+    pending marker (resolve would even bake stale-ledger labels into the
+    base ledgers)."""
+    from cdc_audit_spark.streaming.stream_components import (
+        maybe_rebuild_components,
+        remove_components_members,
+    )
+
+    pay = "same exact payload tokens here repeated verbatim always"
+    base = [(2, pay),
+            (50, "unique fifty text with plenty of tokens to fingerprint"),
+            (51, "another singleton document with its own novel words")]
+
+    def crashed(tag):
+        tables = _tables(spark, tmp_path, tag)
+        _apply(tables, spark.createDataFrame(base, SCH), 0)
+        _apply(tables, spark.createDataFrame([(1, pay)], SCH), 1)
+        members, idx, unions = tables
+        remove_components_members(members, idx, unions, [1])
+        orig = idx.overwrite_clustered
+        idx.overwrite_clustered = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("simulated crash"))
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            maybe_rebuild_components(members, idx, unions,
+                                     max_deleted_frac=0.2)
+        idx.overwrite_clustered = orig
+        return tables
+
+    want = {2: 2, 50: 50, 51: 51}
+
+    members, idx, unions = t1 = crashed("m1")
+    resolve_components_state(members, idx, unions)
+    assert unions.read().count() == 0
+    assert _got(t1) == want
+    assert {r["label"] for r in members.read().collect()} == {2, 50, 51}
+
+    members, idx, unions = t2 = crashed("m2")
+    r = remove_components_members(members, idx, unions, [51])
+    assert r["members_deleted"] == 1
+    assert unions.read().count() == 0  # the heal ran before the delete
+    assert _got(t2) == {2: 2, 50: 50}
