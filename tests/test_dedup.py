@@ -740,3 +740,51 @@ def test_fingerprint_star_edges_max_fp_df(spark):
     kept = drop_hot_fingerprints(fps, 5)
     assert {r["fp"] for r in kept.select("fp").distinct().collect()} == {
         "cold"}
+
+
+def test_connected_components_gate_sides_agree(spark):
+    """Both sides of the kernel's size gate (driver union-find vs
+    distributed min-label propagation) produce identical labels — for
+    long AND string ids — and the driver side is what fixture-scale
+    graphs take by default."""
+    import random
+
+    from cdc_audit_spark.operators.dedup import connected_components
+
+    rng = random.Random(11)
+    edges = {(min(a, b), max(a, b))
+             for a, b in ((rng.randrange(500), rng.randrange(500))
+                          for _ in range(300)) if a != b}
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    via_driver = {(r["id"], r["component"])
+                  for r in connected_components(df).collect()}
+    via_dist = {(r["id"], r["component"])
+                for r in connected_components(df, driver_gate=0).collect()}
+    assert via_driver == via_dist and via_driver
+
+    sdf = df.selectExpr("concat('k', id_a) as id_a",
+                        "concat('k', id_b) as id_b")
+    s_driver = {(r["id"], r["component"])
+                for r in connected_components(sdf).collect()}
+    s_dist = {(r["id"], r["component"])
+              for r in connected_components(sdf, driver_gate=0).collect()}
+    assert s_driver == s_dist and s_driver
+
+
+def test_resolve_union_closure_gate_sides_agree(spark):
+    """Both sides of the ledger-resolution gate (driver-flattened single
+    broadcast join vs the iterative fixpoint loop) resolve chains to the
+    same roots, including untouched labels."""
+    from cdc_audit_spark.operators.dedup import resolve_union_closure
+
+    unions = spark.createDataFrame(
+        [(5, 3), (3, 1), (8, 2), (9, 8)], "child long, parent long")
+    labels = spark.createDataFrame(
+        [(5,), (3,), (1,), (8,), (9,), (7,)], "label long")
+    via_driver = {(r["label"], r["root"]) for r in
+                  resolve_union_closure(labels, unions).collect()}
+    via_loop = {(r["label"], r["root"]) for r in
+                resolve_union_closure(labels, unions,
+                                      driver_gate=0).collect()}
+    want = {(5, 1), (3, 1), (1, 1), (8, 2), (9, 2), (7, 7)}
+    assert via_driver == via_loop == want
