@@ -564,3 +564,36 @@ def test_components_rebuild_crash_then_direct_maintenance(spark, tmp_path):
     assert r["members_deleted"] == 1
     assert unions.read().count() == 0  # the heal ran before the delete
     assert _got(t2) == {2: 2, 50: 50}
+
+
+def test_components_max_fp_df_cap(spark, tmp_path):
+    """The hot-fingerprint cap through both maintained paths: an epoch
+    applied with max_fp_df below the family size witnesses no merges
+    (everyone a singleton), and a policy rebuild with the corpus-level
+    cap splits an over-cap family the same way."""
+    from cdc_audit_spark.operators.dedup import incremental_components
+    from cdc_audit_spark.streaming.stream_components import (
+        maybe_rebuild_components,
+        remove_components_members,
+    )
+
+    pay = "same exact payload tokens here repeated verbatim always"
+    fam = [(i, pay) for i in range(1, 7)]
+
+    # batch-local cap in the kernel: 6 identical docs, cap 5 -> singletons
+    m, i_d, u = incremental_components(
+        spark.createDataFrame(fam, SCH), "text", "doc_id", max_fp_df=5)
+    assert {r["id"]: r["label"] for r in m.collect()} == {
+        i: i for i in range(1, 7)}
+    assert i_d.count() == 0  # capped fps are not indexed either
+
+    # corpus-level cap on the rebuild: uncapped insert clusters the
+    # family; removals cross the bar; the capped rebuild splits it
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    _apply(tables, spark.createDataFrame(fam, SCH), 0)
+    assert len(set(_got(tables).values())) == 1
+    remove_components_members(members, idx, unions, [5, 6])
+    assert maybe_rebuild_components(members, idx, unions,
+                                    max_deleted_frac=0.2, max_fp_df=3)
+    assert _got(tables) == {i: i for i in range(1, 5)}
