@@ -507,13 +507,16 @@ def connected_components(
     """Cluster assignment over a candidate-pair edge list: (id, component)
     where component = the minimum id reachable from the node.
 
-    Min-label propagation: every node starts labeled with itself; each round
-    pushes the smaller label across every edge (both directions) until a
-    fixed point. Rounds needed = graph diameter — near-dup clusters are
-    shallow (a duplicate family is one LSH bucket wide, diameter ≲ 3), so
-    this converges in a handful of rounds where the general-graph answer
-    would be large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce and Beyond").
+    Min-label propagation WITH POINTER HALVING: every node starts labeled
+    with itself; each round pushes the smaller label across every edge
+    (both directions) and then shortcuts each node to its label's label —
+    the path-halving step that makes rounds O(log diameter) instead of
+    O(diameter) (the Kiveris large-star effect without re-materializing
+    the edge set). A duplicate family is shallow (one LSH bucket wide),
+    but star-edge seeds chain THROUGH group minima and a corpus-scale
+    near-dup chain can be long — 25 halved rounds cover diameter 2^25,
+    and exhaustion raises instead of silently returning unconverged
+    labels.
 
     Scale mechanics: each round is two aggregates on (node) — shuffle keys
     are node ids, partial aggs combine map-side. ``localCheckpoint`` after
@@ -569,9 +572,24 @@ def connected_components(
             )
         ).localCheckpoint(eager=True)
         n_changed = updated.filter("changed").count()
-        labels = updated.drop("changed")
+        stepped = updated.drop("changed")
         if n_changed == 0:
+            labels = stepped
             break
+        # pointer halving: jump to the label's own label (every label IS
+        # a node id, so the self-join always matches). At the fixpoint
+        # this is the identity; before it, path lengths halve per round.
+        ll = stepped.select(F.col("id").alias("component"),
+                            F.col("component").alias("__cc"))
+        labels = (
+            stepped.join(ll, "component", "left")
+            .select("id", F.coalesce("__cc", "component").alias("component"))
+        ).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} halved "
+            f"rounds (diameter past 2^{max_iter}) — the graph is "
+            "pathological; raise max_iter explicitly")
     return labels
 
 

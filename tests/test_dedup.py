@@ -788,3 +788,17 @@ def test_resolve_union_closure_gate_sides_agree(spark):
                                       driver_gate=0).collect()}
     want = {(5, 1), (3, 1), (1, 1), (8, 2), (9, 2), (7, 7)}
     assert via_driver == via_loop == want
+
+
+def test_connected_components_long_chain_distributed(spark):
+    """A 200-node path graph through the DISTRIBUTED kernel (gate forced
+    off): pointer halving converges far inside max_iter where plain
+    propagation needs 199 rounds — and previously returned unconverged
+    labels SILENTLY on any graph deeper than max_iter."""
+    from cdc_audit_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(199)],
+                               "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(df, driver_gate=0).collect()}
+    assert got == {i: 0 for i in range(200)}

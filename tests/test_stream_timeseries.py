@@ -302,3 +302,44 @@ def test_ts_reorder_buffer_fold_preserves_watermark(spark, tmp_path):
     got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
            for r in matches.read().collect()}
     assert got == _batch_truth(spark, full)
+
+
+def test_ts_reorder_crash_window_buffer_half(spark, tmp_path):
+    """A crash after the inner matcher commits but before the buffer
+    append must replay exactly-once: the released band recomputes
+    identically from the pinned pre-epoch buffer, the inner halves skip
+    on their epoch guards, and the buffer commit lands on the retry."""
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+    )
+
+    full, deliveries = _late_fixture(spark)
+    args = ("user_id", "ts", "event_id", "value", QUERY)
+    tails = ManifestTable(spark, str(tmp_path / "tails"))
+    matches = ManifestTable(spark, str(tmp_path / "matches"))
+    buffer = ManifestTable(spark, str(tmp_path / "buffer"))
+    apply_ts_epoch_reordered(
+        tails, matches, buffer, deliveries[0], 0, "run0", *args, delay=10)
+
+    orig = buffer.append
+    buffer.append = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, deliveries[1], 1, "run0", *args,
+            delay=10)
+    assert matches.epoch_applied(1, "run0")
+    assert not buffer.epoch_applied(1, "run0")
+    buffer.append = orig
+    m_ver = matches.current_version()
+    apply_ts_epoch_reordered(
+        tails, matches, buffer, deliveries[1], 1, "run0", *args, delay=10)
+    assert matches.current_version() == m_ver  # inner halves replayed as no-ops
+    assert buffer.epoch_applied(1, "run0")
+
+    for epoch, d in enumerate(deliveries[2:], start=2):
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, d, epoch, "run0", *args, delay=10)
+    got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+           for r in matches.read().collect()}
+    assert got == _batch_truth(spark, full)
