@@ -802,3 +802,33 @@ def test_connected_components_long_chain_distributed(spark):
     got = {r["id"]: r["component"]
            for r in connected_components(df, driver_gate=0).collect()}
     assert got == {i: 0 for i in range(200)}
+
+
+def test_star_edges_closure_equals_pair_closure_random(spark):
+    """Property, seeded-random corpora: the star-edge seed must produce
+    EXACTLY the same connected components as the all-pairs fingerprint
+    join it replaced — the equivalence the r11 quadratic fix rests on."""
+    import random
+
+    from cdc_audit_spark.operators.dedup import connected_components
+    from cdc_audit_spark.operators.text import (
+        winnow_overlap_pairs,
+        winnow_star_edges,
+    )
+
+    rng = random.Random(23)
+    runs = [" ".join(f"r{r}t{j}" for j in range(8)) for r in range(6)]
+    for trial in range(3):
+        docs = []
+        for i in range(30):
+            picks = rng.sample(runs, rng.randint(0, 2))
+            docs.append((i, " ".join(picks + [f"pad{i}a pad{i}b pad{i}c"])))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        via_pairs = connected_components(
+            winnow_overlap_pairs(df, "text", "doc_id", k=5, w=4,
+                                 min_shared=1).select("id_a", "id_b"))
+        via_star = connected_components(
+            winnow_star_edges(df, "text", "doc_id", k=5, w=4))
+        a = {(r["id"], r["component"]) for r in via_pairs.collect()}
+        b = {(r["id"], r["component"]) for r in via_star.collect()}
+        assert a == b, trial

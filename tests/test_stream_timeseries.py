@@ -343,3 +343,45 @@ def test_ts_reorder_crash_window_buffer_half(spark, tmp_path):
     got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
            for r in matches.read().collect()}
     assert got == _batch_truth(spark, full)
+
+
+def test_ts_reorder_random_deliveries_match_truth(spark, tmp_path):
+    """Property, seeded-random shuffles: any delivery order in which
+    every point lands within the delay of the running event-time maximum
+    must stream to exactly the batch-kernel truth."""
+    import math as _m
+    import random
+
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+    )
+
+    rng = random.Random(31)
+    rows = [(k, t, t, _m.sin(t / 3.0) + 0.3 * k) for k in (1, 2)
+            for t in range(48)]
+    full = spark.createDataFrame(rows, SCH_LONG)
+    args = ("user_id", "ts", "event_id", "value", QUERY)
+    want = _batch_truth(spark, full)
+    for trial in range(2):
+        # deliver in ts-sorted order, each point jittered back by < delay
+        delay = 8
+        jittered = sorted(rows, key=lambda r: r[1] + rng.uniform(0, delay - 1))
+        n_b = rng.randint(3, 5)
+        cuts = sorted(rng.sample(range(1, len(jittered)), n_b - 1))
+        batches = [jittered[a:b] for a, b in
+                   zip([0] + cuts, cuts + [len(jittered)])]
+        tails = ManifestTable(spark, str(tmp_path / f"t{trial}_tails"))
+        matches = ManifestTable(spark, str(tmp_path / f"t{trial}_matches"))
+        buffer = ManifestTable(spark, str(tmp_path / f"t{trial}_buffer"))
+        for epoch, b in enumerate(batches):
+            apply_ts_epoch_reordered(
+                tails, matches, buffer,
+                spark.createDataFrame(b, SCH_LONG), epoch, "rnd",
+                *args, delay=delay)
+        flush = spark.createDataFrame([(99, 500, 500, 0.0)], SCH_LONG)
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, flush, len(batches), "rnd",
+            *args, delay=delay)
+        got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+               for r in matches.read().collect()}
+        assert got == want, trial
