@@ -185,14 +185,15 @@ def main() -> None:
         loadavg = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         loadavg = None
+    # Environment metadata: lets a reader distinguish "plan regression"
+    # from "contended sandbox" without re-running the bench. Printed as
+    # its OWN line, BEFORE the result line: the external recorder keeps
+    # only the last ~2000 chars of stdout and parses the final line as
+    # JSON, so the result line below must be self-contained and compact
+    # (VERDICT r11 item 4 — every prior round's artifact had the bulky
+    # env blob inline, pushing the line past the capture window and
+    # leaving the recorder's parsed field null).
     print(json.dumps({
-        "metric": "headline_queries_total_runtime",
-        "value": best["total_sec"],
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # Environment metadata: lets a reader distinguish "plan regression"
-        # from "contended sandbox" without re-running the bench.
         "env": {
             "loadavg_ambient_prestart": load_ambient,
             "loadavg_settled_pretimed": best["loadavg_settled_pretimed"],
@@ -204,12 +205,23 @@ def main() -> None:
             "sentinel": sentinel,
             "sentinel_timed_sec": best["sentinel_timed_sec"],
             "sentinel_rerun_sec": best["sentinel_rerun_sec"],
-            "sentinel_drift": best["sentinel_drift"],
             "sentinel_drift_max": drift_max,
-            "clean": best["sentinel_drift"] <= drift_max,
             "attempts": attempts,
         },
-    }))
+    }, separators=(",", ":")))
+    result_line = json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": best["total_sec"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "clean": best["sentinel_drift"] <= drift_max,
+        "sentinel_drift": best["sentinel_drift"],
+    }, separators=(",", ":"))
+    # Hard guard on the capture-window contract: better to fail loudly in
+    # a local run than to commit another tail-truncated artifact.
+    assert len(result_line) < 1950, len(result_line)
+    print(result_line)
     spark.stop()
 
 

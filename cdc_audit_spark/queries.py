@@ -7271,48 +7271,44 @@ def cdc_pca_moments_sync(spark, sf_dir):
 # behind the window; next round rotates the remaining unchecked ones in.
 
 _DRIVER_WINDOW = [
-    # r11 rotation (VERDICT r10 item 2). First: the full 25-query
-    # r07-green set (3 rounds stale at r10 — the stalest set, pre-listed
-    # in the r10 TODO):
-    "clean_boilerplate_tokens", "dedup_rate_by_source",
-    "embedding_l2_normalize", "events_daily_active", "events_hourly_stats",
-    "events_type_day_cube", "events_user_activity",
-    "events_value_histogram", "lang_distribution", "median_price_by_flag",
-    "nation_top_customer_list", "q13_order_count_distribution",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q19_disjunctive_revenue", "q20_bulk_part_suppliers", "revenue_rollup",
-    "scalar_function_sampler", "scan_filter_project", "text_quality",
-    "text_top_bigrams", "text_top_terms", "tfidf_top_terms",
-    "window_percent_rank", "window_running_total",
-    # registered this round, never driver-checked -> checked immediately
-    # (the maintained-state duplication report; the late-data streaming
-    # subsequence drain):
-    "cdc_component_stats_live", "cdc_ts_reorder_sync",
-    # 23 of the 50 r08-green queries (2 rounds stale) — CDC machinery
-    # and the dedup/curation pipeline first; the remaining 27
-    # (shard_global_shuffle, asof_forward_next_purchase,
-    # datetime_function_sampler,
-    # embedding_label_centroids, events_cohort_retention,
-    # events_hourly_anomalies, events_transition_matrix,
-    # full_outer_customer_supplier_nations, lineitem_stats_profile,
-    # ntile_price_quartiles, profile_orders, quality_filter_per_lang,
-    # quartiles_by_segment, regression_price_on_quantity,
-    # revenue_grouping_sets, set_except_unordered_parts,
-    # set_intersect_users, set_union_segments, skew_salted_user_rollup,
-    # table_checksum_orders, text_repetition_stats,
-    # window_dense_rank_brand_price, window_first_last_value,
-    # window_lag_delta, window_moving_avg, window_nth_value_second_order,
-    # window_time_range_sum) are the stalest set at r12 and rotate in
-    # first, plus whatever r11 registers after this window was pinned:
-    "cdc_ann_index_topk", "cdc_ann_pq_topk", "cdc_ann_serving_topk",
-    "cdc_binpack_read", "cdc_column_change_stats", "cdc_delete_vectors",
-    "cdc_eq_skip_read", "cdc_fk_orphans", "cdc_metadata_count",
-    "cdc_optimize_zorder_read", "corpus_curation_report",
-    "corpus_source_accounting", "decontam_benchmark_overlap",
-    "dedup_exact", "dedup_levenshtein_pairs", "dedup_ngram_jaccard_exact",
-    "dedup_prefix_digest", "knn_join_topk", "mix_weighted_sources",
-    "pack_token_chunks", "sample_hash_fraction",
-    "sample_split_train_valid", "sample_stratified_lang",
+    # r12 rotation (VERDICT r11 item 1). First: the full 27-query
+    # r08-green set — 3 rounds stale at r12, AT the staleness bound,
+    # pre-listed in the r11 window comment:
+    "shard_global_shuffle", "asof_forward_next_purchase",
+    "datetime_function_sampler", "embedding_label_centroids",
+    "events_cohort_retention", "events_hourly_anomalies",
+    "events_transition_matrix", "full_outer_customer_supplier_nations",
+    "lineitem_stats_profile", "ntile_price_quartiles", "profile_orders",
+    "quality_filter_per_lang", "quartiles_by_segment",
+    "regression_price_on_quantity", "revenue_grouping_sets",
+    "set_except_unordered_parts", "set_intersect_users",
+    "set_union_segments", "skew_salted_user_rollup",
+    "table_checksum_orders", "text_repetition_stats",
+    "window_dense_rank_brand_price", "window_first_last_value",
+    "window_lag_delta", "window_moving_avg",
+    "window_nth_value_second_order", "window_time_range_sum",
+    # Then 23 of the 50 r09-green queries (2 rounds stale) — the
+    # CDC-maintained index/mview family and the quality/LM pipeline
+    # first. The remaining 27 r09-green queries (pca_covariance_q,
+    # cdc_pca_moments_sync, cdc_bm25_serving_topk,
+    # anti_join_customers_without_orders, cdc_diff_event_counts,
+    # cdc_incremental_agg, cdc_keep_last, cdc_manifest_stream_drain,
+    # cdc_merge_replica_pruned, cdc_replay_state, cdc_scd2_history,
+    # clean_pii_redact, dedup_embedding_cosine, dedup_survivors,
+    # events_funnel, events_sessionize, events_sliding_window,
+    # filter_conj_eq, filter_contains, filter_isin, filter_range_closed,
+    # knn_cosine_topk, multimodal_payload_stats, q1_pricing_summary,
+    # text_bpe_token_counts, text_language_id, text_token_stats) hit the
+    # staleness bound at r13 and rotate in first next round, plus
+    # whatever r12 registers after this window is pinned:
+    "cdc_lm_index_sync", "cdc_merge_upsert", "cdc_table_changes",
+    "dedup_duplicate_spans", "dedup_span_excision", "dsir_bucket_counts",
+    "gopher_quality_rules", "ngram_lm_backoff_tiers",
+    "q11_important_parts", "semdedup_prune", "text_winnow_fingerprints",
+    "dsir_importance_sample", "ngram_lm_perplexity", "cdc_join_mview",
+    "cdc_incremental_variance", "cdc_distinct_mview", "cdc_median_mview",
+    "cdc_topk_mview", "bm25_topk", "bm25_index_topk", "hybrid_rrf_topk",
+    "cdc_bm25_index_sync", "weighted_sample_wor",
 ]
 
 
