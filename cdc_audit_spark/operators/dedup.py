@@ -915,10 +915,21 @@ def resolve_union_closure(
         parent = {r["child"]: r["parent"] for r in u_rows}
         flat: dict = {}
         for start in parent:
+            # Per-chain cycle guard: parents are resolved at write time so
+            # a healthy ledger is acyclic, but a corrupted/hand-edited one
+            # must fail loudly (like the iterative path's max_iter stop),
+            # not hang the driver.
             chain = []
+            on_chain = set()
             x = start
             while x in parent and x not in flat:
+                if x in on_chain:
+                    raise RuntimeError(
+                        f"union ledger contains a cycle through {x!r} — "
+                        "the ledger is corrupt; rebuild the components "
+                        "state instead of resolving it")
                 chain.append(x)
+                on_chain.add(x)
                 x = parent[x]
             root = flat.get(x, x)
             for node in chain:

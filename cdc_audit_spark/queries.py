@@ -5959,6 +5959,82 @@ def cdc_ts_reorder_sync(spark, sf_dir):
 _REGISTRY["cdc_ts_reorder_sync"].oracle = _ts_subsequence_oracle()
 
 
+@register(
+    "cdc_ts_reorder_keyed",
+    None,  # oracle attached below — the SAME top-25 closure as the batch
+    "PER-KEY-WATERMARK streaming subsequence search "
+    "(apply_ts_epoch_reordered(per_key=True)): the user series split "
+    "into two delivery groups with group B lagging a full tercile "
+    "behind group A — cross-key event-time skew far beyond the reorder "
+    "delay, which the GLOBAL watermark refuses outright — plus a "
+    "delayed band within every epoch. Each key's frontier is its OWN "
+    "max(ts) - delay, derived from the committed tails/buffer state "
+    "(no extra state table), so skewed-but-ordered series release "
+    "independently; a per-user far-future sentinel then flushes every "
+    "real window (the sentinels themselves stay buffered — within "
+    "their own keys' delay — so no garbage window scores). The "
+    "accumulated matches, cut to the exact-integer top-25, must equal "
+    "the one-shot batch kernel: the oracle IS ts_subsequence_match's.",
+)
+def cdc_ts_reorder_keyed(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    t1, t2 = lo + span / 3, lo + 2 * span / 3
+    band = span / 10
+    # covers the within-key delayed bands only: the tercile-wide
+    # cross-group skew below stays far beyond it
+    delay = 3 * band
+    is_b = F.col("user_id") % 2 == 1
+    late0 = (F.col("ts") >= F.lit(t1 - band)) & (F.col("ts") < F.lit(t1))
+    late1 = (F.col("ts") >= F.lit(t2 - band)) & (F.col("ts") < F.lit(t2))
+    s0 = (F.col("ts") < F.lit(t1)) & ~late0
+    s1 = (late0 | ((F.col("ts") >= F.lit(t1))
+                   & (F.col("ts") < F.lit(t2)))) & ~late1
+    s2 = late1 | (F.col("ts") >= F.lit(t2))
+    epochs = [
+        ev.filter(~is_b & s0),
+        ev.filter((~is_b & s1) | (is_b & s0)),  # B starts a tercile late
+        ev.filter((~is_b & s2) | (is_b & s1)),
+        ev.filter(is_b & s2),
+        # per-user sentinel: advances each key's OWN clock so every real
+        # window releases; itself stays within its key's delay -> pending
+        ev.select("user_id").distinct().select(
+            "user_id", F.lit(hi + delay + span / 100).alias("ts"),
+            F.lit(-1).alias("event_id"), F.lit(0.0).alias("value")),
+    ]
+    root = tempfile.mkdtemp(prefix="cdc_ts_reorder_keyed_")
+    try:
+        tails = ManifestTable(spark, f"{root}/tails")
+        matches = ManifestTable(spark, f"{root}/matches")
+        buffer = ManifestTable(spark, f"{root}/buffer")
+        for epoch, b in enumerate(epochs):
+            apply_ts_epoch_reordered(
+                tails, matches, buffer, b, epoch, "reorder_keyed",
+                "user_id", "ts", "event_id", "value", _TS_QUERY_PATTERN,
+                delay=delay, per_key=True)
+        out = (matches.read()
+               .filter(F.col("event_id") >= 0)
+               .orderBy(F.col("dist2_micro"), F.col("user_id"),
+                        F.col("event_id"))
+               .limit(25))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_REGISTRY["cdc_ts_reorder_keyed"].oracle = _ts_subsequence_oracle()
+
+
 _CCNET_PERP_SQL = _REGISTRY["ngram_lm_perplexity"].oracle
 
 
@@ -7298,9 +7374,10 @@ _DRIVER_WINDOW = [
     # events_funnel, events_sessionize, events_sliding_window,
     # filter_conj_eq, filter_contains, filter_isin, filter_range_closed,
     # knn_cosine_topk, multimodal_payload_stats, q1_pricing_summary,
-    # text_bpe_token_counts, text_language_id, text_token_stats) hit the
-    # staleness bound at r13 and rotate in first next round, plus
-    # whatever r12 registers after this window is pinned:
+    # text_bpe_token_counts, text_language_id, text_token_stats, plus
+    # weighted_sample_wor displaced by this round's new registrations)
+    # hit the staleness bound at r13 and rotate in first next round,
+    # plus whatever r12 registers after this window is pinned:
     "cdc_lm_index_sync", "cdc_merge_upsert", "cdc_table_changes",
     "dedup_duplicate_spans", "dedup_span_excision", "dsir_bucket_counts",
     "gopher_quality_rules", "ngram_lm_backoff_tiers",
@@ -7308,7 +7385,10 @@ _DRIVER_WINDOW = [
     "dsir_importance_sample", "ngram_lm_perplexity", "cdc_join_mview",
     "cdc_incremental_variance", "cdc_distinct_mview", "cdc_median_mview",
     "cdc_topk_mview", "bm25_topk", "bm25_index_topk", "hybrid_rrf_topk",
-    "cdc_bm25_index_sync", "weighted_sample_wor",
+    "cdc_bm25_index_sync",
+    # registered this round, never driver-checked -> checked immediately
+    # (the per-key-watermark reorder drain):
+    "cdc_ts_reorder_keyed",
 ]
 
 

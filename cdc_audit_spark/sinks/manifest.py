@@ -95,7 +95,16 @@ def _plain(v):
 # commit's delta alone).
 _STATE_KEYS = ("watermark", "epoch", "run_id", "wipe_through",
                "wipe_pk_cols", "schema", "cdc_schema", "cdc_audit_cols",
-               "txns", "constraints")
+               "txns", "constraints",
+               # components-ledger state (streaming/stream_components.py):
+               # the fingerprint config the ledgers were built with and
+               # the generation token of the newest rebuild. Both are
+               # TABLE state, not one-commit markers — inheriting them
+               # physically makes the newest manifest authoritative, so a
+               # generic maintenance commit (compact/binpack/constraint)
+               # can never bury a pending-rebuild marker and the cfg
+               # check never walks history.
+               "components_cfg", "components_rebuild")
 
 # Deletion-vector payload keys (dv_dirs: live DV key files; dv_meta:
 # per-DV {key, rows, files, covers}) survive only through commits that

@@ -50,6 +50,7 @@ __all__ = [
     "deleted_fraction",
     "finish_pending_rebuild",
     "maybe_cluster_components_index",
+    "maybe_compact_members",
     "maybe_rebuild_components",
     "maybe_resolve_components",
     "remove_components_members",
@@ -64,9 +65,14 @@ _IDX_CLUSTER_DIRS = 8
 
 
 def _newest_token(table) -> str | None:
-    """The rebuild token stamped on the table's NEWEST manifest, if any.
-    Only the newest matters: any later commit (an epoch append, another
-    maintenance op) supersedes the marker."""
+    """The table's current rebuild-generation token, if any. The token is
+    a ``_STATE_KEYS`` member (``sinks/manifest.py``), so EVERY commit —
+    epoch appends, deletes, and crucially generic maintenance the module
+    never sees (``compact_small``/``optimize``/``add_constraint``) —
+    inherits it physically into its own manifest: the newest manifest is
+    authoritative and an out-of-band commit during the crash window can
+    never bury a pending marker (the r11 ADVICE hole). Only a NEW rebuild
+    supersedes the token, by stamping its own."""
     cur = table.current_version()
     if cur is None:
         return None
@@ -78,7 +84,9 @@ def _rebuild_pending(members, idx, unions) -> str | None:
     three same-token commits (members, idx, unions — in that order); the
     members commit carrying a token the OTHER two newest manifests don't
     both carry means a crash struck between the overwrites. Three
-    metadata reads, zero Spark jobs."""
+    metadata reads, zero Spark jobs — and since the token is inherited
+    state (see ``_newest_token``), the check stays sound across any
+    interleaved commit."""
     tok = _newest_token(members)
     if tok is None:
         return None
@@ -140,10 +148,11 @@ def _check_cfg(members, k: int, w: int) -> dict:
     """Refuse fingerprint-config drift: an epoch applied with a different
     (k, w) than the ledgers were built with would emit fingerprints the
     existing index can never match — batches would silently stop finding
-    their duplicates. Every apply-epoch commit stamps its config; the
-    newest stamped manifest is the contract (the backward walk is the
-    ``_version_before_epoch`` pattern — maintenance overwrites between
-    apply commits don't carry the stamp and are skipped)."""
+    their duplicates. Every apply-epoch commit stamps its config, and the
+    stamp is inherited state (``_STATE_KEYS``), so the newest manifest
+    carries it and the walk below breaks on its first read — O(1) after
+    any maintenance streak. The loop form survives as the fallback for
+    ledgers whose newest commits predate the inheritance."""
     cfg = {"k": int(k), "w": int(w)}
     for v in reversed(members.versions()):
         prev = members.manifest(v).get(_CFG_KEY)
@@ -157,6 +166,44 @@ def _check_cfg(members, k: int, w: int) -> dict:
                     "rebuild the state from scratch")
             break
     return cfg
+
+
+def _last_epoch_tag(table) -> tuple:
+    """The (epoch, run_id) the table's newest manifest carries — exact in
+    one metadata read, because both keys are inherited state
+    (``_STATE_KEYS``) physically present on every commit."""
+    cur = table.current_version()
+    if cur is None:
+        return (None, None)
+    m = table.manifest(cur)
+    return (m.get("epoch"), m.get("run_id"))
+
+
+def _check_no_half_landed_epoch(members, idx, unions) -> None:
+    """Refuse maintenance while an insert epoch is half-landed across the
+    three ledgers (their newest (epoch, run_id) tags disagree — every
+    complete epoch commits to all three, so disagreement means a crash
+    struck between the appends and Spark's redelivery has not run yet).
+
+    Maintenance injected into that window reads an INCONSISTENT
+    cross-table state — e.g. a rebuild would derive fresh labels from a
+    members ledger that already holds the epoch's docs and an index that
+    doesn't, then the redelivered epoch appends deltas computed against
+    the true pre-epoch state, leaving members and idx with divergent
+    labels for the same documents. No heal can reconcile that after the
+    fact; the only safe order is: let the stream redeliver (which
+    completes the epoch exactly-once), then maintain. Three metadata
+    reads."""
+    tags = {"members": _last_epoch_tag(members),
+            "idx": _last_epoch_tag(idx),
+            "unions": _last_epoch_tag(unions)}
+    if len(set(tags.values())) > 1:
+        raise RuntimeError(
+            f"an insert epoch is half-landed across the components "
+            f"ledgers ({tags}) — a crash is pending redelivery. Restart "
+            "the stream (or re-apply the epoch) to complete it, then run "
+            "the maintenance: maintaining a half-landed state would bake "
+            "cross-table label divergence into the ledgers")
 
 
 def _check_unique_ids(batch_df, id_col: str, idx_df) -> None:
@@ -199,6 +246,7 @@ def apply_components_epoch(
     k: int = 5,
     w: int = 4,
     max_fp_df: int | None = None,
+    members_max_dirs: int = 64,
 ) -> None:
     """One insert micro-batch of the exactly-once components drain.
 
@@ -274,6 +322,8 @@ def apply_components_epoch(
             idx_df.unpersist()
     maybe_cluster_components_index(idx)
     maybe_resolve_components(members, idx, unions)
+    maybe_compact_members(members, max_dirs=members_max_dirs)
+    maybe_compact_members(unions, max_dirs=members_max_dirs)
 
 
 def maybe_resolve_components(members, idx, unions,
@@ -315,10 +365,20 @@ def maybe_resolve_components(members, idx, unions,
                   for r in unions.read(cur).collect()}
         depth: dict = {}
         for start in parent:
+            # Same per-chain cycle guard as resolve_union_closure: a
+            # corrupt (cyclic) ledger raises instead of hanging the
+            # driver-side depth walk.
             chain = []
+            on_chain = set()
             x = start
             while x in parent and x not in depth:
+                if x in on_chain:
+                    raise RuntimeError(
+                        f"union ledger contains a cycle through {x!r} — "
+                        "the ledger is corrupt; rebuild the components "
+                        "state instead of resolving it")
                 chain.append(x)
+                on_chain.add(x)
                 x = parent[x]
             base = depth.get(x, 0)
             for i, node in enumerate(reversed(chain), start=1):
@@ -327,6 +387,35 @@ def maybe_resolve_components(members, idx, unions,
             return False
     resolve_components_state(members, idx, unions)
     return True
+
+
+def maybe_compact_members(table, max_dirs: int = 64) -> int | None:
+    """Fan-in policy for the members ledger — and for the unions append
+    tail, which has the same shape: every epoch lands one small dir on
+    each (unions even when the delta is empty, for the replay guard), so
+    a thousand-epoch drain with few merges and no removals would list a
+    thousand dirs per ``current_components`` read. idx has
+    ``maybe_cluster_components_index`` and unions' CONTENT is bounded by
+    ``maybe_resolve_components``, but nothing bounded the dir counts.
+    Bin-packs the small dirs (``compact_small`` — O(small dirs), never
+    O(table): right-sized dirs are carried verbatim) once fan-in passes
+    ``max_dirs``; epoch/cfg/token state inherits physically through the
+    binpack commit, so replay guards and the rebuild-token protocol
+    never notice.
+
+    Deliberately a no-op under live deletion vectors: ``compact_small``
+    reads dirs raw (it refuses), and a materializing ``compact()`` would
+    reset ``deleted_fraction`` to zero — silently disarming
+    ``maybe_rebuild_components``'s trigger while the clustering still
+    reflects the removed docs. The rebuild that fraction is heading
+    toward rewrites the ledger as one dir anyway."""
+    cur = table.current_version()
+    if cur is None:
+        return None
+    m = table.manifest(cur)
+    if len(m["dirs"]) <= max_dirs or m.get("dv_dirs"):
+        return None
+    return table.compact_small()
 
 
 def maybe_cluster_components_index(idx, max_dirs: int = 64,
@@ -397,9 +486,11 @@ def resolve_components_state(members, idx, unions) -> None:
 
     Heals a half-landed rebuild FIRST: resolving fresh rebuild labels
     through a stale pre-rebuild ledger would bake the corruption into
-    the base ledgers permanently (and this function's own members
-    overwrite would bury the pending-rebuild token)."""
+    the base ledgers permanently. Refuses under a half-landed insert
+    EPOCH (see ``_check_no_half_landed_epoch``): the cross-table state
+    is inconsistent until the stream redelivers."""
     finish_pending_rebuild(members, idx, unions)
+    _check_no_half_landed_epoch(members, idx, unions)
     cur_u = unions.current_version()
     u = unions.read() if cur_u is not None else None
     m = members.read()
@@ -444,9 +535,12 @@ def remove_components_members(members, idx, unions, ids) -> dict:
     expression."""
     from pyspark.sql import DataFrame
 
-    # heal first: this function commits to members without the rebuild
-    # token, which would otherwise bury a half-landed rebuild's marker
+    # heal first (a half-landed rebuild must not serve as the delete
+    # baseline), and refuse under a half-landed insert epoch (deleting
+    # from an epoch's landed half while its other half is pending
+    # redelivery would interleave with the replay's pinned reads)
     finish_pending_rebuild(members, idx, unions)
+    _check_no_half_landed_epoch(members, idx, unions)
     if isinstance(ids, DataFrame):
         keys = ids.select(F.col(ids.columns[0]).alias("id"))
         n_m = members.row_count()
@@ -514,6 +608,7 @@ def maybe_rebuild_components(members, idx, unions,
     )
 
     finish_pending_rebuild(members, idx, unions)
+    _check_no_half_landed_epoch(members, idx, unions)
     if deleted_fraction(members) <= max_deleted_frac:
         return None
     live = idx.read().select("fp", "id")
@@ -554,6 +649,7 @@ def stream_components_sync(
     k: int = 5,
     w: int = 4,
     max_fp_df: int | None = None,
+    members_max_dirs: int = 64,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ):
@@ -578,6 +674,7 @@ def stream_components_sync(
             members, idx, unions, batch_df, epoch_id,
             genstate.checkpoint_run_id(checkpoint_path),
             text_col, id_col, k=k, w=w, max_fp_df=max_fp_df,
+            members_max_dirs=members_max_dirs,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(

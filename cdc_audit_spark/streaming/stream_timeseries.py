@@ -42,6 +42,10 @@ in-order by construction — feed the matcher. A point later than
 not). The buffer is append-only with the watermark DEFINING liveness
 (live = ts > wm), so releases are metadata-free; ``maybe_fold_buffer``
 physically drops released rows on the usual dir-fan-in cadence.
+``per_key=True`` scopes the watermark to each key's own clock — derived
+from committed state (the tails LSM records every key's released
+frontier), so skewed-but-ordered series never refuse each other while
+beyond-delay lateness WITHIN a key still does.
 
 Reference parity: none — the reference has no time-series surface; this
 extends the SURVEY §2.11 streaming tier.
@@ -60,6 +64,7 @@ __all__ = [
     "apply_ts_epoch",
     "apply_ts_epoch_reordered",
     "maybe_fold_buffer",
+    "maybe_fold_buffer_keyed",
     "maybe_fold_tails",
     "stream_subsequence_sync",
 ]
@@ -149,6 +154,44 @@ def apply_ts_epoch(
     maybe_fold_tails(tails, key_col)
 
 
+def _check_wm_mode(buffer, keyed: bool) -> None:
+    """Refuse watermark-mode mixing on an existing buffer: a per-key
+    buffer read by the global release rule would re-release rows (loud
+    downstream, but confusing), and a global buffer read per-key would
+    derive frontiers the stamps never promised. Newest-manifest check —
+    every buffer commit (epoch append or fold) stamps its mode."""
+    cur = buffer.current_version()
+    if cur is None:
+        return
+    m = buffer.manifest(cur)
+    if keyed and "wm" in m:
+        raise ValueError(
+            "this reorder buffer was built with the GLOBAL watermark "
+            "(wm stamps present) — per_key=True cannot resume it; use a "
+            "fresh buffer table")
+    if not keyed and m.get("wm_keyed"):
+        raise ValueError(
+            "this reorder buffer was built with PER-KEY watermarks — "
+            "the global release rule cannot resume it; pass per_key=True "
+            "or use a fresh buffer table")
+
+
+def _keyed_wm_frame(buf_rows, tail_rows, key_col: str, ts_col: str, delay):
+    """(key, __wm_prev): each key's maximum event time EVER seen, minus
+    ``delay`` — derived entirely from committed state, no fourth state
+    table. The derivation is exact because the tails LSM always holds a
+    key's newest RELEASED point (its per-key max IS the released
+    frontier), every still-live buffered row is strictly later than
+    every released row of its key (releases are watermark bands), and a
+    stale (released-but-unfolded) buffered row can never exceed the
+    tail's max — so max(tails ∪ buffer) per key = max ever seen."""
+    seen = buf_rows.select(key_col, ts_col)
+    if tail_rows is not None:
+        seen = seen.unionByName(tail_rows.select(key_col, ts_col))
+    return seen.groupBy(key_col).agg(
+        (F.max(ts_col) - F.lit(delay)).alias("__wm_prev"))
+
+
 def _wm_extra(wm) -> dict:
     """Serialize the watermark into commit-extra JSON. Timestamp
     watermarks ride as ISO strings (the session pins UTC, so naive
@@ -192,6 +235,7 @@ def apply_ts_epoch_reordered(
     query: list[float],
     delay,
     max_dist2_micro: int | None = None,
+    per_key: bool = False,
 ) -> None:
     """One micro-batch of the LATE-DATA-TOLERANT matcher: buffer, then
     release in watermark order, then score (see the module doc).
@@ -201,11 +245,23 @@ def apply_ts_epoch_reordered(
     for numeric columns. Points may arrive in any order as long as each
     lands within ``delay`` of the maximum ts seen so far; a point later
     than that refuses loudly (it can no longer be spliced into windows
-    the watermark already released). The watermark is GLOBAL across
-    keys — Spark's own event-time semantics — so ``delay`` must also
-    cover cross-key event-time skew: a series lagging more than
-    ``delay`` behind the fastest series' clock refuses just like late
-    data would.
+    the watermark already released).
+
+    By default the watermark is GLOBAL across keys — Spark's own
+    event-time semantics — so ``delay`` must also cover cross-key
+    event-time skew: a series lagging more than ``delay`` behind the
+    fastest series' clock refuses just like late data would.
+    ``per_key=True`` releases each key's band at its OWN ``max(ts_k) -
+    delay`` instead: a lagging-but-ordered series (per-device telemetry
+    with skewed clocks) never refuses because a fast series advanced,
+    while beyond-``delay`` lateness WITHIN a key still refuses. The
+    per-key frontier is derived from committed state alone (see
+    ``_keyed_wm_frame`` — the tails LSM already records each key's
+    released frontier), so no extra state table exists; the inherent
+    tradeoff is that a key that stops sending keeps its final
+    sub-``delay`` band buffered until that key's own clock advances
+    (send a per-key sentinel to flush). Modes are stamped and cannot be
+    mixed on one buffer.
 
     Replay story: the released band is a deterministic function of
     (batch, buffer state pinned before the epoch) — wm_prev comes from
@@ -219,9 +275,20 @@ def apply_ts_epoch_reordered(
     if (b_done and matches.epoch_applied(epoch_id, run_id)
             and tails.epoch_applied(epoch_id, run_id)):
         return
+    _check_wm_mode(buffer, keyed=per_key)
     batch = batch_df.select(
         F.col(key_col), F.col(ts_col), F.col(tie_col), F.col(val_col)
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if per_key:
+        try:
+            _apply_reordered_keyed(
+                tails, matches, buffer, batch, epoch_id, run_id,
+                key_col, ts_col, tie_col, val_col, query, delay,
+                max_dist2_micro, b_done)
+        finally:
+            batch.unpersist()
+        maybe_fold_buffer_keyed(buffer, tails, key_col, ts_col, delay)
+        return
     try:
         pre = _version_before_epoch(buffer, epoch_id)
         wm_prev = _wm_at(buffer, pre)
@@ -267,6 +334,100 @@ def apply_ts_epoch_reordered(
     finally:
         batch.unpersist()
     maybe_fold_buffer(buffer, ts_col)
+
+
+def _apply_reordered_keyed(
+    tails, matches, buffer, batch, epoch_id, run_id,
+    key_col, ts_col, tie_col, val_col, query, delay,
+    max_dist2_micro, b_done,
+) -> None:
+    """The per-key release rule of ``apply_ts_epoch_reordered``. Only the
+    batch's own keys participate: a key's frontier advances only when
+    that key delivers (so its buffered rows and released band are read
+    pruned to the touched keys — tighter than the global rule's full
+    buffer scan), and an untouched key's buffer simply rides. All reads
+    pinned before the epoch; same replay determinism as the global
+    path."""
+    pre_b = _version_before_epoch(buffer, epoch_id)
+    pre_t = _version_before_epoch(tails, epoch_id)
+    bkeys = batch.select(key_col).distinct()
+    buf_rows = (buffer.read_pruned_for_keys(bkeys, key_col, version=pre_b)
+                .select(key_col, ts_col, tie_col, val_col)
+                .join(bkeys, key_col, "left_semi")
+                if pre_b is not None
+                else batch.filter(F.lit(False)))
+    tail_rows = (tails.read_pruned_for_keys(bkeys, key_col, version=pre_t)
+                 .join(bkeys, key_col, "left_semi")
+                 if pre_t is not None else None)
+    wmf = _keyed_wm_frame(buf_rows, tail_rows, key_col, ts_col,
+                          delay).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # refusal: later than the key's OWN reorder bound (null frontier
+        # = never-seen key: nothing released yet, nothing can be late)
+        n_too_late = (batch.join(wmf, key_col, "left")
+                      .filter(F.col(ts_col) <= F.col("__wm_prev")).count())
+        if n_too_late:
+            raise ValueError(
+                f"apply_ts_epoch_reordered(per_key=True): {n_too_late} "
+                "point(s) arrived at or before their key's watermark — "
+                "later than the configured reorder delay allows within "
+                "that series. Raise `delay` to cover the source's real "
+                "per-key out-of-orderness; silently dropping or "
+                "mis-splicing them is not an option for a scoring engine")
+        new_wm = (batch.groupBy(key_col)
+                  .agg((F.max(ts_col) - F.lit(delay)).alias("__cand"))
+                  .join(wmf, key_col, "left")
+                  .select(key_col,
+                          F.greatest("__cand", "__wm_prev").alias("__wm"),
+                          "__wm_prev"))
+        live_buf = (buf_rows.join(new_wm.select(key_col, "__wm_prev"),
+                                  key_col, "left")
+                    .filter(F.col("__wm_prev").isNull()
+                            | (F.col(ts_col) > F.col("__wm_prev")))
+                    .drop("__wm_prev"))
+        pending = live_buf.unionByName(batch)
+        wm_only = new_wm.select(key_col, "__wm")
+        released = (pending.join(wm_only, key_col, "left")
+                    .filter(F.col(ts_col) <= F.col("__wm")).drop("__wm"))
+        apply_ts_epoch(
+            tails, matches, released, epoch_id, run_id,
+            key_col, ts_col, tie_col, val_col, query,
+            max_dist2_micro=max_dist2_micro)
+        if not b_done:
+            still = (batch.join(wm_only, key_col, "left")
+                     .filter(F.col("__wm").isNull()
+                             | (F.col(ts_col) > F.col("__wm")))
+                     .drop("__wm"))
+            buffer.append(
+                still,
+                extra={"epoch": int(epoch_id), "run_id": run_id,
+                       "wm_keyed": True},
+                stats_cols=[ts_col, key_col])
+    finally:
+        wmf.unpersist()
+
+
+def maybe_fold_buffer_keyed(buffer, tails, key_col: str, ts_col: str,
+                            delay, max_dirs: int = 64,
+                            n_dirs: int = 8) -> int | None:
+    """Per-key twin of ``maybe_fold_buffer``: physically drop each key's
+    released rows (ts at or below the key's derived frontier) when the
+    buffer's dir fan-in passes ``max_dirs``. Survivors land key-clustered
+    — the per-epoch read is pruned BY KEY in this mode, so key-range dirs
+    are what it skips on."""
+    cur = buffer.current_version()
+    if cur is None:
+        return None
+    if len(buffer.manifest(cur)["dirs"]) <= max_dirs:
+        return None
+    buf = buffer.read()
+    wmf = _keyed_wm_frame(buf, tails.read(), key_col, ts_col, delay)
+    live = (buf.join(wmf, key_col, "left")
+            .filter(F.col("__wm_prev").isNull()
+                    | (F.col(ts_col) > F.col("__wm_prev")))
+            .drop("__wm_prev"))
+    return buffer.overwrite_clustered(live, key_col, n_dirs=n_dirs,
+                                      extra={"wm_keyed": True})
 
 
 def maybe_fold_buffer(buffer, ts_col: str, max_dirs: int = 64,
@@ -324,6 +485,7 @@ def stream_subsequence_sync(
     max_dist2_micro: int | None = None,
     reorder_delay=None,
     buffer_path: str | None = None,
+    per_key_watermark: bool = False,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ):
@@ -336,7 +498,10 @@ def stream_subsequence_sync(
     the watermarked reorder stage in front of the matcher
     (``apply_ts_epoch_reordered``): points may then arrive out of order
     within ``reorder_delay`` of the stream's event-time high-water mark;
-    matches trail ingestion by the watermark delay. Without it, per-key
+    matches trail ingestion by the watermark delay.
+    ``per_key_watermark=True`` scopes that high-water mark to each key's
+    own clock (skewed per-device series never refuse each other; see
+    ``apply_ts_epoch_reordered``). Without a reorder stage, per-key
     arrival must be (ts, tie)-nondecreasing across batches."""
     from cdc_audit_spark.sinks.manifest import ManifestTable
 
@@ -361,7 +526,8 @@ def stream_subsequence_sync(
             apply_ts_epoch_reordered(
                 tails, matches, buffer, batch_df, epoch_id, run_id,
                 key_col, ts_col, tie_col, val_col, query,
-                delay=reorder_delay, max_dist2_micro=max_dist2_micro)
+                delay=reorder_delay, max_dist2_micro=max_dist2_micro,
+                per_key=per_key_watermark)
         else:
             apply_ts_epoch(
                 matches=matches, tails=tails, batch_df=batch_df,

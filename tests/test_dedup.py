@@ -832,3 +832,21 @@ def test_star_edges_closure_equals_pair_closure_random(spark):
         a = {(r["id"], r["component"]) for r in via_pairs.collect()}
         b = {(r["id"], r["component"]) for r in via_star.collect()}
         assert a == b, trial
+
+
+def test_resolve_union_closure_cyclic_ledger_raises(spark):
+    """ADVICE r11: a corrupt (cyclic) unions ledger must raise from the
+    driver flatten — mirroring the iterative path's max_iter stop —
+    instead of hanging the driver forever. Self-loops count as cycles."""
+    import pytest
+
+    from cdc_audit_spark.operators.dedup import resolve_union_closure
+
+    labels = spark.createDataFrame([(1,), (2,), (3,)], "label long")
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                                "child long, parent long")
+    with pytest.raises(RuntimeError, match="cycle"):
+        resolve_union_closure(labels, cyc)
+    loop = spark.createDataFrame([(4, 4)], "child long, parent long")
+    with pytest.raises(RuntimeError, match="cycle"):
+        resolve_union_closure(labels, loop)

@@ -597,3 +597,154 @@ def test_components_max_fp_df_cap(spark, tmp_path):
     assert maybe_rebuild_components(members, idx, unions,
                                     max_deleted_frac=0.2, max_fp_df=3)
     assert _got(tables) == {i: i for i in range(1, 5)}
+
+
+def test_rebuild_token_survives_generic_maintenance(spark, tmp_path):
+    """ADVICE r11: a generic ManifestTable commit on members during a
+    rebuild's crash window (here add_constraint — any out-of-band
+    maintenance this module never sees) must NOT bury the pending-rebuild
+    marker: the token is inherited manifest state, so detection, the
+    read-side guard, and the idempotent heal all survive the commit."""
+    from cdc_audit_spark.streaming.stream_components import (
+        _rebuild_pending,
+        finish_pending_rebuild,
+        maybe_rebuild_components,
+        remove_components_members,
+    )
+
+    pay = "same exact payload tokens here repeated verbatim always"
+    base = [(2, pay),
+            (50, "unique fifty text with plenty of tokens to fingerprint"),
+            (51, "another singleton document with its own novel words")]
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    _apply(tables, spark.createDataFrame(base, SCH), 0)
+    _apply(tables, spark.createDataFrame([(1, pay)], SCH), 1)
+    remove_components_members(members, idx, unions, [1])
+    orig = idx.overwrite_clustered
+    idx.overwrite_clustered = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        maybe_rebuild_components(members, idx, unions, max_deleted_frac=0.2)
+    idx.overwrite_clustered = orig
+    assert _rebuild_pending(members, idx, unions) is not None
+
+    # the out-of-band commit that used to bury the token
+    members.add_constraint("id_nonneg", "id >= 0")
+    tok = _rebuild_pending(members, idx, unions)
+    assert tok is not None
+    assert members.manifest(members.current_version()).get(
+        "components_rebuild") == tok  # physically inherited
+
+    want = {2: 2, 50: 50, 51: 51}
+    assert _got(tables) == want          # reads still ignore stale ledger
+    assert finish_pending_rebuild(members, idx, unions)
+    assert unions.read().count() == 0
+    assert _got(tables) == want
+    assert not finish_pending_rebuild(members, idx, unions)
+
+
+def test_maintenance_refused_during_half_landed_epoch(spark, tmp_path):
+    """ADVICE r11: maintenance injected between an epoch's crash and its
+    redelivery reads an inconsistent cross-table state (members holds the
+    epoch's docs, idx doesn't) — every maintenance entry point must refuse
+    loudly; after redelivery completes the epoch, the same maintenance
+    proceeds and the labels are exact."""
+    from cdc_audit_spark.streaming.stream_components import (
+        maybe_rebuild_components,
+        remove_components_members,
+    )
+
+    docs = spark.createDataFrame(DOCS, SCH)
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    _apply(tables, docs.filter(F.col("doc_id").isin(20, 30, 40, 50)), 0)
+    b1 = docs.filter(F.col("doc_id").isin(10, 5, 7))
+    orig = idx.append
+    idx.append = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        _apply(tables, b1, 1)
+    idx.append = orig
+
+    with pytest.raises(RuntimeError, match="half-landed"):
+        resolve_components_state(members, idx, unions)
+    with pytest.raises(RuntimeError, match="half-landed"):
+        maybe_rebuild_components(members, idx, unions)
+    with pytest.raises(RuntimeError, match="half-landed"):
+        remove_components_members(members, idx, unions, [50])
+
+    _apply(tables, b1, 1)  # redelivery completes the epoch
+    resolve_components_state(members, idx, unions)
+    assert unions.read().count() == 0
+    assert _got(tables) == _one_shot(spark, docs)
+
+
+def test_version_before_epoch_skips_tagged_maintenance(spark, tmp_path):
+    """ADVICE r11 pin: a maintenance overwrite inherits the last epoch
+    tag physically, so a replay of that epoch pins the TRUE pre-epoch
+    version (not the maintenance rewrite, which already contains the
+    epoch's own rows) — the unique-id probe never sees the batch's own
+    ids and the delta recompute reads the state attempt 1 read."""
+    from cdc_audit_spark.streaming.stream_dedup import _version_before_epoch
+
+    docs = spark.createDataFrame(DOCS, SCH)
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    _apply(tables, docs.filter(F.col("doc_id").isin(20, 30, 40, 50)), 0)
+    pre = idx.current_version()
+    _apply(tables, docs.filter(F.col("doc_id").isin(10, 5, 7)), 1)
+    resolve_components_state(members, idx, unions)  # tagged maintenance
+    assert idx.manifest(idx.current_version()).get("epoch") == 1
+    assert _version_before_epoch(idx, 1) == pre
+    # a replayed epoch 1 after the maintenance is a clean no-op
+    vers = (members.current_version(), idx.current_version(),
+            unions.current_version())
+    _apply(tables, docs.filter(F.col("doc_id").isin(10, 5, 7)), 1)
+    assert (members.current_version(), idx.current_version(),
+            unions.current_version()) == vers
+    assert _got(tables) == _one_shot(spark, docs)
+
+
+def test_members_unions_fanin_bounded(spark, tmp_path):
+    """VERDICT r11: a long drain with few merges and no removals must not
+    grow the members/unions dir listing one dir per epoch forever — the
+    compaction policy bin-packs the append tail, invisibly to the epoch
+    guards and the labeling."""
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    pay = "identical duplicate payload shared by the two twin documents"
+    rows = [(1000 + e,
+             pay if e in (3, 11) else
+             f"unique document number {e} with plenty of distinct words "
+             f"w{e}a w{e}b w{e}c w{e}d")
+            for e in range(20)]
+    seen = []
+    for e, row in enumerate(rows):
+        seen.append(row)
+        apply_components_epoch(*tables, spark.createDataFrame([row], SCH),
+                               e, "run0", "text", "doc_id",
+                               members_max_dirs=6)
+        for t in (members, unions):
+            n = len(t.manifest(t.current_version())["dirs"])
+            assert n <= 7, (e, t.path, n)
+        assert _got(tables) == _one_shot(spark,
+                                         spark.createDataFrame(seen, SCH))
+    # the twins actually merged (the compacted state kept the index live)
+    got = _got(tables)
+    assert got[1011] == got[1003] == 1003
+
+
+def test_maybe_resolve_cyclic_ledger_raises(spark, tmp_path):
+    """A corrupt (cyclic) unions ledger must fail the depth walk loudly
+    instead of hanging the driver."""
+    from cdc_audit_spark.streaming.stream_components import (
+        maybe_resolve_components,
+    )
+
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    unions.append(spark.createDataFrame([(1, 2), (2, 1)],
+                                        "child long, parent long"))
+    with pytest.raises(RuntimeError, match="cycle"):
+        maybe_resolve_components(members, idx, unions)

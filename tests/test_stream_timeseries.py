@@ -385,3 +385,184 @@ def test_ts_reorder_random_deliveries_match_truth(spark, tmp_path):
         got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
                for r in matches.read().collect()}
         assert got == want, trial
+
+
+def _skewed_fixture(spark, delay=8):
+    """Two in-order series whose clocks are skewed FAR beyond the delay
+    (key 2 runs 5000 ticks ahead), interleaved per delivery, each key
+    independently jittered within the delay. The global watermark refuses
+    this (key 1 lags the stream's high-water mark by 5000); the per-key
+    rule must stream it to the batch truth. The flush batch advances each
+    key's OWN clock (a far-future point per key, part of the truth)."""
+    import math as _m
+    import random
+
+    rng = random.Random(7)
+    rows = [(1, t, t, _m.sin(t / 3.0)) for t in range(48)]
+    rows += [(2, 5000 + t, t, _m.cos(t / 3.0)) for t in range(48)]
+    # the flush points release every real window but stay pending
+    # themselves (each is within its own key's delay of the frontier) —
+    # the documented per-key semantics — so the truth excludes them and
+    # the windows they would someday complete
+    flush_rows = [(1, 9000, 900, 0.0), (2, 14000, 901, 0.0)]
+    full = spark.createDataFrame(rows, SCH_LONG)
+
+    def jittered_slices(key_rows):
+        order = sorted(key_rows,
+                       key=lambda r: r[1] + rng.uniform(0, delay - 1))
+        n = len(order) // 3
+        return order[:n], order[n:2 * n], order[2 * n:]
+
+    s1, s2 = jittered_slices(rows[:48]), jittered_slices(rows[48:])
+    deliveries = [spark.createDataFrame(list(a + b), SCH_LONG)
+                  for a, b in zip(s1, s2)]
+    deliveries.append(spark.createDataFrame(flush_rows, SCH_LONG))
+    return full, deliveries
+
+
+def test_ts_reorder_per_key_skewed_series(spark, tmp_path):
+    """VERDICT r11: two series skewed beyond the delay, each in-order
+    (modulo within-delay jitter), must stream green under the per-key
+    watermark to exactly their sorted replays — while the global rule
+    refuses the same delivery. Replays stay no-ops."""
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+    )
+
+    full, deliveries = _skewed_fixture(spark)
+    args = ("user_id", "ts", "event_id", "value", QUERY)
+
+    # the global rule refuses the skew (key 1 trails key 2's clock)
+    g_tails = ManifestTable(spark, str(tmp_path / "g_tails"))
+    g_matches = ManifestTable(spark, str(tmp_path / "g_matches"))
+    g_buffer = ManifestTable(spark, str(tmp_path / "g_buffer"))
+    apply_ts_epoch_reordered(
+        g_tails, g_matches, g_buffer, deliveries[0], 0, "g", *args,
+        delay=8)
+    with pytest.raises(ValueError, match="reorder delay"):
+        apply_ts_epoch_reordered(
+            g_tails, g_matches, g_buffer, deliveries[1], 1, "g", *args,
+            delay=8)
+
+    tails = ManifestTable(spark, str(tmp_path / "k_tails"))
+    matches = ManifestTable(spark, str(tmp_path / "k_matches"))
+    buffer = ManifestTable(spark, str(tmp_path / "k_buffer"))
+    for epoch, d in enumerate(deliveries):
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, d, epoch, "run0", *args, delay=8,
+            per_key=True)
+    got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+           for r in matches.read().collect()}
+    assert got == _batch_truth(spark, full)
+
+    vers = (tails.current_version(), matches.current_version(),
+            buffer.current_version())
+    apply_ts_epoch_reordered(
+        tails, matches, buffer, deliveries[-1], len(deliveries) - 1,
+        "run0", *args, delay=8, per_key=True)
+    assert (tails.current_version(), matches.current_version(),
+            buffer.current_version()) == vers
+
+
+def test_ts_reorder_per_key_within_key_lateness_refused(spark, tmp_path):
+    """Beyond-delay lateness WITHIN a key still refuses loudly under the
+    per-key rule — the option relaxes cross-key skew, not the per-series
+    reorder bound."""
+    import math as _m
+
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+    )
+
+    tails = ManifestTable(spark, str(tmp_path / "tails"))
+    matches = ManifestTable(spark, str(tmp_path / "matches"))
+    buffer = ManifestTable(spark, str(tmp_path / "buffer"))
+    args = ("user_id", "ts", "event_id", "value", QUERY)
+    d0 = spark.createDataFrame(
+        [(1, t, t, _m.sin(t / 3.0)) for t in range(40)], SCH_LONG)
+    apply_ts_epoch_reordered(
+        tails, matches, buffer, d0, 0, "run0", *args, delay=8,
+        per_key=True)
+    late = spark.createDataFrame([(1, 20, 99, 0.5)], SCH_LONG)
+    with pytest.raises(ValueError, match="within that series"):
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, late, 1, "run0", *args, delay=8,
+            per_key=True)
+
+
+def test_ts_reorder_watermark_mode_mixing_refused(spark, tmp_path):
+    """A buffer built in one watermark mode refuses the other — silent
+    mode switches would re-release or mis-scope frontiers."""
+    import math as _m
+
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+    )
+
+    args = ("user_id", "ts", "event_id", "value", QUERY)
+    d = spark.createDataFrame(
+        [(1, t, t, _m.sin(t / 3.0)) for t in range(12)], SCH_LONG)
+    g = (ManifestTable(spark, str(tmp_path / "gt")),
+         ManifestTable(spark, str(tmp_path / "gm")),
+         ManifestTable(spark, str(tmp_path / "gb")))
+    apply_ts_epoch_reordered(*g, d, 0, "run0", *args, delay=8)
+    with pytest.raises(ValueError, match="GLOBAL watermark"):
+        apply_ts_epoch_reordered(*g, d, 1, "run0", *args, delay=8,
+                                 per_key=True)
+    k = (ManifestTable(spark, str(tmp_path / "kt")),
+         ManifestTable(spark, str(tmp_path / "km")),
+         ManifestTable(spark, str(tmp_path / "kb")))
+    apply_ts_epoch_reordered(*k, d, 0, "run0", *args, delay=8,
+                             per_key=True)
+    with pytest.raises(ValueError, match="PER-KEY watermarks"):
+        apply_ts_epoch_reordered(*k, d, 1, "run0", *args, delay=8)
+
+
+def test_ts_reorder_per_key_fold_and_crash_replay(spark, tmp_path):
+    """The keyed buffer fold physically drops each key's released rows
+    without touching live ones, and a crash before the buffer commit
+    replays exactly-once — both on the skewed fixture."""
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+        maybe_fold_buffer_keyed,
+    )
+
+    full, deliveries = _skewed_fixture(spark)
+    args = ("user_id", "ts", "event_id", "value", QUERY)
+    tails = ManifestTable(spark, str(tmp_path / "tails"))
+    matches = ManifestTable(spark, str(tmp_path / "matches"))
+    buffer = ManifestTable(spark, str(tmp_path / "buffer"))
+    apply_ts_epoch_reordered(
+        tails, matches, buffer, deliveries[0], 0, "run0", *args, delay=8,
+        per_key=True)
+
+    orig = buffer.append
+    buffer.append = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, deliveries[1], 1, "run0", *args,
+            delay=8, per_key=True)
+    assert matches.epoch_applied(1, "run0")
+    assert not buffer.epoch_applied(1, "run0")
+    buffer.append = orig
+    m_ver = matches.current_version()
+    apply_ts_epoch_reordered(
+        tails, matches, buffer, deliveries[1], 1, "run0", *args, delay=8,
+        per_key=True)
+    assert matches.current_version() == m_ver
+
+    folded = maybe_fold_buffer_keyed(buffer, tails, "user_id", "ts", 8,
+                                     max_dirs=1, n_dirs=4)
+    assert folded is not None
+    # every surviving buffered row is live for ITS key (> that key's
+    # frontier); both keys' live rows survived
+    surv = buffer.read()
+    assert surv.count() > 0
+    for epoch, d in enumerate(deliveries[2:], start=2):
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, d, epoch, "run0", *args, delay=8,
+            per_key=True)
+    got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+           for r in matches.read().collect()}
+    assert got == _batch_truth(spark, full)
