@@ -142,12 +142,19 @@ def hyperplane_lsh_buckets(
     hyperplanes (seeded, reproducible). Cosine-similar vectors collide with
     probability 1 - θ/π per bit.
 
-    ``impl='arrow'`` (default): mapInPandas + one numpy matmul per Arrow
-    batch — the ``num_bits`` dot products per vector run in BLAS instead of
-    Spark's interpreted aggregate/zip_with folds (~3× faster at sf0.1).
-    ``impl='sql'`` keeps the pure-expression variant (no Arrow dependency).
-    Both are deterministic; sign bits can differ between impls only for
-    dot products within float rounding of zero.
+    The sign is taken on an EXACT integer dot product: each per-term
+    product quantizes to a BIGINT nano-grain (``floor(v*p*1e9 + 0.5)``,
+    the PCA covariance idiom) before the sum, so the signature is
+    bit-identical under any partitioning / summation order AND across
+    engines — the two impls here agree exactly, and an ANSI engine
+    evaluating the same expression (the driver's DuckDB oracle does)
+    lands the same buckets. A float-sum signature could flip near-zero
+    margin bits between impls; an LSH index whose buckets depend on who
+    computed them cannot be maintained incrementally.
+
+    ``impl='arrow'`` (default): mapInPandas + one vectorized numpy pass
+    per Arrow batch. ``impl='sql'`` keeps the pure-expression variant
+    (no Arrow dependency).
     """
     import numpy as np
 
@@ -163,7 +170,12 @@ def hyperplane_lsh_buckets(
 
             for pdf in batches:
                 vecs = np.array(pdf[vec_col].to_list(), dtype=np.float64)
-                bits = vecs @ weights > 0  # n × num_bits sign matrix
+                # left-assoc (v*p)*1e9 — the exact expression the sql
+                # impl and the ANSI oracle evaluate, term by term
+                terms = np.floor(
+                    vecs[:, :, None] * weights[None, :, :] * 1e9 + 0.5
+                ).astype(np.int64)
+                bits = terms.sum(axis=1) > 0  # n × num_bits sign matrix
                 buckets = (bits.astype(np.uint64) * powers).sum(axis=1)
                 yield pd.DataFrame(
                     {"id": pdf[id_col], "bucket": buckets.view(np.int64)}
@@ -175,9 +187,18 @@ def hyperplane_lsh_buckets(
             narrow = narrow.repartition(par)
         return narrow.mapInPandas(gen, schema="id long, bucket long")
 
+    def qdot(plane):
+        coeffs = F.array(*[F.lit(float(c)) for c in plane])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), coeffs,
+                       lambda x, y: F.floor(x * y * F.lit(1e9)
+                                            + F.lit(0.5)).cast("long")),
+            F.lit(0).cast("long"), lambda acc, t: acc + t)
+
     bucket = F.lit(0).cast("long")
     for b in range(num_bits):
-        bit = F.when(_dot_lit(F.col(vec_col), planes[b].tolist()) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(qdot(planes[b].tolist()) > 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(F.shiftleft(bit, b))
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 

@@ -3688,17 +3688,62 @@ def dedup_ngram_jaccard(spark, sf_dir):
     cand = minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=8, shingle_size=3)
     return ngram_jaccard_pairs(docs, "text", "doc_id", cand, shingle_size=3, threshold=0.8)
 
+def _ann_pairs_oracle(num_bits: int = 8, dim: int = 64,
+                      seed: int = 42) -> str:
+    """The exact SQL twin of ``ann_bucket_pairs``: the seeded hyperplanes
+    ride as literals, and the signature is the integer-grain sign sum the
+    operator computes — ``floor(v*p*1e9 + 0.5)`` per term, BIGINT fold —
+    so the buckets (hence the candidate pairs) are bit-identical between
+    numpy, Catalyst, and DuckDB. Promoted from no-oracle in r12 (the r11
+    verdict's standing ask): what blocked it was never the hyperplanes —
+    literals embed fine — but the float dot's summation-order
+    sensitivity, which the quantized signature removes."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_bits, dim))
+    vals = ", ".join(f"({b}, {j + 1}, {planes[b][j]!r})"
+                     for b in range(num_bits) for j in range(dim))
+    return f"""
+    WITH p(b, j, c) AS (VALUES {vals}),
+    terms AS (
+      SELECT vec_id, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS j
+        FROM embeddings),
+    sums AS (
+      SELECT t.vec_id, p.b,
+             sum(CAST(floor(t.val * p.c * 1e9 + 0.5) AS BIGINT)) AS s
+        FROM terms t JOIN p ON p.j = t.j
+       GROUP BY t.vec_id, p.b),
+    buckets AS (
+      SELECT vec_id,
+             sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b
+                      ELSE CAST(0 AS BIGINT) END) AS bucket
+        FROM sums GROUP BY vec_id)
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+      FROM buckets a JOIN buckets b2
+        ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    """
+
+
 @register(
     "ann_embedding_pairs",
-    None,
-    "Random-hyperplane LSH candidate pairs over embeddings — seeded numpy "
-    "hyperplanes not reproducible in ANSI SQL; recall validated in tests",
+    None,  # oracle attached below (embeds the seeded hyperplane literals)
+    "Random-hyperplane LSH candidate pairs over embeddings. The sign-bit "
+    "signature quantizes every per-term product to a BIGINT nano-grain "
+    "before the sum, so buckets are bit-identical across the Arrow/numpy "
+    "impl, the pure-Catalyst impl, and the embedded-literal ANSI oracle "
+    "— an LSH index whose buckets depend on who computed them could not "
+    "be maintained incrementally.",
 )
 def ann_embedding_pairs(spark, sf_dir):
     from cdc_audit_spark.operators.similarity import ann_bucket_pairs
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     return ann_bucket_pairs(emb, num_bits=8, dim=64)
+
+
+_REGISTRY["ann_embedding_pairs"].oracle = _ann_pairs_oracle()
 
 
 @register(
@@ -7375,9 +7420,10 @@ _DRIVER_WINDOW = [
     # filter_conj_eq, filter_contains, filter_isin, filter_range_closed,
     # knn_cosine_topk, multimodal_payload_stats, q1_pricing_summary,
     # text_bpe_token_counts, text_language_id, text_token_stats, plus
-    # weighted_sample_wor displaced by this round's new registrations)
-    # hit the staleness bound at r13 and rotate in first next round,
-    # plus whatever r12 registers after this window is pinned:
+    # weighted_sample_wor and cdc_bm25_index_sync displaced by this
+    # round's new registrations) hit the staleness bound at r13 and
+    # rotate in first next round, plus whatever r12 registers after this
+    # window is pinned:
     "cdc_lm_index_sync", "cdc_merge_upsert", "cdc_table_changes",
     "dedup_duplicate_spans", "dedup_span_excision", "dsir_bucket_counts",
     "gopher_quality_rules", "ngram_lm_backoff_tiers",
@@ -7385,10 +7431,10 @@ _DRIVER_WINDOW = [
     "dsir_importance_sample", "ngram_lm_perplexity", "cdc_join_mview",
     "cdc_incremental_variance", "cdc_distinct_mview", "cdc_median_mview",
     "cdc_topk_mview", "bm25_topk", "bm25_index_topk", "hybrid_rrf_topk",
-    "cdc_bm25_index_sync",
-    # registered this round, never driver-checked -> checked immediately
-    # (the per-key-watermark reorder drain):
-    "cdc_ts_reorder_keyed",
+    # new this round -> checked immediately: the per-key-watermark
+    # reorder drain, and the LSH-pairs promotion to oracle-backed (the
+    # integer-grain signature made it ANSI-expressible):
+    "cdc_ts_reorder_keyed", "ann_embedding_pairs",
 ]
 
 
