@@ -566,3 +566,57 @@ def test_ts_reorder_per_key_fold_and_crash_replay(spark, tmp_path):
     got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
            for r in matches.read().collect()}
     assert got == _batch_truth(spark, full)
+
+
+def test_ts_reorder_per_key_random_deliveries_match_truth(spark, tmp_path):
+    """Property, seeded-random: any delivery in which every point lands
+    within the delay of ITS KEY's running event-time maximum — keys
+    skewed arbitrarily far apart — must stream to exactly the batch
+    truth under the per-key rule."""
+    import math as _m
+    import random
+
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+    )
+
+    rng = random.Random(59)
+    skew = {1: 0, 2: 10_000, 3: 40_000}  # far beyond any delay
+    rows = [(k, skew[k] + t, t, _m.sin(t / 3.0) + 0.3 * k)
+            for k in skew for t in range(36)]
+    full = spark.createDataFrame(rows, SCH_LONG)
+    args = ("user_id", "ts", "event_id", "value", QUERY)
+    want = _batch_truth(spark, full)
+    delay = 8
+    for trial in range(2):
+        # per-key jitter: sort each key's points by ts + U(0, delay-1),
+        # then interleave the keys' sequences at random batch cuts
+        per_key = {k: sorted((r for r in rows if r[0] == k),
+                             key=lambda r: r[1] + rng.uniform(0, delay - 1))
+                   for k in skew}
+        merged = []
+        idxs = {k: 0 for k in skew}
+        while any(idxs[k] < len(per_key[k]) for k in skew):
+            k = rng.choice([k for k in skew if idxs[k] < len(per_key[k])])
+            merged.append(per_key[k][idxs[k]])
+            idxs[k] += 1
+        n_b = rng.randint(3, 5)
+        cuts = sorted(rng.sample(range(1, len(merged)), n_b - 1))
+        batches = [merged[a:b] for a, b in
+                   zip([0] + cuts, cuts + [len(merged)])]
+        tails = ManifestTable(spark, str(tmp_path / f"t{trial}_tails"))
+        matches = ManifestTable(spark, str(tmp_path / f"t{trial}_matches"))
+        buffer = ManifestTable(spark, str(tmp_path / f"t{trial}_buffer"))
+        for epoch, b in enumerate(batches):
+            apply_ts_epoch_reordered(
+                tails, matches, buffer,
+                spark.createDataFrame(b, SCH_LONG), epoch, "rnd",
+                *args, delay=delay, per_key=True)
+        flush = spark.createDataFrame(
+            [(k, skew[k] + 5000, 900 + k, 0.0) for k in skew], SCH_LONG)
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, flush, len(batches), "rnd",
+            *args, delay=delay, per_key=True)
+        got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+               for r in matches.read().collect()}
+        assert got == want, trial
