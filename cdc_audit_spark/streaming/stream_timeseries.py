@@ -63,6 +63,7 @@ from cdc_audit_spark.streaming.stream_dedup import _version_before_epoch
 __all__ = [
     "apply_ts_epoch",
     "apply_ts_epoch_reordered",
+    "flush_ts_reorder",
     "maybe_fold_buffer",
     "maybe_fold_buffer_keyed",
     "maybe_fold_tails",
@@ -259,9 +260,9 @@ def apply_ts_epoch_reordered(
     ``_keyed_wm_frame`` — the tails LSM already records each key's
     released frontier), so no extra state table exists; the inherent
     tradeoff is that a key that stops sending keeps its final
-    sub-``delay`` band buffered until that key's own clock advances
-    (send a per-key sentinel to flush). Modes are stamped and cannot be
-    mixed on one buffer.
+    sub-``delay`` band buffered until that key's own clock advances —
+    ``flush_ts_reorder`` drains it explicitly at end of stream. Modes
+    are stamped and cannot be mixed on one buffer.
 
     Replay story: the released band is a deterministic function of
     (batch, buffer state pinned before the epoch) — wm_prev comes from
@@ -363,17 +364,29 @@ def _apply_reordered_keyed(
                           delay).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # refusal: later than the key's OWN reorder bound (null frontier
-        # = never-seen key: nothing released yet, nothing can be late)
-        n_too_late = (batch.join(wmf, key_col, "left")
-                      .filter(F.col(ts_col) <= F.col("__wm_prev")).count())
+        # = never-seen key: nothing released yet, nothing can be late).
+        # The key's scored-tail max is a second bound: normally it sits
+        # at or under the frontier (released rows are ≤ wm), but after a
+        # flush_ts_reorder the tail reaches INTO the delay window — a
+        # redelivery there must refuse NOW, not sit buffered until the
+        # key's clock advances and the inner order guard kills the drain
+        ref = batch.join(wmf, key_col, "left")
+        late_cond = F.col(ts_col) <= F.col("__wm_prev")
+        if tail_rows is not None:
+            tmax = (tail_rows.groupBy(key_col)
+                    .agg(F.max(ts_col).alias("__tmax")))
+            ref = ref.join(tmax, key_col, "left")
+            late_cond = late_cond | (F.col(ts_col) <= F.col("__tmax"))
+        n_too_late = ref.filter(late_cond).count()
         if n_too_late:
             raise ValueError(
                 f"apply_ts_epoch_reordered(per_key=True): {n_too_late} "
-                "point(s) arrived at or before their key's watermark — "
-                "later than the configured reorder delay allows within "
-                "that series. Raise `delay` to cover the source's real "
-                "per-key out-of-orderness; silently dropping or "
-                "mis-splicing them is not an option for a scoring engine")
+                "point(s) arrived at or before their key's watermark or "
+                "scored tail — later than the configured reorder delay "
+                "allows within that series. Raise `delay` to cover the "
+                "source's real per-key out-of-orderness; silently "
+                "dropping or mis-splicing them is not an option for a "
+                "scoring engine")
         new_wm = (batch.groupBy(key_col)
                   .agg((F.max(ts_col) - F.lit(delay)).alias("__cand"))
                   .join(wmf, key_col, "left")
@@ -405,6 +418,81 @@ def _apply_reordered_keyed(
                 stats_cols=[ts_col, key_col])
     finally:
         wmf.unpersist()
+
+
+def flush_ts_reorder(
+    tails,
+    matches,
+    buffer,
+    epoch_id: int,
+    run_id: str | None,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    val_col: str,
+    query: list[float],
+    max_dist2_micro: int | None = None,
+    per_key: bool = False,
+) -> None:
+    """End-of-stream drain: score EVERY still-buffered point now, without
+    waiting for the delay to elapse — the reorder stage's equivalent of
+    closing a file. Without this, the final sub-``delay`` band of each
+    series sits pending until its clock advances (per-key mode would need
+    a sentinel per key, and the caller would have to know the keys).
+
+    An epoch like any other: the released set is all live buffered rows
+    (in-order vs the tails by the liveness invariant), derived from state
+    pinned before the epoch, committed behind the same per-table epoch
+    guards — so a crash mid-flush replays exactly-once. The buffer is
+    overwritten empty in the same epoch: in per-key mode liveness is
+    DERIVED (ts within delay of the key's max), so flushed rows must
+    physically leave or the next epoch would re-release them; the empty
+    overwrite carries the watermark/mode stamp forward. After a flush,
+    delivering at or before a flushed point refuses loudly (the window it
+    would extend is already scored)."""
+    b_done = buffer.epoch_applied(epoch_id, run_id)
+    if (b_done and matches.epoch_applied(epoch_id, run_id)
+            and tails.epoch_applied(epoch_id, run_id)):
+        return
+    _check_wm_mode(buffer, keyed=per_key)
+    pre = _version_before_epoch(buffer, epoch_id)
+    if pre is None:
+        return  # nothing was ever buffered — deterministic no-op
+    buf = buffer.read(version=pre).select(key_col, ts_col, tie_col, val_col)
+    if per_key:
+        # live rows are STRICTLY later than every released row of their
+        # key (releases are bands), and the tails hold each key's newest
+        # released point — so ts > tail-max is the exact liveness cut,
+        # no delay needed
+        pre_t = _version_before_epoch(tails, epoch_id)
+        if pre_t is not None:
+            tmax = (tails.read(version=pre_t)
+                    .groupBy(key_col).agg(F.max(ts_col).alias("__tmax")))
+            released = (buf.join(tmax, key_col, "left")
+                        .filter(F.col("__tmax").isNull()
+                                | (F.col(ts_col) > F.col("__tmax")))
+                        .drop("__tmax"))
+        else:
+            released = buf
+        extra = {"epoch": int(epoch_id), "run_id": run_id,
+                 "wm_keyed": True}
+    else:
+        wm_prev = _wm_at(buffer, pre)
+        released = (buf.filter(F.col(ts_col) > F.lit(wm_prev))
+                    if wm_prev is not None else buf)
+        mx = released.agg(F.max(ts_col)).first()[0]
+        new_wm = mx if mx is not None else wm_prev
+        if new_wm is not None and wm_prev is not None:
+            new_wm = max(new_wm, wm_prev)
+        extra = {"epoch": int(epoch_id), "run_id": run_id,
+                 **(_wm_extra(new_wm) if new_wm is not None else {})}
+    released = released.localCheckpoint(eager=True)
+    apply_ts_epoch(
+        tails, matches, released, epoch_id, run_id,
+        key_col, ts_col, tie_col, val_col, query,
+        max_dist2_micro=max_dist2_micro)
+    if not b_done:
+        buffer.overwrite(buf.filter(F.lit(False)), extra=extra)
 
 
 def maybe_fold_buffer_keyed(buffer, tails, key_col: str, ts_col: str,

@@ -620,3 +620,69 @@ def test_ts_reorder_per_key_random_deliveries_match_truth(spark, tmp_path):
         got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
                for r in matches.read().collect()}
         assert got == want, trial
+
+
+def test_ts_reorder_flush_drains_both_modes(spark, tmp_path):
+    """flush_ts_reorder scores every still-buffered point without a
+    sentinel, in both watermark modes: matches equal the batch truth of
+    exactly what was delivered, a replayed flush is a no-op, the buffer
+    is empty, and a post-flush late point still refuses loudly."""
+    import math as _m
+
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+        flush_ts_reorder,
+    )
+
+    args = ("user_id", "ts", "event_id", "value", QUERY)
+
+    # -- global mode: one series, last band still inside the delay
+    rows = [(1, t, t, _m.sin(t / 3.0)) for t in range(40)]
+    full = spark.createDataFrame(rows, SCH_LONG)
+    g = (ManifestTable(spark, str(tmp_path / "gt")),
+         ManifestTable(spark, str(tmp_path / "gm")),
+         ManifestTable(spark, str(tmp_path / "gb")))
+    tails, matches, buffer = g
+    for e in range(2):
+        d = full.filter((F.col("ts") >= e * 20) & (F.col("ts") < (e + 1) * 20))
+        apply_ts_epoch_reordered(tails, matches, buffer, d, e, "run0",
+                                 *args, delay=8)
+    before = matches.read().count()
+    flush_ts_reorder(tails, matches, buffer, 2, "run0", *args)
+    got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+           for r in matches.read().collect()}
+    assert got == _batch_truth(spark, full)
+    assert matches.read().count() > before  # the flush released windows
+    assert buffer.read().count() == 0
+    vers = (tails.current_version(), matches.current_version(),
+            buffer.current_version())
+    flush_ts_reorder(tails, matches, buffer, 2, "run0", *args)  # replay
+    assert (tails.current_version(), matches.current_version(),
+            buffer.current_version()) == vers
+    late = spark.createDataFrame([(1, 30, 99, 0.5)], SCH_LONG)
+    with pytest.raises(ValueError, match="reorder delay"):
+        apply_ts_epoch_reordered(tails, matches, buffer, late, 3, "run0",
+                                 *args, delay=8)
+
+    # -- per-key mode: the skewed fixture, minus its sentinel batch
+    full_k, deliveries = _skewed_fixture(spark)
+    k = (ManifestTable(spark, str(tmp_path / "kt")),
+         ManifestTable(spark, str(tmp_path / "km")),
+         ManifestTable(spark, str(tmp_path / "kb")))
+    tails, matches, buffer = k
+    for e, d in enumerate(deliveries[:-1]):  # no sentinels
+        apply_ts_epoch_reordered(tails, matches, buffer, d, e, "run0",
+                                 *args, delay=8, per_key=True)
+    flush_ts_reorder(tails, matches, buffer, len(deliveries) - 1, "run0",
+                     *args, per_key=True)
+    got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+           for r in matches.read().collect()}
+    assert got == _batch_truth(spark, full_k)
+    assert buffer.read().count() == 0
+    # flushed points are scored history now: re-delivery refuses AT
+    # ENTRY (the scored-tail bound — it must not sit buffered until the
+    # key's clock advances and the inner order guard kills the drain)
+    redeliver = spark.createDataFrame([(1, 47, 47, 0.0)], SCH_LONG)
+    with pytest.raises(ValueError, match="watermark or scored tail"):
+        apply_ts_epoch_reordered(tails, matches, buffer, redeliver, 99,
+                                 "run0", *args, delay=8, per_key=True)
