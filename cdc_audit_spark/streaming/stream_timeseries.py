@@ -535,9 +535,11 @@ def maybe_fold_buffer(buffer, ts_col: str, max_dirs: int = 64,
     live = buffer.read()
     if wm is not None:
         live = live.filter(F.col(ts_col) > F.lit(wm))
+    # stamp even a None watermark: the mode check reads the newest
+    # manifest, and a stampless fold would let per_key=True silently
+    # resume a global buffer
     return buffer.overwrite_clustered(
-        live, ts_col, n_dirs=n_dirs,
-        extra=_wm_extra(wm) if wm is not None else None)
+        live, ts_col, n_dirs=n_dirs, extra=_wm_extra(wm))
 
 
 def maybe_fold_tails(tails, key_col: str, max_dirs: int = 64,

@@ -686,3 +686,41 @@ def test_ts_reorder_flush_drains_both_modes(spark, tmp_path):
     with pytest.raises(ValueError, match="watermark or scored tail"):
         apply_ts_epoch_reordered(tails, matches, buffer, redeliver, 99,
                                  "run0", *args, delay=8, per_key=True)
+
+
+def test_ts_reorder_per_key_stream_end_to_end(spark, tmp_path):
+    """The foreachBatch drain with per_key_watermark=True: two series
+    skewed far beyond the delay, delivered a file behind each other,
+    stream to the batch truth once a per-key flush file lands."""
+    import math as _m
+
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        stream_subsequence_sync,
+    )
+
+    rows = [(1, t, t, _m.sin(t / 3.0)) for t in range(40)]
+    rows += [(2, 7000 + t, t, _m.cos(t / 3.0)) for t in range(40)]
+    full = spark.createDataFrame(rows, SCH_LONG)
+    src = str(tmp_path / "src")
+    batches = [
+        full.filter("user_id = 1 and ts < 20"),
+        full.filter("(user_id = 1 and ts >= 20) or "
+                    "(user_id = 2 and ts < 7020)"),
+        full.filter("user_id = 2 and ts >= 7020"),
+        spark.createDataFrame([(1, 9000, 900, 0.0), (2, 16000, 901, 0.0)],
+                              SCH_LONG),
+    ]
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+    q = stream_subsequence_sync(
+        spark, src, SCH_LONG,
+        str(tmp_path / "matches"), str(tmp_path / "tails"),
+        str(tmp_path / "ckpt"),
+        "user_id", "ts", "event_id", "value", QUERY,
+        reorder_delay=8, buffer_path=str(tmp_path / "buffer"),
+        per_key_watermark=True, max_files_per_trigger=1)
+    q.awaitTermination(180)
+    matches = ManifestTable(spark, str(tmp_path / "matches"))
+    got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+           for r in matches.read().collect()}
+    assert got == _batch_truth(spark, full)
