@@ -6015,11 +6015,11 @@ _REGISTRY["cdc_ts_reorder_sync"].oracle = _ts_subsequence_oracle()
     "delayed band within every epoch. Each key's frontier is its OWN "
     "max(ts) - delay, derived from the committed tails/buffer state "
     "(no extra state table), so skewed-but-ordered series release "
-    "independently; a per-user far-future sentinel then flushes every "
-    "real window (the sentinels themselves stay buffered — within "
-    "their own keys' delay — so no garbage window scores). The "
-    "accumulated matches, cut to the exact-integer top-25, must equal "
-    "the one-shot batch kernel: the oracle IS ts_subsequence_match's.",
+    "independently; flush_ts_reorder then drains every key's final "
+    "sub-delay band as one end-of-stream epoch (no per-key sentinels "
+    "needed). The accumulated matches, cut to the exact-integer "
+    "top-25, must equal the one-shot batch kernel: the oracle IS "
+    "ts_subsequence_match's.",
 )
 def cdc_ts_reorder_keyed(spark, sf_dir):
     import shutil
@@ -6028,6 +6028,7 @@ def cdc_ts_reorder_keyed(spark, sf_dir):
     from cdc_audit_spark.sinks.manifest import ManifestTable
     from cdc_audit_spark.streaming.stream_timeseries import (
         apply_ts_epoch_reordered,
+        flush_ts_reorder,
     )
 
     ev = load_tables(spark, sf_dir)["events"].select(
@@ -6051,11 +6052,6 @@ def cdc_ts_reorder_keyed(spark, sf_dir):
         ev.filter((~is_b & s1) | (is_b & s0)),  # B starts a tercile late
         ev.filter((~is_b & s2) | (is_b & s1)),
         ev.filter(is_b & s2),
-        # per-user sentinel: advances each key's OWN clock so every real
-        # window releases; itself stays within its key's delay -> pending
-        ev.select("user_id").distinct().select(
-            "user_id", F.lit(hi + delay + span / 100).alias("ts"),
-            F.lit(-1).alias("event_id"), F.lit(0.0).alias("value")),
     ]
     root = tempfile.mkdtemp(prefix="cdc_ts_reorder_keyed_")
     try:
@@ -6067,8 +6063,13 @@ def cdc_ts_reorder_keyed(spark, sf_dir):
                 tails, matches, buffer, b, epoch, "reorder_keyed",
                 "user_id", "ts", "event_id", "value", _TS_QUERY_PATTERN,
                 delay=delay, per_key=True)
+        # the end-of-stream drain: every key's final sub-delay band
+        # scores now, one epoch-guarded commit, buffer left empty
+        flush_ts_reorder(
+            tails, matches, buffer, len(epochs), "reorder_keyed",
+            "user_id", "ts", "event_id", "value", _TS_QUERY_PATTERN,
+            per_key=True)
         out = (matches.read()
-               .filter(F.col("event_id") >= 0)
                .orderBy(F.col("dist2_micro"), F.col("user_id"),
                         F.col("event_id"))
                .limit(25))
