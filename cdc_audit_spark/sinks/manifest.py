@@ -1694,38 +1694,55 @@ class ManifestTable:
 
         Returns the new version (action ``binpack`` — content-identical,
         invisible to streams like a compaction), or None when fewer than
-        ``min_group`` small dirs exist. Refuses under live deletion
-        vectors: the partial rewrite reads dirs raw, and writing some
-        dirs DV-applied while the vector still covers others would break
-        the row-count arithmetic."""
+        ``min_group`` small dirs exist.
+
+        Works UNDER live deletion vectors without materializing them:
+        dirs are read raw and grouped by their applicable-DV class (the
+        exact grouping ``_read_dirs_dv`` applies), packing never crosses
+        a class boundary, and each live DV's ``covers`` list rewrites
+        the packed dirs to the new dir in the same commit — so live row
+        counts, ``deleted_fraction`` (and any rebuild policy keyed on
+        it), and later key-reuse semantics are all preserved, where a
+        materializing ``compact()`` would silently reset the tombstone
+        accounting. Dirs in distinct DV classes can't pack together, so
+        a workload that deletes every single commit converges to
+        per-class singletons and packs nothing — that cadence of
+        removals drives the deleted fraction toward its rebuild bar
+        instead."""
         base = self.current_version()
         if base is None:
             return None
         m = self.manifest(base)
-        if m.get("dv_dirs"):
-            raise ValueError(
-                f"compact_small at {self.path}: live deletion vectors "
-                "present — materialize first (compact()/optimize())")
         meta = m.get("dir_meta", {})
+        dv = m.get("dv_dirs", [])
+        dvm = m.get("dv_meta", {})
+        covers = {v: set(dvm[v]["covers"]) for v in dv}
         smalls = [(d, meta.get(d, {}).get("bytes", 0)) for d in m["dirs"]
                   if meta.get(d, {}).get("bytes", 0) < target_bytes]
         if len(smalls) < min_group:
             return None
-        groups, cur, cur_b = [], [], 0
+        classes: dict[tuple, list[tuple[str, int]]] = {}
         for d, b in smalls:
-            if cur and cur_b + b > target_bytes:
-                groups.append(cur)
-                cur, cur_b = [], 0
-            cur.append(d)
-            cur_b += b
-        if cur:
-            groups.append(cur)
-        groups = [g for g in groups if len(g) >= min_group]
+            cls = tuple(v for v in dv if d in covers[v])
+            classes.setdefault(cls, []).append((d, b))
+        groups: list[tuple[tuple, list[str]]] = []
+        for cls, items in classes.items():
+            cur: list[str] = []
+            cur_b = 0
+            for d, b in items:
+                if cur and cur_b + b > target_bytes:
+                    groups.append((cls, cur))
+                    cur, cur_b = [], 0
+                cur.append(d)
+                cur_b += b
+            if cur:
+                groups.append((cls, cur))
+        groups = [(cls, g) for cls, g in groups if len(g) >= min_group]
         if not groups:
             return None
         replaced: dict[str, str | None] = {}
         new_meta: dict = {}
-        for g in groups:
+        for cls, g in groups:
             df = self._governed_read(
                 [os.path.join(self.path, d) for d in g])
             rel, fstats = self._write_data_dir(df)
@@ -1734,6 +1751,8 @@ class ManifestTable:
             replaced[g[0]] = rel
             for d in g[1:]:
                 replaced[d] = None
+            for v in cls:
+                covers[v] = (covers[v] - set(g)) | {rel}
 
         def dirs_fn(parent):
             out = []
@@ -1745,8 +1764,16 @@ class ManifestTable:
                     out.append(d)
             return out
 
+        extra: dict = {"dir_meta": new_meta}
+        if dv:
+            # binpack is not a _DV_CARRY_ACTIONS member, so the vectors
+            # must ride explicitly — with covers rewritten to the packed
+            # dirs, atomically with the dir swap
+            extra["dv_dirs"] = list(dv)
+            extra["dv_meta"] = {v: {**dvm[v], "covers": sorted(covers[v])}
+                                for v in dv}
         return self._commit("binpack", dirs_fn, max_retries=1,
-                            extra={"dir_meta": new_meta},
+                            extra=extra,
                             expected_parent=base)
 
     def maybe_compact(self, max_dirs: int = 16,

@@ -401,19 +401,17 @@ def maybe_compact_members(table, max_dirs: int = 64) -> int | None:
     O(table): right-sized dirs are carried verbatim) once fan-in passes
     ``max_dirs``; epoch/cfg/token state inherits physically through the
     binpack commit, so replay guards and the rebuild-token protocol
-    never notice.
-
-    Deliberately a no-op under live deletion vectors: ``compact_small``
-    reads dirs raw (it refuses), and a materializing ``compact()`` would
-    reset ``deleted_fraction`` to zero — silently disarming
-    ``maybe_rebuild_components``'s trigger while the clustering still
-    reflects the removed docs. The rebuild that fraction is heading
-    toward rewrites the ledger as one dir anyway."""
+    never notice. Live deletion vectors survive the pack (their
+    ``covers`` rewrite with the dirs — see ``compact_small``), so
+    ``deleted_fraction`` and the rebuild trigger keep their exact
+    values; a materializing ``compact()`` here would silently disarm
+    ``maybe_rebuild_components`` while the clustering still reflects
+    the removed docs."""
     cur = table.current_version()
     if cur is None:
         return None
     m = table.manifest(cur)
-    if len(m["dirs"]) <= max_dirs or m.get("dv_dirs"):
+    if len(m["dirs"]) <= max_dirs:
         return None
     return table.compact_small()
 

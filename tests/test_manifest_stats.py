@@ -367,21 +367,52 @@ def test_compact_small_packs_only_small_dirs(spark, tmp_path):
     assert t.read(version=7).count() == 40600
 
 
-def test_compact_small_refuses_live_dvs_and_streams_skip_it(spark,
-                                                            tmp_path):
+def test_compact_small_packs_through_live_dvs(spark, tmp_path):
+    """r12: bin-packing under LIVE deletion vectors preserves the
+    tombstone accounting exactly — dirs pack within their applicable-DV
+    class, each DV's covers list rewrites to the packed dir, the
+    deleted fraction a rebuild policy keys on never resets, and a key
+    re-inserted AFTER the delete stays visible (the covers semantics
+    the class grouping exists for)."""
     from cdc_audit_spark.sources.manifest_stream import (
         read_manifest_stream,
+    )
+    from cdc_audit_spark.streaming.stream_components import (
+        deleted_fraction,
     )
 
     t = ManifestTable(spark, str(tmp_path / "t"))
     for i in range(3):
         t.append(_chunk(spark, i * 100, (i + 1) * 100))
     t.delete_where("k = 5", key_col="k")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        t.compact_small(target_bytes=1 << 30)
-    t.compact()                      # materialize
+    # k=5 re-inserted after the delete: its dir is NOT covered by the DV
+    t.append(_chunk(spark, 5, 6))
+    t.append(_chunk(spark, 400, 410))
+    frac = deleted_fraction(t)
+    assert frac > 0
+    want = {r["k"] for r in t.read().select("k").collect()}
+    assert 5 in want  # the re-insert is live
+
     v = t.compact_small(target_bytes=1 << 30)
-    assert v is None or t.manifest(v)["action"] == "binpack"
+    m = t.manifest(v)
+    assert m["action"] == "binpack"
+    # two classes (covered-by-DV, uncovered) -> two packed dirs
+    assert len(m["dirs"]) == 2
+    dv = m["dv_dirs"]
+    assert len(dv) == 1
+    covered = set(m["dv_meta"][dv[0]]["covers"])
+    assert covered < set(m["dirs"]) and len(covered) == 1
+    # content, metadata count, and the rebuild trigger are all unchanged
+    assert {r["k"] for r in t.read().select("k").collect()} == want
+    assert t.row_count() == len(want)
+    assert deleted_fraction(t) == frac
+    # a later delete keeps exact arithmetic on the packed layout
+    t.delete_where("k = 7", key_col="k")
+    assert {r["k"] for r in t.read().select("k").collect()} == want - {7}
+    # pre-pack version still time travels
+    assert {r["k"] for r in t.read(version=v - 1).select("k").collect()} \
+        == want
+
     # a binpack commit re-emits nothing to a stream consumer
     t2 = ManifestTable(spark, str(tmp_path / "t2"))
     for i in range(3):
@@ -490,10 +521,9 @@ def test_random_walk_with_dv_binpack_optimize_restore(spark, tmp_path):
             assert (v is None) == (not doomed), f"step {step}"
             model -= doomed
         elif op == "binpack":
-            try:
-                t.compact_small(target_bytes=1 << 30)
-            except ValueError as e:      # live DVs: refusal is the spec
-                assert "deletion vectors" in str(e)
+            # r12: packs THROUGH live DVs (covers rewrite with the
+            # dirs) — the model invariants below are the proof
+            t.compact_small(target_bytes=1 << 30)
         elif op == "optimize":
             if t.current_version() is None or not model:
                 continue

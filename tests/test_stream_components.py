@@ -748,3 +748,51 @@ def test_maybe_resolve_cyclic_ledger_raises(spark, tmp_path):
                                         "child long, parent long"))
     with pytest.raises(RuntimeError, match="cycle"):
         maybe_resolve_components(members, idx, unions)
+
+
+def test_members_fanin_compacts_through_live_removals(spark, tmp_path):
+    """r12: the members fan-in policy packs THROUGH live deletion
+    vectors (covers rewrite with the dirs), so a drain with occasional
+    removals keeps both bounded dir counts AND the exact tombstone
+    fraction the rebuild policy triggers on."""
+    from cdc_audit_spark.streaming.stream_components import (
+        deleted_fraction,
+        maybe_compact_members,
+        maybe_rebuild_components,
+        remove_components_members,
+    )
+
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    pay = "same exact payload tokens here repeated verbatim always"
+    rows = [(1000 + e, pay if e < 4 else
+             f"unique doc {e} with plenty of distinct words "
+             f"x{e}a x{e}b x{e}c") for e in range(12)]
+    for e, row in enumerate(rows):
+        apply_components_epoch(*tables, spark.createDataFrame([row], SCH),
+                               e, "run0", "text", "doc_id",
+                               members_max_dirs=64)
+    remove_components_members(members, idx, unions, [1005, 1006])
+    frac = deleted_fraction(members)
+    assert frac > 0
+    want = _got(tables)
+    assert 1005 not in want and 1006 not in want
+
+    v = maybe_compact_members(members, max_dirs=4)
+    assert v is not None and members.manifest(v)["action"] == "binpack"
+    assert len(members.manifest(v)["dirs"]) <= 4
+    assert _got(tables) == want                 # labels exact
+    assert deleted_fraction(members) == frac    # trigger metric intact
+    # the rebuild policy still fires off the preserved fraction; it
+    # renames canonicals to current min live members (and may split),
+    # so compare the PARTITION, not the label names
+    assert maybe_rebuild_components(members, idx, unions,
+                                    max_deleted_frac=frac / 2)
+
+    def parts(labels):
+        by = {}
+        for i, c in labels.items():
+            by.setdefault(c, set()).add(i)
+        return {frozenset(g) for g in by.values()}
+
+    assert parts(_got(tables)) == parts(want)
