@@ -3702,7 +3702,10 @@ def _ann_pairs_oracle(num_bits: int = 8, dim: int = 64,
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_bits, dim))
-    vals = ", ".join(f"({b}, {j + 1}, {planes[b][j]!r})"
+    # float() first: a np.float64's repr is a plain shortest-round-trip
+    # decimal only under numpy 1.x — numpy >= 2.0 reprs scalars as
+    # "np.float64(0.304...)", which would be invalid SQL
+    vals = ", ".join(f"({b}, {j + 1}, {float(planes[b][j])!r})"
                      for b in range(num_bits) for j in range(dim))
     return f"""
     WITH p(b, j, c) AS (VALUES {vals}),
@@ -3919,6 +3922,95 @@ def dedup_cluster_assign(spark, sf_dir):
     return dedup_cluster_survivors(
         _duped_docs(spark, sf_dir), "text", "doc_id",
         num_hashes=32, bands=8, shingle_size=3, jaccard_threshold=0.6,
+    )
+
+
+@register(
+    "dedup_cluster_verified",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> len(t) > 0) AS t
+        FROM documents WHERE doc_id < 4096),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 5 + 2),
+               i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),
+                                    1, 6))::INT) AS hs
+        FROM tok WHERE len(t) >= 5),
+    fp AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               CASE WHEN len(hs) >= 4
+                    THEN list_transform(range(1, len(hs) - 4 + 2),
+                                        j -> list_min(hs[j:j+3]))
+                    ELSE [list_min(hs)] END)) AS f
+        FROM h),
+    stars AS (SELECT f, min(id) AS ctr FROM fp GROUP BY f),
+    cand AS (
+      SELECT DISTINCT s.ctr AS id_a, p.id AS id_b
+        FROM fp p JOIN stars s ON s.f = p.f AND p.id <> s.ctr),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(t2) - 2, 1) + 1),
+               i -> array_to_string(t2[i:i+2], ' '))) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t2
+                FROM documents WHERE doc_id < 4096)),
+    ver AS (
+      SELECT c.id_a, c.id_b
+        FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                    JOIN sh b ON b.doc_id = c.id_b
+       WHERE CAST(len(list_intersect(a.s, b.s))
+                  / len(list_distinct(list_concat(a.s, b.s)))
+                  AS DOUBLE) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+              UNION SELECT id_b, id_a FROM ver),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 4096
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(min(lbl) AS BIGINT) AS cluster,
+           min(lbl) = id AS is_survivor
+      FROM reach GROUP BY id
+    """,
+    "The VERIFIED near-dup clustering pipeline with an exact oracle — the "
+    "r12 ann_embedding_pairs treatment applied to dedup_cluster_assign's "
+    "downstream stages (the r12 verdict's standing ask): PIN the candidate "
+    "stage to the oracle-shared winnow-fingerprint star edges (engine-"
+    "identical by the md5 idiom — at sf0.01 they carry 6 fingerprint-"
+    "collision false positives the verify stage must prune), then run the "
+    "production verify → components → survivor stages unchanged "
+    "(ngram_jaccard_pairs' |∩|/|∪| trigram filter, connected_components' "
+    "min-label closure, min-id survivor per cluster) and hash-check (id, "
+    "cluster, is_survivor) value-for-value against DuckDB's WITH RECURSIVE "
+    "closure of the same verified graph. Only minhash candidate RECALL "
+    "remains unverifiable by construction (dedup_cluster_assign's ledger "
+    "entry). Scale shape unchanged: fp-bucketed star edges, never "
+    "all-pairs; verify joins shingles onto O(candidates) rows",
+)
+def dedup_cluster_verified(spark, sf_dir):
+    from cdc_audit_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from cdc_audit_spark.operators.text import winnow_star_edges
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 4096)
+    cand = winnow_star_edges(docs, "text", "doc_id", k=5, w=4)
+    verified = ngram_jaccard_pairs(
+        docs, "text", "doc_id", cand, shingle_size=3, threshold=0.5,
+    ).select("id_a", "id_b")
+    comp = connected_components(verified)
+    return (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.coalesce("component", "id").cast("long").alias("cluster"),
+            (F.coalesce("component", "id") == F.col("id")).alias("is_survivor"),
+        )
     )
 
 
@@ -7393,49 +7485,52 @@ def cdc_pca_moments_sync(spark, sf_dir):
 # behind the window; next round rotates the remaining unchecked ones in.
 
 _DRIVER_WINDOW = [
-    # r12 rotation (VERDICT r11 item 1). First: the full 27-query
-    # r08-green set — 3 rounds stale at r12, AT the staleness bound,
-    # pre-listed in the r11 window comment:
-    "shard_global_shuffle", "asof_forward_next_purchase",
-    "datetime_function_sampler", "embedding_label_centroids",
-    "events_cohort_retention", "events_hourly_anomalies",
-    "events_transition_matrix", "full_outer_customer_supplier_nations",
-    "lineitem_stats_profile", "ntile_price_quartiles", "profile_orders",
-    "quality_filter_per_lang", "quartiles_by_segment",
-    "regression_price_on_quantity", "revenue_grouping_sets",
-    "set_except_unordered_parts", "set_intersect_users",
-    "set_union_segments", "skew_salted_user_rollup",
-    "table_checksum_orders", "text_repetition_stats",
-    "window_dense_rank_brand_price", "window_first_last_value",
-    "window_lag_delta", "window_moving_avg",
-    "window_nth_value_second_order", "window_time_range_sum",
-    # Then 23 of the 50 r09-green queries (2 rounds stale) — the
-    # CDC-maintained index/mview family and the quality/LM pipeline
-    # first. The remaining 27 r09-green queries (pca_covariance_q,
-    # cdc_pca_moments_sync, cdc_bm25_serving_topk,
-    # anti_join_customers_without_orders, cdc_diff_event_counts,
-    # cdc_incremental_agg, cdc_keep_last, cdc_manifest_stream_drain,
-    # cdc_merge_replica_pruned, cdc_replay_state, cdc_scd2_history,
-    # clean_pii_redact, dedup_embedding_cosine, dedup_survivors,
-    # events_funnel, events_sessionize, events_sliding_window,
-    # filter_conj_eq, filter_contains, filter_isin, filter_range_closed,
-    # knn_cosine_topk, multimodal_payload_stats, q1_pricing_summary,
-    # text_bpe_token_counts, text_language_id, text_token_stats, plus
-    # weighted_sample_wor and cdc_bm25_index_sync displaced by this
-    # round's new registrations) hit the staleness bound at r13 and
-    # rotate in first next round, plus whatever r12 registers after this
-    # window is pinned:
-    "cdc_lm_index_sync", "cdc_merge_upsert", "cdc_table_changes",
-    "dedup_duplicate_spans", "dedup_span_excision", "dsir_bucket_counts",
-    "gopher_quality_rules", "ngram_lm_backoff_tiers",
-    "q11_important_parts", "semdedup_prune", "text_winnow_fingerprints",
-    "dsir_importance_sample", "ngram_lm_perplexity", "cdc_join_mview",
-    "cdc_incremental_variance", "cdc_distinct_mview", "cdc_median_mview",
-    "cdc_topk_mview", "bm25_topk", "bm25_index_topk", "hybrid_rrf_topk",
-    # new this round -> checked immediately: the per-key-watermark
-    # reorder drain, and the LSH-pairs promotion to oracle-backed (the
-    # integer-grain signature made it ANSI-expressible):
-    "cdc_ts_reorder_keyed", "ann_embedding_pairs",
+    # r13 rotation (VERDICT r12 item 1). First: the full 29-query
+    # r09-green set — 3 rounds stale at r13, AT the staleness bound,
+    # pre-listed in the r12 window comment (27 + the two displaced by
+    # r12's new registrations):
+    "anti_join_customers_without_orders", "cdc_bm25_index_sync",
+    "cdc_bm25_serving_topk", "cdc_diff_event_counts",
+    "cdc_incremental_agg", "cdc_keep_last", "cdc_manifest_stream_drain",
+    "cdc_merge_replica_pruned", "cdc_pca_moments_sync",
+    "cdc_replay_state", "cdc_scd2_history", "clean_pii_redact",
+    "dedup_embedding_cosine", "dedup_survivors", "events_funnel",
+    "events_sessionize", "events_sliding_window", "filter_conj_eq",
+    "filter_contains", "filter_isin", "filter_range_closed",
+    "knn_cosine_topk", "multimodal_payload_stats", "pca_covariance_q",
+    "q1_pricing_summary", "text_bpe_token_counts", "text_language_id",
+    "text_token_stats", "weighted_sample_wor",
+    # Then 20 of the 50 r10-green queries (2 rounds stale) — the
+    # CDC/maintained-state family first. The remaining 30 r10-green
+    # queries (embedding_quantize_int8, events_json_extract,
+    # events_type_pivot, multimodal_chunk_sample, q10_returned_items,
+    # q12_priority_linestatus, q14_promo_revenue,
+    # q17_small_quantity_revenue, q18_large_orders, q19_disjunctive_pred,
+    # q21_sole_late_supplier, q22_idle_rich_customers,
+    # q2_min_balance_supplier, q3_top_orders, q4_order_priority,
+    # q5_region_revenue, q6_forecast_revenue, q7_nation_volume,
+    # q8_market_share, q9_profit_by_nation_year,
+    # range_join_click_windows, sample_source_quota,
+    # sample_temperature_lang, sample_unimax_budget,
+    # semi_join_urgent_customers, text_chunk_windows, text_fingerprint,
+    # topk_orders_per_customer, ts_subsequence_long,
+    # ts_subsequence_match) hit the staleness bound at r14 and rotate in
+    # first next round, plus whatever r13 registers after this window is
+    # pinned:
+    "agg_global_minmax", "asof_join_error_purchase",
+    "bm25_multiquery_topk", "ccnet_bucket_sample", "cdc_audit_stats",
+    "cdc_components_remove_rebuild", "cdc_components_sync",
+    "cdc_dedup_index_sync", "cdc_diff_customer", "cdc_incremental_scan",
+    "cdc_keep_last_per_key", "cdc_manifest_format_rw",
+    "cdc_manifest_roundtrip", "cdc_manifest_sink_drain",
+    "cdc_replica_change_feed", "cdc_state_asof",
+    "cdc_watermark_recovery", "dedup_component_stats",
+    "dedup_components_labels", "dedup_simhash",
+    # new this round -> checked immediately: the verified near-dup
+    # clustering pipeline promoted to oracle-backed (winnow-pinned
+    # candidates made the verify/components/survivor stages
+    # ANSI-expressible; VERDICT r12 item 4):
+    "dedup_cluster_verified",
 ]
 
 

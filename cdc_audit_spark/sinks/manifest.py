@@ -104,7 +104,17 @@ _STATE_KEYS = ("watermark", "epoch", "run_id", "wipe_through",
                # generic maintenance commit (compact/binpack/constraint)
                # can never bury a pending-rebuild marker and the cfg
                # check never walks history.
-               "components_cfg", "components_rebuild")
+               "components_cfg", "components_rebuild",
+               # reorder-buffer watermark state
+               # (streaming/stream_timeseries.py): the event-time
+               # watermark and its mode (global wm/wm_is_ts vs per-key
+               # wm_keyed) are TABLE state — the mode-mixing refusal and
+               # the watermark read both resolve from the newest
+               # manifest, so a generic out-of-band commit on the buffer
+               # (compact_small/checkpoint/constraint) must physically
+               # inherit them or it would silently disarm the mode check
+               # and force _wm_at back onto an O(versions) walk.
+               "wm", "wm_is_ts", "wm_keyed")
 
 # Deletion-vector payload keys (dv_dirs: live DV key files; dv_meta:
 # per-DV {key, rows, files, covers}) survive only through commits that
@@ -402,6 +412,45 @@ def current_committed_version(table_path: str) -> int | None:
         return v
     vs = _list_versions(table_path)
     return vs[-1] if vs else None
+
+
+def newest_epoch_tag(table) -> tuple:
+    """The (epoch, run_id) the table's newest manifest carries — exact
+    in one metadata read, because both keys are inherited state
+    (``_STATE_KEYS``) physically present on every commit."""
+    cur = table.current_version()
+    if cur is None:
+        return (None, None)
+    m = table.manifest(cur)
+    return (m.get("epoch"), m.get("run_id"))
+
+
+def check_epoch_sync(tables: dict, applying: tuple | None = None,
+                     consequence: str = "") -> None:
+    """Refuse cross-table work while a streaming epoch is half-landed
+    across ``tables`` (a dict of name -> ManifestTable): every complete
+    epoch of a multi-table hook commits to ALL of them, so newest
+    (epoch, run_id) tags that disagree mean a crash struck between the
+    per-table commits and the stream's redelivery has not run yet. Work
+    injected into that window reads an INCONSISTENT cross-table state;
+    the only safe order is: let the stream redeliver (which completes
+    the epoch exactly-once behind the per-table ``epoch_applied``
+    guards), then do the work. One metadata read per table.
+
+    ``applying=(epoch_id, run_id)`` exempts tables whose newest tag IS
+    that epoch — the caller is itself the redelivery of a half-landed
+    epoch, and its own partial commits must not refuse its completion.
+    """
+    tags = {name: newest_epoch_tag(t) for name, t in tables.items()}
+    live = {n: tag for n, tag in tags.items()
+            if applying is None
+            or tag != (int(applying[0]), applying[1])}
+    if len(set(live.values())) > 1:
+        raise RuntimeError(
+            f"a streaming epoch is half-landed across tables ({tags}) — "
+            "a crash is pending redelivery. Restart the stream (or "
+            "re-apply the epoch) to complete it first"
+            + (f": {consequence}" if consequence else ""))
 
 
 class ClaimBackend:

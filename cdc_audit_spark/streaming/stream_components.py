@@ -168,42 +168,23 @@ def _check_cfg(members, k: int, w: int) -> dict:
     return cfg
 
 
-def _last_epoch_tag(table) -> tuple:
-    """The (epoch, run_id) the table's newest manifest carries — exact in
-    one metadata read, because both keys are inherited state
-    (``_STATE_KEYS``) physically present on every commit."""
-    cur = table.current_version()
-    if cur is None:
-        return (None, None)
-    m = table.manifest(cur)
-    return (m.get("epoch"), m.get("run_id"))
-
-
 def _check_no_half_landed_epoch(members, idx, unions) -> None:
     """Refuse maintenance while an insert epoch is half-landed across the
-    three ledgers (their newest (epoch, run_id) tags disagree — every
-    complete epoch commits to all three, so disagreement means a crash
-    struck between the appends and Spark's redelivery has not run yet).
+    three ledgers — delegate to the shared ``check_epoch_sync`` (also
+    guarding the timeseries trio in stream_timeseries) with this
+    module's consequence spelled out: a rebuild injected into that
+    window would derive fresh labels from a members ledger that already
+    holds the epoch's docs and an index that doesn't, then the
+    redelivered epoch appends deltas computed against the true pre-epoch
+    state, leaving members and idx with divergent labels for the same
+    documents — no heal can reconcile that after the fact. Three
+    metadata reads."""
+    from cdc_audit_spark.sinks.manifest import check_epoch_sync
 
-    Maintenance injected into that window reads an INCONSISTENT
-    cross-table state — e.g. a rebuild would derive fresh labels from a
-    members ledger that already holds the epoch's docs and an index that
-    doesn't, then the redelivered epoch appends deltas computed against
-    the true pre-epoch state, leaving members and idx with divergent
-    labels for the same documents. No heal can reconcile that after the
-    fact; the only safe order is: let the stream redeliver (which
-    completes the epoch exactly-once), then maintain. Three metadata
-    reads."""
-    tags = {"members": _last_epoch_tag(members),
-            "idx": _last_epoch_tag(idx),
-            "unions": _last_epoch_tag(unions)}
-    if len(set(tags.values())) > 1:
-        raise RuntimeError(
-            f"an insert epoch is half-landed across the components "
-            f"ledgers ({tags}) — a crash is pending redelivery. Restart "
-            "the stream (or re-apply the epoch) to complete it, then run "
-            "the maintenance: maintaining a half-landed state would bake "
-            "cross-table label divergence into the ledgers")
+    check_epoch_sync(
+        {"members": members, "idx": idx, "unions": unions},
+        consequence=("maintaining a half-landed state would bake "
+                     "cross-table label divergence into the ledgers"))
 
 
 def _check_unique_ids(batch_df, id_col: str, idx_df) -> None:

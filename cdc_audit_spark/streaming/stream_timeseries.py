@@ -47,6 +47,26 @@ from committed state (the tails LSM records every key's released
 frontier), so skewed-but-ordered series never refuse each other while
 beyond-delay lateness WITHIN a key still does.
 
+Half-landed-epoch story (the stream_components treatment, scoped to
+what each maintenance op actually reads): an epoch commits matches →
+tails → buffer, so a crash can leave the trio's newest (epoch, run_id)
+tags disagreeing until redelivery. Cross-table maintenance injected
+into that window is refused via the shared ``check_epoch_sync``:
+``flush_ts_reorder`` checks all three (exempting its own partial
+commits so its redelivery completes), and ``maybe_fold_buffer_keyed``
+checks (buffer, tails) — it derives frontiers from the CURRENT tails,
+and with tails one epoch ahead of the buffer the fold could drop
+buffered rows whose loss shifts the replayed ``_keyed_wm_frame``,
+wedging the stream into the order-guard refusal. The SINGLE-table folds
+need no guard — each is read-equivalent under this module's pinned
+replay reads: ``maybe_fold_tails`` is keep-newest (the ``__epoch=-1``
+sentinel never outranks a real epoch, and ``_newest_tail`` normalizes
+either way), and ``maybe_fold_buffer`` drops exactly the rows
+``ts <= wm`` that every subsequent read filters out anyway, carrying
+``wm`` forward; both inherit the parent's epoch/run_id stamps
+(``_STATE_KEYS``), so ``_version_before_epoch`` pins replays at or
+before them correctly whether the fold ran before or after a crash.
+
 Reference parity: none — the reference has no time-series surface; this
 extends the SURVEY §2.11 streaming tier.
 """
@@ -57,6 +77,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from cdc_audit_spark.sinks.manifest import check_epoch_sync
 from cdc_audit_spark.streaming import genstate
 from cdc_audit_spark.streaming.stream_dedup import _version_before_epoch
 
@@ -160,7 +181,10 @@ def _check_wm_mode(buffer, keyed: bool) -> None:
     buffer read by the global release rule would re-release rows (loud
     downstream, but confusing), and a global buffer read per-key would
     derive frontiers the stamps never promised. Newest-manifest check —
-    every buffer commit (epoch append or fold) stamps its mode."""
+    exact even across out-of-band generic maintenance, because the mode
+    stamps are inherited state (``_STATE_KEYS``): every commit on the
+    buffer, whether this module's or a foreign compact/constraint,
+    physically carries the mode forward."""
     cur = buffer.current_version()
     if cur is None:
         return
@@ -205,15 +229,21 @@ def _wm_extra(wm) -> dict:
 
 
 def _wm_at(buffer, version) -> object | None:
-    """The watermark recorded at or before ``version`` — the newest
-    manifest carrying a wm stamp (every buffer commit, fold included,
-    carries one; the walk covers legacy/foreign commits)."""
+    """The watermark recorded at or before ``version``. O(1): ``wm`` /
+    ``wm_is_ts`` are inherited state (``_STATE_KEYS``), so the manifest
+    AT ``version`` physically carries the newest stamp — foreign/generic
+    commits included. The backward walk survives only as the fallback
+    for buffers whose newest commits predate the inheritance."""
     import datetime as dt
 
     if version is None:
         return None
+    m = buffer.manifest(version)
+    if "wm" in m:
+        return (dt.datetime.fromisoformat(m["wm"])
+                if m.get("wm_is_ts") else m["wm"])
     for v in reversed(buffer.versions()):
-        if v > version:
+        if v >= version:
             continue
         m = buffer.manifest(v)
         if "wm" in m:
@@ -455,6 +485,16 @@ def flush_ts_reorder(
             and tails.epoch_applied(epoch_id, run_id)):
         return
     _check_wm_mode(buffer, keyed=per_key)
+    # refuse to drain on top of a half-landed PRIOR epoch: the buffer
+    # would be missing that epoch's still-buffered rows (its append
+    # never landed), so the flush would silently drain an incomplete
+    # stream. The flush's OWN partial commits are exempt — its
+    # redelivery must complete. (module doc: half-landed-epoch story)
+    check_epoch_sync(
+        {"tails": tails, "matches": matches, "buffer": buffer},
+        applying=(epoch_id, run_id),
+        consequence=("flushing now would drain a buffer missing the "
+                     "half-landed epoch's rows"))
     pre = _version_before_epoch(buffer, epoch_id)
     if pre is None:
         return  # nothing was ever buffered — deterministic no-op
@@ -484,8 +524,13 @@ def flush_ts_reorder(
         new_wm = mx if mx is not None else wm_prev
         if new_wm is not None and wm_prev is not None:
             new_wm = max(new_wm, wm_prev)
+        # stamp even a None watermark (it round-trips: _wm_at treats a
+        # null wm as absent) — every buffer commit must carry a mode
+        # marker, or this flush-of-an-empty-never-stamped buffer would
+        # become a stampless newest manifest and let per_key=True
+        # silently resume a global buffer
         extra = {"epoch": int(epoch_id), "run_id": run_id,
-                 **(_wm_extra(new_wm) if new_wm is not None else {})}
+                 **_wm_extra(new_wm)}
     released = released.localCheckpoint(eager=True)
     apply_ts_epoch(
         tails, matches, released, epoch_id, run_id,
@@ -502,10 +547,21 @@ def maybe_fold_buffer_keyed(buffer, tails, key_col: str, ts_col: str,
     released rows (ts at or below the key's derived frontier) when the
     buffer's dir fan-in passes ``max_dirs``. Survivors land key-clustered
     — the per-epoch read is pruned BY KEY in this mode, so key-range dirs
-    are what it skips on."""
+    are what it skips on.
+
+    Reads the CURRENT tails to derive frontiers, so it must not run
+    while an epoch is half-landed with tails ahead of the buffer: the
+    derived frontier would drop buffered rows whose loss shifts the
+    replayed ``_keyed_wm_frame`` (module doc: half-landed-epoch story).
+    In-flow calls run after the epoch's last commit, where the tags
+    agree; the guard only bites out-of-band maintenance."""
     cur = buffer.current_version()
     if cur is None:
         return None
+    check_epoch_sync(
+        {"buffer": buffer, "tails": tails},
+        consequence=("folding against post-epoch tails would drop "
+                     "buffered rows the epoch's replay still reads"))
     if len(buffer.manifest(cur)["dirs"]) <= max_dirs:
         return None
     buf = buffer.read()

@@ -724,3 +724,160 @@ def test_ts_reorder_per_key_stream_end_to_end(spark, tmp_path):
     got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
            for r in matches.read().collect()}
     assert got == _batch_truth(spark, full)
+
+
+def test_ts_reorder_wm_survives_generic_maintenance(spark, tmp_path):
+    """The watermark/mode stamps are inherited manifest state: a generic
+    out-of-band commit on the buffer (compact_small, add_constraint)
+    between epochs can no longer bury them — mode mixing still refuses,
+    the watermark still reads back (a beyond-delay point still refuses),
+    and the newest manifest physically carries the stamp."""
+    import math as _m
+
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+    )
+
+    args = ("user_id", "ts", "event_id", "value", QUERY)
+    full = spark.createDataFrame(
+        [(1, t, t, _m.sin(t / 3.0)) for t in range(40)], SCH_LONG)
+
+    # -- global mode
+    tails = ManifestTable(spark, str(tmp_path / "gt"))
+    matches = ManifestTable(spark, str(tmp_path / "gm"))
+    buffer = ManifestTable(spark, str(tmp_path / "gb"))
+    for e in range(2):
+        d = full.filter((F.col("ts") >= e * 20) & (F.col("ts") < (e + 1) * 20))
+        apply_ts_epoch_reordered(tails, matches, buffer, d, e, "run0",
+                                 *args, delay=8)
+    assert buffer.compact_small(min_group=1) is not None  # generic commit
+    buffer.add_constraint("ts_nonnull", "ts IS NOT NULL")  # another one
+    newest = buffer.manifest(buffer.current_version())
+    assert "wm" in newest  # physically inherited, not buried
+    with pytest.raises(ValueError, match="GLOBAL watermark"):
+        apply_ts_epoch_reordered(tails, matches, buffer, full.limit(1), 2,
+                                 "run0", *args, delay=8, per_key=True)
+    late = spark.createDataFrame([(1, 5, 99, 0.5)], SCH_LONG)
+    with pytest.raises(ValueError, match="reorder delay"):
+        apply_ts_epoch_reordered(tails, matches, buffer, late, 2, "run0",
+                                 *args, delay=8)
+
+    # -- per-key mode
+    kt = ManifestTable(spark, str(tmp_path / "kt"))
+    km = ManifestTable(spark, str(tmp_path / "km"))
+    kb = ManifestTable(spark, str(tmp_path / "kb"))
+    apply_ts_epoch_reordered(kt, km, kb, full.filter("ts < 20"), 0,
+                             "run0", *args, delay=8, per_key=True)
+    assert kb.compact_small(min_group=1) is not None
+    assert kb.manifest(kb.current_version()).get("wm_keyed") is True
+    with pytest.raises(ValueError, match="PER-KEY watermarks"):
+        apply_ts_epoch_reordered(kt, km, kb, full.limit(1), 1, "run0",
+                                 *args, delay=8)
+
+
+def test_ts_fold_interleaved_in_crash_window_replays_to_truth(spark,
+                                                              tmp_path):
+    """The half-landed-epoch story, both halves: the single-table tails
+    fold is read-equivalent and an interleaved run of it inside the
+    crash window (matches+tails landed, buffer didn't) still replays to
+    the batch truth; the cross-table keyed buffer fold REFUSES in that
+    window (it derives frontiers from post-epoch tails) and works again
+    once the epoch completes."""
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+        maybe_fold_buffer_keyed,
+        maybe_fold_tails,
+    )
+
+    full, deliveries = _skewed_fixture(spark)
+    args = ("user_id", "ts", "event_id", "value", QUERY)
+    tails = ManifestTable(spark, str(tmp_path / "tails"))
+    matches = ManifestTable(spark, str(tmp_path / "matches"))
+    buffer = ManifestTable(spark, str(tmp_path / "buffer"))
+    apply_ts_epoch_reordered(
+        tails, matches, buffer, deliveries[0], 0, "run0", *args, delay=8,
+        per_key=True)
+
+    orig = buffer.append
+    buffer.append = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, deliveries[1], 1, "run0", *args,
+            delay=8, per_key=True)
+    assert tails.epoch_applied(1, "run0")
+    assert not buffer.epoch_applied(1, "run0")
+    # cross-table maintenance refuses inside the window...
+    with pytest.raises(RuntimeError, match="half-landed"):
+        maybe_fold_buffer_keyed(buffer, tails, "user_id", "ts", 8,
+                                max_dirs=0)
+    # ...the single-table keep-newest fold is read-equivalent and may run
+    assert maybe_fold_tails(tails, "user_id", max_dirs=1, n_dirs=4) \
+        is not None
+    buffer.append = orig
+    for epoch, d in enumerate(deliveries[1:], start=1):
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, d, epoch, "run0", *args, delay=8,
+            per_key=True)
+    got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+           for r in matches.read().collect()}
+    assert got == _batch_truth(spark, full)
+    # epoch complete -> the keyed fold is allowed again
+    assert maybe_fold_buffer_keyed(buffer, tails, "user_id", "ts", 8,
+                                   max_dirs=0) is not None
+
+
+def test_ts_flush_refuses_half_landed_prior_epoch_but_replays_own(
+        spark, tmp_path):
+    """flush_ts_reorder refuses to drain on top of a PRIOR half-landed
+    epoch (the buffer is missing that epoch's rows), yet its OWN
+    half-landed replay completes — the applying-epoch exemption."""
+    import math as _m
+
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+        flush_ts_reorder,
+    )
+
+    args = ("user_id", "ts", "event_id", "value", QUERY)
+    rows = [(1, t, t, _m.sin(t / 3.0)) for t in range(40)]
+    full = spark.createDataFrame(rows, SCH_LONG)
+    tails = ManifestTable(spark, str(tmp_path / "t"))
+    matches = ManifestTable(spark, str(tmp_path / "m"))
+    buffer = ManifestTable(spark, str(tmp_path / "b"))
+    apply_ts_epoch_reordered(tails, matches, buffer, full.filter("ts < 20"),
+                             0, "run0", *args, delay=8, per_key=True)
+
+    orig_append = buffer.append
+    buffer.append = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, full.filter("ts >= 20"), 1, "run0",
+            *args, delay=8, per_key=True)
+    buffer.append = orig_append
+    with pytest.raises(RuntimeError, match="half-landed"):
+        flush_ts_reorder(tails, matches, buffer, 2, "run0", *args,
+                         per_key=True)
+    # redeliver epoch 1, then the flush proceeds
+    apply_ts_epoch_reordered(tails, matches, buffer,
+                             full.filter("ts >= 20"), 1, "run0", *args,
+                             delay=8, per_key=True)
+
+    # crash the flush's OWN buffer overwrite: matches/tails land with the
+    # flush epoch's tag, buffer stays behind — its replay must complete
+    orig_over = buffer.overwrite
+    buffer.overwrite = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        flush_ts_reorder(tails, matches, buffer, 2, "run0", *args,
+                         per_key=True)
+    assert matches.epoch_applied(2, "run0")
+    assert not buffer.epoch_applied(2, "run0")
+    buffer.overwrite = orig_over
+    flush_ts_reorder(tails, matches, buffer, 2, "run0", *args,
+                     per_key=True)
+    got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+           for r in matches.read().collect()}
+    assert got == _batch_truth(spark, full)
+    assert buffer.read().count() == 0
