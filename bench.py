@@ -70,6 +70,19 @@ HEADLINE = [
     # r11: the one-shot fingerprint-edge clustering, now star-edge
     # seeded (linear per fingerprint group — the r10 quadratic fix)
     "dedup_components_labels",
+    # r13 (VERDICT r12 item 5): the maintained-STATE paths, which the
+    # one-shot kernels above never exercise at sf0.1 — each is a full
+    # multi-epoch drain over fresh manifest tables (state commits,
+    # folds/compaction policies, epoch guards included in the timing).
+    # Their cost is dominated by per-epoch fixed overhead (5 resp. 3
+    # epochs of small Spark jobs + manifest commits), not data volume:
+    # first r13 measurements are the baseline, later rounds must stay
+    # within 2x of them.
+    "cdc_ts_reorder_keyed",   # 4 skewed epochs + flush, per-key wm
+    "cdc_components_sync",    # 3 insert epochs, resolve/compact wired
+    # r13: the verified near-dup clustering pipeline (winnow-pinned
+    # candidates -> Jaccard verify -> components -> survivors)
+    "dedup_cluster_verified",
 ]
 
 

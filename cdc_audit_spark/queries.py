@@ -3770,6 +3770,93 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(corpus, cents, qv, k=10, nprobe=4)
 
 
+def _ivf_centroids(k: int = 8, dim: int = 64, seed: int = 11):
+    """The pinned IVF codebook for ``ann_ivf_pinned_topk`` — seeded
+    random directions, shared verbatim between the Spark query and its
+    oracle (the centroid VALUES ride as SQL literals, their norms
+    pre-computed in Python and embedded, so neither engine recomputes
+    the other's arithmetic)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((k, dim))]
+
+
+def _ivf_pinned_oracle(k: int = 10, nprobe: int = 4) -> str:
+    """ANSI twin of ``ivf_topk`` over the pinned codebook. The probe
+    ranking and the per-vector cell assignment divide by norms that are
+    constant within each comparison (the query's norm across cells, the
+    vector's own norm across cells), so the rankings are robust to any
+    sqrt-vs-pow rounding difference; the output cosine reuses the
+    hash-green ``knn_cosine_topk`` arithmetic (sequential left-fold dot
+    == DuckDB's list_dot_product)."""
+    from cdc_audit_spark.operators.similarity import _l2
+
+    cents = _ivf_centroids()
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[], {!r})".format(
+            i, ", ".join(f"{v!r}" for v in c), float(_l2(c)))
+        for i, c in enumerate(cents))
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id = 0),
+    cents(cell, cv, cn) AS (VALUES {rows}),
+    probe AS (
+      SELECT cell FROM cents, q
+      ORDER BY list_dot_product(q.qv, cents.cv)
+               / (cents.cn * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+               cell
+      LIMIT {nprobe}),
+    asg AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cell) AS rn
+        FROM (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cell,
+                     list_dot_product(e.embedding::DOUBLE[], c.cv)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * c.cn) AS sim
+                FROM embeddings e, cents c WHERE e.vec_id <> 0))
+    SELECT a.vec_id,
+           CAST(list_dot_product(a.v, q.qv)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(q.qv, q.qv))) AS DOUBLE)
+           AS cos_sim
+      FROM asg a, q
+     WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
+     ORDER BY cos_sim DESC, a.vec_id LIMIT {k}
+    """
+
+
+@register(
+    "ann_ivf_pinned_topk",
+    None,  # oracle attached below (built from the pinned codebook)
+    "IVF top-k with an exact oracle — the r12 ann_embedding_pairs "
+    "treatment applied to the IVF PROBE path (the no-oracle ledger's "
+    "standing re-adjudication): PIN the codebook to seeded literals "
+    "(training is the recursion-walled part, not probing), then run the "
+    "production ivf_assign → probe-prune → cosine_topk stages unchanged "
+    "and hash-check (vec_id, cos_sim) against DuckDB ranking the same "
+    "literal codebook. Probe/assignment rankings divide by "
+    "per-comparison-constant norms (rounding-robust); the output cosine "
+    "is the knn_cosine_topk-proven sequential fold. Only Lloyd codebook "
+    "TRAINING remains unverifiable (ann_ivf_topk's ledger entry). Scale "
+    "shape unchanged: broadcast-literal codegen assign, no shuffle, "
+    "probed-cell scan fraction nprobe/k",
+)
+def ann_ivf_pinned_topk(spark, sf_dir):
+    from cdc_audit_spark.operators.similarity import ivf_topk
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    return ivf_topk(corpus, _ivf_centroids(), qv, k=10, nprobe=4)
+
+
+_REGISTRY["ann_ivf_pinned_topk"].oracle = _ivf_pinned_oracle()
+
+
 @register(
     "ann_pq_topk",
     None,
@@ -7514,9 +7601,10 @@ _DRIVER_WINDOW = [
     # sample_temperature_lang, sample_unimax_budget,
     # semi_join_urgent_customers, text_chunk_windows, text_fingerprint,
     # topk_orders_per_customer, ts_subsequence_long,
-    # ts_subsequence_match) hit the staleness bound at r14 and rotate in
-    # first next round, plus whatever r13 registers after this window is
-    # pinned:
+    # ts_subsequence_match, plus dedup_simhash displaced by this round's
+    # second new registration) hit the staleness bound at r14 and rotate
+    # in first next round, plus whatever r13 registers after this window
+    # is pinned:
     "agg_global_minmax", "asof_join_error_purchase",
     "bm25_multiquery_topk", "ccnet_bucket_sample", "cdc_audit_stats",
     "cdc_components_remove_rebuild", "cdc_components_sync",
@@ -7525,12 +7613,11 @@ _DRIVER_WINDOW = [
     "cdc_manifest_roundtrip", "cdc_manifest_sink_drain",
     "cdc_replica_change_feed", "cdc_state_asof",
     "cdc_watermark_recovery", "dedup_component_stats",
-    "dedup_components_labels", "dedup_simhash",
+    "dedup_components_labels",
     # new this round -> checked immediately: the verified near-dup
-    # clustering pipeline promoted to oracle-backed (winnow-pinned
-    # candidates made the verify/components/survivor stages
-    # ANSI-expressible; VERDICT r12 item 4):
-    "dedup_cluster_verified",
+    # clustering pipeline and the pinned-codebook IVF probe path, both
+    # promoted to oracle-backed (VERDICT r12 item 4):
+    "dedup_cluster_verified", "ann_ivf_pinned_topk",
 ]
 
 

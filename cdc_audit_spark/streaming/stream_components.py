@@ -334,7 +334,22 @@ def maybe_resolve_components(members, idx, unions,
     either flattened or at depth <= ``max_depth`` < 32 — the closure's
     hard stop is unreachable when this policy runs on the epoch cadence
     (it is wired into ``apply_components_epoch``). Returns True iff a
-    resolve ran."""
+    resolve ran.
+
+    Row-growth invariant (merge-heavy perpetual streams): every unions
+    row permanently RETIRES its ``child`` as a canonical label — a
+    record re-parents one former canonical onto the canonical that
+    absorbed it, and a retired label is never re-parented again — so a
+    label appears as ``child`` at most once over the ledger's entire
+    life, and an epoch appends at most U(e) rows, where U(e) = the
+    number of pre-existing components the epoch's documents merge away
+    (<= the epoch's fingerprint-matched distinct roots, itself
+    batch-sized). With this trigger on the epoch cadence, the ledger at
+    rest after ANY epoch holds <= ``max_union_rows`` rows (or exactly 0
+    when the resolve just fired), and the transient peak mid-epoch is
+    <= ``max_union_rows`` + U(e): bounded by epoch size, never by
+    stream length. Pinned by
+    ``test_unions_rows_bounded_under_merge_heavy_stream``."""
     cur = unions.current_version()
     if cur is None:
         return False

@@ -796,3 +796,66 @@ def test_members_fanin_compacts_through_live_removals(spark, tmp_path):
         return {frozenset(g) for g in by.values()}
 
     assert parts(_got(tables)) == parts(want)
+
+
+def test_unions_rows_bounded_under_merge_heavy_stream(spark, tmp_path):
+    """VERDICT r12 item 6 — the unions row-growth invariant: every
+    appended row retires one former canonical FOREVER (no child repeats
+    across the ledger's life), so per-epoch growth is bounded by the
+    epoch's merge count; the wired resolve trigger flattens the ledger
+    and labels survive it; post-resolve epochs start from zero rows."""
+    from cdc_audit_spark.streaming.stream_components import (
+        maybe_resolve_components,
+    )
+
+    fams = [" ".join(f"fam{i}tok{j}" for j in range(8)) for i in range(12)]
+    tables = _tables(spark, tmp_path)
+    members, idx, unions = tables
+    singles = [(100 + i, f"{fams[i]} filler{i}a filler{i}b")
+               for i in range(12)]
+    _apply(tables, spark.createDataFrame(singles, SCH), 0)
+    assert unions.row_count(unions.current_version()) == 0  # no merges yet
+
+    seen = list(singles)
+    retired_ever: set = set()
+    prev_snapshot: set = set()
+
+    def drain_epoch(epoch, rows):
+        seen.extend(rows)
+        _apply(tables, spark.createDataFrame(rows, SCH), epoch)
+        ledger = [r["child"] for r in unions.read().collect()]
+        # no child repeats within the live ledger, and no child ever
+        # re-retires across the ledger's whole life (resolves included) —
+        # the retire-once fact the row bound rests on
+        assert len(ledger) == len(set(ledger))
+        new = set(ledger) - prev_snapshot
+        assert not (new & retired_ever)
+        retired_ever.update(new)
+        prev_snapshot.clear()
+        prev_snapshot.update(ledger)
+        assert _got(tables) == _one_shot(spark,
+                                         spark.createDataFrame(seen, SCH))
+        return len(ledger)
+
+    # epoch 1: six pairwise merges -> exactly 6 retired canonicals
+    n1 = drain_epoch(1, [(200 + j, f"{fams[2 * j]} {fams[2 * j + 1]}")
+                         for j in range(6)])
+    assert n1 == 6
+    # epoch 2: merge the pairs into quads -> 3 more retirements
+    n2 = drain_epoch(2, [(300 + m, f"{fams[4 * m]} {fams[4 * m + 2]}")
+                         for m in range(3)])
+    assert n2 == 9
+
+    # the trigger: over the row bound -> resolve runs, ledger empties,
+    # labels unchanged
+    before = _got(tables)
+    assert maybe_resolve_components(members, idx, unions,
+                                    max_union_rows=2) is True
+    assert unions.row_count(unions.current_version()) == 0
+    assert _got(tables) == before
+    prev_snapshot.clear()  # the resolve emptied the ledger
+
+    # post-resolve epochs accumulate only THEIR merges, and the merged
+    # root retires a label never retired before (checked in drain_epoch)
+    n3 = drain_epoch(3, [(400, f"{fams[0]} {fams[4]}")])
+    assert n3 == 1
