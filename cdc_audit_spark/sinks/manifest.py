@@ -114,7 +114,17 @@ _STATE_KEYS = ("watermark", "epoch", "run_id", "wipe_through",
                # (compact_small/checkpoint/constraint) must physically
                # inherit them or it would silently disarm the mode check
                # and force _wm_at back onto an O(versions) walk.
-               "wm", "wm_is_ts", "wm_keyed")
+               "wm", "wm_is_ts", "wm_keyed",
+               # ANN serving-projection state (streaming/stream_ann.py):
+               # the centroids the CURRENT cell assignment was built
+               # under. Probes and restarted maintainers read these per
+               # batch (frozen-centroid contract), so the newest manifest
+               # must be authoritative in O(1) — the pre-r13 backward
+               # walk re-scanned every version on every epoch of a
+               # never-rebuilt table. ann_recall deliberately does NOT
+               # inherit: its absence within the cadence window is the
+               # signal that a recall check is due.
+               "ann_centroids")
 
 # Deletion-vector payload keys (dv_dirs: live DV key files; dv_meta:
 # per-DV {key, rows, files, covers}) survive only through commits that

@@ -594,13 +594,17 @@ def maybe_rebuild_ann(
     cur = serving.current_version()
     if cur is None:
         return None
-    last = None
+    # cadence = "was recall checked within the last every_n_commits
+    # commits?" — so only that window of manifests can answer it; a
+    # stamp older than the window couldn't suppress the check anyway.
+    # Bounds the walk to O(window) instead of O(versions) per call
+    # (ann_recall is deliberately NOT inherited state — inheriting it
+    # would put a stamp in every manifest and disable the cadence).
     for v in reversed(serving.versions()):
-        if "ann_recall" in serving.manifest(v):
-            last = v
+        if cur - v >= every_n_commits:
             break
-    if last is not None and cur - last < every_n_commits:
-        return None
+        if "ann_recall" in serving.manifest(v):
+            return None
     state = serving_live_state(serving, None, id_col, vec_col)
     recall = ann_recall_estimate(state, centroids, k=k, nprobe=nprobe,
                                  sample_n=sample_n, id_col=id_col,
@@ -633,10 +637,22 @@ def current_ann_centroids(serving, default=None):
     ``ann_centroids``, or ``default`` (the bootstrap-time training
     output) when no rebuild has happened. Probes and restarted
     maintenance loops MUST use this — probing rebuilt cells with the
-    bootstrap centroids breaks the assignment/probe agreement."""
-    if serving.current_version() is None:
+    bootstrap centroids breaks the assignment/probe agreement.
+
+    O(1): ``ann_centroids`` is inherited state (``_STATE_KEYS``), so the
+    newest manifest physically carries the newest rebuild's centroids
+    through every later commit — appends, compactions, foreign
+    maintenance. The backward walk survives only as the fallback for
+    tables whose newest commits predate the inheritance."""
+    cur = serving.current_version()
+    if cur is None:
         return default
+    m = serving.manifest(cur)
+    if "ann_centroids" in m:
+        return [list(map(float, c)) for c in m["ann_centroids"]]
     for v in reversed(serving.versions()):
+        if v >= cur:
+            continue
         m = serving.manifest(v)
         if "ann_centroids" in m:
             return [list(map(float, c)) for c in m["ann_centroids"]]

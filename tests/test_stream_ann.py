@@ -796,3 +796,32 @@ def test_rebuild_policy_recovers_recall_without_intervention(spark, tmp_path):
     m = srv.manifest(srv.current_version())
     assert m["action"] == "analyze" and "ann_recall" in m
     assert srv.current_version() == v0 + 1
+
+
+def test_ann_centroids_survive_generic_maintenance(spark, tmp_path):
+    """The rebuilt centroids are inherited manifest state: generic
+    out-of-band commits on the serving table (compact_small,
+    add_constraint) after a rebuild can no longer bury them — the newest
+    manifest physically carries ann_centroids and
+    current_ann_centroids resolves in one metadata read."""
+    from cdc_audit_spark.streaming.stream_ann import (
+        bootstrap_ann_index,
+        current_ann_centroids,
+    )
+
+    cents = _axes()
+    srv = ManifestTable(spark, str(tmp_path / "srv"))
+    bootstrap_ann_index(srv, _clustered(spark, 0, 40), cents)
+    # a rebuild-style commit records new centroids
+    new_cents = [[float(x) * 2 for x in c] for c in cents]
+    srv.write_range_layout(
+        srv.read(), "cell", n_buckets=4,
+        extra={"ann_rebuild": True, "ann_centroids": new_cents},
+        base_version=srv.current_version())
+    assert current_ann_centroids(srv, cents) == new_cents
+    # generic maintenance commits between the rebuild and the next read
+    srv.add_constraint("vec_nonnull", "vec_id IS NOT NULL")
+    srv.compact_small(min_group=1)
+    newest = srv.manifest(srv.current_version())
+    assert "ann_centroids" in newest  # physically inherited, not buried
+    assert current_ann_centroids(srv, cents) == new_cents
