@@ -70,19 +70,25 @@ HEADLINE = [
     # r11: the one-shot fingerprint-edge clustering, now star-edge
     # seeded (linear per fingerprint group — the r10 quadratic fix)
     "dedup_components_labels",
-    # r13 (VERDICT r12 item 5): the maintained-STATE paths, which the
-    # one-shot kernels above never exercise at sf0.1 — each is a full
-    # multi-epoch drain over fresh manifest tables (state commits,
-    # folds/compaction policies, epoch guards included in the timing).
-    # Their cost is dominated by per-epoch fixed overhead (5 resp. 3
-    # epochs of small Spark jobs + manifest commits), not data volume:
-    # first r13 measurements are the baseline, later rounds must stay
-    # within 2x of them.
-    "cdc_ts_reorder_keyed",   # 4 skewed epochs + flush, per-key wm
-    "cdc_components_sync",    # 3 insert epochs, resolve/compact wired
     # r13: the verified near-dup clustering pipeline (winnow-pinned
     # candidates -> Jaccard verify -> components -> survivors)
     "dedup_cluster_verified",
+]
+
+# r13 (VERDICT r12 item 5): the maintained-STATE paths, which the
+# one-shot kernels above never exercise at sf0.1 — each is a full
+# multi-epoch drain over fresh manifest tables (state commits,
+# folds/compaction policies, epoch guards included in the timing).
+# Their cost is dominated by per-epoch fixed overhead (5 resp. 3 epochs
+# of small Spark jobs + manifest commits), not data volume: first r13
+# measurements are the baseline, later rounds must stay within 2x.
+# Timed in their OWN phase AFTER the sentinel-bracketed classic pass:
+# hundreds of small jobs + tempdir state churn between the two classic
+# passes would inject GC/scheduler noise into numbers every prior
+# round's artifact is compared against.
+DRAINS = [
+    "cdc_ts_reorder_keyed",   # 4 skewed epochs + flush, per-key wm
+    "cdc_components_sync",    # 3 insert epochs, resolve/compact wired
 ]
 
 
@@ -113,7 +119,7 @@ def main() -> None:
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in HEADLINE + DRAINS:
         try:
             qs[name](spark, warm_dir).count()
         except Exception:
@@ -193,6 +199,22 @@ def main() -> None:
     best = attempts[best_i]
     timings = per_attempt_timings[best_i]
 
+    # Maintained-state drains, in their own phase (see DRAINS): two
+    # passes, keep the min, AFTER the accepted classic window so their
+    # job/state churn can't pollute the cross-round-comparable numbers.
+    # A trailing sentinel probe records (env-only, non-gating) whether
+    # the box degraded during this phase.
+    for _ in range(2):
+        for name in DRAINS:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            elapsed = round(time.perf_counter() - t0, 4)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+    t0 = time.perf_counter()
+    qs[sentinel](spark, sf_dir).count()
+    sentinel_post_drains = round(time.perf_counter() - t0, 4)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         loadavg = [round(x, 2) for x in os.getloadavg()]
@@ -218,13 +240,16 @@ def main() -> None:
             "sentinel": sentinel,
             "sentinel_timed_sec": best["sentinel_timed_sec"],
             "sentinel_rerun_sec": best["sentinel_rerun_sec"],
+            "sentinel_post_drains_sec": sentinel_post_drains,
             "sentinel_drift_max": drift_max,
             "attempts": attempts,
         },
     }, separators=(",", ":")))
     result_line = json.dumps({
         "metric": "headline_queries_total_runtime",
-        "value": best["total_sec"],
+        # all timed queries (classic + drains) so value == sum(queries);
+        # attempts[].total_sec stays classic-only (the settled window)
+        "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
