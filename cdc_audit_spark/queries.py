@@ -3050,6 +3050,59 @@ def semdedup_prune(spark, sf_dir):
 
 
 @register(
+    "cdc_semdedup_sync",
+    _REGISTRY["semdedup_prune"].oracle,
+    "CDC-MAINTAINED SemDeDup (streaming.stream_dedup.apply_semdedup_epoch) "
+    "— the semantic tier of the maintained-dedup family: the corpus "
+    "arrives as THREE ascending-id insert epochs, each assigning its "
+    "vectors to IVF cells map-side, reading the per-cell registry PINNED "
+    "and cell-pruned, and rejecting arrivals similar (cosine > 0.60) to "
+    "any registered same-cell doc or smaller-id batch peer. The registry "
+    "keeps pruned docs too (batch semantics compare against every smaller "
+    "id, pruned or not — cosine is not transitive), so with ascending "
+    "delivery the final state equals the one-shot batch semdedup, and the "
+    "oracle IS semdedup_prune's SQL. Epoch-guarded exactly-once; per "
+    "epoch one codegen assign + one cell-pruned read + one within-cell "
+    "join + one O(delta) commit",
+)
+def cdc_semdedup_sync(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_dedup import apply_semdedup_epoch
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    t1, t2 = mx // 3, 2 * mx // 3
+    epochs = [
+        emb.filter(F.col("vec_id") <= t1),
+        emb.filter((F.col("vec_id") > t1) & (F.col("vec_id") <= t2)),
+        emb.filter(F.col("vec_id") > t2),
+    ]
+    root = tempfile.mkdtemp(prefix="cdc_semdedup_")
+    try:
+        registry = ManifestTable(spark, f"{root}/registry")
+        for epoch, b in enumerate(epochs):
+            apply_semdedup_epoch(
+                registry, b, epoch, "semdedup_sync", cents,
+                id_col="vec_id", vec_col="embedding", threshold=0.60)
+        out = registry.read().select(
+            F.col("id").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            "kept",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "quality_classifier_scores",
     None,  # iterative training — no single-SQL form; ground truth lives
     # in test_classifier.py (Spark GD ≡ numpy reference at 1e-9, planted
@@ -7601,11 +7654,11 @@ _DRIVER_WINDOW = [
     # sample_temperature_lang, sample_unimax_budget,
     # semi_join_urgent_customers, text_chunk_windows, text_fingerprint,
     # topk_orders_per_customer, ts_subsequence_long,
-    # ts_subsequence_match, plus dedup_simhash displaced by this round's
-    # second new registration) hit the staleness bound at r14 and rotate
-    # in first next round, plus whatever r13 registers after this window
-    # is pinned:
-    "agg_global_minmax", "asof_join_error_purchase",
+    # ts_subsequence_match, plus dedup_simhash and agg_global_minmax
+    # displaced by this round's new registrations) hit the staleness
+    # bound at r14 and rotate in first next round, plus whatever r13
+    # registers after this window is pinned:
+    "asof_join_error_purchase",
     "bm25_multiquery_topk", "ccnet_bucket_sample", "cdc_audit_stats",
     "cdc_components_remove_rebuild", "cdc_components_sync",
     "cdc_dedup_index_sync", "cdc_diff_customer", "cdc_incremental_scan",
@@ -7615,9 +7668,10 @@ _DRIVER_WINDOW = [
     "cdc_watermark_recovery", "dedup_component_stats",
     "dedup_components_labels",
     # new this round -> checked immediately: the verified near-dup
-    # clustering pipeline and the pinned-codebook IVF probe path, both
-    # promoted to oracle-backed (VERDICT r12 item 4):
-    "dedup_cluster_verified", "ann_ivf_pinned_topk",
+    # clustering pipeline and the pinned-codebook IVF probe path (both
+    # promoted to oracle-backed, VERDICT r12 item 4), and the
+    # CDC-maintained SemDeDup registry:
+    "dedup_cluster_verified", "ann_ivf_pinned_topk", "cdc_semdedup_sync",
 ]
 
 

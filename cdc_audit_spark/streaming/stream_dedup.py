@@ -35,11 +35,14 @@ from cdc_audit_spark.streaming import genstate
 __all__ = [
     "apply_dedup_epoch",
     "apply_exact_index_epoch",
+    "apply_semdedup_epoch",
+    "maybe_cluster_semdedup_registry",
     "current_exact_index",
     "maybe_cluster_lsh_index",
     "stream_dedup_sync",
     "stream_dedup_sync_manifest",
     "stream_exact_index_sync",
+    "stream_semdedup_sync",
 ]
 
 
@@ -338,3 +341,176 @@ def _version_before_epoch(idx, epoch_id: int) -> int | None:
         if e is None or int(e) < epoch_id:
             return v
     return None
+
+
+def apply_semdedup_epoch(
+    registry,
+    batch_df,
+    epoch_id: int,
+    run_id: str | None,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.60,
+) -> None:
+    """One micro-batch of CDC-MAINTAINED SemDeDup (arXiv 2303.09540) —
+    the semantic tier of the maintained-dedup family (exact digest index,
+    LSH band index, and now the per-cell embedding registry): each
+    arriving document is assigned to its IVF cell (broadcast-literal
+    codegen, no shuffle — the batch ``operators.dedup.semdedup``
+    expression) and REJECTED iff some already-registered same-cell
+    document, or a smaller-id same-cell batch peer, exceeds ``threshold``
+    cosine similarity. Survivor priority is ARRIVAL order (the
+    ``incremental_lsh_dedup`` contract): whoever registered first wins,
+    ties within a batch break to the smaller id — so with ascending-id
+    delivery the final registry equals the one-shot batch ``semdedup``
+    exactly (the oracle-checkable setting, ★ ``cdc_semdedup_sync``).
+
+    The registry keeps EVERY seen document (kept and pruned) because the
+    batch semantics it must reproduce compare against every smaller id,
+    pruned or not — cosine is not transitive, so a pruned document still
+    prunes later arrivals. Insert-only with unique ids, like the
+    components ledgers; the cheap enforcement below is exact for
+    redelivered identical vectors (same vector → same cell → the pruned
+    read witnesses it) and best-effort for id reuse with a CHANGED
+    vector, which is the caller's contract to prevent.
+
+    Scale shape per epoch: one codegen assign pass (no shuffle), one
+    cell-pruned pinned registry read (only the batch's cells' dirs after
+    ``maybe_cluster_semdedup_registry`` lands the state cell-clustered),
+    one within-cell equi-join sized by the touched cells' populations —
+    pairwise work never crosses cell boundaries, the paper's contract;
+    grow the cell count with the corpus so per-cell sets stay bounded.
+    One O(delta) commit; replay recomputes the identical kept set from
+    the pinned read (exactly-once via the epoch guard)."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from cdc_audit_spark.operators.similarity import _self_dot, ivf_assign
+
+    if registry.epoch_applied(epoch_id, run_id):
+        return
+    assign = (
+        ivf_assign(batch_df, centroids, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("cell").cast("long").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", F.sqrt(_self_dot(F.col("v"))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        dup = (assign.groupBy("id").agg(F.count("*").alias("n"))
+               .filter("n > 1").limit(5).collect())
+        if dup:
+            raise ValueError(
+                f"duplicate document id(s) within the batch: "
+                f"{sorted(r['id'] for r in dup)} — the semdedup registry "
+                "is insert-only with globally unique ids")
+        pre = _version_before_epoch(registry, epoch_id)
+        prior = (registry.read_pruned_for_keys(assign.select("cell"),
+                                               "cell", version=pre)
+                 .select("id", "cell", "v", "nrm")
+                 if pre is not None else None)
+        if prior is not None:
+            clash = (prior.select("id")
+                     .join(assign.select("id"), "id", "left_semi")
+                     .limit(5).collect())
+            if clash:
+                raise ValueError(
+                    f"document id(s) already registered: "
+                    f"{sorted(r['id'] for r in clash)} — the semdedup "
+                    "registry is insert-only with globally unique ids")
+        bside = assign.select("id", "cell", "v", "nrm").withColumn(
+            "__prior", F.lit(False))
+        if prior is not None:
+            bside = prior.withColumn("__prior", F.lit(True)).unionByName(
+                bside)
+        a, b = assign.alias("a"), bside.alias("b")
+        dot = F.aggregate(
+            F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        sim = (dot / (F.col("a.nrm") * F.col("b.nrm"))).cast("double")
+        pruned = (
+            a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                   & (F.col("b.__prior") | (F.col("b.id") < F.col("a.id"))))
+            .filter(sim > F.lit(float(threshold)))
+            .select(F.col("a.id").alias("id"))
+            .distinct()
+        )
+        out = (
+            assign.join(pruned.withColumn("__pruned", F.lit(True)),
+                        "id", "left")
+            .select("cell", "id", "v", "nrm",
+                    F.coalesce(F.col("__pruned"), F.lit(False)).alias(
+                        "__p"))
+            .select("cell", "id", "v", "nrm", (~F.col("__p")).alias("kept"))
+        )
+        registry.append(out, extra={"epoch": int(epoch_id),
+                                    "run_id": run_id},
+                        stats_cols=["cell"])
+    finally:
+        assign.unpersist()
+    maybe_cluster_semdedup_registry(registry)
+
+
+def maybe_cluster_semdedup_registry(registry, max_dirs: int = 64,
+                                    n_dirs: int = 8) -> int | None:
+    """Cell-cluster the semdedup registry when its dir fan-in passes
+    ``max_dirs`` — the ``maybe_cluster_lsh_index`` pattern: the rewrite
+    lands as disjoint cell-range dirs with recorded ranges so the
+    per-epoch pruned read skips the cells the batch doesn't touch.
+    Epoch/run_id inherit through the optimize commit."""
+    cur = registry.current_version()
+    if cur is None:
+        return None
+    if len(registry.manifest(cur)["dirs"]) <= max_dirs:
+        return None
+    return registry.optimize(cluster_by=["cell"], n_dirs=n_dirs)
+
+
+def stream_semdedup_sync(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    registry_path: str,
+    checkpoint_path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.60,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Always-on form of ``apply_semdedup_epoch``: embeddings stream in,
+    the per-cell registry adjudicates each micro-batch exactly-once (one
+    state table, one epoch-guarded commit — a crash mid-batch replays to
+    the identical kept set from the pinned read). Survivors are the
+    registry rows with ``kept``; a fresh checkpoint against a surviving
+    registry raises GenerationRunMismatch (they live and die together)."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    registry = ManifestTable(spark, registry_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        apply_semdedup_epoch(
+            registry, batch_df, epoch_id,
+            genstate.checkpoint_run_id(checkpoint_path),
+            centroids, id_col=id_col, vec_col=vec_col,
+            threshold=threshold,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -850,3 +850,162 @@ def test_resolve_union_closure_cyclic_ledger_raises(spark):
     loop = spark.createDataFrame([(4, 4)], "child long, parent long")
     with pytest.raises(RuntimeError, match="cycle"):
         resolve_union_closure(labels, loop)
+
+
+def _semdedup_tables(spark, tmp_path):
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+
+    return ManifestTable(spark, str(tmp_path / "semdedup_registry"))
+
+
+def test_semdedup_epochs_match_batch(spark, sf_dir, tmp_path):
+    """CDC-maintained SemDeDup: three ascending-id epochs over the
+    fixture embeddings must leave a registry exactly equal to the
+    one-shot batch semdedup (kept + cell, value for value), and a
+    replayed epoch is a no-op."""
+    from cdc_audit_spark.operators.dedup import semdedup
+    from cdc_audit_spark.streaming.stream_dedup import apply_semdedup_epoch
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    cents = [[float(x) for x in r[0]]
+             for r in emb.filter(F.col("vec_id") < 8)
+             .orderBy("vec_id").select("embedding").collect()]
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    t1, t2 = mx // 3, 2 * mx // 3
+    registry = _semdedup_tables(spark, tmp_path)
+    for epoch, b in enumerate([
+            emb.filter(F.col("vec_id") <= t1),
+            emb.filter((F.col("vec_id") > t1) & (F.col("vec_id") <= t2)),
+            emb.filter(F.col("vec_id") > t2)]):
+        apply_semdedup_epoch(registry, b, epoch, "run0", cents,
+                             threshold=0.60)
+    got = {r["id"]: (r["cell"], r["kept"])
+           for r in registry.read().collect()}
+    want = {r["vec_id"]: (r["cell"], r["kept"])
+            for r in semdedup(emb, cents, threshold=0.60).collect()}
+    assert got == want
+
+    ver = registry.current_version()
+    apply_semdedup_epoch(registry, emb.filter(F.col("vec_id") > t2), 2,
+                         "run0", cents, threshold=0.60)
+    assert registry.current_version() == ver  # replay no-op
+
+    # planted near-dup: a copy of a registered vector (fresh id) arriving
+    # in a later epoch must be pruned against the maintained registry
+    copy_of = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    dup = spark.createDataFrame([(int(mx) + 1, copy_of)],
+                                "vec_id long, embedding array<double>")
+    apply_semdedup_epoch(registry, dup, 3, "run0", cents, threshold=0.60)
+    got2 = {r["id"]: r["kept"] for r in registry.read().collect()}
+    assert got2[int(mx) + 1] is False and got2[0] is True
+
+
+def test_semdedup_arrival_priority_and_unique_ids(spark, tmp_path):
+    """Arrival order is the survivor priority: a later-arriving SMALLER
+    id similar to a registered doc is pruned (unlike batch min-id
+    semantics — the documented streaming contract), pruned docs still
+    prune later arrivals, and duplicate ids refuse loudly both within a
+    batch and against the registry."""
+    import pytest as _pt
+
+    from cdc_audit_spark.streaming.stream_dedup import apply_semdedup_epoch
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.99, 0.01, 0.0, 0.0]
+    near2 = [0.98, -0.01, 0.01, 0.0]
+    cents = [base, [0.0, 1.0, 0.0, 0.0]]
+    SCH = "vec_id long, embedding array<double>"
+    registry = _semdedup_tables(spark, tmp_path)
+    apply_semdedup_epoch(registry, spark.createDataFrame([(10, base)], SCH),
+                         0, "run0", cents, threshold=0.90)
+    # smaller id arrives later -> IT is pruned, the registered doc stays
+    apply_semdedup_epoch(registry, spark.createDataFrame([(3, near)], SCH),
+                         1, "run0", cents, threshold=0.90)
+    got = {r["id"]: r["kept"] for r in registry.read().collect()}
+    assert got == {10: True, 3: False}
+    # the pruned doc (3) still prunes a later arrival similar to it
+    apply_semdedup_epoch(registry, spark.createDataFrame([(7, near2)], SCH),
+                         2, "run0", cents, threshold=0.90)
+    assert {r["id"]: r["kept"] for r in registry.read().collect()}[7] is False
+    # refusals: in-batch dup id, then a re-registered id
+    with _pt.raises(ValueError, match="duplicate document id"):
+        apply_semdedup_epoch(
+            registry,
+            spark.createDataFrame([(99, base), (99, near)], SCH),
+            3, "run0", cents, threshold=0.90)
+    with _pt.raises(ValueError, match="already registered"):
+        apply_semdedup_epoch(registry,
+                             spark.createDataFrame([(10, base)], SCH),
+                             3, "run0", cents, threshold=0.90)
+
+
+def test_semdedup_registry_fold_preserves_answers(spark, tmp_path):
+    """The cell-clustering fold bounds the registry's dir fan-in without
+    changing any kept/cell answer, and later epochs keep pruning against
+    the folded state."""
+    from cdc_audit_spark.streaming.stream_dedup import (
+        apply_semdedup_epoch,
+        maybe_cluster_semdedup_registry,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    SCH = "vec_id long, embedding array<double>"
+    registry = _semdedup_tables(spark, tmp_path)
+    for e in range(6):
+        rows = [(10 * e + j, [1.0 - 0.001 * e, 0.001 * j]) for j in range(2)]
+        apply_semdedup_epoch(registry, spark.createDataFrame(rows, SCH),
+                             e, "run0", cents, threshold=0.95)
+    before = {r["id"]: (r["cell"], r["kept"])
+              for r in registry.read().collect()}
+    assert maybe_cluster_semdedup_registry(registry, max_dirs=1,
+                                           n_dirs=2) is not None
+    assert len(registry.manifest(registry.current_version())["dirs"]) <= 2
+    after = {r["id"]: (r["cell"], r["kept"])
+             for r in registry.read().collect()}
+    assert after == before
+    apply_semdedup_epoch(
+        registry, spark.createDataFrame([(900, [0.999, 0.0])], SCH),
+        6, "run0", cents, threshold=0.95)
+    assert {r["id"]: r["kept"]
+            for r in registry.read().collect()}[900] is False
+
+
+def test_stream_semdedup_sync_end_to_end(spark, tmp_path):
+    """The foreachBatch drain: three ascending-id files stream through
+    the semdedup registry to exactly the one-shot batch semdedup, and an
+    idempotent restart is a no-op."""
+    from cdc_audit_spark.operators.dedup import semdedup
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_dedup import stream_semdedup_sync
+
+    SCH = "vec_id long, embedding array<double>"
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = ([(i, [1.0 - 0.002 * i, 0.002 * i, 0.0, 0.0])
+             for i in range(9)]
+            + [(9, base), (10, [0.0, 0.0, 1.0, 0.05]),
+               (11, [0.0, 0.0, 1.0, 0.04])])
+    cents = [base, [0.0, 0.0, 1.0, 0.0]]
+    full = spark.createDataFrame(rows, SCH)
+    src = str(tmp_path / "src")
+    for lo, hi in ((0, 4), (4, 8), (8, 12)):
+        (full.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+         .coalesce(1).write.mode("append").parquet(src))
+    reg_p = str(tmp_path / "registry")
+    q = stream_semdedup_sync(spark, src, SCH, reg_p,
+                             str(tmp_path / "ckpt"), cents,
+                             threshold=0.90, max_files_per_trigger=1)
+    q.awaitTermination(180)
+    registry = ManifestTable(spark, reg_p)
+    got = {r["id"]: (r["cell"], r["kept"])
+           for r in registry.read().collect()}
+    want = {r["vec_id"]: (r["cell"], r["kept"])
+            for r in semdedup(full, cents, threshold=0.90).collect()}
+    assert got == want
+    assert not got[11][1]  # the near-dup of 10 was pruned cross-file
+    ver = registry.current_version()
+    q2 = stream_semdedup_sync(spark, src, SCH, reg_p,
+                              str(tmp_path / "ckpt"), cents,
+                              threshold=0.90, max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    assert registry.current_version() == ver  # restart: nothing new
