@@ -112,10 +112,23 @@ def apply_ts_epoch(
     val_col: str,
     query: list[float],
     max_dist2_micro: int | None = None,
+    order_guarded: bool = False,
 ) -> None:
     """One micro-batch: score every window the batch completes, refresh
     the touched keys' tails. All state reads are pinned before the epoch
-    and pruned to the batch's keys; both commits are epoch-guarded."""
+    and pruned to the batch's keys; both commits are epoch-guarded.
+
+    ``order_guarded=True`` (internal — the reorder/flush callers) skips
+    the per-epoch order-check job because the caller PROVED the batch is
+    in order: a watermark-released band is strictly later than every
+    stored tail point by construction — global mode releases only rows
+    with ``ts > wm_prev`` while tails hold rows released at or before
+    ``wm_prev``; keyed mode explicitly refuses any point at or under its
+    key's scored-tail max before releasing; the flush releases exactly
+    the rows above each key's tail max (or above the global watermark).
+    The guard is a full count() action per epoch — a material share of a
+    drain's fixed cost — so re-verifying a structurally-impossible
+    condition is pure waste; direct (non-reordered) callers keep it."""
     from cdc_audit_spark.operators.timeseries import znorm_distances
 
     m_done = matches.epoch_applied(epoch_id, run_id)
@@ -138,19 +151,22 @@ def apply_ts_epoch(
 
         # order guard: the earliest batch point per key must come after
         # the stored tail's latest point — late data cannot be spliced
-        # into windows that were already scored
-        pos = F.struct(F.col(ts_col), F.col(tie_col))
-        t_max = tail.groupBy(key_col).agg(F.max(pos).alias("__tmax"))
-        b_min = batch.groupBy(key_col).agg(F.min(pos).alias("__bmin"))
-        n_late = b_min.join(t_max, key_col).filter(
-            F.col("__bmin") <= F.col("__tmax")).count()
-        if n_late:
-            raise ValueError(
-                f"apply_ts_epoch: {n_late} series key(s) delivered points "
-                "at or before their already-scored tail — per-key arrival "
-                "must be (ts, tie)-nondecreasing across batches; reorder "
-                "late data upstream (watermarked buffer) instead of "
-                "splicing it into completed windows")
+        # into windows that were already scored. Skipped when the caller
+        # proved order (see the docstring).
+        if not order_guarded:
+            pos = F.struct(F.col(ts_col), F.col(tie_col))
+            t_max = tail.groupBy(key_col).agg(F.max(pos).alias("__tmax"))
+            b_min = batch.groupBy(key_col).agg(F.min(pos).alias("__bmin"))
+            n_late = b_min.join(t_max, key_col).filter(
+                F.col("__bmin") <= F.col("__tmax")).count()
+            if n_late:
+                raise ValueError(
+                    f"apply_ts_epoch: {n_late} series key(s) delivered "
+                    "points at or before their already-scored tail — "
+                    "per-key arrival must be (ts, tie)-nondecreasing "
+                    "across batches; reorder late data upstream "
+                    "(watermarked buffer) instead of splicing it into "
+                    "completed windows")
 
         combined = tail.unionByName(batch)
         dists = znorm_distances(
@@ -353,7 +369,7 @@ def apply_ts_epoch_reordered(
         apply_ts_epoch(
             tails, matches, released, epoch_id, run_id,
             key_col, ts_col, tie_col, val_col, query,
-            max_dist2_micro=max_dist2_micro)
+            max_dist2_micro=max_dist2_micro, order_guarded=True)
         if not b_done:
             still = (batch if new_wm is None
                      else batch.filter(F.col(ts_col) > F.lit(new_wm)))
@@ -435,7 +451,7 @@ def _apply_reordered_keyed(
         apply_ts_epoch(
             tails, matches, released, epoch_id, run_id,
             key_col, ts_col, tie_col, val_col, query,
-            max_dist2_micro=max_dist2_micro)
+            max_dist2_micro=max_dist2_micro, order_guarded=True)
         if not b_done:
             still = (batch.join(wm_only, key_col, "left")
                      .filter(F.col("__wm").isNull()
@@ -535,7 +551,7 @@ def flush_ts_reorder(
     apply_ts_epoch(
         tails, matches, released, epoch_id, run_id,
         key_col, ts_col, tie_col, val_col, query,
-        max_dist2_micro=max_dist2_micro)
+        max_dist2_micro=max_dist2_micro, order_guarded=True)
     if not b_done:
         buffer.overwrite(buf.filter(F.lit(False)), extra=extra)
 
