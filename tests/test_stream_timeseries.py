@@ -881,3 +881,49 @@ def test_ts_flush_refuses_half_landed_prior_epoch_but_replays_own(
            for r in matches.read().collect()}
     assert got == _batch_truth(spark, full)
     assert buffer.read().count() == 0
+
+
+def test_ts_global_fold_interleaved_in_crash_window(spark, tmp_path):
+    """Global-mode twin of the keyed interleaved-fold test: the
+    single-table buffer fold (drops rows <= wm, carries wm forward) and
+    the tails keep-newest fold are read-equivalent, so running BOTH
+    inside the crash window (matches+tails landed, buffer didn't) must
+    not change what the redelivered epoch computes — the stream still
+    drains to the batch truth."""
+    from cdc_audit_spark.streaming.stream_timeseries import (
+        apply_ts_epoch_reordered,
+        flush_ts_reorder,
+        maybe_fold_buffer,
+        maybe_fold_tails,
+    )
+
+    full, deliveries = _late_fixture(spark)
+    args = ("user_id", "ts", "event_id", "value", QUERY)
+    tails = ManifestTable(spark, str(tmp_path / "tails"))
+    matches = ManifestTable(spark, str(tmp_path / "matches"))
+    buffer = ManifestTable(spark, str(tmp_path / "buffer"))
+    apply_ts_epoch_reordered(
+        tails, matches, buffer, deliveries[0], 0, "run0", *args, delay=10)
+
+    orig = buffer.append
+    buffer.append = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, deliveries[1], 1, "run0", *args,
+            delay=10)
+    assert tails.epoch_applied(1, "run0")
+    assert not buffer.epoch_applied(1, "run0")
+    # both single-table folds run inside the window (forced triggers)
+    assert maybe_fold_buffer(buffer, "ts", max_dirs=0, n_dirs=2) is not None
+    assert maybe_fold_tails(tails, "user_id", max_dirs=0, n_dirs=2) \
+        is not None
+    buffer.append = orig
+    for epoch, d in enumerate(deliveries[1:], start=1):
+        apply_ts_epoch_reordered(
+            tails, matches, buffer, d, epoch, "run0", *args, delay=10)
+    flush_ts_reorder(tails, matches, buffer, len(deliveries), "run0",
+                     *args)
+    got = {(r["user_id"], r["ts"], r["event_id"]): r["dist2_micro"]
+           for r in matches.read().collect()}
+    assert got == _batch_truth(spark, full)
