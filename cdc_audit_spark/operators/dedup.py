@@ -739,12 +739,27 @@ def duplicate_spans(
     digest would false-positive at corpus scale; full md5 keeps the
     collision odds ~2^-64 per pair.
     """
-    toks = F.split(F.col(text_col), r"\s+")
     L = int(min_tokens)
+    grams = doc_grams(df, text_col, id_col, L)
+    dup = (
+        grams.groupBy("g").agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("id", "pos")
+    return spans_from_hits(hits, L, id_col)
+
+
+def doc_grams(df: DataFrame, text_col: str, id_col: str, L: int) -> DataFrame:
+    """(id, pos, g): every sliding ``L``-token gram of every document,
+    md5-digested so downstream shuffles/joins/state carry 32-byte keys,
+    never text — the shared kernel of :func:`duplicate_spans` and the
+    CDC-maintained gram index (``streaming.stream_dedup``)."""
+    toks = F.split(F.col(text_col), r"\s+")
     base = df.select(
         F.col(id_col).alias("id"), toks.alias("t")
     ).filter(F.size("t") >= L)
-    grams = base.select(
+    return base.select(
         "id",
         F.explode(F.sequence(F.lit(0), F.size("t") - L)).alias("pos"),
         "t",
@@ -753,12 +768,14 @@ def duplicate_spans(
         F.md5(F.concat_ws("\x1f", F.slice("t", F.col("pos") + 1, L)))
         .alias("g"),
     )
-    dup = (
-        grams.groupBy("g").agg(F.count("*").alias("__c"))
-        .filter(F.col("__c") >= min_count)
-        .select("g")
-    )
-    hits = grams.join(dup, "g").select("id", "pos")
+
+
+def spans_from_hits(hits: DataFrame, L: int, id_col: str) -> DataFrame:
+    """Merge duplicated-gram positions into maximal half-open token
+    spans — the gaps-and-islands window of :func:`duplicate_spans`,
+    shared with the CDC-maintained form. ``hits`` is (id, pos); output
+    (id_col, span_start, span_end, n_grams), per-doc work bounded by
+    doc length."""
     w = (
         Window.partitionBy("id").orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)

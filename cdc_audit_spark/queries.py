@@ -3229,6 +3229,90 @@ def dedup_span_excision(spark, sf_dir):
     return excise_spans(docs, spans, "text", "doc_id")
 
 
+@register(
+    "cdc_span_index_sync",
+    """
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+                    FROM documents),
+    bounds AS (SELECT max(doc_id) AS mx FROM documents),
+    ep AS (SELECT doc_id,
+                  CASE WHEN doc_id <= mx // 3 THEN 0
+                       WHEN doc_id <= 2 * (mx // 3) THEN 1
+                       ELSE 2 END AS e
+             FROM documents, bounds),
+    grams AS (SELECT t.doc_id, i AS pos, ep.e,
+                     list_aggregate(list_slice(t.t, i + 1, i + 20),
+                                    'string_agg', chr(31)) AS g
+                FROM toks t JOIN ep USING (doc_id),
+                     unnest(range(0, array_length(t.t) - 20 + 1)) AS u(i)
+               WHERE array_length(t.t) >= 20),
+    hits AS (SELECT doc_id, pos FROM (
+               SELECT doc_id, pos,
+                      count(*) OVER (PARTITION BY g ORDER BY e
+                                     RANGE BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS c_upto
+                 FROM grams)
+              WHERE c_upto >= 2),
+    isl AS (SELECT doc_id, pos,
+                   sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM (SELECT doc_id, pos,
+                           max(pos + 20) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_end
+                      FROM hits))
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+      FROM isl GROUP BY doc_id, island
+    """,
+    "CDC-MAINTAINED substring-span dedup "
+    "(streaming.stream_dedup.apply_span_index_epoch — the incremental "
+    "Lee-et-al form): the corpus arrives as THREE ascending-doc_id "
+    "insert epochs, each marking spans whose every 20-gram already "
+    "occurs in the maintained digest index or twice within the batch — "
+    "later-occurrence-only semantics, the copy excision cuts. The "
+    "oracle recomputes that rule one-shot: a gram occurrence is a hit "
+    "iff its gram's count over epochs up to its own reaches 2 (window "
+    "over (g, e)), then the same gaps-and-islands merge. The index is "
+    "O(corpus grams) by design (the distributed suffix-array stand-in), "
+    "digest-range-pruned per batch, never re-scanned whole",
+)
+def cdc_span_index_sync(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_dedup import apply_span_index_epoch
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    t1, t2 = mx // 3, 2 * (mx // 3)
+    epochs = [
+        docs.filter(F.col("doc_id") <= t1),
+        docs.filter((F.col("doc_id") > t1) & (F.col("doc_id") <= t2)),
+        docs.filter(F.col("doc_id") > t2),
+    ]
+    root = tempfile.mkdtemp(prefix="cdc_span_index_")
+    try:
+        gidx = ManifestTable(spark, f"{root}/gidx")
+        spans = ManifestTable(spark, f"{root}/spans")
+        for epoch, b in enumerate(epochs):
+            apply_span_index_epoch(
+                gidx, spans, b, epoch, "span_sync",
+                "text", "doc_id", min_tokens=20)
+        out = spans.read().select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # Event analytics (continued): daily actives, cube, funnel
 # --------------------------------------------------------------------------
@@ -7654,11 +7738,11 @@ _DRIVER_WINDOW = [
     # sample_temperature_lang, sample_unimax_budget,
     # semi_join_urgent_customers, text_chunk_windows, text_fingerprint,
     # topk_orders_per_customer, ts_subsequence_long,
-    # ts_subsequence_match, plus dedup_simhash and agg_global_minmax
-    # displaced by this round's new registrations) hit the staleness
-    # bound at r14 and rotate in first next round, plus whatever r13
-    # registers after this window is pinned:
-    "asof_join_error_purchase",
+    # ts_subsequence_match, plus dedup_simhash, agg_global_minmax and
+    # asof_join_error_purchase displaced by this round's new
+    # registrations) hit the staleness bound at r14 and rotate in first
+    # next round, plus whatever r13 registers after this window is
+    # pinned:
     "bm25_multiquery_topk", "ccnet_bucket_sample", "cdc_audit_stats",
     "cdc_components_remove_rebuild", "cdc_components_sync",
     "cdc_dedup_index_sync", "cdc_diff_customer", "cdc_incremental_scan",
@@ -7670,8 +7754,9 @@ _DRIVER_WINDOW = [
     # new this round -> checked immediately: the verified near-dup
     # clustering pipeline and the pinned-codebook IVF probe path (both
     # promoted to oracle-backed, VERDICT r12 item 4), and the
-    # CDC-maintained SemDeDup registry:
+    # CDC-maintained SemDeDup registry and span-dedup gram index:
     "dedup_cluster_verified", "ann_ivf_pinned_topk", "cdc_semdedup_sync",
+    "cdc_span_index_sync",
 ]
 
 

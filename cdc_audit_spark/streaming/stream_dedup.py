@@ -36,6 +36,8 @@ __all__ = [
     "apply_dedup_epoch",
     "apply_exact_index_epoch",
     "apply_semdedup_epoch",
+    "apply_span_index_epoch",
+    "maybe_cluster_gram_index",
     "maybe_cluster_semdedup_registry",
     "current_exact_index",
     "maybe_cluster_lsh_index",
@@ -514,3 +516,102 @@ def stream_semdedup_sync(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_span_index_epoch(
+    gidx,
+    spans,
+    batch_df,
+    epoch_id: int,
+    run_id: str | None,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 20,
+) -> None:
+    """One micro-batch of CDC-MAINTAINED substring-span dedup (the
+    incremental form of ``operators.dedup.duplicate_spans``, Lee et al.
+    arXiv 2107.06499): the gram index ``gidx`` persists every ingested
+    document's md5-digested sliding ``min_tokens``-grams — the
+    distributed stand-in for the paper's suffix array — and each batch
+    marks exactly the spans whose every gram ALREADY occurs in the
+    corpus so far or at least twice within the batch.
+
+    Semantics are LATER-OCCURRENCE-ONLY, stated rather than pretended
+    away: the batch operator marks both copies of a duplicated span,
+    but an earlier document's spans are already committed when its
+    duplicate arrives, so the incremental form marks the later copy —
+    which is the copy excision should cut anyway (keep the first
+    occurrence, the common curation policy). An occurrence is a hit iff
+    its gram's occurrence count over epochs up to AND INCLUDING its own
+    reaches 2 — decomposed as (gram present in the pinned index) OR
+    (gram occurs >= 2 times within the batch) — so with any epoch
+    partitioning the final spans table equals a one-shot SQL recompute
+    of that rule (★ ``cdc_span_index_sync``).
+
+    Scale shape per epoch: one Catalyst gram pass (no Python), one
+    digest-pruned pinned index read (only the dirs the batch's digests
+    can touch once ``maybe_cluster_gram_index`` lands the state
+    g-clustered), one digest groupBy + semi-join, the per-doc
+    gaps-and-islands window, and two O(delta) commits. The index is
+    O(corpus grams) — the honest cost of exact substring dedup, laid
+    out for digest-range pruning, never re-scanned whole per batch.
+    Replay recomputes the identical spans from the pinned read;
+    both tables skip whichever half already landed."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from cdc_audit_spark.operators.dedup import doc_grams, spans_from_hits
+
+    s_done = spans.epoch_applied(epoch_id, run_id)
+    g_done = gidx.epoch_applied(epoch_id, run_id)
+    if s_done and g_done:
+        return
+    L = int(min_tokens)
+    # gk: the digest's leading 60 bits as a BIGINT — the numeric twin
+    # the range machinery needs (dir min/max pruning, range clustering);
+    # the full md5 string stays the join key, so collisions on the
+    # prefix cost only a false-positive dir read, never a wrong span
+    grams = (doc_grams(batch_df, text_col, id_col, L)
+             .withColumn("gk", F.conv(F.substring("g", 1, 15), 16, 10)
+                         .cast("long"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        pre = _version_before_epoch(gidx, epoch_id)
+        batch_multi = (grams.groupBy("g").agg(F.count("*").alias("__c"))
+                       .filter("__c >= 2").select("g"))
+        if pre is not None:
+            seen = (gidx.read_pruned_for_keys(grams.select("gk"), "gk",
+                                              version=pre)
+                    .select("g")
+                    .join(grams.select("g").distinct(), "g", "left_semi")
+                    .distinct())
+            dup_g = batch_multi.unionByName(seen).distinct()
+        else:
+            dup_g = batch_multi
+        hits = grams.join(dup_g, "g", "left_semi").select("id", "pos")
+        sp = spans_from_hits(hits, L, id_col)
+        extra = {"epoch": int(epoch_id), "run_id": run_id}
+        if not s_done:
+            spans.append(sp, extra=extra)
+        if not g_done:
+            gidx.append(grams.select("g", "gk", "id", "pos"), extra=extra,
+                        stats_cols=["gk"])
+    finally:
+        grams.unpersist()
+    maybe_cluster_gram_index(gidx)
+
+
+def maybe_cluster_gram_index(gidx, max_dirs: int = 64,
+                             n_dirs: int = 8) -> int | None:
+    """Digest-cluster the gram index when its dir fan-in passes
+    ``max_dirs`` — the ``maybe_cluster_lsh_index`` pattern: the rewrite
+    lands as disjoint gk-range dirs (the digest's numeric prefix) with
+    recorded ranges so the per-epoch pruned read skips the digests the
+    batch doesn't carry. Epoch/run_id inherit through the optimize
+    commit."""
+    cur = gidx.current_version()
+    if cur is None:
+        return None
+    if len(gidx.manifest(cur)["dirs"]) <= max_dirs:
+        return None
+    return gidx.optimize(cluster_by=["gk"], n_dirs=n_dirs)

@@ -1009,3 +1009,109 @@ def test_stream_semdedup_sync_end_to_end(spark, tmp_path):
                               threshold=0.90, max_files_per_trigger=1)
     q2.awaitTermination(180)
     assert registry.current_version() == ver  # restart: nothing new
+
+
+def test_span_index_epochs_later_only_semantics(spark, tmp_path):
+    """CDC-maintained span dedup: a batch-internal duplicated span marks
+    BOTH copies; a cross-epoch duplicate marks only the LATER copy (the
+    documented later-occurrence-only semantics — the copy excision
+    cuts); unrelated text marks nothing; a replayed epoch is a no-op;
+    and a crash between the spans and gidx commits converges on
+    redelivery."""
+    import pytest as _pt
+
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_dedup import apply_span_index_epoch
+
+    run = " ".join(f"tok{i}" for i in range(25))          # 25-token run
+    other = " ".join(f"alt{i}" for i in range(25))
+    uniq = " ".join(f"uniq{i}" for i in range(30))
+    SCH = "doc_id long, text string"
+    gidx = ManifestTable(spark, str(tmp_path / "gidx"))
+    spans = ManifestTable(spark, str(tmp_path / "spans"))
+
+    # epoch 0: docs 1 and 2 share `run` IN THE SAME BATCH -> both marked
+    apply_span_index_epoch(
+        gidx, spans,
+        spark.createDataFrame(
+            [(1, f"{run} {uniq}"), (2, f"{other} tail0 {run}")], SCH),
+        0, "run0", "text", "doc_id", min_tokens=20)
+    got0 = {r["doc_id"]: (r["span_start"], r["span_end"])
+            for r in spans.read().collect()}
+    assert set(got0) == {1, 2}
+    assert got0[1] == (0, 25)           # the shared 25-token prefix
+    assert got0[2] == (26, 51)          # after other(25) + tail0(1)
+
+    # epoch 1: doc 3 repeats `other` (cross-epoch) and brings fresh text
+    # -> only doc 3 gains a span; doc 2's rows are immutable history
+    apply_span_index_epoch(
+        gidx, spans,
+        spark.createDataFrame([(3, f"{uniq.replace('uniq', 'u2')} {other}")],
+                              SCH),
+        1, "run0", "text", "doc_id", min_tokens=20)
+    got1 = {r["doc_id"]: (r["span_start"], r["span_end"])
+            for r in spans.read().filter("doc_id = 3").collect()}
+    assert got1 == {3: (30, 55)}
+    assert spans.read().filter("doc_id = 2").count() == 1  # unchanged
+
+    # replay: no-op on both tables
+    vers = (spans.current_version(), gidx.current_version())
+    apply_span_index_epoch(
+        gidx, spans,
+        spark.createDataFrame([(3, f"{uniq.replace('uniq', 'u2')} {other}")],
+                              SCH),
+        1, "run0", "text", "doc_id", min_tokens=20)
+    assert (spans.current_version(), gidx.current_version()) == vers
+
+    # crash between the spans commit and the gidx commit -> redelivery
+    # completes the missing half and the marked spans stay identical
+    orig = gidx.append
+    gidx.append = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    batch2 = spark.createDataFrame([(4, f"{run} closing4")], SCH)
+    with _pt.raises(RuntimeError, match="simulated crash"):
+        apply_span_index_epoch(gidx, spans, batch2, 2, "run0",
+                               "text", "doc_id", min_tokens=20)
+    assert spans.epoch_applied(2, "run0")
+    assert not gidx.epoch_applied(2, "run0")
+    gidx.append = orig
+    sp_ver = spans.current_version()
+    apply_span_index_epoch(gidx, spans, batch2, 2, "run0",
+                           "text", "doc_id", min_tokens=20)
+    assert spans.current_version() == sp_ver  # spans half skipped
+    assert gidx.epoch_applied(2, "run0")
+    got2 = {r["doc_id"]: (r["span_start"], r["span_end"])
+            for r in spans.read().filter("doc_id = 4").collect()}
+    assert got2 == {4: (0, 25)}  # `run` is corpus history -> marked
+
+
+def test_span_index_fold_keeps_pruned_reads_correct(spark, tmp_path):
+    """The digest-clustering fold bounds the gram index's dir fan-in,
+    and epochs after it still resolve corpus history through the pruned
+    read."""
+    from cdc_audit_spark.sinks.manifest import ManifestTable
+    from cdc_audit_spark.streaming.stream_dedup import (
+        apply_span_index_epoch,
+        maybe_cluster_gram_index,
+    )
+
+    SCH = "doc_id long, text string"
+    gidx = ManifestTable(spark, str(tmp_path / "gidx"))
+    spans = ManifestTable(spark, str(tmp_path / "spans"))
+    runs = [" ".join(f"e{e}w{i}" for i in range(22)) for e in range(5)]
+    for e in range(5):
+        apply_span_index_epoch(
+            gidx, spans,
+            spark.createDataFrame([(10 * e, runs[e])], SCH),
+            e, "run0", "text", "doc_id", min_tokens=20)
+    assert spans.read().count() == 0  # all unique so far
+    assert maybe_cluster_gram_index(gidx, max_dirs=1, n_dirs=2) is not None
+    assert len(gidx.manifest(gidx.current_version())["dirs"]) <= 2
+    # a repeat of epoch-1 text arriving after the fold is still caught
+    apply_span_index_epoch(
+        gidx, spans,
+        spark.createDataFrame([(99, runs[1] + " coda99")], SCH),
+        5, "run0", "text", "doc_id", min_tokens=20)
+    got = {r["doc_id"]: (r["span_start"], r["span_end"])
+           for r in spans.read().collect()}
+    assert got == {99: (0, 22)}
