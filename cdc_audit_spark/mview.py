@@ -180,9 +180,36 @@ def incremental_group_sum(
 ) -> DataFrame:
     """Bootstrap + one maintenance step — the self-contained form used by
     the oracle-checked query (equality with a direct aggregate over the
-    post-batch snapshot proves the maintenance algebra)."""
-    view = bootstrap_group_sum(base, group_cols, value)
-    return maintain_group_sum(view, base, audit_batch, pk_cols, group_cols, value)
+    post-batch snapshot proves the maintenance algebra).
+
+    FUSED (optimization guide §2.4): bootstrap, debit and credit enter
+    ONE group aggregate as raw signed rows instead of three separately
+    aggregated branches folded by a fourth — partial aggregation
+    collapses the same rows map-side either way, so the per-branch
+    aggregates bought nothing and cost three extra Exchanges (plan: 5
+    hash exchanges → 2). The per-group multiset of decimal addends is
+    unchanged, so the result is exact-identical. The streamed LSM forms
+    (:func:`group_sum_delta` / :func:`maintain_group_sum`) keep their
+    pre-aggregated shape — there the aggregate IS the write unit."""
+    final = keep_last_per_key(audit_batch, pk_cols)
+    touched = final.select(*pk_cols)
+    v, n = value.alias("__v"), F.lit(1).alias("__n")
+    rows = (
+        base.select(*group_cols, v, n)
+        .unionByName(
+            base.join(F.broadcast(touched), pk_cols, "left_semi")
+            .select(*group_cols, (-value).alias("__v"),
+                    F.lit(-1).alias("__n")))
+        .unionByName(
+            final.filter(F.col(AUDIT_EVENT) != "delete")
+            .select(*group_cols, v, n))
+    )
+    return (
+        rows.groupBy(*group_cols)
+        .agg(F.sum("__v").alias("total"),
+             F.sum("__n").cast("long").alias("n_rows"))
+        .filter(F.col("n_rows") > 0)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -384,19 +411,32 @@ def incremental_group_stats(
     value: Column,
 ) -> DataFrame:
     """Bootstrap + one maintenance step of the moments view; groups whose
-    row count reached 0 drop (a direct aggregate would have no row)."""
-    boot = base.groupBy(*group_cols).agg(
-        F.sum(value).alias("total"),
-        F.sum(value * value).alias("total_sq"),
-        F.count("*").alias("n_rows"))
-    delta = group_stats_delta(base, audit_batch, pk_cols, group_cols, value)
+    row count reached 0 drop (a direct aggregate would have no row).
+    Fused into ONE group aggregate over raw signed rows, exactly like
+    :func:`incremental_group_sum` (same exactness argument; plan: 5 hash
+    exchanges → 2); :func:`group_stats_delta` keeps its pre-aggregated
+    LSM shape."""
+    final = keep_last_per_key(audit_batch, pk_cols)
+    touched = final.select(*pk_cols)
+    v = value.alias("__v")
+    vsq = (value * value).alias("__vsq")
+    n = F.lit(1).alias("__n")
+    rows = (
+        base.select(*group_cols, v, vsq, n)
+        .unionByName(
+            base.join(F.broadcast(touched), pk_cols, "left_semi")
+            .select(*group_cols, (-value).alias("__v"),
+                    (-(value * value)).alias("__vsq"),
+                    F.lit(-1).alias("__n")))
+        .unionByName(
+            final.filter(F.col(AUDIT_EVENT) != "delete")
+            .select(*group_cols, v, vsq, n))
+    )
     return (
-        boot.select(*group_cols, "total", "total_sq", "n_rows")
-        .unionByName(delta)
-        .groupBy(*group_cols)
-        .agg(F.sum("total").alias("total"),
-             F.sum("total_sq").alias("total_sq"),
-             F.sum("n_rows").alias("n_rows"))
+        rows.groupBy(*group_cols)
+        .agg(F.sum("__v").alias("total"),
+             F.sum("__vsq").alias("total_sq"),
+             F.sum("__n").cast("long").alias("n_rows"))
         .filter(F.col("n_rows") > 0)
     )
 

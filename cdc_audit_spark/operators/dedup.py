@@ -415,55 +415,84 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document, JVM-side.
+    """64-bit SimHash fingerprint per document — ZERO-shuffle Arrow map.
 
     Per token: two 32-bit words carved out of ``md5(token)`` (hex chars
-    1-8 and 9-16) supply 64 sign votes; the votes fold in a CODEGEN
-    hash aggregate — explode(tokens) → 64 signed sums per doc, the
-    partial aggregation collapsing each doc's tokens map-side, so only
-    64 ints per doc cross the one id-keyed exchange. (An array-fold
-    formulation would be shuffle-free but runs as interpreted
-    higher-order lambdas — measured ~20× slower than this whole-stage-
-    codegen shape, the same trade the BM25 scan scorer documents.)
-    Sign → bits → one long; near-dup detection is then hamming-distance
-    banding on the fingerprint. No Python anywhere.
+    1-8 and 9-16) supply 64 sign votes; sign → bits → one long;
+    near-dup detection is then hamming-distance banding on the
+    fingerprint.
 
-    The md5-word hash (instead of xxhash64) is the repo's PORTABLE hash
-    idiom: DuckDB evaluates ``('0x' || substr(md5(t), 1, 8))::BIGINT``
-    to the identical 32-bit word, so the whole fingerprint — integer
-    vote sums, sign cuts, bit packing — is engine-exact and the query
-    form oracle-checks. Bit 63 would overflow a signed shiftleft's
-    value range only in SQL arithmetic; Spark's bitwiseOR of
-    non-overlapping bits is exact (the oracle adds -2^63 instead, the
-    two's-complement identity).
+    Shape (optimization guide §4.2): every document's tokens live in its
+    own row, so the whole fingerprint is per-row work — the previous
+    explode → 64-sum codegen aggregate shuffled 64 ints per doc through
+    one id-keyed Exchange and evaluated 64 vote expression trees per
+    TOKEN (measured 1.4 s at sf0.1); this mapInPandas stage memoizes
+    md5 per distinct token (vocabulary-bound, not corpus-bound) and
+    folds the votes as one vectorized numpy popcount per doc (~0.35 s,
+    no Exchange at all; at scale: map-side only vs one corpus shuffle).
+
+    Exactness is unchanged and oracle-checked: hashlib.md5 and Spark's
+    ``md5`` both digest UTF-8 bytes; tokenization matches Java's
+    ``split("\\s+", -1)`` byte for byte (the explicit ASCII class below
+    — Python's ``\\s`` also matches \\x1c-\\x1f/\\x85, Java's does not;
+    leading/trailing empty tokens are kept exactly like Java limit -1);
+    NULL text emits no row, like explode(NULL). Bit 63 lands via the
+    uint64 → int64 two's-complement view, the identity the DuckDB
+    oracle spells ``+ (-2^63)``.
     """
-    from functools import reduce
+    import hashlib
+    import re
 
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("__t"))
-    w1 = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
-    w2 = F.conv(F.substring(F.md5("__t"), 9, 8), 16, 10).cast("long")
-    words = ex.select("id", w1.alias("__w1"), w2.alias("__w2"))
+    import numpy as np
+    import pandas as pd
 
-    def vote(j):
-        w = F.col("__w1") if j < 32 else F.col("__w2")
-        return F.when(
-            F.shiftright(w, j % 32).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+    # Java \s, exactly — not Python \s (see docstring)
+    pat = re.compile("[ \t\n\x0b\f\r]+")
+    shifts = np.arange(64, dtype=np.uint64)
 
-    sums = words.groupBy("id").agg(
-        *[F.sum(vote(j)).alias(f"__s{j}") for j in range(64)])
-    fingerprint = reduce(
-        lambda a, b: a.bitwiseOR(b),
-        [
-            F.when(F.col(f"__s{j}") > 0,
-                   F.shiftleft(F.lit(1).cast("long"), j))
-            .otherwise(F.lit(0).cast("long"))
-            for j in range(64)
-        ],
-    )
-    return sums.select(F.col("id"), fingerprint.alias("simhash64"))
+    def gen(batches):
+        word_of: dict[str, int] = {}  # token -> packed (w2 << 32) | w1
+
+        def packed(tok: str) -> int:
+            w = word_of.get(tok)
+            if w is None:
+                h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                # packed bit j = w1 bit j (j < 32), w2 bit j-32 (j >= 32)
+                # == vote bit j of the fingerprint
+                w = int(h[:8], 16) | (int(h[8:16], 16) << 32)
+                word_of[tok] = w
+            return w
+
+        for pdf in batches:
+            ids, fps = [], []
+            for rid, txt in zip(pdf["id"], pdf["__t"]):
+                if txt is None:
+                    continue  # explode(split(NULL)) emits nothing
+                toks = pat.split(txt)
+                n = len(toks)
+                arr = np.fromiter(
+                    (packed(t) for t in toks), dtype=np.uint64, count=n)
+                ones = ((arr[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                # vote sum s_j = 2*ones_j - n; bit set iff s_j > 0
+                fp = int(((2 * ones > n).astype(np.uint64) << shifts).sum())
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                ids.append(rid)
+                fps.append(fp)
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "simhash64": pd.Series(fps, dtype="int64"),
+            })
+
+    narrow = df.select(F.col(id_col).alias("id"),
+                       F.col(text_col).alias("__t"))
+    # CPU-bound Python stage: when the source has fewer splits than
+    # cores (small local files), spread it; at scale input splits
+    # already exceed cores and this is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if not df.isStreaming and narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    return narrow.mapInPandas(gen, schema="id long, simhash64 long")
 
 
 def ngram_jaccard_pairs(
@@ -537,18 +566,22 @@ def connected_components(
     the distributed propagation runs unchanged; ``driver_gate=0``
     forces it.
     """
-    # materialized ONCE: every iteration joins against the edge set, and
-    # without the checkpoint the (possibly expensive — fingerprint
-    # self-join) edge lineage would recompute per round, turning an
-    # O(edges x diameter) loop into O(edge-derivation x diameter)
-    # (measured 40x on the sf0.1 winnow graph)
     both = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-    ).localCheckpoint(eager=True)
-    if both.count() <= driver_gate:   # count on the materialized checkpoint
-        return _driver_components(both)
+    )
+    # gate-check and edge fetch in ONE action on the LAZY plan: a take
+    # of gate+1 rows either IS the whole edge set (run the driver
+    # closure on it — the old checkpoint + count + collect spent three
+    # jobs learning the same thing) or proves the graph is over-gate.
+    # Only the over-gate path materializes the checkpoint — there the
+    # edge lineage would otherwise recompute per propagation round
+    # (measured 40x on the sf0.1 winnow graph).
+    head = both.take(driver_gate + 1)
+    if len(head) <= driver_gate:
+        return _driver_components(both, head)
+    both = both.localCheckpoint(eager=True)
     labels = (
         both.select(F.col("a").alias("id"))
         .distinct()
@@ -593,14 +626,17 @@ def connected_components(
     return labels
 
 
-def _driver_components(both: DataFrame) -> DataFrame:
+def _driver_components(both: DataFrame, rows: list | None = None) -> DataFrame:
     """Union-find closure of a gate-bounded (a, b) edge relation on the
     driver: path-halving find + union-by-min, so every root is the
     component's minimum id — exactly the fixed point the distributed
     min-label propagation converges to (same semantics for any orderable
     id type: Python and Spark ``min`` agree on longs and strings).
-    Returns (id, component) with the input's id type."""
-    rows = both.collect()
+    Returns (id, component) with the input's id type. ``rows`` lets the
+    caller pass the already-fetched edge rows (the gate check collects
+    them anyway)."""
+    if rows is None:
+        rows = both.collect()
     parent: dict = {}
 
     def find(x):

@@ -4350,21 +4350,47 @@ def dedup_components_labels(spark, sf_dir):
     "decremental connectivity is a rebuild, as with the ANN policy",
 )
 def cdc_components_sync(spark, sf_dir):
+    from pyspark.storagelevel import StorageLevel
+
     from cdc_audit_spark.operators.dedup import (
         incremental_components,
         resolve_component_labels,
     )
+    from cdc_audit_spark.operators.text import winnow_fingerprints
 
     docs = load_tables(spark, sf_dir)["documents"].filter(
         F.col("doc_id") < 4096).select("doc_id", "text")
     idx = unions = members = None
+    nil = F.lit(None)
     for residue in (2, 1, 0):
         batch = docs.filter(F.col("doc_id") % 3 == residue)
+        # The winnow fingerprint pass (interpreted md5 over every gram)
+        # is the epoch's expensive kernel and feeds all three deltas;
+        # compute it ONCE per epoch (the manifest epochs already do —
+        # apply_components_epoch) instead of once per delta checkpoint.
+        fps = winnow_fingerprints(batch, "text", "doc_id").persist(
+            StorageLevel.MEMORY_AND_DISK)
         m, i, u = incremental_components(
-            batch, "text", "doc_id", idx=idx, unions=unions)
-        m = m.localCheckpoint(eager=True)
-        i = i.localCheckpoint(eager=True)
-        u = u.localCheckpoint(eager=True)
+            batch, "text", "doc_id", idx=idx, unions=unions, fps=fps)
+        # one eager checkpoint for the three deltas (tag + union) — the
+        # per-delta checkpoints were three full jobs over shared lineage
+        tagged = (
+            m.select(F.lit("m").alias("__t"), nil.cast("int").alias("fp"),
+                     "id", "label", nil.cast("long").alias("child"),
+                     nil.cast("long").alias("parent"))
+            .unionByName(i.select(
+                F.lit("i").alias("__t"), "fp", "id", "label",
+                nil.cast("long").alias("child"),
+                nil.cast("long").alias("parent")))
+            .unionByName(u.select(
+                F.lit("u").alias("__t"), nil.cast("int").alias("fp"),
+                nil.cast("long").alias("id"), nil.cast("long").alias("label"),
+                "child", "parent"))
+        ).localCheckpoint(eager=True)
+        fps.unpersist()
+        m = tagged.filter(F.col("__t") == "m").select("id", "label")
+        i = tagged.filter(F.col("__t") == "i").select("fp", "id", "label")
+        u = tagged.filter(F.col("__t") == "u").select("child", "parent")
         members = m if members is None else members.unionByName(m)
         idx = i if idx is None else idx.unionByName(i)
         unions = u if unions is None else unions.unionByName(u)

@@ -56,6 +56,12 @@ __all__ = ["ClaimBackend", "CommitConflict", "HardLinkClaimBackend",
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
+#: Target bytes per committed data file (pre-compression plan estimate);
+#: guide §6's 128 MB-1 GB band. Writer parallelism derives from the
+#: batch's own size estimate (see ``ManifestTable._coalesced``), never
+#: from the local core count.
+_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
 #: Pruned-merge touch detection: up to this many ranged dirs the per-dir
 #: ownership flags ride in the one delta aggregate; past it the flags
 #: expression would be an O(dirs)-wide codegen blow-up, so touched dirs
@@ -211,18 +217,36 @@ def _dir_file_stats(table_path: str, rel_dir: str) -> dict:
     recorded only when every row group carries trustworthy min/max
     (NaN-bearing doubles don't; missing stats just mean the dir is
     conservatively kept)."""
+    import datetime as _dt
+
     import pyarrow.parquet as pq
 
     full = os.path.join(table_path, rel_dir)
     files = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
     rows = nbytes = 0
     col_stats: dict[str, list] = {}
+    col_nulls: dict[str, int] = {}
     dropped: set[str] = set()
+    null_dropped: set[str] = set()
 
-    def _num(v):
-        # plain finite numbers only (bool is an int subtype — exclude)
-        return (isinstance(v, (int, float)) and not isinstance(v, bool)
-                and v == v)
+    def _bound(v):
+        # plain finite numbers pass through (bool is an int subtype —
+        # exclude); datetimes/dates become the same naive-UTC ISO form
+        # the aggregate path records via _plain (parquet footers hand
+        # back tz-aware UTC datetimes; the session pins UTC, so dropping
+        # the offset yields the identical instant and the identical
+        # lexicographic order). Strings stay excluded: parquet may
+        # truncate long string bounds and a truncated max is not a max.
+        if (isinstance(v, (int, float)) and not isinstance(v, bool)
+                and v == v):
+            return v
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.isoformat()
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return None
 
     for f in files:
         p = os.path.join(full, f)
@@ -231,28 +255,50 @@ def _dir_file_stats(table_path: str, rel_dir: str) -> dict:
         nbytes += os.path.getsize(p)
         for g in range(md.num_row_groups):
             rg = md.row_group(g)
-            if rg.num_rows == 0:
-                continue
             for j in range(rg.num_columns):
                 col = rg.column(j)
                 name = col.path_in_schema
-                if "." in name or name in dropped:  # nested: skip
+                if "." in name:  # nested: skip
                     continue
                 st = col.statistics
-                if (st is None or not st.has_min_max
-                        or not _num(st.min) or not _num(st.max)):
+                # null counts fold independently of min/max validity
+                # (an all-null chunk has no bounds but an exact count)
+                if name not in null_dropped:
+                    if st is None or not st.has_null_count:
+                        null_dropped.add(name)
+                        col_nulls.pop(name, None)
+                    else:
+                        col_nulls[name] = (col_nulls.get(name, 0)
+                                           + st.null_count)
+                if rg.num_rows == 0 or name in dropped:
+                    continue
+                if st is not None and st.has_min_max:
+                    lo, hi = _bound(st.min), _bound(st.max)
+                else:
+                    lo = hi = None
+                if lo is None or hi is None:
+                    # all-null chunks carry no bounds; rows may still
+                    # have none in other chunks, so only non-null data
+                    # without usable bounds poisons the column
+                    if (st is not None and st.has_null_count
+                            and st.null_count == rg.num_rows):
+                        continue
                     dropped.add(name)
                     col_stats.pop(name, None)
                     continue
                 cur = col_stats.get(name)
                 if cur is None:
-                    col_stats[name] = [st.min, st.max]
+                    col_stats[name] = [lo, hi]
                 else:
-                    cur[0] = min(cur[0], st.min)
-                    cur[1] = max(cur[1], st.max)
+                    cur[0] = min(cur[0], lo)
+                    cur[1] = max(cur[1], hi)
     out: dict = {"files": files, "rows": rows, "bytes": nbytes}
     if col_stats and rows > 0:
         out["stats"] = col_stats
+    if rows > 0:
+        out["nulls"] = col_nulls
+    else:
+        out["nulls"] = {}
     return out
 
 
@@ -298,6 +344,37 @@ def _set_may_contain(stat: dict, value) -> bool:
         return True  # parameters this probe can't evaluate: never prune
     return all((b[p // 8] >> (p % 8)) & 1
                for p in _bloom_positions(s, m, k))
+
+
+def _in_pred(col: str, points: list):
+    """One-expression ``col IN (points)`` predicate.
+
+    ``Column.isin(*points)`` costs one py4j round-trip PER literal —
+    measured ~1 ms each, so a 4096-key pruned read spends seconds of
+    pure driver latency building the filter (the dominant cost of the
+    r13 maintained-state drains). For int/float/str points the same
+    predicate is built as a single SQL string parsed in ONE round-trip
+    (Catalyst converts long IN lists to an InSet anyway); other literal
+    types keep the isin fallback."""
+    from pyspark.sql import functions as F
+
+    def fmt(p):
+        if isinstance(p, bool) or p is None:
+            return None
+        if isinstance(p, int):
+            return str(p)
+        if isinstance(p, float):
+            return repr(p) if p == p and abs(p) != float("inf") else None
+        if isinstance(p, str):
+            return ("'"
+                    + p.replace("\\", "\\\\").replace("'", "\\'") + "'")
+        return None
+
+    lits = [fmt(p) for p in points]
+    if any(l is None for l in lits):
+        return F.col(col).isin(*points)
+    q = "`" + col.replace("`", "``") + "`"
+    return F.expr(f"{q} IN ({', '.join(lits)})")
 
 
 def _fold_dir_meta(metas: list[dict]) -> dict:
@@ -992,7 +1069,8 @@ class ManifestTable:
 
     # --------------------------------------------------------------- writes
 
-    def _write_data_dir(self, df: DataFrame) -> tuple[str, dict]:
+    def _write_data_dir(self, df: DataFrame,
+                        sized: bool = True) -> tuple[str, dict]:
         """Write one commit dir; returns (rel_dir, file stats dict:
         files/rows/bytes). The file list is recorded in the commit's
         ``dir_meta`` so readers discover files from the MANIFEST alone —
@@ -1001,8 +1079,34 @@ class ManifestTable:
         at write time, when the dir is known-complete."""
         rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex}")
         out = os.path.join(self.path, rel)
-        df.write.parquet(out)
+        # ``sized=False`` preserves a partitioning the caller imposed
+        # deliberately (range/zorder layouts — their file boundaries ARE
+        # the data-skipping contract)
+        (self._coalesced(df) if sized else df).write.parquet(out)
         return rel, _dir_file_stats(self.path, rel)
+
+    def _coalesced(self, df: DataFrame) -> DataFrame:
+        """Scale-adaptive writer parallelism: coalesce the commit to
+        ~`_TARGET_FILE_BYTES` output files using Catalyst's plan-size
+        estimate. A micro-batch append otherwise inherits the session's
+        shuffle partitioning (e.g. 32) and writes that many KB-sized
+        files per commit — task-scheduling plus commit-protocol overhead
+        dominates maintained-state drains, and the file fan-in taxes
+        every later read (guide §6: aim for 128 MB-1 GB files). The
+        estimate derives from input statistics, so a TB-sized epoch keeps
+        thousands of write tasks (coalesce never RAISES partition
+        counts); a mis-estimate only shifts file sizes, never rows."""
+        try:
+            # analyzed-plan stats: the analyzed plan is already cached on
+            # the DataFrame, while optimizedPlan() would run a whole
+            # extra Catalyst pass per write just to read an estimate
+            est = int(df._jdf.queryExecution().analyzed()
+                      .stats().sizeInBytes())
+        except Exception:
+            return df
+        n = max(1, min((est + _TARGET_FILE_BYTES - 1)
+                       // _TARGET_FILE_BYTES, 1 << 20))
+        return df.coalesce(int(n))
 
     def _commit(self, action: str, dirs_fn, max_retries: int = 20,
                 extra: dict | None = None, expected_parent=_ANY) -> int:
@@ -1307,62 +1411,82 @@ class ManifestTable:
         df = self._check_drift(df, on_drift)
         self._enforce_constraints(df)
         meta: dict = {}
+        # Write FIRST, derive stats from the result: the parquet footers
+        # already carry exact per-column min/max, null and row counts
+        # (_dir_file_stats — one driver-side tail read per file), so the
+        # old up-front stats aggregate — a full extra evaluation of the
+        # (often join+window-shaped) lineage per commit, plus a persist
+        # to amortize it — is pure overhead for footer-covered columns.
+        # Whatever the footers cannot cover (HLL sketches, set stats,
+        # string bounds — parquet may truncate those) aggregates over the
+        # JUST-WRITTEN files instead of the lineage: a cheap local scan,
+        # no cache to manage, identical rows by construction.
+        rel, fstats = self._write_data_dir(df)
+        foot = dict(fstats.get("stats", {}))
+        foot_nulls = fstats.pop("nulls", {})
+        back = None  # lazily-built read-back frame over the written dir
+
+        def read_back() -> DataFrame:
+            nonlocal back
+            if back is None:
+                back = self.spark.read.schema(df.schema).parquet(
+                    os.path.join(self.path, rel))
+            return back
+
         agg_cols = []
-        if pk_range_col is not None:
+        pk_from_foot = (pk_range_col is not None and pk_range_col in foot
+                        and isinstance(foot[pk_range_col][0], int))
+        if pk_from_foot:
+            meta.update(pk_min=int(foot[pk_range_col][0]),
+                        pk_max=int(foot[pk_range_col][1]),
+                        pk_col=pk_range_col)
+        elif pk_range_col is not None:
             agg_cols += [F.min(pk_range_col).alias("__pk_lo"),
                          F.max(pk_range_col).alias("__pk_hi")]
-        for c in stats_cols or []:
+        res_stats = [c for c in stats_cols or []
+                     if c not in foot or c not in foot_nulls]
+        for c in res_stats:
             agg_cols += [F.min(c).alias(f"__lo_{c}"),
                          F.max(c).alias(f"__hi_{c}"),
                          F.count(F.when(F.col(c).isNull(), 1))
                          .alias(f"__nl_{c}")]
         for c in ndv_stats_cols or []:
             agg_cols += [F.hll_sketch_agg(c).alias(f"__hll_{c}")]
-        # stats + write evaluate df twice: persist for the duration (same
-        # rationale/guard as _write_range_dirs) so an expensive input
-        # lineage (join+window) isn't recomputed per pass
-        lvl = df.storageLevel
-        owns_cache = (bool(agg_cols) or bool(set_stats_cols)) and not (
-            lvl.useMemory or lvl.useDisk)
-        if owns_cache:  # never clobber a cache the caller owns
-            df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            if agg_cols:
-                r = df.agg(*agg_cols).first()
-                if pk_range_col is not None and r["__pk_lo"] is not None:
-                    meta.update(pk_min=int(r["__pk_lo"]),
-                                pk_max=int(r["__pk_hi"]),
-                                pk_col=pk_range_col)
-                stats = {c: [_plain(r[f"__lo_{c}"]), _plain(r[f"__hi_{c}"])]
-                         for c in stats_cols or []
-                         if _plain(r[f"__lo_{c}"]) is not None}
-                if stats:
-                    meta["stats"] = stats
-                if stats_cols:
-                    # per-dir null counts (the Delta nullCount stat):
-                    # IsNull/IsNotNull pruning + metadata null totals
-                    meta["nulls"] = {c: int(r[f"__nl_{c}"])
-                                     for c in stats_cols}
-                import base64 as _b64
+        stats = {c: foot[c] for c in stats_cols or [] if c in foot}
+        nulls = {c: int(foot_nulls[c]) for c in stats_cols or []
+                 if c in foot_nulls}
+        if agg_cols:
+            r = read_back().agg(*agg_cols).first()
+            if (pk_range_col is not None and not pk_from_foot
+                    and r["__pk_lo"] is not None):
+                meta.update(pk_min=int(r["__pk_lo"]),
+                            pk_max=int(r["__pk_hi"]),
+                            pk_col=pk_range_col)
+            for c in res_stats:
+                if _plain(r[f"__lo_{c}"]) is not None:
+                    stats[c] = [_plain(r[f"__lo_{c}"]),
+                                _plain(r[f"__hi_{c}"])]
+                nulls[c] = int(r[f"__nl_{c}"])
+            import base64 as _b64
 
-                ndv = {c: _b64.b64encode(r[f"__hll_{c}"]).decode()
-                       for c in ndv_stats_cols or []
-                       if r[f"__hll_{c}"] is not None}
-                if ndv:
-                    meta["ndv"] = ndv
-            sets = {c: s for c in set_stats_cols or []
-                    if (s := self._set_stat(df, c)) is not None}
-            if sets:
-                meta["sets"] = sets
-            rel, fstats = self._write_data_dir(df)
-        finally:
-            if owns_cache:
-                df.unpersist()
-        # footer-derived column stats underlay the aggregate-computed
+            ndv = {c: _b64.b64encode(r[f"__hll_{c}"]).decode()
+                   for c in ndv_stats_cols or []
+                   if r[f"__hll_{c}"] is not None}
+            if ndv:
+                meta["ndv"] = ndv
+        if stats_cols:
+            # per-dir null counts (the Delta nullCount stat):
+            # IsNull/IsNotNull pruning + metadata null totals
+            meta["nulls"] = nulls
+        sets = {c: s for c in set_stats_cols or []
+                if (s := self._set_stat(read_back(), c)) is not None}
+        if sets:
+            meta["sets"] = sets
+        # footer-derived column stats underlay the stats_cols-requested
         # ones (both exact; explicit stats_cols win on overlap)
-        foot = fstats.pop("stats", {})
-        if foot or "stats" in meta:
-            meta["stats"] = {**foot, **meta.get("stats", {})}
+        fstats.pop("stats", None)
+        if foot or stats:
+            meta["stats"] = {**foot, **stats}
         meta.update(fstats)
         extra = {**(extra or {}), "schema": df.schema.json(),
                  "dir_meta": {rel: meta}}
@@ -1453,7 +1577,8 @@ class ManifestTable:
 
     def overwrite(self, df: DataFrame, extra: dict | None = None,
                   base_version: int | None = _ANY,
-                  action: str = "overwrite") -> int:
+                  action: str = "overwrite",
+                  sized: bool = True) -> int:
         """Commit ``df`` as the table's entire new content. Raises
         :class:`CommitConflict` if any other writer commits concurrently —
         last-writer-wins must be an explicit caller decision, not a silent
@@ -1475,7 +1600,7 @@ class ManifestTable:
         if base_version is _ANY:
             base_version = self.current_version()
         self._enforce_constraints(df)
-        rel, fstats = self._write_data_dir(df)
+        rel, fstats = self._write_data_dir(df, sized=sized)
         return self._commit(action, lambda parent: [rel], max_retries=1,
                             extra={**(extra or {}),
                                    "schema": df.schema.json(),
@@ -1610,7 +1735,8 @@ class ManifestTable:
                   .repartitionByRange(n, "__z")
                   .sortWithinPartitions("__z")
                   .drop("__z"))
-        return self.overwrite(df, extra=extra, base_version=base)
+        return self.overwrite(df, extra=extra, base_version=base,
+                              sized=not (range_by or zorder_by))
 
     def optimize(self, cluster_by: list[str], n_dirs: int = 32,
                  bits: int = 8, extra: dict | None = None) -> int:
@@ -2127,11 +2253,12 @@ class ManifestTable:
             return self.read().filter(F.lit(False))  # stable empty schema
         df = self._read_dirs_dv(self.manifest(version), dirs,
                                  at_version=version)
-        return df.filter(F.col(col).isin(*points))
+        return df.filter(_in_pred(col, points))
 
     def read_pruned_for_keys(self, keys_df: DataFrame, key: str,
                              max_points: int = 4096,
-                             version: int | None = None) -> DataFrame:
+                             version: int | None = None,
+                             points: list | None = None) -> DataFrame:
         """The table narrowed to dirs that may hold any of ``keys_df``'s
         values of ``key`` — the debit-read primitive of the maintenance
         epochs: a micro-batch needs only its touched keys' OLD images,
@@ -2152,27 +2279,36 @@ class ManifestTable:
         broadcast semi-join. Dirs without recorded stats for ``key`` are
         kept conservatively, so the read is correct on ANY layout and
         merely prunes less. ``version`` pins time travel (e.g. a
-        pre-epoch state read)."""
+        pre-epoch state read). ``points`` optionally supplies the
+        COMPLETE distinct non-null key list up front (a caller reading
+        several tables for one batch collects it once instead of once
+        per table); it must not be truncated — pass None to let this
+        method bound the collection itself."""
         from pyspark.sql import functions as F
 
         if version is None:
             version = self.current_version()
         if version is None:
             raise FileNotFoundError(f"no commits yet at {self.path}")
-        r = keys_df.agg(
-            F.min(key).alias("__lo"), F.max(key).alias("__hi"),
-            F.count_distinct(F.col(key)).alias("__nd")).first()
-        if r["__lo"] is None:  # empty batch: stable empty schema
+        if points is None:
+            # one bounded job: distinct + limit; max_points+1 rows tells
+            # wide batches apart without a separate count_distinct pass
+            points = [row[0] for row in keys_df.select(key).distinct()
+                      .limit(max_points + 1).collect()]
+        pts = [p for p in points if p is not None]
+        if not pts:  # empty batch: stable empty schema
             return self._empty_frame(version)
-        if int(r["__nd"]) <= max_points:
-            pts = [row[0] for row in keys_df.select(key).distinct()
-                   .collect()]
+        if len(pts) <= max_points:
             dirs = self.dirs_pruned_any(key, pts, version=version)
             if not dirs:
                 return self._empty_frame(version)
             df = self._read_dirs_dv(self.manifest(version), dirs,
                                     at_version=version)
-            return df.filter(F.col(key).isin(*pts))
+            return df.filter(_in_pred(key, pts))
+        # wide batch: fall back to the [min, max] hull (one bounded agg —
+        # only paid on the rare over-max_points path)
+        r = keys_df.agg(
+            F.min(key).alias("__lo"), F.max(key).alias("__hi")).first()
         lo, hi = r["__lo"], r["__hi"]
         dirs = self.dirs_pruned({key: (lo, hi)}, version=version)
         if not dirs:

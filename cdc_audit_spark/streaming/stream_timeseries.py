@@ -113,10 +113,18 @@ def apply_ts_epoch(
     query: list[float],
     max_dist2_micro: int | None = None,
     order_guarded: bool = False,
+    tail_df=None,
 ) -> None:
     """One micro-batch: score every window the batch completes, refresh
     the touched keys' tails. All state reads are pinned before the epoch
     and pruned to the batch's keys; both commits are epoch-guarded.
+
+    ``tail_df`` (internal — the reorder/flush callers) supplies an
+    already-pinned tails read covering AT LEAST the batch's keys as of
+    this epoch's pre-version; it is narrowed to the batch's keys here.
+    Those callers hold exactly such a read already, so re-running the
+    pruned read (its bounded key-collect job included) per epoch is
+    pure duplicate work.
 
     ``order_guarded=True`` (internal — the reorder/flush callers) skips
     the per-epoch order-check job because the caller PROVED the batch is
@@ -140,14 +148,22 @@ def apply_ts_epoch(
         F.col(key_col), F.col(ts_col), F.col(tie_col), F.col(val_col)
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        pre = _version_before_epoch(tails, epoch_id)
-        if pre is not None:
+        if tail_df is not None:
             tail = _newest_tail(
-                tails.read_pruned_for_keys(
-                    batch.select(key_col), key_col, version=pre),
-                key_col)
+                tail_df.join(batch.select(key_col).distinct(), key_col,
+                             "left_semi"), key_col)
         else:
-            tail = batch.filter(F.lit(False)).localCheckpoint(eager=True)
+            pre = _version_before_epoch(tails, epoch_id)
+            if pre is not None:
+                tail = _newest_tail(
+                    tails.read_pruned_for_keys(
+                        batch.select(key_col), key_col, version=pre),
+                    key_col)
+            else:
+                # lazily-empty frame: Catalyst folds the always-false
+                # filter to an empty relation — an eager checkpoint here
+                # was one full (empty) job per first epoch
+                tail = batch.filter(F.lit(False))
 
         # order guard: the earliest batch point per key must come after
         # the stored tail's latest point — late data cannot be spliced
@@ -398,13 +414,30 @@ def _apply_reordered_keyed(
     pre_b = _version_before_epoch(buffer, epoch_id)
     pre_t = _version_before_epoch(tails, epoch_id)
     bkeys = batch.select(key_col).distinct()
-    buf_rows = (buffer.read_pruned_for_keys(bkeys, key_col, version=pre_b)
+    # collect the batch's key points ONCE (bounded job) and hand them to
+    # both pruned state reads — otherwise each read re-runs its own
+    # distinct+collect over the same batch (one extra job per table per
+    # epoch). 4097 rows distinguishes a wider-than-point-mode batch; the
+    # complete-list contract then makes each read fall back itself.
+    pts_arg = None
+    if pre_b is not None or pre_t is not None:
+        pts = [r[0] for r in bkeys.limit(4097).collect()]
+        pts_arg = pts if len(pts) <= 4096 else None
+    # both pinned state reads feed several consumers each (the wm frame,
+    # the refusal guard, liveness cuts, the inner epoch's tails): persist
+    # them so every later job scans the cached O(batch-keys) rows instead
+    # of re-running the manifest read + semi-join lineage per action
+    buf_rows = (buffer.read_pruned_for_keys(bkeys, key_col, version=pre_b,
+                                            points=pts_arg)
                 .select(key_col, ts_col, tie_col, val_col)
                 .join(bkeys, key_col, "left_semi")
+                .persist(StorageLevel.MEMORY_AND_DISK)
                 if pre_b is not None
                 else batch.filter(F.lit(False)))
-    tail_rows = (tails.read_pruned_for_keys(bkeys, key_col, version=pre_t)
+    tail_rows = (tails.read_pruned_for_keys(bkeys, key_col, version=pre_t,
+                                            points=pts_arg)
                  .join(bkeys, key_col, "left_semi")
+                 .persist(StorageLevel.MEMORY_AND_DISK)
                  if pre_t is not None else None)
     wmf = _keyed_wm_frame(buf_rows, tail_rows, key_col, ts_col,
                           delay).persist(StorageLevel.MEMORY_AND_DISK)
@@ -451,7 +484,8 @@ def _apply_reordered_keyed(
         apply_ts_epoch(
             tails, matches, released, epoch_id, run_id,
             key_col, ts_col, tie_col, val_col, query,
-            max_dist2_micro=max_dist2_micro, order_guarded=True)
+            max_dist2_micro=max_dist2_micro, order_guarded=True,
+            tail_df=tail_rows)
         if not b_done:
             still = (batch.join(wm_only, key_col, "left")
                      .filter(F.col("__wm").isNull()
@@ -464,6 +498,10 @@ def _apply_reordered_keyed(
                 stats_cols=[ts_col, key_col])
     finally:
         wmf.unpersist()
+        if pre_b is not None:
+            buf_rows.unpersist()
+        if tail_rows is not None:
+            tail_rows.unpersist()
 
 
 def flush_ts_reorder(
@@ -515,14 +553,17 @@ def flush_ts_reorder(
     if pre is None:
         return  # nothing was ever buffered — deterministic no-op
     buf = buffer.read(version=pre).select(key_col, ts_col, tie_col, val_col)
+    # the pinned tails read is handed down to the inner epoch (tail_df)
+    # so it does not re-run its own pruned read + key collect
+    pre_t = _version_before_epoch(tails, epoch_id)
+    tail_df = tails.read(version=pre_t) if pre_t is not None else None
     if per_key:
         # live rows are STRICTLY later than every released row of their
         # key (releases are bands), and the tails hold each key's newest
         # released point — so ts > tail-max is the exact liveness cut,
         # no delay needed
-        pre_t = _version_before_epoch(tails, epoch_id)
-        if pre_t is not None:
-            tmax = (tails.read(version=pre_t)
+        if tail_df is not None:
+            tmax = (tail_df
                     .groupBy(key_col).agg(F.max(ts_col).alias("__tmax")))
             released = (buf.join(tmax, key_col, "left")
                         .filter(F.col("__tmax").isNull()
@@ -551,7 +592,8 @@ def flush_ts_reorder(
     apply_ts_epoch(
         tails, matches, released, epoch_id, run_id,
         key_col, ts_col, tie_col, val_col, query,
-        max_dist2_micro=max_dist2_micro, order_guarded=True)
+        max_dist2_micro=max_dist2_micro, order_guarded=True,
+        tail_df=tail_df)
     if not b_done:
         buffer.overwrite(buf.filter(F.lit(False)), extra=extra)
 

@@ -67,6 +67,58 @@ def test_simhash_properties(spark):
     assert hamming(out[1], out[3]) < hamming(out[1], out[4])
 
 
+def test_simhash_arrow_matches_catalyst_form(spark):
+    """The r13 Arrow simhash kernel must reproduce the r10-r12 Catalyst
+    explode → 64-vote-sum form BIT FOR BIT, including the tokenizer's
+    Java-split edge cases (leading/trailing whitespace keeps empty
+    tokens under limit -1; \\x1c-\\x1f are NOT separators in Java's \\s;
+    NULL text emits no row; empty text hashes the one empty token)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "plain words here"),
+        (2, "  leading and trailing  "),
+        (3, ""),
+        (4, None),
+        (5, "tab\tnewline\nvtab\x0bff\x0ccr\rmix"),
+        (6, "fs\x1cgs\x1drs\x1eus\x1fnel\x85kept"),  # java \s: no split
+        (7, "repeat repeat repeat unique"),
+        (8, "unicode café naïve"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # the pre-r13 Catalyst form, inlined as the ground truth
+    ex = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(F.col("text"), r"\s+")).alias("__t"))
+    w1 = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
+    w2 = F.conv(F.substring(F.md5("__t"), 9, 8), 16, 10).cast("long")
+    words = ex.select("id", w1.alias("__w1"), w2.alias("__w2"))
+
+    def vote(j):
+        w = F.col("__w1") if j < 32 else F.col("__w2")
+        return F.when(
+            F.shiftright(w, j % 32).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sums = words.groupBy("id").agg(
+        *[F.sum(vote(j)).alias(f"__s{j}") for j in range(64)])
+    fingerprint = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [F.when(F.col(f"__s{j}") > 0,
+                F.shiftleft(F.lit(1).cast("long"), j))
+         .otherwise(F.lit(0).cast("long")) for j in range(64)])
+    want = {r["id"]: r["fp"] for r in
+            sums.select("id", fingerprint.alias("fp")).collect()}
+
+    got = {r["id"]: r["simhash64"] for r in
+           simhash(df, "text", "doc_id").collect()}
+    assert got == want
+    assert 4 not in got  # NULL text emits no row
+
+
 def test_lsh_pairs_deterministic(spark):
     docs = _docs(spark)
     p1 = sorted(map(tuple, minhash_lsh_pairs(docs, "text", "doc_id", 16, 8, 2).collect()))
