@@ -158,10 +158,17 @@ def customer_snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
         F.when(F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 100.0, 2))
         .otherwise(F.col("c_acctbal")),
     )
-    maxk = v0.agg(F.max("c_custkey")).first()[0]
+    # max(c_custkey) as a broadcast 1-row frame — the scalar-subquery plan
+    # (exactly the oracle's `(SELECT max(c_custkey) FROM customer)`), so
+    # building any CDC query no longer runs a driver collect job first;
+    # the 1-row BroadcastNestedLoopJoin is the standard scalar shape
+    # (PLANS.md: q11/q22)
+    maxk = v0.agg(F.max("c_custkey").alias("__maxk"))
     inserts = (
         v0.filter(F.col("c_custkey") % 23 == 1)
-        .withColumn("c_custkey", F.col("c_custkey") + F.lit(maxk))
+        .crossJoin(F.broadcast(maxk))
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("__maxk"))
+        .drop("__maxk")
     )
     return v0, updated.unionByName(inserts)
 
