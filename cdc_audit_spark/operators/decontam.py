@@ -49,18 +49,24 @@ def ngram_exposure(
     evaluated once per row. Documents shorter than n tokens contribute
     no grams.
     """
-    from cdc_audit_spark.operators.exprs import bind
+    from cdc_audit_spark.operators.exprs import bind, memo_column
 
-    def grams_of(w):
-        return F.when(
-            F.size(w) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - n),
-                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    def build_gram_col():
+        def grams_of(w):
+            return F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - n),
+                    lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
 
-    grams = bind(_token_array(text_col), grams_of)
+        return F.explode(F.array_distinct(
+            bind(_token_array(text_col), grams_of))).alias("gram")
+
+    # identical tree per (text_col, n): memoized so repeated query
+    # construction pays dict lookups, not py4j round-trips per node
+    gram_col = memo_column(("ngram_exposure", text_col, n), build_gram_col)
     narrow = df.select(F.col(id_col).alias("id"), *keep, F.col(text_col))
     # CPU-bound per-doc stage: make sure input splits use every core (a
     # single-file source otherwise runs the whole gram build on one task).
@@ -69,11 +75,7 @@ def ngram_exposure(
         par = df.sparkSession.sparkContext.defaultParallelism
         if narrow.rdd.getNumPartitions() < par:
             narrow = narrow.repartition(par)
-    return narrow.select(
-        "id",
-        *keep,
-        F.explode(F.array_distinct(grams)).alias("gram"),
-    )
+    return narrow.select("id", *keep, gram_col)
 
 
 def benchmark_overlap(

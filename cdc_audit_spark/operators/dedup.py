@@ -119,17 +119,23 @@ def _shingles(text_col: str, shingle_size: int):
     expressions: split → sliding concat via transform over an index sequence.
     Used by the exact-Jaccard verify stage; the minhash path uses the cheaper
     _shingle_hashes. The token array is let-bound (exprs.bind) so the split
-    runs once per row, not once per shingle."""
-    from cdc_audit_spark.operators.exprs import bind
+    runs once per row, not once per shingle; the tree is memoized per
+    (text_col, shingle_size) — identical every call, so construction
+    should cost a dict lookup, not py4j round-trips (exprs.memo_column)."""
+    from cdc_audit_spark.operators.exprs import bind, memo_column
 
-    def shingles_of(tokens):
-        n = F.greatest(F.size(tokens) - F.lit(shingle_size - 1), F.lit(1))
-        idx = F.sequence(F.lit(0), n - F.lit(1))
-        return F.array_distinct(F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, shingle_size))))
+    def build():
+        def shingles_of(tokens):
+            n = F.greatest(F.size(tokens) - F.lit(shingle_size - 1), F.lit(1))
+            idx = F.sequence(F.lit(0), n - F.lit(1))
+            return F.array_distinct(F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1,
+                                                   shingle_size))))
 
-    return bind(F.split(F.col(text_col), r"\s+"), shingles_of)
+        return bind(F.split(F.col(text_col), r"\s+"), shingles_of)
+
+    return memo_column(("shingles", text_col, shingle_size), build)
 
 
 def _shingle_hashes(text_col: str, shingle_size: int):
@@ -139,7 +145,12 @@ def _shingle_hashes(text_col: str, shingle_size: int):
     linear mixes avoids building shingle strings but ran 3× slower in
     Spark's interpreted higher-order-function path — string building +
     one hash wins.)"""
-    return F.transform(_shingles(text_col, shingle_size), lambda s: F.xxhash64(s))
+    from cdc_audit_spark.operators.exprs import memo_column
+
+    return memo_column(
+        ("shingle_hashes", text_col, shingle_size),
+        lambda: F.transform(_shingles(text_col, shingle_size),
+                            lambda s: F.xxhash64(s)))
 
 
 def minhash_signatures(

@@ -292,42 +292,48 @@ def winnow_fingerprints(
     # EVERY iteration, turning the per-doc cost into O(n^2) md5 calls
     # (measured 10x+ on sf0.1 docs); a bound lambda variable is a slot
     # read, evaluated once per row. Same output, same zero-shuffle plan.
-    from cdc_audit_spark.operators.exprs import bind
+    # The ~100-node tree itself is memoized per (text_col, k, w) — its
+    # py4j construction latency is re-paid per epoch otherwise
+    # (exprs.memo_column).
+    from cdc_audit_spark.operators.exprs import bind, memo_column
 
-    toks_expr = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-        lambda t: F.length(t) > 0)
+    def build_fps():
+        toks_expr = F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: F.length(t) > 0)
 
-    def fps_from_tokens(t):
-        n_h = F.size(t) - k + 1   # number of k-grams
+        def fps_from_tokens(t):
+            n_h = F.size(t) - k + 1   # number of k-grams
 
-        def gram_hash(i):
-            g = F.array_join(F.slice(t, i + 1, k), " ")
-            return F.conv(F.substring(F.md5(g), 1, 6), 16, 10).cast("int")
+            def gram_hash(i):
+                g = F.array_join(F.slice(t, i + 1, k), " ")
+                return F.conv(F.substring(F.md5(g), 1, 6), 16, 10).cast("int")
 
-        hashes = (
-            F.when(n_h >= 1,
-                   F.transform(F.sequence(F.lit(0), n_h - 1), gram_hash))
-            .otherwise(F.array().cast("array<int>")))
-
-        def fps_from_hashes(hs):
-            return (
-                F.when(n_h >= w, F.transform(
-                    F.sequence(F.lit(0), n_h - w),
-                    lambda j: F.array_min(F.slice(hs, j + 1, w))))
-                .when(n_h >= 1, F.array(F.array_min(hs)))
+            hashes = (
+                F.when(n_h >= 1,
+                       F.transform(F.sequence(F.lit(0), n_h - 1), gram_hash))
                 .otherwise(F.array().cast("array<int>")))
 
-        return bind(hashes, fps_from_hashes)
+            def fps_from_hashes(hs):
+                return (
+                    F.when(n_h >= w, F.transform(
+                        F.sequence(F.lit(0), n_h - w),
+                        lambda j: F.array_min(F.slice(hs, j + 1, w))))
+                    .when(n_h >= 1, F.array(F.array_min(hs)))
+                    .otherwise(F.array().cast("array<int>")))
 
-    fps = bind(toks_expr, fps_from_tokens)
+            return bind(hashes, fps_from_hashes)
+
+        return F.explode(
+            F.array_distinct(bind(toks_expr, fps_from_tokens))).alias("fp")
+
+    fp_col = memo_column(("winnow_fps", text_col, k, w), build_fps)
     narrow = df.select(F.col(id_col).alias("id"), F.col(text_col))
     if not df.isStreaming:
         par = df.sparkSession.sparkContext.defaultParallelism
         if narrow.rdd.getNumPartitions() < par:
             narrow = narrow.repartition(par)
-    return narrow.select(
-        "id", F.explode(F.array_distinct(fps)).alias("fp"))
+    return narrow.select("id", fp_col)
 
 
 def winnow_overlap_pairs(

@@ -96,6 +96,21 @@ def znorm_distances(
             "dot-product (explode into fixed-size segments and sum) or a "
             "matrix-profile tier instead."
         )
+    from cdc_audit_spark.operators.exprs import memo_column
+
+    # The tree is identical for identical (columns, query) — ~m·5 + 40
+    # Column ops of pure py4j latency per build otherwise, re-paid every
+    # micro-batch of the streaming matcher (memo_column docstring).
+    sel1, f1, sel2, f2, sel3 = memo_column(
+        ("znorm", key_col, ts_col, tie_col, val_col, tuple(query)),
+        lambda: _znorm_cols(key_col, ts_col, tie_col, val_col, query))
+    return df.select(*sel1).filter(f1).select(*sel2).filter(f2).select(*sel3)
+
+
+def _znorm_cols(key_col, ts_col, tie_col, val_col, query):
+    """The three select stages + two filters of :func:`znorm_distances`
+    as reusable unresolved Columns."""
+    m = len(query)
     qz, sqz = znormalize(query)
     order = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
     frame = order.rowsBetween(0, m - 1)
@@ -108,11 +123,10 @@ def znorm_distances(
     for j in range(1, m):
         dot = dot + F.lit(qz[j]) * F.lead(val, j).over(order)
 
-    per = df.select(
-        F.col(key_col), F.col(ts_col), F.col(tie_col),
-        sx.alias("__sx"), sxx.alias("__sxx"), cnt.alias("__c"),
-        dot.alias("__dot"),
-    ).filter(F.col("__c") == m)
+    sel1 = (F.col(key_col), F.col(ts_col), F.col(tie_col),
+            sx.alias("__sx"), sxx.alias("__sxx"), cnt.alias("__c"),
+            dot.alias("__dot"))
+    f1 = F.col("__c") == m
     mu = F.col("__sx") / F.lit(float(m))
     # Guard on the VARIANCE relative to the mean square, not on sigma:
     # constant windows compute sxx/m - mu*mu as float NOISE either side
@@ -129,18 +143,17 @@ def znorm_distances(
     sigma = F.sqrt(var)
     dist2 = (F.lit(2.0 * m)
              - F.lit(2.0) * (F.col("__dot") - mu * F.lit(sqz)) / sigma)
-    out = per.select(
-        key_col, ts_col, tie_col,
-        var.alias("__var"),
-        msq.alias("__msq"),
-        F.floor(dist2 * F.lit(_MICRO) + F.lit(0.5)).cast("long")
-        .alias("dist2_micro"),
-    ).filter(F.col("__var") > F.col("__msq") * F.lit(_VAR_REL_EPS))
-    return out.select(
-        key_col, ts_col, tie_col, "dist2_micro",
-        (F.col("dist2_micro").cast("double") / F.lit(_MICRO))
-        .alias("dist2"),
-    )
+    sel2 = (F.col(key_col), F.col(ts_col), F.col(tie_col),
+            var.alias("__var"),
+            msq.alias("__msq"),
+            F.floor(dist2 * F.lit(_MICRO) + F.lit(0.5)).cast("long")
+            .alias("dist2_micro"))
+    f2 = F.col("__var") > F.col("__msq") * F.lit(_VAR_REL_EPS)
+    sel3 = (F.col(key_col), F.col(ts_col), F.col(tie_col),
+            F.col("dist2_micro"),
+            (F.col("dist2_micro").cast("double") / F.lit(_MICRO))
+            .alias("dist2"))
+    return sel1, f1, sel2, f2, sel3
 
 
 def subsequence_topk(
