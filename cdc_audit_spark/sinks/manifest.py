@@ -1417,10 +1417,32 @@ class ManifestTable:
         # old up-front stats aggregate — a full extra evaluation of the
         # (often join+window-shaped) lineage per commit, plus a persist
         # to amortize it — is pure overhead for footer-covered columns.
-        # Whatever the footers cannot cover (HLL sketches, set stats,
-        # string bounds — parquet may truncate those) aggregates over the
-        # JUST-WRITTEN files instead of the lineage: a cheap local scan,
-        # no cache to manage, identical rows by construction.
+        # Whatever the footers cannot cover (string bounds — parquet may
+        # truncate those — NaN-poisoned doubles, HLL sketches) rides the
+        # write job itself as OBSERVED metrics (CollectMetrics): the
+        # aggregates evaluate on exactly the rows being written, during
+        # the write, so no second job and no cache to manage. Metrics
+        # are requested for every candidate column up front (which ones
+        # the footers cover is only known post-write); footer values
+        # still win on overlap, and the observation is the fallback.
+        # Only _set_stat (bounded distinct/Bloom) still reads back.
+        obs = None
+        obs_exprs = []
+        if pk_range_col is not None:
+            obs_exprs += [F.min(pk_range_col).alias("__pk_lo"),
+                          F.max(pk_range_col).alias("__pk_hi")]
+        for c in stats_cols or []:
+            obs_exprs += [F.min(c).alias(f"__lo_{c}"),
+                          F.max(c).alias(f"__hi_{c}"),
+                          F.count(F.when(F.col(c).isNull(), 1))
+                          .alias(f"__nl_{c}")]
+        for c in ndv_stats_cols or []:
+            obs_exprs += [F.hll_sketch_agg(c).alias(f"__hll_{c}")]
+        if obs_exprs:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"__append_stats_{uuid.uuid4().hex}")
+            df = df.observe(obs, *obs_exprs)
         rel, fstats = self._write_data_dir(df)
         foot = dict(fstats.get("stats", {}))
         foot_nulls = fstats.pop("nulls", {})
@@ -1433,30 +1455,20 @@ class ManifestTable:
                     os.path.join(self.path, rel))
             return back
 
-        agg_cols = []
         pk_from_foot = (pk_range_col is not None and pk_range_col in foot
                         and isinstance(foot[pk_range_col][0], int))
         if pk_from_foot:
             meta.update(pk_min=int(foot[pk_range_col][0]),
                         pk_max=int(foot[pk_range_col][1]),
                         pk_col=pk_range_col)
-        elif pk_range_col is not None:
-            agg_cols += [F.min(pk_range_col).alias("__pk_lo"),
-                         F.max(pk_range_col).alias("__pk_hi")]
         res_stats = [c for c in stats_cols or []
                      if c not in foot or c not in foot_nulls]
-        for c in res_stats:
-            agg_cols += [F.min(c).alias(f"__lo_{c}"),
-                         F.max(c).alias(f"__hi_{c}"),
-                         F.count(F.when(F.col(c).isNull(), 1))
-                         .alias(f"__nl_{c}")]
-        for c in ndv_stats_cols or []:
-            agg_cols += [F.hll_sketch_agg(c).alias(f"__hll_{c}")]
         stats = {c: foot[c] for c in stats_cols or [] if c in foot}
         nulls = {c: int(foot_nulls[c]) for c in stats_cols or []
                  if c in foot_nulls}
-        if agg_cols:
-            r = read_back().agg(*agg_cols).first()
+        if ((pk_range_col is not None and not pk_from_foot)
+                or res_stats or ndv_stats_cols):
+            r = obs.get  # already collected — metrics rode the write job
             if (pk_range_col is not None and not pk_from_foot
                     and r["__pk_lo"] is not None):
                 meta.update(pk_min=int(r["__pk_lo"]),

@@ -242,8 +242,8 @@ def test_sync_audit_concurrent_sync_is_loud(spark, tmp_path):
     src = _rows(spark, 1, 11)
     orig_write = t._write_data_dir
 
-    def racing_write(df):
-        rel = orig_write(df)
+    def racing_write(df, **kw):
+        rel = orig_write(df, **kw)
         # racer lands a sync for the same delta before our claim
         ManifestTable(spark, t.path).sync_audit(src)
         return rel
@@ -825,11 +825,11 @@ def test_overwrite_pinned_to_base_version(spark, tmp_path):
     racer = ManifestTable(spark, str(tmp_path / "t"))
     orig_write = mod.ManifestTable._write_data_dir
 
-    def racing_write(self, df):
+    def racing_write(self, df, **kw):
         # a concurrent sync lands DURING the rewrite's data-write phase
         mod.ManifestTable._write_data_dir = orig_write
         racer.sync_audit(_rows(spark, 1, 16))
-        return orig_write(self, df)
+        return orig_write(self, df, **kw)
 
     mod.ManifestTable._write_data_dir = racing_write
     try:
@@ -849,11 +849,11 @@ def test_overwrite_pinned_to_base_version(spark, tmp_path):
                   bootstrap=_rows(spark, 1, 6).drop("audit_pk", "audit_event"))
     m_racer = ManifestTable(spark, str(tmp_path / "m"))
 
-    def racing_write2(self, df):
+    def racing_write2(self, df, **kw):
         mod.ManifestTable._write_data_dir = orig_write
         m_racer.append(_rows(spark, 50, 52).drop("audit_pk", "audit_event"),
                        extra={"watermark": 51})
-        return orig_write(self, df)
+        return orig_write(self, df, **kw)
 
     mod.ManifestTable._write_data_dir = racing_write2
     try:
