@@ -577,21 +577,28 @@ def connected_components(
     the distributed propagation runs unchanged; ``driver_gate=0``
     forces it.
     """
-    both = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-    )
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # gate-check and edge fetch in ONE action on the LAZY plan: a take
     # of gate+1 rows either IS the whole edge set (run the driver
     # closure on it — the old checkpoint + count + collect spent three
     # jobs learning the same thing) or proves the graph is over-gate.
+    # The take runs on the UNDIRECTED edges: union-find is direction-
+    # and duplicate-agnostic, so the reversed union + distinct the
+    # propagation rounds need — one full extra Exchange over 2x the
+    # rows — is built only on the over-gate path (the gate therefore
+    # counts raw edges, not bidirectional-distinct rows: same
+    # magnitude, half the previous effective threshold's row count).
     # Only the over-gate path materializes the checkpoint — there the
     # edge lineage would otherwise recompute per propagation round
     # (measured 40x on the sf0.1 winnow graph).
-    head = both.take(driver_gate + 1)
+    head = und.take(driver_gate + 1)
     if len(head) <= driver_gate:
-        return _driver_components(both, head)
+        return _driver_components(und, head)
+    both = (
+        und.unionByName(und.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+        .distinct()
+    )
     both = both.localCheckpoint(eager=True)
     labels = (
         both.select(F.col("a").alias("id"))

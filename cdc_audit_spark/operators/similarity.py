@@ -213,15 +213,36 @@ def ann_bucket_pairs(
 ) -> DataFrame:
     """Candidate neighbor pairs: ids sharing an LSH bucket (id_a < id_b).
 
-    The equi-join on bucket replaces the quadratic cross join; shuffle volume
-    is O(rows), per-bucket fan-out bounded by bucket occupancy (tune
-    num_bits so buckets stay small; AQE splits skewed buckets)."""
+    Bucketing replaces the quadratic cross join; shuffle volume is
+    O(rows), per-bucket fan-out bounded by bucket occupancy (tune
+    num_bits so buckets stay small).
+
+    Pairs come from grouping per bucket, NOT a self-join (the
+    minhash_lsh_pairs shape): the old bucket self-join evaluated the
+    signature pass once per scan branch and paid a join exchange plus a
+    distinct exchange — but each vector holds exactly ONE bucket, so a
+    pair can only ever be witnessed once and the distinct was pure
+    overhead. Now: one signature pass, one (bucket, id) shuffle into a
+    hash-aggregate, in-bucket pair expansion. Plan: 2 scans + 3
+    Exchanges → 1 scan + 1 Exchange, identical row set."""
     buckets = hyperplane_lsh_buckets(df, id_col, vec_col, num_bits, dim, seed)
-    a, b = buckets.alias("a"), buckets.alias("b")
+    ids_sorted = F.sort_array(F.collect_list("id"))
+    pairs_in_bucket = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        buckets.groupBy("bucket").agg(ids_sorted.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pairs_in_bucket).alias("p"))
+        .select("p.id_a", "p.id_b")
     )
 
 

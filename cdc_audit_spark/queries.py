@@ -1421,10 +1421,16 @@ duped AS (
 
 def _duped_docs(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
-    max_id = docs.agg(F.max("doc_id")).first()[0]
+    # max(doc_id) as a broadcast 1-row frame (the customer_snapshots
+    # pattern): constructing any duped-corpus query no longer runs a
+    # driver collect job first — the scalar rides the plan exactly like
+    # the oracle's `(SELECT max(doc_id) FROM documents)`
+    mx = docs.agg((F.max("doc_id") + 1).alias("__base"))
     copies = (
         docs.filter(F.col("doc_id") % 5 == 0)
-        .withColumn("doc_id", F.col("doc_id") + F.lit(max_id + 1))
+        .crossJoin(F.broadcast(mx))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__base"))
+        .drop("__base")
     )
     return docs.select("doc_id", "text").unionByName(copies.select("doc_id", "text"))
 
