@@ -1396,10 +1396,6 @@ class ManifestTable:
         parent, so two racing writers replaying the same batch commit it
         exactly once (the loser removes its orphan data dir). Versions
         per app must be monotone, exactly like streaming epochs."""
-        from pyspark.sql import functions as F
-
-        from pyspark.storagelevel import StorageLevel
-
         if (txn_app_id is None) != (txn_version is None):
             raise ValueError(
                 "txn_app_id and txn_version come as a pair")
@@ -1408,6 +1404,53 @@ class ManifestTable:
             last = self.txn_version(txn_app_id)
             if last is not None and last >= txn_version:
                 return None  # already durable — zero work, no commit
+        prep = self.prepare_append(
+            df, pk_range_col=pk_range_col, stats_cols=stats_cols,
+            set_stats_cols=set_stats_cols, ndv_stats_cols=ndv_stats_cols,
+            on_drift=on_drift)
+        if txn_app_id is None:
+            return self.commit_prepared(prep, extra=extra)
+        rel = prep["rel"]
+        extra = {**(extra or {}), "schema": prep["schema"],
+                 "dir_meta": {rel: prep["meta"]}}
+
+        def dirs_fn(parent):
+            pt = (parent or {}).get("txns", {})
+            if txn_app_id in pt and int(pt[txn_app_id]) >= txn_version:
+                raise _TxnApplied()  # racer replayed the same batch first
+            return (parent["dirs"] if parent else []) + [rel]
+
+        def extra_fn(parent):
+            return {**extra,
+                    "txns": {**((parent or {}).get("txns", {})),
+                             txn_app_id: txn_version}}
+
+        try:
+            return self._commit("append", dirs_fn, extra=extra_fn)
+        except _TxnApplied:
+            self.abandon_prepared(prep)
+            return None
+
+    def prepare_append(self, df: DataFrame,
+                       pk_range_col: str | None = None,
+                       stats_cols: list[str] | None = None,
+                       set_stats_cols: list[str] | None = None,
+                       ndv_stats_cols: list[str] | None = None,
+                       on_drift: str = "fail") -> dict:
+        """The Spark-job half of :meth:`append` — write the commit's data
+        dir and derive its stats WITHOUT claiming a version. Split out so
+        a caller with several INDEPENDENT commits (a maintained-state
+        epoch appends to two or three tables whose contents all derive
+        from state pinned before the epoch) can overlap their write jobs
+        from driver threads (guide §2.6) while the manifest claims stay
+        strictly ordered via :meth:`commit_prepared`. The written dir is
+        invisible until its claim links a manifest, so a failure or crash
+        between the halves leaves table semantics untouched (the orphan
+        dir is reclaimed by ``vacuum``; on a handled failure call
+        :meth:`abandon_prepared`). Thread-safe: per-commit-dir work plus
+        read-only manifest lookups only."""
+        from pyspark.sql import functions as F
+
         df = self._check_drift(df, on_drift)
         self._enforce_constraints(df)
         meta: dict = {}
@@ -1500,31 +1543,27 @@ class ManifestTable:
         if foot or stats:
             meta["stats"] = {**foot, **stats}
         meta.update(fstats)
-        extra = {**(extra or {}), "schema": df.schema.json(),
-                 "dir_meta": {rel: meta}}
-        if txn_app_id is None:
-            return self._commit(
-                "append",
-                lambda parent: (parent["dirs"] if parent else []) + [rel],
-                extra=extra,
-            )
+        return {"rel": rel, "meta": meta, "schema": df.schema.json()}
 
-        def dirs_fn(parent):
-            pt = (parent or {}).get("txns", {})
-            if txn_app_id in pt and int(pt[txn_app_id]) >= txn_version:
-                raise _TxnApplied()  # racer replayed the same batch first
-            return (parent["dirs"] if parent else []) + [rel]
+    def commit_prepared(self, prep: dict, extra: dict | None = None) -> int:
+        """Claim a :meth:`prepare_append` result as the next version: the
+        driver-I/O half of :meth:`append` (no Spark jobs — the optimistic
+        manifest-link loop only)."""
+        extra = {**(extra or {}), "schema": prep["schema"],
+                 "dir_meta": {prep["rel"]: prep["meta"]}}
+        return self._commit(
+            "append",
+            lambda parent: (parent["dirs"] if parent else [])
+            + [prep["rel"]],
+            extra=extra,
+        )
 
-        def extra_fn(parent):
-            return {**extra,
-                    "txns": {**((parent or {}).get("txns", {})),
-                             txn_app_id: txn_version}}
-
-        try:
-            return self._commit("append", dirs_fn, extra=extra_fn)
-        except _TxnApplied:
-            shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
-            return None
+    def abandon_prepared(self, prep: dict) -> None:
+        """Remove a prepared-but-unclaimed commit dir — failure cleanup
+        for callers that will never :meth:`commit_prepared` it (a crashed
+        process's orphan is equally invisible; ``vacuum`` reclaims it)."""
+        shutil.rmtree(os.path.join(self.path, prep["rel"]),
+                      ignore_errors=True)
 
     def _check_drift(self, df: DataFrame, on_drift: str) -> DataFrame:
         """Appended batches must match the table schema; ``on_drift=

@@ -100,6 +100,49 @@ def _newest_tail(tail_df, key_col: str):
             .drop("__mx", "__epoch"))
 
 
+def _epoch_wave(guards, preps) -> None:
+    """Run one epoch's INDEPENDENT Spark actions as a single parallel
+    wave (guide §2.6 — jobs are sequential only because driver code calls
+    them sequentially): ``guards`` are callables whose failure must abort
+    the epoch before any commit becomes visible (the refusal counts);
+    ``preps`` are ``(table, df, prepare_kwargs, commit_extra)`` appends
+    whose contents all derive from state pinned before the epoch, so
+    their write jobs are mutually independent. Everything Spark-side
+    (guard jobs + data-dir writes) overlaps across driver threads; the
+    manifest CLAIMS then land sequentially in list order — the exact
+    crash-consistency ordering of the sequential code, because a prepared
+    dir is invisible until its claim. Any failure abandons every prepared
+    dir and re-raises the first error, guards first (a refusal must
+    surface as itself, not as collateral)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not guards and not preps:
+        return
+    prepped: list = [None] * len(preps)
+    errs: list[BaseException] = []
+    with ThreadPoolExecutor(max_workers=len(guards) + len(preps)) as ex:
+        gfs = [ex.submit(g) for g in guards]
+        pfs = [ex.submit(t.prepare_append, df, **kw)
+               for (t, df, kw, _x) in preps]
+        for f in gfs:
+            try:
+                f.result()
+            except BaseException as e:  # noqa: BLE001 — collected, re-raised
+                errs.append(e)
+        for i, f in enumerate(pfs):
+            try:
+                prepped[i] = f.result()
+            except BaseException as e:  # noqa: BLE001 — collected, re-raised
+                errs.append(e)
+    if errs:
+        for (t, _df, _kw, _x), p in zip(preps, prepped):
+            if p is not None:
+                t.abandon_prepared(p)
+        raise errs[0]
+    for (t, _df, _kw, extra), p in zip(preps, prepped):
+        t.commit_prepared(p, extra=extra)
+
+
 def apply_ts_epoch(
     tails,
     matches,
@@ -114,10 +157,20 @@ def apply_ts_epoch(
     max_dist2_micro: int | None = None,
     order_guarded: bool = False,
     tail_df=None,
+    guard=None,
+    extra_preps=None,
 ) -> None:
     """One micro-batch: score every window the batch completes, refresh
     the touched keys' tails. All state reads are pinned before the epoch
     and pruned to the batch's keys; both commits are epoch-guarded.
+
+    ``guard`` (internal — the reorder callers) is an extra refusal
+    callable folded into the epoch's parallel wave: it runs CONCURRENTLY
+    with the commit data-writes but must succeed before any claim lands
+    (see ``_epoch_wave``). ``extra_preps`` (internal) appends additional
+    ``(table, df, kwargs, extra)`` commits to the same wave, claimed
+    AFTER matches and tails — the reorder buffer append, which is
+    independent of both until its claim.
 
     ``tail_df`` (internal — the reorder/flush callers) supplies an
     already-pinned tails read covering AT LEAST the batch's keys as of
@@ -141,7 +194,10 @@ def apply_ts_epoch(
 
     m_done = matches.epoch_applied(epoch_id, run_id)
     t_done = tails.epoch_applied(epoch_id, run_id)
-    if m_done and t_done:
+    if m_done and t_done and not (guard or extra_preps):
+        # nothing left to commit and no caller guard to honor; a
+        # redelivery with a pending extra commit (the reorder buffer)
+        # must still run the wave below so that commit lands
         return
     m = len(query)
     batch = batch_df.select(
@@ -168,8 +224,10 @@ def apply_ts_epoch(
         # order guard: the earliest batch point per key must come after
         # the stored tail's latest point — late data cannot be spliced
         # into windows that were already scored. Skipped when the caller
-        # proved order (see the docstring).
-        if not order_guarded:
+        # proved order (see the docstring); otherwise it joins the
+        # epoch's parallel wave — concurrent with the commit writes, but
+        # no claim lands until it passes.
+        def _order_guard():
             pos = F.struct(F.col(ts_col), F.col(tie_col))
             t_max = tail.groupBy(key_col).agg(F.max(pos).alias("__tmax"))
             b_min = batch.groupBy(key_col).agg(F.min(pos).alias("__bmin"))
@@ -199,10 +257,19 @@ def apply_ts_epoch(
             .withColumn("__epoch", F.lit(int(epoch_id)))
         )
         extra = {"epoch": int(epoch_id), "run_id": run_id}
+        guards = []
+        if not order_guarded:
+            guards.append(_order_guard)
+        if guard is not None:
+            guards.append(guard)
+        preps = []
         if not m_done:
-            matches.append(dists, extra=extra)
+            preps.append((matches, dists, {}, extra))
         if not t_done:
-            tails.append(new_tail, extra=extra, stats_cols=[key_col])
+            preps.append((tails, new_tail, {"stats_cols": [key_col]},
+                          extra))
+        preps.extend(extra_preps or [])
+        _epoch_wave(guards, preps)
     finally:
         batch.unpersist()
     maybe_fold_tails(tails, key_col)
@@ -359,19 +426,25 @@ def apply_ts_epoch_reordered(
                     .select(key_col, ts_col, tie_col, val_col)
                     if pre is not None
                     else batch.filter(F.lit(False)))
+        # one aggregate job covers both the refusal count and the
+        # watermark advance (the max is needed on the driver to BUILD the
+        # released/still frames, so this job cannot join the commit wave
+        # — but it need not be two jobs)
+        late_cnt = (F.count(F.when(F.col(ts_col) <= F.lit(wm_prev), 1))
+                    if wm_prev is not None else F.lit(0))
+        agg = batch.agg(F.max(ts_col).alias("__mx"),
+                        late_cnt.alias("__late")).first()
         if wm_prev is not None:
             live_buf = live_buf.filter(F.col(ts_col) > F.lit(wm_prev))
-            n_too_late = batch.filter(
-                F.col(ts_col) <= F.lit(wm_prev)).count()
-            if n_too_late:
+            if agg["__late"]:
                 raise ValueError(
-                    f"apply_ts_epoch_reordered: {n_too_late} point(s) "
+                    f"apply_ts_epoch_reordered: {agg['__late']} point(s) "
                     f"arrived at or before the watermark ({wm_prev}) — "
                     "later than the configured reorder delay allows. "
                     "Raise `delay` to cover the source's real "
                     "out-of-orderness; silently dropping or mis-splicing "
                     "them is not an option for a scoring engine")
-        max_ts = batch.agg(F.max(ts_col)).first()[0]
+        max_ts = agg["__mx"]
         if max_ts is None:
             new_wm = wm_prev
         else:
@@ -382,18 +455,21 @@ def apply_ts_epoch_reordered(
             released = pending.filter(F.lit(False))
         else:
             released = pending.filter(F.col(ts_col) <= F.lit(new_wm))
-        apply_ts_epoch(
-            tails, matches, released, epoch_id, run_id,
-            key_col, ts_col, tie_col, val_col, query,
-            max_dist2_micro=max_dist2_micro, order_guarded=True)
+        extra_preps = []
         if not b_done:
             still = (batch if new_wm is None
                      else batch.filter(F.col(ts_col) > F.lit(new_wm)))
-            buffer.append(
-                still,
-                extra={"epoch": int(epoch_id), "run_id": run_id,
-                       **_wm_extra(new_wm)},
-                stats_cols=[ts_col])
+            extra_preps.append((
+                buffer, still, {"stats_cols": [ts_col]},
+                {"epoch": int(epoch_id), "run_id": run_id,
+                 **_wm_extra(new_wm)}))
+        # the buffer write joins the matches/tails commit wave; its claim
+        # still lands last (see _epoch_wave)
+        apply_ts_epoch(
+            tails, matches, released, epoch_id, run_id,
+            key_col, ts_col, tie_col, val_col, query,
+            max_dist2_micro=max_dist2_micro, order_guarded=True,
+            extra_preps=extra_preps)
     finally:
         batch.unpersist()
     maybe_fold_buffer(buffer, ts_col)
@@ -426,7 +502,11 @@ def _apply_reordered_keyed(
     # both pinned state reads feed several consumers each (the wm frame,
     # the refusal guard, liveness cuts, the inner epoch's tails): persist
     # them so every later job scans the cached O(batch-keys) rows instead
-    # of re-running the manifest read + semi-join lineage per action
+    # of re-running the manifest read + semi-join lineage per action.
+    # (A lazy localCheckpoint here — plan truncation on top of the same
+    # caching — was A/B-measured at parity and rejected: the per-epoch
+    # plans are shallow enough post-pruning that analysis is not the
+    # bottleneck, and persist keeps recompute-on-eviction semantics.)
     buf_rows = (buffer.read_pruned_for_keys(bkeys, key_col, version=pre_b,
                                             points=pts_arg)
                 .select(key_col, ts_col, tie_col, val_col)
@@ -456,16 +536,23 @@ def _apply_reordered_keyed(
                     .agg(F.max(ts_col).alias("__tmax")))
             ref = ref.join(tmax, key_col, "left")
             late_cond = late_cond | (F.col(ts_col) <= F.col("__tmax"))
-        n_too_late = ref.filter(late_cond).count()
-        if n_too_late:
-            raise ValueError(
-                f"apply_ts_epoch_reordered(per_key=True): {n_too_late} "
-                "point(s) arrived at or before their key's watermark or "
-                "scored tail — later than the configured reorder delay "
-                "allows within that series. Raise `delay` to cover the "
-                "source's real per-key out-of-orderness; silently "
-                "dropping or mis-splicing them is not an option for a "
-                "scoring engine")
+
+        def _refusal_guard():
+            # joins the epoch's parallel wave (_epoch_wave): runs
+            # concurrently with the commit data-writes, but no claim
+            # lands until it passes — the abort-BEFORE-any-commit
+            # contract, minus one serialized job per epoch
+            n_too_late = ref.filter(late_cond).count()
+            if n_too_late:
+                raise ValueError(
+                    f"apply_ts_epoch_reordered(per_key=True): "
+                    f"{n_too_late} point(s) arrived at or before their "
+                    "key's watermark or scored tail — later than the "
+                    "configured reorder delay allows within that series. "
+                    "Raise `delay` to cover the source's real per-key "
+                    "out-of-orderness; silently dropping or mis-splicing "
+                    "them is not an option for a scoring engine")
+
         new_wm = (batch.groupBy(key_col)
                   .agg((F.max(ts_col) - F.lit(delay)).alias("__cand"))
                   .join(wmf, key_col, "left")
@@ -481,21 +568,25 @@ def _apply_reordered_keyed(
         wm_only = new_wm.select(key_col, "__wm")
         released = (pending.join(wm_only, key_col, "left")
                     .filter(F.col(ts_col) <= F.col("__wm")).drop("__wm"))
-        apply_ts_epoch(
-            tails, matches, released, epoch_id, run_id,
-            key_col, ts_col, tie_col, val_col, query,
-            max_dist2_micro=max_dist2_micro, order_guarded=True,
-            tail_df=tail_rows)
+        extra_preps = []
         if not b_done:
             still = (batch.join(wm_only, key_col, "left")
                      .filter(F.col("__wm").isNull()
                              | (F.col(ts_col) > F.col("__wm")))
                      .drop("__wm"))
-            buffer.append(
-                still,
-                extra={"epoch": int(epoch_id), "run_id": run_id,
-                       "wm_keyed": True},
-                stats_cols=[ts_col, key_col])
+            extra_preps.append((
+                buffer, still, {"stats_cols": [ts_col, key_col]},
+                {"epoch": int(epoch_id), "run_id": run_id,
+                 "wm_keyed": True}))
+        # ONE parallel wave for the whole epoch: refusal guard + the
+        # three commit writes (matches, tails, buffer) all derive from
+        # the pinned pre-epoch state, so only the claims are ordered
+        apply_ts_epoch(
+            tails, matches, released, epoch_id, run_id,
+            key_col, ts_col, tie_col, val_col, query,
+            max_dist2_micro=max_dist2_micro, order_guarded=True,
+            tail_df=tail_rows, guard=_refusal_guard,
+            extra_preps=extra_preps)
     finally:
         wmf.unpersist()
         if pre_b is not None:
@@ -588,7 +679,9 @@ def flush_ts_reorder(
         # silently resume a global buffer
         extra = {"epoch": int(epoch_id), "run_id": run_id,
                  **_wm_extra(new_wm)}
-    released = released.localCheckpoint(eager=True)
+    # no eager checkpoint here: the inner epoch persists its batch
+    # projection, so every consumer after the first scans the cache —
+    # the checkpoint was one extra full materialization job per flush
     apply_ts_epoch(
         tails, matches, released, epoch_id, run_id,
         key_col, ts_col, tie_col, val_col, query,

@@ -46,6 +46,34 @@ def test_append_overwrite_time_travel(spark, tmp_path):
         "append", "append", "overwrite"]
 
 
+def test_prepare_commit_append_split(spark, tmp_path):
+    """The prepare/commit halves of append (the parallel-epoch seam): a
+    prepared dir is written but INVISIBLE until its claim; commit makes
+    it the next version with identical stats metadata; abandon removes
+    the orphan. append() itself must remain prepare+commit composed."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_rows(spark, 1, 11), stats_cols=["k"])
+    v1_rows = t.read().count()
+
+    prep = t.prepare_append(_rows(spark, 11, 21), stats_cols=["k"])
+    # written on disk, but no claim: readers still see version 1 only
+    assert os.path.isdir(os.path.join(t.path, prep["rel"]))
+    assert t.current_version() == 1
+    assert t.read().count() == v1_rows
+    assert prep["meta"]["stats"]["k"] == [11, 20]
+
+    v = t.commit_prepared(prep, extra={"epoch": 7, "run_id": "r"})
+    assert v == 2 and t.read().count() == 20
+    assert t.epoch_applied(7, "r")
+    # the prepared dir's stats landed exactly as append() records them
+    assert t.manifest(2)["dir_meta"][prep["rel"]]["stats"]["k"] == [11, 20]
+
+    orphan = t.prepare_append(_rows(spark, 21, 31))
+    t.abandon_prepared(orphan)
+    assert not os.path.isdir(os.path.join(t.path, orphan["rel"]))
+    assert t.current_version() == 2
+
+
 def test_compact_folds_dirs_and_keeps_history(spark, tmp_path):
     t = ManifestTable(spark, str(tmp_path / "t"))
     for i in range(4):

@@ -80,15 +80,15 @@ def test_ts_epoch_replay_and_crash_window(spark, sf_dir, tmp_path):
                    "user_id", "ts", "event_id", "value", QUERY)
     assert (tails.current_version(), matches.current_version()) == vers
 
-    orig = tails.append
-    tails.append = lambda *a, **k: (_ for _ in ()).throw(
+    orig = tails.commit_prepared
+    tails.commit_prepared = lambda *a, **k: (_ for _ in ()).throw(
         RuntimeError("simulated crash"))
     with pytest.raises(RuntimeError, match="simulated crash"):
         apply_ts_epoch(tails, matches, b1, 1, "run0",
                        "user_id", "ts", "event_id", "value", QUERY)
     assert matches.epoch_applied(1, "run0")
     assert not tails.epoch_applied(1, "run0")
-    tails.append = orig
+    tails.commit_prepared = orig
     apply_ts_epoch(tails, matches, b1, 1, "run0",
                    "user_id", "ts", "event_id", "value", QUERY)
     got = {
@@ -109,6 +109,18 @@ def test_ts_out_of_order_refused(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="nondecreasing across batches"):
         apply_ts_epoch(tails, matches, b0, 1, "run0",
                        "user_id", "ts", "event_id", "value", QUERY)
+    # the refusal runs in the epoch's parallel wave (_epoch_wave), so the
+    # commit data-writes may already exist as files — but the abort must
+    # claim NOTHING and abandon every prepared dir (no orphans)
+    import os
+
+    assert not matches.epoch_applied(1, "run0")
+    assert not tails.epoch_applied(1, "run0")
+    for t in (tails, matches):
+        claimed = set(t.manifest(t.current_version())["dirs"])
+        on_disk = {os.path.join("data", d)
+                   for d in os.listdir(os.path.join(t.path, "data"))}
+        assert on_disk == claimed
 
 
 def test_ts_fold_keeps_pruned_reads_correct(spark, sf_dir, tmp_path):
@@ -321,8 +333,8 @@ def test_ts_reorder_crash_window_buffer_half(spark, tmp_path):
     apply_ts_epoch_reordered(
         tails, matches, buffer, deliveries[0], 0, "run0", *args, delay=10)
 
-    orig = buffer.append
-    buffer.append = lambda *a, **k: (_ for _ in ()).throw(
+    orig = buffer.commit_prepared
+    buffer.commit_prepared = lambda *a, **k: (_ for _ in ()).throw(
         RuntimeError("simulated crash"))
     with pytest.raises(RuntimeError, match="simulated crash"):
         apply_ts_epoch_reordered(
@@ -330,7 +342,7 @@ def test_ts_reorder_crash_window_buffer_half(spark, tmp_path):
             delay=10)
     assert matches.epoch_applied(1, "run0")
     assert not buffer.epoch_applied(1, "run0")
-    buffer.append = orig
+    buffer.commit_prepared = orig
     m_ver = matches.current_version()
     apply_ts_epoch_reordered(
         tails, matches, buffer, deliveries[1], 1, "run0", *args, delay=10)
@@ -536,8 +548,8 @@ def test_ts_reorder_per_key_fold_and_crash_replay(spark, tmp_path):
         tails, matches, buffer, deliveries[0], 0, "run0", *args, delay=8,
         per_key=True)
 
-    orig = buffer.append
-    buffer.append = lambda *a, **k: (_ for _ in ()).throw(
+    orig = buffer.commit_prepared
+    buffer.commit_prepared = lambda *a, **k: (_ for _ in ()).throw(
         RuntimeError("simulated crash"))
     with pytest.raises(RuntimeError, match="simulated crash"):
         apply_ts_epoch_reordered(
@@ -545,7 +557,7 @@ def test_ts_reorder_per_key_fold_and_crash_replay(spark, tmp_path):
             delay=8, per_key=True)
     assert matches.epoch_applied(1, "run0")
     assert not buffer.epoch_applied(1, "run0")
-    buffer.append = orig
+    buffer.commit_prepared = orig
     m_ver = matches.current_version()
     apply_ts_epoch_reordered(
         tails, matches, buffer, deliveries[1], 1, "run0", *args, delay=8,
@@ -798,8 +810,8 @@ def test_ts_fold_interleaved_in_crash_window_replays_to_truth(spark,
         tails, matches, buffer, deliveries[0], 0, "run0", *args, delay=8,
         per_key=True)
 
-    orig = buffer.append
-    buffer.append = lambda *a, **k: (_ for _ in ()).throw(
+    orig = buffer.commit_prepared
+    buffer.commit_prepared = lambda *a, **k: (_ for _ in ()).throw(
         RuntimeError("simulated crash"))
     with pytest.raises(RuntimeError, match="simulated crash"):
         apply_ts_epoch_reordered(
@@ -814,7 +826,7 @@ def test_ts_fold_interleaved_in_crash_window_replays_to_truth(spark,
     # ...the single-table keep-newest fold is read-equivalent and may run
     assert maybe_fold_tails(tails, "user_id", max_dirs=1, n_dirs=4) \
         is not None
-    buffer.append = orig
+    buffer.commit_prepared = orig
     for epoch, d in enumerate(deliveries[1:], start=1):
         apply_ts_epoch_reordered(
             tails, matches, buffer, d, epoch, "run0", *args, delay=8,
@@ -848,14 +860,14 @@ def test_ts_flush_refuses_half_landed_prior_epoch_but_replays_own(
     apply_ts_epoch_reordered(tails, matches, buffer, full.filter("ts < 20"),
                              0, "run0", *args, delay=8, per_key=True)
 
-    orig_append = buffer.append
-    buffer.append = lambda *a, **k: (_ for _ in ()).throw(
+    orig_append = buffer.commit_prepared
+    buffer.commit_prepared = lambda *a, **k: (_ for _ in ()).throw(
         RuntimeError("simulated crash"))
     with pytest.raises(RuntimeError, match="simulated crash"):
         apply_ts_epoch_reordered(
             tails, matches, buffer, full.filter("ts >= 20"), 1, "run0",
             *args, delay=8, per_key=True)
-    buffer.append = orig_append
+    buffer.commit_prepared = orig_append
     with pytest.raises(RuntimeError, match="half-landed"):
         flush_ts_reorder(tails, matches, buffer, 2, "run0", *args,
                          per_key=True)
@@ -905,8 +917,8 @@ def test_ts_global_fold_interleaved_in_crash_window(spark, tmp_path):
     apply_ts_epoch_reordered(
         tails, matches, buffer, deliveries[0], 0, "run0", *args, delay=10)
 
-    orig = buffer.append
-    buffer.append = lambda *a, **k: (_ for _ in ()).throw(
+    orig = buffer.commit_prepared
+    buffer.commit_prepared = lambda *a, **k: (_ for _ in ()).throw(
         RuntimeError("simulated crash"))
     with pytest.raises(RuntimeError, match="simulated crash"):
         apply_ts_epoch_reordered(
@@ -918,7 +930,7 @@ def test_ts_global_fold_interleaved_in_crash_window(spark, tmp_path):
     assert maybe_fold_buffer(buffer, "ts", max_dirs=0, n_dirs=2) is not None
     assert maybe_fold_tails(tails, "user_id", max_dirs=0, n_dirs=2) \
         is not None
-    buffer.append = orig
+    buffer.commit_prepared = orig
     for epoch, d in enumerate(deliveries[1:], start=1):
         apply_ts_epoch_reordered(
             tails, matches, buffer, d, epoch, "run0", *args, delay=10)
