@@ -543,6 +543,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     driver_gate: int = 100_000,
+    head: list | None = None,
 ) -> DataFrame:
     """Cluster assignment over a candidate-pair edge list: (id, component)
     where component = the minimum id reachable from the node.
@@ -576,6 +577,11 @@ def connected_components(
     sf0.1 winnow graph). Over the gate (the 100 TB corpus-wide rebuild),
     the distributed propagation runs unchanged; ``driver_gate=0``
     forces it.
+
+    ``head`` lets a caller that already ran the gate probe (a take of
+    ``driver_gate + 1`` rows of (src, dst) on this same edge relation —
+    see ``incremental_components``) hand the fetched rows in, so the
+    probe is not re-run here.
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # gate-check and edge fetch in ONE action on the LAZY plan: a take
@@ -591,7 +597,8 @@ def connected_components(
     # Only the over-gate path materializes the checkpoint — there the
     # edge lineage would otherwise recompute per propagation round
     # (measured 40x on the sf0.1 winnow graph).
-    head = und.take(driver_gate + 1)
+    if head is None:
+        head = und.take(driver_gate + 1)
     if len(head) <= driver_gate:
         return _driver_components(und, head)
     both = (
@@ -1110,7 +1117,22 @@ def incremental_components(
             .distinct()
         )
         edges = edges_int.unionByName(edges_ext)
-    comp = connected_components(edges)
+    # ONE gate probe serves both the closure kernel and the delta
+    # derivations below: when the delta subgraph fits the driver gate
+    # (every incremental epoch by construction — delta edges are
+    # batch-sized), the probe's rows ARE the complete edge set, so the
+    # unions delta joins a driver-resident LocalRelation instead of
+    # re-deriving the whole fingerprint/index lineage inside each delta
+    # evaluation (the per-epoch state commit was re-running it). The
+    # over-gate rebuild path passes the original lazy edges through
+    # unchanged, probe included (connected_components skips its own).
+    _gate = 100_000
+    head = edges.select(F.col("id_a").alias("a"),
+                        F.col("id_b").alias("b")).take(_gate + 1)
+    if len(head) <= _gate:
+        edges = batch_df.sparkSession.createDataFrame(
+            [(r["a"], r["b"]) for r in head], edges.schema)
+    comp = connected_components(edges, driver_gate=_gate, head=head)
     batch_ids = batch_df.select(F.col(id_col).alias("id")).distinct()
     members_delta = (
         batch_ids.join(comp, "id", "left")
