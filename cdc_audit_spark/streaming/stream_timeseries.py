@@ -107,7 +107,11 @@ def _epoch_wave(guards, preps) -> None:
     the epoch before any commit becomes visible (the refusal counts);
     ``preps`` are ``(table, df, prepare_kwargs, commit_extra)`` appends
     whose contents all derive from state pinned before the epoch, so
-    their write jobs are mutually independent. Everything Spark-side
+    their write jobs are mutually independent. ``df`` may be a zero-arg
+    CALLABLE returning the DataFrame: plan construction is itself
+    100s of py4j round-trips per member, so building each member's plan
+    inside its own wave thread overlaps that driver latency with the
+    other members' running jobs. Everything Spark-side
     (guard jobs + data-dir writes) overlaps across driver threads; the
     manifest CLAIMS then land sequentially in list order — the exact
     crash-consistency ordering of the sequential code, because a prepared
@@ -120,9 +124,13 @@ def _epoch_wave(guards, preps) -> None:
         return
     prepped: list = [None] * len(preps)
     errs: list[BaseException] = []
+
+    def _prep(t, df, kw):
+        return t.prepare_append(df() if callable(df) else df, **kw)
+
     with ThreadPoolExecutor(max_workers=len(guards) + len(preps)) as ex:
         gfs = [ex.submit(g) for g in guards]
-        pfs = [ex.submit(t.prepare_append, df, **kw)
+        pfs = [ex.submit(_prep, t, df, kw)
                for (t, df, kw, _x) in preps]
         for f in gfs:
             try:
@@ -159,6 +167,7 @@ def apply_ts_epoch(
     tail_df=None,
     guard=None,
     extra_preps=None,
+    tail_resolved: bool = False,
 ) -> None:
     """One micro-batch: score every window the batch completes, refresh
     the touched keys' tails. All state reads are pinned before the epoch
@@ -177,7 +186,11 @@ def apply_ts_epoch(
     this epoch's pre-version; it is narrowed to the batch's keys here.
     Those callers hold exactly such a read already, so re-running the
     pruned read (its bounded key-collect job included) per epoch is
-    pure duplicate work.
+    pure duplicate work. ``tail_resolved=True`` additionally promises
+    the frame is already keep-newest-resolved WITH ``__epoch`` dropped
+    (the keyed caller persists the resolved frame so the window runs
+    once at cache fill instead of once inside each of the two commit
+    write jobs that scan it).
 
     ``order_guarded=True`` (internal — the reorder/flush callers) skips
     the per-epoch order-check job because the caller PROVED the batch is
@@ -204,7 +217,13 @@ def apply_ts_epoch(
         F.col(key_col), F.col(ts_col), F.col(tie_col), F.col(val_col)
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        if tail_df is not None:
+        if tail_df is not None and tail_resolved:
+            # caller promises: pruned to the batch's keys AND keep-newest
+            # resolved already (the persisted per-epoch state read) — a
+            # second semi-join + window here would re-enter every
+            # consuming job's plan as one more broadcast + exchange
+            tail = tail_df
+        elif tail_df is not None:
             tail = _newest_tail(
                 tail_df.join(batch.select(key_col).distinct(), key_col,
                              "left_semi"), key_col)
@@ -243,19 +262,27 @@ def apply_ts_epoch(
                     "completed windows")
 
         combined = tail.unionByName(batch)
-        dists = znorm_distances(
-            combined, key_col, ts_col, tie_col, val_col, query)
-        if max_dist2_micro is not None:
-            dists = dists.filter(
-                F.col("dist2_micro") <= int(max_dist2_micro))
-        order = Window.partitionBy(key_col).orderBy(
-            F.col(ts_col).desc(), F.col(tie_col).desc())
-        new_tail = (
-            combined.withColumn("__rn", F.row_number().over(order))
-            .filter(F.col("__rn") < m)
-            .drop("__rn")
-            .withColumn("__epoch", F.lit(int(epoch_id)))
-        )
+
+        # commit plans are built INSIDE the wave (each thunk runs in its
+        # own thread): construction is 100s of py4j round-trips per
+        # member, overlapped with the other members' running jobs
+        def _dists():
+            d = znorm_distances(
+                combined, key_col, ts_col, tie_col, val_col, query)
+            if max_dist2_micro is not None:
+                d = d.filter(F.col("dist2_micro") <= int(max_dist2_micro))
+            return d
+
+        def _new_tail():
+            order = Window.partitionBy(key_col).orderBy(
+                F.col(ts_col).desc(), F.col(tie_col).desc())
+            return (
+                combined.withColumn("__rn", F.row_number().over(order))
+                .filter(F.col("__rn") < m)
+                .drop("__rn")
+                .withColumn("__epoch", F.lit(int(epoch_id)))
+            )
+
         extra = {"epoch": int(epoch_id), "run_id": run_id}
         guards = []
         if not order_guarded:
@@ -264,9 +291,9 @@ def apply_ts_epoch(
             guards.append(guard)
         preps = []
         if not m_done:
-            preps.append((matches, dists, {}, extra))
+            preps.append((matches, _dists, {}, extra))
         if not t_done:
-            preps.append((tails, new_tail, {"stats_cols": [key_col]},
+            preps.append((tails, _new_tail, {"stats_cols": [key_col]},
                           extra))
         preps.extend(extra_preps or [])
         _epoch_wave(guards, preps)
@@ -514,34 +541,41 @@ def _apply_reordered_keyed(
                 .persist(StorageLevel.MEMORY_AND_DISK)
                 if pre_b is not None
                 else batch.filter(F.lit(False)))
-    tail_rows = (tails.read_pruned_for_keys(bkeys, key_col, version=pre_t,
-                                            points=pts_arg)
-                 .join(bkeys, key_col, "left_semi")
-                 .persist(StorageLevel.MEMORY_AND_DISK)
-                 if pre_t is not None else None)
+    # keep-newest resolved at persist time: the window + semi-join run
+    # once at cache fill instead of re-entering every consuming job's
+    # plan (wm frame, refusal tmax, and both commit writes scan this) —
+    # newest-only rows carry each key's max released ts, so the wm
+    # frame, tmax and the inner epoch's tail are value-identical
+    tail_rows = (_newest_tail(
+        tails.read_pruned_for_keys(bkeys, key_col, version=pre_t,
+                                   points=pts_arg)
+        .join(bkeys, key_col, "left_semi"), key_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        if pre_t is not None else None)
     wmf = _keyed_wm_frame(buf_rows, tail_rows, key_col, ts_col,
                           delay).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        # refusal: later than the key's OWN reorder bound (null frontier
-        # = never-seen key: nothing released yet, nothing can be late).
-        # The key's scored-tail max is a second bound: normally it sits
-        # at or under the frontier (released rows are ≤ wm), but after a
-        # flush_ts_reorder the tail reaches INTO the delay window — a
-        # redelivery there must refuse NOW, not sit buffered until the
-        # key's clock advances and the inner order guard kills the drain
-        ref = batch.join(wmf, key_col, "left")
-        late_cond = F.col(ts_col) <= F.col("__wm_prev")
-        if tail_rows is not None:
-            tmax = (tail_rows.groupBy(key_col)
-                    .agg(F.max(ts_col).alias("__tmax")))
-            ref = ref.join(tmax, key_col, "left")
-            late_cond = late_cond | (F.col(ts_col) <= F.col("__tmax"))
-
         def _refusal_guard():
             # joins the epoch's parallel wave (_epoch_wave): runs
-            # concurrently with the commit data-writes, but no claim
-            # lands until it passes — the abort-BEFORE-any-commit
-            # contract, minus one serialized job per epoch
+            # concurrently with the commit data-writes (its plan is
+            # built in-thread too), but no claim lands until it passes —
+            # the abort-BEFORE-any-commit contract, minus one serialized
+            # job per epoch.
+            # refusal: later than the key's OWN reorder bound (null
+            # frontier = never-seen key: nothing released yet, nothing
+            # can be late). The key's scored-tail max is a second bound:
+            # normally it sits at or under the frontier (released rows
+            # are ≤ wm), but after a flush_ts_reorder the tail reaches
+            # INTO the delay window — a redelivery there must refuse
+            # NOW, not sit buffered until the key's clock advances and
+            # the inner order guard kills the drain
+            ref = batch.join(wmf, key_col, "left")
+            late_cond = F.col(ts_col) <= F.col("__wm_prev")
+            if tail_rows is not None:
+                tmax = (tail_rows.groupBy(key_col)
+                        .agg(F.max(ts_col).alias("__tmax")))
+                ref = ref.join(tmax, key_col, "left")
+                late_cond = late_cond | (F.col(ts_col) <= F.col("__tmax"))
             n_too_late = ref.filter(late_cond).count()
             if n_too_late:
                 raise ValueError(
@@ -570,12 +604,13 @@ def _apply_reordered_keyed(
                     .filter(F.col(ts_col) <= F.col("__wm")).drop("__wm"))
         extra_preps = []
         if not b_done:
-            still = (batch.join(wm_only, key_col, "left")
-                     .filter(F.col("__wm").isNull()
-                             | (F.col(ts_col) > F.col("__wm")))
-                     .drop("__wm"))
+            def _still():
+                return (batch.join(wm_only, key_col, "left")
+                        .filter(F.col("__wm").isNull()
+                                | (F.col(ts_col) > F.col("__wm")))
+                        .drop("__wm"))
             extra_preps.append((
-                buffer, still, {"stats_cols": [ts_col, key_col]},
+                buffer, _still, {"stats_cols": [ts_col, key_col]},
                 {"epoch": int(epoch_id), "run_id": run_id,
                  "wm_keyed": True}))
         # ONE parallel wave for the whole epoch: refusal guard + the
@@ -586,7 +621,7 @@ def _apply_reordered_keyed(
             key_col, ts_col, tie_col, val_col, query,
             max_dist2_micro=max_dist2_micro, order_guarded=True,
             tail_df=tail_rows, guard=_refusal_guard,
-            extra_preps=extra_preps)
+            extra_preps=extra_preps, tail_resolved=True)
     finally:
         wmf.unpersist()
         if pre_b is not None:
