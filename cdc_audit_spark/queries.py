@@ -4376,7 +4376,12 @@ def cdc_components_sync(spark, sf_dir):
     idx = unions = members = None
     nil = F.lit(None)
     for residue in (2, 1, 0):
-        batch = docs.filter(F.col("doc_id") % 3 == residue)
+        # persist the epoch slice: batch_ids and the fingerprint pass
+        # both derive from it, and without the cache the delta
+        # evaluation re-scans the documents parquet up to three times
+        # per epoch (once per union branch)
+        batch = docs.filter(F.col("doc_id") % 3 == residue).persist(
+            StorageLevel.MEMORY_AND_DISK)
         # The winnow fingerprint pass (interpreted md5 over every gram)
         # is the epoch's expensive kernel and feeds all three deltas;
         # compute it ONCE per epoch (the manifest epochs already do —
@@ -4385,8 +4390,12 @@ def cdc_components_sync(spark, sf_dir):
             StorageLevel.MEMORY_AND_DISK)
         m, i, u = incremental_components(
             batch, "text", "doc_id", idx=idx, unions=unions, fps=fps)
-        # one eager checkpoint for the three deltas (tag + union) — the
-        # per-delta checkpoints were three full jobs over shared lineage
+        # one LAZY persist for the three deltas (tag + union): the fill
+        # rides the NEXT epoch's first action over this state (the
+        # ledger collect / gate probe) instead of costing a dedicated
+        # eager-checkpoint job per epoch — the deltas join driver-
+        # resident edges and the cached fps/batch, so the deferred fill
+        # is one shallow job, and fps/batch stay cached until then
         tagged = (
             m.select(F.lit("m").alias("__t"), nil.cast("int").alias("fp"),
                      "id", "label", nil.cast("long").alias("child"),
@@ -4399,8 +4408,7 @@ def cdc_components_sync(spark, sf_dir):
                 F.lit("u").alias("__t"), nil.cast("int").alias("fp"),
                 nil.cast("long").alias("id"), nil.cast("long").alias("label"),
                 "child", "parent"))
-        ).localCheckpoint(eager=True)
-        fps.unpersist()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         m = tagged.filter(F.col("__t") == "m").select("id", "label")
         i = tagged.filter(F.col("__t") == "i").select("fp", "id", "label")
         u = tagged.filter(F.col("__t") == "u").select("child", "parent")
